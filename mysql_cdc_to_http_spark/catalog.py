@@ -1,0 +1,55 @@
+"""Catalog: loaders for the driver-generated parquet testdata tables.
+
+The analog of the reference's dynamic table metadata (``e.Table.Columns``,
+main.go:249-255) — here schemas come from parquet footers, resolved once at
+analysis time, and Catalyst prunes columns/partitions from there.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables — always broadcast-join these (at 100 TB the fact
+#: tables scale; these stay tiny, so the broadcast hint removes a shuffle).
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan with pushdown/pruning handled by the parquet source.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 cannot map to
+    TimestampType natively; with ``spark.sql.legacy.parquet.nanosAsLong``
+    it arrives as nanos-since-epoch LongType and is converted here (integer
+    ``div`` — a double division would lose precision at 1e18 nanos).
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register every testdata table as a temp view for the SQL surface."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,193 @@
+"""Scalar function library: string / datetime / math / array / map-JSON
+(SURVEY.md §2.3 X23-X27).
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side, inside
+whole-stage codegen; zero Python in the hot path. Oracle SQL compensates
+for DuckDB dialect differences (return types of length/floor/rank,
+``dayofweek`` origin, ``log`` base) so values align bit-for-bit where the
+math is exact and to a fixed rounding where it is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mysql_cdc_to_http_spark.catalog import load_table
+from mysql_cdc_to_http_spark.queries.registry import query
+
+
+# --------------------------------------------------------------------------
+# X23 — string functions
+# --------------------------------------------------------------------------
+@query(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                              AS brand_upper,
+           lower(p_type)                               AS type_lower,
+           substring(p_name, 1, 10)                    AS name_prefix,
+           CAST(length(p_name) AS INT)                 AS name_len,
+           concat_ws('|', p_brand, p_type)             AS brand_type,
+           trim(p_name)                                AS name_trim,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')       AS size_pad,
+           regexp_extract(p_name, '([a-z]+)', 1)       AS first_word,
+           regexp_replace(p_name, ' ', '_')            AS name_snake,
+           string_split(p_name, ' ')[1]                AS word0
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim("p_name").alias("name_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.split("p_name", " ").getItem(0).alias("word0"),
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# X24 — date/time functions
+# --------------------------------------------------------------------------
+@query(
+    "q_fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)                      AS yr,
+           CAST(month(o_orderdate) AS INT)                     AS mo,
+           CAST(dayofweek(o_orderdate) + 1 AS INT)             AS dow,
+           o_orderdate + INTERVAL 30 DAY                       AS due_ts,
+           CAST(date_diff('day', o_orderdate,
+                          TIMESTAMP '2002-01-01 00:00:00') AS INT) AS days_to_2002,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(epoch(o_orderdate) AS BIGINT)                  AS epoch_s,
+           CAST(o_orderdate AS DATE)                           AS order_date
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.expr("o_orderdate + INTERVAL 30 DAYS").alias("due_ts"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.to_date("o_orderdate").alias("order_date"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# X25 — math functions
+# --------------------------------------------------------------------------
+@query(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 2)                       AS price_r2,
+           CAST(floor(l_discount * 100) AS BIGINT)         AS disc_pct_floor,
+           CAST(ceil(l_tax * 100) AS BIGINT)               AS tax_pct_ceil,
+           abs(l_quantity - 25.0)                          AS qty_dev,
+           round(pow(l_quantity, 2), 4)                    AS qty_sq,
+           round(sqrt(l_extendedprice), 4)                 AS price_sqrt,
+           round(ln(l_extendedprice + 1.0), 6)             AS price_ln,
+           CAST(((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS BIGINT) AS key_pmod,
+           CAST(sign(l_quantity - 25.0) AS DOUBLE)         AS qty_sign
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # round at the value's own decimal width (identity) — one digit
+        # fewer would sit on the .x5 boundary where engines disagree.
+        F.round("l_extendedprice", 2).alias("price_r2"),
+        F.floor(F.col("l_discount") * 100).alias("disc_pct_floor"),
+        F.ceil(F.col("l_tax") * 100).alias("tax_pct_ceil"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("price_ln"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_pmod"),
+        F.signum(F.col("l_quantity") - 25.0).alias("qty_sign"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# --------------------------------------------------------------------------
+# X26 — array functions incl. higher-order (on embeddings.embedding)
+# --------------------------------------------------------------------------
+@query(
+    "q_fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT)                              AS dim,
+           round(list_sum(CAST(embedding AS DOUBLE[])), 4)          AS vec_sum,
+           list_min(embedding)                                      AS vec_min,
+           list_max(embedding)                                      AS vec_max,
+           embedding[1:3]                                           AS first3,
+           CAST(len(list_filter(embedding, x -> x > 1.0)) AS INT)   AS n_gt1,
+           list_sort(embedding)[1]                                  AS sorted_head
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("vec_sum"),
+        F.array_min("embedding").alias("vec_min"),
+        F.array_max("embedding").alias("vec_max"),
+        F.slice("embedding", 1, 3).alias("first3"),
+        F.size(F.filter("embedding", lambda x: x > 1.0)).alias("n_gt1"),
+        F.element_at(F.sort_array("embedding"), 1).alias("sorted_head"),
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# X27 — map / JSON functions (on events.props)
+# --------------------------------------------------------------------------
+@query(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')                 AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+           json_keys(props)                                  AS prop_keys,
+           CAST(len(json_keys(props)) AS INT)                AS n_keys
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    props_map = F.from_json("props", "map<string,bigint>")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_long"),
+        F.map_keys(props_map).alias("prop_keys"),
+        F.size(F.map_keys(props_map)).alias("n_keys"),
+    ).orderBy("event_id")

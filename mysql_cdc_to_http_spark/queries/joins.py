@@ -1,0 +1,222 @@
+"""Join family: inner/outer/semi/anti/range/as-of/cross (SURVEY.md §2.3
+X7-X12).
+
+Scale strategy per join:
+- fact ⋈ fact (orders⋈lineitem): sort-merge with AQE skew splitting.
+- fact ⋈ dim (anything ⋈ region/nation/supplier/part): explicit
+  ``F.broadcast`` — removes the shuffle entirely.
+- range join against a tiny band table: broadcast nested-loop — the band
+  side is O(10) rows, so BNLJ is the *right* physical plan, not a fallback.
+- as-of join: union + window (single shuffle on the partition key), never
+  a theta join — a theta-join as-of is quadratic per key at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from mysql_cdc_to_http_spark.catalog import load_table
+from mysql_cdc_to_http_spark.operators.asof import asof_join
+from mysql_cdc_to_http_spark.queries.registry import query
+
+
+# --------------------------------------------------------------------------
+# X7 — inner equi-join
+# --------------------------------------------------------------------------
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# X8 — outer joins (left + full in one plan)
+# --------------------------------------------------------------------------
+@query(
+    "q_join_outer",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CAST(COALESCE(cn.n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(COALESCE(sn.n_supp, 0) AS BIGINT) AS n_supp
+    FROM nation
+    LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n_cust
+               FROM customer GROUP BY c_nationkey) cn
+      ON n_nationkey = cn.c_nationkey
+    FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_supp
+               FROM supplier GROUP BY s_nationkey) sn
+      ON n_nationkey = sn.s_nationkey
+    ORDER BY n_nationkey
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    cust_per_nation = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp_per_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        nation.join(cust_per_nation, nation.n_nationkey == cust_per_nation.c_nationkey, "left")
+        .join(supp_per_nation, nation.n_nationkey == supp_per_nation.s_nationkey, "full")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# X9 — semi / anti joins
+# --------------------------------------------------------------------------
+@query(
+    "q_join_semi_anti",
+    oracle="""
+    SELECT 'no_orders' AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'with_orders', CAST(COUNT(*) AS BIGINT)
+      FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    ORDER BY bucket
+    """,
+)
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    semi = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+
+    def counted(bucket: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(bucket).alias("bucket"), "n"
+        )
+
+    return counted("no_orders", anti).unionByName(counted("with_orders", semi)).orderBy(
+        "bucket"
+    )
+
+
+# --------------------------------------------------------------------------
+# X10 — range (theta) join against a tiny derived band table
+# --------------------------------------------------------------------------
+@query(
+    "q_join_range",
+    oracle="""
+    WITH bands AS (
+      SELECT r_regionkey AS band_id,
+             r_regionkey * 100.0 AS lo,
+             (r_regionkey + 1) * 100.0 AS hi
+      FROM region
+    )
+    SELECT band_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band_id
+    ORDER BY band_id
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join: the band side is O(#regions) rows, so broadcast
+    nested-loop is the correct physical plan at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    bands = (
+        load_table(spark, sf_dir, "region")
+        .select(
+            F.col("r_regionkey").alias("band_id"),
+            (F.col("r_regionkey") * 100.0).alias("lo"),
+            ((F.col("r_regionkey") + 1) * 100.0).alias("hi"),
+        )
+    )
+    cond = (events.value >= bands.lo) & (events.value < bands.hi)
+    return (
+        events.join(F.broadcast(bands), cond, "inner")
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("band_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# X11 — as-of join (latest prior click per purchase, same user)
+# --------------------------------------------------------------------------
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id, MAX(c.ts) AS last_click_ts
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    ORDER BY p.event_id
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of via union+window (operators/asof.py) — one shuffle on user_id,
+    linear per key; the oracle's theta-join form is quadratic per key and
+    exists only to define the semantics."""
+    events = load_table(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts"), F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_ts"],
+    )
+    return joined.select(
+        "event_id", F.col("click_ts").alias("last_click_ts")
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# X12 — cross join (small dims)
+# --------------------------------------------------------------------------
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    ORDER BY r_name, n_name
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(nation).orderBy("r_name", "n_name")

@@ -1,0 +1,35 @@
+"""Query registry: the contract surface consumed by ``__spark_entry__.py``.
+
+Each implemented operator from SURVEY.md §2 registers a named query
+callable ``(spark, sf_dir) -> DataFrame`` and, when batch-SQL-expressible,
+a DuckDB oracle SQL string producing identical (column-name-aligned) rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator registering a query (and optionally its DuckDB oracle).
+
+    Queries without an oracle get the driver's weaker rows-only check
+    (streaming / approximate / iterative ops).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco

@@ -1,0 +1,405 @@
+"""Batch relational core: scans, projection, predicates, aggregation,
+sort/limit, set ops, exact dedup (SURVEY.md §2.3 X1-X2, X5-X6, X13-X16,
+X20-X22).
+
+All queries are declarative DataFrame plans — Catalyst provides predicate
+pushdown, column pruning, partial (map-side) aggregation, and
+TakeOrderedAndProject for top-k. Aggregate doubles are rounded identically
+on the Spark and oracle sides so the driver's value-hash compares cleanly
+across engines (FP sums differ in the last ulp between any two engines).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from mysql_cdc_to_http_spark.catalog import load_table
+from mysql_cdc_to_http_spark.queries.registry import query
+
+
+# --------------------------------------------------------------------------
+# X1 — parquet scan
+# --------------------------------------------------------------------------
+@query(
+    "q_scan_parquet",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_orderkey) AS min_key,
+           MAX(l_orderkey) AS max_key,
+           CAST(SUM(l_linenumber) AS BIGINT) AS sum_linenumber
+    FROM lineitem
+    """,
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan; only 2 columns survive pruning (check ReadSchema)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+        F.sum("l_linenumber").alias("sum_linenumber"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X2 — JSON / CSV scan (round-trip through text formats)
+# --------------------------------------------------------------------------
+_NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+_REGION_SCHEMA = T.StructType(
+    [
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+    ]
+)
+
+
+def _text_format_cache(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize nation as CSV and region as JSON once per sf_dir.
+
+    Derived data lives under the system temp dir (testdata is read-only).
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_textfmt", tag)
+    csv_dir = os.path.join(out, "nation_csv")
+    json_dir = os.path.join(out, "region_json")
+    if not os.path.exists(os.path.join(out, "_done")):
+        load_table(spark, sf_dir, "nation").coalesce(1).write.mode(
+            "overwrite"
+        ).option("header", True).csv(csv_dir)
+        load_table(spark, sf_dir, "region").coalesce(1).write.mode(
+            "overwrite"
+        ).json(json_dir)
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "_done"), "w") as fh:
+            fh.write("ok")
+    return out
+
+
+@query(
+    "q_scan_json",
+    oracle="""
+    SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON sources with explicit schemas (no runtime inference),
+    then a broadcast join — text formats round-trip losslessly here."""
+    out = _text_format_cache(spark, sf_dir)
+    nation = (
+        spark.read.schema(_NATION_SCHEMA)
+        .option("header", True)
+        .csv(os.path.join(out, "nation_csv"))
+    )
+    region = spark.read.schema(_REGION_SCHEMA).json(os.path.join(out, "region_json"))
+    return (
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner"
+        )
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .orderBy("r_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# X5 — projection / aliasing / computed columns
+# --------------------------------------------------------------------------
+@query(
+    "q_projection",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           c_acctbal,
+           c_acctbal * CAST(1.1 AS DOUBLE) AS acctbal_up,
+           c_nationkey % 5 AS nk_mod
+    FROM customer
+    """,
+)
+def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB: no round() on the computed column — a 2-decimal price times 1.1
+    lands exactly on the .xx5 rounding boundary where Spark (BigDecimal
+    HALF_UP) and DuckDB (FP-slop rounding) disagree; the raw double product
+    is bitwise identical across engines instead."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        "c_acctbal",
+        (F.col("c_acctbal") * 1.1).alias("acctbal_up"),
+        (F.col("c_nationkey") % 5).alias("nk_mod"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X6 — predicate zoo: comparison, BETWEEN, IN, LIKE, null-safe eq, boolean
+# --------------------------------------------------------------------------
+@query(
+    "q_predicates",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000 AND 50000
+      AND o_orderstatus IN ('O', 'F')
+      AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+      AND o_orderstatus IS NOT DISTINCT FROM o_orderstatus
+      AND NOT (o_custkey IS NULL)
+    """,
+)
+def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(1000, 50000)
+        & F.col("o_orderstatus").isin("O", "F")
+        & (F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%"))
+        & F.col("o_orderstatus").eqNullSafe(F.col("o_orderstatus"))
+        & ~F.col("o_custkey").isNull()
+    ).select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# X13 — TPC-H Q1-shape hash aggregate (the flagship query)
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                      AS sum_qty,
+           round(sum(l_extendedprice), 2)                                 AS sum_base_price,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))
+             AS sum_disc_price,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+               * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+           round(avg(l_quantity), 4)                                      AS avg_qty,
+           round(avg(l_extendedprice), 4)                                 AS avg_price,
+           round(avg(l_discount), 4)                                      AS avg_disc,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)                     AS n_orders,
+           CAST(COUNT(*) AS BIGINT)                                       AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate with partial (map-side) agg — Catalyst does the
+    two-phase plan; AQE coalesces post-shuffle partitions at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # Multi-product sums run in exact decimal arithmetic: a double sum's
+    # accumulated ulp error (~1e-6 at 1e8 magnitude) reaches the rounding
+    # grid of the products' 4/6-decimal width, so no double rounding is
+    # cross-engine safe — decimal is exact on both engines instead.
+    price_dec = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_price = price_dec * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # 2-decimal/integral summands: FP error ≪ the 0.005 grid, so
+            # round-at-own-width recovers the exact decimal sum (identity).
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# X14 — rollup / grouping sets
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X15 — approximate distinct (HLL) — no SQL oracle (approximate by design)
+# --------------------------------------------------------------------------
+@query("q_agg_approx_distinct")
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct — the 100 TB path where exact COUNT(DISTINCT)
+    would shuffle every key. rsd=0.01 keeps the sketch small & mergeable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X16 — filtered / conditional aggregation
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) AS n_high_disc,
+           round(sum(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0 END), 2) AS taxed_revenue,
+           round(avg(CASE WHEN l_quantity < 25 THEN l_extendedprice END), 4) AS avg_small_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_high_disc"),
+            F.round(
+                F.sum(
+                    F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(
+                        0.0
+                    )
+                ),
+                2,
+            ).alias("taxed_revenue"),
+            F.round(
+                F.avg(F.when(F.col("l_quantity") < 25, F.col("l_extendedprice"))), 4
+            ).alias("avg_small_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# X20 — global sort + limit (TakeOrderedAndProject)
+# --------------------------------------------------------------------------
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit → TakeOrderedAndProject: per-partition heap + driver
+    merge of k rows, never a global sort — the only top-k that scales."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# X21 — set operations
+# --------------------------------------------------------------------------
+@query(
+    "q_set_ops",
+    oracle="""
+    WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+         b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    SELECT 'union' AS op, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT * FROM a UNION SELECT * FROM b)
+    UNION ALL
+    SELECT 'union_all', CAST(COUNT(*) AS BIGINT)
+      FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'intersect', CAST(COUNT(*) AS BIGINT)
+      FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+    UNION ALL
+    SELECT 'except', CAST(COUNT(*) AS BIGINT)
+      FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    ORDER BY op
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+
+    def counted(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+
+    return (
+        counted("union", a.unionByName(b).distinct())
+        .unionByName(counted("union_all", a.unionByName(b)))
+        .unionByName(counted("intersect", a.intersect(b)))
+        .unionByName(counted("except", a.subtract(b)))
+        .orderBy("op")
+    )
+
+
+# --------------------------------------------------------------------------
+# X22 — exact deduplication (hash groupBy; min-id keeper policy)
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_exact",
+    oracle="""
+    WITH dup AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM dup
+    GROUP BY text
+    ORDER BY keep_id
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as hash-aggregate (one shuffle on the dedup key, partial
+    agg map-side). The input synthesizes duplicates deterministically since
+    the documents table has none. At 100 TB, group on a hash of the text
+    (q_multimodal_hash) instead of the full payload to shrink shuffle width.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return (
+        dup.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("keep_id", "dup_count")
+        .orderBy("keep_id")
+    )
