@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline query suite at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE
+JSON line::
+
+    {"metric": "headline_suite_sec", "value": N, "unit": "sec",
+     "queries": {"q_agg_q1": sec, ...}, "sf": 0.1}
+
+Materialization is via the ``noop`` sink — full execution on executors,
+no driver-side collect skewing the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# Headline set: one representative per operator family; extended as the
+# engine grows. Names missing from the registry are skipped (robustness
+# while the suite evolves).
+HEADLINE = [
+    "q_scan_parquet",
+    "q_agg_q1",
+    "q_agg_rollup",
+    "q_join_inner",
+    "q_join_outer",
+    "q_join_asof",
+    "q_window_rank",
+    "q_window_frames",
+    "q_topk",
+    "q_dedup_exact",
+    "q_fn_string",
+    "q_fn_array",
+    "q_type_coercion",
+    "q_cdc_latest_state",
+    "q_dedup_minhash",
+    "q_knn_cosine",
+    "q_tfidf",
+    "q_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from mysql_cdc_to_http_spark.session import get_spark
+    from mysql_cdc_to_http_spark.queries import all_queries
+
+    spark = get_spark(app_name="bench")
+    registry = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
