@@ -1,1 +1,456 @@
-"""Placeholder — populated in a later milestone this round."""
+"""CDC surface queries (SURVEY.md §2.1 R1-R10) — batch column-pipeline
+form, oracle-checkable.
+
+Every query runs over the deterministic synthetic change-event feed
+(sources/cdc.py, derived from ``orders``); each DuckDB oracle re-derives
+the same events in SQL via the shared ``ev`` CTE, so the driver's
+value-hash validates the whole reference dataflow: action filter → group
+filter/routing → update pairing → type coercion → envelope → JSON →
+extraction → file-source round trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mysql_cdc_to_http_spark.catalog import load_table
+from mysql_cdc_to_http_spark.operators import coercion
+from mysql_cdc_to_http_spark.operators.envelope import (
+    action_filter,
+    extract_table_name,
+    serialize,
+)
+from mysql_cdc_to_http_spark.operators.pairing import pair_updates
+from mysql_cdc_to_http_spark.operators.routing import assign_group, group_filter
+from mysql_cdc_to_http_spark.queries.registry import query
+from mysql_cdc_to_http_spark.sources.cdc import (
+    read_change_events,
+    synthetic_change_events,
+    write_event_files,
+)
+
+#: Shared oracle CTE mirroring sources/cdc.py:synthetic_change_events.
+_EV = """
+    WITH ev AS (
+      SELECT CASE CAST(o_orderkey % 4 AS INT)
+               WHEN 0 THEN 'orders' WHEN 1 THEN 'customer'
+               WHEN 2 THEN 'widgets' ELSE 'audit_log' END AS tbl,
+             CASE o_orderstatus WHEN 'O' THEN 'c' WHEN 'P' THEN 'u'
+               ELSE 'd' END AS op,
+             o_orderkey AS offset_id,
+             o_totalprice, o_orderstatus, o_orderdate
+      FROM orders
+    )
+"""
+
+
+def _flat_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = synthetic_change_events(spark, sf_dir)
+    return ev.select(
+        F.col("source.table").alias("tbl"),
+        "op",
+        F.col("offset").alias("offset_id"),
+        "before",
+        "after",
+        "ts_ms",
+    )
+
+
+# --------------------------------------------------------------------------
+# R2 — event-action filter (main.go:58-60)
+# --------------------------------------------------------------------------
+@query(
+    "q_action_filter",
+    oracle=_EV
+    + """
+    SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(offset_id) AS min_offset, MAX(offset_id) AS max_offset
+    FROM ev WHERE op IN ('c', 'u')
+    GROUP BY op ORDER BY op
+    """,
+)
+def q_action_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = action_filter(_flat_events(spark, sf_dir))
+    return (
+        ev.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("offset_id").alias("min_offset"),
+            F.max("offset_id").alias("max_offset"),
+        )
+        .orderBy("op")
+    )
+
+
+# --------------------------------------------------------------------------
+# R3 — table-group membership filter (main.go:51-55)
+# --------------------------------------------------------------------------
+@query(
+    "q_group_filter",
+    oracle=_EV
+    + """
+    SELECT tbl, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ev
+    WHERE tbl IN ('orders', 'lineitem', 'customer', 'supplier')
+    GROUP BY tbl ORDER BY tbl
+    """,
+)
+def q_group_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = group_filter(_flat_events(spark, sf_dir), spark, table_col="tbl")
+    return ev.groupBy("tbl").agg(F.count(F.lit(1)).alias("n")).orderBy("tbl")
+
+
+# --------------------------------------------------------------------------
+# R4 — routing-key assignment (main.go:105, 308-332)
+# --------------------------------------------------------------------------
+@query(
+    "q_group_routing",
+    oracle=_EV
+    + """
+    SELECT CASE WHEN tbl IN ('orders', 'lineitem') THEN 'grp_sales'
+                ELSE 'grp_parties' END AS grp,
+           tbl, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ev
+    WHERE tbl IN ('orders', 'lineitem', 'customer', 'supplier')
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_group_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = assign_group(_flat_events(spark, sf_dir), spark, table_col="tbl")
+    return (
+        ev.groupBy("grp", "tbl").agg(F.count(F.lit(1)).alias("n")).orderBy("grp", "tbl")
+    )
+
+
+# --------------------------------------------------------------------------
+# R5 — update before/after pairing (main.go:64-78)
+# --------------------------------------------------------------------------
+@query(
+    "q_update_pairing",
+    oracle=_EV
+    + """
+    SELECT offset_id, o_totalprice AS before_price,
+           o_totalprice * CAST(1.1 AS DOUBLE) AS after_price
+    FROM ev WHERE op = 'u' AND offset_id % 97 <> 0
+    ORDER BY offset_id
+    """,
+)
+def q_update_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstructs the raw binlog shape (update = two consecutive image
+    rows, dangling before-image every 97th offset) and pairs via the
+    window-lag operator; dangling rows drop like the reference's trailing
+    odd row (main.go:71-73)."""
+    u = (
+        _flat_events(spark, sf_dir)
+        .filter(F.col("op") == "u")
+        .select("tbl", "offset_id", F.col("before.o_totalprice").alias("price"))
+    )
+    before_rows = u.select(
+        "tbl",
+        "offset_id",
+        (F.col("offset_id") * 2).alias("seq"),
+        F.lit(0).alias("img"),
+        F.col("price"),
+    )
+    after_rows = u.filter(F.col("offset_id") % 97 != 0).select(
+        "tbl",
+        "offset_id",
+        (F.col("offset_id") * 2 + 1).alias("seq"),
+        F.lit(1).alias("img"),
+        (F.col("price") * 1.1).alias("price"),
+    )
+    raw = before_rows.unionByName(after_rows)
+    paired = pair_updates(
+        raw,
+        key_cols=["tbl", "offset_id"],
+        seq_col="seq",
+        img_col="img",
+        value_cols=["price"],
+    )
+    return paired.select(
+        "offset_id",
+        F.col("before_price").alias("before_price"),
+        F.col("after_price").alias("after_price"),
+    ).orderBy("offset_id")
+
+
+# --------------------------------------------------------------------------
+# R7 — full type-coercion matrix (main.go:125-209)
+# --------------------------------------------------------------------------
+@query(
+    "q_type_coercion",
+    oracle="""
+    SELECT o_orderkey AS probe_id,
+           o_orderpriority AS txt_plain,
+           o_orderstatus AS txt_b64,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS d_date,
+           'x-' || o_orderpriority AS d_bad,
+           (o_orderkey % 3 = 1) AS b_tiny,
+           (o_orderkey % 5 = 0) AS b_str,
+           (o_orderkey % 2 <> 0) AS b_bit,
+           o_custkey AS i_n,
+           o_totalprice AS f_n,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS dec_compat
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q_type_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds a probe table exercising every branch of the coercion matrix
+    (FIXTURES.md §3) and applies the column library; the oracle states the
+    *expected reference outputs* directly."""
+    o = load_table(spark, sf_dir, "orders")
+    probe = o.select(
+        F.col("o_orderkey").alias("probe_id"),
+        F.col("o_orderpriority").alias("txt_plain"),
+        F.base64(F.col("o_orderstatus").cast("binary")).alias("txt_b64"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d_date"),
+        F.concat(F.lit("x-"), F.col("o_orderpriority")).alias("d_bad"),
+        (F.col("o_orderkey") % 3).cast("int").alias("b_tiny"),
+        F.when(F.col("o_orderkey") % 5 == 0, "true").otherwise("no").alias("b_str"),
+        (F.col("o_orderkey") % 2).alias("b_bit"),
+        F.col("o_custkey").cast("string").alias("i_n"),
+        F.col("o_totalprice").alias("f_n"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("dec_compat"),
+    )
+    coerced = coercion.coerce(
+        probe,
+        {
+            "txt_plain": "text",
+            "txt_b64": "text",
+            "d_date": "date",
+            "d_bad": "date",
+            "b_tiny": "tinyint_bool",
+            "b_str": "tinyint_bool",
+            "b_bit": "bit",
+            "i_n": "int",
+            "f_n": "float",
+        },
+    )
+    return coerced.withColumn(
+        "dec_compat", coercion.decimal_value(F.col("dec_compat"), compat=True)
+    ).orderBy("probe_id")
+
+
+# --------------------------------------------------------------------------
+# R7a — base64 heuristic decode (main.go:136-144)
+# --------------------------------------------------------------------------
+@query(
+    "q_base64_decode",
+    oracle="""
+    SELECT c_custkey, c_name AS name_rt, c_name AS name_raw,
+           c_mktsegment AS seg_rt
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def q_base64_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips base64 of known strings (decoded) and non-base64
+    strings (passthrough — '#' in c_name makes it invalid)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        coercion.decode_base64_text(
+            F.base64(F.col("c_name").cast("binary"))
+        ).alias("name_rt"),
+        coercion.decode_base64_text(F.col("c_name")).alias("name_raw"),
+        coercion.decode_base64_text(
+            F.base64(F.col("c_mktsegment").cast("binary"))
+        ).alias("seg_rt"),
+    ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# R7b — DATE → RFC 3339 (main.go:147-154)
+# --------------------------------------------------------------------------
+@query(
+    "q_date_rfc3339",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS rfc,
+           o_orderpriority AS bad_passthrough
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q_date_rfc3339(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        coercion.date_to_rfc3339(
+            F.date_format("o_orderdate", "yyyy-MM-dd")
+        ).alias("rfc"),
+        coercion.date_to_rfc3339(F.col("o_orderpriority")).alias("bad_passthrough"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# R7c — tinyint(1)/BIT → boolean (main.go:157-182)
+# --------------------------------------------------------------------------
+@query(
+    "q_bool_coercion",
+    oracle="""
+    SELECT o_orderkey,
+           (o_orderkey % 3 = 1)  AS tiny_1,
+           FALSE                 AS tiny_2,
+           (o_orderkey % 5 = 0)  AS str_true,
+           (o_orderkey % 2 <> 0) AS bit_val
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q_bool_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        coercion.tinyint_bool((F.col("o_orderkey") % 3).cast("int")).alias("tiny_1"),
+        # tinyint value 2 → false (main.go:163: default branch)
+        coercion.tinyint_bool(F.lit(2)).alias("tiny_2"),
+        coercion.tinyint_bool(
+            F.when(F.col("o_orderkey") % 5 == 0, "true").otherwise("no")
+        ).alias("str_true"),
+        coercion.bit_bool(F.col("o_orderkey") % 2).alias("bit_val"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# R7d — numeric narrowing (main.go:183-194)
+# --------------------------------------------------------------------------
+@query(
+    "q_numeric_cast",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS i64,
+           o_totalprice AS f64,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS dec_exact,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS dec_compat
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q_numeric_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    return o.select(
+        "o_orderkey",
+        coercion.narrow_int(F.col("o_custkey").cast("string")).alias("i64"),
+        coercion.narrow_float(F.col("o_totalprice")).alias("f64"),
+        coercion.decimal_value(F.col("o_totalprice"), 12, 2).alias("dec_exact"),
+        coercion.decimal_value(dec, compat=True).alias("dec_compat"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# R8 — envelope construction (main.go:80-86)
+# --------------------------------------------------------------------------
+@query(
+    "q_envelope",
+    oracle=_EV
+    + """
+    SELECT offset_id, op, tbl,
+           CASE WHEN op = 'c' THEN NULL ELSE o_totalprice END AS before_price,
+           CASE WHEN op = 'd' THEN NULL
+                WHEN op = 'u' THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                ELSE o_totalprice END AS after_price,
+           CAST(epoch(o_orderdate) AS BIGINT) * 1000 AS ts_ms
+    FROM ev ORDER BY offset_id
+    """,
+)
+def q_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _flat_events(spark, sf_dir)
+    return ev.select(
+        "offset_id",
+        "op",
+        "tbl",
+        F.col("before.o_totalprice").alias("before_price"),
+        F.col("after.o_totalprice").alias("after_price"),
+        "ts_ms",
+    ).orderBy("offset_id")
+
+
+# --------------------------------------------------------------------------
+# R9 — JSON serialization round-trip (main.go:88-92)
+# --------------------------------------------------------------------------
+@query(
+    "q_to_json",
+    oracle=_EV
+    + """
+    SELECT offset_id, op AS op_j, tbl AS tbl_j,
+           CASE WHEN op = 'd' THEN NULL
+                WHEN op = 'u' THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                ELSE o_totalprice END AS after_price_j
+    FROM ev ORDER BY offset_id
+    """,
+)
+def q_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serializes each envelope with ``to_json`` and extracts fields back
+    out of the JSON text — validating the full serialize→parse loop
+    (doubles survive via shortest-repr round-trip)."""
+    ev = synthetic_change_events(spark, sf_dir)
+    payload = serialize(
+        F.struct("before", "after", "source", "op", "offset", "ts_ms")
+    )
+    with_payload = ev.select(F.col("offset").alias("offset_id"), payload.alias("p"))
+    return with_payload.select(
+        "offset_id",
+        F.get_json_object("p", "$.op").alias("op_j"),
+        F.get_json_object("p", "$.source.table").alias("tbl_j"),
+        F.get_json_object("p", "$.after.o_totalprice").cast("double").alias(
+            "after_price_j"
+        ),
+    ).orderBy("offset_id")
+
+
+# --------------------------------------------------------------------------
+# R10 — JSON field extraction w/ dead-letter fallback (main.go:421-430)
+# --------------------------------------------------------------------------
+@query(
+    "q_json_extract",
+    oracle=_EV
+    + """
+    SELECT offset_id,
+           CASE WHEN offset_id % 50 = 0 THEN 'unknown_table' ELSE tbl END
+             AS tbl_extracted
+    FROM ev ORDER BY offset_id
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 50th payload is built WITHOUT a source field — the reference
+    panics on those (main.go:428-429); the engine dead-letters them as
+    'unknown_table'."""
+    ev = synthetic_change_events(spark, sf_dir)
+    full = serialize(F.struct("before", "after", "source", "op", "offset"))
+    no_source = serialize(F.struct("op", "offset"))
+    payload = F.when(F.col("offset") % 50 == 0, no_source).otherwise(full)
+    return ev.select(
+        F.col("offset").alias("offset_id"),
+        extract_table_name(payload).alias("tbl_extracted"),
+    ).orderBy("offset_id")
+
+
+# --------------------------------------------------------------------------
+# R1 — CDC file-source round trip (semantics of main.go:459-483)
+# --------------------------------------------------------------------------
+@query(
+    "q_cdc_source_roundtrip",
+    oracle=_EV
+    + """
+    SELECT tbl, op, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(offset_id) AS min_offset, MAX(offset_id) AS max_offset,
+           CAST(SUM(CAST(epoch(o_orderdate) AS BIGINT) * 1000) AS BIGINT)
+             AS sum_ts
+    FROM ev GROUP BY tbl, op ORDER BY tbl, op
+    """,
+)
+def q_cdc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materializes the feed as JSON-line files and reads it back through
+    the schema'd file source — the batch twin of the streaming source used
+    in tests (offsets, envelopes, ordering preserved; wire protocol out of
+    scope per SURVEY §7)."""
+    events_dir = write_event_files(spark, sf_dir)
+    ev = read_change_events(spark, events_dir)
+    return (
+        ev.groupBy(F.col("source.table").alias("tbl"), "op")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+            F.sum("ts_ms").alias("sum_ts"),
+        )
+        .orderBy("tbl", "op")
+    )

@@ -51,7 +51,8 @@ def normalize(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     cols = [columns[i] for i in order]
     out = sorted(
-        tuple(_canon(row[i]) for i in order) for row in rows
+        (tuple(_canon(row[i]) for i in order) for row in rows),
+        key=repr,  # None/mixed types aren't `<`-comparable
     )
     return cols, out
 

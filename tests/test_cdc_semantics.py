@@ -1,0 +1,111 @@
+"""Golden tests for reference CDC semantics (SURVEY §5.2 #2, FIXTURES §2-3):
+coercion matrix branches, update pairing + dangling-row drop, delete-drop
+compat vs correct mode, base64 heuristic edge cases, dead-letter extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysql_cdc_to_http_spark.operators import coercion
+from mysql_cdc_to_http_spark.operators.envelope import (
+    action_filter,
+    extract_table_name,
+)
+from mysql_cdc_to_http_spark.operators.pairing import pair_updates
+from mysql_cdc_to_http_spark.operators.routing import invert_groups
+
+
+def one(spark, value, fn):
+    df = spark.createDataFrame([(value,)], "v string")
+    return df.select(fn(F.col("v")).alias("r")).collect()[0].r
+
+
+def test_base64_matrix(spark):
+    # FIXTURES §3: valid base64 silently decoded, plain text passes through
+    assert one(spark, "aGVsbG8=", coercion.decode_base64_text) == "hello"
+    assert one(spark, "hello", coercion.decode_base64_text) == "hello"
+    assert one(spark, "Customer#1", coercion.decode_base64_text) == "Customer#1"
+    # unpadded → invalid under Go's std encoding → passthrough
+    assert one(spark, "aGVsbG8", coercion.decode_base64_text) == "aGVsbG8"
+    # non-canonical padding bits: Java throws in unbase64; engine must not
+    assert one(spark, "QQVVTT==", coercion.decode_base64_text) in ("QQVVTT==", "A\x05UM")
+    # correct mode keeps a false-positive that decodes to invalid UTF-8
+    assert one(spark, "AUTO", coercion.decode_base64_text) == "AUTO"
+    # compat mode reproduces the lossy reference heuristic on valid UTF-8
+    assert (
+        one(spark, "cGFydA==", lambda c: coercion.decode_base64_text(c, compat=True))
+        == "part"
+    )
+
+
+def test_date_rfc3339_matrix(spark):
+    assert one(spark, "2024-05-01", coercion.date_to_rfc3339) == "2024-05-01T00:00:00Z"
+    assert one(spark, "not-a-date", coercion.date_to_rfc3339) == "not-a-date"
+    # malformed-but-shaped date (month 13) → parse failure → passthrough
+    assert one(spark, "2024-13-01", coercion.date_to_rfc3339) == "2024-13-01"
+
+
+def test_bool_matrix(spark):
+    rows = spark.createDataFrame(
+        [(1,), (0,), (2,)], "v int"
+    ).select(coercion.tinyint_bool(F.col("v")).alias("b")).collect()
+    assert [r.b for r in rows] == [True, False, False]  # main.go:157-164
+    assert one(spark, "true", coercion.tinyint_bool) is True
+    assert one(spark, "false", coercion.tinyint_bool) is False
+    bits = spark.createDataFrame(
+        [(b"\x01",), (b"\x00",), (b"\x00\x05",)], "v binary"
+    ).select(coercion.bit_bool(F.col("v"), binary=True).alias("b")).collect()
+    # reference checks only the FIRST byte of the bit bytes (main.go:170-176)
+    assert [r.b for r in bits] == [True, False, False]
+    ints = spark.createDataFrame([(1,), (0,)], "v int").select(
+        coercion.bit_bool(F.col("v")).alias("b")
+    ).collect()
+    assert [r.b for r in ints] == [True, False]
+
+
+def test_update_pairing_dangling_drop(spark):
+    # update = rows (img 0, img 1); key 20 has a dangling before-image
+    rows = [
+        ("t", 10, 0, 0, 100.0),
+        ("t", 10, 1, 1, 110.0),
+        ("t", 20, 2, 0, 200.0),  # dangling — dropped (main.go:71-73)
+        ("t", 30, 3, 0, 300.0),
+        ("t", 30, 4, 1, 330.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "tbl string, pk long, seq long, img int, price double"
+    )
+    out = pair_updates(df, ["tbl", "pk"], "seq", "img", ["price"]).collect()
+    got = {(r.pk): (r.before_price, r.after_price) for r in out}
+    assert got == {10: (100.0, 110.0), 30: (300.0, 330.0)}
+
+
+def test_delete_drop_compat_vs_correct(spark):
+    df = spark.createDataFrame(
+        [("c", 1), ("u", 2), ("d", 3), ("x", 4)], "op string, k int"
+    )
+    # reference mode: deletes & unknown actions dropped (main.go:58-60)
+    assert {r.op for r in action_filter(df).collect()} == {"c", "u"}
+    # correct mode keeps deletes
+    assert {r.op for r in action_filter(df, keep=("c", "u", "d")).collect()} == {
+        "c",
+        "u",
+        "d",
+    }
+
+
+def test_extract_table_dead_letter(spark):
+    df = spark.createDataFrame(
+        [('{"source": {"table": "orders"}}',), ('{"op": "c"}',), ("not json",)],
+        "v string",
+    )
+    got = [r.t for r in df.select(extract_table_name(F.col("v")).alias("t")).collect()]
+    # reference panics on the 2nd/3rd (main.go:428-429); engine dead-letters
+    assert got == ["orders", "unknown_table", "unknown_table"]
+
+
+def test_group_collision_last_wins():
+    # main.go:325-329: same table in two groups → last wins
+    groups = {"g1": ["t1", "t2"], "g2": ["t1"]}
+    assert invert_groups(groups)["t1"] == "g2"
