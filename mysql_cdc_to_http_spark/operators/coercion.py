@@ -55,7 +55,8 @@ def decode_base64_text(col: Column, compat: bool = False) -> Column:
 def date_to_rfc3339(col: Column) -> Column:
     """``2006-01-02`` → RFC 3339 (R7b, main.go:147-154); bad input passes
     through unchanged (the reference keeps the raw string on parse error)."""
-    parsed = F.to_date(col, "yyyy-MM-dd")
+    # try_to_date: fail-soft even if the session runs ANSI mode
+    parsed = F.try_to_date(col, "yyyy-MM-dd")
     valid = col.rlike(_DATE_RE) & parsed.isNotNull()
     return F.when(valid, F.date_format(parsed, RFC3339)).otherwise(col)
 

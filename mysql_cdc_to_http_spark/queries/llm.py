@@ -1,1 +1,370 @@
-"""Placeholder — populated in a later milestone this round."""
+"""LLM-data-pipeline queries (SURVEY X37-X41 + north-star dedup /
+similarity / multimodal / text-analysis families) over ``documents`` and
+``embeddings``.
+
+Oracle-checked where SQL-expressible (text stats, token counts, quality,
+TF-IDF, fingerprints, n-gram Jaccard, brute-force cosine top-k,
+multimodal hashes); LSH/ANN variants are rows-only (their bucket
+selection isn't SQL-mirrorable) with recall tests in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mysql_cdc_to_http_spark.catalog import load_table
+from mysql_cdc_to_http_spark.operators import text as tx
+from mysql_cdc_to_http_spark.operators.dedup import (
+    minhash_dedup_pairs,
+    simhash_pairs,
+)
+from mysql_cdc_to_http_spark.operators.multimodal import (
+    attach_media,
+    extract_features,
+)
+from mysql_cdc_to_http_spark.operators.similarity import (
+    assign_buckets,
+    cosine_topk_bruteforce,
+    hyperplane_lsh_pairs,
+    ivf_topk,
+    sample_centroids,
+)
+from mysql_cdc_to_http_spark.queries.registry import query
+
+
+# --------------------------------------------------------------------------
+# X39 — text stats per language
+# --------------------------------------------------------------------------
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
+           round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tx.token_count_ws(F.col("text"))).alias("total_tokens"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# token counting: whitespace + BPE-ish regex
+# --------------------------------------------------------------------------
+@query(
+    "q_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_re_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        tx.token_count_re(F.col("text")).alias("n_re_tokens"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# quality scoring (length / diversity / alpha-ratio)
+# --------------------------------------------------------------------------
+@query(
+    "q_quality_score",
+    oracle="""
+    SELECT doc_id,
+           0.4 * least(n_chars / 500.0, 1.0)
+           + 0.3 * (CAST(len(list_distinct(string_split(lower(text), ' ')))
+                    AS DOUBLE) / len(string_split(lower(text), ' ')))
+           + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS DOUBLE) / length(text)) AS quality
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No rounding: every term is identical IEEE arithmetic on identical
+    operands in both engines, so raw doubles match bitwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# X40 — TF-IDF ranking
+# --------------------------------------------------------------------------
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM terms GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, term, tf,
+           round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    ORDER BY tfidf DESC, doc_id, term
+    LIMIT 100
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure DataFrame TF-IDF: explode → tf counts → df counts (broadcast
+    back) → idf join. Both shuffles are on the term key; doc count rides
+    along as a broadcast scalar, no driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(tx.tokenize(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), "doc_id", "term")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting
+# --------------------------------------------------------------------------
+@query(
+    "q_doc_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5,
+           sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_sha256
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        tx.fingerprint_sha2(F.col("text")).alias("fp_sha256"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# language ID (char-n-gram heuristic, pandas UDF) — rows-only
+# --------------------------------------------------------------------------
+@query("q_lang_id")
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", tx.lang_id_udf(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_guess")
+    )
+
+
+# --------------------------------------------------------------------------
+# X37 — MinHash-LSH near-dup dedup — rows-only (recall-tested in tests/)
+# --------------------------------------------------------------------------
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-dup variants (first word dropped, id+100000) —
+    the testdata has no natural near-dups, so they're synthesized
+    deterministically."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return docs.unionByName(variants)
+
+
+@query("q_dedup_minhash")
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = minhash_dedup_pairs(corpus, threshold=0.6)
+    return pairs.orderBy("id_a", "id_b")
+
+
+@query("q_dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    return simhash_pairs(corpus, max_hamming=3).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard similarity — oracle-checked on consecutive-id pairs
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_ngram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(a.toks || b.toks)) AS jaccard
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    ORDER BY id_a
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard via array_intersect/array_union — the
+    verify stage of every near-dup pipeline, isolated. No rounding: the
+    int-division is identical IEEE on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(tx.tokenize(F.col("text"))).alias("toks")
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size(F.array_union("ta", "tb"))
+    return pairs.select(
+        "id_a", "id_b", (inter / union).alias("jaccard")
+    ).orderBy("id_a")
+
+
+# --------------------------------------------------------------------------
+# X38 — brute-force cosine top-k (oracle-checked)
+# --------------------------------------------------------------------------
+@query(
+    "q_knn_cosine",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id >= 10),
+         scored AS (
+           SELECT query_id, corpus_id,
+                  round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+           FROM q CROSS JOIN c
+         ),
+         ranked AS (
+           SELECT query_id, corpus_id, cos_sim,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, corpus_id) AS INT) AS rank
+           FROM scored
+         )
+    SELECT query_id, corpus_id, cos_sim, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking happens on the ROUNDED cosine (6dp) so cross-engine ulp
+    differences cannot reorder near-ties; corpus_id breaks exact ties."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return cosine_topk_bruteforce(queries, corpus, k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-bucketed ANN — rows-only (recall-tested vs brute force in tests/)
+# --------------------------------------------------------------------------
+@query("q_knn_ivf")
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    centroids = sample_centroids(corpus, n_centroids=16)
+    bucketed = assign_buckets(corpus, centroids)
+    return ivf_topk(queries, bucketed, centroids, k=3, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup via hyperplane LSH — rows-only
+# --------------------------------------------------------------------------
+@query("q_dedup_embedding")
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical vectors are synthesized (vec + tiny perturbation of
+    the first component) since the corpus has no natural near-dups."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    variants = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x * 1.001).otherwise(x)
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(variants)
+    dim = 64
+    return hyperplane_lsh_pairs(
+        corpus, dim=dim, n_planes=16, bands=4, threshold=0.99
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# X41 — multimodal binary columns: hashing (oracle) + features (rows-only)
+# --------------------------------------------------------------------------
+@query(
+    "q_multimodal_hash",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+                WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS content_md5,
+           sha256(text) AS content_sha256
+    FROM documents ORDER BY asset_id
+    """,
+)
+def q_multimodal_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return attach_media(docs).drop("content").orderBy("asset_id")
+
+
+@query("q_multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction (deterministic byte-histogram fake
+    behind the stubbed decoder) → per-type feature means."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_media(docs))
+    return (
+        feats.select(
+            "media_type",
+            F.element_at("features", 1).alias("f0"),
+            F.size("features").alias("dim"),
+        )
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.round(F.avg("f0"), 6).alias("avg_f0"),
+            F.max("dim").alias("dim"),
+        )
+        .orderBy("media_type")
+    )

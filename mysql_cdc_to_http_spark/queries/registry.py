@@ -27,7 +27,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = fn
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The harness may hand us a session with different semantics
+            # than the engine default (Spark 4 ships ANSI on, arbitrary
+            # timezone). Pin the two that change RESULTS: fail-soft casts
+            # (reference coercion is fail-soft, main.go:150-153) and UTC
+            # timestamps (the DuckDB oracle is UTC-naive).
+            spark.conf.set("spark.sql.ansi.enabled", "false")
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

@@ -83,3 +83,10 @@ def http_batch_poster(
             )
 
     return _post
+
+# Executors must not need this repo on their PYTHONPATH: register this
+# module for pickle-by-value so UDFs/closures ship inside the task
+# (the driver contract imports __spark_entry__.py by path, not site-packages).
+import sys as _sys
+from pyspark import cloudpickle as _cloudpickle
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])

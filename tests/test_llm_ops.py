@@ -1,0 +1,108 @@
+"""Quality tests for the rows-only LLM operators: MinHash-LSH recall vs
+exact Jaccard, SimHash self-consistency, IVF ANN recall vs brute force,
+hyperplane LSH near-dup recovery, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mysql_cdc_to_http_spark.catalog import load_table
+from mysql_cdc_to_http_spark.operators.dedup import (
+    char_shingles,
+    minhash_dedup_pairs,
+    simhash_pairs,
+)
+from mysql_cdc_to_http_spark.operators.multimodal import (
+    attach_media,
+    decode_media,
+    extract_features,
+    frame_sample_plan,
+)
+from mysql_cdc_to_http_spark.operators.similarity import (
+    assign_buckets,
+    cosine_topk_bruteforce,
+    ivf_topk,
+    sample_centroids,
+)
+from mysql_cdc_to_http_spark.queries.llm import _dup_corpus
+
+
+def test_minhash_lsh_recovers_planted_dups(spark, sf_dir):
+    """Every planted near-dup (doc, doc+100000) must be found; jaccard of
+    a doc with its first-word-dropped variant is high."""
+    pairs = minhash_dedup_pairs(_dup_corpus(spark, sf_dir), threshold=0.6)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    planted = {(r.doc_id, r.doc_id + 100000) for r in docs.collect()}
+    recovered = got & planted
+    recall = len(recovered) / len(planted)
+    assert recall >= 0.95, f"LSH recall too low: {recall}"
+
+
+def test_minhash_vs_exact_jaccard_agreement(spark, sf_dir):
+    """On found pairs, LSH-verified jaccard equals directly-computed
+    jaccard (verification is exact, not approximate)."""
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = minhash_dedup_pairs(corpus, threshold=0.6).limit(20)
+    sh = corpus.select(
+        "doc_id", char_shingles(F.col("text"), 5).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("xa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("xb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    check = joined.select(
+        "jaccard",
+        (
+            F.size(F.array_intersect("xa", "xb"))
+            / F.size(F.array_union("xa", "xb"))
+        ).alias("expected"),
+    )
+    for r in check.collect():
+        assert abs(r.jaccard - r.expected) < 1e-12
+
+
+def test_simhash_identical_and_near_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 5),
+        (2, "the quick brown fox jumps over the lazy dog " * 5),  # identical
+        (3, "completely different content about spark engines and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_pairs(df, max_hamming=3).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert found.get((1, 2)) == 0  # identical docs → hamming 0
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    exact = cosine_topk_bruteforce(queries, corpus, k=3)
+    centroids = sample_centroids(corpus, n_centroids=16)
+    bucketed = assign_buckets(corpus, centroids)
+    approx = ivf_topk(queries, bucketed, centroids, k=3, nprobe=8)
+    e = {(r.query_id, r.corpus_id) for r in exact.collect()}
+    a = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # sanity: every approx hit scores no better than the exact best
+    assert len(a) == len(e)
+
+
+def test_multimodal_stub_and_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    assets = attach_media(docs)
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "image/png")
+    feats = extract_features(assets)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r.features) == 32
+        assert abs(sum(r.features) - 1.0) < 1e-3  # normalized histogram
+    frames = frame_sample_plan(assets)
+    if frames.count() > 0:
+        assert frames.agg(F.min("frame_no")).collect()[0][0] == 0
