@@ -231,6 +231,64 @@ def q_queue_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# R12 — HTTP POST sink against an in-process echo server (rows-only)
+# --------------------------------------------------------------------------
+@query("q_http_sink")
+def q_http_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posts a bounded slice of grouped envelopes to a local echo server
+    (the logger/logger.go debug-sink analog) via the foreachBatch poster,
+    then returns the server's per-path delivery counts. Exercises per-group
+    URL routing, executor-side POSTs, and idempotency keys end-to-end."""
+    import http.server
+    import threading
+
+    from mysql_cdc_to_http_spark.operators.routing import assign_group
+    from mysql_cdc_to_http_spark.sources.http_sink import http_batch_poster
+
+    received: list[str] = []
+
+    class _Echo(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            received.append(self.path)
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b'{"status": "ok"}')
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Echo)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        ev = assign_group(
+            _flat_events(spark, sf_dir), spark, table_col="tbl"
+        ).filter(F.col("offset_id") < 400)
+        batch = ev.select(
+            "grp",
+            serialize(
+                F.struct(
+                    F.struct(F.col("tbl").alias("table")).alias("source"),
+                    F.col("op"),
+                    F.col("offset_id").alias("offset"),
+                )
+            ).alias("payload"),
+            F.concat_ws(":", "tbl", "offset_id").alias("idem_key"),
+        )
+        poster = http_batch_poster(f"http://127.0.0.1:{srv.server_port}")
+        poster(batch, epoch_id=0)
+    finally:
+        srv.shutdown()
+    rows = [(p.lstrip("/"), 1) for p in received]
+    return (
+        spark.createDataFrame(rows, "grp string, one int")
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_delivered"))
+        .orderBy("grp")
+    )
+
+
+# --------------------------------------------------------------------------
 # R13 — queue worker: re-parse, re-filter by group (main.go:383-419)
 # --------------------------------------------------------------------------
 @query(

@@ -1,0 +1,82 @@
+"""Property tests (SURVEY §5.2 #4): coercion round-trips under random
+inputs; latest-state merge invariant under random delivery order."""
+
+from __future__ import annotations
+
+import base64
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from mysql_cdc_to_http_spark.operators import coercion
+from mysql_cdc_to_http_spark.streaming.latest_state import latest_state
+
+_SETTINGS = dict(max_examples=12, deadline=None)
+
+printable = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=40
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(printable, min_size=1, max_size=8))
+def test_base64_roundtrip_property(spark, texts):
+    """decode(base64(s)) == s for any printable s (lossless branch)."""
+    df = spark.createDataFrame([(t,) for t in texts], "v string")
+    out = df.select(
+        F.col("v"),
+        coercion.decode_base64_text(
+            F.base64(F.col("v").cast("binary"))
+        ).alias("rt"),
+    ).collect()
+    for r in out:
+        assert r.rt == r.v
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.dates(min_value=__import__("datetime").date(1, 1, 1)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_date_rfc3339_property(spark, dates):
+    strs = [d.isoformat() for d in dates]
+    df = spark.createDataFrame([(s,) for s in strs], "v string")
+    out = df.select("v", coercion.date_to_rfc3339(F.col("v")).alias("r")).collect()
+    for r in out:
+        if len(r.v) == 10:  # zero-padded ISO date -> converted
+            assert r.r == f"{r.v}T00:00:00Z"
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),     # pk
+            st.integers(min_value=0, max_value=1000),  # offset
+            st.sampled_from(["c", "u", "d"]),
+            st.floats(min_value=0, max_value=1e6, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[1],  # offsets unique (binlog positions)
+    ),
+    st.randoms(),
+)
+def test_latest_state_order_invariant(spark, events, rnd):
+    """The merged snapshot is identical for any delivery order and any
+    partitioning of the same event set (idempotent, commutative merge)."""
+    shuffled = list(events)
+    rnd.shuffle(shuffled)
+
+    def snap(rows, n_parts):
+        df = spark.createDataFrame(
+            rows, "pk long, offset long, op string, price double"
+        ).repartition(n_parts)
+        out = latest_state(df, ["pk"], offset_col="offset")
+        return {(r.pk): (r.offset, r.op, r.price) for r in out.collect()}
+
+    assert snap(events, 2) == snap(shuffled, 5)
