@@ -1,0 +1,103 @@
+"""Physical-plan assertions (the 100 TB contract): predicate pushdown
+reaches the parquet scan, column pruning shrinks ReadSchema, dim joins
+broadcast, top-k avoids global sort, and hot paths stay inside
+whole-stage codegen. A plan regression here is a scale bug even when
+results stay correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysql_cdc_to_http_spark.catalog import load_table
+from mysql_cdc_to_http_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "1997-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_shrinks_readschema(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    # only the 2 projected columns reach the scan, not all 11
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_q1_uses_partial_aggregation(spark, sf_dir):
+    df = QUERIES["q_agg_q1"](spark, sf_dir)
+    plan = plan_of(df)
+    # two-phase hash aggregate (map-side partial + final) around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    # codegen spans are only visible once AQE finalizes the plan → execute
+    df.collect()
+    final_plan = plan_of(df)
+    # '*' prefix = operator inside a WholeStageCodegen span
+    assert "* HashAggregate" in final_plan
+    assert "isFinalPlan=true" in final_plan
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = plan_of(QUERIES["q_scan_json"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
+    plan = plan_of(QUERIES["q_join_range"](spark, sf_dir))
+    # tiny band table → BNLJ is the intended physical plan, corpus never shuffles
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(QUERIES["q_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # no full Exchange+Sort of the orders table for a LIMIT 100
+    assert "GlobalLimit" not in plan
+
+
+def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
+    plan = plan_of(QUERIES["q_knn_cosine"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semi_anti_join_physical(spark, sf_dir):
+    plan = plan_of(QUERIES["q_join_semi_anti"](spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_asof_join_is_single_window_not_theta(spark, sf_dir):
+    """The as-of implementation must be union+window — a theta join would
+    show a nested-loop join over events×events."""
+    plan = plan_of(QUERIES["q_join_asof"](spark, sf_dir))
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_group_routing_broadcasts_dim(spark, sf_dir):
+    plan = plan_of(QUERIES["q_group_routing"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+
+
+def test_no_cartesian_anywhere_unexpected(spark, sf_dir):
+    """Cross joins are only ever against broadcast-small sides."""
+    for name in ["q_agg_q1", "q_join_inner", "q_tfidf", "q_dedup_exact"]:
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
