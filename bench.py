@@ -43,9 +43,15 @@ HEADLINE = [
     "q_type_coercion",
     "q_cdc_latest_state",
     "q_dedup_minhash",
+    "q_dedup_simhash",
     "q_knn_cosine",
+    "q_knn_ivf",
     "q_tfidf",
     "q_text_stats",
+    "q_quality_score",
+    "q_pivot",
+    "q_percentiles",
+    "q_envelope",
 ]
 
 
@@ -59,6 +65,12 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     registry = all_queries()
+
+    # Warm the JVM (codegen, parquet reader, shuffle paths) before timing —
+    # first-query JIT cost is session startup, not operator cost.
+    warm = registry.get("q_agg_q1")
+    if warm is not None:
+        warm(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

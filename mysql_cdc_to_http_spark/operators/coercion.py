@@ -44,12 +44,15 @@ def decode_base64_text(col: Column, compat: bool = False) -> Column:
     # bytes→string step is a lenient cast; UTF-8 validity is detected by
     # re-encoding and comparing bytes (replacement chars break equality).
     valid_shape = col.rlike(_B64_RE)
-    raw = F.try_to_binary(col, F.lit("base64"))
+    # try_to_binary is itself guarded by the shape regex: its internal
+    # failure handling (JVM exception per bad row) is ~10µs/row, so rows
+    # that fail the cheap regex must never reach it.
+    raw = F.when(valid_shape, F.try_to_binary(col, F.lit("base64")))
     decoded = raw.cast("string")
     if compat:
-        return F.when(valid_shape & decoded.isNotNull(), decoded).otherwise(col)
-    utf8_ok = F.encode(decoded, "UTF-8").eqNullSafe(raw)
-    return F.when(valid_shape & utf8_ok, decoded).otherwise(col)
+        return F.when(decoded.isNotNull(), decoded).otherwise(col)
+    utf8_ok = F.encode(decoded, "UTF-8").eqNullSafe(raw) & decoded.isNotNull()
+    return F.when(utf8_ok, decoded).otherwise(col)
 
 
 def date_to_rfc3339(col: Column) -> Column:

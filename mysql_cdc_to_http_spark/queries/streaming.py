@@ -145,6 +145,21 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# custom stateful operator: applyInPandasWithState running totals
+# --------------------------------------------------------------------------
+@query("q_stream_stateful")
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals with explicit GroupState — each micro-batch
+    emits updated totals for touched keys; the memory table's last row per
+    user is the stream-long total (asserted in tests)."""
+    from mysql_cdc_to_http_spark.streaming.stateful import running_user_totals
+
+    ev = _stream_events(spark, sf_dir).select("user_id", "value")
+    totals = running_user_totals(ev)
+    return _run_to_memory(totals, "mem_stateful", "update")
+
+
+# --------------------------------------------------------------------------
 # X33 — CDC latest-state materialization (batch twin, oracle-checked)
 # --------------------------------------------------------------------------
 @query(

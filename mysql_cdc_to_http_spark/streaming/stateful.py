@@ -1,0 +1,73 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY §1.3 / X33 family): per-key running aggregates with explicit
+state — the surface for operators Spark's built-in windows can't express
+(e.g. CDC position tracking, per-entity counters with custom eviction).
+
+State is one row per key (running count + sum); each micro-batch emits the
+updated totals for keys it touched. At scale, state lives in the state
+store (RocksDB provider on clusters) and is bounded by key cardinality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def _update_user_totals(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+):
+    """Fold this batch's rows for one key into the running state and emit
+    the new totals (runs in a python worker — self-contained)."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Streaming per-user running totals with explicit state."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+# Executors must not need this repo on their PYTHONPATH: register this
+# module for pickle-by-value so the stateful fn ships inside the task.
+import sys as _sys
+from pyspark import cloudpickle as _cloudpickle
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
