@@ -90,6 +90,74 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_salted",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value,
+           round(sum(value) / COUNT(*), 6) AS avg_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation on a 5-key column (at 100 TB each key is a
+    hot reducer): salt to 16 sub-keys for the partial phase, combine in a
+    tiny final phase. Result is identical to the direct groupBy — the
+    oracle IS the direct groupBy."""
+    from mysql_cdc_to_http_spark.operators.salting import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        ["event_type"],
+        {"n": F.count(F.lit(1)), "s": F.sum("value")},
+        {"n": F.sum("n"), "s": F.round(F.sum("s"), 2)},
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n"),
+        F.col("s").alias("sum_value"),
+        F.round(F.col("s") / F.col("n"), 6).alias("avg_value"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM marked
+    )
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+           MIN(ts) AS sess_start, MAX(ts) AS sess_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    ORDER BY user_id, sess_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (lag + cumulative gap flags) — the
+    oracle-checkable twin of the streaming session_window query."""
+    from mysql_cdc_to_http_spark.streaming.windows import sessionize_batch
+
+    events = load_table(spark, sf_dir, "events")
+    return sessionize_batch(events, gap_minutes=30).orderBy(
+        "user_id", "sess_id"
+    )
+
+
+@query(
     "q_percentiles",
     oracle="""
     SELECT o_orderstatus,

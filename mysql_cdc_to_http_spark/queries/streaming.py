@@ -70,17 +70,26 @@ def _stream_events(
 
 def _run_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
     spark = df.sparkSession
-    q = (
-        df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    # The shuffle-partition count at stream start is locked into the
+    # state-store layout; a harness session default of 200 would mean
+    # 200 tiny state partitions per micro-batch on toy data. Pin a sane
+    # count for the run, restore after.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        q.processAllAvailable()
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
     finally:
-        q.stop()
-        q.awaitTermination(30)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

@@ -84,13 +84,14 @@ def sessionize_batch(
     ts_col: str = "ts",
     gap_minutes: int = 30,
     key_col: str = "user_id",
+    tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """Batch sessionization via lag + cumulative gap count — the
     oracle-expressible twin of ``session_counts`` (same session
     boundaries), one window shuffle on the key."""
     from pyspark.sql.window import Window as W
 
-    w = W.partitionBy(key_col).orderBy(ts_col)
+    w = W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     gap_s = gap_minutes * 60
     prev_ts = F.lag(ts_col).over(w)
     new_sess = (
