@@ -55,6 +55,78 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# string functions, second batch: similarity + editing
+# --------------------------------------------------------------------------
+@query(
+    "q_fn_string2",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, p_type) AS INT)  AS lev_name_type,
+           reverse(p_brand)                          AS brand_rev,
+           repeat(p_brand, 2)                        AS brand_x2,
+           translate(p_name, 'aeiou', '#####')       AS name_novowel,
+           CAST(strpos(p_name, ' ') AS INT)          AS space_pos,
+           left(p_name, 3)                           AS name_l3,
+           right(p_name, 3)                          AS name_r3
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_type").alias("lev_name_type"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat("p_brand", 2).alias("brand_x2"),
+        F.translate("p_name", "aeiou", "#####").alias("name_novowel"),
+        F.instr("p_name", " ").alias("space_pos"),
+        F.substring("p_name", 1, 3).alias("name_l3"),
+        F.col("p_name").substr(F.length("p_name") - 2, F.lit(3)).alias("name_r3"),
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# conditional + bitwise expressions
+# --------------------------------------------------------------------------
+@query(
+    "q_fn_misc",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN')   AS status_or_open,
+           if(o_totalprice > 250000, 'big', 'small')      AS size_class,
+           greatest(o_totalprice, 100000.0)               AS at_least_100k,
+           least(CAST(o_orderkey % 7 AS BIGINT),
+                 CAST(o_orderkey % 5 AS BIGINT))          AS min_mod,
+           o_orderkey & 255                               AS key_and,
+           o_orderkey | 4096                              AS key_or,
+           xor(o_orderkey, 12345)                         AS key_xor,
+           o_orderkey << 2                                AS key_shl,
+           o_orderkey >> 3                                AS key_shr
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q_fn_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.when(F.col("o_totalprice") > 250000, "big").otherwise("small").alias(
+            "size_class"
+        ),
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("at_least_100k"),
+        F.least(k % 7, k % 5).alias("min_mod"),
+        k.bitwiseAND(F.lit(255)).alias("key_and"),
+        k.bitwiseOR(F.lit(4096)).alias("key_or"),
+        k.bitwiseXOR(F.lit(12345)).alias("key_xor"),
+        F.shiftleft(k, 2).alias("key_shl"),
+        F.shiftright(k, 3).alias("key_shr"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
 # X24 — date/time functions
 # --------------------------------------------------------------------------
 @query(
@@ -88,6 +160,35 @@ def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "o_orderdate").alias("order_month"),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
         F.to_date("o_orderdate").alias("order_date"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# date/time functions, second batch: calendar arithmetic
+# --------------------------------------------------------------------------
+@query(
+    "q_fn_datetime2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS INT)          AS qtr,
+           CAST(dayofyear(o_orderdate) AS INT)        AS doy,
+           CAST(weekofyear(o_orderdate) AS INT)       AS woy,
+           last_day(o_orderdate)                      AS month_end,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+           CAST(o_orderdate - INTERVAL 90 DAY AS DATE)  AS minus90d
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q_fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.weekofyear("o_orderdate").alias("woy"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months("o_orderdate", 3).alias("plus3mo"),
+        F.date_sub(F.to_date("o_orderdate"), 90).alias("minus90d"),
     ).orderBy("o_orderkey")
 
 

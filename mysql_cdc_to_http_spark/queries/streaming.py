@@ -209,6 +209,46 @@ def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SCD2 history from the change feed (oracle-checked)
+# --------------------------------------------------------------------------
+@query(
+    "q_scd2_history",
+    oracle=_EV
+    + """
+    , keyed AS (
+      SELECT tbl, offset_id % 1000 AS pk, op, offset_id,
+             CASE WHEN op = 'u' THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                  WHEN op = 'd' THEN NULL ELSE o_totalprice END AS price
+      FROM ev
+    )
+    SELECT tbl, pk, op, price,
+           offset_id AS valid_from,
+           lead(offset_id) OVER w AS valid_to,
+           (lead(offset_id) OVER w IS NULL AND op <> 'd') AS is_current
+    FROM keyed
+    WINDOW w AS (PARTITION BY tbl, pk ORDER BY offset_id)
+    ORDER BY tbl, pk, valid_from
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history: every change becomes a versioned row with a
+    [valid_from, valid_to) interval; open versions are is_current."""
+    from mysql_cdc_to_http_spark.streaming.latest_state import scd2_history
+
+    ev = _flat_events(spark, sf_dir).select(
+        "tbl",
+        (F.col("offset_id") % 1000).alias("pk"),
+        "op",
+        F.col("offset_id").alias("offset"),
+        F.col("after.o_totalprice").alias("price"),
+    )
+    hist = scd2_history(ev, ["tbl", "pk"], offset_col="offset")
+    return hist.select(
+        "tbl", "pk", "op", "price", "valid_from", "valid_to", "is_current"
+    ).orderBy("tbl", "pk", "valid_from")
+
+
+# --------------------------------------------------------------------------
 # R11 — queue sink (file-directory queue standing in for the Redis list)
 # --------------------------------------------------------------------------
 def _queue_dir(spark: SparkSession, sf_dir: str) -> str:

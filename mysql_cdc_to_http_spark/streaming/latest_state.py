@@ -42,6 +42,31 @@ def latest_state(
     )
 
 
+def scd2_history(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    offset_col: str = "offset",
+    op_col: str = "op",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: every change event becomes a
+    versioned row with a validity interval [valid_from, valid_to), the
+    open current version having valid_to = null. Deletes close the
+    interval without opening a new one (the tombstone row is emitted with
+    is_current=false so history shows the deletion offset).
+
+    One window shuffle on the key — the same partitioning latest_state
+    uses, so a pipeline computing both shares the exchange."""
+    w = W.partitionBy(*key_cols).orderBy(F.col(offset_col))
+    nxt = F.lead(offset_col).over(w)
+    return (
+        changes.withColumn("valid_from", F.col(offset_col))
+        .withColumn("valid_to", nxt)
+        .withColumn(
+            "is_current", nxt.isNull() & (F.col(op_col) != "d")
+        )
+    )
+
+
 def merge_batch_into_state(
     spark: SparkSession,
     batch: DataFrame,
