@@ -1,0 +1,87 @@
+"""Full-engine orchestration test: run_pipeline end-to-end against the
+CDC feed and a local echo server, in both default (single-path) and
+reference-compat (double-delivery) topologies."""
+
+from __future__ import annotations
+
+import http.server
+import threading
+
+from collections import Counter
+
+import pytest
+
+from mysql_cdc_to_http_spark.config import EngineConfig
+from mysql_cdc_to_http_spark.engine import run_pipeline
+from mysql_cdc_to_http_spark.sources.cdc import write_event_files
+
+
+class _Sink(http.server.BaseHTTPRequestHandler):
+    hits: list[tuple[str, str]] = []
+
+    def do_POST(self):  # noqa: N802
+        self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        type(self).hits.append((self.path, self.headers.get("Idempotency-Key", "")))
+        self.send_response(200)
+        self.end_headers()
+        self.wfile.write(b"{}")
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def sink_server():
+    _Sink.hits = []
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Sink)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}", _Sink
+    srv.shutdown()
+
+
+def _expected_grouped_events(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.queries.cdc import _flat_events
+
+    return (
+        _flat_events(spark, sf_dir)
+        .filter(F.col("tbl").isin("orders", "lineitem", "customer", "supplier"))
+        .count()
+    )
+
+
+def test_engine_single_path(spark, sf_dir, tmp_path, sink_server):
+    base, sink = sink_server
+    cfg = EngineConfig(
+        post_url=base, queue_dir=str(tmp_path / "q"), table_groups_file=None
+    )
+    events_dir = write_event_files(spark, sf_dir)
+    handles = run_pipeline(spark, cfg, events_dir, str(tmp_path / "w"))
+    handles.process_all_available()
+    handles.stop()
+    n_expected = _expected_grouped_events(spark, sf_dir)
+    assert len(sink.hits) == n_expected
+    # routing: only configured group paths, keys unique (exactly-once)
+    assert {p for p, _ in sink.hits} <= {"/grp_sales", "/grp_parties"}
+    assert set(Counter(k for _, k in sink.hits).values()) == {1}
+
+
+def test_engine_compat_double_delivery(spark, sf_dir, tmp_path, sink_server):
+    base, sink = sink_server
+    cfg = EngineConfig(
+        post_url=base, queue_dir=str(tmp_path / "q"), table_groups_file=None
+    )
+    events_dir = write_event_files(spark, sf_dir)
+    handles = run_pipeline(
+        spark, cfg, events_dir, str(tmp_path / "w"), compat_double_delivery=True
+    )
+    handles.process_all_available()
+    # drain the worker after the writer has produced files
+    handles.process_all_available()
+    handles.stop()
+    n_expected = _expected_grouped_events(spark, sf_dir)
+    counts = Counter(k for _, k in sink.hits)
+    assert len(counts) == n_expected
+    # reference semantics: every event delivered twice (direct + worker)
+    assert set(counts.values()) == {2}
