@@ -18,6 +18,7 @@ from mysql_cdc_to_http_spark.queries import llm  # noqa: F401,E402
 from mysql_cdc_to_http_spark.queries import udx  # noqa: F401,E402
 from mysql_cdc_to_http_spark.queries import streaming  # noqa: F401,E402
 from mysql_cdc_to_http_spark.queries import extended  # noqa: F401,E402
+from mysql_cdc_to_http_spark.queries import sql_surface  # noqa: F401,E402
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,156 @@
+"""SQL-API surface: correlated subqueries (Catalyst decorrelation),
+GROUPING SETS, analytic distribution functions, recursive CTEs.
+
+These run through ``spark.sql`` over registered views — the same Catalyst
+plans as the DataFrame API, exercising the engine's SQL front door. The
+oracle SQL is near-identical ANSI, which is the point: a reference user's
+SQL moves over unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mysql_cdc_to_http_spark.catalog import register_views
+from mysql_cdc_to_http_spark.queries.registry import query
+
+
+def _sql(spark: SparkSession, sf_dir: str, sql: str, tables=("customer", "orders")) -> DataFrame:
+    register_views(spark, sf_dir, tables)
+    return spark.sql(sql)
+
+
+@query(
+    "q_subquery",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderstatus = 'F'
+                              AND o_totalprice > 450000)
+    ORDER BY c_custkey
+    """,
+)
+def q_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + correlated EXISTS + NOT IN — Catalyst
+    decorrelates these into joins (no per-row re-execution). The avg
+    comparison is raw double vs raw double: identical IEEE on both
+    engines at any partitioning? No — avg order varies; but the filter
+    only misbehaves for a row within ulps of the mean, and acctbals are
+    2-decimal values far from the mean's neighborhood."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+          AND EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderstatus = 'F'
+                                  AND o_totalprice > 450000)
+        ORDER BY c_custkey
+        """,
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        tables=("orders",),
+    )
+
+
+@query(
+    "q_window_dist",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_nationkey, c_custkey
+    """,
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / nth_value — the distribution half of
+    the window-function family (ranking half is q_window_rank)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_nationkey, c_custkey,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd,
+               nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS second_richest
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_nationkey, c_custkey
+        """,
+        tables=("customer",),
+    )
+
+
+@query(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE series(n) AS (
+      SELECT 1
+      UNION ALL
+      SELECT n + 1 FROM series WHERE n < 50
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MAX(n) AS BIGINT) AS max_n
+    FROM series
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark ≥4.0) — iterative series generation inside
+    one SQL statement."""
+    return spark.sql(
+        """
+        WITH RECURSIVE series(n) AS (
+          SELECT 1
+          UNION ALL
+          SELECT n + 1 FROM series WHERE n < 50
+        )
+        SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(MAX(n) AS BIGINT) AS max_n
+        FROM series
+        """
+    )
