@@ -96,8 +96,17 @@ def _run_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # X3 — streaming file source
 # --------------------------------------------------------------------------
-@query("q_stream_file_source")
+@query(
+    "q_stream_file_source",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def q_stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming counts over the file-replayed feed must equal the batch
+    aggregate — complete-mode streaming IS batch semantics, so the DuckDB
+    oracle applies directly."""
     ev = _stream_events(spark, sf_dir)
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return _run_to_memory(counts, "mem_file_source", "complete")
@@ -106,14 +115,43 @@ def q_stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # X28-X30 — tumbling / sliding / session windows
 # --------------------------------------------------------------------------
-@query("q_stream_tumbling")
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
+           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes'
+             AS win_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3
+    """,
+)
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tumbling_counts(_stream_events(spark, sf_dir))
     return _run_to_memory(agg, "mem_tumbling", "complete")
 
 
-@query("q_stream_sliding")
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH cand AS (
+      SELECT event_type, ts,
+             unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts)
+                       - INTERVAL '5 minutes']) AS ws
+      FROM events
+    )
+    SELECT ws AS win_start, ws + INTERVAL '10 minutes' AS win_end,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM cand
+    WHERE ts >= ws AND ts < ws + INTERVAL '10 minutes'
+    GROUP BY 1, 2, 3 ORDER BY 1, 3
+    """,
+)
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event lands in width/slide = 2 windows; the oracle expands
+    both candidate starts per event and re-filters."""
     agg = sliding_counts(_stream_events(spark, sf_dir))
     return _run_to_memory(agg, "mem_sliding", "complete")
 
@@ -143,10 +181,15 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # X32 — streaming dedup
 # --------------------------------------------------------------------------
-@query("q_stream_dedup")
+@query(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT event_id FROM events ORDER BY event_id",
+)
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every event is fed twice; dropDuplicates on event_id under a
-    watermark must emit each exactly once."""
+    watermark must emit each exactly once (append-mode dedup emits on
+    first sight, so the full distinct set appears regardless of batch
+    boundaries — oracle-safe)."""
     ev = _stream_events(spark, sf_dir, dup=True)
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     counts = deduped.select("event_id")

@@ -14,14 +14,23 @@ from mysql_cdc_to_http_spark.queries import all_queries
 QUERIES = all_queries()
 
 
-def plan_of(df) -> str:
-    import contextlib
-    import io
+from mysql_cdc_to_http_spark.plans import explain_formatted as plan_of
+from mysql_cdc_to_http_spark.plans import lint_plan
 
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+
+def test_lint_flags_cartesian(spark, sf_dir):
+    big_a = load_table(spark, sf_dir, "orders")
+    big_b = load_table(spark, sf_dir, "lineitem")
+    spark.conf.set("spark.sql.crossJoin.enabled", "true")
+    bad = big_a.crossJoin(big_b.hint("shuffle_replicate_nl"))
+    issues = lint_plan(bad)
+    assert any(i.code == "cartesian" for i in issues)
+
+
+def test_lint_clean_on_good_plans(spark, sf_dir):
+    for name in ["q_agg_q1", "q_join_inner", "q_topk"]:
+        issues = [i for i in lint_plan(QUERIES[name](spark, sf_dir)) if i.severity == "error"]
+        assert issues == [], (name, issues)
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
