@@ -25,10 +25,11 @@ from mysql_cdc_to_http_spark.queries import all_queries, all_oracles  # noqa: E4
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from mysql_cdc_to_http_spark.queries.relational import q_agg_q1
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    return q_agg_q1(spark, "/root/testdata/sf0.001")
+    Goes through the registry so the session-hardening wrapper (ANSI off,
+    UTC, nanos legacy conf) applies here too."""
+    return all_queries()["q_agg_q1"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

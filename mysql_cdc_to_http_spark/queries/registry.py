@@ -36,6 +36,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             # timestamps (the DuckDB oracle is UTC-naive).
             spark.conf.set("spark.sql.ansi.enabled", "false")
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # events.parquet carries TIMESTAMP(NANOS) — unreadable by
+            # Spark 4 without this (runtime-settable) legacy conf; the
+            # catalog loader converts the resulting long to a timestamp.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__
