@@ -39,6 +39,8 @@ def _events_stream_dir(
 ) -> str:
     """Materialize events as N range-partitioned parquet files — a
     replayable stream where file order follows event_id order."""
+    from mysql_cdc_to_http_spark.sources.cdc import materialize_ordered_buckets
+
     kind = "events_dup" if dup else "events"
     out = _cache_dir(kind, sf_dir)
     done = os.path.join(out, "_done")
@@ -46,10 +48,12 @@ def _events_stream_dir(
         ev = load_table(spark, sf_dir, "events")
         if dup:
             ev = ev.unionByName(ev)  # every event twice → dedup target
-        (
-            ev.repartitionByRange(n_files, "event_id")
-            .write.mode("overwrite")
-            .parquet(os.path.join(out, "data"))
+        materialize_ordered_buckets(
+            ev,
+            order_col="event_id",
+            out_dir=os.path.join(out, "data"),
+            n_files=n_files,
+            fmt="parquet",
         )
         with open(done, "w") as fh:
             fh.write("ok")

@@ -89,6 +89,66 @@ def synthetic_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(env.alias("envelope")).select("envelope.*")
 
 
+def materialize_ordered_buckets(
+    df,
+    order_col: str,
+    out_dir: str,
+    n_files: int,
+    fmt: str = "text",
+    value_cols: list[str] | None = None,
+) -> None:
+    """Split ``df`` into ``n_files`` contiguous ranges of ``order_col``
+    and write one file per range with ascending mtimes — a fully
+    deterministic replayable stream directory (repartitionByRange's
+    sampled bounds can vary between runs; explicit quantile bounds on the
+    dense key cannot). File N holds the Nth range, so
+    ``maxFilesPerTrigger=1`` replays micro-batches in key order."""
+    import glob as globmod
+    import shutil
+    import time
+
+    from pyspark.sql import functions as FF
+
+    if n_files > 1:
+        pcts = ", ".join(str((i + 1) / n_files) for i in range(n_files - 1))
+        bounds = list(
+            df.selectExpr(
+                f"percentile({order_col}, array({pcts})) AS b"
+            ).collect()[0].b
+        )
+    else:
+        bounds = []
+    os.makedirs(out_dir, exist_ok=True)
+    suffix = {"text": "txt", "parquet": "parquet"}[fmt]
+    lo = None
+    for i in range(n_files):
+        hi = bounds[i] if i < len(bounds) else None
+        part = df
+        if lo is not None:
+            part = part.filter(FF.col(order_col) > lo)
+        if hi is not None:
+            part = part.filter(FF.col(order_col) <= hi)
+        lo = hi
+        part = part.orderBy(order_col).coalesce(1)
+        if value_cols is not None:
+            part = part.select(*value_cols)
+        tmp = out_dir + f"__tmp{i}"
+        writer = part.write.mode("overwrite")
+        if fmt == "text":
+            writer.text(tmp)
+        else:
+            writer.parquet(tmp)
+        src = sorted(globmod.glob(os.path.join(tmp, f"part-*.{suffix}*")))
+        dest = os.path.join(out_dir, f"{i:05d}.{suffix}")
+        if src:
+            shutil.move(src[0], dest)
+        else:  # empty range still needs a file for stable batch count
+            open(dest, "w").close()
+        shutil.rmtree(tmp, ignore_errors=True)
+        mtime = time.time() + i  # force ascending arrival order
+        os.utime(dest, (mtime, mtime))
+
+
 def event_files_dir(sf_dir: str, n_files: int = 8) -> str:
     """Deterministic cache location for the materialized feed."""
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -112,11 +172,16 @@ def write_event_files(
     env = F.struct(
         "before", "after", "source", "op", "offset", "ts_ms"
     )
-    (
-        events.repartitionByRange(n_files, "offset")
-        .select(serialize(env).alias("value"))
-        .write.mode("overwrite")
-        .text(os.path.join(out, "data"))
+    payloads = events.select(
+        F.col("offset"), serialize(env).alias("value")
+    )
+    materialize_ordered_buckets(
+        payloads.select("offset", "value"),
+        order_col="offset",
+        out_dir=os.path.join(out, "data"),
+        n_files=n_files,
+        fmt="text",
+        value_cols=["value"],
     )
     with open(done, "w") as fh:
         fh.write("ok")
