@@ -268,6 +268,44 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# array functions, second batch: construction + positional ops
+# --------------------------------------------------------------------------
+@query(
+    "q_fn_array2",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_position(embedding, list_max(embedding)) AS INT)
+             AS argmax_pos,
+           [CAST(vec_id AS DOUBLE), CAST(label AS DOUBLE)] AS id_label,
+           flatten([embedding[1:2], embedding[3:4]])       AS first4,
+           range(0, CAST(label AS BIGINT) + 1)             AS label_seq,
+           embedding[1:2] || embedding[63:64]              AS ends
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def q_fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.array_position("embedding", F.array_max("embedding")).cast("int").alias(
+            "argmax_pos"
+        ),
+        F.array(
+            F.col("vec_id").cast("double"), F.col("label").cast("double")
+        ).alias("id_label"),
+        F.flatten(
+            F.array(F.slice("embedding", 1, 2), F.slice("embedding", 3, 2))
+        ).alias("first4"),
+        F.sequence(F.lit(0).cast("long"), F.col("label").cast("long")).alias(
+            "label_seq"
+        ),
+        F.concat(F.slice("embedding", 1, 2), F.slice("embedding", 63, 2)).alias(
+            "ends"
+        ),
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
 # X27 — map / JSON functions (on events.props)
 # --------------------------------------------------------------------------
 @query(

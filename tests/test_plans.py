@@ -18,6 +18,34 @@ from mysql_cdc_to_http_spark.plans import explain_formatted as plan_of
 from mysql_cdc_to_http_spark.plans import lint_plan
 
 
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Same-bucketed tables join with ZERO exchanges (vs 4 unbucketed) —
+    the co-location strategy for recurring fact⋈fact joins at scale."""
+    from mysql_cdc_to_http_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        write_bucketed(orders, "b_orders", "o_orderkey", 8)
+        write_bucketed(li, "b_lineitem", "o_orderkey", 8)
+        j = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_lint_flags_cartesian(spark, sf_dir):
     big_a = load_table(spark, sf_dir, "orders")
     big_b = load_table(spark, sf_dir, "lineitem")
