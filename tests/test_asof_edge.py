@@ -1,0 +1,47 @@
+"""Edge semantics for the as-of join and word shingles."""
+
+from __future__ import annotations
+
+from mysql_cdc_to_http_spark.operators.asof import asof_join
+from mysql_cdc_to_http_spark.operators.dedup import word_shingles
+
+from pyspark.sql import functions as F
+
+
+def _mk(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 10, "c")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 30, 300.0)],
+        "k long, ts long, px double",
+    )
+    return left, right
+
+
+def test_asof_exact_match_included(spark):
+    left, right = _mk(spark)
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["px"])
+    got = {(r.k, r.tag): r.px for r in out.collect()}
+    # (1, ts=10) matches the right row AT ts=10; (2, ts=10) has no prior
+    assert got == {(1, "a"): 100.0, (1, "b"): 150.0, (2, "c"): None}
+
+
+def test_asof_exact_match_excluded(spark):
+    left, right = _mk(spark)
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["px"], allow_exact_matches=False,
+    )
+    got = {(r.k, r.tag): r.px for r in out.collect()}
+    # strict <: the ts=10 right row no longer matches left ts=10
+    assert got == {(1, "a"): None, (1, "b"): 150.0, (2, "c"): None}
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("one two three four",)], "t string")
+    rows = df.select(
+        word_shingles(F.col("t"), 3).alias("s")
+    ).collect()
+    assert rows[0].s == ["one two three", "two three four"]
