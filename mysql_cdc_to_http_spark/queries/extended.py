@@ -90,6 +90,41 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)      AS corr_qty_price,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qp,
+           round(stddev_pop(l_extendedprice), 4)            AS sd_pop,
+           round(stddev_samp(l_extendedprice), 4)           AS sd_samp,
+           round(var_pop(l_quantity), 6)                    AS var_pop_qty,
+           round(var_samp(l_quantity), 6)                   AS var_samp_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr/covar/stddev/variance) — one-pass
+    distributed moments with map-side partials, same as sum/avg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qp"
+            ),
+            F.round(F.stddev_pop("l_extendedprice"), 4).alias("sd_pop"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_samp"),
+            F.round(F.var_pop("l_quantity"), 6).alias("var_pop_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_samp_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "q_agg_salted",
     oracle="""
     SELECT event_type,

@@ -18,6 +18,23 @@ from mysql_cdc_to_http_spark.plans import explain_formatted as plan_of
 from mysql_cdc_to_http_spark.plans import lint_plan
 
 
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout + a filter on the partition column →
+    PartitionFilters in the scan and untouched partitions never read —
+    at 100 TB this is the difference between scanning a day and a decade."""
+    out = str(tmp_path / "orders_by_year")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("o_year") == 1997)
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan and "o_year" in plan
+    # equals a plain filter on the unpartitioned table
+    n_expected = orders.filter(F.col("o_year") == 1997).count()
+    assert df.count() == n_expected > 0
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     """Same-bucketed tables join with ZERO exchanges (vs 4 unbucketed) —
     the co-location strategy for recurring fact⋈fact joins at scale."""
