@@ -329,6 +329,42 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# training-data utilities: deterministic split + stratified sample
+# --------------------------------------------------------------------------
+@query("q_train_test_split")
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based train/val/test assignment — per-split doc counts.
+    Deterministic across runs/partitionings (tested), unlike seeded
+    random splits; rows-only because the hash isn't SQL-portable."""
+    from mysql_cdc_to_http_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("split")
+    )
+
+
+@query("q_sample_stratified")
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample (seeded sampleBy) — per-stratum
+    counts of the sample."""
+    from mysql_cdc_to_http_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.5, "es": 0.25, "fr": 0.25, "zh": 1.0}
+    sampled = stratified_sample(docs, "lang", fractions)
+    return (
+        sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
 # X41 — multimodal binary columns: hashing (oracle) + features (rows-only)
 # --------------------------------------------------------------------------
 @query(

@@ -1,0 +1,57 @@
+"""Sampling/split determinism + compaction behavior."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from mysql_cdc_to_http_spark.catalog import load_table
+from mysql_cdc_to_http_spark.operators.maintenance import compact_parquet
+from mysql_cdc_to_http_spark.operators.sampling import hash_split, stratified_sample
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(docs.repartition(13), "doc_id").collect()
+    }
+    assert a == b  # membership survives repartitioning
+    sizes = {}
+    for s in a.values():
+        sizes[s] = sizes.get(s, 0) + 1
+    n = len(a)
+    assert 0.7 < sizes["train"] / n < 0.9
+    assert 0.03 < sizes["val"] / n < 0.2
+    assert 0.03 < sizes["test"] / n < 0.2
+    # different salt → different membership (decorrelated splits)
+    c = {r.doc_id: r.split for r in hash_split(docs, "doc_id", salt="v2").collect()}
+    assert c != a
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    fr = {"en": 0.5, "de": 0.5, "es": 0.25, "fr": 0.25, "zh": 1.0}
+    sampled = stratified_sample(docs, "lang", fr)
+    got = {r.lang: r.n for r in sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got.get("zh", 0) == totals["zh"]  # fraction 1.0 keeps all
+    for lang in ("en", "de"):
+        assert got[lang] < totals[lang]  # strict subsample
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    frag = str(tmp_path / "frag")
+    load_table(spark, sf_dir, "orders").repartition(40).write.parquet(frag)
+    n_before = len(glob.glob(os.path.join(frag, "part-*")))
+    assert n_before >= 40
+    out = str(tmp_path / "compact")
+    compact_parquet(spark, frag, out, target_file_bytes=10 * 1024 * 1024)
+    n_after = len(glob.glob(os.path.join(out, "part-*")))
+    assert n_after < n_before
+    assert (
+        spark.read.parquet(out).count() == spark.read.parquet(frag).count()
+    )
