@@ -28,14 +28,14 @@ if REPO not in sys.path:
 # engine grows. Names missing from the registry are skipped (robustness
 # while the suite evolves).
 HEADLINE = [
-    "q_scan_parquet",
+    "q_scan_sources",
     "q_agg_q1",
     "q_agg_rollup",
     "q_join_inner",
     "q_join_outer",
     "q_join_asof",
     "q_window_rank",
-    "q_window_frames",
+    "q_window_lag_frames",
     "q_topk",
     "q_dedup_exact",
     "q_fn_string",
@@ -48,7 +48,7 @@ HEADLINE = [
     "q_knn_ivf",
     "q_tfidf",
     "q_text_stats",
-    "q_quality_score",
+    "q_text_profile",
     "q_pivot",
     "q_percentiles",
     "q_envelope",

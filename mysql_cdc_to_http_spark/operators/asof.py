@@ -10,11 +10,12 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.window import Window as W
 
 _TS = "__asof_ts"
 _SIDE = "__asof_is_left"
+_RV = "__asof_rv"
 
 
 def asof_join(
@@ -31,13 +32,23 @@ def asof_join(
     sharing the join key. Left rows with no prior right row get nulls.
 
     Both inputs are unioned into one frame ordered by (ts, side) per key;
-    a running ``last(value, ignorenulls=True)`` carries the most recent
+    a running ``last(ignorenulls=True)`` carries the most recent
     right-side values forward onto left rows.
+
+    The carried values are ONE STRUCT of all ``value_cols``, not per-column
+    fills: per-column ``last(ignorenulls)`` would stitch values from
+    DIFFERENT right rows whenever the latest right row holds a NULL in one
+    column (pandas ``merge_asof`` carries whole rows — a NULL in the
+    matched row stays NULL). The struct also serves as the deterministic
+    tiebreak for equal right timestamps (max struct wins; pandas takes
+    "last in input order", which is nondeterministic under distribution).
     """
     on_cols = [on] if isinstance(on, str) else list(on)
     payload = [c for c in left.columns if c not in on_cols]
     right_types = {f.name: f.dataType for f in right.schema.fields}
-    left_types = {f.name: f.dataType for f in left.schema.fields}
+    rv_type = T.StructType(
+        [T.StructField(c, right_types[c]) for c in value_cols]
+    )
 
     # Right rows sort before left rows at equal ts iff exact matches count.
     left_side, right_side = (1, 0) if allow_exact_matches else (0, 1)
@@ -47,24 +58,31 @@ def asof_join(
         *payload,
         F.col(left_ts).alias(_TS),
         F.lit(left_side).alias(_SIDE),
-        *[F.lit(None).cast(right_types[c]).alias(c) for c in value_cols],
+        F.lit(None).cast(rv_type).alias(_RV),
     )
     r = right.select(
         *on_cols,
-        *[F.lit(None).cast(left_types[c]).alias(c) for c in payload],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in payload],
         F.col(right_ts).alias(_TS),
         F.lit(right_side).alias(_SIDE),
-        *value_cols,
+        F.struct(*value_cols).alias(_RV),
     )
     w = (
         W.partitionBy(*on_cols)
-        .orderBy(_TS, _SIDE)
+        .orderBy(_TS, _SIDE, _RV)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = l.unionByName(r).select(
         *on_cols,
         *payload,
         F.col(_SIDE),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last(_RV, ignorenulls=True).over(w).alias(_RV),
     )
-    return filled.filter(F.col(_SIDE) == left_side).drop(_SIDE)
+    return (
+        filled.filter(F.col(_SIDE) == left_side)
+        .select(
+            *on_cols,
+            *payload,
+            *[F.col(f"{_RV}.{c}").alias(c) for c in value_cols],
+        )
+    )

@@ -279,32 +279,31 @@ def minhash_dedup_pairs(
 
 
 @pandas_udf(LongType())
-def simhash64_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash (Arrow-vectorized): per-token 64-bit hashes vote
-    per bit position; the sign of each vote total sets the bit."""
-
-    def simhash(text: str) -> int:
-        tokens = text.lower().split()
-        if not tokens:
-            return 0
-        hashes = np.array([_stable64(t) for t in tokens], dtype=np.uint64)
-        bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+def simhash_fold_udf(token_hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash bit-vote over PRE-HASHED tokens (Arrow-vectorized):
+    each token's 64-bit hash votes per bit position; the sign of each vote
+    total sets the bit. Token hashing itself happens JVM-side
+    (``transform(tokens, xxhash64)``) — no per-token Python in the hot
+    path (round-1 verdict: the FNV-1a loop here was the q_dedup_simhash
+    floor)."""
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(token_hashes), dtype=np.int64)
+    for i, h in enumerate(token_hashes):
+        hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
+        if hv.size == 0:
+            continue
+        bits = (hv[:, None] >> shifts) & np.uint64(1)
         votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        out = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-        # reinterpret as signed 64-bit for Spark LongType
-        return out - (1 << 64) if out >= (1 << 63) else out
-
-    return texts.map(simhash)
+        v = int(((votes > 0).astype(np.uint64) << shifts).sum())
+        out[i] = v - (1 << 64) if v >= (1 << 63) else v
+    return pd.Series(out)
 
 
-def _stable64(s: str) -> int:
-    """FNV-1a 64-bit — process-stable token hash (Python's hash() is
-    salted per process, which would break determinism across executors)."""
-    h = 0xCBF29CE484222325
-    for byte in s.encode("utf-8"):
-        h ^= byte
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def simhash64(text_col):
+    """SimHash column expression: JVM tokenize+hash, Arrow bit-vote."""
+    toks = F.split(normalize_text(text_col), " ")
+    token_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return simhash_fold_udf(token_hashes)
 
 
 def simhash_pairs(
@@ -312,13 +311,20 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket_size: int = 500,
 ) -> DataFrame:
     """SimHash near-dup candidates: band the 64-bit hash into 4×16-bit
     chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), bucket
-    per chunk, verify hamming distance via bit_count(xor)."""
-    sh = docs.select(
-        F.col(id_col), simhash64_udf(F.col(text_col)).alias("sh")
-    )
+    per chunk, verify hamming distance via bit_count(xor).
+
+    Scale shape mirrors MinHash-LSH: only (id, chunk, bucket) rides the
+    candidate shuffle (the 64-bit fingerprint joins back by id AFTER pair
+    generation), and ``max_bucket_size`` caps the per-bucket k²/2 pair
+    blowup — one hot 16-bit bucket must not go quadratic at corpus scale.
+    """
+    sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    # consumed twice (banding + hamming verify) — compute the UDF once
+    sh = sh.persist()
     chunks = F.array(
         *[
             F.struct(
@@ -330,9 +336,18 @@ def simhash_pairs(
             for i in range(4)
         ]
     )
-    banded = sh.select(id_col, "sh", F.explode(chunks).alias("cc")).select(
-        id_col, "sh", "cc.chunk", "cc.bucket"
+    banded = sh.select(id_col, F.explode(chunks).alias("cc")).select(
+        id_col, "cc.chunk", "cc.bucket"
     )
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window as W
+
+        bucket_n = F.count(F.lit(1)).over(W.partitionBy("chunk", "bucket"))
+        banded = (
+            banded.withColumn("__bn", bucket_n)
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(
@@ -344,15 +359,18 @@ def simhash_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
         )
         .distinct()
     )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cands.select(
-        "id_a", "id_b", hamming.alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 # Executors must not need this repo on their PYTHONPATH: register this
 # module for pickle-by-value so UDFs/closures ship inside the task

@@ -76,68 +76,99 @@ def cosine_topk_bruteforce(
 def sample_centroids(
     corpus: DataFrame, n_centroids: int, id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+) -> list[list[float]]:
     """Deterministic centroid sample: the n lowest-id vectors (stand-in
-    for trained k-means centers; mechanism identical downstream)."""
-    return (
+    for trained k-means centers; mechanism identical downstream).
+
+    Returns plain Python vectors (a bounded ``n_centroids``-row collect —
+    the centroid table is driver-sized BY DEFINITION, like a k-means
+    model). Downstream they're embedded as literal arrays, so bucket
+    assignment is a pure per-row projection: no crossJoin row explosion,
+    no window, zero shuffle of the corpus (round-1 verdict item #5)."""
+    rows = (
         corpus.orderBy(id_col)
         .limit(n_centroids)
-        .select(
-            # row_number (not monotonically_increasing_id): centroid ids
-            # must be deterministic across partitionings
-            (F.row_number().over(W.orderBy(id_col)) - 1).alias("centroid_id"),
-            as_double(vec_col).alias("centroid"),
-        )
+        .select(as_double(vec_col).alias("v"))
+        .collect()
     )
+    return [list(r["v"]) for r in rows]
+
+
+def _centroid_literals(centroids: list[list[float]], normalize: bool = False):
+    """array<array<double>> literal of the centroid matrix (optionally
+    unit-normalized so dot == cosine ranking)."""
+    mats = []
+    for vec in centroids:
+        arr = np.asarray(vec, dtype=np.float64)
+        if normalize:
+            n = np.linalg.norm(arr)
+            if n > 0:
+                arr = arr / n
+        mats.append(F.array(*[F.lit(float(x)) for x in arr]))
+    return F.array(*mats)
 
 
 def assign_buckets(
-    corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
+    corpus: DataFrame, centroids: list[list[float]], id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF build: each corpus vector joins its nearest centroid (broadcast
-    of the centroid table, argmax per row — no shuffle of the corpus)."""
-    c = corpus.select(id_col, as_double(vec_col).alias("cv"))
-    scored = c.crossJoin(F.broadcast(centroids)).select(
-        id_col,
-        "cv",
-        "centroid_id",
-        cosine(F.col("cv"), F.col("centroid")).alias("sim"),
+    """IVF build: nearest-centroid argmax as ONE inline array expression —
+    sims = per-centroid dot against unit-centroid literals (corpus-side
+    norm is a positive per-row constant, so dot ranks identically to
+    cosine), bucket = first position of the max (ties → lowest centroid
+    id). The plan is a projection: no join, no explode, no shuffle."""
+    cents = _centroid_literals(centroids, normalize=True)
+    # materialize cv, then sims, as real columns: an expression nested in
+    # a transform() lambda re-evaluates per array element
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("cv"))
+    scored = c.withColumn(
+        "__sims", F.transform(cents, lambda cent: dot(F.col("cv"), cent))
     )
-    w = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "cv", F.col("centroid_id").alias("bucket"))
-    )
+    bucket = (
+        F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1
+    ).cast("int")
+    return scored.select(F.col(id_col), "cv", bucket.alias("bucket"))
 
 
 def ivf_topk(
     queries: DataFrame,
     bucketed_corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: list[list[float]],
     k: int = 3,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF search: per query, rank centroids, keep top-``nprobe`` buckets,
-    then exact cosine only within those buckets (equi-join on bucket id —
-    at scale this is a partition-pruned scan, not a cross join)."""
+    """IVF search: per query, rank centroids INLINE (sims array over the
+    centroid literals → sort (−sim, id) structs → slice nprobe → explode),
+    then exact cosine only within the probed buckets (broadcast equi-join
+    on bucket id — at scale this is a partition-pruned scan of the
+    centroid-bucketed corpus, not a cross join; the corpus never
+    shuffles)."""
+    cents = _centroid_literals(centroids, normalize=True)
+    n_cents = len(centroids)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
     )
-    qc = q.crossJoin(F.broadcast(centroids)).select(
-        "query_id", "qv", "centroid_id",
-        cosine(F.col("qv"), F.col("centroid")).alias("sim"),
+    qs = q.withColumn(
+        "__sims", F.transform(cents, lambda cent: dot(F.col("qv"), cent))
     )
-    wq = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    probes = (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", F.col("centroid_id").alias("bucket"))
+    # rank centroids without a window: sort (−sim, centroid_id) pairs
+    ranked = F.slice(
+        F.array_sort(
+            F.zip_with(
+                F.col("__sims"),
+                F.sequence(F.lit(0), F.lit(n_cents - 1)),
+                lambda s, i: F.struct((-s).alias("neg"), i.alias("cid")),
+            )
+        ),
+        1,
+        nprobe,
     )
-    scored = probes.join(bucketed_corpus, "bucket").select(
+    probes = qs.select(
+        "query_id", "qv", F.explode(ranked).alias("probe")
+    ).select("query_id", "qv", F.col("probe.cid").alias("bucket"))
+    scored = bucketed_corpus.join(F.broadcast(probes), "bucket").select(
         "query_id",
         F.col(id_col).alias("corpus_id"),
         F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
@@ -158,30 +189,27 @@ def hyperplane_lsh_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket_size: int = 500,
 ) -> DataFrame:
     """Embedding near-dup: random-hyperplane sign signature (SimHash for
     vectors), banded bucketing, exact cosine verify on candidates only."""
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
+    # materialize the double-cast vector once; each plane fold reads the
+    # column, not a re-evaluated transform()
     sign_bits = F.array(
         *[
-            (
-                F.aggregate(
-                    F.zip_with(
-                        as_double(vec_col),
-                        F.array(*[F.lit(float(v)) for v in planes[p]]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0
-            ).cast("int")
+            (dot(F.col("cv"), F.array(*[F.lit(float(v)) for v in planes[p]])) > 0)
+            .cast("int")
             for p in range(n_planes)
         ]
     )
     rows_per_band = n_planes // bands
-    sig = corpus.select(id_col, as_double(vec_col).alias("cv"), sign_bits.alias("bits"))
+    sig = (
+        corpus.select(F.col(id_col), as_double(vec_col).alias("cv"))
+        .withColumn("bits", sign_bits)
+        .persist()  # consumed twice: banding + cosine verify join-back
+    )
     chunks = F.array(
         *[
             F.struct(
@@ -197,9 +225,20 @@ def hyperplane_lsh_pairs(
             for i in range(bands)
         ]
     )
-    banded = sig.select(id_col, "cv", F.explode(chunks).alias("bb")).select(
-        id_col, "cv", "bb.band", "bb.bucket"
+    # Only (id, band, bucket) rides the candidate shuffle — full vectors
+    # join back by id AFTER pair generation (round-1 verdict: payloads in
+    # the banding shuffle were the scale hole). Same skew guard as
+    # MinHash: a hot bucket would emit k²/2 pairs.
+    banded = sig.select(id_col, F.explode(chunks).alias("bb")).select(
+        id_col, "bb.band", "bb.bucket"
     )
+    if max_bucket_size is not None:
+        bucket_n = F.count(F.lit(1)).over(W.partitionBy("band", "bucket"))
+        banded = (
+            banded.withColumn("__bn", bucket_n)
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(
@@ -211,13 +250,18 @@ def hyperplane_lsh_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.cv").alias("va"),
-            F.col("r.cv").alias("vb"),
         )
         .distinct()
     )
-    return cands.select(
-        "id_a",
-        "id_b",
-        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= threshold)
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("cv").alias("va"))
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("cv").alias("vb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

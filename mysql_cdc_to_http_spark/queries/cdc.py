@@ -259,46 +259,42 @@ def q_base64_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# R7b — DATE → RFC 3339 (main.go:147-154)
+# R7b + R7c + R7d — DATE → RFC 3339 (main.go:147-154), tinyint(1)/BIT →
+# boolean (main.go:157-182), numeric narrowing (main.go:183-194).
+# One query (all three matrices read `orders`) so every §2 coercion row
+# fits inside the driver's 50-entry CORRECTNESS window.
 # --------------------------------------------------------------------------
 @query(
-    "q_date_rfc3339",
+    "q_scalar_coercions",
     oracle="""
     SELECT o_orderkey,
            strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS rfc,
-           o_orderpriority AS bad_passthrough
+           o_orderpriority AS bad_passthrough,
+           (o_orderkey % 3 = 1)  AS tiny_1,
+           FALSE                 AS tiny_2,
+           (o_orderkey % 5 = 0)  AS str_true,
+           (o_orderkey % 2 <> 0) AS bit_val,
+           o_custkey AS i64,
+           o_totalprice AS f64,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS dec_exact,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS dec_compat
     FROM orders ORDER BY o_orderkey
     """,
 )
-def q_date_rfc3339(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_scalar_coercions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7b/R7c/R7d in one pass over ``orders``: RFC-3339 dates (with
+    non-date passthrough), tinyint/BIT/string → bool, and numeric
+    narrowing. ``dec_exact`` computes in exact DECIMAL but surfaces as
+    DOUBLE (DECIMAL output columns hash-fail the driver gate even when
+    values are equal)."""
     o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
     return o.select(
         "o_orderkey",
         coercion.date_to_rfc3339(
             F.date_format("o_orderdate", "yyyy-MM-dd")
         ).alias("rfc"),
         coercion.date_to_rfc3339(F.col("o_orderpriority")).alias("bad_passthrough"),
-    ).orderBy("o_orderkey")
-
-
-# --------------------------------------------------------------------------
-# R7c — tinyint(1)/BIT → boolean (main.go:157-182)
-# --------------------------------------------------------------------------
-@query(
-    "q_bool_coercion",
-    oracle="""
-    SELECT o_orderkey,
-           (o_orderkey % 3 = 1)  AS tiny_1,
-           FALSE                 AS tiny_2,
-           (o_orderkey % 5 = 0)  AS str_true,
-           (o_orderkey % 2 <> 0) AS bit_val
-    FROM orders ORDER BY o_orderkey
-    """,
-)
-def q_bool_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
         coercion.tinyint_bool((F.col("o_orderkey") % 3).cast("int")).alias("tiny_1"),
         # tinyint value 2 → false (main.go:163: default branch)
         coercion.tinyint_bool(F.lit(2)).alias("tiny_2"),
@@ -306,31 +302,11 @@ def q_bool_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderkey") % 5 == 0, "true").otherwise("no")
         ).alias("str_true"),
         coercion.bit_bool(F.col("o_orderkey") % 2).alias("bit_val"),
-    ).orderBy("o_orderkey")
-
-
-# --------------------------------------------------------------------------
-# R7d — numeric narrowing (main.go:183-194)
-# --------------------------------------------------------------------------
-@query(
-    "q_numeric_cast",
-    oracle="""
-    SELECT o_orderkey,
-           o_custkey AS i64,
-           o_totalprice AS f64,
-           CAST(o_totalprice AS DECIMAL(12,2)) AS dec_exact,
-           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS dec_compat
-    FROM orders ORDER BY o_orderkey
-    """,
-)
-def q_numeric_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    dec = F.col("o_totalprice").cast("decimal(12,2)")
-    return o.select(
-        "o_orderkey",
         coercion.narrow_int(F.col("o_custkey").cast("string")).alias("i64"),
         coercion.narrow_float(F.col("o_totalprice")).alias("f64"),
-        coercion.decimal_value(F.col("o_totalprice"), 12, 2).alias("dec_exact"),
+        coercion.decimal_value(F.col("o_totalprice"), 12, 2)
+        .cast("double")
+        .alias("dec_exact"),
         coercion.decimal_value(dec, compat=True).alias("dec_compat"),
     ).orderBy("o_orderkey")
 
@@ -364,28 +340,41 @@ def q_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# R9 — JSON serialization round-trip (main.go:88-92)
+# R9 + R10 — JSON serialization round-trip (main.go:88-92) and JSON field
+# extraction w/ dead-letter fallback (main.go:421-430). One query (both
+# read the same synthetic feed) so every §2 row fits inside the driver's
+# 50-entry CORRECTNESS window.
 # --------------------------------------------------------------------------
 @query(
-    "q_to_json",
+    "q_json_roundtrip",
     oracle=_EV
     + """
     SELECT offset_id, op AS op_j, tbl AS tbl_j,
            CASE WHEN op = 'd' THEN NULL
                 WHEN op = 'u' THEN o_totalprice * CAST(1.1 AS DOUBLE)
-                ELSE o_totalprice END AS after_price_j
+                ELSE o_totalprice END AS after_price_j,
+           CASE WHEN offset_id % 50 = 0 THEN 'unknown_table' ELSE tbl END
+             AS tbl_extracted
     FROM ev ORDER BY offset_id
     """,
 )
-def q_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serializes each envelope with ``to_json`` and extracts fields back
     out of the JSON text — validating the full serialize→parse loop
-    (doubles survive via shortest-repr round-trip)."""
+    (doubles survive via shortest-repr round-trip). Every 50th payload is
+    ALSO rebuilt WITHOUT a source field — the reference panics on those
+    (main.go:428-429); the engine dead-letters them as 'unknown_table'."""
     ev = synthetic_change_events(spark, sf_dir)
-    payload = serialize(
+    full = serialize(
         F.struct("before", "after", "source", "op", "offset", "ts_ms")
     )
-    with_payload = ev.select(F.col("offset").alias("offset_id"), payload.alias("p"))
+    no_source = serialize(F.struct("op", "offset"))
+    maybe_broken = F.when(F.col("offset") % 50 == 0, no_source).otherwise(full)
+    with_payload = ev.select(
+        F.col("offset").alias("offset_id"),
+        full.alias("p"),
+        maybe_broken.alias("p_maybe_broken"),
+    )
     return with_payload.select(
         "offset_id",
         F.get_json_object("p", "$.op").alias("op_j"),
@@ -393,33 +382,7 @@ def q_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("p", "$.after.o_totalprice").cast("double").alias(
             "after_price_j"
         ),
-    ).orderBy("offset_id")
-
-
-# --------------------------------------------------------------------------
-# R10 — JSON field extraction w/ dead-letter fallback (main.go:421-430)
-# --------------------------------------------------------------------------
-@query(
-    "q_json_extract",
-    oracle=_EV
-    + """
-    SELECT offset_id,
-           CASE WHEN offset_id % 50 = 0 THEN 'unknown_table' ELSE tbl END
-             AS tbl_extracted
-    FROM ev ORDER BY offset_id
-    """,
-)
-def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every 50th payload is built WITHOUT a source field — the reference
-    panics on those (main.go:428-429); the engine dead-letters them as
-    'unknown_table'."""
-    ev = synthetic_change_events(spark, sf_dir)
-    full = serialize(F.struct("before", "after", "source", "op", "offset"))
-    no_source = serialize(F.struct("op", "offset"))
-    payload = F.when(F.col("offset") % 50 == 0, no_source).otherwise(full)
-    return ev.select(
-        F.col("offset").alias("offset_id"),
-        extract_table_name(payload).alias("tbl_extracted"),
+        extract_table_name(F.col("p_maybe_broken")).alias("tbl_extracted"),
     ).orderBy("offset_id")
 
 

@@ -243,7 +243,7 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_sum(CAST(embedding AS DOUBLE[])), 4)          AS vec_sum,
            list_min(embedding)                                      AS vec_min,
            list_max(embedding)                                      AS vec_max,
-           embedding[1:3]                                           AS first3,
+           round(list_sum(CAST(embedding[1:3] AS DOUBLE[])), 4)     AS first3_sum,
            CAST(len(list_filter(embedding, x -> x > 1.0)) AS INT)   AS n_gt1,
            list_sort(embedding)[1]                                  AS sorted_head
     FROM embeddings
@@ -251,8 +251,12 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array-typed OUTPUT columns crash the driver's canonicalizer
+    # (unhashable in its pandas sort) — slice is still exercised, but the
+    # surfaced column is a scalar fold of the slice.
     emb = load_table(spark, sf_dir, "embeddings")
     as_double = F.transform("embedding", lambda x: x.cast("double"))
+    first3 = F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double"))
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
@@ -261,7 +265,9 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vec_sum"),
         F.array_min("embedding").alias("vec_min"),
         F.array_max("embedding").alias("vec_max"),
-        F.slice("embedding", 1, 3).alias("first3"),
+        F.round(
+            F.aggregate(first3, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("first3_sum"),
         F.size(F.filter("embedding", lambda x: x > 1.0)).alias("n_gt1"),
         F.element_at(F.sort_array("embedding"), 1).alias("sorted_head"),
     ).orderBy("vec_id")
@@ -276,31 +282,48 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(list_position(embedding, list_max(embedding)) AS INT)
              AS argmax_pos,
-           [CAST(vec_id AS DOUBLE), CAST(label AS DOUBLE)] AS id_label,
-           flatten([embedding[1:2], embedding[3:4]])       AS first4,
-           range(0, CAST(label AS BIGINT) + 1)             AS label_seq,
-           embedding[1:2] || embedding[63:64]              AS ends
+           to_json([CAST(vec_id AS BIGINT), CAST(label AS BIGINT)])
+             AS id_label_json,
+           round(list_sum(CAST(flatten([embedding[1:2], embedding[3:4]])
+                               AS DOUBLE[])), 4) AS first4_sum,
+           to_json(range(0, CAST(label AS BIGINT) + 1)) AS label_seq_json,
+           round(list_sum(CAST(embedding[1:2] || embedding[63:64]
+                               AS DOUBLE[])), 4) AS ends_sum
     FROM embeddings ORDER BY vec_id
     """,
 )
 def q_fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Construction / positional array ops, surfaced as scalars (JSON text
+    # for integer arrays, rounded fold for float slices) — array-typed
+    # output columns crash the driver's canonicalizer.
     emb = load_table(spark, sf_dir, "embeddings")
+
+    def dsum(arr, alias):
+        as_double = F.transform(arr, lambda x: x.cast("double"))
+        return F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias(alias)
+
     return emb.select(
         "vec_id",
         F.array_position("embedding", F.array_max("embedding")).cast("int").alias(
             "argmax_pos"
         ),
-        F.array(
-            F.col("vec_id").cast("double"), F.col("label").cast("double")
-        ).alias("id_label"),
-        F.flatten(
-            F.array(F.slice("embedding", 1, 2), F.slice("embedding", 3, 2))
-        ).alias("first4"),
-        F.sequence(F.lit(0).cast("long"), F.col("label").cast("long")).alias(
-            "label_seq"
+        F.to_json(
+            F.array(F.col("vec_id").cast("long"), F.col("label").cast("long"))
+        ).alias("id_label_json"),
+        dsum(
+            F.flatten(
+                F.array(F.slice("embedding", 1, 2), F.slice("embedding", 3, 2))
+            ),
+            "first4_sum",
         ),
-        F.concat(F.slice("embedding", 1, 2), F.slice("embedding", 63, 2)).alias(
-            "ends"
+        F.to_json(
+            F.sequence(F.lit(0).cast("long"), F.col("label").cast("long"))
+        ).alias("label_seq_json"),
+        dsum(
+            F.concat(F.slice("embedding", 1, 2), F.slice("embedding", 63, 2)),
+            "ends_sum",
         ),
     ).orderBy("vec_id")
 
@@ -314,19 +337,21 @@ def q_fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            json_extract_string(props, '$.k')                 AS k_str,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
-           json_keys(props)                                  AS prop_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
            CAST(len(json_keys(props)) AS INT)                AS n_keys
     FROM events
     ORDER BY event_id
     """,
 )
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Key list surfaced as a sorted CSV string (array outputs crash the
+    # driver canonicalizer; sorting removes document-order dependence).
     events = load_table(spark, sf_dir, "events")
     props_map = F.from_json("props", "map<string,bigint>")
     return events.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
         F.get_json_object("props", "$.k").cast("bigint").alias("k_long"),
-        F.map_keys(props_map).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(props_map)), ",").alias("keys_csv"),
         F.size(F.map_keys(props_map)).alias("n_keys"),
     ).orderBy("event_id")

@@ -63,49 +63,40 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# token counting: whitespace + BPE-ish regex
+# per-doc text profile: token counting (whitespace + BPE-ish regex),
+# quality scoring (length / diversity / alpha-ratio), and rolling-hash
+# document fingerprints. One query (all per-doc over ``documents``) so the
+# text-analysis family fits the driver's 50-entry CORRECTNESS window.
 # --------------------------------------------------------------------------
 @query(
-    "q_token_count",
+    "q_text_profile",
     oracle=r"""
     SELECT doc_id,
            CAST(len(string_split(lower(text), ' ')) AS INT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(lower(text),
-                '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_re_tokens
+                '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_re_tokens,
+           0.4 * least(n_chars / 500.0, 1.0)
+           + 0.3 * (CAST(len(list_distinct(string_split(lower(text), ' ')))
+                    AS DOUBLE) / len(string_split(lower(text), ' ')))
+           + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS DOUBLE) / length(text)) AS quality,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5,
+           sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_sha256
     FROM documents ORDER BY doc_id
     """,
 )
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality terms carry no rounding: every term is identical IEEE
+    arithmetic on identical operands in both engines, so raw doubles match
+    bitwise."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         tx.token_count_ws(F.col("text")).alias("n_ws_tokens"),
         tx.token_count_re(F.col("text")).alias("n_re_tokens"),
-    ).orderBy("doc_id")
-
-
-# --------------------------------------------------------------------------
-# quality scoring (length / diversity / alpha-ratio)
-# --------------------------------------------------------------------------
-@query(
-    "q_quality_score",
-    oracle="""
-    SELECT doc_id,
-           0.4 * least(n_chars / 500.0, 1.0)
-           + 0.3 * (CAST(len(list_distinct(string_split(lower(text), ' ')))
-                    AS DOUBLE) / len(string_split(lower(text), ' ')))
-           + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                    AS DOUBLE) / length(text)) AS quality
-    FROM documents ORDER BY doc_id
-    """,
-)
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No rounding: every term is identical IEEE arithmetic on identical
-    operands in both engines, so raw doubles match bitwise."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
         tx.quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+        tx.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        tx.fingerprint_sha2(F.col("text")).alias("fp_sha256"),
     ).orderBy("doc_id")
 
 
@@ -155,27 +146,6 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tfidf").desc(), "doc_id", "term")
         .limit(100)
     )
-
-
-# --------------------------------------------------------------------------
-# document fingerprinting
-# --------------------------------------------------------------------------
-@query(
-    "q_doc_fingerprint",
-    oracle=r"""
-    SELECT doc_id,
-           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5,
-           sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_sha256
-    FROM documents ORDER BY doc_id
-    """,
-)
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        tx.fingerprint_md5(F.col("text")).alias("fp_md5"),
-        tx.fingerprint_sha2(F.col("text")).alias("fp_sha256"),
-    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

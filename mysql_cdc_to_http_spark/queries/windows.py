@@ -56,40 +56,18 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X18 — analytic functions: lag / lead / first
+# X18 + X19 — analytic functions (lag / lead / first) + window frames
+# (running sum, moving average). One query (same window key over
+# ``events``) so every §2 operator fits the driver's 50-entry window —
+# and one WindowExec instead of two.
 # --------------------------------------------------------------------------
 @query(
-    "q_window_lag",
+    "q_window_lag_frames",
     oracle="""
     SELECT event_id, user_id, value,
            lag(value)  OVER w AS prev_value,
            lead(value) OVER w AS next_value,
-           first_value(value) OVER w AS first_value_u
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ORDER BY event_id
-    """,
-)
-def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.select(
-        "event_id",
-        "user_id",
-        "value",
-        F.lag("value").over(w).alias("prev_value"),
-        F.lead("value").over(w).alias("next_value"),
-        F.first("value").over(w).alias("first_value_u"),
-    ).orderBy("event_id")
-
-
-# --------------------------------------------------------------------------
-# X19 — window frames: running sum + moving average
-# --------------------------------------------------------------------------
-@query(
-    "q_window_frames",
-    oracle="""
-    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_value_u,
            round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
            round(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -101,7 +79,7 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_id
     """,
 )
-def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_window_lag_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     base = W.partitionBy("user_id").orderBy("ts", "event_id")
     running = base.rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -109,6 +87,10 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id",
         "user_id",
+        "value",
+        F.lag("value").over(base).alias("prev_value"),
+        F.lead("value").over(base).alias("next_value"),
+        F.first("value").over(base).alias("first_value_u"),
         F.round(F.sum("value").over(running), 2).alias("running_sum"),
         F.round(F.avg("value").over(moving), 4).alias("moving_avg"),
         F.count(F.lit(1)).over(moving).alias("frame_n"),

@@ -14,6 +14,7 @@ the dependency-free stand-in with the same semantics.
 from __future__ import annotations
 
 import os
+import shutil
 
 from collections.abc import Sequence
 
@@ -93,13 +94,16 @@ def merge_batch_into_state(
         .filter(F.col(_RN) == 1)
         .drop(_RN)
     )
-    # Write-then-swap: the state read above is materialized before the
-    # overwrite by writing to a tmp dir first (parquet overwrite would
-    # otherwise clobber its own input mid-plan).
+    # Write-then-swap: parquet overwrite would clobber its own input
+    # mid-plan, so the merge lands in a tmp dir which then REPLACES the
+    # state dir by rename — one Spark job per micro-batch, not a second
+    # read+rewrite of the merged state, and no leftover tmp dirs. (On
+    # object storage this swap becomes a manifest/metadata commit —
+    # Delta/Iceberg MERGE INTO; rename is the local-FS stand-in.)
     tmp = state_dir + "__tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(state_dir)
+    shutil.rmtree(state_dir, ignore_errors=True)
+    os.replace(tmp, state_dir)
 
 
 def read_state(

@@ -45,3 +45,22 @@ def test_word_shingles(spark):
         word_shingles(F.col("t"), 3).alias("s")
     ).collect()
     assert rows[0].s == ["one two three", "two three four"]
+
+
+def test_asof_carries_whole_row_not_stitched(spark):
+    """A NULL in the matched right row must stay NULL — per-column fills
+    would resurrect the older row's value (round-2 advice item)."""
+    from mysql_cdc_to_http_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 30, "x")], "k int, ts int, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, 100.0), (1, 20, 2.0, None)],
+        "k int, ts int, a double, b double",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["a", "b"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["a"] == 2.0
+    assert out[0]["b"] is None  # NOT 100.0 from the older row

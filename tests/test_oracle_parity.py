@@ -27,3 +27,37 @@ def test_rows_only_smoke(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_survey2_window_ordering():
+    """The driver correctness-gates only the FIRST 50 registry entries;
+    every SURVEY §2 operator (and its oracle) must sit inside that window
+    (round-1 verdict item #1)."""
+    from mysql_cdc_to_http_spark.queries import _SURVEY2_WINDOW
+
+    first50 = list(QUERIES)[:50]
+    assert len(_SURVEY2_WINDOW) == 50
+    assert first50 == list(_SURVEY2_WINDOW)
+    # everything in the window except the by-design rows-only minhash
+    # carries an oracle
+    missing = [n for n in first50 if n not in ORACLES and n != "q_dedup_minhash"]
+    assert not missing, f"window entries without oracles: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_output_schema_driver_safe(spark, sf_dir_oracle, name):
+    """The driver's canonicalizer chokes on two output shapes even when
+    values are equal (round-1 verdict): DecimalType surfaces as
+    Decimal('…') vs DuckDB float64, and array/map columns are unhashable
+    in its pandas sort. No oracle-bearing query may emit either."""
+    import pyspark.sql.types as T
+
+    df = QUERIES[name](spark, sf_dir_oracle)
+    bad = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(
+            f.dataType, (T.DecimalType, T.ArrayType, T.MapType, T.StructType)
+        )
+    ]
+    assert not bad, f"{name} emits driver-unsafe output columns: {bad}"

@@ -109,7 +109,8 @@ def test_q1_uses_partial_aggregation(spark, sf_dir):
 
 
 def test_dim_join_broadcasts(spark, sf_dir):
-    plan = plan_of(QUERIES["q_scan_json"](spark, sf_dir))
+    # customer projected to 2 columns sits under the broadcast threshold
+    plan = plan_of(QUERIES["q_join_inner"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
@@ -155,3 +156,71 @@ def test_no_cartesian_anywhere_unexpected(spark, sf_dir):
     for name in ["q_agg_q1", "q_join_inner", "q_tfidf", "q_dedup_exact"]:
         plan = plan_of(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_ivf_assign_buckets_is_pure_projection(spark, sf_dir):
+    """Bucket assignment must be a per-row projection over centroid
+    literals: no join, no window, no shuffle of the corpus (round-1
+    verdict: the crossJoin+window argmax shuffled N×K rows)."""
+    from mysql_cdc_to_http_spark.operators.similarity import (
+        assign_buckets,
+        sample_centroids,
+    )
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    cents = sample_centroids(corpus, 8)
+    plan = plan_of(assign_buckets(corpus, cents))
+    for op in ("Exchange", "Window", "Join", "CartesianProduct"):
+        assert op not in plan, f"assign_buckets plan contains {op}:\n{plan}"
+
+
+def test_candidate_shuffles_carry_no_payload(spark, sf_dir):
+    """SimHash / hyperplane-LSH candidate generation must shuffle only
+    (id, band, bucket) — fingerprints and vectors join back by id after
+    pair generation (round-1 verdict scale holes)."""
+    from mysql_cdc_to_http_spark.operators.dedup import simhash_pairs
+    from mysql_cdc_to_http_spark.operators.similarity import (
+        hyperplane_lsh_pairs,
+    )
+
+    def bucket_exchange_inputs(plan: str) -> list[str]:
+        """Input lists of Exchange nodes keyed on (band/chunk, bucket) —
+        the candidate-generation shuffles. Join-back exchanges (keyed by
+        id) legitimately carry payload and are excluded."""
+        out, node = [], None
+        for ln in plan.splitlines():
+            if ln.startswith("(") and ") " in ln:
+                node = ln
+            if (
+                node is not None
+                and "Exchange" in node
+                and ln.startswith("Arguments: hashpartitioning")
+                and "bucket#" in ln
+            ):
+                out.append(node)
+        # second pass: map node ids to their Input lines
+        inputs, want = [], {n.split(")")[0] + ")" for n in out}
+        cur = None
+        for ln in plan.splitlines():
+            if ln.startswith("(") and ") " in ln:
+                cur = ln.split(")")[0] + ")"
+            if cur in want and ln.startswith("Input"):
+                inputs.append(ln)
+        return inputs
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        sh_plan = plan_of(simhash_pairs(docs, max_hamming=3))
+        emb = load_table(spark, sf_dir, "embeddings")
+        hp_plan = plan_of(hyperplane_lsh_pairs(emb, dim=64, threshold=0.99))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    for plan, cols in ((sh_plan, ("text#", "sh#")), (hp_plan, ("cv#", "bits#"))):
+        exchanges = bucket_exchange_inputs(plan)
+        assert exchanges, f"expected bucket-keyed Exchange nodes:\n{plan}"
+        for ln in exchanges:
+            assert not any(c in ln for c in cols), (
+                f"candidate shuffle carries payload {cols}: {ln}"
+            )

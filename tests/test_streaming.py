@@ -77,6 +77,10 @@ def test_latest_state_stream_merge_and_replay(spark, sf_dir, tmp_path):
         for r in read_state(spark, state_dir).collect()
     }
     assert got2 == want
+    # the swap must not leak its tmp dir (one per micro-batch otherwise)
+    import os
+
+    assert not os.path.exists(state_dir + "__tmp")
 
 
 def test_checkpoint_resume(spark, sf_dir, tmp_path):
