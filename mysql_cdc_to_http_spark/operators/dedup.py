@@ -62,6 +62,33 @@ def word_shingles(col, k: int = 3):
     )
 
 
+#: small prime for rolling word-shingle combination; acc < 2^31 and
+#: P < 2^21 keep every intermediate under 2^52 — no long overflow even
+#: under ANSI mode.
+_COMBO_P = 1_000_003
+
+
+def word_shingle_hashes(token_hashes, k: int = 3):
+    """k-word shingle hashes from PRE-HASHED tokens (array<long> in
+    [0, p)): shingle_i = fold of k consecutive token hashes via
+    ``acc·P + h (mod p)``. ~8× fewer elements than 5-char shingles on
+    ordinary prose — the scale lever for MinHash over long documents.
+    ``F.get`` (0-based) returns NULL past the end instead of throwing
+    under ANSI; short docs yield one partial shingle."""
+
+    def shingle(i):
+        acc = F.coalesce(F.get(token_hashes, i), F.lit(0))
+        for j in range(1, k):
+            nxt = F.coalesce(F.get(token_hashes, i + j), F.lit(0))
+            acc = F.pmod(acc * _COMBO_P + nxt, F.lit(_MERSENNE))
+        return acc
+
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(token_hashes) - k, F.lit(0))
+    )
+    return F.transform(idx, shingle)
+
+
 def minhash_signature(shingles, n_hashes: int = 64, seed: int = 42):
     """MinHash signature as an array<long>: for each (a,b) permutation,
     min over shingle hashes of (a·h+b) mod p.
@@ -219,26 +246,46 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.5,
+    shingle_mode: str = "char",
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pipeline:
-    shingle → signature → LSH buckets → candidate pairs → exact verify."""
+    shingle → signature → LSH buckets → candidate pairs → exact verify.
+
+    ``shingle_mode='char'`` hashes every k-char substring (robust to
+    whitespace/tokenization noise, ~len(text) shingles per doc);
+    ``'word'`` rolls k-word shingles over pre-hashed tokens (~n_tokens
+    shingles — ~8× fewer on prose, the right default for long-document
+    corpora at scale)."""
     rows_per_band = n_hashes // bands
     # Stage the pipeline so each expensive expression is materialized once:
-    # norm (regex) → shingles (substr) → hashed shingles (ints) → sig.
+    # norm (regex) → shingles → hashed shingles (ints) → sig.
     # Downstream set ops run on int arrays, not strings.
     normed = docs.select(id_col, normalize_text(F.col(text_col)).alias("__norm"))
-    shingled = normed.select(
-        id_col,
-        char_shingles(F.col("__norm"), shingle_k, pre_normalized=True).alias(
-            "__sh"
-        ),
-    )
-    hashed = shingled.select(
-        id_col,
-        F.transform(
-            "__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
-        ).alias("shingles"),
-    )
+    if shingle_mode == "word":
+        tokh = normed.select(
+            id_col,
+            F.transform(
+                F.split(F.col("__norm"), " "),
+                lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE)),
+            ).alias("__th"),
+        )
+        hashed = tokh.select(
+            id_col,
+            word_shingle_hashes(F.col("__th"), shingle_k).alias("shingles"),
+        )
+    else:
+        shingled = normed.select(
+            id_col,
+            char_shingles(F.col("__norm"), shingle_k, pre_normalized=True).alias(
+                "__sh"
+            ),
+        )
+        hashed = shingled.select(
+            id_col,
+            F.transform(
+                "__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+            ).alias("shingles"),
+        )
     prepared = (
         hashed.withColumn(
             "sig", minhash_signature_udf(n_hashes)(F.col("shingles"))
@@ -281,22 +328,33 @@ def minhash_dedup_pairs(
 @pandas_udf(LongType())
 def simhash_fold_udf(token_hashes: pd.Series) -> pd.Series:
     """64-bit SimHash bit-vote over PRE-HASHED tokens (Arrow-vectorized):
-    each token's 64-bit hash votes per bit position; the sign of each vote
-    total sets the bit. Token hashing itself happens JVM-side
+    each token's 64-bit hash votes per bit position; the majority of each
+    vote total sets the bit. Token hashing itself happens JVM-side
     (``transform(tokens, xxhash64)``) — no per-token Python in the hot
     path (round-1 verdict: the FNV-1a loop here was the q_dedup_simhash
-    floor)."""
-    shifts = np.arange(64, dtype=np.uint64)
-    out = np.zeros(len(token_hashes), dtype=np.int64)
-    for i, h in enumerate(token_hashes):
-        hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
-        if hv.size == 0:
-            continue
-        bits = (hv[:, None] >> shifts) & np.uint64(1)
-        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        v = int(((votes > 0).astype(np.uint64) << shifts).sum())
-        out[i] = v - (1 << 64) if v >= (1 << 63) else v
-    return pd.Series(out)
+    floor).
+
+    Vectorized ACROSS rows, not per row: all token hashes in the Arrow
+    batch are flattened once, and each bit's votes are segment-summed by
+    doc via ``bincount`` — a per-row numpy loop is overhead-bound at
+    ~10k small docs/second; this form is ~10× that."""
+    n = len(token_hashes)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return pd.Series(out.view(np.int64))
+    arrs = [np.asarray(h, dtype=np.int64) for h in token_hashes]
+    lens = np.array([a.size for a in arrs], dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return pd.Series(out.view(np.int64))
+    flat = np.concatenate(arrs).view(np.uint64)
+    seg = np.repeat(np.arange(n), lens)
+    for j in range(64):
+        bit = ((flat >> np.uint64(j)) & np.uint64(1)).astype(np.float64)
+        ones = np.bincount(seg, weights=bit, minlength=n)
+        # majority of ±1 votes > 0  ⇔  ones > len/2 (strict)
+        out |= (2 * ones > lens).astype(np.uint64) << np.uint64(j)
+    return pd.Series(out.view(np.int64))
 
 
 def simhash64(text_col):
@@ -349,19 +407,21 @@ def simhash_pairs(
             .drop("__bn")
         )
     l, r = banded.alias("l"), banded.alias("r")
-    cands = (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
-        .distinct()
+    cands = l.join(
+        r,
+        (F.col("l.chunk") == F.col("r.chunk"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
     )
+    # Verify BEFORE dedup: similar-fingerprint docs cluster, so chunk
+    # buckets admit ~100× more candidates than survive the hamming cut —
+    # distinct() on the raw pair set would shuffle all of them, while the
+    # fingerprint join is map-side (the (id, sh) table is narrow; AQE
+    # broadcasts it until the corpus outgrows the threshold). The
+    # post-filter distinct dedups only true near-dup pairs (≤4 copies).
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -370,6 +430,7 @@ def simhash_pairs(
         .join(b, "id_b")
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 # Executors must not need this repo on their PYTHONPATH: register this

@@ -96,7 +96,9 @@ def sample_centroids(
 
 def _centroid_literals(centroids: list[list[float]], normalize: bool = False):
     """array<array<double>> literal of the centroid matrix (optionally
-    unit-normalized so dot == cosine ranking)."""
+    unit-normalized so dot == cosine ranking). One array literal per
+    centroid (not dim-many scalar literals — K·D Literal nodes blow up
+    the codegen tree and its compile time)."""
     mats = []
     for vec in centroids:
         arr = np.asarray(vec, dtype=np.float64)
@@ -104,7 +106,7 @@ def _centroid_literals(centroids: list[list[float]], normalize: bool = False):
             n = np.linalg.norm(arr)
             if n > 0:
                 arr = arr / n
-        mats.append(F.array(*[F.lit(float(x)) for x in arr]))
+        mats.append(F.lit(arr))
     return F.array(*mats)
 
 
@@ -183,7 +185,7 @@ def ivf_topk(
 def hyperplane_lsh_pairs(
     corpus: DataFrame,
     dim: int,
-    n_planes: int = 16,
+    n_planes: int = 64,
     bands: int = 4,
     threshold: float = 0.9,
     id_col: str = "vec_id",
@@ -192,14 +194,22 @@ def hyperplane_lsh_pairs(
     max_bucket_size: int = 500,
 ) -> DataFrame:
     """Embedding near-dup: random-hyperplane sign signature (SimHash for
-    vectors), banded bucketing, exact cosine verify on candidates only."""
+    vectors), banded bucketing, exact cosine verify on candidates only.
+
+    Bucket width = n_planes/bands SIGN BITS; 64/4 → 16-bit buckets. Too
+    few bits is quadratic death regardless of the size cap (16 planes / 4
+    bands = 16 possible buckets per band — every ~N/16 vectors collide;
+    measured 9.6s at sf0.1 vs ~1s with 16-bit buckets). For cos ≥ 0.99
+    targets, P[all 16 signs agree] ≈ 0.955^16 ≈ 0.48 per band → ~93%
+    recall over 4 bands, and ≈100% for the ≥0.999 near-identicals this
+    detects."""
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
     # materialize the double-cast vector once; each plane fold reads the
     # column, not a re-evaluated transform()
     sign_bits = F.array(
         *[
-            (dot(F.col("cv"), F.array(*[F.lit(float(v)) for v in planes[p]])) > 0)
+            (dot(F.col("cv"), F.lit(np.asarray(planes[p], dtype=np.float64))) > 0)
             .cast("int")
             for p in range(n_planes)
         ]

@@ -29,16 +29,26 @@ from mysql_cdc_to_http_spark.operators.similarity import (
 from mysql_cdc_to_http_spark.queries.llm import _dup_corpus
 
 
-def test_minhash_lsh_recovers_planted_dups(spark, sf_dir):
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        {},  # char-shingle default
+        # the q_dedup_minhash production config (word shingles, 8 bands)
+        {"bands": 8, "shingle_mode": "word", "shingle_k": 3},
+    ],
+)
+def test_minhash_lsh_recovers_planted_dups(spark, sf_dir, cfg):
     """Every planted near-dup (doc, doc+100000) must be found; jaccard of
     a doc with its first-word-dropped variant is high."""
-    pairs = minhash_dedup_pairs(_dup_corpus(spark, sf_dir), threshold=0.6)
+    pairs = minhash_dedup_pairs(
+        _dup_corpus(spark, sf_dir), threshold=0.6, **cfg
+    )
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     docs = load_table(spark, sf_dir, "documents")
     planted = {(r.doc_id, r.doc_id + 100000) for r in docs.collect()}
     recovered = got & planted
     recall = len(recovered) / len(planted)
-    assert recall >= 0.95, f"LSH recall too low: {recall}"
+    assert recall >= 0.95, f"LSH recall too low ({cfg}): {recall}"
 
 
 def test_minhash_vs_exact_jaccard_agreement(spark, sf_dir):
@@ -106,3 +116,30 @@ def test_multimodal_stub_and_features(spark, sf_dir):
     frames = frame_sample_plan(assets)
     if frames.count() > 0:
         assert frames.agg(F.min("frame_no")).collect()[0][0] == 0
+
+
+def test_hyperplane_lsh_recovers_planted_near_identicals(spark, sf_dir):
+    """Planted ≥0.999-cosine variants must be recovered by the banded
+    sign-bucket path (the q_dedup_embedding production config)."""
+    from mysql_cdc_to_http_spark.operators.similarity import (
+        hyperplane_lsh_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    variants = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x * 1.001).otherwise(x)
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(variants)
+    pairs = hyperplane_lsh_pairs(
+        corpus, dim=64, n_planes=64, bands=4, threshold=0.99
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {
+        (r.vec_id, r.vec_id + 100000)
+        for r in emb.filter(F.col("vec_id") % 5 == 0).collect()
+    }
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.95, f"hyperplane LSH recall too low: {recall}"
