@@ -53,6 +53,23 @@ def get_spark(
         # natively; read as long and convert in the catalog loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # Catalyst extension (SURVEY §4.2): rank-1-window → max_by aggregate
+    # rewrite (extension/src). Loaded when the jar is built; every query
+    # must stay correct WITHOUT it (the external harness session never
+    # loads it) — it is an accelerator, validated by running the whole
+    # test suite through it. Disable with SPARK_GRAFT_EXTENSION=0.
+    _ext_jar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "extension",
+        "spark-graft-extension.jar",
+    )
+    if (
+        os.path.exists(_ext_jar)
+        and os.environ.get("SPARK_GRAFT_EXTENSION", "1") != "0"
+    ):
+        builder = builder.config("spark.jars", _ext_jar).config(
+            "spark.sql.extensions", "sparkgraft.SparkGraftExtensions"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
