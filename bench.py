@@ -72,15 +72,22 @@ def main() -> None:
     if warm is not None:
         warm(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    # Two passes per query, report the per-query MIN: single-shot numbers
+    # at this scale are dominated by first-run codegen compilation and
+    # ambient machine noise (observed ±20% suite-level run-to-run); the
+    # minimum is the steady-state operator cost a cluster would see.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = registry.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
     print(
