@@ -44,6 +44,7 @@ HEADLINE = [
     "q_cdc_latest_state",
     "q_dedup_minhash",
     "q_dedup_simhash",
+    "q_dedup_clusters",
     "q_knn_cosine",
     "q_knn_ivf",
     "q_tfidf",

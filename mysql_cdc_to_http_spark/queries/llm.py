@@ -310,6 +310,91 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# duplicate-cluster resolution: connected components over near-dup edges
+# + canonical survivor per cluster — oracle-checked (the iterative label
+# propagation must land exactly on the analytically-derived components).
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, substring(lower(text), instr(lower(text), ' ') + 1) AS text
+      FROM documents
+    ),
+    v2 AS (
+      SELECT doc_id, substring(text, instr(text, ' ') + 1) AS text FROM v1
+    ),
+    t0 AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS t
+           FROM documents),
+    t1 AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM v1),
+    t2 AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM v2),
+    e AS (
+      SELECT t0.doc_id,
+             (CAST(len(list_intersect(t0.t, t1.t)) AS DOUBLE)
+               / len(list_distinct(t0.t || t1.t))) >= 0.5 AS e1,
+             (CAST(len(list_intersect(t1.t, t2.t)) AS DOUBLE)
+               / len(list_distinct(t1.t || t2.t))) >= 0.5 AS e2
+      FROM t0 JOIN t1 USING (doc_id) JOIN t2 USING (doc_id)
+    )
+    SELECT doc_id, CAST(doc_id AS BIGINT) AS cluster_id, TRUE AS is_canonical
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 100000,
+           CAST(CASE WHEN e1 THEN doc_id ELSE doc_id + 100000 END AS BIGINT),
+           NOT e1
+    FROM e
+    UNION ALL
+    SELECT doc_id + 200000,
+           CAST(CASE WHEN e2 AND e1 THEN doc_id
+                     WHEN e2 THEN doc_id + 100000
+                     ELSE doc_id + 200000 END AS BIGINT),
+           NOT e2
+    FROM e
+    ORDER BY 1
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained variants (drop 1 word → +100000, drop 2 → +200000) give a
+    3-deep similarity graph; the distributed min-label propagation
+    (operators/graph.py) must resolve exactly the components the oracle
+    derives analytically from the two edge tests. Output is the dedup
+    decision: every doc's cluster + whether it is the kept survivor."""
+    from mysql_cdc_to_http_spark.operators.graph import (
+        canonicalize_clusters,
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(lower(text), instr(lower(text), ' ') + 1)").alias(
+            "text"
+        ),
+    )
+    v2 = v1.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    corpus = docs.select("doc_id", F.lower("text").alias("text")).unionByName(
+        v1
+    ).unionByName(v2)
+    toks = corpus.select(
+        "doc_id", F.array_distinct(F.split("text", r"\s+")).alias("t")
+    )
+    a = toks.select(F.col("doc_id").alias("src"), F.col("t").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("dst"), F.col("t").alias("tb"))
+    cand = a.join(
+        b, (F.col("dst") == F.col("src") + 100000) & (F.col("src") < 200000)
+    )
+    jacc = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    edges = cand.filter(jacc >= 0.5).select("src", "dst")
+    comp = connected_components(edges, corpus, id_col="doc_id")
+    return canonicalize_clusters(comp, "doc_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # training-data utilities: deterministic split + stratified sample
 # --------------------------------------------------------------------------
 @query("q_train_test_split")

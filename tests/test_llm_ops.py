@@ -143,3 +143,25 @@ def test_hyperplane_lsh_recovers_planted_near_identicals(spark, sf_dir):
     }
     recall = len(got & planted) / len(planted)
     assert recall >= 0.95, f"hyperplane LSH recall too low: {recall}"
+
+
+def test_connected_components_hand_graph(spark):
+    """Label propagation on a known graph: chains collapse to min id,
+    isolated nodes keep their own."""
+    from mysql_cdc_to_http_spark.operators.graph import (
+        canonicalize_clusters,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 5), (8, 8)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 10)], "id long")
+    comp = connected_components(edges, nodes, id_col="id")
+    got = {r.id: r.cluster_id for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
+    canon = {r.id: r.is_canonical for r in canonicalize_clusters(comp).collect()}
+    assert canon == {
+        1: True, 2: False, 3: False, 4: False,
+        5: True, 6: False, 7: True, 8: True, 9: True,
+    }
