@@ -52,3 +52,68 @@ def hash_split(
 import sys as _sys
 from pyspark import cloudpickle as _cloudpickle
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    coarse: int = 1024,
+) -> DataFrame:
+    """Exclusive running sum of ``value_col`` in ``order_col`` order,
+    WITHOUT a single-partition global window.
+
+    Two-level prefix sum: rows cumsum inside coarse ``order_col`` ranges
+    (a PARTITIONED window — parallel), range totals cumsum on a
+    group-count-sized frame (driver-trivial), and the per-range prefix
+    broadcasts back. This is the scalable shape for corpus-order
+    statistics; `Window.orderBy` with no partition would serialize the
+    whole table through one task.
+    """
+    from pyspark.sql.window import Window as W
+
+    part = df.withColumn(
+        "__g", F.floor(F.col(order_col) / F.lit(coarse)).cast("long")
+    )
+    w_in = (
+        W.partitionBy("__g")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum(value_col).over(w_in), F.lit(0))
+    totals = part.groupBy("__g").agg(F.sum(value_col).alias("__t"))
+    w_g = W.orderBy("__g").rowsBetween(W.unboundedPreceding, -1)
+    prefix = totals.select(
+        "__g", F.coalesce(F.sum("__t").over(w_g), F.lit(0)).alias("__prefix")
+    )
+    return (
+        part.join(F.broadcast(prefix), "__g")
+        .withColumn(out_col, (within + F.col("__prefix")).cast("long"))
+        .drop("__g")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    budget: int = 512,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing (the standard LLM-pretraining
+    layout): documents in ``id_col`` order form one virtual token stream
+    cut into fixed-``budget`` bins; each doc gets its bin and offset
+    (docs may straddle bin boundaries — the consumer splits).
+
+    Deterministic (pure function of ids and token counts), so unlike
+    greedy first-fit packing it is reproducible across partitionings and
+    oracle-checkable."""
+    cum = global_prefix_sum(docs, id_col, token_count_col, out_col="__before")
+    return cum.select(
+        id_col,
+        F.col(token_count_col),
+        F.floor(F.col("__before") / F.lit(budget)).cast("long").alias("bin_id"),
+        F.pmod(F.col("__before"), F.lit(budget)).cast("long").alias(
+            "offset_in_bin"
+        ),
+    )

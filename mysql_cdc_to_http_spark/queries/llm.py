@@ -395,6 +395,49 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# sequence packing: concat-then-chunk pretraining layout — oracle-checked
+# (the distributed two-level prefix sum must equal the naive global
+# cumsum the oracle computes).
+# --------------------------------------------------------------------------
+@query(
+    "q_pack_sequences",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before
+      FROM n
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(cum_before / 512) AS BIGINT) AS bin_id,
+           cum_before % 512 AS offset_in_bin
+    FROM c ORDER BY doc_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the corpus into 512-token bins in doc_id order. The Spark
+    side uses the partitioned two-level prefix sum (no single-partition
+    global window — operators/sampling.py:global_prefix_sum); the oracle
+    is the naive global cumsum, so parity proves the distributed
+    decomposition exact."""
+    from mysql_cdc_to_http_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", tx.token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        with_counts, id_col="doc_id", token_count_col="n_tokens", budget=512
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # training-data utilities: deterministic split + stratified sample
 # --------------------------------------------------------------------------
 @query("q_train_test_split")

@@ -55,3 +55,26 @@ def test_compact_parquet(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(out).count() == spark.read.parquet(frag).count()
     )
+
+
+def test_pack_sequences_partition_invariant(spark, sf_dir):
+    """The two-level prefix sum must be a pure function of (id, count) —
+    identical under any physical partitioning."""
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.operators.sampling import pack_sequences
+    from mysql_cdc_to_http_spark.operators.text import token_count_ws
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    a = pack_sequences(docs.repartition(1), budget=512)
+    b = pack_sequences(docs.repartition(13, "n_tokens"), budget=512)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    # bins are dense and the stream is contiguous: every offset < budget,
+    # bin ids are nondecreasing in doc order
+    assert all(r[3] < 512 for r in ra)
+    bins = [r[2] for r in ra]
+    assert bins == sorted(bins)
