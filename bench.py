@@ -45,6 +45,7 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_clusters",
+    "q_pack_sequences",
     "q_knn_cosine",
     "q_knn_ivf",
     "q_tfidf",

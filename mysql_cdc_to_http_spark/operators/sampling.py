@@ -99,6 +99,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     token_count_col: str = "n_tokens",
     budget: int = 512,
+    coarse: int = 1024,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing (the standard LLM-pretraining
     layout): documents in ``id_col`` order form one virtual token stream
@@ -108,7 +109,9 @@ def pack_sequences(
     Deterministic (pure function of ids and token counts), so unlike
     greedy first-fit packing it is reproducible across partitionings and
     oracle-checkable."""
-    cum = global_prefix_sum(docs, id_col, token_count_col, out_col="__before")
+    cum = global_prefix_sum(
+        docs, id_col, token_count_col, out_col="__before", coarse=coarse
+    )
     return cum.select(
         id_col,
         F.col(token_count_col),

@@ -80,3 +80,25 @@ def test_latest_state_order_invariant(spark, events, rnd):
         return {(r.pk): (r.offset, r.op, r.price) for r in out.collect()}
 
     assert snap(events, 2) == snap(shuffled, 5)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_size=40),
+    st.integers(min_value=16, max_value=1024),
+)
+def test_pack_sequences_property(spark, counts, budget):
+    """Distributed packing equals the sequential reference for any token
+    counts and budget: exclusive cumsum → (bin, offset)."""
+    from mysql_cdc_to_http_spark.operators.sampling import pack_sequences
+
+    rows = [(i, c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r.doc_id: (r.bin_id, r.offset_in_bin)
+        for r in pack_sequences(df, budget=budget, coarse=7).collect()
+    }
+    cum = 0
+    for i, c in enumerate(counts):
+        assert got[i] == (cum // budget, cum % budget), (i, c, budget)
+        cum += c
