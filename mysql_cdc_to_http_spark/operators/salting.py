@@ -4,7 +4,9 @@ A groupBy on a low-cardinality / skewed key routes every row of a hot key
 through one reducer. Salting splits each key into ``n_salts`` synthetic
 sub-keys for the partial phase, then combines partials in a second (tiny)
 aggregation — reducer parallelism becomes n_salts per hot key. AQE's
-skew-join splitting handles *joins*; aggregation skew needs this.
+skew-join splitting handles most *joins*; aggregation skew needs this,
+and ``salted_join`` below covers the join cases AQE cannot re-plan
+(stream-static joins, hot keys beyond what partition splitting fixes).
 
 Works for any algebraic aggregate (sum/count/min/max and avg via
 sum+count); the helper takes the decomposed form explicitly.
@@ -45,3 +47,34 @@ def salted_agg(
     return partial.groupBy(*key_cols).agg(
         *[c.alias(a) for a, c in final_aggs.items()]
     )
+
+
+def salt_column(n_salts: int) -> Column:
+    """Arbitrary-but-cheap row spread. monotonically_increasing_id is
+    partitioning-dependent, which is fine HERE (and only here): any salt
+    assignment yields the same join result, so determinism is not part
+    of the contract — unlike hash_split, where membership must be
+    stable."""
+    return F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``skewed`` (hot-keyed side) with ``other``, spreading each hot
+    key over ``n_salts`` reducers: the skewed side gets a salt appended to
+    its join key, the other side is REPLICATED n_salts times so every
+    (key, salt) pair still meets its match. Result is identical to
+    ``skewed.join(other, on, how)`` — the salt only spreads rows.
+    Replication multiplies the other side's shuffle volume by n_salts:
+    use it on the smaller input and keep n_salts at the skew factor to
+    flatten, not higher."""
+    salted = skewed.withColumn(_SALT, salt_column(n_salts))
+    replicated = other.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted.join(replicated, on + [_SALT], how).drop(_SALT)

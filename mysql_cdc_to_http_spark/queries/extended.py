@@ -158,6 +158,50 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_salted",
+    oracle="""
+    WITH o AS (
+      SELECT CASE WHEN o_orderkey % 5 <> 0 THEN 1 ELSE o_custkey END AS ck,
+             o_totalprice
+      FROM orders
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM o JOIN customer ON ck = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-join salting: 80% of orders are remapped onto ONE customer
+    key (the hot-key shape AQE's split cannot always flatten), then
+    joined via salted_join — the hot key spreads over 8 reducers, the
+    customer side replicates 8×. The oracle is the plain unsalted join:
+    parity proves salting never changes results."""
+    from mysql_cdc_to_http_spark.operators.salting import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    skewed = orders.select(
+        F.when(F.col("o_orderkey") % 5 != 0, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .alias("ck"),
+        "o_totalprice",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), "c_mktsegment"
+    )
+    return (
+        salted_join(skewed, cust, on=["ck"], n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
     "q_sessionize",
     oracle="""
     WITH marked AS (

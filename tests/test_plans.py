@@ -224,3 +224,28 @@ def test_candidate_shuffles_carry_no_payload(spark, sf_dir):
             assert not any(c in ln for c in cols), (
                 f"candidate shuffle carries payload {cols}: {ln}"
             )
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """With broadcast off, the salted join must shuffle on (key, salt) —
+    the hot key's rows land on n_salts reducers, not one."""
+    from mysql_cdc_to_http_spark.operators.salting import salted_join
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.lit(1).alias("ck"), "o_totalprice"
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("ck"), "c_mktsegment"
+        )
+        plan = plan_of(salted_join(orders, cust, on=["ck"], n_salts=8))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    salted_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if ln.startswith("Arguments: hashpartitioning") and "__salt" in ln
+    ]
+    assert len(salted_exchanges) >= 2, plan
