@@ -120,3 +120,18 @@ def pack_sequences(
             "offset_in_bin"
         ),
     )
+
+
+def md5_sample(id_col, p_sixteenths: int, salt: str = "v1"):
+    """Deterministic Bernoulli membership: keep a row iff
+    ``md5(salt|id) < hex_digit(p_sixteenths)`` — a pure function of the
+    id, so membership is identical across runs, partitionings, engines,
+    and cluster sizes (seeded ``sample()`` is none of those). The
+    fraction is p_sixteenths/16 (hex-prefix comparison keeps the
+    predicate engine-portable: every SQL engine prints the same md5
+    hex). Salting decorrelates independent samples of the same ids."""
+    if not 0 < p_sixteenths < 16:
+        raise ValueError("p_sixteenths must be in (0, 16)")
+    threshold = format(p_sixteenths, "x")
+    key = F.concat(F.lit(salt + "|"), id_col.cast("string"))
+    return F.md5(key.cast("binary")) < threshold

@@ -438,6 +438,33 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# deterministic corpus sampling — oracle-checked (membership is a pure
+# function of the id, reproduced independently by DuckDB).
+# --------------------------------------------------------------------------
+@query(
+    "q_sample_deterministic",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE md5('v1|' || CAST(doc_id AS VARCHAR)) < '4'
+    ORDER BY doc_id
+    """,
+)
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25% Bernoulli sample with cross-engine-identical membership
+    (operators/sampling.py:md5_sample) — the reproducible way to cut a
+    corpus at any scale; the oracle recomputes membership from scratch."""
+    from mysql_cdc_to_http_spark.operators.sampling import md5_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(md5_sample(F.col("doc_id"), p_sixteenths=4))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # training-data utilities: deterministic split + stratified sample
 # --------------------------------------------------------------------------
 @query("q_train_test_split")

@@ -78,3 +78,27 @@ def test_pack_sequences_partition_invariant(spark, sf_dir):
     assert all(r[3] < 512 for r in ra)
     bins = [r[2] for r in ra]
     assert bins == sorted(bins)
+
+
+def test_md5_sample_partition_invariant_and_sized(spark, sf_dir):
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.operators.sampling import md5_sample
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = {r.doc_id for r in docs.filter(md5_sample(F.col("doc_id"), 4)).collect()}
+    b = {
+        r.doc_id
+        for r in docs.repartition(17)
+        .filter(md5_sample(F.col("doc_id"), 4))
+        .collect()
+    }
+    assert a == b  # membership is a pure function of the id
+    n = docs.count()
+    assert abs(len(a) / n - 0.25) < 0.08  # ~25% of the corpus
+    # a different salt decorrelates: overlap near 25% of 25%, not 100%
+    c = {
+        r.doc_id
+        for r in docs.filter(md5_sample(F.col("doc_id"), 4, salt="v2")).collect()
+    }
+    assert len(a & c) < 0.6 * len(a)
