@@ -24,13 +24,17 @@
 // - the filter must pin rn = 1; other conjuncts stay as a Filter above;
 // - no parent may reference rn (the rule matches the Project that drops
 //   it and requires rn unused in the projection / residual filter);
-// - ties / all-NULL order keys: row_number and max_by both pick an
-//   unspecified row among order-key ties, so the rewrite preserves the
-//   (already nondeterministic) tie behavior; groups whose order key is
-//   entirely NULL are dropped by max_by but kept (arbitrary row) by
-//   row_number — the rule therefore requires a non-nullable order key
-//   or tolerates the caveat documented in the engine (CDC offsets are
-//   never NULL).
+// - ties: row_number and max_by both pick an unspecified row among
+//   order-key ties, so the rewrite preserves the (already
+//   nondeterministic) tie behavior;
+// - NULL order keys: max_by/min_by SKIP null keys while row_number ranks
+//   them per the SortOrder's null ordering (Spark default ASC = NULLS
+//   FIRST would make rn=1 a NULL-keyed row), and an all-NULL group keeps
+//   a real row under row_number but collapses to a NULL struct under the
+//   aggregate. No null-ordering flag fixes the all-NULL-group case, so
+//   the rule REQUIRES a provably non-nullable order key and keeps the
+//   Window plan otherwise (CDC offsets are non-nullable, so the target
+//   pattern still rewrites).
 package sparkgraft
 
 import org.apache.spark.sql.SparkSessionExtensions
@@ -69,7 +73,11 @@ object LatestStateRewrite extends Rule[LogicalPlan] {
           val (rankConds, rest) = conjuncts.partition(isRankOne(_, rnAttr))
           val restRefsRn = rest.exists(_.references.contains(rnAttr))
           val plistRefsRn = plist.exists(_.references.contains(rnAttr))
-          if (rankConds.isEmpty || restRefsRn || plistRefsRn) {
+          // max_by/min_by ignore NULL order keys; row_number ranks them.
+          // A nullable key can therefore select a different row (or keep
+          // an all-NULL group the aggregate would null out) — bail.
+          if (rankConds.isEmpty || restRefsRn || plistRefsRn ||
+              order.child.nullable) {
             p
           } else {
             val child = w.child

@@ -292,7 +292,10 @@ def minhash_dedup_pairs(
         )
         # consumed twice (banding + verify) — cache instead of recomputing
         # the signature fold; at cluster scale this is a checkpoint to
-        # storage rather than executor memory
+        # storage rather than executor memory. The result is tagged so
+        # the caller can release_cached() after materializing (see
+        # operators/caching.py — repeated calls must not accumulate
+        # cached blocks in a long-lived session).
         .persist()
     )
     cands = lsh_candidate_pairs(
@@ -322,7 +325,12 @@ def minhash_dedup_pairs(
         .filter(F.col("est_jaccard") >= threshold - 0.2)
         .select("id_a", "id_b")
     )
-    return jaccard_verify(est, prepared, id_col, "shingles", threshold)
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    return register_cached(
+        jaccard_verify(est, prepared, id_col, "shingles", threshold),
+        [prepared],
+    )
 
 
 @pandas_udf(LongType())
@@ -381,7 +389,8 @@ def simhash_pairs(
     blowup — one hot 16-bit bucket must not go quadratic at corpus scale.
     """
     sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
-    # consumed twice (banding + hamming verify) — compute the UDF once
+    # consumed twice (banding + hamming verify) — compute the UDF once;
+    # tagged on the result for release_cached() (operators/caching.py)
     sh = sh.persist()
     chunks = F.array(
         *[
@@ -425,12 +434,15 @@ def simhash_pairs(
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    return register_cached(
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .distinct(),
+        [sh],
     )
 
 # Executors must not need this repo on their PYTHONPATH: register this

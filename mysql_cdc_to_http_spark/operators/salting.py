@@ -58,6 +58,17 @@ def salt_column(n_salts: int) -> Column:
     return F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
 
 
+# Join types whose result is row-for-row identical to the unsalted join:
+# every output row is driven by a row of the SKEWED side (which carries
+# exactly one salt), so replicating the other side cannot duplicate
+# anything. right/full/outer would emit each unmatched replicated row
+# once PER SALT — n_salts phantom copies — so they are rejected.
+_SALT_SAFE_JOINS = frozenset(
+    {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+     "left_anti", "leftanti", "semi", "anti"}
+)
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -68,11 +79,23 @@ def salted_join(
     """Join ``skewed`` (hot-keyed side) with ``other``, spreading each hot
     key over ``n_salts`` reducers: the skewed side gets a salt appended to
     its join key, the other side is REPLICATED n_salts times so every
-    (key, salt) pair still meets its match. Result is identical to
-    ``skewed.join(other, on, how)`` — the salt only spreads rows.
+    (key, salt) pair still meets its match. For the supported join types
+    (inner / left / left_semi / left_anti — where every output row is
+    driven by a skewed-side row) the result is identical to
+    ``skewed.join(other, on, how)``; right/full joins would surface each
+    unmatched replicated row n_salts times and raise ValueError (put the
+    skewed side on the preserved side, or fall back to a plain join).
     Replication multiplies the other side's shuffle volume by n_salts:
     use it on the smaller input and keep n_salts at the skew factor to
     flatten, not higher."""
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SALT_SAFE_JOINS
+    }:
+        raise ValueError(
+            f"salted_join does not preserve '{how}' semantics: unmatched "
+            f"rows of the replicated side would appear n_salts times. "
+            f"Supported: inner, left, left_semi, left_anti."
+        )
     salted = skewed.withColumn(_SALT, salt_column(n_salts))
     replicated = other.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

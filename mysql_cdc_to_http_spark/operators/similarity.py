@@ -218,7 +218,9 @@ def hyperplane_lsh_pairs(
     sig = (
         corpus.select(F.col(id_col), as_double(vec_col).alias("cv"))
         .withColumn("bits", sign_bits)
-        .persist()  # consumed twice: banding + cosine verify join-back
+        # consumed twice: banding + cosine verify join-back; tagged on
+        # the result for release_cached() (operators/caching.py)
+        .persist()
     )
     chunks = F.array(
         *[
@@ -265,7 +267,9 @@ def hyperplane_lsh_pairs(
     )
     a = sig.select(F.col(id_col).alias("id_a"), F.col("cv").alias("va"))
     b = sig.select(F.col(id_col).alias("id_b"), F.col("cv").alias("vb"))
-    return (
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    return register_cached(
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -273,5 +277,6 @@ def hyperplane_lsh_pairs(
             "id_b",
             F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= threshold)
+        .filter(F.col("cos_sim") >= threshold),
+        [sig],
     )

@@ -23,6 +23,32 @@ from pyspark.sql.window import Window as W
 
 _RN = "__ls_rn"
 
+# Sentinel (type min) per integral offset type: CDC offsets are never
+# NULL (the reference's binlog position is always set — main.go:241), so
+# coalescing with an unreachable sentinel changes no ordering but marks
+# the non-null invariant in the plan's type system. The Catalyst
+# LatestStateRewrite rule must bail on NULLABLE order keys (max_by skips
+# NULL keys, row_number ranks them) — this is how the engine proves the
+# rewrite safe on parquet-sourced frames, whose columns are always
+# declared nullable.
+_INTEGRAL_MIN = {
+    "tinyint": -(2**31),
+    "smallint": -(2**31),
+    "int": -(2**31),
+    "bigint": -(2**63),
+}
+
+
+def _offset_order_key(changes: DataFrame, offset_col: str):
+    """Non-nullable ordering key for a never-null integral offset column;
+    falls back to the raw (nullable) column for non-integral types, where
+    the Window plan is kept as-is."""
+    dt = changes.schema[offset_col].dataType.simpleString()
+    sentinel = _INTEGRAL_MIN.get(dt)
+    if sentinel is None:
+        return F.col(offset_col)
+    return F.coalesce(F.col(offset_col), F.lit(sentinel))
+
 
 def latest_state(
     changes: DataFrame,
@@ -35,7 +61,9 @@ def latest_state(
     Highest offset wins per key; a delete as the latest event removes the
     key. Input columns are carried through minus the rank helper.
     """
-    w = W.partitionBy(*key_cols).orderBy(F.col(offset_col).desc())
+    w = W.partitionBy(*key_cols).orderBy(
+        _offset_order_key(changes, offset_col).desc()
+    )
     return (
         changes.withColumn(_RN, F.row_number().over(w))
         .filter((F.col(_RN) == 1) & (F.col(op_col) != "d"))
@@ -82,34 +110,66 @@ def merge_batch_into_state(
     older update cannot resurrect a deleted key; the delete tombstone wins
     the rank. Readers filter tombstones via ``read_state``.
     """
+    _recover_state_dir(state_dir)
     cols = batch.columns
     if os.path.exists(state_dir):
         state = spark.read.parquet(state_dir).select(*cols)
         combined = state.unionByName(batch)
     else:
         combined = batch
-    w = W.partitionBy(*key_cols).orderBy(F.col(offset_col).desc())
+    w = W.partitionBy(*key_cols).orderBy(
+        _offset_order_key(combined, offset_col).desc()
+    )
     merged = (
         combined.withColumn(_RN, F.row_number().over(w))
         .filter(F.col(_RN) == 1)
         .drop(_RN)
     )
     # Write-then-swap: parquet overwrite would clobber its own input
-    # mid-plan, so the merge lands in a tmp dir which then REPLACES the
-    # state dir by rename — one Spark job per micro-batch, not a second
-    # read+rewrite of the merged state, and no leftover tmp dirs. (On
-    # object storage this swap becomes a manifest/metadata commit —
+    # mid-plan, so the merge lands in a tmp dir, the live dir is renamed
+    # ASIDE (not deleted), tmp is promoted, then the old copy is dropped.
+    # Every crash point leaves a recoverable state: before the aside-move
+    # the live dir is intact; after it, tmp is a COMPLETE snapshot (the
+    # write finished) and _recover_state_dir promotes it on next start.
+    # (On object storage this swap becomes a manifest/metadata commit —
     # Delta/Iceberg MERGE INTO; rename is the local-FS stand-in.)
     tmp = state_dir + "__tmp"
+    old = state_dir + "__old"
     merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(state_dir, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(state_dir):
+        os.replace(state_dir, old)
     os.replace(tmp, state_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _recover_state_dir(state_dir: str) -> None:
+    """Roll the write-then-swap protocol forward/back after a crash.
+
+    If the live dir exists, any leftover __tmp/__old are stale partials —
+    drop them. If it is missing, a crash hit the swap window: promote a
+    COMPLETE __tmp (its _SUCCESS marker proves the write finished — the
+    swap only began after that), else restore __old.
+    """
+    tmp = state_dir + "__tmp"
+    old = state_dir + "__old"
+    if os.path.exists(state_dir):
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        return
+    if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.replace(tmp, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.exists(old):
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.replace(old, state_dir)
 
 
 def read_state(
     spark: SparkSession, state_dir: str, op_col: str = "op"
 ) -> DataFrame:
     """Current snapshot: state rows minus delete tombstones."""
+    _recover_state_dir(state_dir)
     return spark.read.parquet(state_dir).filter(F.col(op_col) != "d")
 
 

@@ -32,11 +32,19 @@ def _optimized(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+# Parquet-sourced columns are declared nullable, and the rule must bail
+# on nullable order keys (max_by skips NULL keys, row_number ranks them),
+# so the positive tests order by the engine's non-nullable offset key —
+# coalesce with an unreachable sentinel, exactly what latest_state builds.
+def _nonnull(c):
+    return F.coalesce(F.col(c), F.lit(-(2**63)))
+
+
 def test_latest_state_rewrites_to_max_by(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "value"
     )
-    w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    w = W.partitionBy("user_id").orderBy(_nonnull("event_id").desc())
     df = (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -51,7 +59,7 @@ def test_ascending_order_rewrites_to_min_by(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "value"
     )
-    w = W.partitionBy("user_id").orderBy(F.col("event_id").asc())
+    w = W.partitionBy("user_id").orderBy(_nonnull("event_id").asc())
     df = (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -60,6 +68,46 @@ def test_ascending_order_rewrites_to_min_by(spark, sf_dir):
     plan = _optimized(df)
     assert "Window" not in plan, plan
     assert "min_by" in plan, plan
+
+
+def test_nullable_order_key_not_rewritten(spark, sf_dir):
+    """A NULLABLE order key must keep its Window: row_number ranks NULL
+    keys (default ASC = NULLS FIRST would even pick one) while max_by
+    skips them, and an all-NULL group survives the window but would
+    collapse to a NULL struct under the aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    assert ev.schema["event_id"].nullable  # parquet: nullable by default
+    w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    df = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    assert "Window" in _optimized(df)
+
+
+def test_null_offsets_semantics_with_extension(spark):
+    """With the extension loaded, a frame containing NULL and all-NULL
+    order keys returns exactly the window semantics (the rule bailed)."""
+    rows = [
+        ("a", 1, "x"), ("a", None, "y"),       # null loses under NULLS LAST? ranked by window rules
+        ("b", None, "only-null"),               # all-NULL group must survive
+    ]
+    df = spark.createDataFrame(rows, "k string, off int, v string")
+    w = W.partitionBy("k").orderBy(F.col("off").desc())
+    got = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    assert "Window" in _optimized(got)
+    out = {r["k"]: (r["off"], r["v"]) for r in got.collect()}
+    # DESC default = NULLS LAST → the non-null offset wins for "a";
+    # the all-NULL group "b" keeps its (only) row.
+    assert out["a"] == (1, "x")
+    assert out["b"] == (None, "only-null")
 
 
 def test_residual_predicates_survive(spark, sf_dir):

@@ -165,3 +165,33 @@ def test_connected_components_hand_graph(spark):
         1: True, 2: False, 3: False, 4: False,
         5: True, 6: False, 7: True, 8: True, 9: True,
     }
+
+
+def test_connected_components_nonconvergence_is_loud(spark):
+    """A graph deeper than max_iter must NOT silently return partial
+    labels: strict (default) raises, strict=False warns and returns the
+    partial propagation."""
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    from mysql_cdc_to_http_spark.operators.graph import connected_components
+
+    # path graph 1-2-3-...-12: min-label needs ~diameter rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 13)], "id long")
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, nodes, id_col="id", max_iter=2)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        comp = connected_components(
+            edges, nodes, id_col="id", max_iter=2, strict=False
+        )
+        got = {r.id: r.cluster_id for r in comp.collect()}
+    assert any("no fixpoint" in str(w.message) for w in caught)
+    assert got[2] == 1 and len(got) == 12  # partial but present
+    # and a sufficient budget converges exactly
+    comp = connected_components(edges, nodes, id_col="id", max_iter=25)
+    assert {r.cluster_id for r in comp.collect()} == {1}

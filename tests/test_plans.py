@@ -249,3 +249,29 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
         if ln.startswith("Arguments: hashpartitioning") and "__salt" in ln
     ]
     assert len(salted_exchanges) >= 2, plan
+
+
+def test_salted_join_rejects_row_multiplying_types(spark):
+    """right/full joins would emit unmatched replicated rows once per
+    salt — salted_join must refuse them, and must match the plain join
+    exactly for each supported type (including unmatched left rows and
+    semi/anti membership)."""
+    import pytest as _pytest
+
+    from mysql_cdc_to_http_spark.operators.salting import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, "X"), (4, "Y")], "k int, rv string"
+    )
+    for bad in ("right", "full", "outer", "full_outer", "right_outer", "cross"):
+        with _pytest.raises(ValueError):
+            salted_join(left, right, on=["k"], how=bad)
+    for good in ("inner", "left", "left_semi", "left_anti"):
+        got = sorted(
+            map(tuple, salted_join(left, right, on=["k"], n_salts=4, how=good).collect())
+        )
+        want = sorted(map(tuple, left.join(right, ["k"], good).collect()))
+        assert got == want, (good, got, want)
