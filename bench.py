@@ -54,6 +54,11 @@ HEADLINE = [
     "q_pivot",
     "q_percentiles",
     "q_envelope",
+    # added round 3 (curation family) — BENCH_r03 totals therefore cover
+    # 29 queries vs r02's 26; compare per-query or the r02-name subset
+    "q_decontaminate",
+    "q_repetition",
+    "q_domain_mix",
 ]
 
 
