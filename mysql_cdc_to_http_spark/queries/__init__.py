@@ -8,9 +8,10 @@ entries (round-1 verdict: CORRECTNESS_r01 == list(all_queries())[:50]).
 ``_SURVEY2_WINDOW`` below pins every SURVEY §2 operator's query — plus its
 oracle — inside that window, in a fixed explicit order; supplementary /
 beyond-survey queries follow in registration order. The only §2 queries
-left outside are the three that are rows-only BY DESIGN (watermark /
-session-window outputs depend on micro-batch boundaries; the HTTP sink has
-no SQL equivalent): q_stream_session, q_stream_watermark, q_http_sink.
+left outside are q_stream_session and q_stream_watermark (the 50 slots
+are taken; both ARE oracle-checked — in pytest — since round 3: the
+ts-ordered replay plus no-data micro-batches make the append output the
+exact final-watermark filter) and q_http_sink (no SQL equivalent).
 """
 
 from __future__ import annotations

@@ -160,8 +160,47 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "mem_sliding", "complete")
 
 
-@query("q_stream_session")
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH w AS (SELECT max(ts) - INTERVAL '10 minutes' AS wm FROM events),
+    o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ),
+    g AS (
+      SELECT user_id,
+             min(ts) AS sess_start,
+             max(ts) + INTERVAL '30 minutes' AS sess_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT sess_start, sess_end, user_id, n_events
+    FROM g, w
+    WHERE g.sess_end <= w.wm
+    ORDER BY user_id, sess_start
+    """,
+)
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode session windows (30-min gap per user) under a 10-min
+    watermark. The replay is deterministic (ts is monotone in the file
+    order) and Spark runs no-data micro-batches to finalize state, so
+    the emitted set is exactly the sessions whose end ≤ final watermark
+    (max ts − 10 min) — which the oracle derives via gaps-and-islands:
+    a session breaks where the gap ≥ 30 min (session_window merges only
+    strictly-overlapping [ts, ts+gap) intervals), ends at last-ts+gap,
+    and is emitted iff closed by the final watermark."""
     agg = session_counts(
         _stream_events(spark, sf_dir), watermark="10 minutes"
     )
@@ -171,11 +210,33 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # X31 — watermark + late-data drop
 # --------------------------------------------------------------------------
-@query("q_stream_watermark")
+@query(
+    "q_stream_watermark",
+    oracle="""
+    WITH w AS (SELECT max(ts) - INTERVAL '10 minutes' AS wm FROM events),
+    t AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
+             time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes'
+               AS win_end,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT t.* FROM t, w WHERE t.win_end <= w.wm
+    ORDER BY win_start, event_type
+    """,
+)
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Append-mode tumbling agg under a 10-minute watermark; windows close
-    (emit) only once the watermark passes — replay order is deterministic
-    (range-partitioned files, one per micro-batch)."""
+    """Append-mode tumbling agg under a 10-minute watermark; windows
+    emit only once the watermark passes their end. Replay order is
+    deterministic (ts monotone in file order → nothing is ever late)
+    and no-data micro-batches finalize state, so the appended set is
+    exactly the windows with end ≤ final watermark (max ts − 10 min) —
+    the oracle recomputes the batch aggregate and applies that filter.
+    The late-DROP semantics (events behind the watermark are discarded)
+    are exercised on hand-built out-of-order data in
+    tests/test_streaming.py."""
     agg = tumbling_counts(
         _stream_events(spark, sf_dir), watermark="10 minutes"
     )

@@ -193,3 +193,66 @@ def test_http_sink_routing_and_retry(spark, echo_server):
     assert paths == ["/grp_parties", "/grp_sales", "/grp_sales"]
     keys = {k for _, k, _ in handler.records}
     assert keys == {"orders:1", "orders:2", "customer:3"}
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """An event arriving BEHIND the watermark is discarded: its window
+    was already finalized and append-mode must not re-emit or grow it.
+    (The oracle-checked q_stream_watermark replay is ts-ordered, so this
+    hand-built out-of-order feed is the only place the drop fires.)"""
+    import datetime as dt
+
+    from mysql_cdc_to_http_spark.streaming.windows import tumbling_counts
+
+    data_dir = str(tmp_path / "late_data")
+    schema = "ts timestamp, event_type string, value double"
+
+    def _write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    d = dt.datetime
+    # batch 1: two events in the 10:00 window, then 12:00 pushes the
+    # watermark to 11:50 which closes (emits) 10:00-10:05
+    _write(
+        [
+            (d(2024, 1, 1, 10, 0, 30), "a", 1.0),
+            (d(2024, 1, 1, 10, 1, 0), "a", 1.0),
+            (d(2024, 1, 1, 12, 0, 0), "a", 1.0),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    agg = tumbling_counts(stream, watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mem_late_drop")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: 10:02 is 108 min behind the 11:50 watermark → dropped;
+        # 13:00 advances the watermark past 12:05 closing the 12:00 window
+        _write(
+            [
+                (d(2024, 1, 1, 10, 2, 0), "a", 1.0),
+                (d(2024, 1, 1, 13, 0, 0), "a", 1.0),
+            ]
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    out = {
+        (r["win_start"], r["n"])
+        for r in spark.table("mem_late_drop").collect()
+    }
+    # exactly ONE emission of the 10:00 window, with the late event absent
+    w10 = [(w, n) for w, n in out if w == d(2024, 1, 1, 10, 0, 0)]
+    assert w10 == [(d(2024, 1, 1, 10, 0, 0), 2)], out
+    assert (d(2024, 1, 1, 12, 0, 0), 1) in out, out
