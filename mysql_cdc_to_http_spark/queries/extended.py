@@ -260,3 +260,44 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q_percentiles_approx",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS exact_p50,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS exact_p90,
+           TRUE AS p50_within_1pct,
+           TRUE AS p90_within_1pct
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles — the 100 TB path: exact quantiles need a
+    global sort (or a full value shuffle per group) while approx_percentile
+    builds a fixed-size mergeable KLL-style sketch per partition and
+    merges map-side. accuracy=1000 bounds rank error at 1/1000 of the
+    group — far inside the 1% value band asserted here.
+
+    Oracle-checkable like q_agg_approx_distinct: the sketch is a
+    deterministic function of the value multiset, so the error-bound
+    booleans are stable; the exact quantiles anchor the row."""
+    o = load_table(spark, sf_dir, "orders")
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(approx / exact - 1.0) < 0.01
+    )
+    exact_p50 = F.expr("percentile(o_totalprice, 0.50)")
+    exact_p90 = F.expr("percentile(o_totalprice, 0.90)")
+    apx_p50 = F.expr("approx_percentile(o_totalprice, 0.50, 1000)")
+    apx_p90 = F.expr("approx_percentile(o_totalprice, 0.90, 1000)")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(exact_p50, 4).alias("exact_p50"),
+            F.round(exact_p90, 4).alias("exact_p90"),
+            within(apx_p50, exact_p50).alias("p50_within_1pct"),
+            within(apx_p90, exact_p90).alias("p90_within_1pct"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -244,6 +244,61 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# stream-stream interval join (beyond-survey: the remaining core
+# Structured Streaming operator — both sides stateful, watermark-bounded)
+# --------------------------------------------------------------------------
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS left_id, b.event_id AS right_id,
+           a.user_id, a.ts AS left_ts, b.ts AS right_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '5 minutes'
+    ORDER BY left_id, right_id
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each user's events matched to the
+    events that follow within 5 minutes — both sides are streams, both
+    buffered in state, with watermarks plus the event-time bound letting
+    Spark evict matched-out rows (unbounded state otherwise). An INNER
+    join's emitted set is batch-deterministic — every qualifying pair is
+    emitted exactly once as soon as both sides arrive — so the batch
+    self-join IS the oracle."""
+    left = (
+        _stream_events(spark, sf_dir)
+        .select(
+            F.col("event_id").alias("left_id"),
+            "user_id",
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", "10 minutes")
+    )
+    right = (
+        _stream_events(spark, sf_dir)
+        .select(
+            F.col("event_id").alias("right_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", "10 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("right_ts") > F.col("left_ts"))
+        & (
+            F.col("right_ts")
+            <= F.col("left_ts") + F.expr("INTERVAL 5 minutes")
+        ),
+        "inner",
+    ).select("left_id", "right_id", "user_id", "left_ts", "right_ts")
+    return _run_to_memory(joined, "mem_ss_join", "append")
+
+
+# --------------------------------------------------------------------------
 # X32 — streaming dedup
 # --------------------------------------------------------------------------
 @query(
