@@ -195,3 +195,50 @@ def test_connected_components_nonconvergence_is_loud(spark):
     # and a sufficient budget converges exactly
     comp = connected_components(edges, nodes, id_col="id", max_iter=25)
     assert {r.cluster_id for r in comp.collect()} == {1}
+
+
+def test_knn_topk_strategy_selection(spark, sf_dir):
+    """auto = exact under the row threshold, IVF above it; explicit
+    strategies pin the plan; both strategies return k rows per query
+    and exact == bruteforce results."""
+    import pytest as _pytest
+
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        knn_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(3)
+    with _pytest.raises(ValueError):
+        knn_topk(queries, emb, strategy="bogus")
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # small corpus → auto picks the exact broadcast scan (no bucket col)
+    auto_small = knn_topk(queries, emb, k=2, strategy="auto")
+    assert "bucket" not in plan(auto_small)
+    exact = cosine_topk_bruteforce(queries, emb, k=2)
+    assert sorted(map(tuple, auto_small.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+    # conf-forced tiny threshold → auto switches to the IVF probe path
+    spark.conf.set("spark.graft.knn.bruteforceMaxRows", "10")
+    try:
+        auto_big = knn_topk(queries, emb, k=2, strategy="auto")
+        assert "bucket" in plan(auto_big)
+        # per-query row budget holds on the approximate path too
+        counts = {
+            r["query_id"]: r["n"]
+            for r in auto_big.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert all(n == 2 for n in counts.values())
+    finally:
+        spark.conf.unset("spark.graft.knn.bruteforceMaxRows")
+    # corpus_rows hint avoids the count job and drives the same choice
+    hinted = knn_topk(queries, emb, k=2, strategy="auto", corpus_rows=5)
+    assert "bucket" not in plan(hinted)
