@@ -12,14 +12,13 @@ collect, no connection per row (one opener per partition).
 
 from __future__ import annotations
 
-import json
 import time
 import urllib.error
 import urllib.request
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 
 def post_rows(
@@ -69,18 +68,22 @@ def http_batch_poster(
     its rows partition-parallel (main.go:105's URL suffix semantics)."""
 
     def _post(batch_df: DataFrame, epoch_id: int) -> None:
-        groups = [
-            r[group_col]
-            for r in batch_df.select(group_col).distinct().collect()
-        ]
-        for grp in groups:
-            url = f"{base_url.rstrip('/')}/{grp}"
-            rows = batch_df.filter(F.col(group_col) == grp).select(
-                payload_col, key_col
-            )
-            rows.foreachPartition(
-                lambda it, u=url: post_rows(u, it, payload_col, key_col)
-            )
+        base = base_url.rstrip("/")
+        sel = batch_df.select(group_col, payload_col, key_col)
+
+        def _route_partition(it: Iterator) -> None:
+            # ONE scan of the micro-batch: bucket rows by group inside
+            # the partition and POST each bucket to its URL (the old
+            # per-group filter re-scanned the batch G times). Buffering
+            # is bounded by partition size — micro-batch partitions are
+            # small by construction (maxFilesPerTrigger/maxOffsets).
+            buckets: dict[object, list] = {}
+            for row in it:
+                buckets.setdefault(row[group_col], []).append(row)
+            for grp, rows in buckets.items():
+                post_rows(f"{base}/{grp}", iter(rows), payload_col, key_col)
+
+        sel.foreachPartition(_route_partition)
 
     return _post
 
