@@ -83,7 +83,16 @@ def global_prefix_sum(
     )
     within = F.coalesce(F.sum(value_col).over(w_in), F.lit(0))
     totals = part.groupBy("__g").agg(F.sum(value_col).alias("__t"))
-    w_g = W.orderBy("__g").rowsBetween(W.unboundedPreceding, -1)
+    # The range-totals cumsum IS single-partition — deliberately: the
+    # frame is one row per coarse range (rows/coarse — grow ``coarse``
+    # with the corpus to keep it bounded). The constant partition key
+    # states that intent and keeps WindowExec's single-partition WARNING
+    # out of bench/driver logs (same physical plan either way).
+    w_g = (
+        W.partitionBy(F.lit(0))
+        .orderBy("__g")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     prefix = totals.select(
         "__g", F.coalesce(F.sum("__t").over(w_g), F.lit(0)).alias("__prefix")
     )

@@ -102,3 +102,22 @@ def test_pack_sequences_property(spark, counts, budget):
     for i, c in enumerate(counts):
         assert got[i] == (cum // budget, cum % budget), (i, c, budget)
         cum += c
+
+
+@settings(**_SETTINGS)
+@given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+def test_rate_to_hex8_is_monotone_and_calibrated(rate):
+    """Threshold strings order like their rates (monotone sampling: a
+    higher rate keeps a superset) and the hex value matches rate·16⁸ to
+    one ulp; rate 1 dominates every md5 prefix."""
+    from mysql_cdc_to_http_spark.operators.curation import rate_to_hex8
+
+    thr = rate_to_hex8(rate)
+    if rate >= 1.0:
+        assert thr == "g" and "ffffffff" < thr
+        return
+    assert len(thr) == 8
+    assert int(thr, 16) == int(rate * 16**8)
+    # monotonicity vs a coarser rate
+    smaller = rate_to_hex8(rate / 2)
+    assert smaller <= thr
