@@ -299,6 +299,81 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# incremental aggregate maintenance from a CDC changelog (beyond-survey:
+# the materialized-view consumer; see streaming/incremental_agg.py)
+# --------------------------------------------------------------------------
+def _orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete synthetic changelog from orders: every row is inserted;
+    'P' rows then get a +10% price update; 'F' rows are deleted. DECIMAL
+    images keep every delta exact (doubles would make the maintained sum
+    depend on partition summation order)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+    )
+    img_t = "struct<k:bigint,v:decimal(15,3),s:string>"
+
+    def img(price):
+        return F.struct(
+            F.col("o_orderkey").alias("k"),
+            price.cast("decimal(15,3)").alias("v"),
+            F.col("o_orderstatus").alias("s"),
+        )
+
+    null_img = F.lit(None).cast(img_t)
+    bumped = F.col("p") * F.lit("1.1").cast("decimal(2,1)")
+    c = o.select(
+        F.lit("c").alias("op"), null_img.alias("before"), img(F.col("p")).alias("after")
+    )
+    u = o.filter(F.col("o_orderstatus") == "P").select(
+        F.lit("u").alias("op"), img(F.col("p")).alias("before"), img(bumped).alias("after")
+    )
+    d = o.filter(F.col("o_orderstatus") == "F").select(
+        F.lit("d").alias("op"), img(F.col("p")).alias("before"), null_img.alias("after")
+    )
+    return c.unionByName(u).unionByName(d)
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+    SELECT o_orderstatus AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(o_totalprice AS DECIMAL(12,2))
+                              * CAST(1.1 AS DECIMAL(2,1))
+                         ELSE CAST(o_totalprice AS DECIMAL(12,2)) END)
+                AS DOUBLE) AS sum_value
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderstatus
+    ORDER BY grp
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-maintained group aggregate over a complete changelog:
+    inserts contribute (+1, +v) under the after key, deletes (−1, −v)
+    under the before key, updates both. Deltas TELESCOPE — their sum
+    equals aggregating the latest state — so the oracle aggregates the
+    final state directly from orders (inserted + P-bumped − F-deleted).
+    Exact DECIMAL deltas make the result independent of summation order;
+    the output surfaces as DOUBLE (driver-safe)."""
+    from mysql_cdc_to_http_spark.streaming.incremental_agg import (
+        delta_aggregate,
+        event_deltas,
+    )
+
+    changes = _orders_changelog(spark, sf_dir)
+    deltas = event_deltas(changes, group_field="s", value_field="v")
+    return (
+        delta_aggregate(deltas)
+        .select("grp", "n", F.col("sum_value").cast("double").alias("sum_value"))
+        .orderBy("grp")
+    )
+
+
+# --------------------------------------------------------------------------
 # X32 — streaming dedup
 # --------------------------------------------------------------------------
 @query(

@@ -256,3 +256,40 @@ def test_watermark_drops_late_events(spark, tmp_path):
     w10 = [(w, n) for w, n in out if w == d(2024, 1, 1, 10, 0, 0)]
     assert w10 == [(d(2024, 1, 1, 10, 0, 0), 2)], out
     assert (d(2024, 1, 1, 12, 0, 0), 1) in out, out
+
+
+def test_incremental_agg_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Micro-batched delta maintenance equals the one-shot aggregate:
+    replaying the changelog in any batch split telescopes to the same
+    maintained table (and a re-merge of an already-applied batch must
+    NOT — deltas are at-most-once per event, unlike idempotent rank
+    merges — so the foreachBatch wiring relies on checkpointed offsets)."""
+    from mysql_cdc_to_http_spark.queries.streaming import _orders_changelog
+    from mysql_cdc_to_http_spark.streaming.incremental_agg import (
+        delta_aggregate,
+        event_deltas,
+        merge_deltas_into_state,
+    )
+
+    changes = _orders_changelog(spark, sf_dir)
+    state_dir = str(tmp_path / "agg_state")
+    # split the changelog into 3 deterministic micro-batches by op
+    for op in ("c", "u", "d"):
+        merge_deltas_into_state(
+            spark,
+            changes.filter(F.col("op") == op),
+            state_dir,
+            group_field="s",
+            value_field="v",
+        )
+    got = {
+        r["grp"]: (r["n"], float(r["sum_value"]))
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    want = {
+        r["grp"]: (r["n"], float(r["sum_value"]))
+        for r in delta_aggregate(
+            event_deltas(changes, group_field="s", value_field="v")
+        ).collect()
+    }
+    assert got == want and "F" not in got and len(got) == 2
