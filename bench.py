@@ -69,7 +69,7 @@ def main() -> None:
 
     from mysql_cdc_to_http_spark.session import get_spark
     from mysql_cdc_to_http_spark.queries import all_queries
-    from mysql_cdc_to_http_spark.operators.caching import release_cached
+    from mysql_cdc_to_http_spark.operators.caching import release_all_cached
 
     spark = get_spark(app_name="bench")
     registry = all_queries()
@@ -97,8 +97,8 @@ def main() -> None:
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
             # Drop operator-persisted intermediates (LSH signatures etc.)
-            # so 26 queries × 2 passes don't accumulate cached blocks.
-            release_cached(df)
+            # so 29 queries × 2 passes don't accumulate cached blocks.
+            release_all_cached()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -9,31 +9,46 @@ OOMs. Eagerly unpersisting inside the operator is not an option: the
 result is lazy, and forcing an action there would both double-execute
 and collapse the plan the tests assert on.
 
-Contract instead: the operator tags its result with the persisted
-dependencies (``register_cached``); whoever runs the action calls
-``release_cached(result)`` afterwards (bench and the engine do). Callers
-that skip this fall back to Spark's LRU storage eviction — correct, just
-not prompt — or can ``spark.catalog.clearCache()``.
+Contract: the operator registers its persisted dependencies
+(``register_cached``); whoever runs the action calls
+``release_all_cached()`` afterwards (bench does, per query). The
+registry is MODULE-GLOBAL, not a DataFrame attribute: callers routinely
+wrap operator results (``.orderBy``/``.select`` return fresh objects),
+so a per-object tag would be lost before the action site ever saw it.
+Releasing globally is safe — unpersist never changes results, it only
+forces recompute — and correct for the serial driver/bench loops this
+engine runs; concurrent pipelines sharing a session should release at
+pipeline end instead. Callers that skip this fall back to Spark's LRU
+storage eviction, or ``spark.catalog.clearCache()``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_ATTR = "_graft_cached_deps"
+#: persisted frames awaiting release, in registration order
+_LIVE: list[DataFrame] = []
 
 
 def register_cached(result: DataFrame, deps: list[DataFrame]) -> DataFrame:
-    """Tag ``result`` with persisted frames it depends on."""
-    existing = list(getattr(result, _ATTR, []))
-    setattr(result, _ATTR, existing + list(deps))
+    """Record persisted frames backing ``result`` for later release."""
+    _LIVE.extend(deps)
     return result
 
 
-def release_cached(result: DataFrame, blocking: bool = False) -> None:
-    """Unpersist every dependency tagged on ``result``. Call AFTER the
-    result has been materialized (collect/count/write) — unpersisting
-    earlier just forces the cached stage to recompute."""
-    for dep in getattr(result, _ATTR, []):
+def release_all_cached(blocking: bool = False) -> int:
+    """Unpersist every registered dependency. Call AFTER materializing
+    the consuming result (collect/count/write) — releasing earlier just
+    forces the cached stage to recompute. Returns the number released."""
+    n = len(_LIVE)
+    for dep in _LIVE:
         dep.unpersist(blocking)
-    setattr(result, _ATTR, [])
+    _LIVE.clear()
+    return n
+
+
+def release_cached(result: DataFrame, blocking: bool = False) -> None:
+    """Backwards-compatible alias: releases the global registry (the
+    per-object tag this originally read does not survive DataFrame
+    wrapping, so global release is the only shape that works)."""
+    release_all_cached(blocking)

@@ -28,12 +28,16 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def tokenize(text_col):
-    """Lowercased whitespace tokens. Materialize this as a REAL column
-    before feeding ``word_ngrams_from_tokens`` — an expression nested in
-    a transform() lambda re-evaluates per array element, so an inline
-    regex+split here costs n_tokens× per row (measured 7 s → 0.9 s at
-    sf0.1 for repetition scoring)."""
-    return F.split(F.regexp_replace(F.lower(text_col), r"\s+", " "), " ")
+    """Lowercased whitespace tokens; trimmed first — leading/trailing
+    whitespace would otherwise split into empty-string tokens and mint
+    phantom n-grams that skew every ratio. Materialize this as a REAL
+    column before feeding ``word_ngrams_from_tokens`` — an expression
+    nested in a transform() lambda re-evaluates per array element, so an
+    inline regex+split here costs n_tokens× per row (measured 7 s →
+    0.9 s at sf0.1 for repetition scoring)."""
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " "
+    )
 
 
 def word_ngrams_from_tokens(toks_col, n: int = 5):

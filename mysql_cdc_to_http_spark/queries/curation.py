@@ -20,7 +20,8 @@ from mysql_cdc_to_http_spark.queries.registry import query
 _TOK_CTE = r"""
 tok AS (
   SELECT doc_id, source,
-         string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS t
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                      ' ') AS t
   FROM documents
 )
 """

@@ -25,7 +25,11 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from mysql_cdc_to_http_spark.streaming.latest_state import _recover_state_dir
+from mysql_cdc_to_http_spark.streaming.latest_state import (
+    _recover_state_dir,
+    _swap_into_state_dir,
+    applied_epoch,
+)
 
 
 def event_deltas(
@@ -35,23 +39,28 @@ def event_deltas(
     op_col: str = "op",
     value_type: str = "decimal(18,3)",
 ) -> DataFrame:
-    """Per-event (group, d_n, d_value) contributions from the envelope's
-    before/after images: before present → (−1, −value), after present →
-    (+1, +value). One explode, no join, no shuffle."""
+    """Per-event (group, d_n, d_value) contributions: the before image
+    contributes (−1, −value) on updates/deletes, the after image
+    (+1, +value) on inserts/updates. The op code is authoritative — a
+    feed whose delete events still carry an after-image snapshot (some
+    envelope dialects do) must NOT count the deleted row back in — and
+    image presence additionally guards feeds with partial images. One
+    explode, no join, no shuffle."""
     val = lambda img: F.col(f"{img}.{value_field}").cast(value_type)  # noqa: E731
     key = lambda img: F.col(f"{img}.{group_field}")  # noqa: E731
+    op = F.col(op_col)
     contribs = F.array(
         F.struct(
             key("before").alias("grp"),
             F.lit(-1).cast("long").alias("d_n"),
             (-val("before")).alias("d_value"),
-            F.col("before").isNotNull().alias("keep"),
+            (F.col("before").isNotNull() & (op != "c")).alias("keep"),
         ),
         F.struct(
             key("after").alias("grp"),
             F.lit(1).cast("long").alias("d_n"),
             val("after").alias("d_value"),
-            F.col("after").isNotNull().alias("keep"),
+            (F.col("after").isNotNull() & (op != "d")).alias("keep"),
         ),
     )
     return (
@@ -78,14 +87,28 @@ def merge_deltas_into_state(
     group_field: str,
     value_field: str,
     op_col: str = "op",
+    epoch_id: int | None = None,
 ) -> None:
     """One ``foreachBatch`` maintenance step:
     state' = delta_aggregate(state-as-deltas ∪ batch-deltas).
-    Reuses the crash-safe write-then-swap (latest_state) — the maintained
-    table is tiny (one row per group), so the swap is metadata-cheap."""
+
+    Delta application is NOT idempotent (unlike the latest-state rank
+    merge), and foreachBatch delivers at-least-once: a crash after the
+    swap but before Spark's checkpoint commit replays the batch. Pass
+    the foreachBatch ``epoch_id`` and the merge skips epochs already
+    recorded in the snapshot — the marker is written inside the tmp dir
+    BEFORE the swap, so it commits atomically with the data.
+
+    Reuses the crash-safe write-then-swap (latest_state) — the
+    maintained table is tiny (one row per group), so the swap is
+    metadata-cheap."""
     import os
 
     _recover_state_dir(state_dir)
+    if epoch_id is not None:
+        last = applied_epoch(state_dir)
+        if last is not None and epoch_id <= last:
+            return  # replayed batch — already folded into the snapshot
     deltas = event_deltas(batch, group_field, value_field, op_col)
     if os.path.exists(state_dir):
         prior = spark.read.parquet(state_dir).select(
@@ -95,16 +118,7 @@ def merge_deltas_into_state(
         )
         deltas = prior.unionByName(deltas)
     merged = delta_aggregate(deltas)
-    import shutil
-
-    tmp = state_dir + "__tmp"
-    old = state_dir + "__old"
-    merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(state_dir):
-        os.replace(state_dir, old)
-    os.replace(tmp, state_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap_into_state_dir(merged, state_dir, epoch_id=epoch_id)
 
 
 def stream_deltas_to_state(
@@ -119,7 +133,12 @@ def stream_deltas_to_state(
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         merge_deltas_into_state(
-            spark, batch_df, state_dir, group_field, value_field
+            spark,
+            batch_df,
+            state_dir,
+            group_field,
+            value_field,
+            epoch_id=epoch_id,
         )
 
     return (

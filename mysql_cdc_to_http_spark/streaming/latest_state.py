@@ -125,22 +125,50 @@ def merge_batch_into_state(
         .filter(F.col(_RN) == 1)
         .drop(_RN)
     )
-    # Write-then-swap: parquet overwrite would clobber its own input
-    # mid-plan, so the merge lands in a tmp dir, the live dir is renamed
-    # ASIDE (not deleted), tmp is promoted, then the old copy is dropped.
-    # Every crash point leaves a recoverable state: before the aside-move
-    # the live dir is intact; after it, tmp is a COMPLETE snapshot (the
-    # write finished) and _recover_state_dir promotes it on next start.
-    # (On object storage this swap becomes a manifest/metadata commit —
-    # Delta/Iceberg MERGE INTO; rename is the local-FS stand-in.)
+    _swap_into_state_dir(merged, state_dir)
+
+
+def _swap_into_state_dir(merged: DataFrame, state_dir: str, epoch_id=None) -> None:
+    """Write-then-swap commit, shared by every parquet state store here:
+    parquet overwrite would clobber its own input mid-plan, so the merge
+    lands in a tmp dir, the live dir is renamed ASIDE (not deleted), tmp
+    is promoted, then the old copy is dropped. Every crash point leaves
+    a recoverable state: before the aside-move the live dir is intact;
+    after it, tmp is a COMPLETE snapshot (the write finished) and
+    ``_recover_state_dir`` promotes it on next start. (On object storage
+    this swap becomes a manifest/metadata commit — Delta/Iceberg MERGE
+    INTO; rename is the local-FS stand-in.)
+
+    ``epoch_id``, when given, is recorded INSIDE the snapshot before the
+    swap, so the applied-epoch marker commits atomically with the data
+    (see ``applied_epoch`` — the at-least-once replay guard)."""
     tmp = state_dir + "__tmp"
     old = state_dir + "__old"
     merged.write.mode("overwrite").parquet(tmp)
+    if epoch_id is not None:
+        with open(os.path.join(tmp, _EPOCH_FILE), "w") as fh:
+            fh.write(str(int(epoch_id)))
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(state_dir):
         os.replace(state_dir, old)
     os.replace(tmp, state_dir)
     shutil.rmtree(old, ignore_errors=True)
+
+
+_EPOCH_FILE = "_graft_epoch"
+
+
+def applied_epoch(state_dir: str) -> int | None:
+    """Last epoch committed into the state snapshot, or None. foreachBatch
+    delivers at-least-once: a crash after the swap but before Spark's
+    checkpoint commit replays the batch, and a NON-idempotent merge (the
+    delta store) must skip epochs it already applied. The marker rides
+    inside the swapped dir, so it is exactly as committed as the data."""
+    try:
+        with open(os.path.join(state_dir, _EPOCH_FILE)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
 
 
 def _recover_state_dir(state_dir: str) -> None:
@@ -168,8 +196,14 @@ def _recover_state_dir(state_dir: str) -> None:
 def read_state(
     spark: SparkSession, state_dir: str, op_col: str = "op"
 ) -> DataFrame:
-    """Current snapshot: state rows minus delete tombstones."""
-    _recover_state_dir(state_dir)
+    """Current snapshot: state rows minus delete tombstones.
+
+    Deliberately does NOT run crash recovery: recovery mutates the dirs
+    (promote __tmp / restore __old / delete leftovers), and a reader
+    doing that concurrently with a live writer mid-swap could delete the
+    writer's freshly-written snapshot out from under it. Writers recover
+    at the top of their own merge; a reader that finds no live dir after
+    a crash simply fails until the writer restarts."""
     return spark.read.parquet(state_dir).filter(F.col(op_col) != "d")
 
 

@@ -118,3 +118,11 @@ def test_domain_mix_deterministic_and_ratioed(spark, sf_dir):
     kept_others = a.filter(~F.col("source").isin("src0", "src1")).count()
     # 0.2 target over ~450 docs: generous 3-sigma-ish band
     assert 0.1 <= kept_others / others.count() <= 0.32
+
+
+def test_tokenize_trims_padding(spark):
+    """Leading/trailing whitespace must not mint empty-string tokens
+    (phantom n-grams would skew repetition/overlap ratios)."""
+    df = spark.createDataFrame([("  a b \n",)], "text string")
+    got = df.select(tokenize(F.col("text")).alias("t")).collect()[0]["t"]
+    assert got == ["a", "b"]

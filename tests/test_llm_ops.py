@@ -242,3 +242,22 @@ def test_knn_topk_strategy_selection(spark, sf_dir):
     # corpus_rows hint avoids the count job and drives the same choice
     hinted = knn_topk(queries, emb, k=2, strategy="auto", corpus_rows=5)
     assert "bucket" not in plan(hinted)
+
+
+def test_release_all_cached_releases_lsh_intermediates(spark):
+    """The LSH persist must actually be dropped by the release hook —
+    the per-object tag design silently no-opped once callers wrapped the
+    result (regression: release must work through the global registry)."""
+    from mysql_cdc_to_http_spark.operators.caching import release_all_cached
+    from mysql_cdc_to_http_spark.operators.dedup import simhash_pairs
+
+    release_all_cached()  # drain leftovers from other tests
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    # wrap the result the way queries do — the tag would die here
+    pairs = simhash_pairs(df).orderBy("id_a")
+    pairs.count()
+    assert release_all_cached() >= 1
+    assert release_all_cached() == 0

@@ -293,3 +293,63 @@ def test_incremental_agg_stream_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and "F" not in got and len(got) == 2
+
+
+def test_incremental_agg_epoch_replay_guard(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once; replaying an already-committed
+    epoch must be a no-op (the applied-epoch marker commits atomically
+    with the snapshot), while the next epoch applies normally."""
+    from mysql_cdc_to_http_spark.queries.streaming import _orders_changelog
+    from mysql_cdc_to_http_spark.streaming.incremental_agg import (
+        merge_deltas_into_state,
+    )
+
+    changes = _orders_changelog(spark, sf_dir)
+    state_dir = str(tmp_path / "epoch_state")
+    batch0 = changes.filter(F.col("op") == "c")
+    merge_deltas_into_state(
+        spark, batch0, state_dir, group_field="s", value_field="v", epoch_id=0
+    )
+    snap = sorted(map(tuple, spark.read.parquet(state_dir).collect()))
+    # crash-replay of epoch 0: state must not change
+    merge_deltas_into_state(
+        spark, batch0, state_dir, group_field="s", value_field="v", epoch_id=0
+    )
+    assert sorted(map(tuple, spark.read.parquet(state_dir).collect())) == snap
+    # epoch 1 applies
+    merge_deltas_into_state(
+        spark,
+        changes.filter(F.col("op") == "d"),
+        state_dir,
+        group_field="s",
+        value_field="v",
+        epoch_id=1,
+    )
+    after = {r["grp"] for r in spark.read.parquet(state_dir).collect()}
+    assert "F" not in after
+
+
+def test_event_deltas_honor_op_codes(spark):
+    """A delete whose envelope still carries an after-image (tombstone
+    dialects) must not count the row back in; an insert carrying a
+    spurious before-image must not subtract."""
+    from mysql_cdc_to_http_spark.streaming.incremental_agg import (
+        delta_aggregate,
+        event_deltas,
+    )
+
+    from decimal import Decimal
+
+    img = "struct<k:bigint,v:decimal(15,3),s:string>"
+    ten = Decimal("10.000")
+    rows = spark.createDataFrame(
+        [("c", None, (1, ten, "a")), ("d", (1, ten, "a"), (1, ten, "a"))],
+        f"op string, before {img}, after {img}",
+    )
+    out = {
+        r["grp"]: (r["n"], float(r["sum_value"]))
+        for r in delta_aggregate(
+            event_deltas(rows, group_field="s", value_field="v")
+        ).collect()
+    }
+    assert out == {}  # insert then delete → group vanishes
