@@ -55,7 +55,11 @@ HEADLINE = [
     "q_percentiles",
     "q_envelope",
     # added round 3 (curation family) — BENCH_r03 totals therefore cover
-    # 29 queries vs r02's 26; compare per-query or the r02-name subset
+    # 29 queries vs r02's 26; compare per-query or the r02-name subset.
+    # q_pipeline_recipe (the 5-stage end-to-end recipe) is deliberately
+    # NOT here: its ~12 chained stages cost ~8 s of stage latency at toy
+    # scale regardless of data size, which would distort the suite total;
+    # it stays oracle-gated in tests/test_oracle_parity.py.
     "q_decontaminate",
     "q_repetition",
     "q_domain_mix",

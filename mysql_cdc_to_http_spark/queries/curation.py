@@ -152,3 +152,148 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed="mix",
     )
     return mixed.select("doc_id", "source").orderBy("doc_id")
+
+
+@query(
+    "q_pipeline_recipe",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    ded AS (  -- exact dedup (lowest doc_id per text hash), corpus side only
+      SELECT k.doc_id FROM (
+        SELECT md5(text) AS h, min(doc_id) AS doc_id
+        FROM documents WHERE source <> 'src0' GROUP BY md5(text)
+      ) k
+    ),
+    q AS (
+      SELECT tok.doc_id, tok.source, tok.t,
+             CAST(len(tok.t) AS BIGINT) AS n_tokens,
+             list_transform(range(1, greatest(len(tok.t) - 2, 1) + 1),
+                            i -> array_to_string(t[i:i+2], ' ')) AS g3
+      FROM tok JOIN ded USING (doc_id)
+    ),
+    quality AS (
+      SELECT doc_id, source, t, n_tokens FROM q
+      WHERE n_tokens >= 20
+        AND (1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE)) <= 0.3
+    ),
+    g5 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 4, 1) + 1),
+               i -> array_to_string(t[i:i+4], ' '))) AS gs
+      FROM quality
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(
+        list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+                       i -> array_to_string(t[i:i+4], ' '))) AS ngram
+      FROM tok WHERE source = 'src0'
+    ),
+    cg AS (SELECT doc_id, unnest(gs) AS ngram FROM g5),
+    contam AS (
+      SELECT cg.doc_id FROM cg LEFT JOIN bench b USING (ngram)
+      GROUP BY cg.doc_id
+      HAVING count(b.ngram) / CAST(count(*) AS DOUBLE) > 0.05
+    ),
+    mixed AS (
+      SELECT doc_id, source, n_tokens FROM quality
+      WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        AND substring(md5('recipe:' || CAST(doc_id AS VARCHAR)), 1, 8)
+            < CASE source WHEN 'src1' THEN 'g'
+                          WHEN 'src2' THEN '80000000'
+                          WHEN 'src3' THEN '40000000'
+                          ELSE '80000000' END
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+      FROM mixed
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(cb / 512) AS BIGINT) AS bin_id,
+           cb % 512 AS offset_in_bin
+    FROM packed ORDER BY doc_id
+    """,
+)
+def q_pipeline_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data recipe as ONE dataflow — exact dedup →
+    quality gate (length + repetition) → benchmark decontamination →
+    domain-mixture sampling → sequence packing — every stage the
+    engine's own operator, the whole chain oracle-checked end to end
+    (each stage is deterministic, so the composition is too).
+
+    Scale shape: one tokenize pass feeds length/repetition/packing; the
+    only non-key shuffles are the dedup groupBy on the 16-byte text
+    hash, the decontamination per-doc count, and the packing prefix sum
+    — everything else is projections and broadcast/id joins."""
+    from mysql_cdc_to_http_spark.operators.curation import (
+        benchmark_ngram_set,
+        decontaminate,
+        domain_mix_sample,
+        tokenize,
+        word_ngrams_from_tokens,
+    )
+    from mysql_cdc_to_http_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    # 1. exact dedup: lowest doc_id per content hash (16-byte shuffle key)
+    keep = (
+        corpus.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = corpus.join(keep, "doc_id")
+    # 2. one staged tokenize pass → length + repetition quality gate
+    staged = deduped.select(
+        "doc_id", "source", "text", tokenize(F.col("text")).alias("__toks")
+    ).withColumn("__g3", word_ngrams_from_tokens(F.col("__toks"), 3))
+    n_tokens = F.size("__toks").cast("long")
+    repetition = F.lit(1.0) - F.size(F.array_distinct("__g3")) / F.size(
+        "__g3"
+    ).cast("double")
+    quality = (
+        staged.withColumn("n_tokens", n_tokens)
+        .withColumn("__rep", repetition)
+        .filter((F.col("n_tokens") >= 20) & (F.col("__rep") <= 0.3))
+        # three consumers (decontaminate, the anti-join, the mixture) —
+        # persist the NARROW survivor projection (arrays dropped) so the
+        # tokenize+n-gram stage runs once, not three times (9.3 s →
+        # ~3 s at sf0.1); released via the caching contract
+        .select("doc_id", "source", "text", "n_tokens")
+        .persist()
+    )
+    # 3. decontaminate vs the src0 benchmark slice
+    bench = benchmark_ngram_set(docs.filter(F.col("source") == "src0"), n=5)
+    contaminated = (
+        decontaminate(quality, bench, n=5, max_overlap=0.05)
+        .filter(F.col("is_contaminated"))
+        .select("doc_id")
+    )
+    clean = quality.join(contaminated, "doc_id", "left_anti")
+    # 4. domain mixture (deterministic md5 thresholds)
+    mixed = domain_mix_sample(
+        clean,
+        rates={"src1": 1.0, "src2": 0.5, "src3": 0.25},
+        default_rate=0.5,
+        seed="recipe",
+    )
+    # 5. pack the survivors into 512-token bins in doc_id order
+    packed = pack_sequences(
+        mixed.select("doc_id", "n_tokens"), budget=512
+    )
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    return register_cached(
+        packed.join(mixed.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_tokens", "bin_id", "offset_in_bin")
+        .orderBy("doc_id"),
+        [quality],
+    )
