@@ -292,8 +292,8 @@ def minhash_dedup_pairs(
         )
         # consumed twice (banding + verify) — cache instead of recomputing
         # the signature fold; at cluster scale this is a checkpoint to
-        # storage rather than executor memory. The result is tagged so
-        # the caller can release_cached() after materializing (see
+        # storage rather than executor memory. Registered so the caller
+        # can release_all_cached() after materializing (see
         # operators/caching.py — repeated calls must not accumulate
         # cached blocks in a long-lived session).
         .persist()

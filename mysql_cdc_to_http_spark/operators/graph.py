@@ -57,7 +57,7 @@ def connected_components(
     warning and returns the partial labels.
 
     The returned frame depends on persisted intermediates — callers
-    should ``release_cached(result)`` after materializing it
+    should ``release_all_cached()`` after materializing it
     (operators/caching.py).
     """
     # symmetrize via explode, not unionAll: one scan of the (typically
