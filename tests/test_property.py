@@ -121,3 +121,55 @@ def test_rate_to_hex8_is_monotone_and_calibrated(rate):
     # monotonicity vs a coarser rate
     smaller = rate_to_hex8(rate / 2)
     assert smaller <= thr
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),      # key
+            st.integers(min_value=0, max_value=3),      # number of updates
+            st.booleans(),                              # deleted at the end?
+            st.integers(min_value=1, max_value=10_000), # base value (cents)
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_incremental_agg_telescopes_property(spark, histories):
+    """For ANY complete per-key changelog (insert, 0-3 updates, optional
+    delete), summing the per-event deltas equals aggregating the final
+    state — the invariant that makes incremental maintenance exact."""
+    from decimal import Decimal
+
+    from mysql_cdc_to_http_spark.streaming.incremental_agg import (
+        delta_aggregate,
+        event_deltas,
+    )
+
+    img = "struct<k:bigint,v:decimal(15,3),s:string>"
+    rows, final = [], {}
+    for key, n_upd, deleted, cents in histories:
+        grp = "g" + str(key % 2)  # two groups
+        val = Decimal(cents) / 100
+        rows.append(("c", None, (key, val, grp)))
+        for u in range(n_upd):
+            nxt = val + 1
+            rows.append(("u", (key, val, grp), (key, nxt, grp)))
+            val = nxt
+        if deleted:
+            rows.append(("d", (key, val, grp), None))
+        else:
+            final.setdefault(grp, []).append(val)
+    df = spark.createDataFrame(rows, f"op string, before {img}, after {img}")
+    got = {
+        r["grp"]: (r["n"], r["sum_value"])
+        for r in delta_aggregate(
+            event_deltas(df, group_field="s", value_field="v")
+        ).collect()
+    }
+    want = {
+        grp: (len(vals), sum(vals)) for grp, vals in final.items() if vals
+    }
+    assert {g: (n, Decimal(s)) for g, (n, s) in got.items()} == want
