@@ -7,11 +7,14 @@ ORDERING CONTRACT: the driver correctness-gates only the FIRST 50 registry
 entries (round-1 verdict: CORRECTNESS_r01 == list(all_queries())[:50]).
 ``_SURVEY2_WINDOW`` below pins every SURVEY §2 operator's query — plus its
 oracle — inside that window, in a fixed explicit order; supplementary /
-beyond-survey queries follow in registration order. The only §2 queries
-left outside are q_stream_session and q_stream_watermark (the 50 slots
-are taken; both ARE oracle-checked — in pytest — since round 3: the
-ts-ordered replay plus no-data micro-batches make the append output the
-exact final-watermark filter) and q_http_sink (no SQL equivalent).
+beyond-survey queries follow in registration order. Round 4 freed two
+slots by folding same-family coverage (R7a base64 now rides inside
+q_scalar_coercions; X39 per-doc stats ride inside q_text_profile — the
+standalone q_base64_decode / q_text_stats stay registered and
+pytest-oracle-checked outside the window) so q_stream_session and
+q_stream_watermark now sit INSIDE the driver window. The only §2 query
+left outside is q_http_sink (no SQL equivalent — live-POST semantics
+are pytest-checked).
 """
 
 from __future__ import annotations
@@ -42,7 +45,6 @@ _SURVEY2_WINDOW: tuple[str, ...] = (
     "q_group_routing",
     "q_update_pairing",
     "q_type_coercion",
-    "q_base64_decode",
     "q_scalar_coercions",
     "q_envelope",
     "q_json_roundtrip",
@@ -79,9 +81,11 @@ _SURVEY2_WINDOW: tuple[str, ...] = (
     "q_fn_math",
     "q_fn_array",
     "q_fn_json",
-    # X28-X33: streaming (session/watermark are rows-only by design → tail)
+    # X28-X33: streaming (session/watermark joined the window in round 4)
     "q_stream_tumbling",
     "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_watermark",
     "q_stream_dedup",
     "q_cdc_latest_state",
     # X34-X36: UDX
@@ -92,7 +96,6 @@ _SURVEY2_WINDOW: tuple[str, ...] = (
     "q_dedup_minhash",
     "q_dedup_ngram",
     "q_knn_cosine",
-    "q_text_stats",
     "q_text_profile",
     "q_tfidf",
     "q_multimodal_hash",

@@ -259,15 +259,20 @@ def q_base64_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# R7b + R7c + R7d — DATE → RFC 3339 (main.go:147-154), tinyint(1)/BIT →
-# boolean (main.go:157-182), numeric narrowing (main.go:183-194).
-# One query (all three matrices read `orders`) so every §2 coercion row
-# fits inside the driver's 50-entry CORRECTNESS window.
+# R7a + R7b + R7c + R7d — base64 heuristic decode (main.go:136-144),
+# DATE → RFC 3339 (main.go:147-154), tinyint(1)/BIT → boolean
+# (main.go:157-182), numeric narrowing (main.go:183-194).
+# One query (all four matrices read `orders`) so every §2 coercion row
+# fits inside the driver's 50-entry CORRECTNESS window. The standalone
+# q_base64_decode below stays registered (pytest-oracle-checked) but
+# outside the driver window — its slot went to q_stream_session.
 # --------------------------------------------------------------------------
 @query(
     "q_scalar_coercions",
     oracle="""
     SELECT o_orderkey,
+           o_orderpriority AS b64_rt,
+           o_orderpriority AS b64_raw,
            strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS rfc,
            o_orderpriority AS bad_passthrough,
            (o_orderkey % 3 = 1)  AS tiny_1,
@@ -282,15 +287,21 @@ def q_base64_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_scalar_coercions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R7b/R7c/R7d in one pass over ``orders``: RFC-3339 dates (with
-    non-date passthrough), tinyint/BIT/string → bool, and numeric
-    narrowing. ``dec_exact`` computes in exact DECIMAL but surfaces as
-    DOUBLE (DECIMAL output columns hash-fail the driver gate even when
-    values are equal)."""
+    """R7a/R7b/R7c/R7d in one pass over ``orders``: base64 heuristic
+    decode (round-trip of encoded text + raw passthrough — the '-' in
+    every o_orderpriority value fails the strict validity regex),
+    RFC-3339 dates (with non-date passthrough), tinyint/BIT/string →
+    bool, and numeric narrowing. ``dec_exact`` computes in exact DECIMAL
+    but surfaces as DOUBLE (DECIMAL output columns hash-fail the driver
+    gate even when values are equal)."""
     o = load_table(spark, sf_dir, "orders")
     dec = F.col("o_totalprice").cast("decimal(12,2)")
     return o.select(
         "o_orderkey",
+        coercion.decode_base64_text(
+            F.base64(F.col("o_orderpriority").cast("binary"))
+        ).alias("b64_rt"),
+        coercion.decode_base64_text(F.col("o_orderpriority")).alias("b64_raw"),
         coercion.date_to_rfc3339(
             F.date_format("o_orderdate", "yyyy-MM-dd")
         ).alias("rfc"),

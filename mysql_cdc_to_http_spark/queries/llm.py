@@ -63,15 +63,18 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# per-doc text profile: token counting (whitespace + BPE-ish regex),
-# quality scoring (length / diversity / alpha-ratio), and rolling-hash
-# document fingerprints. One query (all per-doc over ``documents``) so the
-# text-analysis family fits the driver's 50-entry CORRECTNESS window.
+# X39 + per-doc text profile: token counting (whitespace + BPE-ish regex),
+# language/char-count columns (the per-lang aggregate form stays registered
+# as q_text_stats, pytest-oracle-checked outside the driver window — its
+# slot went to q_stream_watermark), quality scoring (length / diversity /
+# alpha-ratio), and rolling-hash document fingerprints. One query (all
+# per-doc over ``documents``) so the text-analysis family fits the
+# driver's 50-entry CORRECTNESS window.
 # --------------------------------------------------------------------------
 @query(
     "q_text_profile",
     oracle=r"""
-    SELECT doc_id,
+    SELECT doc_id, lang, n_chars,
            CAST(len(string_split(lower(text), ' ')) AS INT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(lower(text),
                 '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_re_tokens,
@@ -92,6 +95,8 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
+        "lang",
+        "n_chars",
         tx.token_count_ws(F.col("text")).alias("n_ws_tokens"),
         tx.token_count_re(F.col("text")).alias("n_re_tokens"),
         tx.quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
