@@ -38,14 +38,34 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan with pushdown/pruning handled by the parquet source.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 cannot map to
-    TimestampType natively; with ``spark.sql.legacy.parquet.nanosAsLong``
-    it arrives as nanos-since-epoch LongType and is converted here (integer
-    ``div`` — a double division would lose precision at 1e18 nanos).
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which plain TimestampType
+    cannot hold. How it arrives depends on the Spark version:
+
+    - Spark ≤ 4.0 with ``spark.sql.legacy.parquet.nanosAsLong``: a
+      nanos-since-epoch LongType, converted here (integer ``div`` — a
+      double division would lose precision at 1e18 nanos).
+    - Spark 4.1+: read natively as TIMESTAMP_NTZ (micros truncation; the
+      legacy flag is ignored). Event-time streaming (``withWatermark``)
+      requires TIMESTAMP (LTZ), so normalize to the same value the long
+      path produced: instant = the naive wall clock read as UTC,
+      regardless of the session timezone (``convert_timezone`` from UTC
+      to the session zone, then a session-zone cast — the two offsets
+      cancel). Collected rows therefore render the original wall times
+      in any harness session, matching the UTC-naive DuckDB oracle.
     """
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            df = df.withColumn(
+                "ts",
+                F.convert_timezone(F.lit("UTC"), F.lit(tz), F.col("ts")).cast(
+                    "timestamp"
+                ),
+            )
     return df
 
 

@@ -31,7 +31,12 @@ from mysql_cdc_to_http_spark.streaming.windows import (
 
 def _cache_dir(kind: str, sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(tempfile.gettempdir(), "spark_graft_stream", f"{kind}_{tag}")
+    # v2: ts materialized as TIMESTAMP (LTZ) — caches written by sessions
+    # that read events.ts as NTZ (pre-normalization) must not be reused,
+    # since withWatermark rejects NTZ event time.
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_stream_v2", f"{kind}_{tag}"
+    )
 
 
 def _events_stream_dir(
