@@ -38,6 +38,7 @@ def event_deltas(
     value_field: str,
     op_col: str = "op",
     value_type: str = "decimal(18,3)",
+    snapshot_ops: Sequence[str] = (),
 ) -> DataFrame:
     """Per-event (group, d_n, d_value) contributions: the before image
     contributes (−1, −value) on updates/deletes, the after image
@@ -45,27 +46,46 @@ def event_deltas(
     feed whose delete events still carry an after-image snapshot (some
     envelope dialects do) must NOT count the deleted row back in — and
     image presence additionally guards feeds with partial images. One
-    explode, no join, no shuffle."""
+    explode, no join, no shuffle.
+
+    Only the known codes c/u/d contribute; ``snapshot_ops`` opts in
+    dialect codes that replay initial state as insert-like reads (e.g.
+    Debezium's ``r``) — the CALLER must guarantee those rows are not
+    already folded into the maintained aggregate. Any other code RAISES
+    at execution instead of defaulting to update semantics: a malformed
+    or unexpected op silently contributing both images would corrupt the
+    maintained aggregate with no signal."""
     val = lambda img: F.col(f"{img}.{value_field}").cast(value_type)  # noqa: E731
     key = lambda img: F.col(f"{img}.{group_field}")  # noqa: E731
     op = F.col(op_col)
+    insert_like = ["c", *snapshot_ops]
+    allowed = ["u", "d", *insert_like]
     contribs = F.array(
         F.struct(
             key("before").alias("grp"),
             F.lit(-1).cast("long").alias("d_n"),
             (-val("before")).alias("d_value"),
-            (F.col("before").isNotNull() & (op != "c")).alias("keep"),
+            (F.col("before").isNotNull() & op.isin("u", "d")).alias("keep"),
         ),
         F.struct(
             key("after").alias("grp"),
             F.lit(1).cast("long").alias("d_n"),
             val("after").alias("d_value"),
-            (F.col("after").isNotNull() & (op != "d")).alias("keep"),
+            (F.col("after").isNotNull() & op.isin("u", *insert_like)).alias(
+                "keep"
+            ),
         ),
     )
+    # The op check rides the filter expression (not a dropped helper
+    # column Catalyst could prune away): an unknown code fails the read.
+    keep_or_raise = F.when(op.isin(*allowed), F.col("c.keep")).otherwise(
+        F.raise_error(
+            F.concat(F.lit("event_deltas: unknown op code '"), op, F.lit("'"))
+        )
+    )
     return (
-        changes.select(F.explode(contribs).alias("c"))
-        .filter(F.col("c.keep"))
+        changes.select(op.alias(op_col), F.explode(contribs).alias("c"))
+        .filter(keep_or_raise)
         .select("c.grp", "c.d_n", "c.d_value")
     )
 
@@ -88,6 +108,7 @@ def merge_deltas_into_state(
     value_field: str,
     op_col: str = "op",
     epoch_id: int | None = None,
+    snapshot_ops: Sequence[str] = (),
 ) -> None:
     """One ``foreachBatch`` maintenance step:
     state' = delta_aggregate(state-as-deltas ∪ batch-deltas).
@@ -109,7 +130,9 @@ def merge_deltas_into_state(
         last = applied_epoch(state_dir)
         if last is not None and epoch_id <= last:
             return  # replayed batch — already folded into the snapshot
-    deltas = event_deltas(batch, group_field, value_field, op_col)
+    deltas = event_deltas(
+        batch, group_field, value_field, op_col, snapshot_ops=snapshot_ops
+    )
     if os.path.exists(state_dir):
         prior = spark.read.parquet(state_dir).select(
             "grp",

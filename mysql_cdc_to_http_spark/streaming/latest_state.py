@@ -134,20 +134,29 @@ def _swap_into_state_dir(merged: DataFrame, state_dir: str, epoch_id=None) -> No
     lands in a tmp dir, the live dir is renamed ASIDE (not deleted), tmp
     is promoted, then the old copy is dropped. Every crash point leaves
     a recoverable state: before the aside-move the live dir is intact;
-    after it, tmp is a COMPLETE snapshot (the write finished) and
-    ``_recover_state_dir`` promotes it on next start. (On object storage
-    this swap becomes a manifest/metadata commit — Delta/Iceberg MERGE
-    INTO; rename is the local-FS stand-in.)
+    after it, tmp is a COMMITTED snapshot and ``_recover_state_dir``
+    promotes it on next start. (On object storage this swap becomes a
+    manifest/metadata commit — Delta/Iceberg MERGE INTO; rename is the
+    local-FS stand-in.)
 
     ``epoch_id``, when given, is recorded INSIDE the snapshot before the
-    swap, so the applied-epoch marker commits atomically with the data
-    (see ``applied_epoch`` — the at-least-once replay guard)."""
+    ``_graft_commit`` marker, so the applied-epoch marker commits
+    atomically with the data (see ``applied_epoch`` — the at-least-once
+    replay guard). The commit marker is written LAST: parquet's
+    ``_SUCCESS`` only proves the data write finished, not that the epoch
+    marker was written, so recovery keying on ``_SUCCESS`` could promote
+    a marker-less tmp and replay its epoch on top of it (double-counted
+    deltas in the non-idempotent delta store). Promotion is gated on the
+    commit marker instead; an uncommitted tmp is discarded and its epoch
+    replayed from scratch."""
     tmp = state_dir + "__tmp"
     old = state_dir + "__old"
     merged.write.mode("overwrite").parquet(tmp)
     if epoch_id is not None:
         with open(os.path.join(tmp, _EPOCH_FILE), "w") as fh:
             fh.write(str(int(epoch_id)))
+    with open(os.path.join(tmp, _COMMIT_FILE), "w") as fh:
+        fh.write("1")
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(state_dir):
         os.replace(state_dir, old)
@@ -156,6 +165,7 @@ def _swap_into_state_dir(merged: DataFrame, state_dir: str, epoch_id=None) -> No
 
 
 _EPOCH_FILE = "_graft_epoch"
+_COMMIT_FILE = "_graft_commit"
 
 
 def applied_epoch(state_dir: str) -> int | None:
@@ -176,8 +186,12 @@ def _recover_state_dir(state_dir: str) -> None:
 
     If the live dir exists, any leftover __tmp/__old are stale partials —
     drop them. If it is missing, a crash hit the swap window: promote a
-    COMPLETE __tmp (its _SUCCESS marker proves the write finished — the
-    swap only began after that), else restore __old.
+    COMMITTED __tmp (its _graft_commit marker is written after the data
+    AND the optional epoch marker — the swap only began after that),
+    else restore __old. An uncommitted tmp (data written, markers maybe
+    not) is discarded, never promoted: promoting it could lose the epoch
+    marker and double-apply the replayed batch in the non-idempotent
+    delta store.
     """
     tmp = state_dir + "__tmp"
     old = state_dir + "__old"
@@ -185,12 +199,13 @@ def _recover_state_dir(state_dir: str) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
         return
-    if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+    if os.path.exists(os.path.join(tmp, _COMMIT_FILE)):
         os.replace(tmp, state_dir)
         shutil.rmtree(old, ignore_errors=True)
-    elif os.path.exists(old):
+    else:
         shutil.rmtree(tmp, ignore_errors=True)
-        os.replace(old, state_dir)
+        if os.path.exists(old):
+            os.replace(old, state_dir)
 
 
 def read_state(

@@ -353,3 +353,83 @@ def test_event_deltas_honor_op_codes(spark):
         ).collect()
     }
     assert out == {}  # insert then delete → group vanishes
+
+
+def test_uncommitted_tmp_discarded_on_recovery(spark, sf_dir, tmp_path):
+    """Crash between the parquet write (which creates _SUCCESS) and the
+    marker writes must NOT promote __tmp: a promoted marker-less
+    snapshot loses the applied-epoch record, so the replayed epoch would
+    be folded AGAIN on top of a state that already contains it —
+    double-counted deltas. Recovery discards the uncommitted tmp and the
+    replay rebuilds from scratch instead."""
+    from mysql_cdc_to_http_spark.queries.streaming import _orders_changelog
+    from mysql_cdc_to_http_spark.streaming.incremental_agg import (
+        merge_deltas_into_state,
+    )
+
+    changes = _orders_changelog(spark, sf_dir)
+    batch0 = changes.filter(F.col("op") == "c")
+    state_dir = str(tmp_path / "state")
+    merge_deltas_into_state(
+        spark, batch0, state_dir, group_field="s", value_field="v", epoch_id=0
+    )
+    want = sorted(map(tuple, spark.read.parquet(state_dir).collect()))
+    # simulate the first-epoch crash window: tmp data fully written
+    # (_SUCCESS present) but neither _graft_epoch nor _graft_commit made
+    # it, and no live dir exists yet
+    tmp = state_dir + "__tmp"
+    os.replace(state_dir, tmp)
+    os.remove(os.path.join(tmp, "_graft_epoch"))
+    os.remove(os.path.join(tmp, "_graft_commit"))
+    assert os.path.exists(os.path.join(tmp, "_SUCCESS"))
+    merge_deltas_into_state(
+        spark, batch0, state_dir, group_field="s", value_field="v", epoch_id=0
+    )
+    assert sorted(map(tuple, spark.read.parquet(state_dir).collect())) == want
+    assert not os.path.exists(tmp)
+    # a COMMITTED tmp (both markers present) is promoted and its epoch
+    # honored: the replayed epoch is then a no-op
+    os.replace(state_dir, tmp)
+    merge_deltas_into_state(
+        spark, batch0, state_dir, group_field="s", value_field="v", epoch_id=0
+    )
+    assert sorted(map(tuple, spark.read.parquet(state_dir).collect())) == want
+
+
+def test_event_deltas_reject_unknown_op(spark):
+    """An op code outside the known set must raise at execution, not
+    silently contribute update semantics; snapshot reads ('r') opt in
+    explicitly as insert-like."""
+    from decimal import Decimal
+
+    from mysql_cdc_to_http_spark.streaming.incremental_agg import (
+        delta_aggregate,
+        event_deltas,
+    )
+
+    img = "struct<k:bigint,v:decimal(15,3),s:string>"
+    ten = Decimal("10.000")
+    bad = spark.createDataFrame(
+        [("c", None, (1, ten, "a")), ("x", (1, ten, "a"), (2, ten, "a"))],
+        f"op string, before {img}, after {img}",
+    )
+    with pytest.raises(Exception, match="unknown op code"):
+        delta_aggregate(
+            event_deltas(bad, group_field="s", value_field="v")
+        ).collect()
+    reads = spark.createDataFrame(
+        [("r", None, (1, ten, "a"))], f"op string, before {img}, after {img}"
+    )
+    with pytest.raises(Exception, match="unknown op code"):
+        delta_aggregate(
+            event_deltas(reads, group_field="s", value_field="v")
+        ).collect()
+    out = {
+        r["grp"]: (r["n"], float(r["sum_value"]))
+        for r in delta_aggregate(
+            event_deltas(
+                reads, group_field="s", value_field="v", snapshot_ops=("r",)
+            )
+        ).collect()
+    }
+    assert out == {"a": (1, 10.0)}
