@@ -261,3 +261,61 @@ def test_release_all_cached_releases_lsh_intermediates(spark):
     pairs.count()
     assert release_all_cached() >= 1
     assert release_all_cached() == 0
+
+
+def test_connected_components_star_deep_chain(spark, tmp_path):
+    """A diameter-40 chain blows the label-propagation budget at
+    max_iter=10 but converges for large-star/small-star well inside it
+    (pairs needed = O(log diameter)), under RELIABLE checkpoints."""
+    from mysql_cdc_to_http_spark.operators.caching import release_all_cached
+    from mysql_cdc_to_http_spark.operators.graph import connected_components
+
+    n = 41
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, nodes, max_iter=10)
+    release_all_cached()
+    comp = connected_components(
+        edges,
+        nodes,
+        algorithm="star",
+        max_iter=10,
+        checkpoint_dir=str(tmp_path / "cc_ckpt"),
+        checkpoint_every=3,
+    )
+    got = {r.id: r.cluster_id for r in comp.collect()}
+    release_all_cached()
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_star_matches_label(spark):
+    """Star and label bodies are exchangeable: identical labels on a
+    seeded multi-component graph with isolated nodes."""
+    import random
+
+    from mysql_cdc_to_http_spark.operators.caching import release_all_cached
+    from mysql_cdc_to_http_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    n = 200
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(150)
+    ]  # sparse → several components + isolated nodes
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    want = {
+        r.id: r.cluster_id
+        for r in connected_components(e, nodes, max_iter=50).collect()
+    }
+    release_all_cached()
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(
+            e, nodes, algorithm="star", max_iter=50
+        ).collect()
+    }
+    release_all_cached()
+    assert got == want
