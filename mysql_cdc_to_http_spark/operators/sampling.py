@@ -85,11 +85,15 @@ def global_prefix_sum(
     totals = part.groupBy("__g").agg(F.sum(value_col).alias("__t"))
     # The range-totals cumsum IS single-partition — deliberately: the
     # frame is one row per coarse range (rows/coarse — grow ``coarse``
-    # with the corpus to keep it bounded). The constant partition key
-    # states that intent and keeps WindowExec's single-partition WARNING
-    # out of bench/driver logs (same physical plan either way).
+    # with the corpus to keep it bounded; SCALE.md §single-partition).
+    # The partition key must be NON-FOLDABLE to state that intent in the
+    # plan: a literal key is constant-folded to an empty partition spec,
+    # which re-enables WindowExec's single-partition warning (it fired 6×
+    # per bench pass before this). ``pmod(__g, 1)`` is identically zero
+    # but survives optimization, so the plan carries an explicit 1-bucket
+    # hash partitioning instead of an accidental-looking global window.
     w_g = (
-        W.partitionBy(F.lit(0))
+        W.partitionBy(F.pmod(F.col("__g"), F.lit(1)))
         .orderBy("__g")
         .rowsBetween(W.unboundedPreceding, -1)
     )
