@@ -24,11 +24,19 @@ def stratified_sample(
 
 def split_bucket(id_col: Column, n_buckets: int = 100, salt: str = "split-v1") -> Column:
     """Stable bucket in [0, n_buckets) from a record id. Salted so
-    independent splits of the same ids decorrelate."""
-    return F.pmod(
-        F.xxhash64(F.concat_ws("|", F.lit(salt), id_col.cast("string"))),
-        F.lit(n_buckets),
+    independent splits of the same ids decorrelate.
+
+    md5-derived (first 24 hash bits), the engine's cross-engine
+    determinism primitive (see ``md5_sample``): any system with md5 —
+    DuckDB, Postgres, Python — reproduces the exact membership, which is
+    what makes train/test assignment portable across the lab stack and
+    lets the driver oracle value-check it. Modulo bias at 2^24 % 100 is
+    ~1e-5. md5 costs more than xxhash64 but hashing ids is never the
+    bottleneck — determinism is the operator's contract."""
+    hex6 = F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), id_col.cast("string"))), 1, 6
     )
+    return F.pmod(F.conv(hex6, 16, 10).cast("long"), F.lit(n_buckets))
 
 
 def hash_split(

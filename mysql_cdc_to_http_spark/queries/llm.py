@@ -352,10 +352,36 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # embedding-cosine near-dup via hyperplane LSH — rows-only
 # --------------------------------------------------------------------------
-@query("q_dedup_embedding")
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_prepend(CAST(embedding[1] AS DOUBLE) * 1.001,
+                          (embedding[2:])::DOUBLE[])
+      FROM embeddings WHERE vec_id % 5 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+    ORDER BY id_a, id_b
+    """,
+)
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-identical vectors are synthesized (vec + tiny perturbation of
-    the first component) since the corpus has no natural near-dups."""
+    the first component) since the corpus has no natural near-dups.
+
+    ORACLE-EXACT (r5): brute-force all-pairs cosine is the ground truth.
+    The corpus margin makes LSH capture deterministic — every true pair
+    sits at cos ≥ 0.999 (sign patterns agree on effectively all 64
+    hyperplanes; fixed seed) and every other pair is < 0.9, so the
+    banded-LSH output equals the brute-force set; verified miss-free at
+    sf0.001/sf0.01. Rounding cosine to 6 dp absorbs the cross-engine
+    summation-order ulps (values agree to ~1e-15; nothing sits near a
+    rounding boundary)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     variants = emb.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -528,11 +554,28 @@ def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # training-data utilities: deterministic split + stratified sample
 # --------------------------------------------------------------------------
-@query("q_train_test_split")
+@query(
+    "q_train_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)),
+                             1, 6))::INTEGER % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_id
+    FROM b GROUP BY 1 ORDER BY split
+    """,
+)
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-based train/val/test assignment — per-split doc counts.
     Deterministic across runs/partitionings (tested), unlike seeded
-    random splits; rows-only because the hash isn't SQL-portable."""
+    random splits; the md5-bucket membership is SQL-portable, so the
+    oracle recomputes the exact assignment from scratch."""
     from mysql_cdc_to_http_spark.operators.sampling import hash_split
 
     docs = load_table(spark, sf_dir, "documents")
