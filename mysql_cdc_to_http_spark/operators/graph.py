@@ -109,14 +109,14 @@ def connected_components(
         edges.select(both.alias("__e")).select("__e.__s", "__e.__d").persist()
     )
     all_nodes = nodes.select(F.col(id_col).alias("__node"))
-    # symmetric edge list ⇒ the __s column alone covers every endpoint
-    endpoints = sym.select(F.col("__s").alias("__node")).distinct()
     # Checkpoint (not persist) per round: persist caches DATA but keeps
     # the logical plan, and each round's plan embeds the previous round's
     # TWICE (labels feeds both join inputs) — exponential Catalyst
     # re-analysis that stalls past ~8 rounds. Checkpointing truncates
     # lineage so every round re-plans a constant-size plan.
     if algorithm == "star":
+        # symmetric edge list ⇒ the __s column alone covers every endpoint
+        endpoints = sym.select(F.col("__s").alias("__node")).distinct()
         star_labels, converged = _star_fixpoint(sym, _pin, max_iter)
         # behavioral parity with the label body: every ACTIVE node gets a
         # label (a node whose only edge was a self-loop drops out of the
@@ -131,9 +131,10 @@ def connected_components(
             )
         )
     else:
-        labels, converged = _label_fixpoint(
-            sym, all_nodes, endpoints, _pin, max_iter
-        )
+        labels, converged = _label_fixpoint(sym, all_nodes, _pin, max_iter)
+        # the init groupBy's keys ARE the active set — no separate
+        # distinct over the edge list
+        endpoints = labels.select("__node")
     if not converged:
         msg = (
             f"connected_components: no fixpoint within max_iter={max_iter} "
@@ -154,13 +155,26 @@ def connected_components(
     return register_cached(out, [sym])
 
 
-def _label_fixpoint(sym, all_nodes, endpoints, pin, max_iter):
+def _label_fixpoint(sym, all_nodes, pin, max_iter):
     """Min-label propagation over the active subgraph. Returns
-    (labels ``(__node, __label)``, converged)."""
+    (labels ``(__node, __label)``, converged).
+
+    Initialization fuses the FIRST propagation hop: label(u) =
+    min(u, Γ(u)) straight from one groupBy over the symmetric edges —
+    the same shuffle that would otherwise only enumerate endpoints, so
+    shallow dup-cluster graphs (diameter 2-3) save a whole loop round
+    (join + groupBy + checkpoint + convergence probe). Assumes edge
+    endpoints are drawn from ``nodes`` (every caller builds edges from
+    the node corpus); an out-of-corpus endpoint would contribute its raw
+    id here, where the old self-init ignored it."""
     labels = pin(
-        all_nodes.join(endpoints, "__node", "left_semi").select(
-            "__node", F.col("__node").alias("__label")
-        ),
+        sym.groupBy("__s")
+        .agg(F.min("__d").alias("__m"))
+        .select(
+            F.col("__s").alias("__node"),
+            F.least(F.col("__s"), F.col("__m")).alias("__label"),
+        )
+        .join(all_nodes, "__node", "left_semi"),
         0,
     )
     prev_sum = labels.agg(F.sum("__label")).collect()[0][0]
