@@ -322,3 +322,17 @@ def test_connected_components_star_matches_label(spark):
     }
     release_all_cached()
     assert got == want
+
+
+def test_connected_components_init_fuses_first_hop(spark):
+    """Fused init = one hop already propagated: a diameter-2 chain needs
+    only 2 loop rounds (propagate + confirm), where self-init needed 3."""
+    from mysql_cdc_to_http_spark.operators.caching import release_all_cached
+    from mysql_cdc_to_http_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3)], "id long")
+    comp = connected_components(edges, nodes, max_iter=2)
+    got = {r.id: r.cluster_id for r in comp.collect()}
+    release_all_cached()
+    assert got == {1: 1, 2: 1, 3: 1}
