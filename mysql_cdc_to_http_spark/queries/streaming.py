@@ -411,6 +411,41 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(totals, "mem_stateful", "update")
 
 
+def q_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same running totals on Spark 4's ``transformWithStateInPandas`` —
+    the successor arbitrary-stateful API (typed state handles, timers,
+    TTL) whose mandatory RocksDB state store is the scale path: state
+    spills to local disk and changelog-checkpoints to DFS instead of
+    living on the JVM heap. Provider conf is pinned for the run and
+    restored (it is locked in at stream start, like shuffle partitions).
+
+    NOT in the query registry: the TWS python runner needs
+    ``google.protobuf`` (its state-server protocol), which this sandbox
+    lacks — tests/test_stateful.py runs it when the dependency exists
+    (skip otherwise), the same honest env-gating as the Kafka/JDBC
+    transports."""
+    from mysql_cdc_to_http_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    ev = _stream_events(spark, sf_dir).select("user_id", "value")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        totals = running_user_totals_tws(ev)
+        return _run_to_memory(totals, "mem_stateful_tws", "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 # --------------------------------------------------------------------------
 # X33 — CDC latest-state materialization (batch twin, oracle-checked)
 # --------------------------------------------------------------------------

@@ -29,3 +29,30 @@ def test_stateful_totals_match_batch(spark, sf_dir):
     for k in want:
         assert got[k][0] == want[k][0], k
         assert abs(got[k][1] - want[k][1]) < 1e-6, k
+
+
+def test_stateful_tws_totals_match_batch(spark, sf_dir):
+    """transformWithStateInPandas twin (env-gated: the TWS python runner
+    speaks protobuf to its state server; skip where the dependency is
+    absent — this sandbox)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from mysql_cdc_to_http_spark.queries.streaming import (
+        q_stream_stateful_tws,
+    )
+
+    out = q_stream_stateful_tws(spark, sf_dir)
+    final = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )
+    got = {r.user_id: r.n_events for r in final.collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
