@@ -624,22 +624,44 @@ def q_multimodal_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_media(docs).drop("content").orderBy("asset_id")
 
 
-@query("q_multimodal_features")
+@query(
+    "q_multimodal_features",
+    oracle="""
+    WITH f AS (
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                             WHEN 1 THEN 'audio/wav'
+                             ELSE 'video/mp4' END AS media_type,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[`a-g]', '', 'g'))
+                  AS DOUBLE) / greatest(length(text), 1) AS fbin
+      FROM documents
+    )
+    SELECT media_type, CAST(count(*) AS BIGINT) AS n_assets,
+           round(avg(fbin), 6) AS avg_fbin, 32 AS dim
+    FROM f GROUP BY media_type ORDER BY media_type
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction (deterministic byte-histogram fake
-    behind the stubbed decoder) → per-type feature means."""
+    behind the stubbed decoder) → per-type feature means.
+
+    Reported feature = histogram bin 12 (bytes 96-103: ``` ` ``+a-g) —
+    the corpus is pure ASCII (chars == bytes), so the oracle recomputes
+    the SAME ratio character-wise in SQL and the mapInPandas numpy path
+    is value-hash-checked end-to-end, not just rows-counted. Bin 0
+    (bytes < 8) would be degenerately zero on text payloads."""
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_features(attach_media(docs))
     return (
         feats.select(
             "media_type",
-            F.element_at("features", 1).alias("f0"),
+            F.element_at("features", 13).alias("fbin"),
             F.size("features").alias("dim"),
         )
         .groupBy("media_type")
         .agg(
             F.count(F.lit(1)).alias("n_assets"),
-            F.round(F.avg("f0"), 6).alias("avg_f0"),
+            F.round(F.avg("fbin"), 6).alias("avg_fbin"),
             F.max("dim").alias("dim"),
         )
         .orderBy("media_type")
