@@ -399,16 +399,56 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # custom stateful operator: applyInPandasWithState running totals
 # --------------------------------------------------------------------------
-@query("q_stream_stateful")
+@query(
+    "q_stream_stateful",
+    oracle="""
+    WITH bounds AS (
+      SELECT quantile_cont(event_id, 0.25) AS b1,
+             quantile_cont(event_id, 0.50) AS b2,
+             quantile_cont(event_id, 0.75) AS b3
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, value,
+             CASE WHEN event_id <= b1 THEN 0
+                  WHEN event_id <= b2 THEN 1
+                  WHEN event_id <= b3 THEN 2
+                  ELSE 3 END AS batch
+      FROM events, bounds
+    ),
+    agg AS (
+      SELECT user_id, batch, CAST(count(*) AS BIGINT) AS bn,
+             sum(value) AS bv
+      FROM f GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(bn) OVER (PARTITION BY user_id ORDER BY batch)
+                AS BIGINT) AS n_events,
+           round(SUM(bv) OVER (PARTITION BY user_id ORDER BY batch), 6)
+             AS total_value
+    FROM agg ORDER BY user_id, n_events
+    """,
+)
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running totals with explicit GroupState — each micro-batch
-    emits updated totals for touched keys; the memory table's last row per
-    user is the stream-long total (asserted in tests)."""
+    emits updated totals for touched keys.
+
+    ORACLE-EXACT (r5): the replay is fully deterministic — the stream
+    directory is split on EXACT percentile bounds of event_id
+    (materialize_ordered_buckets), maxFilesPerTrigger=1 makes each file
+    one micro-batch, and update mode emits one row per touched key per
+    batch. The oracle reconstructs the batch assignment with
+    quantile_cont (same (n-1)·q interpolation as Spark's percentile) and
+    the emission set as a per-user cumulative over batches; 6-dp rounding
+    absorbs pandas-vs-SQL summation-order ulps."""
     from mysql_cdc_to_http_spark.streaming.stateful import running_user_totals
 
     ev = _stream_events(spark, sf_dir).select("user_id", "value")
     totals = running_user_totals(ev)
-    return _run_to_memory(totals, "mem_stateful", "update")
+    out = _run_to_memory(totals, "mem_stateful", "update")
+    return out.select(
+        "user_id", "n_events", F.round("total_value", 6).alias("total_value")
+    ).orderBy("user_id", "n_events")
 
 
 def q_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
