@@ -52,3 +52,24 @@ def release_cached(result: DataFrame, blocking: bool = False) -> None:
     per-object tag this originally read does not survive DataFrame
     wrapping, so global release is the only shape that works)."""
     release_all_cached(blocking)
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def cache_scope(blocking: bool = False):
+    """Scope-local release: frames registered INSIDE the block are
+    unpersisted on exit; earlier registrations are untouched. This is
+    the precise form for pipelines that interleave operators in one
+    session — a pipeline releasing after materializing its own result
+    no longer evicts frames backing another pipeline's not-yet-run
+    result (the failure mode ``release_cached``'s global semantics
+    accept for serial drivers)."""
+    start = len(_LIVE)
+    try:
+        yield
+    finally:
+        for dep in _LIVE[start:]:
+            dep.unpersist(blocking)
+        del _LIVE[start:]

@@ -336,3 +336,27 @@ def test_connected_components_init_fuses_first_hop(spark):
     got = {r.id: r.cluster_id for r in comp.collect()}
     release_all_cached()
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_cache_scope_releases_only_its_own(spark):
+    """cache_scope unpersists frames registered inside the block and
+    leaves earlier registrations cached (the precise per-pipeline form;
+    release_all_cached stays the serial-driver catch-all)."""
+    from mysql_cdc_to_http_spark.operators.caching import (
+        cache_scope,
+        register_cached,
+        release_all_cached,
+    )
+
+    outer = spark.range(10).persist()
+    register_cached(outer, [outer])
+    outer.count()
+    with cache_scope():
+        inner = spark.range(5).persist()
+        register_cached(inner, [inner])
+        inner.count()
+        assert inner.storageLevel.useMemory
+    assert not inner.storageLevel.useMemory  # scope released it
+    assert outer.storageLevel.useMemory  # untouched
+    released = release_all_cached()
+    assert released == 1 and not outer.storageLevel.useMemory
