@@ -150,24 +150,18 @@ def minhash_signature_udf(n_hashes: int = 64, seed: int = 42):
     return _sig
 
 
-def lsh_candidate_pairs(
+def band_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "sig",
     bands: int = 16,
     rows_per_band: int = 4,
-    max_bucket_size: int = 500,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
-    """Band the signature, bucket by (band, hash(band slice)), and emit
-    candidate pairs (a < b) per bucket. One shuffle on band hashes; pair
-    blowup is bucket-local (collision groups), never corpus-global.
-
-    ``max_bucket_size`` is the skew guard: a bucket shared by k docs emits
-    k²/2 pairs, so one hot bucket (a boilerplate band every doc shares) is
-    quadratic death at corpus scale. Oversized buckets are dropped — a
-    true near-dup pair shares MANY bands (its signatures mostly agree), so
-    losing one common band costs ~nothing in recall (asserted ≥0.95 in
-    tests), exactly like stop-words in text indexing."""
+    """(``id_col``, band, bucket) rows — one per signature band, bucket =
+    hash of the band slice. Only these three narrow columns ever ride the
+    candidate shuffle. ``max_bucket_size`` drops oversized buckets (skew
+    guard — see ``lsh_candidate_pairs``)."""
     band_structs = F.array(
         *[
             F.struct(
@@ -195,6 +189,30 @@ def lsh_candidate_pairs(
         banded = banded.withColumn("__bn", bucket_n).filter(
             F.col("__bn") <= max_bucket_size
         ).drop("__bn")
+    return banded
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Band the signature, bucket by (band, hash(band slice)), and emit
+    candidate pairs (a < b) per bucket. One shuffle on band hashes; pair
+    blowup is bucket-local (collision groups), never corpus-global.
+
+    ``max_bucket_size`` is the skew guard: a bucket shared by k docs emits
+    k²/2 pairs, so one hot bucket (a boilerplate band every doc shares) is
+    quadratic death at corpus scale. Oversized buckets are dropped — a
+    true near-dup pair shares MANY bands (its signatures mostly agree), so
+    losing one common band costs ~nothing in recall (asserted ≥0.95 in
+    tests), exactly like stop-words in text indexing."""
+    banded = band_signatures(
+        df, id_col, sig_col, bands, rows_per_band, max_bucket_size
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -238,6 +256,53 @@ def jaccard_verify(
     )
 
 
+def prepare_minhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_k: int = 5,
+    shingle_mode: str = "char",
+) -> DataFrame:
+    """Shared MinHash prep: (``id_col``, shingles: array<long>,
+    sig: array<long>). Staged so each expensive expression materializes
+    once — norm (regex) → shingles → hashed shingles (ints) → sig; all
+    downstream set ops run on int arrays, not strings. Unpersisted: the
+    caller decides the cache/storage lifecycle (one-shot pipelines
+    persist it; the incremental fold writes it to the signature store)."""
+    normed = docs.select(
+        id_col, normalize_text(F.col(text_col)).alias("__norm")
+    )
+    if shingle_mode == "word":
+        tokh = normed.select(
+            id_col,
+            F.transform(
+                F.split(F.col("__norm"), " "),
+                lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE)),
+            ).alias("__th"),
+        )
+        hashed = tokh.select(
+            id_col,
+            word_shingle_hashes(F.col("__th"), shingle_k).alias("shingles"),
+        )
+    else:
+        shingled = normed.select(
+            id_col,
+            char_shingles(
+                F.col("__norm"), shingle_k, pre_normalized=True
+            ).alias("__sh"),
+        )
+        hashed = shingled.select(
+            id_col,
+            F.transform(
+                "__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+            ).alias("shingles"),
+        )
+    return hashed.withColumn(
+        "sig", minhash_signature_udf(n_hashes)(F.col("shingles"))
+    )
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -257,38 +322,9 @@ def minhash_dedup_pairs(
     shingles — ~8× fewer on prose, the right default for long-document
     corpora at scale)."""
     rows_per_band = n_hashes // bands
-    # Stage the pipeline so each expensive expression is materialized once:
-    # norm (regex) → shingles → hashed shingles (ints) → sig.
-    # Downstream set ops run on int arrays, not strings.
-    normed = docs.select(id_col, normalize_text(F.col(text_col)).alias("__norm"))
-    if shingle_mode == "word":
-        tokh = normed.select(
-            id_col,
-            F.transform(
-                F.split(F.col("__norm"), " "),
-                lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE)),
-            ).alias("__th"),
-        )
-        hashed = tokh.select(
-            id_col,
-            word_shingle_hashes(F.col("__th"), shingle_k).alias("shingles"),
-        )
-    else:
-        shingled = normed.select(
-            id_col,
-            char_shingles(F.col("__norm"), shingle_k, pre_normalized=True).alias(
-                "__sh"
-            ),
-        )
-        hashed = shingled.select(
-            id_col,
-            F.transform(
-                "__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
-            ).alias("shingles"),
-        )
     prepared = (
-        hashed.withColumn(
-            "sig", minhash_signature_udf(n_hashes)(F.col("shingles"))
+        prepare_minhash(
+            docs, id_col, text_col, n_hashes, shingle_k, shingle_mode
         )
         # consumed twice (banding + verify) — cache instead of recomputing
         # the signature fold; at cluster scale this is a checkpoint to
@@ -446,6 +482,105 @@ def simhash_pairs(
     )
 
 # Executors must not need this repo on their PYTHONPATH: register this
+def incremental_dedup(
+    spark,
+    new_docs: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+    shingle_mode: str = "word",
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Fold one batch into a PERSISTENT dedup state — the continuous-
+    ingestion form of MinHash-LSH dedup (a training pipeline never sees
+    its corpus at once; each arriving batch must dedup against
+    everything already kept without recomputing old signatures).
+
+    A new doc is DROPPED when it verifies (exact Jaccard ≥ threshold)
+    against any already-kept doc or any smaller-id doc in its own batch;
+    survivors' (id, shingles, sig) rows are appended to the signature
+    store. On clique-shaped duplicate clusters this greedy policy equals
+    the canonical min-survivor of connected components, and a batched
+    fold equals the one-shot dedup of the full corpus
+    (tests/test_llm_ops.py asserts both).
+
+    Scale shape: old signatures are READ, never recomputed (the store
+    holds the prep output); candidate generation joins only the NEW
+    batch's bands against (state ∪ batch) bands — the shuffle carries
+    (id, band, bucket), payload arrays join back by id for the verify;
+    the store append is the crash-safe write-then-swap from
+    streaming/latest_state.py. Returns the surviving rows of
+    ``new_docs`` (materialized — the state swap is a side effect)."""
+    import os
+
+    from mysql_cdc_to_http_spark.streaming.latest_state import (
+        _recover_state_dir,
+        _swap_into_state_dir,
+    )
+
+    rows_per_band = n_hashes // bands
+    _recover_state_dir(state_dir)
+    prepared_new = prepare_minhash(
+        new_docs, id_col, text_col, n_hashes, shingle_k, shingle_mode
+    ).persist()
+    if os.path.exists(state_dir):
+        state = spark.read.parquet(state_dir)
+    else:
+        state = spark.createDataFrame(
+            [], f"{id_col} long, shingles array<long>, sig array<long>"
+        )
+    state = state.persist()
+    banded_new = band_signatures(
+        prepared_new, id_col, "sig", bands, rows_per_band, max_bucket_size
+    )
+    # kept docs compare against every new doc regardless of id; batch
+    # docs only against LARGER batch ids (the greedy order)
+    banded_old = band_signatures(
+        state, id_col, "sig", bands, rows_per_band, max_bucket_size
+    ).select(
+        F.col(id_col).alias("id_a"),
+        F.col("band").alias("__ob"),
+        F.col("bucket").alias("__ok"),
+    )
+    n = banded_new.alias("n")
+    cands_old = banded_old.join(
+        n,
+        (F.col("__ob") == F.col("n.band"))
+        & (F.col("__ok") == F.col("n.bucket")),
+    ).select("id_a", F.col(f"n.{id_col}").alias("id_b"))
+    m = banded_new.alias("m")
+    cands_new = m.join(
+        n,
+        (F.col("m.band") == F.col("n.band"))
+        & (F.col("m.bucket") == F.col("n.bucket"))
+        & (F.col(f"m.{id_col}") < F.col(f"n.{id_col}")),
+    ).select(
+        F.col(f"m.{id_col}").alias("id_a"),
+        F.col(f"n.{id_col}").alias("id_b"),
+    )
+    cands = cands_old.unionByName(cands_new).distinct()
+    shingle_src = state.unionByName(prepared_new).select(id_col, "shingles")
+    matched = jaccard_verify(
+        cands, shingle_src, id_col, "shingles", threshold
+    ).select(F.col("id_b").alias(id_col)).distinct()
+    survivors = prepared_new.join(matched, id_col, "left_anti")
+    new_state = state.unionByName(survivors)
+    _swap_into_state_dir(new_state, state_dir)
+    # localCheckpoint (eager): the returned frame must not keep a lazy
+    # reference to the pre-swap state files — a later fold replaces them
+    # and a deferred materialization would read deleted parquet.
+    out = new_docs.join(
+        spark.read.parquet(state_dir).select(id_col), id_col, "left_semi"
+    ).localCheckpoint()
+    prepared_new.unpersist()
+    state.unpersist()
+    return out
+
+
 # module for pickle-by-value so UDFs/closures ship inside the task
 # (the driver contract imports __spark_entry__.py by path, not site-packages).
 import sys as _sys

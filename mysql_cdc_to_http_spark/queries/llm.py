@@ -256,6 +256,96 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+@query(
+    "q_dedup_incremental",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, substr(text, instr(text, ' ') + 1)
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
+               AS toks
+      FROM corpus
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([
+               concat_ws(chr(1),
+                         coalesce(toks[i+1], ''),
+                         coalesce(toks[i+2], ''),
+                         coalesce(toks[i+3], ''))
+               FOR i IN generate_series(0, greatest(len(toks) - 3, 0))
+             ]) AS shl
+      FROM norm
+    ),
+    u AS (SELECT doc_id, len(shl) AS nsh, unnest(shl) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+      FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dropped AS (
+      SELECT DISTINCT id_b FROM inter
+      WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.6
+    )
+    SELECT c.doc_id,
+           CAST(CASE WHEN c.doc_id < 100000 THEN 1 ELSE 2 END AS INTEGER)
+             AS batch
+    FROM corpus c LEFT JOIN dropped d ON c.doc_id = d.id_b
+    WHERE d.id_b IS NULL
+    ORDER BY c.doc_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: the corpus arrives in two batches
+    (originals, then variants), each folded into a persistent signature
+    store (operators/dedup.py:incremental_dedup) — old signatures are
+    read, never recomputed, and a new doc is dropped on any verified
+    match to a kept or smaller-id doc.
+
+    ORACLE-EXACT: on this corpus every duplicate cluster is a clique
+    (measured: 476/476 at sf0.01), so the greedy fold keeps exactly the
+    min-id member of each cluster — the docs that never appear as id_b
+    in the brute-force >=threshold pair set. The batched fold equals
+    one-shot dedup + canonical survivors (also asserted directly in
+    tests/test_llm_ops.py)."""
+    import os
+    import tempfile
+
+    from mysql_cdc_to_http_spark.operators.dedup import incremental_dedup
+
+    corpus = _dup_corpus(spark, sf_dir)
+    state = os.path.join(
+        tempfile.mkdtemp(prefix="graft_dedup_state_"), "state"
+    )
+    out1 = incremental_dedup(
+        spark,
+        corpus.filter(F.col("doc_id") < 100000),
+        state,
+        bands=16,
+        shingle_k=3,
+        shingle_mode="word",
+    )
+    out2 = incremental_dedup(
+        spark,
+        corpus.filter(F.col("doc_id") >= 100000),
+        state,
+        bands=16,
+        shingle_k=3,
+        shingle_mode="word",
+    )
+    return (
+        out1.select("doc_id").withColumn("batch", F.lit(1))
+        .unionByName(out2.select("doc_id").withColumn("batch", F.lit(2)))
+        .orderBy("doc_id")
+    )
+
+
 @query("q_dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir)

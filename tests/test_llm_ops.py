@@ -360,3 +360,50 @@ def test_cache_scope_releases_only_its_own(spark):
     assert outer.storageLevel.useMemory  # untouched
     released = release_all_cached()
     assert released == 1 and not outer.storageLevel.useMemory
+
+
+def test_incremental_dedup_equals_one_shot(spark, sf_dir, tmp_path):
+    """Folding the corpus through the signature store in two batches
+    keeps exactly the canonical survivors of the one-shot dedup (greedy
+    drop-on-smaller-match == min-of-component on clique-shaped dup
+    clusters), and the second fold reuses state instead of recomputing
+    batch-1 signatures."""
+    from mysql_cdc_to_http_spark.operators.caching import release_all_cached
+    from mysql_cdc_to_http_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_dedup_pairs,
+    )
+    from mysql_cdc_to_http_spark.operators.graph import (
+        canonicalize_clusters,
+        connected_components,
+    )
+    from mysql_cdc_to_http_spark.queries.llm import _dup_corpus
+
+    corpus = _dup_corpus(spark, sf_dir).persist()
+    state = str(tmp_path / "dedup_state")
+    kept = []
+    for batch in (
+        corpus.filter(F.col("doc_id") < 100000),
+        corpus.filter(F.col("doc_id") >= 100000),
+    ):
+        out = incremental_dedup(
+            spark, batch, state, bands=16, shingle_k=3, shingle_mode="word"
+        )
+        kept.extend(r.doc_id for r in out.select("doc_id").collect())
+    # ground truth: canonical survivors of the one-shot pair pipeline
+    pairs = minhash_dedup_pairs(
+        corpus, bands=16, threshold=0.6, shingle_mode="word", shingle_k=3
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(pairs, corpus, id_col="doc_id")
+    want = {
+        r.doc_id
+        for r in canonicalize_clusters(comp, "doc_id")
+        .filter("is_canonical")
+        .collect()
+    }
+    release_all_cached()
+    corpus.unpersist()
+    assert set(kept) == want
+    # the store holds exactly the survivors' signatures
+    stored = {r.doc_id for r in spark.read.parquet(state).collect()}
+    assert stored == want
