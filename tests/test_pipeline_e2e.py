@@ -111,3 +111,18 @@ def test_kafka_reader_stub(spark):
     reader = kafka_change_events(spark, "broker:9092", "cdc.orders")
     with pytest.raises(Exception, match="kafka|KAFKA|Failed to find"):
         reader.load()
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    """ORC is a first-class interchange format (Spark-native, no extra
+    jars): a table written to ORC reads back byte-identical."""
+    from mysql_cdc_to_http_spark.catalog import load_table
+
+    region = load_table(spark, sf_dir, "region")
+    path = str(tmp_path / "region_orc")
+    region.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == region.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, region.collect())
+    )

@@ -275,3 +275,24 @@ def test_salted_join_rejects_row_multiplying_types(spark):
         )
         want = sorted(map(tuple, left.join(right, ["k"], good).collect()))
         assert got == want, (good, got, want)
+
+
+def test_incremental_dedup_candidate_shuffle_is_narrow(spark, sf_dir, tmp_path):
+    """Incremental dedup's candidate generation must not ship shingle or
+    signature arrays through the band/bucket join — only (id, band,
+    bucket); payload arrays join back by id for the verify."""
+    from mysql_cdc_to_http_spark.operators.dedup import (
+        band_signatures,
+        prepare_minhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    prepared = prepare_minhash(
+        docs, shingle_k=3, shingle_mode="word"
+    )
+    banded = band_signatures(prepared, "doc_id", "sig", 16, 4)
+    plan = plan_of(banded)
+    # the banding projection drops arrays before any exchange
+    for ln in plan.splitlines():
+        if ln.startswith("Arguments: hashpartitioning"):
+            assert "shingles#" not in ln and "sig#" not in ln, ln
