@@ -115,6 +115,90 @@ def decontaminate(
     )
 
 
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate (fuzzy) benchmark decontamination: MinHash-LSH
+    join of the training corpus against the benchmark corpus, exact
+    Jaccard verify on candidates. Catches paraphrase-level leakage the
+    exact n-gram overlap pass (``decontaminate``) under-counts when the
+    leaked text was lightly edited.
+
+    Cross-corpus shape at scale — and why it differs from self-dedup
+    (``operators/dedup.py:minhash_dedup_pairs``): the benchmark side is
+    small by definition (eval suites), so its banded signature table and
+    its shingle arrays are BROADCAST. The corpus is never shuffled at
+    all: candidate generation is a broadcast hash join of corpus band
+    rows against benchmark band rows, and the verify joins benchmark
+    shingles back by broadcast too. The whole pass is map-side; the only
+    wide operation is the final distinct on surviving pairs.
+
+    Returns (doc_id, bench_id, jaccard) — one row per (corpus doc,
+    benchmark doc) pair at or above ``threshold``."""
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+    from mysql_cdc_to_http_spark.operators.dedup import (
+        band_signatures,
+        prepare_minhash,
+    )
+
+    rows_per_band = n_hashes // bands
+    prep_c = prepare_minhash(
+        corpus, id_col, text_col, n_hashes, shingle_k, "word"
+    ).persist()
+    prep_b = prepare_minhash(
+        benchmark, id_col, text_col, n_hashes, shingle_k, "word"
+    ).persist()
+    banded_c = band_signatures(
+        prep_c, id_col, "sig", bands, rows_per_band, max_bucket_size=500
+    )
+    # benchmark side: no size cap — it is broadcast-small, and dropping
+    # a hot benchmark bucket would silently lose contamination hits
+    banded_b = band_signatures(
+        prep_b, id_col, "sig", bands, rows_per_band, max_bucket_size=None
+    )
+    cands = (
+        banded_c.alias("c")
+        .join(
+            F.broadcast(banded_b.alias("b")),
+            (F.col("c.band") == F.col("b.band"))
+            & (F.col("c.bucket") == F.col("b.bucket")),
+            "inner",
+        )
+        .select(
+            F.col(f"c.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sh_a = prep_c.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = prep_b.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    # candidates are broadcast into the corpus-shingle scan (they are
+    # bounded by benchmark-bucket collisions, small by construction) —
+    # the corpus side stays map-side through the whole verify
+    joined = sh_a.join(F.broadcast(cands), "id_a").join(
+        F.broadcast(sh_b), "id_b"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    verified = (
+        joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("bench_id"),
+            "jaccard",
+        )
+    )
+    return register_cached(verified, [prep_c, prep_b])
+
+
 def repetition_score(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -335,3 +335,33 @@ def hyperplane_lsh_pairs(
         .filter(F.col("cos_sim") >= threshold),
         [sig],
     )
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean pooling of embedding vectors per group — the
+    centroid/prototype pass (class prototypes, IVF seeding, cluster
+    summaries).
+
+    Emitted LONG (group, pos, mean_val) so the output stays scalar-typed
+    (the driver's canonicalizer rejects array columns); callers wanting
+    array centroids re-collect with sort_array(collect_list(...)).
+
+    Shape at scale: posexplode multiplies rows by dim, but the partial
+    hash aggregate collapses each partition to (groups × dim) rows
+    before the exchange — the shuffle ships pre-combined (group, pos,
+    sum, count) tuples, never the exploded stream. Values accumulate in
+    DOUBLE (each float32 is exactly representable); round(·, 6) absorbs
+    cross-engine summation-order ulps (same contract as
+    hyperplane_lsh_pairs' cos_sim)."""
+    return (
+        df.select(F.col(group_col), F.posexplode(as_double(vec_col)))
+        .groupBy(group_col, "pos")
+        .agg(
+            F.round(F.sum("col") / F.count(F.lit(1)), 6).alias("mean_val"),
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        )
+    )

@@ -98,6 +98,120 @@ def lang_id_udf(texts: pd.Series) -> pd.Series:
 
     return texts.map(score)
 
+#: PII patterns, deliberately restricted to syntax with identical
+#: semantics in Java regex (Spark) and RE2 (DuckDB oracle): character
+#: classes, bounded repetition, non-capturing groups, ASCII \b.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+#: Redaction order matters where patterns could overlap: emails first
+#: (may contain digit runs), then phones, then IPs (dots only — cannot
+#: collide with the dash-shaped phone pattern).
+_PII_PASSES: tuple[tuple[str, str], ...] = (
+    (PII_EMAIL_RE, "[EMAIL]"),
+    (PII_PHONE_RE, "[PHONE]"),
+    (PII_IP_RE, "[IP]"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every email / phone / IPv4 occurrence with a typed
+    placeholder. Pure chained ``regexp_replace`` — JVM-side, codegen'd,
+    no shuffle: the pass an at-scale corpus scrub wants (regex cost is
+    per-row CPU, embarrassingly parallel)."""
+    out = col
+    for pattern, token in _PII_PASSES:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """Per-class PII hit counts (pre-redaction audit columns)."""
+    return [
+        F.regexp_count(col, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(col, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(col, F.lit(PII_IP_RE)).alias("n_ips"),
+    ]
+
+
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    stride: int = 16,
+):
+    """Split each document into overlapping token windows — the pass
+    that turns a raw corpus into trainer-sized pieces (context-window
+    packing's upstream neighbor).
+
+    Chunk starts are ``1, 1+stride, …`` continuing until a chunk covers
+    the final token (the last start rounds UP to the next stride step, so
+    tail tokens are never dropped; the final chunk may be short). A
+    document shorter than ``chunk_tokens`` yields exactly one clamped
+    chunk. Pure explode-of-sequence projection: no shuffle, no UDF, and
+    the row blowup is bounded by ``~n_tokens/stride`` per document.
+
+    Output: (id, chunk_id, start_token [1-based], n_tokens, chunk_text).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    # last start = 1 + ceil(max(n - chunk, 0) / stride) * stride —
+    # smallest stride-aligned start whose chunk reaches the end
+    overhang = F.greatest(
+        F.size(F.col("__toks")) - chunk_tokens, F.lit(0)
+    )
+    last_start = (
+        F.floor((overhang + (stride - 1)) / stride) * stride + 1
+    ).cast("int")
+    starts = F.sequence(F.lit(1), last_start, F.lit(stride))
+    staged = df.select(F.col(id_col), toks.alias("__toks"))
+    exploded = staged.select(
+        F.col(id_col), F.col("__toks"), F.explode(starts).alias("start_token")
+    )
+    piece = F.slice(F.col("__toks"), F.col("start_token"), chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        ((F.col("start_token") - 1) / stride).cast("int").alias("chunk_id"),
+        "start_token",
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def heavy_hitters(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+):
+    """Exact corpus-wide top-k tokens by total frequency, with document
+    frequency alongside — the vocabulary/stop-word profile pass.
+
+    Shape at scale: explode → two-phase hash aggregate (partial counts
+    combine map-side, only (token, partial) rides the shuffle) → global
+    top-k via ordered limit (TakeOrderedAndProject — no full sort). The
+    (freq DESC, token ASC) key is a total order, so the cut is
+    deterministic. Exact counting is the right default below ~10⁸
+    distinct tokens; beyond that swap the groupBy for a count-min sketch
+    and keep this as the verifier."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = exploded.groupBy("token").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.countDistinct(id_col).alias("doc_freq"),
+    )
+    return counts.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(k)
+
+
 # Executors must not need this repo on their PYTHONPATH: register this
 # module for pickle-by-value so UDFs/closures ship inside the task
 # (the driver contract imports __spark_entry__.py by path, not site-packages).

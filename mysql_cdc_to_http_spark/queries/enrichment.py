@@ -1,0 +1,259 @@
+"""Corpus-enrichment queries rounding out the training-data pipeline:
+PII scrubbing, document chunking, vocabulary heavy hitters, embedding
+pooling, and fuzzy (near-duplicate) benchmark decontamination.
+
+These are the passes a pretraining pipeline runs AROUND the core
+dedup/curation flow (queries/llm.py, queries/curation.py): scrub →
+chunk → profile vocabulary; pool embeddings for prototypes; fuzzy-match
+the benchmark set for paraphrase leakage. All five are oracle-checked;
+see each query's docstring for the determinism argument.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mysql_cdc_to_http_spark.catalog import load_table
+from mysql_cdc_to_http_spark.queries.registry import query
+
+# Deterministic PII injection: the synthetic corpus contains no PII, so
+# the query plants class-varied fixtures derived from doc_id — BOTH
+# engines compute the identical augmented text, then redact it with the
+# identical regexes, so the redaction (not the fixture) is what the
+# oracle checks. Emails on every doc; phones on doc_id % 3 == 0; IPs on
+# doc_id % 5 == 0 — counts vary per row.
+_PII_SPARK = (
+    "concat(text, ' contact user', cast(doc_id as string), '@example.com',"
+    " case when doc_id % 3 = 0 then concat(' call 415-555-',"
+    "   lpad(cast(doc_id % 10000 as string), 4, '0')) else '' end,"
+    " case when doc_id % 5 = 0 then concat(' host 10.',"
+    "   cast(doc_id % 256 as string), '.0.', cast((doc_id * 7) % 256 as string))"
+    "   else '' end)"
+)
+_PII_DUCK = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' call 415-555-' ||"
+    "   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' ||"
+    "   CAST(doc_id % 256 AS VARCHAR) || '.0.' ||"
+    "   CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END"
+)
+
+
+@query(
+    "q_pii_redact",
+    oracle=rf"""
+    WITH aug AS (
+      SELECT doc_id, {_PII_DUCK} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t,
+             '\b\d{{3}}-\d{{3}}-\d{{4}}\b')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(t,
+             '\b(?:\d{{1,3}}\.){{3}}\d{{1,3}}\b')) AS INT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+             '\b\d{{3}}-\d{{3}}-\d{{4}}\b', '[PHONE]', 'g'),
+             '\b(?:\d{{1,3}}\.){{3}}\d{{1,3}}\b', '[IP]', 'g'))
+             AS redacted_md5
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact emails / phone numbers / IPv4
+    addresses. Chained JVM regexp_replace — per-row CPU, no shuffle;
+    the at-scale scrub is embarrassingly parallel. The md5 of the
+    redacted text proves byte-identical replacement across engines.
+    Patterns restrict to the Java-regex ∩ RE2 common dialect
+    (operators/text.py:PII_EMAIL_RE et al.)."""
+    from mysql_cdc_to_http_spark.operators.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.expr(_PII_SPARK).alias("t"))
+    return aug.select(
+        "doc_id",
+        *pii_counts(F.col("t")),
+        F.md5(redact_pii(F.col("t"))).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_chunk_documents",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, t,
+             unnest(range(1, ((greatest(len(t) - 32, 0) + 15) // 16) * 16 + 2,
+                          16)) AS start_token
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST((start_token - 1) / 16 AS INT)             AS chunk_id,
+           CAST(start_token AS BIGINT)                     AS start_token,
+           CAST(len(t[start_token:start_token + 31]) AS INT) AS n_tokens,
+           array_to_string(t[start_token:start_token + 31], ' ') AS chunk_text
+    FROM st
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, stride 16) —
+    the upstream neighbor of sequence packing (q_pack_sequences). Pure
+    explode-of-sequence projection: no shuffle, no UDF; row blowup
+    bounded by n_tokens/stride per doc. Exact string equality makes the
+    oracle trivial (both engines emit identical chunk text)."""
+    from mysql_cdc_to_http_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=32, stride=16
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.col("start_token").cast("long").alias("start_token"),
+        "n_tokens",
+        "chunk_text",
+    ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                                                     'g')), ' ')) AS token
+      FROM documents
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT)               AS freq,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM tok
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token ASC
+    LIMIT 20
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 tokens by frequency with document frequency —
+    the vocabulary/stop-word profile. Two-phase hash aggregate (partial
+    counts combine map-side) then TakeOrderedAndProject; the
+    (freq DESC, token ASC) sort key is a total order so the top-k cut is
+    deterministic on both engines."""
+    from mysql_cdc_to_http_spark.operators.text import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters(docs, "doc_id", "text", k=20).select(
+        "token",
+        F.col("freq").cast("long").alias("freq"),
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+    )
+
+
+@query(
+    "q_embedding_pool",
+    oracle="""
+    SELECT label,
+           CAST(pos AS INT)                       AS pos,
+           round(sum(v) / count(*), 6)            AS mean_val,
+           CAST(count(*) AS BIGINT)               AS n_vectors
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) - 1 AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-pooled embedding centroids in long (label, pos,
+    mean_val) form — class prototypes / IVF seeds. posexplode feeds a
+    two-phase hash aggregate: the shuffle carries pre-combined
+    (label, pos, sum, count) tuples (labels × dim rows per partition),
+    never the exploded stream. Float inputs accumulate exactly in
+    DOUBLE; round(·, 6) absorbs summation-order ulps (the
+    hyperplane-LSH cos_sim contract); verified stable at sf0.001 and
+    sf0.01."""
+    from mysql_cdc_to_http_spark.operators.similarity import pool_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pooled = pool_embeddings(emb, "label", "embedding")
+    return pooled.select(
+        "label", "pos", "mean_val", "n_vectors"
+    ).orderBy("label", "pos")
+
+
+@query(
+    "q_decontaminate_fuzzy",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, source,
+             string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
+               AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct([
+               concat_ws(chr(1),
+                         coalesce(toks[i+1], ''),
+                         coalesce(toks[i+2], ''),
+                         coalesce(toks[i+3], ''))
+               FOR i IN generate_series(0, greatest(len(toks) - 3, 0))
+             ]) AS shl
+      FROM norm
+    ),
+    u AS (SELECT doc_id, source, len(shl) AS nsh, unnest(shl) AS s FROM sh),
+    inter AS (
+      SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS i,
+             any_value(c.nsh) AS nc, any_value(b.nsh) AS nb
+      FROM (SELECT * FROM u WHERE source <> 'src0') c
+      JOIN (SELECT * FROM u WHERE source = 'src0') b ON c.s = b.s
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, bench_id, CAST(i AS DOUBLE) / (nc + nb - i) AS jaccard
+    FROM inter
+    WHERE CAST(i AS DOUBLE) / (nc + nb - i) >= 0.5
+    ORDER BY doc_id, bench_id
+    """,
+)
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination, ORACLE-EXACT on the test corpus:
+    MinHash-LSH cross-join of training docs (source <> 'src0') against
+    the benchmark slice (source = 'src0'), exact word-3-shingle Jaccard
+    verify on candidates. Catches the paraphrase-level leakage exact
+    n-gram overlap (q_decontaminate) under-counts.
+
+    The oracle recomputes ground truth by brute force (shingle-explode
+    join, the same construction q_dedup_minhash's oracle uses). LSH
+    output equals ground truth iff candidate recall is 1.0 at the
+    threshold, which the corpus margin makes deterministic: planted
+    cross-source near-dups sit at J ≥ 0.9, everything else below ~0.3
+    (measured), and at 16 bands × 4 rows with FIXED seeds capture is a
+    pure function of the data — verified miss-free at sf0.001/sf0.01.
+    Jaccard values match bit-exactly because hashed-shingle set sizes
+    equal string-shingle set sizes (no xxhash64 collisions here) and
+    both engines divide the same two ints in IEEE double.
+
+    Scale shape: benchmark bands + shingles are broadcast; the corpus
+    never shuffles (see operators/curation.py:fuzzy_decontaminate)."""
+    from mysql_cdc_to_http_spark.operators.curation import fuzzy_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    out = fuzzy_decontaminate(
+        corpus, bench, "doc_id", "text",
+        n_hashes=64, bands=16, shingle_k=3, threshold=0.5,
+    ).orderBy("doc_id", "bench_id")
+    return out

@@ -1,0 +1,141 @@
+"""Enrichment operators: PII redaction, chunking, heavy hitters,
+embedding pooling, fuzzy decontamination — semantics on hand data plus
+the plan shapes that matter at scale (broadcast candidate verify,
+shuffle-free chunking). Oracle parity for the registered queries rides
+tests/test_oracle_parity.py automatically."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysql_cdc_to_http_spark.operators.curation import fuzzy_decontaminate
+from mysql_cdc_to_http_spark.operators.similarity import pool_embeddings
+from mysql_cdc_to_http_spark.operators.text import (
+    chunk_documents,
+    heavy_hitters,
+    pii_counts,
+    redact_pii,
+)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_redact_pii_all_classes(spark):
+    df = spark.createDataFrame(
+        [("mail a.b+c@ex-1.org call 415-555-0100 from 10.0.0.1 twice "
+          "other@x.io 212-555-0199 192.168.1.255",)],
+        "text string",
+    )
+    row = df.select(
+        redact_pii(F.col("text")).alias("r"), *pii_counts(F.col("text"))
+    ).first()
+    assert row["r"] == (
+        "mail [EMAIL] call [PHONE] from [IP] twice [EMAIL] [PHONE] [IP]"
+    )
+    assert (row["n_emails"], row["n_phones"], row["n_ips"]) == (2, 2, 2)
+
+
+def test_redact_pii_idempotent_and_no_false_hits(spark):
+    df = spark.createDataFrame(
+        [("version 1.2.3 range 10-20 at example.com no pii here",)],
+        "text string",
+    )
+    once = df.select(redact_pii(F.col("text")).alias("r"))
+    row = once.select(
+        "r", redact_pii(F.col("r")).alias("rr"), *pii_counts(F.col("r"))
+    ).first()
+    # bare domain / version / numeric range are not PII-shaped
+    assert row["r"] == "version 1.2.3 range 10-20 at example.com no pii here"
+    assert row["rr"] == row["r"]
+    assert (row["n_emails"], row["n_phones"], row["n_ips"]) == (0, 0, 0)
+
+
+def test_chunk_documents_covers_every_token(spark):
+    text = " ".join(f"t{i}" for i in range(70))  # 70 tokens
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens=32, stride=16).collect()
+    # starts step by 16 until a chunk reaches token 70: last = 49 (→ 49..70)
+    starts = sorted(r["start_token"] for r in rows)
+    assert starts == [1, 17, 33, 49]
+    assert [r["chunk_id"] for r in sorted(rows, key=lambda r: r["start_token"])] == [0, 1, 2, 3]
+    # every token index appears in at least one chunk
+    covered = set()
+    for r in rows:
+        covered.update(range(r["start_token"], r["start_token"] + r["n_tokens"]))
+    assert covered == set(range(1, 71))
+    # chunk text round-trips the token slice
+    first = min(rows, key=lambda r: r["start_token"])
+    assert first["chunk_text"].split(" ") == [f"t{i}" for i in range(32)]
+
+
+def test_chunk_documents_short_doc_single_clamped_chunk(spark):
+    df = spark.createDataFrame([(7, "a b c")], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens=32, stride=16).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_tokens"] == 3 and rows[0]["chunk_text"] == "a b c"
+
+
+def test_chunk_documents_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = _plan(chunk_documents(df))
+    assert "Exchange" not in plan  # pure explode-of-sequence projection
+
+
+def test_heavy_hitters_exact_counts_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "b a a"), (2, "b c a"), (3, "c b")],
+        "doc_id long, text string",
+    )
+    rows = heavy_hitters(df, k=10).collect()
+    got = [(r["token"], r["freq"], r["doc_freq"]) for r in rows]
+    # a:3(2 docs) b:3(3 docs) c:2(2 docs); tie a/b broken by token asc
+    assert got == [("a", 3, 2), ("b", 3, 3), ("c", 2, 2)]
+
+
+def test_pool_embeddings_means(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 6.0]), (1, [5.0, 5.0])],
+        "label int, embedding array<float>",
+    )
+    rows = {(r["label"], r["pos"]): (r["mean_val"], r["n_vectors"])
+            for r in pool_embeddings(df).collect()}
+    assert rows == {
+        (0, 0): (2.0, 2), (0, 1): (4.0, 2),
+        (1, 0): (5.0, 1), (1, 1): (5.0, 1),
+    }
+
+
+def test_fuzzy_decontaminate_hits_planted_leak(spark):
+    bench = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # near-dup of the benchmark doc (one word changed)
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+            (2, "totally unrelated words about completely different things"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = fuzzy_decontaminate(corpus, bench, threshold=0.5).collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in rows] == [(1, 1000)]
+    assert 0.5 <= rows[0]["jaccard"] < 1.0
+
+
+def test_fuzzy_decontaminate_verify_is_broadcast(spark):
+    bench = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta zeta")], "doc_id long, text string"
+    )
+    plan = _plan(fuzzy_decontaminate(corpus, bench))
+    # candidate list and benchmark shingles broadcast into the corpus
+    # scan; no sort-merge join anywhere in the pass
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
