@@ -63,6 +63,13 @@ HEADLINE = [
     "q_decontaminate",
     "q_repetition",
     "q_domain_mix",
+    # added round 5 (enrichment family) — r5 totals cover 34 queries;
+    # compare per-query or the r03-name 29-query subset.
+    "q_pii_redact",
+    "q_chunk_documents",
+    "q_heavy_hitters",
+    "q_embedding_pool",
+    "q_decontaminate_fuzzy",
 ]
 
 

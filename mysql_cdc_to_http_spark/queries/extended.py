@@ -301,3 +301,79 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q_hll_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+           CAST(COUNT(DISTINCT month(l_shipdate)) AS BIGINT) AS n_segments,
+           TRUE AS merged_within_10pct,
+           TRUE AS direct_within_10pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch NDV rollup (operators/sketches.py): one HLL
+    sketch per (returnflag, ship-month) segment, then per-flag NDV by
+    sketch UNION — the pre-aggregate-once, roll-up-forever pattern a
+    100 TB pipeline uses so coarser NDVs never re-scan base data.
+
+    Oracle-checkable despite approximation: estimates are deterministic
+    pure functions of the value set, so the error-bound booleans are
+    stable — merged AND direct paths each asserted within 10% of the
+    exact NDV (lgk=12 rsd ≈ 1.6%). Equality between the two paths would
+    be wrong: the union gadget (HLL_8) and a directly-built sketch
+    (HLL_4) estimate slightly differently (see operators/sketches.py)."""
+    from mysql_cdc_to_http_spark.operators.sketches import (
+        hll_partials,
+        hll_rollup,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = hll_partials(
+        li, ["l_returnflag"], F.month("l_shipdate"), "l_suppkey", lgk=12
+    )
+    merged = hll_rollup(partials, ["l_returnflag"])
+    segments = partials.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_segments")
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("l_suppkey", F.lit(12))
+        ).alias("ndv_direct")
+    )
+    exact = (
+        li.select("l_returnflag", "l_suppkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_suppliers"))
+    )
+    return (
+        exact.join(segments, "l_returnflag")
+        .join(merged, "l_returnflag")
+        .join(direct, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_suppliers",
+            "n_segments",
+            (
+                F.abs(
+                    F.col("ndv_est").cast("double")
+                    / F.col("exact_suppliers").cast("double")
+                    - 1.0
+                )
+                < 0.10
+            ).alias("merged_within_10pct"),
+            (
+                F.abs(
+                    F.col("ndv_direct").cast("double")
+                    / F.col("exact_suppliers").cast("double")
+                    - 1.0
+                )
+                < 0.10
+            ).alias("direct_within_10pct"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,79 @@
+"""Layout operators: partition pruning actually fires on the written
+layout, files are clustered (one per partition value), row-group sort
+keys hold within files, and the data round-trips exactly."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from mysql_cdc_to_http_spark.operators.layout import (
+    compact_small_files,
+    write_partitioned,
+)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "event_type", "user_id"
+    )
+
+
+def test_write_partitioned_prunes_and_clusters(spark, sf_dir, tmp_path):
+    src = _events(spark, sf_dir)
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(src, out, ["event_type"], sort_by=["user_id"])
+
+    n_types = src.select("event_type").distinct().count()
+    dirs = glob.glob(os.path.join(out, "event_type=*"))
+    assert len(dirs) == n_types
+    # repartition-by-value clustering: exactly one data file per value
+    for d in dirs:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+
+    back = spark.read.parquet(out)
+    one_type = src.first()["event_type"]
+    plan = _plan(back.filter(F.col("event_type") == one_type))
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+    # pruned read returns exactly the partition's rows
+    assert (
+        back.filter(F.col("event_type") == one_type).count()
+        == src.filter(F.col("event_type") == one_type).count()
+    )
+
+
+def test_write_partitioned_round_trips_exactly(spark, sf_dir, tmp_path):
+    src = _events(spark, sf_dir)
+    out = str(tmp_path / "rt")
+    write_partitioned(src, out, ["event_type"], sort_by=["user_id"])
+    back = spark.read.parquet(out).select(*src.columns)
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_write_partitioned_sorts_within_files(spark, sf_dir, tmp_path):
+    src = _events(spark, sf_dir)
+    out = str(tmp_path / "sorted")
+    write_partitioned(src, out, ["event_type"], sort_by=["user_id"])
+    one = glob.glob(os.path.join(out, "event_type=*", "*.parquet"))[0]
+    vals = [r["user_id"] for r in spark.read.parquet(one).collect()]
+    assert vals == sorted(vals)
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    frag = str(tmp_path / "frag")
+    _events(spark, sf_dir).repartition(16).write.parquet(frag)
+    assert len(glob.glob(os.path.join(frag, "*.parquet"))) == 16
+    out = str(tmp_path / "compact")
+    compact_small_files(spark, frag, 2, out)
+    assert len(glob.glob(os.path.join(out, "*.parquet"))) == 2
+    assert spark.read.parquet(out).count() == spark.read.parquet(frag).count()
