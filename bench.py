@@ -70,6 +70,7 @@ HEADLINE = [
     "q_heavy_hitters",
     "q_embedding_pool",
     "q_decontaminate_fuzzy",
+    "q_hll_rollup",
 ]
 
 
