@@ -161,13 +161,18 @@ def chunk_documents(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
     )
     # last start = 1 + ceil(max(n - chunk, 0) / stride) * stride —
-    # smallest stride-aligned start whose chunk reaches the end
+    # smallest stride-aligned start whose chunk reaches the end —
+    # clamped to n so a stride larger than the chunk (sampled, gappy
+    # chunking) never emits an empty chunk past the document
     overhang = F.greatest(
         F.size(F.col("__toks")) - chunk_tokens, F.lit(0)
     )
-    last_start = (
-        F.floor((overhang + (stride - 1)) / stride) * stride + 1
-    ).cast("int")
+    last_start = F.least(
+        (F.floor((overhang + (stride - 1)) / stride) * stride + 1).cast(
+            "int"
+        ),
+        F.size(F.col("__toks")),
+    )
     starts = F.sequence(F.lit(1), last_start, F.lit(stride))
     staged = df.select(F.col(id_col), toks.alias("__toks"))
     exploded = staged.select(

@@ -92,7 +92,8 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     st AS (
       SELECT doc_id, t,
-             unnest(range(1, ((greatest(len(t) - 32, 0) + 15) // 16) * 16 + 2,
+             unnest(range(1, least(((greatest(len(t) - 32, 0) + 15) // 16) * 16
+                                     + 1, len(t)) + 1,
                           16)) AS start_token
       FROM tok
     )

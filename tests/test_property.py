@@ -173,3 +173,74 @@ def test_incremental_agg_telescopes_property(spark, histories):
         grp: (len(vals), sum(vals)) for grp, vals in final.items() if vals
     }
     assert {g: (n, Decimal(s)) for g, (n, s) in got.items()} == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=1, max_value=200),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=64),
+)
+def test_chunk_documents_property(spark, n_tokens, chunk, stride):
+    """For any (doc length, chunk size, stride): chunks cover every
+    token exactly, starts are stride-aligned, and the chunk count is
+    1 + ceil(max(n - chunk, 0) / stride)."""
+    from mysql_cdc_to_http_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(
+        df, chunk_tokens=chunk, stride=stride
+    ).collect()
+    if stride <= chunk:
+        # overlapping mode: exact count formula and full coverage
+        assert len(rows) == 1 + -(-max(n_tokens - chunk, 0) // stride)
+    covered = set()
+    for r in rows:
+        assert r["n_tokens"] >= 1  # never an empty chunk
+        assert (r["start_token"] - 1) % stride == 0
+        assert r["chunk_text"].split(" ") == [
+            f"w{i}" for i in range(r["start_token"] - 1,
+                                   r["start_token"] - 1 + r["n_tokens"])
+        ]
+        covered.update(
+            range(r["start_token"], r["start_token"] + r["n_tokens"])
+        )
+    if stride <= chunk:
+        assert covered == set(range(1, n_tokens + 1))
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefghij.-", min_size=1, max_size=8),
+            st.integers(min_value=0, max_value=9999),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_redact_pii_property(spark, parts):
+    """Generated emails/phones/IPs never survive redaction, and
+    redaction is idempotent, regardless of surrounding junk."""
+    from mysql_cdc_to_http_spark.operators.text import redact_pii
+
+    pieces = []
+    for junk, n in parts:
+        pieces.append(junk)
+        pieces.append(f"u{n}@{max(n,1)}x.com")
+        pieces.append(f"{n % 900 + 100:03d}-555-{n:04d}")
+        pieces.append(f"10.{n % 256}.0.{(n * 3) % 256}")
+    text = " ".join(pieces)
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        redact_pii(F.col("text")).alias("r")
+    ).select("r", redact_pii(F.col("r")).alias("rr")).first()
+    import re as _re
+
+    assert not _re.search(r"@\w", row["r"]) or "[EMAIL]" in row["r"]
+    assert "@" not in row["r"].replace("[EMAIL]", "")
+    assert not _re.search(r"\d{3}-555-\d{4}", row["r"])
+    assert not _re.search(r"\b10\.\d+\.0\.\d+\b", row["r"])
+    assert row["rr"] == row["r"]
