@@ -55,3 +55,27 @@ def compact_small_files(
     spark.read.parquet(path).coalesce(target_files).write.mode(
         "overwrite"
     ).parquet(out_path)
+
+
+def stream_to_partitioned_layout(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str],
+):
+    """Continuous ingestion into the partitioned layout: append-mode
+    parquet sink with hive partitioning. The checkpoint gives
+    exactly-once file-level delivery across restarts (Spark's file sink
+    commits via the _spark_metadata transaction log — readers see only
+    committed files, and a replayed micro-batch is not re-committed).
+    Each micro-batch writes one file per in-flight partition value, so
+    periodic ``compact_small_files`` per partition directory is the
+    expected companion job at scale."""
+    return (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(*partition_by)
+        .outputMode("append")
+        .start()
+    )

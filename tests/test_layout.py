@@ -77,3 +77,50 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     compact_small_files(spark, frag, 2, out)
     assert len(glob.glob(os.path.join(out, "*.parquet"))) == 2
     assert spark.read.parquet(out).count() == spark.read.parquet(frag).count()
+
+
+def test_stream_to_partitioned_layout_exactly_once(spark, sf_dir, tmp_path):
+    """Streamed ingestion into the hive layout: restart from checkpoint
+    must not double-deliver, partition dirs must exist, and a filter on
+    the partition column must prune (PartitionFilters in the scan)."""
+    import shutil
+
+    from mysql_cdc_to_http_spark.operators.layout import (
+        stream_to_partitioned_layout,
+    )
+
+    src = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "event_type", "user_id"
+    )
+    feed = str(tmp_path / "feed")
+    src.repartition(4).write.parquet(feed)
+
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(src.schema).parquet(feed)
+        )
+        return stream_to_partitioned_layout(
+            stream, out, ckpt, ["event_type"]
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    q2 = start()  # restart: checkpoint says nothing new
+    q2.processAllAvailable()
+    q2.stop()
+
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    assert (
+        back.select("event_id").distinct().count()
+        == src.select("event_id").distinct().count()
+    )
+    assert glob.glob(os.path.join(out, "event_type=*"))
+    one_type = src.first()["event_type"]
+    plan = _plan(back.filter(F.col("event_type") == one_type))
+    assert "PartitionFilters" in plan
+    shutil.rmtree(feed)
