@@ -258,3 +258,73 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=64, bands=16, shingle_k=3, threshold=0.5,
     ).orderBy("doc_id", "bench_id")
     return out
+
+
+# Deterministic corruption for the validation demo: the synthetic tables
+# are clean, so the query stages rule violations derived from the key —
+# both engines compute the identical staged input, so the oracle checks
+# the VALIDATION, not the fixture.
+_STAGE_EXPRS = (
+    "l_orderkey",
+    "l_linenumber",
+    "CASE WHEN l_orderkey % 97 = 0 THEN -l_quantity ELSE l_quantity END"
+    " AS quantity",
+    "CASE WHEN l_orderkey % 89 = 0 THEN NULL ELSE l_shipdate END AS shipdate",
+    "CASE WHEN l_orderkey % 83 = 0 THEN l_discount + 1.0 ELSE l_discount END"
+    " AS discount",
+)
+_STAGE_SQL = ", ".join(_STAGE_EXPRS)
+
+
+@query(
+    "q_quarantine",
+    oracle=f"""
+    WITH staged AS (
+      SELECT {_STAGE_SQL} FROM lineitem
+    ),
+    checked AS (
+      SELECT l_orderkey, l_linenumber,
+             array_to_string(list_filter([
+               CASE WHEN NOT coalesce(quantity > 0, FALSE)
+                    THEN 'quantity_positive' ELSE '' END,
+               CASE WHEN NOT coalesce(shipdate IS NOT NULL, FALSE)
+                    THEN 'shipdate_present' ELSE '' END,
+               CASE WHEN NOT coalesce(discount BETWEEN 0.0 AND 0.5, FALSE)
+                    THEN 'discount_range' ELSE '' END
+             ], x -> x <> ''), ',') AS reasons
+      FROM staged
+    )
+    SELECT l_orderkey, l_linenumber, reasons
+    FROM checked WHERE reasons <> ''
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validate-and-quarantine (operators/validation.py): three rules
+    evaluated in ONE projection (array-of-structs fold, single codegen
+    stage — never N sequential filters); quarantined rows carry
+    machine-readable failed-rule names for replay after a fix. A rule
+    passes only when its predicate is affirmatively TRUE — NULL results
+    are failures, which is what catches the nulled shipdate."""
+    from mysql_cdc_to_http_spark.operators.validation import (
+        REASONS_COL,
+        with_validation,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    staged = li.selectExpr(*_STAGE_EXPRS)
+    rules = {
+        "quantity_positive": F.col("quantity") > 0,
+        "shipdate_present": F.col("shipdate").isNotNull(),
+        "discount_range": F.col("discount").between(0.0, 0.5),
+    }
+    checked = with_validation(staged, rules)
+    return (
+        checked.filter(F.size(REASONS_COL) > 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.concat_ws(",", F.col(REASONS_COL)).alias("reasons"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -139,3 +139,57 @@ def test_fuzzy_decontaminate_verify_is_broadcast(spark):
     # scan; no sort-merge join anywhere in the pass
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_validation_null_fails_and_split(spark):
+    from mysql_cdc_to_http_spark.operators.validation import (
+        REASONS_COL,
+        quarantine_summary,
+        split_valid,
+        with_validation,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "x"), (2, -1.0, "y"), (3, None, None), (4, 2.0, None)],
+        "id long, qty double, tag string",
+    )
+    rules = {
+        "qty_positive": F.col("qty") > 0,
+        "tag_present": F.col("tag").isNotNull(),
+    }
+    got = {
+        r["id"]: list(r[REASONS_COL])
+        for r in with_validation(df, rules).collect()
+    }
+    # NULL predicate result (id=3 qty) counts as a failure
+    assert got == {
+        1: [],
+        2: ["qty_positive"],
+        3: ["qty_positive", "tag_present"],
+        4: ["tag_present"],
+    }
+    valid, quarantine = split_valid(df, rules)
+    assert [r["id"] for r in valid.collect()] == [1]
+    assert REASONS_COL not in valid.columns
+    assert sorted(r["id"] for r in quarantine.collect()) == [2, 3, 4]
+    summary = {
+        r["rule"]: r["n_failed"]
+        for r in quarantine_summary(df, rules).collect()
+    }
+    assert summary == {"qty_positive": 2, "tag_present": 2}
+
+
+def test_validation_single_codegen_stage(spark):
+    import re
+
+    from mysql_cdc_to_http_spark.operators.validation import with_validation
+
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") * 2.0).alias("v")
+    )
+    checked = with_validation(
+        df, {f"r{i}": F.col("v") > i for i in range(8)}
+    )
+    plan = _plan(checked)
+    assert "Exchange" not in plan  # 8 rules, one scan, no shuffle
+    assert len(set(re.findall(r"codegen id : (\d+)", plan))) == 1
