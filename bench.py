@@ -71,6 +71,8 @@ HEADLINE = [
     "q_embedding_pool",
     "q_decontaminate_fuzzy",
     "q_hll_rollup",
+    "q_quarantine",
+    "q_resample_gapfill",
 ]
 
 

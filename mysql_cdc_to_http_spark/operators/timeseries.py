@@ -1,0 +1,90 @@
+"""Time-series operators: resample to fixed buckets, dense spine
+generation, gap filling with forward fill.
+
+The hypertable-rollup shape: raw events aggregate to (key, bucket) —
+a two-phase hash agg whose shuffle is bucket-table-sized, not
+event-sized — and downstream consumers need a DENSE series (one row per
+bucket even where nothing happened) with carried-forward values. The
+spine is generated per key from its own [min, max] bucket range
+(sequence+explode — rows = keys × buckets, tiny next to the raw data),
+the observed aggregate joins back on (key, bucket), and the forward
+fill is a bounded window per key ordered by bucket.
+
+At 100 TB the only event-scale stage is the first aggregate; everything
+after operates on the rollup. For unbounded streams the same bucket agg
+runs under a watermark (streaming/windows.py) and the fill runs on the
+materialized rollup table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window as W
+
+
+def resample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    aggs: dict[str, Column],
+    unit: str = "hour",
+) -> DataFrame:
+    """Fixed-bucket rollup: (key, date_trunc(unit, ts)) → aggregates.
+    ``aggs`` maps output name → aggregate Column."""
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts")
+    return (
+        df.groupBy(F.col(key_col), bucket)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+
+
+def dense_spine(
+    resampled: DataFrame, key_col: str, step: str = "interval 1 hour"
+) -> DataFrame:
+    """One row per (key, bucket) over each key's own observed range —
+    keys × buckets rows, generated without touching raw data."""
+    return (
+        resampled.groupBy(key_col)
+        .agg(
+            F.min("bucket_ts").alias("__lo"), F.max("bucket_ts").alias("__hi")
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.expr(f"sequence(__lo, __hi, {step})")
+            ).alias("bucket_ts"),
+        )
+    )
+
+
+def fill_gaps(
+    resampled: DataFrame,
+    key_col: str,
+    count_cols: list[str],
+    ffill_cols: list[str],
+    step: str = "interval 1 hour",
+) -> DataFrame:
+    """Densify a rollup: join it onto its spine, zero-fill counts,
+    forward-fill carried values (last non-null earlier bucket per key),
+    and flag synthesized rows with ``is_gap``. The fill window is
+    per-key ordered by bucket — bounded by buckets-per-key, never
+    event-scale."""
+    spine = dense_spine(resampled, key_col, step)
+    joined = spine.join(
+        resampled.withColumn("__observed", F.lit(1)),
+        [key_col, "bucket_ts"],
+        "left",
+    )
+    w = (
+        W.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = joined
+    for c in count_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    for c in ffill_cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out.withColumn(
+        "is_gap", F.col("__observed").isNull()
+    ).drop("__observed")

@@ -5,8 +5,9 @@ pooling, and fuzzy (near-duplicate) benchmark decontamination.
 These are the passes a pretraining pipeline runs AROUND the core
 dedup/curation flow (queries/llm.py, queries/curation.py): scrub →
 chunk → profile vocabulary; pool embeddings for prototypes; fuzzy-match
-the benchmark set for paraphrase leakage. All five are oracle-checked;
-see each query's docstring for the determinism argument.
+the benchmark set for paraphrase leakage; quarantine malformed rows;
+densify event rollups. All are oracle-checked; see each query's
+docstring for the determinism argument.
 """
 
 from __future__ import annotations
@@ -328,3 +329,64 @@ def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "q_resample_gapfill",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 4)     AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(min(bucket_ts), max(bucket_ts),
+                                    INTERVAL 1 HOUR)) AS bucket_ts
+      FROM agg GROUP BY event_type
+    )
+    SELECT s.event_type, s.bucket_ts,
+           coalesce(a.n_events, 0) AS n_events,
+           last_value(a.sum_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_sum,
+           a.bucket_ts IS NULL AS is_gap
+    FROM spine s LEFT JOIN agg a USING (event_type, bucket_ts)
+    ORDER BY event_type, bucket_ts
+    """,
+)
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup + densification
+    (operators/timeseries.py): hourly per-type buckets (two-phase agg —
+    the only event-scale stage), a generated dense spine over each
+    type's own range, zero-filled counts, forward-filled sums, and
+    is_gap flags. Per-bucket sums round to 4 dp BEFORE the fill so both
+    engines carry identical values forward."""
+    from mysql_cdc_to_http_spark.operators.timeseries import (
+        fill_gaps,
+        resample,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rolled = resample(
+        ev,
+        "event_type",
+        "ts",
+        {
+            "n_events": F.count(F.lit(1)).cast("long"),
+            "sum_value": F.round(F.sum("value"), 4),
+        },
+    )
+    filled = fill_gaps(
+        rolled, "event_type", count_cols=["n_events"],
+        ffill_cols=["sum_value"],
+    )
+    return filled.select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        F.col("sum_value").alias("filled_sum"),
+        "is_gap",
+    ).orderBy("event_type", "bucket_ts")

@@ -193,3 +193,24 @@ def test_validation_single_codegen_stage(spark):
     plan = _plan(checked)
     assert "Exchange" not in plan  # 8 rules, one scan, no shuffle
     assert len(set(re.findall(r"codegen id : (\d+)", plan))) == 1
+
+
+def test_fill_gaps_semantics(spark):
+    from mysql_cdc_to_http_spark.operators.timeseries import fill_gaps
+
+    rolled = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00", 2, 1.5),
+            ("a", "2024-01-01 03:00:00", 1, 9.0),  # 2-hour gap before
+            ("b", "2024-01-01 01:00:00", 4, 2.0),
+        ],
+        "k string, bucket_ts string, n long, s double",
+    ).withColumn("bucket_ts", F.to_timestamp("bucket_ts"))
+    out = fill_gaps(rolled, "k", count_cols=["n"], ffill_cols=["s"]).collect()
+    a = sorted(
+        [r for r in out if r["k"] == "a"], key=lambda r: r["bucket_ts"]
+    )
+    assert [r["n"] for r in a] == [2, 0, 0, 1]  # zero-filled counts
+    assert [r["s"] for r in a] == [1.5, 1.5, 1.5, 9.0]  # forward fill
+    assert [r["is_gap"] for r in a] == [False, True, True, False]
+    assert len([r for r in out if r["k"] == "b"]) == 1  # single bucket
