@@ -1,0 +1,110 @@
+"""Distributed k-means (Lloyd iterations) over embedding columns.
+
+The iterative-refinement pattern on Spark, sized for 100 TB corpora:
+the MODEL (k × dim centroid matrix) is driver-sized by definition, the
+DATA never leaves executors. Each iteration is
+
+- assign: nearest-centroid argmin as ONE inline projection against
+  centroid array literals (the operators/similarity.py:assign_buckets
+  shape — no join, no explode, no shuffle of the corpus), then
+- recompute: posexplode + two-phase hash agg whose shuffle carries
+  pre-combined (cluster, pos, sum, count) tuples — centroid-table-sized
+  — followed by a bounded k×dim collect back to the driver.
+
+So per iteration the corpus is scanned once and shuffles nothing but
+the partial-aggregated centroid table. Lineage stays flat because each
+iteration's plan starts from literals, not from the previous plan (the
+connected-components exponential-plan lesson does not bite here).
+
+Determinism: init = the k lowest-id vectors; recomputed centroids round
+to 6 dp (absorbs summation-order ulps — same contract as
+pool_embeddings), so the trajectory is a pure function of the data and
+is reproducible across engines/partitionings; assignment ties break to
+the lowest cluster id. That is what makes the unrolled SQL oracle of
+q_kmeans stable (argmin margins on real data dwarf cross-engine
+float noise in the distances; verified at sf0.001/0.01/0.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mysql_cdc_to_http_spark.operators.similarity import (
+    _centroid_literals,
+    as_double,
+    sample_centroids,
+)
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cv, cluster, dist): nearest centroid by squared L2, ties to
+    the lowest cluster id. Pure projection — zero shuffle."""
+    cents = _centroid_literals(centroids, normalize=False)
+    c = df.select(F.col(id_col), as_double(vec_col).alias("cv"))
+    sq = lambda x, y: (x - y) * (x - y)  # noqa: E731
+    scored = c.withColumn(
+        "__dists",
+        F.transform(
+            cents,
+            lambda cent: F.aggregate(
+                F.zip_with(F.col("cv"), cent, sq),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+    cluster = (
+        F.array_position(F.col("__dists"), F.array_min(F.col("__dists"))) - 1
+    ).cast("int")
+    return scored.select(
+        F.col(id_col),
+        "cv",
+        cluster.alias("cluster"),
+        F.array_min("__dists").alias("dist"),
+    )
+
+
+def recompute_centroids(assigned: DataFrame, k: int) -> list[list[float]]:
+    """Element-wise mean per cluster, rounded to 6 dp; bounded k×dim
+    collect. Raises on an empty cluster — with lowest-id init every
+    centroid IS a corpus point, so its cluster holds at least that
+    point unless k exceeds the corpus; callers wanting soft behavior
+    re-seed instead of silently carrying a stale centroid."""
+    rows = (
+        assigned.select("cluster", F.posexplode("cv"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("col"), 6).alias("m"))
+        .collect()
+    )
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+    missing = sorted(set(range(k)) - set(by_cluster))
+    if missing:
+        raise ValueError(f"empty clusters after assignment: {missing}")
+    return [
+        [by_cluster[c][p] for p in sorted(by_cluster[c])] for c in range(k)
+    ]
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's algorithm, deterministic init (k lowest-id vectors),
+    fixed iteration count. Returns the final assignment
+    (id, cluster, dist)."""
+    cents = sample_centroids(df, k, id_col, vec_col)
+    assigned = assign_clusters(df, cents, id_col, vec_col)
+    for _ in range(iters - 1):
+        cents = recompute_centroids(assigned, k)
+        assigned = assign_clusters(df, cents, id_col, vec_col)
+    return assigned.drop("cv")

@@ -390,3 +390,72 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value").alias("filled_sum"),
         "is_gap",
     ).orderBy("event_type", "bucket_ts")
+
+
+@query(
+    "q_kmeans",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+    ),
+    d1 AS (
+      SELECT e.vec_id, i.cluster,
+             list_sum([
+               (CAST(e.v[x] AS DOUBLE) - CAST(i.c[x] AS DOUBLE))
+               * (CAST(e.v[x] AS DOUBLE) - CAST(i.c[x] AS DOUBLE))
+               FOR x IN generate_series(1, 64)
+             ]) AS dist
+      FROM e, init i
+    ),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    cent1 AS (
+      SELECT cluster, list(m ORDER BY pos) AS c FROM (
+        SELECT a1.cluster, g.x AS pos,
+               round(avg(CAST(e.v[g.x] AS DOUBLE)), 6) AS m
+        FROM e JOIN a1 USING (vec_id), generate_series(1, 64) g(x)
+        GROUP BY a1.cluster, g.x
+      ) GROUP BY cluster
+    ),
+    d2 AS (
+      SELECT e.vec_id, c1.cluster,
+             list_sum([
+               (CAST(e.v[x] AS DOUBLE) - c1.c[x])
+               * (CAST(e.v[x] AS DOUBLE) - c1.c[x])
+               FOR x IN generate_series(1, 64)
+             ]) AS dist
+      FROM e, cent1 c1
+    ),
+    a2 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a2 ORDER BY vec_id
+    """,
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means, k=4, two Lloyd iterations
+    (operators/clustering.py) — deterministic init (4 lowest-id
+    vectors), 6-dp-rounded recomputed centroids, ties to the lowest
+    cluster id. The oracle unrolls both iterations in SQL; cluster
+    argmins are stable cross-engine because assignment margins on this
+    corpus dwarf float summation noise (the centroid round happens
+    BEFORE the second assignment in both engines, so both compare
+    distances against identical centroid values)."""
+    from mysql_cdc_to_http_spark.operators.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans(emb, k=4, iters=2)
+    return out.select("vec_id", "cluster").orderBy("vec_id")

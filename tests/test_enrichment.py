@@ -214,3 +214,57 @@ def test_fill_gaps_semantics(spark):
     assert [r["s"] for r in a] == [1.5, 1.5, 1.5, 9.0]  # forward fill
     assert [r["is_gap"] for r in a] == [False, True, True, False]
     assert len([r for r in out if r["k"] == "b"]) == 1  # single bucket
+
+
+def test_kmeans_inertia_decreases_and_assign_is_projection(spark):
+    import re
+
+    from mysql_cdc_to_http_spark.operators.clustering import (
+        assign_clusters,
+        kmeans,
+        recompute_centroids,
+    )
+
+    # two tight blobs far apart + the 2 lowest-id vectors as seeds
+    pts = [(i, [0.0 + i * 0.01, 0.0]) for i in range(10)] + [
+        (100 + i, [10.0 + i * 0.01, 10.0]) for i in range(10)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out = kmeans(df, k=2, iters=3).collect()
+    got = {r["vec_id"]: r["cluster"] for r in out}
+    # blob membership recovered regardless of the skewed seeds (both
+    # seeds start inside blob 0)
+    assert len({got[i] for i in range(10)}) == 1
+    assert len({got[100 + i] for i in range(10)}) == 1
+    assert got[0] != got[100]
+
+    # inertia (sum of dists) must not increase across an iteration
+    from pyspark.sql import functions as SF
+
+    cents0 = [[0.0, 0.0], [10.0, 10.0]]
+    a0 = assign_clusters(df, cents0)
+    i0 = a0.agg(SF.sum("dist")).first()[0]
+    a1 = assign_clusters(df, recompute_centroids(a0, 2))
+    i1 = a1.agg(SF.sum("dist")).first()[0]
+    assert i1 <= i0 + 1e-9
+
+    plan = _plan(assign_clusters(df, cents0))
+    assert "Exchange" not in plan  # assignment never shuffles the corpus
+
+
+def test_kmeans_empty_cluster_raises(spark):
+    import pytest as _pytest
+
+    from mysql_cdc_to_http_spark.operators.clustering import (
+        assign_clusters,
+        recompute_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.1, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # a centroid no point can win (ties go to cluster 0's side)
+    a = assign_clusters(df, [[0.0, 0.0], [100.0, 100.0]])
+    with _pytest.raises(ValueError, match="empty clusters"):
+        recompute_centroids(a, 2)
