@@ -62,29 +62,55 @@ def fill_gaps(
     key_col: str,
     count_cols: list[str],
     ffill_cols: list[str],
+    lerp_cols: list[str] | None = None,
     step: str = "interval 1 hour",
 ) -> DataFrame:
     """Densify a rollup: join it onto its spine, zero-fill counts,
     forward-fill carried values (last non-null earlier bucket per key),
-    and flag synthesized rows with ``is_gap``. The fill window is
-    per-key ordered by bucket — bounded by buckets-per-key, never
-    event-scale."""
+    linearly interpolate ``lerp_cols`` between the surrounding observed
+    buckets (edges fall back to the nearest observed value), and flag
+    synthesized rows with ``is_gap``. Every fill window is per-key
+    ordered by bucket — bounded by buckets-per-key, never event-scale.
+
+    Interpolation is deterministic cross-engine: the fraction is a
+    ratio of exact epoch-second integers and both neighbors are values
+    both engines already agree on, so ``prev + (next-prev)·frac`` is
+    the identical IEEE expression on identical inputs."""
     spine = dense_spine(resampled, key_col, step)
     joined = spine.join(
         resampled.withColumn("__observed", F.lit(1)),
         [key_col, "bucket_ts"],
         "left",
     )
-    w = (
+    back = (
         W.partitionBy(key_col)
         .orderBy("bucket_ts")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
     out = joined
     for c in count_cols:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     for c in ffill_cols:
-        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(back))
+    obs_ts = F.when(F.col("__observed").isNotNull(), F.col("bucket_ts"))
+    for c in lerp_cols or []:
+        prev_v = F.last(F.col(c), ignorenulls=True).over(back)
+        next_v = F.first(F.col(c), ignorenulls=True).over(fwd)
+        prev_t = F.unix_timestamp(F.last(obs_ts, ignorenulls=True).over(back))
+        next_t = F.unix_timestamp(F.first(obs_ts, ignorenulls=True).over(fwd))
+        frac = (F.unix_timestamp("bucket_ts") - prev_t) / (next_t - prev_t)
+        out = out.withColumn(
+            c,
+            F.when(F.col(c).isNotNull(), F.col(c))
+            .when(next_v.isNull(), prev_v)
+            .when(prev_v.isNull(), next_v)
+            .otherwise(prev_v + (next_v - prev_v) * frac),
+        )
     return out.withColumn(
         "is_gap", F.col("__observed").isNull()
     ).drop("__observed")

@@ -337,7 +337,8 @@ def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
       SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
              CAST(count(*) AS BIGINT) AS n_events,
-             round(sum(value), 4)     AS sum_value
+             round(sum(value), 4)     AS sum_value,
+             round(sum(value), 4) / count(*) AS avg_value
       FROM events GROUP BY 1, 2
     ),
     spine AS (
@@ -345,15 +346,38 @@ def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(generate_series(min(bucket_ts), max(bucket_ts),
                                     INTERVAL 1 HOUR)) AS bucket_ts
       FROM agg GROUP BY event_type
+    ),
+    filled AS (
+      SELECT s.event_type, s.bucket_ts,
+             coalesce(a.n_events, 0) AS n_events,
+             last_value(a.sum_value IGNORE NULLS) OVER w_back AS filled_sum,
+             a.avg_value,
+             last_value(a.avg_value IGNORE NULLS) OVER w_back  AS prev_v,
+             first_value(a.avg_value IGNORE NULLS) OVER w_fwd  AS next_v,
+             epoch(last_value(CASE WHEN a.bucket_ts IS NOT NULL
+                                   THEN s.bucket_ts END IGNORE NULLS)
+                   OVER w_back) AS prev_t,
+             epoch(first_value(CASE WHEN a.bucket_ts IS NOT NULL
+                                    THEN s.bucket_ts END IGNORE NULLS)
+                   OVER w_fwd) AS next_t,
+             epoch(s.bucket_ts) AS cur_t,
+             a.bucket_ts IS NULL AS is_gap
+      FROM spine s LEFT JOIN agg a USING (event_type, bucket_ts)
+      WINDOW
+        w_back AS (PARTITION BY s.event_type ORDER BY s.bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_fwd AS (PARTITION BY s.event_type ORDER BY s.bucket_ts
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
-    SELECT s.event_type, s.bucket_ts,
-           coalesce(a.n_events, 0) AS n_events,
-           last_value(a.sum_value IGNORE NULLS) OVER (
-             PARTITION BY s.event_type ORDER BY s.bucket_ts
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS filled_sum,
-           a.bucket_ts IS NULL AS is_gap
-    FROM spine s LEFT JOIN agg a USING (event_type, bucket_ts)
+    SELECT event_type, bucket_ts, n_events, filled_sum,
+           CASE WHEN avg_value IS NOT NULL THEN avg_value
+                WHEN next_v IS NULL THEN prev_v
+                WHEN prev_v IS NULL THEN next_v
+                ELSE prev_v + (next_v - prev_v)
+                     * ((cur_t - prev_t) / (next_t - prev_t))
+           END AS interp_avg,
+           is_gap
+    FROM filled
     ORDER BY event_type, bucket_ts
     """,
 )
@@ -361,9 +385,14 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style rollup + densification
     (operators/timeseries.py): hourly per-type buckets (two-phase agg —
     the only event-scale stage), a generated dense spine over each
-    type's own range, zero-filled counts, forward-filled sums, and
-    is_gap flags. Per-bucket sums round to 4 dp BEFORE the fill so both
-    engines carry identical values forward."""
+    type's own range, zero-filled counts, forward-filled sums, linearly
+    interpolated averages (locf + interpolate, the standard hypertable
+    pair), and is_gap flags. Per-bucket sums round to 4 dp BEFORE any
+    fill so both engines carry identical inputs; the average divides
+    that agreed sum by the exact count (no quotient rounding — a
+    rounded avg lands on exact 4-dp midpoints with 2-dp inputs), and
+    the lerp is then the identical IEEE expression on identical values
+    (exact epoch-second fraction)."""
     from mysql_cdc_to_http_spark.operators.timeseries import (
         fill_gaps,
         resample,
@@ -377,17 +406,23 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         {
             "n_events": F.count(F.lit(1)).cast("long"),
             "sum_value": F.round(F.sum("value"), 4),
+            # rounded sum over exact count: both engines divide agreed
+            # doubles by the same int — identical quotient bits with NO
+            # quotient rounding (round(avg,4) hit exact 4-dp midpoints:
+            # 2-dp inputs / 24 events = x.xxx75, the SKILL.md pathology)
+            "avg_value": F.round(F.sum("value"), 4) / F.count(F.lit(1)),
         },
     )
     filled = fill_gaps(
         rolled, "event_type", count_cols=["n_events"],
-        ffill_cols=["sum_value"],
+        ffill_cols=["sum_value"], lerp_cols=["avg_value"],
     )
     return filled.select(
         "event_type",
         "bucket_ts",
         "n_events",
         F.col("sum_value").alias("filled_sum"),
+        F.col("avg_value").alias("interp_avg"),
         "is_gap",
     ).orderBy("event_type", "bucket_ts")
 

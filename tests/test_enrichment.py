@@ -268,3 +268,23 @@ def test_kmeans_empty_cluster_raises(spark):
     a = assign_clusters(df, [[0.0, 0.0], [100.0, 100.0]])
     with _pytest.raises(ValueError, match="empty clusters"):
         recompute_centroids(a, 2)
+
+
+def test_fill_gaps_linear_interpolation(spark):
+    from mysql_cdc_to_http_spark.operators.timeseries import fill_gaps
+
+    rolled = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00", 1, 10.0),
+            ("a", "2024-01-01 03:00:00", 1, 40.0),  # 2-bucket gap
+        ],
+        "k string, bucket_ts string, n long, v double",
+    ).withColumn("bucket_ts", F.to_timestamp("bucket_ts"))
+    out = sorted(
+        fill_gaps(rolled, "k", count_cols=["n"], ffill_cols=[],
+                  lerp_cols=["v"]).collect(),
+        key=lambda r: r["bucket_ts"],
+    )
+    # 10 → 20 → 30 → 40 across the 3-hour span
+    assert [r["v"] for r in out] == [10.0, 20.0, 30.0, 40.0]
+    assert [r["is_gap"] for r in out] == [False, True, True, False]
