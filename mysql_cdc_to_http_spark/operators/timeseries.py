@@ -76,6 +76,9 @@ def fill_gaps(
     ratio of exact epoch-second integers and both neighbors are values
     both engines already agree on, so ``prev + (next-prev)·frac`` is
     the identical IEEE expression on identical inputs."""
+    overlap = set(ffill_cols) & set(lerp_cols or [])
+    if overlap:  # ffill mutates in place; lerp would then see filled rows
+        raise ValueError(f"columns in both ffill and lerp: {sorted(overlap)}")
     spine = dense_spine(resampled, key_col, step)
     joined = spine.join(
         resampled.withColumn("__observed", F.lit(1)),

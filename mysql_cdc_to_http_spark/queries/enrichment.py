@@ -1,6 +1,7 @@
 """Corpus-enrichment queries rounding out the training-data pipeline:
 PII scrubbing, document chunking, vocabulary heavy hitters, embedding
-pooling, and fuzzy (near-duplicate) benchmark decontamination.
+pooling, fuzzy (near-duplicate) benchmark decontamination, row
+validation/quarantine, time-series densification, and k-means.
 
 These are the passes a pretraining pipeline runs AROUND the core
 dedup/curation flow (queries/llm.py, queries/curation.py): scrub →
