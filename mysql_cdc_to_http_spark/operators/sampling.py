@@ -156,3 +156,35 @@ def md5_sample(id_col, p_sixteenths: int, salt: str = "v1"):
     threshold = format(p_sixteenths, "x")
     key = F.concat(F.lit(salt + "|"), id_col.cast("string"))
     return F.md5(key.cast("binary")) < threshold
+
+
+def weighted_sample_keys(
+    id_col, weight_col, salt: str = "v1"
+):
+    """Efraimidis-Spirakis weighted-sampling key: ``-ln(u) / w`` with a
+    deterministic md5-derived uniform u ∈ (0,1) — the k rows with the
+    SMALLEST keys form an exact weighted sample without replacement.
+
+    Engine-portable like ``md5_sample``: u comes from the first 24 md5
+    bits ((int+1)/(2^24+1), never 0 or 1), so the key is a pure function
+    of (salt, id, weight). Selection is a global top-k on the key — at
+    scale that is TakeOrderedAndProject (per-partition heaps + merge),
+    never a full sort. ln() may differ by an ulp across libm
+    implementations, but keys of distinct rows differ by far more, so
+    the selected SET is engine-stable (tie-break on id for the
+    pathological case)."""
+    u24 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(salt + "|"), id_col.cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (u24 + 1).cast("double") / F.lit(float((1 << 24) + 1))
+    return -F.log(u) / weight_col.cast("double")

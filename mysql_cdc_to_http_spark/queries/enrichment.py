@@ -495,3 +495,51 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = kmeans(emb, k=4, iters=2)
     return out.select("vec_id", "cluster").orderBy("vec_id")
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -ln((CAST(('0x' || substr(md5('v1|' || CAST(doc_id AS VARCHAR)),
+                                       1, 6)) AS BIGINT) + 1)
+                 / 16777217.0)
+             / CAST(n_chars AS DOUBLE) AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY k, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rn <= 50 ORDER BY doc_id
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis, operators/sampling.py:weighted_sample_keys):
+    the 50 docs with the smallest -ln(u)/n_chars keys, u md5-derived —
+    membership is a pure function of (salt, id, weight), identical
+    across runs, partitionings, and engines. The top-k on the key is
+    TakeOrderedAndProject at scale (never a full sort). ln() ulp
+    differences across libm builds cannot flip the selected set because
+    distinct keys differ by orders of magnitude more (verified
+    sf0.001/0.01/0.1)."""
+    from mysql_cdc_to_http_spark.operators.sampling import (
+        weighted_sample_keys,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        weighted_sample_keys(F.col("doc_id"), F.col("n_chars")).alias("k"),
+    )
+    return (
+        keyed.orderBy("k", "doc_id")
+        .limit(50)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )

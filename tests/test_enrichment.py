@@ -288,3 +288,22 @@ def test_fill_gaps_linear_interpolation(spark):
     # 10 → 20 → 30 → 40 across the 3-hour span
     assert [r["v"] for r in out] == [10.0, 20.0, 30.0, 40.0]
     assert [r["is_gap"] for r in out] == [False, True, True, False]
+
+
+def test_weighted_sample_keys_deterministic_and_weight_biased(spark):
+    from mysql_cdc_to_http_spark.operators.sampling import (
+        weighted_sample_keys,
+    )
+
+    # 200 light rows (w=1) + 200 heavy rows (w=50)
+    rows = [(i, 1) for i in range(200)] + [(1000 + i, 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    key = weighted_sample_keys(F.col("id"), F.col("w")).alias("k")
+    pick = lambda d: sorted(  # noqa: E731
+        r["id"] for r in d.select("id", key).orderBy("k", "id").limit(40).collect()
+    )
+    a = pick(df.repartition(1))
+    b = pick(df.repartition(13))
+    assert a == b  # membership invariant under partitioning
+    heavy = sum(1 for i in a if i >= 1000)
+    assert heavy >= 30  # 50x weight dominates the sample
