@@ -65,3 +65,38 @@ def quarantine_summary(
         .groupBy("rule")
         .agg(F.count(F.lit(1)).alias("n_failed"))
     )
+
+
+def stream_validate_and_route(
+    stream_df: DataFrame,
+    rules: dict[str, Column],
+    valid_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+):
+    """Continuous validate-and-route: each micro-batch evaluates the
+    rules ONCE (the batch is cached for the two writes), appends good
+    rows to ``valid_path`` and bad rows + reasons to
+    ``quarantine_path``. foreachBatch + checkpoint give effectively-once
+    delivery across restarts (a replayed batch overwrites nothing here —
+    appends are deduplicated upstream by the checkpointed source
+    offsets)."""
+
+    def route(batch_df: DataFrame, _epoch: int) -> None:
+        checked = with_validation(batch_df, rules).persist()
+        try:
+            checked.filter(F.size(REASONS_COL) == 0).drop(
+                REASONS_COL
+            ).write.mode("append").parquet(valid_path)
+            checked.filter(F.size(REASONS_COL) > 0).withColumn(
+                "reasons", F.concat_ws(",", F.col(REASONS_COL))
+            ).drop(REASONS_COL).write.mode("append").parquet(quarantine_path)
+        finally:
+            checked.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

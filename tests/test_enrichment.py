@@ -307,3 +307,47 @@ def test_weighted_sample_keys_deterministic_and_weight_biased(spark):
     assert a == b  # membership invariant under partitioning
     heavy = sum(1 for i in a if i >= 1000)
     assert heavy >= 30  # 50x weight dominates the sample
+
+
+def test_stream_validate_and_route(spark, sf_dir, tmp_path):
+    """Streaming validation: valid and quarantined rows split from one
+    pass per micro-batch; all input rows land in exactly one output."""
+    import os as _os
+
+    from mysql_cdc_to_http_spark.operators.validation import (
+        stream_validate_and_route,
+    )
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "event_type", "value"
+    )
+    feed = str(tmp_path / "feed")
+    src.repartition(3).write.parquet(feed)
+
+    rules = {
+        "value_nonneg": F.col("value") >= 0,
+        "type_known": F.col("event_type").isin("click", "view", "purchase",
+                                               "signup", "logout"),
+    }
+    vp, qp = str(tmp_path / "valid"), str(tmp_path / "quar")
+    q = stream_validate_and_route(
+        spark.readStream.schema(src.schema).parquet(feed),
+        rules, vp, qp, str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    valid = spark.read.parquet(vp)
+    n_quar = (
+        spark.read.parquet(qp).count()
+        if _os.path.exists(qp) and any(
+            f.endswith(".parquet") for f in _os.listdir(qp)
+        )
+        else 0
+    )
+    assert valid.count() + n_quar == src.count()
+    # batch reference: same rules, same split
+    from mysql_cdc_to_http_spark.operators.validation import split_valid
+
+    bv, bq = split_valid(src, rules)
+    assert valid.count() == bv.count() and n_quar == bq.count()
