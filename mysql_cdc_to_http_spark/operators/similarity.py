@@ -198,6 +198,7 @@ def knn_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_rows: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Strategy-selecting KNN planner — the engine's query-facing entry.
 
@@ -230,7 +231,11 @@ def knn_topk(
         strategy = "exact" if n <= limit else "ivf"
     if strategy == "exact":
         return cosine_topk_bruteforce(queries, corpus, k, id_col, vec_col)
-    centroids = sample_centroids(corpus, n_centroids, id_col, vec_col)
+    # pass kmeans-trained centroids (operators/clustering.py:
+    # kmeans_centroids) when recall matters; the lowest-id sample is
+    # the zero-cost default
+    if centroids is None:
+        centroids = sample_centroids(corpus, n_centroids, id_col, vec_col)
     bucketed = assign_buckets(corpus, centroids, id_col, vec_col)
     return ivf_topk(
         queries, bucketed, centroids, k, nprobe, id_col, vec_col

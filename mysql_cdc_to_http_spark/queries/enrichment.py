@@ -543,3 +543,53 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_sample_weighted_grouped",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             -ln((CAST(('0x' || substr(md5('v1|' || CAST(doc_id AS VARCHAR)),
+                                       1, 6)) AS BIGINT) + 1)
+                 / 16777217.0)
+             / CAST(n_chars AS DOUBLE) AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rn <= 5 ORDER BY source, doc_id
+    """,
+)
+def q_sample_weighted_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quota sampling: the 5 highest-priority docs PER
+    SOURCE under the same Efraimidis-Spirakis weighted keys — the
+    corpus-mixing shape where every domain contributes a fixed quota
+    chosen proportionally to document weight. One window per stratum
+    (rank over the key), shuffle bounded by (doc_id, source, key)
+    columns — never the payload. Same determinism argument as
+    q_sample_weighted."""
+    from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.operators.sampling import (
+        weighted_sample_keys,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        weighted_sample_keys(F.col("doc_id"), F.col("n_chars")).alias("k"),
+    )
+    w = W.partitionBy("source").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")
+    )

@@ -351,3 +351,39 @@ def test_stream_validate_and_route(spark, sf_dir, tmp_path):
 
     bv, bq = split_valid(src, rules)
     assert valid.count() == bv.count() and n_quar == bq.count()
+
+
+def test_kmeans_centroids_improve_ivf_recall(spark, sf_dir):
+    """Trained centroids must not lose to the lowest-id sample at equal
+    nprobe (deterministic data + deterministic training → a stable
+    comparison, measured 0.667 vs 0.567 at sf0.01/nprobe=8)."""
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.operators.clustering import kmeans_centroids
+    from mysql_cdc_to_http_spark.operators.similarity import (
+        assign_buckets,
+        cosine_topk_bruteforce,
+        ivf_topk,
+        sample_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    exact = {
+        (r.query_id, r.corpus_id)
+        for r in cosine_topk_bruteforce(queries, corpus, k=3).collect()
+    }
+
+    def recall(cents):
+        bucketed = assign_buckets(corpus, cents)
+        got = {
+            (r.query_id, r.corpus_id)
+            for r in ivf_topk(queries, bucketed, cents, k=3,
+                              nprobe=8).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_sampled = recall(sample_centroids(corpus, 16))
+    r_trained = recall(kmeans_centroids(corpus, k=16, iters=3))
+    assert r_trained >= r_sampled
+    assert r_trained >= 0.6
