@@ -63,7 +63,7 @@ HEADLINE = [
     "q_decontaminate",
     "q_repetition",
     "q_domain_mix",
-    # added round 5 (enrichment family) — r5 totals cover 39 queries;
+    # added round 5 (enrichment family) — r5 totals cover 40 queries;
     # compare per-query or the r03-name 29-query subset.
     "q_pii_redact",
     "q_chunk_documents",
@@ -75,6 +75,7 @@ HEADLINE = [
     "q_resample_gapfill",
     "q_kmeans",
     "q_sample_weighted",
+    "q_sample_weighted_grouped",
 ]
 
 
