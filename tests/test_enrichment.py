@@ -387,3 +387,24 @@ def test_kmeans_centroids_improve_ivf_recall(spark, sf_dir):
     r_trained = recall(kmeans_centroids(corpus, k=16, iters=3))
     assert r_trained >= r_sampled
     assert r_trained >= 0.6
+
+
+def test_operator_input_validation(spark):
+    import pytest as _pytest
+
+    from mysql_cdc_to_http_spark.operators.text import chunk_documents
+    from mysql_cdc_to_http_spark.operators.timeseries import fill_gaps
+    from mysql_cdc_to_http_spark.operators.validation import with_validation
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="positive"):
+        chunk_documents(df, chunk_tokens=0)
+    with _pytest.raises(ValueError, match="positive"):
+        chunk_documents(df, stride=-1)
+    with _pytest.raises(ValueError, match="non-empty"):
+        with_validation(df, {})
+    ts = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0)], "k string, bucket_ts string, v double"
+    ).withColumn("bucket_ts", F.to_timestamp("bucket_ts"))
+    with _pytest.raises(ValueError, match="both ffill and lerp"):
+        fill_gaps(ts, "k", count_cols=[], ffill_cols=["v"], lerp_cols=["v"])
