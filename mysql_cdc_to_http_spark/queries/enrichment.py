@@ -593,3 +593,68 @@ def q_sample_weighted_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_chars")
         .orderBy("source", "doc_id")
     )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.tv
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 1 AS ord, 'view' AS stage,
+             CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT 2, 'view>click', CAST((SELECT count(*) FROM c) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'view>click>purchase',
+             CAST((SELECT count(*) FROM p) AS BIGINT)
+    ) ORDER BY ord
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): each stage
+    keeps users whose FIRST qualifying event follows their previous
+    stage's first event. Three staged aggregates; each stage's join key
+    is user_id, so at scale the stage tables co-partition and every agg
+    is two-phase map-combined. Exact timestamp comparisons — no floats
+    anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev: DataFrame | None, prev_ts: str, out_ts: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    v = stage("view", None, "", "tv")
+    c = stage("click", v, "tv", "tc")
+    p = stage("purchase", c, "tc", "tp")
+
+    def cnt(df: DataFrame, ord_: int, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_users")
+        ).select(
+            F.lit(ord_).alias("__ord"), F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        cnt(v, 1, "view")
+        .unionByName(cnt(c, 2, "view>click"))
+        .unionByName(cnt(p, 3, "view>click>purchase"))
+        .orderBy("__ord")
+        .select("stage", "n_users")
+    )
