@@ -63,7 +63,7 @@ HEADLINE = [
     "q_decontaminate",
     "q_repetition",
     "q_domain_mix",
-    # added round 5 (enrichment family) — r5 totals cover 40 queries;
+    # added round 5 (enrichment family) — r5 totals cover 41 queries;
     # compare per-query or the r03-name 29-query subset.
     "q_pii_redact",
     "q_chunk_documents",
@@ -76,6 +76,7 @@ HEADLINE = [
     "q_kmeans",
     "q_sample_weighted",
     "q_sample_weighted_grouped",
+    "q_funnel",
 ]
 
 
