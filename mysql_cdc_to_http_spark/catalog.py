@@ -47,11 +47,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - Spark 4.1+: read natively as TIMESTAMP_NTZ (micros truncation; the
       legacy flag is ignored). Event-time streaming (``withWatermark``)
       requires TIMESTAMP (LTZ), so normalize to the same value the long
-      path produced: instant = the naive wall clock read as UTC,
-      regardless of the session timezone (``convert_timezone`` from UTC
-      to the session zone, then a session-zone cast — the two offsets
-      cancel). Collected rows therefore render the original wall times
-      in any harness session, matching the UTC-naive DuckDB oracle.
+      path produced: instant = the naive wall clock read as UTC. The
+      conversion is pure integer arithmetic on the NTZ value
+      (micros-since-epoch → ``timestamp_micros``), never a session-tz
+      round trip: a wall-clock detour through ``convert_timezone`` is
+      ambiguous during DST fall-back folds (the repeated local hour
+      resolves to the earlier offset, shifting fold-hour events by the
+      DST gap). This form is byte-identical to the legacy nanos→long
+      path in ANY session timezone, folds included.
     """
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
@@ -59,11 +62,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(dt, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(dt, T.TimestampNTZType):
-            tz = spark.conf.get("spark.sql.session.timeZone")
             df = df.withColumn(
                 "ts",
-                F.convert_timezone(F.lit("UTC"), F.lit(tz), F.col("ts")).cast(
-                    "timestamp"
+                F.expr(
+                    "timestamp_micros(timestampdiff("
+                    "MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
                 ),
             )
     return df

@@ -86,73 +86,85 @@ def connected_components(
     """
     if algorithm not in ("label", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    sc = edges.sparkSession.sparkContext
+    # setCheckpointDir is session-global; remember the caller's dir so the
+    # fixpoint loop doesn't silently redirect OTHER jobs' reliable
+    # checkpoints for the rest of the session (restored in finally below).
+    prior_ckpt_dir = sc.getCheckpointDir() if checkpoint_dir is not None else None
     if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc.setCheckpointDir(checkpoint_dir)
 
-    def _pin(df: DataFrame, rnd: int) -> DataFrame:
-        if checkpoint_dir is not None and rnd % checkpoint_every == 0:
-            return df.checkpoint()
-        return df.localCheckpoint()
-    # symmetrize via explode, not unionAll: one scan of the (typically
-    # expensive LSH-pipeline) edge frame instead of two
-    both = F.explode(
-        F.array(
-            F.struct(
-                F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
-            ),
-            F.struct(
-                F.col(dst_col).alias("__s"), F.col(src_col).alias("__d")
-            ),
-        )
-    )
-    sym = (
-        edges.select(both.alias("__e")).select("__e.__s", "__e.__d").persist()
-    )
-    all_nodes = nodes.select(F.col(id_col).alias("__node"))
-    # Checkpoint (not persist) per round: persist caches DATA but keeps
-    # the logical plan, and each round's plan embeds the previous round's
-    # TWICE (labels feeds both join inputs) — exponential Catalyst
-    # re-analysis that stalls past ~8 rounds. Checkpointing truncates
-    # lineage so every round re-plans a constant-size plan.
-    if algorithm == "star":
-        # symmetric edge list ⇒ the __s column alone covers every endpoint
-        endpoints = sym.select(F.col("__s").alias("__node")).distinct()
-        star_labels, converged = _star_fixpoint(sym, _pin, max_iter)
-        # behavioral parity with the label body: every ACTIVE node gets a
-        # label (a node whose only edge was a self-loop drops out of the
-        # star edge set — it is its own component), restricted to nodes
-        # present in ``nodes`` even if edges mention others.
-        labels = (
-            all_nodes.join(endpoints, "__node", "left_semi")
-            .join(star_labels, "__node", "left")
-            .select(
-                "__node",
-                F.coalesce("__label", F.col("__node")).alias("__label"),
+    try:
+        def _pin(df: DataFrame, rnd: int) -> DataFrame:
+            if checkpoint_dir is not None and rnd % checkpoint_every == 0:
+                return df.checkpoint()
+            return df.localCheckpoint()
+        # symmetrize via explode, not unionAll: one scan of the (typically
+        # expensive LSH-pipeline) edge frame instead of two
+        both = F.explode(
+            F.array(
+                F.struct(
+                    F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+                ),
+                F.struct(
+                    F.col(dst_col).alias("__s"), F.col(src_col).alias("__d")
+                ),
             )
         )
-    else:
-        labels, converged = _label_fixpoint(sym, all_nodes, _pin, max_iter)
-        # the init groupBy's keys ARE the active set — no separate
-        # distinct over the edge list
-        endpoints = labels.select("__node")
-    if not converged:
-        msg = (
-            f"connected_components: no fixpoint within max_iter={max_iter} "
-            f"rounds — labels are PARTIALLY propagated (graph diameter "
-            f"exceeds the iteration budget; raise max_iter)"
+        sym = (
+            edges.select(both.alias("__e")).select("__e.__s", "__e.__d").persist()
         )
-        if strict:
-            sym.unpersist()
-            raise RuntimeError(msg)
-        warnings.warn(msg)
-    isolated = all_nodes.join(endpoints, "__node", "left_anti").select(
-        "__node", F.col("__node").alias("__label")
-    )
-    out = labels.unionAll(isolated).select(
-        F.col("__node").alias(id_col), F.col("__label").alias("cluster_id")
-    )
-    # labels is checkpoint-backed (freed by GC); only sym needs release
-    return register_cached(out, [sym])
+        all_nodes = nodes.select(F.col(id_col).alias("__node"))
+        # Checkpoint (not persist) per round: persist caches DATA but keeps
+        # the logical plan, and each round's plan embeds the previous round's
+        # TWICE (labels feeds both join inputs) — exponential Catalyst
+        # re-analysis that stalls past ~8 rounds. Checkpointing truncates
+        # lineage so every round re-plans a constant-size plan.
+        if algorithm == "star":
+            # symmetric edge list ⇒ the __s column alone covers every endpoint
+            endpoints = sym.select(F.col("__s").alias("__node")).distinct()
+            star_labels, converged = _star_fixpoint(sym, _pin, max_iter)
+            # behavioral parity with the label body: every ACTIVE node gets a
+            # label (a node whose only edge was a self-loop drops out of the
+            # star edge set — it is its own component), restricted to nodes
+            # present in ``nodes`` even if edges mention others.
+            labels = (
+                all_nodes.join(endpoints, "__node", "left_semi")
+                .join(star_labels, "__node", "left")
+                .select(
+                    "__node",
+                    F.coalesce("__label", F.col("__node")).alias("__label"),
+                )
+            )
+        else:
+            labels, converged = _label_fixpoint(sym, all_nodes, _pin, max_iter)
+            # the init groupBy's keys ARE the active set — no separate
+            # distinct over the edge list
+            endpoints = labels.select("__node")
+        if not converged:
+            msg = (
+                f"connected_components: no fixpoint within max_iter={max_iter} "
+                f"rounds — labels are PARTIALLY propagated (graph diameter "
+                f"exceeds the iteration budget; raise max_iter)"
+            )
+            if strict:
+                sym.unpersist()
+                raise RuntimeError(msg)
+            warnings.warn(msg)
+        isolated = all_nodes.join(endpoints, "__node", "left_anti").select(
+            "__node", F.col("__node").alias("__label")
+        )
+        out = labels.unionAll(isolated).select(
+            F.col("__node").alias(id_col), F.col("__label").alias("cluster_id")
+        )
+        # labels is checkpoint-backed (freed by GC); only sym needs release
+        return register_cached(out, [sym])
+    finally:
+        # Restore the caller's reliable-checkpoint dir. If none was
+        # set before, Spark has no public unset — the dir then
+        # remains (documented session-level side effect).
+        if prior_ckpt_dir is not None and prior_ckpt_dir != checkpoint_dir:
+            sc.setCheckpointDir(prior_ckpt_dir)
 
 
 def _label_fixpoint(sym, all_nodes, pin, max_iter):

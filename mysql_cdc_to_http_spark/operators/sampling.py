@@ -22,7 +22,7 @@ def stratified_sample(
     return df.sampleBy(stratum_col, fractions, seed=seed)
 
 
-def split_bucket(id_col: Column, n_buckets: int = 100, salt: str = "split-v1") -> Column:
+def split_bucket(id_col: Column, n_buckets: int = 100, salt: str = "split-v2") -> Column:
     """Stable bucket in [0, n_buckets) from a record id. Salted so
     independent splits of the same ids decorrelate.
 
@@ -32,7 +32,17 @@ def split_bucket(id_col: Column, n_buckets: int = 100, salt: str = "split-v1") -
     what makes train/test assignment portable across the lab stack and
     lets the driver oracle value-check it. Modulo bias at 2^24 % 100 is
     ~1e-5. md5 costs more than xxhash64 but hashing ids is never the
-    bottleneck — determinism is the operator's contract."""
+    bottleneck — determinism is the operator's contract.
+
+    .. versionchanged:: round 5/6
+       The hash function changed xxhash64 → md5 (for cross-engine
+       reproducibility). Bucket assignments under the old hash are NOT
+       compatible; the default salt was bumped ``split-v1`` → ``split-v2``
+       so persisted v1 splits fail loudly (different salt string in
+       lineage/configs) instead of silently mixing memberships. Pin
+       ``salt="split-v1"`` only for corpora already split with the md5
+       form of v1; splits persisted under the xxhash64 era must be
+       re-materialized."""
     hex6 = F.substring(
         F.md5(F.concat_ws("|", F.lit(salt), id_col.cast("string"))), 1, 6
     )
@@ -44,7 +54,7 @@ def hash_split(
     id_col: str,
     train_pct: int = 80,
     val_pct: int = 10,
-    salt: str = "split-v1",
+    salt: str = "split-v2",
 ) -> DataFrame:
     """Attach a deterministic ``split`` column: train / val / test."""
     b = split_bucket(F.col(id_col), 100, salt)

@@ -100,8 +100,12 @@ def fill_gaps(
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     for c in ffill_cols:
         out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(back))
-    obs_ts = F.when(F.col("__observed").isNotNull(), F.col("bucket_ts"))
     for c in lerp_cols or []:
+        # Anchor timestamps come from the SAME rows as the anchor values:
+        # buckets where THIS column is non-null. An observed bucket
+        # carrying a NULL in the lerp column must not move the anchor, or
+        # the fraction desynchronizes from the value endpoints.
+        obs_ts = F.when(F.col(c).isNotNull(), F.col("bucket_ts"))
         prev_v = F.last(F.col(c), ignorenulls=True).over(back)
         next_v = F.first(F.col(c), ignorenulls=True).over(fwd)
         prev_t = F.unix_timestamp(F.last(obs_ts, ignorenulls=True).over(back))

@@ -355,10 +355,10 @@ def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
              a.avg_value,
              last_value(a.avg_value IGNORE NULLS) OVER w_back  AS prev_v,
              first_value(a.avg_value IGNORE NULLS) OVER w_fwd  AS next_v,
-             epoch(last_value(CASE WHEN a.bucket_ts IS NOT NULL
+             epoch(last_value(CASE WHEN a.avg_value IS NOT NULL
                                    THEN s.bucket_ts END IGNORE NULLS)
                    OVER w_back) AS prev_t,
-             epoch(first_value(CASE WHEN a.bucket_ts IS NOT NULL
+             epoch(first_value(CASE WHEN a.avg_value IS NOT NULL
                                     THEN s.bucket_ts END IGNORE NULLS)
                    OVER w_fwd) AS next_t,
              epoch(s.bucket_ts) AS cur_t,

@@ -649,7 +649,7 @@ def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT doc_id,
-             ('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)),
+             ('0x' || substr(md5('split-v2|' || CAST(doc_id AS VARCHAR)),
                              1, 6))::INTEGER % 100 AS bucket
       FROM documents
     )

@@ -290,6 +290,36 @@ def test_fill_gaps_linear_interpolation(spark):
     assert [r["is_gap"] for r in out] == [False, True, True, False]
 
 
+def test_fill_gaps_lerp_anchors_skip_observed_nulls(spark):
+    """Round-5 ADVICE regression: an OBSERVED bucket carrying a NULL in a
+    lerp column must not move the time anchors — prev_t/next_t come from
+    buckets where the value itself is non-null, so the fraction matches
+    the value endpoints."""
+    from mysql_cdc_to_http_spark.operators.timeseries import fill_gaps
+
+    rolled = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00", 1, 10.0),
+            # observed row, NULL value: a valid anchor for nothing
+            ("a", "2024-01-01 02:00:00", 1, None),
+            ("a", "2024-01-01 04:00:00", 1, 50.0),
+        ],
+        "k string, bucket_ts string, n long, v double",
+    ).withColumn("bucket_ts", F.to_timestamp("bucket_ts"))
+    out = sorted(
+        fill_gaps(rolled, "k", count_cols=["n"], ffill_cols=[],
+                  lerp_cols=["v"]).collect(),
+        key=lambda r: r["bucket_ts"],
+    )
+    # Linear from 10.0@00:00 to 50.0@04:00 → +10/hour, including BOTH the
+    # gap buckets (01:00, 03:00) and the observed-null bucket (02:00).
+    # Old observed-row anchors desynchronized at the gap buckets: 01:00
+    # got next_t=02:00 (the null row) with next_v=50.0@04:00 → 30.0, and
+    # 03:00 got prev_t=02:00 with prev_v=10.0@00:00 → 30.0.
+    assert [r["v"] for r in out] == [10.0, 20.0, 30.0, 40.0, 50.0]
+    assert [r["is_gap"] for r in out] == [False, True, False, True, False]
+
+
 def test_weighted_sample_keys_deterministic_and_weight_biased(spark):
     from mysql_cdc_to_http_spark.operators.sampling import (
         weighted_sample_keys,

@@ -294,6 +294,33 @@ def test_connected_components_star_deep_chain(spark, tmp_path):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_restores_checkpoint_dir(spark, tmp_path):
+    """Round-5 ADVICE regression: the checkpoint_dir= option must not
+    leave the session-global reliable-checkpoint dir redirected after
+    the call returns."""
+    from mysql_cdc_to_http_spark.operators.caching import release_all_cached
+    from mysql_cdc_to_http_spark.operators.graph import connected_components
+
+    sc = spark.sparkContext
+    caller_dir = str(tmp_path / "caller_ckpt")
+    sc.setCheckpointDir(caller_dir)
+    prior = sc.getCheckpointDir()  # fs-qualified caller_dir + /UUID
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 4)], "id long")
+    comp = connected_components(
+        edges, nodes, checkpoint_dir=str(tmp_path / "cc_ckpt"),
+        checkpoint_every=1,
+    )
+    comp.collect()
+    release_all_cached()
+    # Spark nests a fresh UUID per setCheckpointDir call, so exact
+    # equality is unattainable; what matters is that future reliable
+    # checkpoints land back under the CALLER's tree, not cc_ckpt.
+    restored = sc.getCheckpointDir()
+    assert restored.startswith(prior)
+    assert "cc_ckpt" not in restored
+
+
 def test_connected_components_star_matches_label(spark):
     """Star and label bodies are exchangeable: identical labels on a
     seeded multi-component graph with isolated nodes."""
