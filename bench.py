@@ -77,6 +77,18 @@ HEADLINE = [
     "q_sample_weighted",
     "q_sample_weighted_grouped",
     "q_funnel",
+    # added round 6: stateful/merge families previously invisible to the
+    # bench (oracle-gated but unmeasured — a perf regression there could
+    # not be seen), plus the new multi-join analytic compositions.
+    # r6 totals cover 48 queries; compare per-query or prior-round-name
+    # subsets.
+    "q_sessionize",
+    "q_scd2_history",
+    "q_incremental_agg",
+    "q_dedup_embedding",
+    "q_dedup_incremental",
+    "q_agg_q3",
+    "q_agg_q5",
 ]
 
 
@@ -123,17 +135,27 @@ def main() -> None:
     release_all_cached()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Streaming throughput/soak suite (round-6): sustained rows/s through
+    # the CDC latest-state pipeline (with a mid-feed kill + checkpoint
+    # resume) and the stream-stream interval join. Embedded in the same
+    # JSON line so the driver records it; SPARK_GRAFT_STREAM=0 skips.
+    if os.environ.get("SPARK_GRAFT_STREAM", "1") != "0":
+        try:
+            import bench_stream
+
+            payload["stream"] = bench_stream.run(spark, sf_dir)
+        except Exception as exc:  # keep the one-JSON-line contract
+            payload["stream"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
+    print(json.dumps(payload))
     spark.stop()
 
 
