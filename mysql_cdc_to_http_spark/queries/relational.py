@@ -351,6 +351,148 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X75 — multi-join analytic composition, TPC-H Q3 shape: 3-way join
+# (customer ⋈ orders ⋈ lineitem) + grouped revenue + ordered top-k.
+# Exercises Catalyst join reordering + AQE + TakeOrderedAndProject
+# together — every other join query in the suite is a single pair.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q3",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_agg_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 on the testdata schema (o_orderpriority standing in for
+    o_shippriority). Scale shape: both filters reach the parquet scans
+    (pushdown), lineitem — the fact — shuffles once on l_orderkey for
+    the orders join, the customer join rides on AQE's strategy choice
+    (shuffle at equal scale, broadcast when the segment filter makes the
+    build side small), and the final top-10 is TakeOrderedAndProject
+    over the 3-key partial agg — no global sort materializes. Revenue is
+    exact DECIMAL per q_agg_q1's cross-engine rule, surfaced as double.
+    Ties on revenue are broken by (o_orderdate, l_orderkey) so the
+    LIMIT frontier is deterministic cross-engine."""
+    cutoff = F.lit("1998-07-01 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# X75 — TPC-H Q5 shape: 6-way join with two broadcast dims, a
+# star-constraint (customer and supplier share a nation), and a grouped
+# revenue rollup. The multi-way broadcast-selection exercise.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q5",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_agg_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: local-supplier revenue by nation. Scale shape: region
+    filters FIRST and the region⋈nation⋈supplier prune chain broadcasts
+    into the fact stream (explicit ``F.broadcast`` — all three are
+    DIM_TABLES, tiny at any SF), so the dims contribute ZERO fact-side
+    shuffles. The fact data re-keys exactly twice — the minimum for
+    this query's join graph: once on the orderkey (lineitem ⋈ orders)
+    and once on the custkey (⋈ customer, which at 100 TB scales with
+    the fact and cannot broadcast); the c_nationkey = s_nationkey star
+    constraint rides the broadcast join as a predicate, adding no key.
+    The 25-group agg is two-phase (map-side partial). The plan test
+    (tests/test_plans.py) pins the dims to BroadcastHashJoin and
+    asserts no exchange ever partitions on a dim column."""
+    cutoff_lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    cutoff_hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    # dim prune chain stays driver-tiny: region(1) ⋈ nation ⋈ supplier
+    asian_suppliers = (
+        supplier.join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(asian_suppliers),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+# --------------------------------------------------------------------------
 # X20 — global sort + limit (TakeOrderedAndProject)
 # --------------------------------------------------------------------------
 @query(

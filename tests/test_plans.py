@@ -277,6 +277,50 @@ def test_salted_join_rejects_row_multiplying_types(spark):
         assert got == want, (good, got, want)
 
 
+def test_q3_topk_over_partial_agg(spark, sf_dir):
+    """TPC-H Q3 shape: the top-10 must be TakeOrderedAndProject over a
+    two-phase aggregate — no global sort of the grouped revenue."""
+    df = QUERIES["q_agg_q3"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q5_dims_broadcast_and_never_shuffle(spark, sf_dir):
+    """TPC-H Q5 shape, with auto-broadcast OFF so only the explicit
+    hints survive: the region⋈nation⋈supplier prune chain and its join
+    into the fact stream are all BroadcastHashJoin, no exchange ever
+    hash-partitions on a dim column (dims contribute zero fact-side
+    shuffles), and the fact re-keys only on orderkey/custkey."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(QUERIES["q_agg_q5"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+    part_lines = [
+        ln
+        for ln in plan.splitlines()
+        if ln.startswith("Arguments: hashpartitioning")
+    ]
+    assert part_lines, plan
+    for ln in part_lines:
+        assert not any(
+            c in ln
+            for c in ("s_suppkey#", "s_nationkey#", "n_nationkey#",
+                      "n_regionkey#", "r_regionkey#")
+        ), f"dim column shuffled: {ln}"
+        # join re-keys on fact keys only; the one n_name exchange is the
+        # post-partial-agg shuffle (group-count-sized rows by then)
+        assert any(
+            c in ln
+            for c in ("l_orderkey#", "o_orderkey#", "o_custkey#",
+                      "c_custkey#", "n_name#")
+        ), f"unexpected shuffle key: {ln}"
+
+
 def test_incremental_dedup_candidate_shuffle_is_narrow(spark, sf_dir, tmp_path):
     """Incremental dedup's candidate generation must not ship shingle or
     signature arrays through the band/bucket join — only (id, band,
