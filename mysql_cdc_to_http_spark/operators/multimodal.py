@@ -53,16 +53,123 @@ def attach_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def decode_media(content: bytes, media_type: str, fake: bool = False) -> np.ndarray:
-    """Decode a media payload to a raw array. Real decoders (PIL/ffmpeg/
-    torchaudio) are unavailable in this container — STUB per environment
-    contract; ``fake=True`` yields a deterministic byte-view instead."""
-    if not fake:
-        raise NotImplementedError(
-            "media decoding requires image/audio libraries not present in "
-            "this environment; pass fake=True for the deterministic stub"
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type → channel count (8-bit, non-interlaced subset).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """REAL PNG decode using only the stdlib (``zlib``) — no optional
+    dependency needed. Supports the baseline subset a training pipeline's
+    thumbnails/tiles actually use: 8-bit depth, grayscale / gray+alpha /
+    RGB / RGBA, non-interlaced, all five scanline filters (PNG spec
+    §4.5.4 / RFC 2083). Returns an (H, W, C) uint8 array. Palette,
+    16-bit, and Adam7-interlaced files raise ValueError — route those
+    through Pillow (``decode_media`` does) or re-encode upstream."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(content):
+        (length,), ctype = struct.unpack(">I", content[pos : pos + 4]), content[
+            pos + 4 : pos + 8
+        ]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            meta = (w, h, depth, color, interlace)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, interlace = meta
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color}, "
+            f"interlace={interlace}); baseline subset is 8-bit "
+            f"gray/graya/rgb/rgba non-interlaced"
         )
-    return np.frombuffer(content, dtype=np.uint8)
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline payload has wrong length")
+    out = np.empty((h, stride), dtype=np.uint8)
+    for y in range(h):
+        row_start = y * (1 + stride)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).copy()
+        prior = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            out[y] = line
+        elif ftype == 2:  # Up — vectorized (uint8 addition wraps mod 256
+            out[y] = line + prior  # exactly as the spec requires)
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth carry left state
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0  # left
+                b = int(prior[x])  # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:  # Paeth predictor
+                    c = int(prior[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+    return out.reshape(h, w, ch)
+
+
+def decode_media(content: bytes, media_type: str, fake: bool = False) -> np.ndarray:
+    """Decode a media payload to a raw array.
+
+    Real paths, tried in order:
+    - ``fake=True``: deterministic byte view (the oracle-stable stand-in
+      every registered query uses — cross-engine reproducible).
+    - PNG payloads: stdlib decoder (``decode_png``) — always available.
+    - other images, or PNG variants outside the baseline subset: Pillow,
+      when importable (optional dependency).
+    - everything else (audio/video, no Pillow): NotImplementedError —
+      the honest gate; ffmpeg/torchaudio are not in this environment.
+    """
+    if fake:
+        return np.frombuffer(content, dtype=np.uint8)
+    if content[:8] == _PNG_MAGIC:
+        try:
+            return decode_png(content)
+        except ValueError:
+            pass  # non-baseline PNG → try Pillow below
+    if media_type.startswith("image/"):
+        try:
+            import io
+
+            from PIL import Image  # optional dependency
+        except ImportError as exc:
+            raise NotImplementedError(
+                "non-PNG image decoding requires Pillow, which is not "
+                "installed in this environment; PNG (8-bit baseline) "
+                "decodes via the stdlib path, or pass fake=True for the "
+                "deterministic stub"
+            ) from exc
+        return np.asarray(Image.open(io.BytesIO(content)))
+    raise NotImplementedError(
+        "audio/video decoding requires media libraries not present in "
+        "this environment; pass fake=True for the deterministic stub"
+    )
 
 
 FEATURE_DIM = 32
@@ -104,6 +211,60 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
     return assets.select("asset_id", "media_type", "content").mapInPandas(
         _featurize_batch, schema=_FEATURE_SCHEMA
+    )
+
+
+_IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def image_stats(assets: DataFrame) -> DataFrame:
+    """REAL image decode over ``mapInPandas``: width/height/channels and
+    mean pixel intensity per asset, Arrow batches in/out — the same
+    plumbing shape as ``extract_features`` but running ``decode_media``
+    un-faked (stdlib PNG path; Pillow for other formats when present).
+    Undecodable assets yield a ``decode_error`` row instead of failing
+    the batch — at 100 TB a single corrupt blob must not kill the stage
+    (same quarantine philosophy as operators/validation.py)."""
+
+    def _stats_batch(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, mtype, content in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["content"]
+            ):
+                try:
+                    arr = decode_media(bytes(content), str(mtype))
+                    if arr.ndim == 2:  # Pillow returns H×W for grayscale
+                        arr = arr[:, :, None]
+                    h, w, c = arr.shape
+                    rows.append(
+                        (int(aid), w, h, c, float(arr.mean()), None)
+                    )
+                except (NotImplementedError, ValueError) as exc:
+                    rows.append(
+                        (int(aid), None, None, None, None, str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "channels",
+                    "mean_intensity", "decode_error",
+                ],
+            )
+
+    return assets.select("asset_id", "media_type", "content").mapInPandas(
+        _stats_batch, schema=_IMAGE_STATS_SCHEMA
     )
 
 
