@@ -408,23 +408,63 @@ def simhash64(text_col):
     return simhash_fold_udf(token_hashes)
 
 
+#: Bits per fingerprint variant — xxhash64 uses the full 64; the md5
+#: variant takes the hash's first 15 hex chars (60 bits), the widest
+#: slice that fits a signed BIGINT on both engines.
+SIMHASH_BITS = {"xxhash64": 64, "md5": 60}
+
+
+def simhash60_md5(text_col):
+    """60-bit SimHash over md5-derived token hashes — the CROSS-ENGINE
+    fingerprint twin of ``simhash64``. Token hash = first 15 hex chars
+    of md5(token) as a base-16 integer (the engine's md5 determinism
+    primitive, same as ``split_bucket``), so any SQL engine reproduces
+    the exact fingerprints and brute-force hamming ground truth — this
+    is what makes q_dedup_simhash_md5 fully oracle-able where the
+    xxhash64 form (no SQL mirror) stays rows-only. xxhash64 remains the
+    fast default: one JVM hash call per token vs md5 + substring + conv,
+    measured ~1.5× cheaper on the signature stage."""
+    toks = F.split(normalize_text(text_col), " ")
+    token_hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    return simhash_fold_udf(token_hashes)
+
+
 def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket_size: int = 500,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dup candidates: band the 64-bit hash into 4×16-bit
-    chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), bucket
-    per chunk, verify hamming distance via bit_count(xor).
+    """SimHash near-dup candidates: band the fingerprint into 4 chunks
+    (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal, so the banded
+    candidate set is a SUPERSET of every qualifying pair), bucket per
+    chunk, verify hamming distance via bit_count(xor).
+
+    ``hash_fn`` picks the fingerprint: ``"xxhash64"`` (default, fastest,
+    64-bit, no SQL mirror) or ``"md5"`` (60-bit, bit-for-bit
+    reproducible in any md5-capable SQL engine — the oracle-able twin).
 
     Scale shape mirrors MinHash-LSH: only (id, chunk, bucket) rides the
-    candidate shuffle (the 64-bit fingerprint joins back by id AFTER pair
+    candidate shuffle (the fingerprint joins back by id AFTER pair
     generation), and ``max_bucket_size`` caps the per-bucket k²/2 pair
-    blowup — one hot 16-bit bucket must not go quadratic at corpus scale.
+    blowup — one hot chunk bucket must not go quadratic at corpus
+    scale. With ``max_bucket_size=None`` (exact mode) the result is
+    PRECISELY all pairs at hamming ≤ ``max_hamming``; with a cap it is
+    the documented approximate contract (~92% capture measured at the
+    scale config, COVERAGE.md).
     """
-    sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    if hash_fn not in SIMHASH_BITS:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    n_bits = SIMHASH_BITS[hash_fn]
+    fingerprint = simhash64 if hash_fn == "xxhash64" else simhash60_md5
+    width = n_bits // 4
+    mask = (1 << width) - 1
+    sh = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("sh"))
     # consumed twice (banding + hamming verify) — compute the UDF once;
     # tagged on the result for release_cached() (operators/caching.py)
     sh = sh.persist()
@@ -432,8 +472,8 @@ def simhash_pairs(
         *[
             F.struct(
                 F.lit(i).alias("chunk"),
-                F.shiftrightunsigned(F.col("sh"), i * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(F.col("sh"), i * width)
+                .bitwiseAND(F.lit(mask))
                 .alias("bucket"),
             )
             for i in range(4)

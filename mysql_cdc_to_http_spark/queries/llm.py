@@ -352,6 +352,63 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(corpus, max_hamming=3).orderBy("id_a", "id_b")
 
 
+@query(
+    "q_dedup_simhash_md5",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, substr(text, instr(text, ' ') + 1)
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS tok
+      FROM corpus
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, j, 2 * sum((h >> j) & 1) > count(*) AS bit
+      FROM th, generate_series(0, 59) AS g(j)
+      GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN bit THEN (1::BIGINT << j) ELSE 0 END)
+                  AS BIGINT) AS sh
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON b.doc_id > a.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with the md5-derived 60-bit fingerprint
+    (operators/dedup.py:simhash60_md5) in EXACT mode (no bucket cap):
+    the 4×15-bit pigeonhole banding admits a superset of every
+    hamming ≤ 3 pair and the verify filters exactly, so the result
+    equals brute-force hamming over all pairs — which the oracle
+    recomputes from scratch in SQL, fingerprints included (the bit-vote
+    majority is plain GROUP BY arithmetic over md5-derived token
+    hashes). This closes the LSH-family oracle gap: the xxhash64 twin
+    (q_dedup_simhash) stays rows-only because xxhash64 has no SQL
+    mirror, and stays the fast default (~1.5× cheaper signatures)."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return (
+        simhash_pairs(
+            corpus, max_hamming=3, max_bucket_size=None, hash_fn="md5"
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 # --------------------------------------------------------------------------
 # n-gram Jaccard similarity — oracle-checked on consecutive-id pairs
 # --------------------------------------------------------------------------

@@ -89,6 +89,37 @@ def test_simhash_identical_and_near_docs(spark):
     assert (1, 3) not in found and (2, 3) not in found
 
 
+def test_simhash_md5_exact_mode_equals_bruteforce(spark, sf_dir):
+    """The md5 fingerprint in exact mode (no bucket cap) must return
+    PRECISELY the brute-force hamming ≤ 3 pair set — the 4×15-bit
+    pigeonhole admits a superset; the verify cuts it exactly. Also pins
+    the fingerprint being 60-bit non-negative (SQL-mirrorable)."""
+    from mysql_cdc_to_http_spark.operators.dedup import simhash60_md5
+    from mysql_cdc_to_http_spark.queries.llm import _dup_corpus
+
+    corpus = _dup_corpus(spark, sf_dir).limit(200)
+    fp = corpus.select("doc_id", simhash60_md5(F.col("text")).alias("sh"))
+    vals = {r.doc_id: r.sh for r in fp.collect()}
+    assert all(0 <= v < (1 << 60) for v in vals.values())
+    brute = {
+        (a, b): bin(vals[a] ^ vals[b]).count("1")
+        for a in vals
+        for b in vals
+        if a < b and bin(vals[a] ^ vals[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(
+            corpus, max_hamming=3, max_bucket_size=None, hash_fn="md5"
+        ).collect()
+    }
+    assert got == brute
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown hash_fn"):
+        simhash_pairs(corpus, hash_fn="sha1")
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
