@@ -321,6 +321,62 @@ def test_q5_dims_broadcast_and_never_shuffle(spark, sf_dir):
         ), f"unexpected shuffle key: {ln}"
 
 
+def test_salted_agg_flattens_planted_hot_key(spark):
+    """Plant a 30% hot key at sf0.1 scale (150k orders rows) and measure
+    actual per-reducer input balance: hashing by the raw key routes the
+    hot key's ~45k rows through ONE task, hashing by (key, salt) spreads
+    them n_salts ways. Asserted on measured partition row counts — the
+    thing that determines max-task time — not wall clock (noisy at toy
+    scale). Also pins that the salted two-phase agg returns the same
+    answer as the plain agg under the same skew."""
+    from mysql_cdc_to_http_spark.operators.salting import salted_agg
+
+    orders = load_table(spark, "/root/testdata/sf0.1", "orders")
+    df = orders.select(
+        F.when(F.col("o_orderkey") % 10 < 3, F.lit(0))
+        .otherwise(F.col("o_orderkey"))
+        .alias("k"),
+        "o_totalprice",
+    )
+    n_parts, n_salts = 32, 8
+
+    def max_partition_rows(keyed):
+        sizes = (
+            keyed.repartition(n_parts, *keyed.columns)
+            .select(F.spark_partition_id().alias("p"))
+            .groupBy("p")
+            .count()
+            .collect()
+        )
+        return max(r["count"] for r in sizes)
+
+    total = df.count()
+    plain_max = max_partition_rows(df.select("k"))
+    salted_max = max_partition_rows(
+        df.select("k", (F.rand(seed=42) * n_salts).cast("int").alias("s"))
+    )
+    assert plain_max >= 0.3 * total  # the hot key really is hot
+    assert salted_max * 3 < plain_max, (plain_max, salted_max)
+
+    got = salted_agg(
+        df,
+        ["k"],
+        {"n": F.count(F.lit(1)), "s": F.sum("o_totalprice")},
+        {"n": F.sum("n"), "s": F.sum("s")},
+        n_salts=n_salts,
+    ).filter(F.col("k") == 0).collect()[0]
+    want = (
+        df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s"))
+        .filter(F.col("k") == 0)
+        .collect()[0]
+    )
+    assert got.n == want.n
+    # double sums differ in summation order between the two plans —
+    # equal within FP tolerance, not bitwise
+    assert abs(got.s - want.s) <= 1e-6 * abs(want.s)
+
+
 def test_incremental_dedup_candidate_shuffle_is_narrow(spark, sf_dir, tmp_path):
     """Incremental dedup's candidate generation must not ship shingle or
     signature arrays through the band/bucket join — only (id, band,
