@@ -1,0 +1,34 @@
+# Engine pre-flight targets. `make verify` is the full gate the round-5
+# VERDICT asked for: it chains the driver-window simulation, the
+# all-queries sweep, and the config-robustness pass (codegen + AQE off)
+# under an adversarial session config, then checks the bench contract
+# still prints exactly one JSON line. Each stage runs in a fresh process
+# (fresh JVM) like the real harness.
+
+PY ?= python
+SF ?= /root/testdata/sf0.01
+
+.PHONY: test verify verify-window verify-all verify-robust verify-bench
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+verify-window:
+	SPARK_GRAFT_SF_DIR=$(SF) $(PY) scripts/verify_sweep.py window
+
+verify-all:
+	SPARK_GRAFT_SF_DIR=$(SF) $(PY) scripts/verify_sweep.py all
+
+verify-robust:
+	SPARK_GRAFT_SF_DIR=$(SF) $(PY) scripts/verify_sweep.py robust
+
+verify-bench:
+	@out=$$(SPARK_GRAFT_SF_DIR=$(SF) SPARK_GRAFT_STREAM=0 $(PY) bench.py 2>/dev/null); \
+	n=$$(printf '%s\n' "$$out" | grep -c '^{'); \
+	if [ "$$n" != "1" ]; then \
+	  echo "bench.py must print exactly ONE JSON line (got $$n)"; exit 1; \
+	fi; \
+	printf '%s\n' "$$out" | $(PY) -c "import json,sys; d=json.loads(sys.stdin.read()); assert d['metric']=='headline_suite_sec' and 'queries' in d; print('bench contract ok:', d['value'], 'sec,', len(d['queries']), 'queries')"
+
+verify: verify-window verify-all verify-robust verify-bench
+	@echo "verify: all sweeps green"
