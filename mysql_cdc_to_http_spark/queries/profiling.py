@@ -1,0 +1,274 @@
+"""Data-profiling / data-quality queries (round 6, beyond-survey):
+per-column table profiling, referential-integrity auditing, and
+sequence-length distribution — the checks a training-data pipeline runs
+before it trusts a new drop of data.
+
+All three are declarative one-pass plans: the profile is a single
+multi-aggregate over the table unpivoted to long form, the integrity
+audit is a set of anti-join counts (each a broadcast or shuffle join
+Catalyst picks by side size), and the histogram is one two-phase agg on
+a derived bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mysql_cdc_to_http_spark.catalog import load_table
+from mysql_cdc_to_http_spark.queries.registry import query
+
+
+@query(
+    "q_table_profile",
+    oracle="""
+    WITH s AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(*) - count(o_orderkey)    AS BIGINT) AS nn_orderkey,
+        CAST(count(*) - count(o_custkey)     AS BIGINT) AS nn_custkey,
+        CAST(count(*) - count(o_orderstatus) AS BIGINT) AS nn_status,
+        CAST(count(*) - count(o_totalprice)  AS BIGINT) AS nn_price,
+        CAST(count(*) - count(o_orderdate)   AS BIGINT) AS nn_date,
+        CAST(count(DISTINCT o_orderkey)    AS BIGINT) AS nd_orderkey,
+        CAST(count(DISTINCT o_custkey)     AS BIGINT) AS nd_custkey,
+        CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+        CAST(count(DISTINCT o_totalprice)  AS BIGINT) AS nd_price,
+        CAST(count(DISTINCT o_orderdate)   AS BIGINT) AS nd_date,
+        CAST(min(o_orderkey) AS DOUBLE) AS mn_orderkey,
+        CAST(max(o_orderkey) AS DOUBLE) AS mx_orderkey,
+        CAST(min(o_custkey) AS DOUBLE) AS mn_custkey,
+        CAST(max(o_custkey) AS DOUBLE) AS mx_custkey,
+        min(o_totalprice) AS mn_price,
+        max(o_totalprice) AS mx_price,
+        CAST(epoch(min(o_orderdate)) AS DOUBLE) AS mn_date,
+        CAST(epoch(max(o_orderdate)) AS DOUBLE) AS mx_date
+      FROM orders
+    )
+    SELECT col_name, n_rows, n_nulls, n_distinct, min_num, max_num
+    FROM (
+      SELECT 'o_orderkey' AS col_name, n_rows, nn_orderkey AS n_nulls,
+             nd_orderkey AS n_distinct, mn_orderkey AS min_num,
+             mx_orderkey AS max_num FROM s
+      UNION ALL
+      SELECT 'o_custkey', n_rows, nn_custkey, nd_custkey,
+             mn_custkey, mx_custkey FROM s
+      UNION ALL
+      SELECT 'o_orderstatus', n_rows, nn_status, nd_status,
+             NULL, NULL FROM s
+      UNION ALL
+      SELECT 'o_totalprice', n_rows, nn_price, nd_price,
+             mn_price, mx_price FROM s
+      UNION ALL
+      SELECT 'o_orderdate', n_rows, nn_date, nd_date,
+             mn_date, mx_date FROM s
+    )
+    ORDER BY col_name
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of ``orders`` in ONE aggregation pass: row
+    count, null count, exact distinct count, numeric/timestamp min-max
+    (timestamps as epoch seconds; strings carry NULL bounds — min/max of
+    parquet-read values is arithmetic-free, so no cross-engine rounding
+    is needed). The multi-distinct agg compiles to Catalyst's Expand —
+    one shuffle of (n_profiled_cols)× rows, the same volume an explicit
+    unpivot would shuffle; at 100 TB swap exact distincts for
+    ``approx_count_distinct`` (mergeable, no Expand) when ±2% suffices
+    — the exact form here is what the oracle can value-check.
+    Long-form output via stack() so adding columns never changes the
+    schema."""
+    o = load_table(spark, sf_dir, "orders")
+    nul = lambda c: F.sum(F.col(c).isNull().cast("long"))  # noqa: E731
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            x
+            for c in (
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+            )
+            for x in (
+                nul(c).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+            )
+        ],
+        F.min("o_orderkey").cast("double").alias("mn_o_orderkey"),
+        F.max("o_orderkey").cast("double").alias("mx_o_orderkey"),
+        F.min("o_custkey").cast("double").alias("mn_o_custkey"),
+        F.max("o_custkey").cast("double").alias("mx_o_custkey"),
+        F.min("o_totalprice").alias("mn_o_totalprice"),
+        F.max("o_totalprice").alias("mx_o_totalprice"),
+        F.unix_timestamp(F.min("o_orderdate"))
+        .cast("double")
+        .alias("mn_o_orderdate"),
+        F.unix_timestamp(F.max("o_orderdate"))
+        .cast("double")
+        .alias("mx_o_orderdate"),
+    )
+    stack = """stack(5,
+        'o_orderkey',    nn_o_orderkey,    nd_o_orderkey,
+                         mn_o_orderkey,    mx_o_orderkey,
+        'o_custkey',     nn_o_custkey,     nd_o_custkey,
+                         mn_o_custkey,     mx_o_custkey,
+        'o_orderstatus', nn_o_orderstatus, nd_o_orderstatus,
+                         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        'o_totalprice',  nn_o_totalprice,  nd_o_totalprice,
+                         mn_o_totalprice,  mx_o_totalprice,
+        'o_orderdate',   nn_o_orderdate,   nd_o_orderdate,
+                         mn_o_orderdate,   mx_o_orderdate
+    ) AS (col_name, n_nulls, n_distinct, min_num, max_num)"""
+    return (
+        agg.select("n_rows", F.expr(stack))
+        .select(
+            "col_name", "n_rows", "n_nulls", "n_distinct", "min_num", "max_num"
+        )
+        .orderBy("col_name")
+    )
+
+
+@query(
+    "q_referential_integrity",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'lineitem.l_orderkey->orders' AS relationship,
+             CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_checked,
+             CAST((SELECT count(*) FROM lineitem l
+                   ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey)
+                  AS BIGINT) AS n_orphans
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+             CAST((SELECT count(*) FROM orders) AS BIGINT),
+             CAST((SELECT count(*) FROM orders o
+                   ANTI JOIN customer c ON o.o_custkey = c.c_custkey)
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+             CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+             CAST((SELECT count(*) FROM lineitem l
+                   ANTI JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'orders.o_custkey->customer[BUILDING]',
+             CAST((SELECT count(*) FROM orders) AS BIGINT),
+             CAST((SELECT count(*) FROM orders o
+                   ANTI JOIN (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'BUILDING') c
+                   ON o.o_custkey = c.c_custkey) AS BIGINT)
+    )
+    ORDER BY relationship
+    """,
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key audit as anti-join counts: rows of the child table
+    whose key has no parent. The three natural FKs must report zero
+    orphans on clean testdata (the oracle proves the zeros are REAL
+    zero counts, not vacuous passes); the narrowed-parent variant
+    (customers restricted to one segment) exercises the operator where
+    orphans genuinely exist. Scale shape: each check is one anti-join —
+    dims broadcast, fact-fact anti-joins shuffle on the key; checks are
+    independent so a pipeline runs them in one job (unioned here) and
+    Spark schedules the shared scans once per table via exchange
+    reuse."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def check(name: str, child: DataFrame, parent: DataFrame, on) -> DataFrame:
+        return (
+            child.agg(F.count(F.lit(1)).alias("n_checked"))
+            .crossJoin(
+                child.join(parent, on, "left_anti").agg(
+                    F.count(F.lit(1)).alias("n_orphans")
+                )
+            )
+            .select(
+                F.lit(name).alias("relationship"), "n_checked", "n_orphans"
+            )
+        )
+
+    out = (
+        check(
+            "lineitem.l_orderkey->orders",
+            li,
+            o,
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .unionByName(
+            check(
+                "orders.o_custkey->customer",
+                o,
+                cust,
+                o["o_custkey"] == cust["c_custkey"],
+            )
+        )
+        .unionByName(
+            check(
+                "lineitem.l_suppkey->supplier",
+                li,
+                supp,
+                li["l_suppkey"] == supp["s_suppkey"],
+            )
+        )
+        .unionByName(
+            check(
+                "orders.o_custkey->customer[BUILDING]",
+                o,
+                cust.filter(F.col("c_mktsegment") == "BUILDING"),
+                o["o_custkey"] == cust["c_custkey"],
+            )
+        )
+    )
+    return out.orderBy("relationship")
+
+
+@query(
+    "q_length_histogram",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT (n_tokens // 10) * 10 AS bucket_lo, count(*) AS n_docs
+      FROM n GROUP BY 1
+    )
+    SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs AS DOUBLE)
+             / (SELECT count(*) FROM documents) AS share
+    FROM b ORDER BY bucket_lo
+    """,
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution — the first chart anyone draws over
+    a training corpus: whitespace-token counts bucketed to width 10,
+    with each bucket's share of all docs. Two-phase agg on the derived
+    bucket key (map-side partial, ~dozens of groups shuffle); the share
+    divides two exact integers so both engines produce identical
+    doubles. Token counts use a bare single-space split on BOTH engines
+    (not the \\s+-normalizing tokenizer) so the oracle expression is
+    the same function of the same bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(
+        F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("n_tokens")
+    )
+    total = docs.count()
+    return (
+        n.groupBy(
+            ((F.col("n_tokens") / 10).cast("long") * 10).alias("bucket_lo")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "bucket_lo",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.lit(float(total))).alias(
+                "share"
+            ),
+        )
+        .orderBy("bucket_lo")
+    )
