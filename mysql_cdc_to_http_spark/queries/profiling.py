@@ -272,3 +272,49 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_lo")
     )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY user_id
+    )
+    SELECT c.cohort_wk,
+           CAST(date_diff('day', c.cohort_wk, w.wk) // 7 AS BIGINT)
+             AS weeks_since,
+           CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active
+    FROM w JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: each user joins the cohort of their
+    first active week; the grid counts distinct users active k weeks
+    later — the standard engagement triangle. Two shuffles, both on
+    user_id (the min-week agg and the join co-partition, so Catalyst
+    reuses the exchange), then a distinct-count per (cohort, offset) on
+    a grid-sized key space. Week deltas are computed as exact day
+    arithmetic over week-truncated stamps (``datediff // 7``) so both
+    engines agree without calendar-week-boundary semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    cohort = w.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        w.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_wk", "weeks_since")
+    )
