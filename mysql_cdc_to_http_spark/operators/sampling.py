@@ -168,6 +168,53 @@ def md5_sample(id_col, p_sixteenths: int, salt: str = "v1"):
     return F.md5(key.cast("binary")) < threshold
 
 
+def stratified_membership_md5(
+    stratum_col, id_col, fractions_sixteenths: dict, salt: str = "strat-v1"
+):
+    """Deterministic per-stratum Bernoulli membership — the oracle-able
+    twin of seeded ``sampleBy`` (``stratified_sample`` above): keep a row
+    iff ``md5(salt|stratum|id) < hex_digit(p)`` with a per-stratum
+    fraction p/16 (16 = keep all). Strata absent from the dict are
+    dropped. Membership is a pure function of (stratum, id), so it is
+    identical across runs, partitionings, engines, and cluster sizes —
+    and SQL-portable for value-level oracle checks. The predicate is a
+    single codegen projection: no shuffle, scan-speed at any scale."""
+    expr = F.lit(False)
+    for stratum, p in fractions_sixteenths.items():
+        if not 0 < p <= 16:
+            raise ValueError("per-stratum sixteenths must be in (0, 16]")
+        key = F.concat(F.lit(f"{salt}|{stratum}|"), id_col.cast("string"))
+        keep = (
+            F.lit(True)
+            if p == 16
+            else (F.md5(key.cast("binary")) < format(p, "x"))
+        )
+        expr = F.when(stratum_col == stratum, keep).otherwise(expr)
+    return expr
+
+
+def stratified_membership_md5_sql(
+    stratum_sql: str,
+    id_sql: str,
+    fractions_sixteenths: dict,
+    salt: str = "strat-v1",
+) -> str:
+    """DuckDB mirror of ``stratified_membership_md5``, generated from the
+    same fraction table so the two dialects cannot drift."""
+    arms = []
+    for stratum, p in fractions_sixteenths.items():
+        cond = (
+            "TRUE"
+            if p == 16
+            else (
+                f"md5('{salt}|{stratum}|' || CAST({id_sql} AS VARCHAR))"
+                f" < '{format(p, 'x')}'"
+            )
+        )
+        arms.append(f"WHEN '{stratum}' THEN {cond}")
+    return f"CASE {stratum_sql} " + " ".join(arms) + " ELSE FALSE END"
+
+
 def weighted_sample_keys(
     id_col, weight_col, salt: str = "v1"
 ):

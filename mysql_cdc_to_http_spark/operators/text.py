@@ -98,6 +98,149 @@ def lang_id_udf(texts: pd.Series) -> pd.Series:
 
     return texts.map(score)
 
+
+#: Word-marker sets for the SQL-expressible lang-ID twin (the md5-SimHash
+#: pattern applied to language ID): each language is scored by total
+#: occurrences of a few high-frequency markers, counted with the
+#: length/replace identity — available verbatim in every SQL engine, so
+#: the whole classifier is oracle-able, unlike the pandas-UDF profile
+#: scorer above (which stays the richer default). Space-padded word
+#: markers need the text wrapped in single spaces first.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": (" der ", " und ", " die "),
+    "en": (" the ", " and ", " of "),
+    "es": (" el ", " los ", " una "),
+    "fr": (" le ", " les ", " et "),
+    "zh": ("的", "是", "了"),
+}
+
+
+def _marker_count(t: Column, marker: str) -> Column:
+    """Occurrences of ``marker`` in ``t`` via the substitution identity
+    (len(t) - len(replace(t, m, ''))) / len(m) — pure JVM string ops."""
+    return (F.length(t) - F.length(F.replace(t, F.lit(marker)))) / len(marker)
+
+
+def lang_scores_marker(text_col: Column) -> dict[str, Column]:
+    """Per-language marker-hit scores (``s_<lang>`` → double column)."""
+    t = F.concat(F.lit(" "), F.lower(text_col), F.lit(" "))
+    return {
+        lang: sum(_marker_count(t, m) for m in markers).cast("double")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_guess_marker(score_cols: dict[str, Column]) -> Column:
+    """Argmax over marker scores; ties break to the lexicographically
+    first language code; all-zero scores → 'und'. Built back-to-front so
+    the earliest matching WHEN arm (lowest code) wins — the same CASE
+    shape the SQL twin emits."""
+    langs = sorted(score_cols)
+    guess = F.lit("und")
+    for lang in reversed(langs):
+        cond = score_cols[lang] > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (score_cols[lang] >= score_cols[other])
+        guess = F.when(cond, lang).otherwise(guess)
+    return guess
+
+
+def lang_id_marker_oracle_sql() -> str:
+    """DuckDB mirror of the marker classifier, generated from the same
+    LANG_MARKERS table so the two dialects cannot drift."""
+    score_exprs = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{m}', ''))) / {len(m)}"
+            for m in markers
+        )
+        score_exprs.append(f"CAST({terms} AS DOUBLE) AS s_{lang}")
+    langs = sorted(LANG_MARKERS)
+    arms = []
+    for lang in langs:
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{o}" for o in langs if o != lang
+        ]
+        arms.append("WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
+    case = "CASE " + " ".join(arms) + " ELSE 'und' END"
+    return f"""
+    WITH t AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t
+               FROM documents),
+    s AS (SELECT doc_id, lang, {', '.join(score_exprs)} FROM t)
+    SELECT lang, {case} AS lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+    FROM s GROUP BY lang, lang_guess ORDER BY lang, lang_guess
+    """
+
+
+#: Letters scored by the character-entropy quality signal.
+_ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def add_char_entropy(
+    df,
+    text_col: str,
+    n_out: str = "n_letters",
+    e_out: str = "entropy",
+):
+    """Append (n_letters, shannon_entropy) over the a-z letter
+    distribution of ``text_col`` — a perplexity-proxy quality signal
+    (low entropy = repetitive text). ``n_letters`` is double (0.0 for
+    letterless text, where ``entropy`` is NULL).
+
+    Deliberately NOT an explode(chars) + groupBy: per-letter counts via
+    the substitution identity keep the whole thing projection-only —
+    zero shuffle, which is the difference between a scan-speed score and
+    a per-character shuffle at 100 TB. The counts/total/entropy are
+    staged as NAMED intermediate columns (three chained projections),
+    not one monolithic expression: inlining 26 counts into the 26-term
+    entropy sum blows janino's 64 KB method limit and silently drops the
+    stage to interpreted execution; named columns let codegen split each
+    expression into its own method. Term order is fixed (alphabet order,
+    left-assoc addition) so any engine replaying the same expression
+    tree reproduces the float bit-for-bit up to libm ln ulps (absorbed
+    by the caller's 6-dp round)."""
+    orig = df.columns
+    t = F.lower(F.col(text_col))
+    with_counts = df.select(
+        "*",
+        *[
+            (F.length(t) - F.length(F.replace(t, F.lit(c))))
+            .cast("double")
+            .alias(f"__ce_{c}")
+            for c in _ENTROPY_ALPHABET
+        ],
+    )
+    total = F.col("__ce_a")
+    for c in _ENTROPY_ALPHABET[1:]:
+        total = total + F.col(f"__ce_{c}")
+    with_total = with_counts.select("*", total.alias(n_out))
+    n = F.nullif(F.col(n_out), F.lit(0.0))
+    entropy = None
+    for c in _ENTROPY_ALPHABET:
+        cnt = F.col(f"__ce_{c}")
+        p = cnt / n
+        term = F.when(cnt > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+        entropy = term if entropy is None else entropy + term
+    return with_total.select(*orig, n_out, entropy.alias(e_out))
+
+
+def char_entropy_oracle_exprs() -> tuple[str, str, str]:
+    """(count_select_list, total_expr, entropy_expr) SQL fragments for the
+    DuckDB oracle, generated from the same alphabet/term order."""
+    counts = ", ".join(
+        f"CAST(length(t) - length(replace(t, '{c}', '')) AS DOUBLE) AS c_{c}"
+        for c in _ENTROPY_ALPHABET
+    )
+    total = " + ".join(f"c_{c}" for c in _ENTROPY_ALPHABET)
+    entropy = " + ".join(
+        f"(CASE WHEN c_{c} > 0 THEN -(c_{c}/n_letters) * ln(c_{c}/n_letters)"
+        f" ELSE 0.0 END)"
+        for c in _ENTROPY_ALPHABET
+    )
+    return counts, total, entropy
+
+
 #: PII patterns, deliberately restricted to syntax with identical
 #: semantics in Java regex (Spark) and RE2 (DuckDB oracle): character
 #: classes, bounded repetition, non-capturing groups, ASCII \b.

@@ -22,6 +22,9 @@ from mysql_cdc_to_http_spark.operators.multimodal import (
     attach_media,
     extract_features,
 )
+from mysql_cdc_to_http_spark.operators.sampling import (
+    stratified_membership_md5_sql,
+)
 from mysql_cdc_to_http_spark.operators.similarity import (
     assign_buckets,
     cosine_topk_bruteforce,
@@ -164,6 +167,73 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_guess")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang_guess")
+    )
+
+
+@query("q_lang_id_sql", oracle=tx.lang_id_marker_oracle_sql())
+def q_lang_id_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-expressible lang-ID twin — the md5-SimHash pattern applied to
+    the last heuristic operator: marker-word hit counts per language via
+    the length/replace substitution identity (pure JVM projection, no
+    Python), argmax with lexicographic tiebreak. Fully oracle-able where
+    the char-n-gram pandas UDF (q_lang_id) is not. Output is the
+    label × guess confusion grid, so the oracle value-checks every
+    classification, not just totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = tx.lang_scores_marker(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[c.alias(f"s_{lang}") for lang, c in scores.items()],
+    )
+    guess = tx.lang_guess_marker(
+        {lang: F.col(f"s_{lang}") for lang in scores}
+    )
+    return (
+        scored.select("lang", guess.alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+def _entropy_oracle() -> str:
+    counts, total, entropy = tx.char_entropy_oracle_exprs()
+    return f"""
+    WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+    c AS (SELECT doc_id, {counts} FROM t),
+    n AS (SELECT *, {total} AS n_letters FROM c)
+    SELECT doc_id, CAST(n_letters AS BIGINT) AS n_letters,
+           round({entropy}, 6) AS entropy
+    FROM n WHERE n_letters > 0
+    ORDER BY entropy, doc_id LIMIT 50
+    """
+
+
+@query("q_char_entropy", oracle=_entropy_oracle())
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality scoring (perplexity proxy): Shannon
+    entropy of each document's a-z letter distribution; the 50 most
+    repetitive (lowest-entropy) docs — the slice a quality filter would
+    drop. Projection-only (staged so codegen stays under janino's 64 KB
+    method limit — see add_char_entropy), zero shuffle before the final
+    top-k (TakeOrderedAndProject): per-letter counts use the
+    length/replace identity instead of explode(chars)+groupBy, which at
+    100 TB is the difference between scan-speed scoring and a
+    per-character shuffle. 6-dp round absorbs cross-engine libm ln ulps."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = tx.add_char_entropy(
+        docs.select("doc_id", "text"), "text"
+    )
+    return (
+        scored.filter(F.col("n_letters") > 0)
+        .select(
+            "doc_id",
+            F.col("n_letters").cast("bigint").alias("n_letters"),
+            F.round("entropy", 6).alias("entropy"),
+        )
+        .orderBy("entropy", "doc_id")
+        .limit(50)
     )
 
 
@@ -748,6 +818,44 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = stratified_sample(docs, "lang", fractions)
     return (
         sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).orderBy("lang")
+    )
+
+
+#: Per-stratum keep fractions in sixteenths for the md5 twin — the same
+#: sampling plan as q_sample_stratified's float fractions (16 = keep all).
+_STRAT_SIXTEENTHS = {"en": 8, "de": 8, "es": 4, "fr": 4, "zh": 16}
+
+
+@query(
+    "q_sample_stratified_md5",
+    oracle=f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS min_id
+    FROM documents
+    WHERE {stratified_membership_md5_sql("lang", "doc_id", _STRAT_SIXTEENTHS)}
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_sample_stratified_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample — the oracle-able twin of
+    q_sample_stratified (which uses Spark's seeded RNG and is therefore
+    rows-only). Membership is md5(salt|stratum|id) < per-stratum
+    threshold: a pure projection predicate, reproducible on any engine
+    and any cluster size, which is what a real corpus cut needs anyway
+    (re-runs must select the same rows). Per-stratum counts + min id."""
+    from mysql_cdc_to_http_spark.operators.sampling import (
+        stratified_membership_md5,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            stratified_membership_md5(
+                F.col("lang"), F.col("doc_id"), _STRAT_SIXTEENTHS
+            )
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))
+        .orderBy("lang")
     )
 
 

@@ -681,3 +681,51 @@ def test_incremental_dedup_state_swap_crash_windows(spark, sf_dir, tmp_path):
     assert not os.path.exists(st + "__old")
     release_all_cached()
     corpus.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# marker lang-ID twin + char entropy (SQL-expressible text analysis)
+# ---------------------------------------------------------------------------
+def test_lang_guess_marker_semantics(spark):
+    from mysql_cdc_to_http_spark.operators import text as tx
+
+    rows = [
+        (1, "ich sah der hund und der mann die tür"),  # German markers
+        (2, "the cat and the dog of the house"),  # English markers
+        (3, "xyzzy plugh qwerty"),  # no markers anywhere
+        (4, "了 的 是 的 了"),  # CJK markers
+        (5, "the der und and of die"),  # 3 de vs 3 en → tie → 'de'
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    scores = tx.lang_scores_marker(F.col("text"))
+    guess = tx.lang_guess_marker(scores)
+    got = {r.doc_id: r.g for r in df.select("doc_id", guess.alias("g")).collect()}
+    assert got == {1: "de", 2: "en", 3: "und", 4: "zh", 5: "de"}
+
+
+def test_char_entropy_semantics(spark):
+    import math
+
+    from mysql_cdc_to_http_spark.operators import text as tx
+
+    rows = [
+        (1, "aaaaaa"),  # single symbol → entropy 0
+        (2, "ababab"),  # two equiprobable symbols → ln 2
+        (3, "ab12ab!?"),  # non-letters ignored: same as 'abab'
+        (4, "AbAb"),  # case-folded before counting
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    scored = tx.add_char_entropy(df, "text")
+    got = {
+        r.doc_id: (r.n, r.e)
+        for r in scored.select(
+            "doc_id",
+            F.col("n_letters").alias("n"),
+            F.round("entropy", 9).alias("e"),
+        ).collect()
+    }
+    ln2 = round(math.log(2), 9)
+    assert got[1] == (6.0, 0.0)
+    assert got[2] == (6.0, ln2)
+    assert got[3] == (4.0, ln2)
+    assert got[4] == (4.0, ln2)

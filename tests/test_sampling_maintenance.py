@@ -102,3 +102,54 @@ def test_md5_sample_partition_invariant_and_sized(spark, sf_dir):
         for r in docs.filter(md5_sample(F.col("doc_id"), 4, salt="v2")).collect()
     }
     assert len(a & c) < 0.6 * len(a)
+
+
+def test_stratified_md5_partition_invariant_and_fractions(spark, sf_dir):
+    from mysql_cdc_to_http_spark.operators.sampling import (
+        stratified_membership_md5,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frac = {"en": 8, "de": 8, "es": 4, "fr": 4, "zh": 16}
+    member = stratified_membership_md5(F.col("lang"), F.col("doc_id"), frac)
+    a = {r.doc_id for r in docs.filter(member).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in docs.repartition(13).filter(member).select("doc_id").collect()
+    }
+    assert a == b  # membership is a pure function of (stratum, id)
+    totals = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {
+        r.lang: r.n
+        for r in docs.filter(member)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got["zh"] == totals["zh"]  # 16/16 keeps all
+    for lang, p in (("en", 8), ("de", 8), ("es", 4), ("fr", 4)):
+        # md5 uniformity: observed fraction near p/16 (loose band)
+        f = got[lang] / totals[lang]
+        assert abs(f - p / 16) < 0.15, (lang, f)
+    # a stratum absent from the dict is dropped entirely
+    member2 = stratified_membership_md5(
+        F.col("lang"), F.col("doc_id"), {"en": 16}
+    )
+    langs = {r.lang for r in docs.filter(member2).select("lang").collect()}
+    assert langs == {"en"}
+
+
+def test_stratified_md5_rejects_bad_fraction(spark):
+    import pytest
+
+    from mysql_cdc_to_http_spark.operators.sampling import (
+        stratified_membership_md5,
+    )
+
+    with pytest.raises(ValueError):
+        stratified_membership_md5(F.col("x"), F.col("y"), {"en": 0})
+    with pytest.raises(ValueError):
+        stratified_membership_md5(F.col("x"), F.col("y"), {"en": 17})
