@@ -274,6 +274,86 @@ def domain_mix_sample(
     )
 
 
+def remove_frequent_lines(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    line_col: str = "line",
+    max_doc_freq: int = 5,
+) -> DataFrame:
+    """CCNet-style boilerplate removal: drop every line whose normalized
+    form appears in MORE THAN ``max_doc_freq`` distinct documents
+    (nav bars, cookie banners, signatures — the line-level dup class
+    document-level dedup cannot see).
+
+    Input is the exploded (id, pos, line) relation; output is the same
+    relation minus frequent lines.
+
+    Scale shape: line doc-frequency groups on ``md5(trim(line))`` — 16
+    bytes shuffled per line, never the text. The frequent set (lines in
+    > max_doc_freq docs) is tiny by the operator's own definition — at
+    any corpus size only genuine boilerplate repeats across that many
+    documents — so the drop is a BROADCAST anti-join against the
+    frequent keys; the corpus lines never shuffle for the subtraction.
+    countDistinct(doc) (not count(*)) keeps a line repeated inside one
+    document from being counted as cross-document boilerplate."""
+    key = F.md5(F.trim(F.col(line_col)))
+    freq = (
+        lines.select(key.alias("__lk"), F.col(id_col).alias("__id"))
+        .groupBy("__lk")
+        .agg(F.count_distinct(F.col("__id")).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__lk")
+    )
+    return lines.join(
+        F.broadcast(freq), key == F.col("__lk"), "left_anti"
+    )
+
+
+def reassemble_lines(
+    kept: DataFrame,
+    all_docs: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    line_col: str = "line",
+    sep: str = "\n",
+) -> DataFrame:
+    """Rebuild cleaned documents from surviving lines, in original line
+    order: (id, n_kept, cleaned_md5), with docs whose every line was
+    dropped kept as n_kept=0 / empty-text fingerprint rows (``all_docs``
+    supplies the full id universe — an inner groupBy would silently lose
+    them). collect_list + array_sort is per-document data (bounded by
+    document size, not corpus size); order inside the struct sort is
+    total because ``pos`` is unique per doc."""
+    agg = (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(pos_col, line_col))
+                    ),
+                    lambda s: s[line_col],
+                ),
+                sep,
+            ).alias("__cleaned"),
+        )
+    )
+    return (
+        all_docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias(
+                "n_kept"
+            ),
+            F.md5(F.coalesce(F.col("__cleaned"), F.lit(""))).alias(
+                "cleaned_md5"
+            ),
+        )
+    )
+
+
 # Executors must not need this repo on their PYTHONPATH (driver contract
 # imports by path).
 import sys as _sys

@@ -297,3 +297,104 @@ def q_pipeline_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"),
         [quality],
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style line-level boilerplate removal
+# --------------------------------------------------------------------------
+#: Injected boilerplate (the corpus has no natural line structure — it is
+#: one space-joined word stream per doc) — every third document gets this
+#: line, mirroring nav-bar/cookie-banner contamination. The synthesis is
+#: SQL-mirrored in the oracle, so the value check covers fixture + operator.
+_BOILER = "subscribe to our newsletter for free updates click here now"
+_LINE_W = 8
+_LINE_MAX_DF = 5
+
+
+def _line_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, line): the document word stream re-segmented into
+    8-token lines (deterministic segmentation standing in for real \\n
+    structure), plus the boilerplate line at pos -1 for doc_id % 3 == 0."""
+    words = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(words) / F.lit(float(_LINE_W))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * _LINE_W + 1, _LINE_W), " "
+        ),
+    )
+    base = docs.select("doc_id", F.posexplode(lines).alias("pos", "line"))
+    boiler = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.lit(-1).alias("pos"), F.lit(_BOILER).alias("line")
+    )
+    return base.unionByName(boiler)
+
+
+@query(
+    "q_dedup_lines",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    nl AS (
+      SELECT doc_id, w,
+             CAST(ceil(len(w) / {float(_LINE_W)}) AS INT) AS n FROM w
+    ),
+    ix AS (
+      SELECT doc_id, w, unnest(range(n)) AS i FROM nl
+    ),
+    base AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(
+               w[(i*{_LINE_W}+1):(i*{_LINE_W}+{_LINE_W})], ' ') AS line
+      FROM ix
+    ),
+    lines AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT doc_id, -1 AS pos, '{_BOILER}' AS line
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    freq AS (
+      SELECT md5(trim(line)) AS lk
+      FROM lines GROUP BY 1
+      HAVING COUNT(DISTINCT doc_id) > {_LINE_MAX_DF}
+    ),
+    kept AS (
+      SELECT * FROM lines
+      WHERE md5(trim(line)) NOT IN (SELECT lk FROM freq)
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           md5(COALESCE(a.cleaned, '')) AS cleaned_md5
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal — the dedup class
+    document-level MinHash cannot see: a line repeated across many
+    documents (nav bars, banners, signatures) is dropped everywhere,
+    then documents are reassembled in original line order. The md5 of
+    each cleaned document proves byte-identical reconstruction against
+    the oracle, and all-lines-dropped docs survive as n_kept=0 rows.
+
+    Scale shape (operators/curation.py:remove_frequent_lines): line
+    doc-frequency groups on md5(line) — 16 bytes shuffled per line — and
+    the frequent set is boilerplate-sized by definition, so the removal
+    is a broadcast anti-join; reassembly is per-document collect_list
+    (bounded by doc size, not corpus size)."""
+    from mysql_cdc_to_http_spark.operators.curation import (
+        reassemble_lines,
+        remove_frequent_lines,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = _line_corpus(docs)
+    kept = remove_frequent_lines(lines, max_doc_freq=_LINE_MAX_DF)
+    return reassemble_lines(kept, docs).orderBy("doc_id")

@@ -126,3 +126,71 @@ def test_tokenize_trims_padding(spark):
     df = spark.createDataFrame([("  a b \n",)], "text string")
     got = df.select(tokenize(F.col("text")).alias("t")).collect()[0]["t"]
     assert got == ["a", "b"]
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate removal (remove_frequent_lines / reassemble_lines)
+# ---------------------------------------------------------------------------
+def _mk_lines(spark):
+    rows = []
+    # 'boiler' appears in docs 1..7 (df=7 > 5) → dropped everywhere
+    for d in range(1, 8):
+        rows.append((d, -1, "boiler"))
+        rows.append((d, 0, f"unique body {d}"))
+    # 'rare' appears in docs 1..3 (df=3 ≤ 5) → kept
+    for d in range(1, 4):
+        rows.append((d, 1, "rare"))
+    # doc 8 repeats one line 6 times INSIDE itself → df=1, must be kept
+    for p in range(6):
+        rows.append((8, p, "self repeat"))
+    # doc 9 is boilerplate-only → reassembles to the empty doc
+    rows.append((9, 0, "boiler"))
+    return spark.createDataFrame(rows, ["doc_id", "pos", "line"])
+
+
+def test_remove_frequent_lines_doc_frequency_semantics(spark):
+    from mysql_cdc_to_http_spark.operators.curation import (
+        remove_frequent_lines,
+    )
+
+    lines = _mk_lines(spark)
+    kept = remove_frequent_lines(lines, max_doc_freq=5)
+    left = {(r.doc_id, r.line) for r in kept.collect()}
+    assert not any(line == "boiler" for _, line in left)  # df=7 dropped
+    assert (1, "rare") in left and (3, "rare") in left  # df=3 kept
+    # intra-doc repetition is NOT cross-doc boilerplate (countDistinct)
+    assert sum(1 for d, line in left if line == "self repeat") == 1
+    assert kept.filter(
+        (F.col("doc_id") == 8) & (F.col("line") == "self repeat")
+    ).count() == 6
+
+
+def test_remove_frequent_lines_broadcasts_frequent_set(spark):
+    from mysql_cdc_to_http_spark.operators.curation import (
+        remove_frequent_lines,
+    )
+
+    kept = remove_frequent_lines(_mk_lines(spark), max_doc_freq=5)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_reassemble_lines_order_and_empty_docs(spark):
+    from mysql_cdc_to_http_spark.operators.curation import (
+        reassemble_lines,
+        remove_frequent_lines,
+    )
+    import hashlib
+
+    lines = _mk_lines(spark)
+    docs = lines.select("doc_id").distinct()
+    out = reassemble_lines(
+        remove_frequent_lines(lines, max_doc_freq=5), docs
+    )
+    got = {r.doc_id: (r.n_kept, r.cleaned_md5) for r in out.collect()}
+    # doc 1: pos order is (0 body, 1 rare) — boiler at -1 dropped
+    want1 = hashlib.md5("unique body 1\nrare".encode()).hexdigest()
+    assert got[1] == (2, want1)
+    # doc 9 lost its only line but still appears, as the empty doc
+    assert got[9] == (0, hashlib.md5(b"").hexdigest())
+    assert got[8][0] == 6
