@@ -304,6 +304,69 @@ def canonicalize_clusters(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    damping: float = 0.85,
+    round_iter: int = 8,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list → (node, pr).
+
+    The second distributed iterative algorithm family member (with
+    k-means, operators/clustering.py, and connected components above).
+    Per iteration: contributions = one join on src + one groupBy on dst
+    (the canonical two-shuffle PageRank round); rank vector stays
+    distributed — nothing node-sized ever reaches the driver (the only
+    driver scalar is the node COUNT). Dangling-node mass is NOT
+    redistributed (the common simplification; ranks then sum to < 1 in
+    graphs with sinks — deterministic, engines agree).
+
+    ``round_iter``-dp rounding of the rank after every iteration makes
+    the trajectory engine-invariant (the q_kmeans centroid-rounding
+    technique, operators/clustering.py): per-node contribution sums are
+    float additions in engine-dependent order, and an unrounded ulp
+    wobble would compound across iterations.
+
+    Fixed ``iterations`` (not convergence-tested) keeps the plan static
+    and SQL-unrollable; at web-graph scale you would add the
+    localCheckpoint-per-round lineage truncation used by
+    ``connected_components`` above — with 2-3 iterations the flat plan
+    is cheaper."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # model-sized driver scalar
+    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg"))
+    pr = nodes.select(
+        "node", F.lit(round(1.0 / n_nodes, round_iter)).alias("pr")
+    )
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        contrib = (
+            edges.join(pr, edges[src] == pr["node"])
+            .join(outdeg, src)
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("pr") / F.col("__outdeg")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__contrib"))
+        )
+        pr = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("__contrib"), F.lit(0.0)),
+                round_iter,
+            ).alias("pr"),
+        )
+    return pr
+
+
 # Executors must not need this repo on their PYTHONPATH (driver contract
 # imports by path).
 import sys as _sys

@@ -658,3 +658,106 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("__ord")
         .select("stage", "n_users")
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the supplier<->customer trade graph
+# --------------------------------------------------------------------------
+_PR_DAMPING = 0.85
+_PR_ROUND_ITER = 8
+_PR_ROUND_OUT = 5
+
+_PR_STEP = """
+c{i} AS (
+  SELECT e.dst AS node, SUM(p.pr / o.outdeg) AS contrib
+  FROM edges e
+  JOIN pr{prev} p ON e.src = p.node
+  JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+),
+pr{i} AS (
+  SELECT n.node,
+         round((1.0 - {d}) / (SELECT n FROM nn)
+               + {d} * COALESCE(c.contrib, 0.0), {r}) AS pr
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+)"""
+
+
+def _pagerank_oracle(iterations: int = 2) -> str:
+    steps = ",".join(
+        _PR_STEP.format(
+            i=i, prev=i - 1, d=_PR_DAMPING, r=_PR_ROUND_ITER
+        )
+        for i in range(1, iterations + 1)
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS s,
+                      'c' || CAST(o_custkey AS VARCHAR) AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT s AS src, c AS dst FROM pairs
+      UNION ALL
+      SELECT c AS src, s AS dst FROM pairs
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst AS node FROM edges
+      )
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    pr0 AS (
+      SELECT node, round(1.0 / (SELECT n FROM nn), {_PR_ROUND_ITER}) AS pr
+      FROM nodes
+    ),
+    {steps}
+    SELECT node, round(pr, {_PR_ROUND_OUT}) AS pagerank
+    FROM pr{iterations}
+    ORDER BY pagerank DESC, node LIMIT 25
+    """
+
+
+@query("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the supplier<->customer trade graph
+    (who-supplies-whom from lineitem ⋈ orders, both edge directions):
+    the 25 most central trade participants after 2 iterations.
+
+    Iterative-algorithm family member #3 (k-means, connected
+    components): the rank vector stays distributed, each round is the
+    canonical join-on-src + groupBy-dst two-shuffle step, and the
+    fixed-iteration trajectory is unrolled into plain SQL for the oracle
+    — with per-iteration 8-dp rank rounding making the float trajectory
+    engine-invariant (the q_kmeans centroid-rounding technique).
+    operators/graph.py:pagerank."""
+    from mysql_cdc_to_http_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    ).unionByName(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
+    pr = pagerank(
+        edges,
+        iterations=2,
+        damping=_PR_DAMPING,
+        round_iter=_PR_ROUND_ITER,
+    )
+    return (
+        pr.select("node", F.round("pr", _PR_ROUND_OUT).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "node")
+        .limit(25)
+    )

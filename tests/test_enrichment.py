@@ -438,3 +438,66 @@ def test_operator_input_validation(spark):
     ).withColumn("bucket_ts", F.to_timestamp("bucket_ts"))
     with _pytest.raises(ValueError, match="both ffill and lerp"):
         fill_gaps(ts, "k", count_cols=[], ffill_cols=["v"], lerp_cols=["v"])
+
+
+# ---------------------------------------------------------------------------
+# pagerank (operators/graph.py)
+# ---------------------------------------------------------------------------
+def test_pagerank_hand_graph(spark):
+    """3-node chain a->b->c plus c->a: ranks must match the hand-unrolled
+    two-iteration trajectory with per-iteration rounding."""
+    from mysql_cdc_to_http_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    got = {
+        r.node: r.pr
+        for r in pagerank(edges, iterations=2, damping=0.85).collect()
+    }
+    # every node: outdeg 1, one in-edge — pr stays uniform 1/3 forever
+    third = round(1 / 3, 8)
+    expect = round(0.15 / 3 + 0.85 * third, 8)
+    expect = round(0.15 / 3 + 0.85 * expect, 8)
+    assert got == {"a": expect, "b": expect, "c": expect}
+
+
+def test_pagerank_sink_and_hub(spark):
+    """Star a->x, b->x, c->x: the sink x accumulates rank, sources keep
+    only the base share; dangling mass is (documented) not redistributed."""
+    from mysql_cdc_to_http_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x")], ["src", "dst"]
+    )
+    got = {
+        r.node: r.pr
+        for r in pagerank(edges, iterations=1, damping=0.85).collect()
+    }
+    base = 0.15 / 4
+    assert got["a"] == got["b"] == got["c"] == round(base, 8)
+    assert got["x"] == round(base + 0.85 * 3 * 0.25, 8)
+    # total mass < 1: x's rank drained (no dangling redistribution)
+    assert sum(got.values()) < 1.0
+
+
+def test_pagerank_partition_invariant(spark, sf_dir):
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    a = {r.node: r.pr for r in pagerank(pairs, iterations=2).collect()}
+    b = {
+        r.node: r.pr
+        for r in pagerank(pairs.repartition(17), iterations=2).collect()
+    }
+    assert a == b  # 8-dp iteration rounding kills sum-order wobble
