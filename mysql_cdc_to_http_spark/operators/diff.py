@@ -1,0 +1,80 @@
+"""Snapshot diff — reverse CDC: derive the change stream between two
+table snapshots.
+
+The reference consumes a live binlog CDC stream (main.go:50-123); the
+inverse operation — given yesterday's and today's snapshot of a table,
+emit the insert/update/delete events that connect them — is what a batch
+pipeline runs when no binlog is available (reconciliation, backfill
+bootstrap, audit). The emitted actions use the reference's action
+vocabulary (insert/update/delete) so the diff can feed the same envelope
+builder (operators/envelope.py).
+
+Scale shape: one full-outer join co-partitioned on the key columns —
+both sides shuffle exactly once on the same key, so at 100 TB you
+pre-bucket both snapshots by the key (operators/bucketing.py) and the
+join is shuffle-free; change detection is a null-safe projection over
+the joined row (single codegen stage, no second pass). Unchanged rows —
+the overwhelming majority of a real diff — are filtered before anything
+downstream, so the output is change-sized, not table-sized.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """(key..., action, old_<c>..., new_<c>...) for every row that was
+    inserted, deleted, or had any ``compare_cols`` value change between
+    ``old`` and ``new``. Unchanged rows are dropped. NULL-safe value
+    comparison (``eqNullSafe``): NULL→value and value→NULL transitions
+    are updates, NULL→NULL is unchanged."""
+    if not key_cols or not compare_cols:
+        raise ValueError("key_cols and compare_cols must be non-empty")
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, key_cols, "full_outer")
+    changed = reduce(
+        lambda a, b: a | b,
+        [
+            ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+            for c in compare_cols
+        ],
+    )
+    action = (
+        F.when(F.col("__in_new").isNull(), "delete")
+        .when(F.col("__in_old").isNull(), "insert")
+        .when(changed, "update")
+    )
+    return (
+        j.withColumn("action", action)
+        .filter(F.col("action").isNotNull())
+        .select(
+            *key_cols,
+            "action",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )
+
+
+# Executors must not need this repo on their PYTHONPATH (driver contract
+# imports by path).
+import sys as _sys
+from pyspark import cloudpickle as _cloudpickle
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])

@@ -428,3 +428,86 @@ def q_cdc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl", "op")
     )
+
+
+# --------------------------------------------------------------------------
+# snapshot diff: reverse CDC (two snapshots -> change stream)
+# --------------------------------------------------------------------------
+def _diff_snapshots(spark: SparkSession, sf_dir: str):
+    """(old, new) orders snapshots with deterministic key-derived churn:
+    every 97th key deleted, every 11th updated (status 'X', price +1.5),
+    every 89th re-inserted under key+10M ('N'). SQL-mirrored in the
+    oracle, so the value check covers fixture + operator."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        base.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(
+                F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.5
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 89 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.col("o_totalprice"),
+            )
+        )
+    )
+    return base, new
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS o_totalprice
+      FROM base WHERE o_orderkey % 97 != 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', o_totalprice
+      FROM base WHERE o_orderkey % 89 = 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_orderkey IS NULL THEN 'insert'
+                ELSE 'update' END AS action,
+           o.o_orderstatus AS old_o_orderstatus,
+           n.o_orderstatus AS new_o_orderstatus,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_totalprice AS new_o_totalprice
+    FROM base o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE n.o_orderkey IS NULL OR o.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    ORDER BY o_orderkey
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse CDC: derive the insert/update/delete stream between two
+    snapshots of `orders` (operators/diff.py:snapshot_diff) — what a
+    batch pipeline runs when no binlog exists (reconciliation, backfill
+    bootstrap). Uses the reference's action vocabulary so the output
+    can feed the same envelope builder as the live CDC source. One
+    co-partitioned full-outer join + a null-safe change projection;
+    unchanged rows (the vast majority) never leave the stage."""
+    from mysql_cdc_to_http_spark.operators.diff import snapshot_diff
+
+    old, new = _diff_snapshots(spark, sf_dir)
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    ).orderBy("o_orderkey")

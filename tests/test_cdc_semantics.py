@@ -109,3 +109,48 @@ def test_group_collision_last_wins():
     # main.go:325-329: same table in two groups → last wins
     groups = {"g1": ["t1", "t2"], "g2": ["t1"]}
     assert invert_groups(groups)["t1"] == "g2"
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff (operators/diff.py) — reverse CDC
+# ---------------------------------------------------------------------------
+def test_snapshot_diff_null_safe_semantics(spark):
+    from mysql_cdc_to_http_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d"), (5, None)],
+        ["k", "v"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "D"), (6, "f")],
+        ["k", "v"],
+    )
+    got = {
+        r.k: (r.action, r.old_v, r.new_v)
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    # 1 unchanged, 2 NULL==NULL unchanged — neither emitted
+    assert 1 not in got and 2 not in got
+    assert got[3] == ("update", "c", None)  # value -> NULL is an update
+    assert got[4] == ("update", "d", "D")
+    assert got[5] == ("delete", None, None)
+    assert got[6] == ("insert", None, "f")
+    assert set(got) == {3, 4, 5, 6}
+
+
+def test_snapshot_diff_composite_key_and_validation(spark):
+    import pytest
+
+    from mysql_cdc_to_http_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([(1, 1, 10.0), (1, 2, 20.0)], ["a", "b", "v"])
+    new = spark.createDataFrame([(1, 1, 10.0), (1, 3, 30.0)], ["a", "b", "v"])
+    got = {
+        (r.a, r.b): r.action
+        for r in snapshot_diff(old, new, ["a", "b"], ["v"]).collect()
+    }
+    assert got == {(1, 2): "delete", (1, 3): "insert"}
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, [], ["v"])
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, ["a"], [])
