@@ -89,6 +89,15 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_agg_q3",
     "q_agg_q5",
+    # added round 6 (second wave): new operator families — line-level
+    # boilerplate dedup, PageRank, char-entropy scoring, snapshot diff,
+    # the marker lang-ID twin. r6 totals cover 53 queries; compare
+    # per-query or prior-round-name subsets.
+    "q_dedup_lines",
+    "q_pagerank",
+    "q_char_entropy",
+    "q_snapshot_diff",
+    "q_lang_id_sql",
 ]
 
 

@@ -157,6 +157,103 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BM25 retrieval scoring (completes the TF-IDF ranking family)
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "query", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+    terms AS (
+      SELECT doc_id, unnest(toks) AS term FROM toks
+    ),
+    ft AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM terms WHERE term IN ({_BM25_TERMS_SQL})
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM terms WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY term),
+    idf AS (
+      SELECT term, ln((s.n - df + 0.5) / (df + 0.5) + 1.0) AS idf, s.avgdl
+      FROM dfq, stats s
+    ),
+    contrib AS (
+      SELECT ft.doc_id,
+             idf.idf * (ft.tf * ({_BM25_K1} + 1.0))
+             / (ft.tf + {_BM25_K1}
+                * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / idf.avgdl)) AS c
+      FROM ft JOIN idf USING (term) JOIN dl ON ft.doc_id = dl.doc_id
+    )
+    SELECT doc_id, round(SUM(c), 6) AS bm25
+    FROM contrib GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document scoring for a fixed query (Robertson/Lucene idf
+    variant, k1=1.2, b=0.75) — top-20 docs. The retrieval-side sibling
+    of q_tfidf: tf saturation (k1) and length normalization (b·dl/avgdl)
+    on top of the same explode→tf/df shape.
+
+    Scale shape: the term filter sits directly on the exploded stream,
+    so only query-term rows ever shuffle (a real corpus shuffles a few
+    rows per document, not its vocabulary); idf and corpus stats
+    (N, avgdl) are broadcast; final score is one groupBy(doc) over
+    ≤|query| rows per doc + TakeOrderedAndProject. 6-dp round absorbs
+    cross-engine ln/Σ ulps."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tx.tokenize(F.col("text")).alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    terms = toks.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+        "avgdl",
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # language ID (char-n-gram heuristic, pandas UDF) — rows-only
 # --------------------------------------------------------------------------
 @query("q_lang_id")
