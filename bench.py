@@ -98,6 +98,7 @@ HEADLINE = [
     "q_char_entropy",
     "q_snapshot_diff",
     "q_lang_id_sql",
+    "q_bm25",
 ]
 
 
