@@ -99,6 +99,7 @@ HEADLINE = [
     "q_snapshot_diff",
     "q_lang_id_sql",
     "q_bm25",
+    "q_agg_q18",
 ]
 
 

@@ -591,3 +591,73 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("keep_id", "dup_count")
         .orderBy("keep_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X89 — TPC-H Q18 shape: HAVING over a fact aggregate, semi-joined back
+# into the detail join. Exercises agg-as-filter (the IN-subquery over
+# GROUP BY/HAVING), which neither Q3 (plain multi-join) nor q_subquery
+# (scalar/EXISTS decorrelation) covers.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_agg_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders (quantity sum > 300) with their
+    customers. Scale shape: the HAVING aggregate runs as a two-phase
+    partial agg over lineitem and reduces to a KEY LIST (l_orderkey
+    only), which then semi-joins the fact stream — at any scale the
+    qualifying-order set is tail-sized (p99 of order quantity is ~260),
+    so AQE broadcasts it and the detail join never reshuffles on it.
+    l_quantity is an integer-valued double, so sums are exact and the
+    HAVING comparison is engine-stable; the top-100 frontier is made
+    deterministic by the (o_totalprice, o_orderdate, o_orderkey)
+    tiebreak. Measured plan: the key list broadcasts into a LeftSemi on
+    the fact stream (no fact reshuffle for the filter), and the final
+    detail shuffle is post-semi-join — already cut to the tail-sized
+    qualifying rows — with map-side partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate"),
+            F.col("o_orderkey"),
+        )
+        .limit(100)
+    )
