@@ -26,10 +26,20 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     allow_exact_matches: bool = True,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the ``value_cols`` of the latest right row
     with ``right.ts <= left.ts`` (or ``<`` when not ``allow_exact_matches``)
     sharing the join key. Left rows with no prior right row get nulls.
+
+    ``tolerance`` (an INTERVAL literal body, e.g. ``"24 hours"``) bounds
+    how stale the match may be — pandas ``merge_asof(tolerance=...)``
+    semantics: the matched row is still the LATEST prior right row, but
+    if it is older than ``left.ts - tolerance`` the left row gets nulls
+    (it does NOT fall back to an even older row; those are staler
+    still). Implemented by carrying the matched right timestamp inside
+    the value struct and nulling the payload on the way out — the window
+    pass is unchanged, so tolerance adds zero shuffles.
 
     Both inputs are unioned into one frame ordered by (ts, side) per key;
     a running ``last(ignorenulls=True)`` carries the most recent
@@ -46,8 +56,12 @@ def asof_join(
     on_cols = [on] if isinstance(on, str) else list(on)
     payload = [c for c in left.columns if c not in on_cols]
     right_types = {f.name: f.dataType for f in right.schema.fields}
+    # matched right ts rides first in the struct: needed for the
+    # tolerance check, and as leading tiebreak field it compares equal
+    # exactly when the old (values-only) struct comparison applied
     rv_type = T.StructType(
-        [T.StructField(c, right_types[c]) for c in value_cols]
+        [T.StructField("__rts", right_types[right_ts])]
+        + [T.StructField(c, right_types[c]) for c in value_cols]
     )
 
     # Right rows sort before left rows at equal ts iff exact matches count.
@@ -65,7 +79,9 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in payload],
         F.col(right_ts).alias(_TS),
         F.lit(right_side).alias(_SIDE),
-        F.struct(*value_cols).alias(_RV),
+        F.struct(
+            F.col(right_ts).alias("__rts"), *[F.col(c) for c in value_cols]
+        ).alias(_RV),
     )
     w = (
         W.partitionBy(*on_cols)
@@ -78,11 +94,16 @@ def asof_join(
         F.col(_SIDE),
         F.last(_RV, ignorenulls=True).over(w).alias(_RV),
     )
+    if tolerance is None:
+        extract = [F.col(f"{_RV}.{c}").alias(c) for c in value_cols]
+    else:
+        fresh = F.col(f"{_RV}.__rts") >= F.col(left_ts) - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        extract = [
+            F.when(fresh, F.col(f"{_RV}.{c}")).alias(c) for c in value_cols
+        ]
     return (
         filled.filter(F.col(_SIDE) == left_side)
-        .select(
-            *on_cols,
-            *payload,
-            *[F.col(f"{_RV}.{c}").alias(c) for c in value_cols],
-        )
+        .select(*on_cols, *payload, *extract)
     )

@@ -220,3 +220,48 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").select("r_name")
     nation = load_table(spark, sf_dir, "nation").select("n_name")
     return region.crossJoin(nation).orderBy("r_name", "n_name")
+
+
+# --------------------------------------------------------------------------
+# X90 — as-of join with tolerance (pandas merge_asof parity)
+# --------------------------------------------------------------------------
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, MAX(c.ts) AS last_click_ts
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 6 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    ORDER BY p.event_id
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with staleness bound: last click BEFORE each purchase, but
+    only if within 6 hours — older matches null out (pandas merge_asof
+    ``tolerance`` semantics; the latest-prior row either qualifies or
+    nothing does, since earlier rows are staler still — which is why the
+    oracle's interval-bounded MAX is equivalent). Tolerance is applied
+    to the carried match inside the same single window pass as plain
+    as-of: zero additional shuffles (operators/asof.py)."""
+    events = load_table(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts"), F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_ts"],
+        tolerance="6 hours",
+    )
+    return joined.select(
+        "event_id", F.col("click_ts").alias("last_click_ts")
+    ).orderBy("event_id")

@@ -64,3 +64,51 @@ def test_asof_carries_whole_row_not_stitched(spark):
     assert len(out) == 1
     assert out[0]["a"] == 2.0
     assert out[0]["b"] is None  # NOT 100.0 from the older row
+
+
+def test_asof_tolerance_no_fallback(spark):
+    """pandas merge_asof tolerance semantics: a stale latest-match nulls
+    out; the join must NOT fall back to an even older in-window row
+    (there is none by construction: older == staler)."""
+    from mysql_cdc_to_http_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-10 12:00:00"), (2, "2024-01-10 12:00:00")],
+        ["k", "ts"],
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-10 11:00:00", 100.0),  # 1h old -> within 2h
+            (2, "2024-01-10 08:00:00", 200.0),  # 4h old -> stale
+        ],
+        ["k", "ts", "v"],
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["v"], tolerance="2 hours",
+    )
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: 100.0, 2: None}
+    # same join without tolerance keeps the stale match
+    out2 = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["v"]
+    )
+    assert {r.k: r.v for r in out2.collect()} == {1: 100.0, 2: 200.0}
+
+
+def test_asof_tolerance_boundary_inclusive(spark):
+    """A match exactly tolerance-old still qualifies (>= comparison,
+    mirroring the oracle's interval-bounded >=)."""
+    from mysql_cdc_to_http_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-10 12:00:00")], ["k", "ts"]
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-10 10:00:00", 7.0)], ["k", "ts", "v"]
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["v"], tolerance="2 hours",
+    )
+    assert out.collect()[0].v == 7.0
