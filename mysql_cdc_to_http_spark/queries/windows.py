@@ -95,3 +95,49 @@ def q_window_lag_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(moving), 4).alias("moving_avg"),
         F.count(F.lit(1)).over(moving).alias("frame_n"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# X91 — event-time RANGE frame: rolling 7-day per-user aggregates.
+# The one frame kind X18/X19 (rows frames) don't cover: the frame edge
+# is an INTERVAL in event time, so peers at equal ts share a frame and
+# gaps wider than the interval empty it — semantics rows-frames can't
+# express.
+# --------------------------------------------------------------------------
+@query(
+    "q_window_rolling_time",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_7d,
+           round(sum(value) OVER w, 6) AS sum_7d
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def q_window_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day purchase count/value per user via an event-time
+    RANGE frame. Scale shape: one shuffle on user_id, then a per-key
+    linear two-pointer pass over the sorted partition (Spark's range
+    frame is O(n) per key, not O(n·frame)); output is purchase-sized.
+    RANGE peers (equal ts) share a frame on both engines, so no
+    tiebreak is needed for determinism; 6-dp round absorbs the
+    engines' differing in-frame summation orders."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    ev.createOrReplaceTempView("__rolling_ev")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_7d,
+               round(sum(value) OVER w, 6) AS sum_7d
+        FROM __rolling_ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                               AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    )
