@@ -73,6 +73,34 @@ def snapshot_diff(
     )
 
 
+def apply_diff(
+    old: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Apply a ``snapshot_diff`` change set onto ``old``, reconstructing
+    ``new`` — MERGE INTO semantics (WHEN MATCHED UPDATE/DELETE, WHEN NOT
+    MATCHED INSERT) for the engine's diff format, and the property that
+    makes the pair usable for reconciliation:
+    ``apply_diff(old, snapshot_diff(old, new)) == new`` (tested).
+
+    Scale shape: touched keys are change-sized, so the subtraction is a
+    broadcast anti-join for any realistic diff; inserted/updated rows
+    append via union — no full-table rewrite beyond the one pass."""
+    touched = changes.filter(F.col("action") != "insert").select(*key_cols)
+    kept = old.select(*key_cols, *compare_cols).join(
+        F.broadcast(touched), key_cols, "left_anti"
+    )
+    added = changes.filter(
+        F.col("action").isin("insert", "update")
+    ).select(
+        *key_cols,
+        *[F.col(f"new_{c}").alias(c) for c in compare_cols],
+    )
+    return kept.unionByName(added)
+
+
 # Executors must not need this repo on their PYTHONPATH (driver contract
 # imports by path).
 import sys as _sys

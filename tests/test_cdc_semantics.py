@@ -154,3 +154,33 @@ def test_snapshot_diff_composite_key_and_validation(spark):
         snapshot_diff(old, new, [], ["v"])
     with pytest.raises(ValueError):
         snapshot_diff(old, new, ["a"], [])
+
+
+def test_apply_diff_round_trips(spark, sf_dir):
+    """apply_diff(old, snapshot_diff(old, new)) == new, exactly — the
+    reconciliation property that makes the diff format usable as a
+    change feed."""
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.operators.diff import apply_diff, snapshot_diff
+    from mysql_cdc_to_http_spark.queries.cdc import _diff_snapshots
+
+    old, new = _diff_snapshots(spark, sf_dir)
+    keys = ["o_orderkey"]
+    comps = ["o_orderstatus", "o_totalprice"]
+    changes = snapshot_diff(old, new, keys, comps)
+    rebuilt = apply_diff(old, changes, keys, comps)
+    # exact multiset equality both directions
+    assert rebuilt.count() == new.count()
+    assert rebuilt.exceptAll(new.select(*keys, *comps)).count() == 0
+    assert new.select(*keys, *comps).exceptAll(rebuilt).count() == 0
+
+
+def test_apply_diff_broadcast_anti_join(spark, sf_dir):
+    from mysql_cdc_to_http_spark.operators.diff import apply_diff, snapshot_diff
+    from mysql_cdc_to_http_spark.queries.cdc import _diff_snapshots
+
+    old, new = _diff_snapshots(spark, sf_dir)
+    keys, comps = ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    rebuilt = apply_diff(old, snapshot_diff(old, new, keys, comps), keys, comps)
+    plan = rebuilt._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
