@@ -318,3 +318,47 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_wk", "weeks_since")
     )
+
+
+# --------------------------------------------------------------------------
+# X92 — grouped outlier detection (z-score)
+# --------------------------------------------------------------------------
+@query(
+    "q_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           round((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN stats s USING (user_id)
+    WHERE abs((e.value - s.mu) / s.sigma) > 3.0
+    ORDER BY e.event_id
+    """,
+)
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-value outliers (|z| > 3) — the data-quality screen
+    a profiling pass feeds (events.value has a genuine tail: max |z|
+    ≈ 5.8, unlike the uniform acctbal columns where 2.5σ is empty by
+    construction). Scale shape: per-user mean/stddev is one two-phase
+    aggregate producing a key-count-sized stats table that broadcasts
+    back — the event stream itself shuffles once (for the stats agg) and
+    the scoring join adds none. Float argument (same as q_subquery's avg
+    filter): the 3σ cut only misclassifies a row within FP-noise of the
+    boundary, astronomically unlikely for continuous values; round(z,4)
+    after the cut is display-stable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "user_id", F.round(z, 4).alias("z"))
+        .orderBy("event_id")
+    )
