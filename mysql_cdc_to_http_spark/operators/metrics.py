@@ -1,0 +1,52 @@
+"""Pipeline observability: per-action event counters on the data path.
+
+The reference logs every consumed event with its action and table
+(main.go's logger calls in the canal event loop); re-reading the output
+to count (``df.count()`` per action) would add full extra passes. Spark's
+``Observation`` API is the idiomatic equivalent: named aggregates ride
+the SAME job as the consuming action via accumulators — zero additional
+scans, exact counts, available on the driver the moment the action
+finishes. At 100 TB an extra counting pass is hours; observation metrics
+are free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.observation import Observation
+
+
+def observe_actions(
+    df: DataFrame,
+    action_col: str = "action",
+    name: str = "cdc_metrics",
+) -> tuple[DataFrame, Observation]:
+    """Attach per-action counters (insert/update/delete + total) to the
+    frame. Returns (observed_df, observation); read
+    ``observation.get`` AFTER an action has materialized the frame.
+    Counts reflect rows that actually flowed past this point — filters
+    applied downstream don't rewind them, so attach at the stage whose
+    throughput you mean to measure (the reference logs at consume time,
+    before routing drops anything)."""
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (F.col(action_col) == "insert").cast("long")
+        ).alias("n_insert"),
+        F.sum(
+            (F.col(action_col) == "update").cast("long")
+        ).alias("n_update"),
+        F.sum(
+            (F.col(action_col) == "delete").cast("long")
+        ).alias("n_delete"),
+    )
+    return observed, obs
+
+
+# Executors must not need this repo on their PYTHONPATH (driver contract
+# imports by path).
+import sys as _sys
+from pyspark import cloudpickle as _cloudpickle
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])

@@ -184,3 +184,31 @@ def test_apply_diff_broadcast_anti_join(spark, sf_dir):
     rebuilt = apply_diff(old, snapshot_diff(old, new, keys, comps), keys, comps)
     plan = rebuilt._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_observe_actions_zero_extra_pass(spark, sf_dir):
+    """Observation counters must match exact per-action counts and ride
+    the consuming action's job (no second scan: reading .get after one
+    write returns the metrics)."""
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.operators.diff import snapshot_diff
+    from mysql_cdc_to_http_spark.operators.metrics import observe_actions
+    from mysql_cdc_to_http_spark.queries.cdc import _diff_snapshots
+
+    old, new = _diff_snapshots(spark, sf_dir)
+    changes = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    observed, obs = observe_actions(changes)
+    observed.write.mode("overwrite").format("noop").save()
+    got = obs.get
+    expected = {
+        r.action: r.n
+        for r in changes.groupBy("action")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got["n_insert"] == expected.get("insert", 0) > 0
+    assert got["n_update"] == expected.get("update", 0) > 0
+    assert got["n_delete"] == expected.get("delete", 0) > 0
+    assert got["n_rows"] == sum(expected.values())
