@@ -20,10 +20,13 @@ def observe_actions(
     df: DataFrame,
     action_col: str = "action",
     name: str = "cdc_metrics",
+    actions: tuple[str, ...] = ("insert", "update", "delete"),
 ) -> tuple[DataFrame, Observation]:
-    """Attach per-action counters (insert/update/delete + total) to the
-    frame. Returns (observed_df, observation); read
-    ``observation.get`` AFTER an action has materialized the frame.
+    """Attach per-action counters (one ``n_<action>`` per vocabulary
+    entry + ``n_rows``) to the frame. Works for the snapshot-diff
+    vocabulary (default) and the CDC op codes
+    (``actions=("c", "u", "d")``). Returns (observed_df, observation);
+    read ``observation.get`` AFTER an action has materialized the frame.
     Counts reflect rows that actually flowed past this point — filters
     applied downstream don't rewind them, so attach at the stage whose
     throughput you mean to measure (the reference logs at consume time,
@@ -32,15 +35,10 @@ def observe_actions(
     observed = df.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(
-            (F.col(action_col) == "insert").cast("long")
-        ).alias("n_insert"),
-        F.sum(
-            (F.col(action_col) == "update").cast("long")
-        ).alias("n_update"),
-        F.sum(
-            (F.col(action_col) == "delete").cast("long")
-        ).alias("n_delete"),
+        *[
+            F.sum((F.col(action_col) == a).cast("long")).alias(f"n_{a}")
+            for a in actions
+        ],
     )
     return observed, obs
 

@@ -212,3 +212,26 @@ def test_observe_actions_zero_extra_pass(spark, sf_dir):
     assert got["n_update"] == expected.get("update", 0) > 0
     assert got["n_delete"] == expected.get("delete", 0) > 0
     assert got["n_rows"] == sum(expected.values())
+
+
+def test_observe_actions_cdc_vocabulary(spark, sf_dir):
+    """The same counters work over the CDC op codes (c/u/d) on the
+    envelope stream — the consume-time log point the reference uses."""
+    from mysql_cdc_to_http_spark.operators.metrics import observe_actions
+    from mysql_cdc_to_http_spark.sources.cdc import synthetic_change_events
+
+    changes = synthetic_change_events(spark, sf_dir)
+    observed, obs = observe_actions(
+        changes, action_col="op", name="cdc_ops", actions=("c", "u", "d")
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    got = obs.get
+    expected = {
+        r.op: r.n
+        for r in changes.groupBy("op")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for a in ("c", "u", "d"):
+        assert got[f"n_{a}"] == expected.get(a, 0)
+    assert got["n_rows"] == sum(expected.values())
