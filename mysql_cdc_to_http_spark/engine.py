@@ -70,6 +70,15 @@ def build_delivery_frame(
     """The OnRow hot path as one plan: action filter → group routing →
     serialized envelope + idempotency key."""
     keep = ("c", "u", "d") if keep_deletes else ("c", "u")
+    # consume-point counters (reference: per-event log in the canal
+    # loop) — per-batch n_rows/n_c/n_u/n_d in observedMetrics, attached
+    # BEFORE the action filter so dropped deletes are still counted
+    from mysql_cdc_to_http_spark.operators.metrics import (
+        observe_actions_stream,
+    )
+
+    if changes.isStreaming:
+        changes = observe_actions_stream(changes, name="consume_metrics")
     ev = action_filter(changes, keep=keep)
     dim = routing_dim(spark, groups or DEFAULT_GROUPS)
     routed = ev.join(

@@ -43,6 +43,28 @@ def observe_actions(
     return observed, obs
 
 
+def observe_actions_stream(
+    df: DataFrame,
+    action_col: str = "op",
+    name: str = "delivery_metrics",
+    actions: tuple[str, ...] = ("c", "u", "d"),
+) -> DataFrame:
+    """Streaming form: attach the same per-action counters to a
+    streaming frame by name. Metrics surface per micro-batch in
+    ``StreamingQueryProgress.observedMetrics[name]`` — the reference's
+    per-event consume log, aggregated per batch, with zero overhead on
+    the hot path (the ``Observation`` object used by the batch form
+    doesn't support streaming queries; the named variant does)."""
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum((F.col(action_col) == a).cast("long")).alias(f"n_{a}")
+            for a in actions
+        ],
+    )
+
+
 # Executors must not need this repo on their PYTHONPATH (driver contract
 # imports by path).
 import sys as _sys

@@ -85,3 +85,35 @@ def test_engine_compat_double_delivery(spark, sf_dir, tmp_path, sink_server):
     assert len(counts) == n_expected
     # reference semantics: every event delivered twice (direct + worker)
     assert set(counts.values()) == {2}
+
+
+def test_engine_streaming_observed_metrics(spark, sf_dir, tmp_path, sink_server):
+    """The consume-point counters (reference: per-event log in the canal
+    loop) surface in StreamingQueryProgress.observedMetrics, summing to
+    the full feed BEFORE the action filter (dropped deletes counted)."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.queries.cdc import _flat_events
+
+    base, sink = sink_server
+    cfg = EngineConfig(
+        post_url=base, queue_dir=str(tmp_path / "q"), table_groups_file=None
+    )
+    events_dir = write_event_files(spark, sf_dir)
+    handles = run_pipeline(spark, cfg, events_dir, str(tmp_path / "w"))
+    handles.process_all_available()
+    totals = {"n_rows": 0, "n_c": 0, "n_u": 0, "n_d": 0}
+    for prog in handles.direct.recentProgress:
+        m = prog.observedMetrics.get("consume_metrics")
+        if m is not None:
+            for k in totals:
+                totals[k] += m[k]
+    handles.stop()
+    flat = _flat_events(spark, sf_dir)
+    expected = {
+        r.op: r.n
+        for r in flat.groupBy("op").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert totals["n_rows"] == sum(expected.values())
+    for op in ("c", "u", "d"):
+        assert totals[f"n_{op}"] == expected.get(op, 0)
