@@ -100,6 +100,9 @@ HEADLINE = [
     "q_lang_id_sql",
     "q_bm25",
     "q_agg_q18",
+    "q_join_asof_tolerance",
+    "q_window_rolling_time",
+    "q_outliers",
 ]
 
 
