@@ -511,3 +511,113 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# incremental join-view maintenance (IVM)
+# --------------------------------------------------------------------------
+def _cust_churn(base: DataFrame) -> DataFrame:
+    """customer churn fixture: every 13th customer changes segment,
+    every 131st is deleted — key-derived, SQL-mirrored in the oracle."""
+    return base.filter(F.col("c_custkey") % 131 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+
+
+@query(
+    "q_incremental_join",
+    oracle="""
+    WITH o_new AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 != 0
+    ),
+    c_new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 13 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 131 != 0
+    )
+    SELECT o_orderstatus, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE),
+                 2) AS total
+    FROM o_new JOIN c_new ON o_custkey = c_custkey
+    GROUP BY o_orderstatus, c_mktsegment
+    ORDER BY o_orderstatus, c_mktsegment
+    """,
+)
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental join-view maintenance: the materialized
+    orders⋈customer view is updated under churn on BOTH sides (the
+    q_snapshot_diff orders churn + a customer segment-move/delete
+    fixture) by operators/diff.py:maintain_joined_view — J_old minus
+    broadcast-anti touched keys, plus a delta-sized rebuild joined
+    against the new dim. The oracle recomputes the post-churn join from
+    scratch: equality proves the incremental path reproduces the full
+    recompute (also property-tested row-exactly in
+    tests/test_cdc_semantics.py). Exact DECIMAL sums per q_agg_q1's
+    cross-engine rule."""
+    from mysql_cdc_to_http_spark.operators.diff import maintain_joined_view
+
+    o_old = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    c_old = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    # same churn rules as _diff_snapshots applied to the full orders
+    # payload (delete %97, update %11; the diff fixture's key+10M
+    # inserts are omitted — they carry no customer reference)
+    o_new = o_old.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.5)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    c_new = _cust_churn(c_old)
+    j_old = o_old.join(
+        c_old, o_old["o_custkey"] == c_old["c_custkey"]
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "c_mktsegment",
+    )
+    da = o_old.select("o_orderkey").filter(
+        (F.col("o_orderkey") % 97 == 0) | (F.col("o_orderkey") % 11 == 0)
+    )
+    db = (
+        c_old.select("c_custkey")
+        .filter(
+            (F.col("c_custkey") % 131 == 0) | (F.col("c_custkey") % 13 == 0)
+        )
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    c_new_j = c_new.select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j_new = maintain_joined_view(
+        j_old, o_new, c_new_j, da, db, "o_orderkey", "o_custkey"
+    )
+    return (
+        j_new.groupBy("o_orderstatus", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total"),
+        )
+        .orderBy("o_orderstatus", "c_mktsegment")
+    )

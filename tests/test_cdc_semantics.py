@@ -235,3 +235,57 @@ def test_observe_actions_cdc_vocabulary(spark, sf_dir):
     for a in ("c", "u", "d"):
         assert got[f"n_{a}"] == expected.get(a, 0)
     assert got["n_rows"] == sum(expected.values())
+
+
+def test_maintain_joined_view_equals_full_recompute(spark, sf_dir):
+    """IVM identity: the incrementally-maintained view must equal the
+    from-scratch join of the new snapshots, row-exactly, under churn on
+    BOTH sides (fact deletes/updates, dim updates/deletes)."""
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.operators.diff import maintain_joined_view
+    from mysql_cdc_to_http_spark.queries.cdc import _cust_churn
+
+    o_old = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    c_old = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o_new = o_old.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.5)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    c_new = _cust_churn(c_old)
+    c_old_j = c_old.select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    c_new_j = c_new.select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j_old = o_old.join(c_old_j, "o_custkey").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "c_mktsegment",
+    )
+    da = o_old.select("o_orderkey").filter(
+        (F.col("o_orderkey") % 97 == 0) | (F.col("o_orderkey") % 11 == 0)
+    )
+    db = c_old.select("c_custkey").filter(
+        (F.col("c_custkey") % 131 == 0) | (F.col("c_custkey") % 13 == 0)
+    ).select(F.col("c_custkey").alias("o_custkey"))
+    j_inc = maintain_joined_view(
+        j_old, o_new, c_new_j, da, db, "o_orderkey", "o_custkey"
+    )
+    j_full = o_new.join(c_new_j, "o_custkey").select(*j_inc.columns)
+    assert j_inc.count() == j_full.count() > 0
+    assert j_inc.exceptAll(j_full).count() == 0
+    assert j_full.exceptAll(j_inc).count() == 0
+    # the maintenance plan must be broadcast-shaped: no shuffle of the
+    # kept view for the subtraction
+    plan = j_inc._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3  # 2 anti + semi sides
