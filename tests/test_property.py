@@ -244,3 +244,45 @@ def test_redact_pii_property(spark, parts):
     assert not _re.search(r"\d{3}-555-\d{4}", row["r"])
     assert not _re.search(r"\b10\.\d+\.0\.\d+\b", row["r"])
     assert row["rr"] == row["r"]
+
+
+@settings(**_SETTINGS)
+@given(
+    old_rows=st.dictionaries(
+        st.integers(0, 30), st.tuples(st.integers(-5, 5), printable),
+        max_size=20,
+    ),
+    new_rows=st.dictionaries(
+        st.integers(0, 30), st.tuples(st.integers(-5, 5), printable),
+        max_size=20,
+    ),
+)
+def test_snapshot_diff_apply_roundtrip_property(spark, old_rows, new_rows):
+    """For ANY pair of keyed snapshots: the diff classifies every key
+    correctly and apply(old, diff) == new exactly (multisets)."""
+    from mysql_cdc_to_http_spark.operators.diff import (
+        apply_diff,
+        snapshot_diff,
+    )
+
+    schema = "k int, a int, b string"
+    old = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in old_rows.items()], schema
+    )
+    new = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in new_rows.items()], schema
+    )
+    changes = snapshot_diff(old, new, ["k"], ["a", "b"])
+    got = {r.k: r.action for r in changes.collect()}
+    for k in set(old_rows) | set(new_rows):
+        if k not in new_rows:
+            assert got.get(k) == "delete"
+        elif k not in old_rows:
+            assert got.get(k) == "insert"
+        elif old_rows[k] != new_rows[k]:
+            assert got.get(k) == "update"
+        else:
+            assert k not in got  # unchanged rows never emitted
+    rebuilt = apply_diff(old, changes, ["k"], ["a", "b"])
+    assert rebuilt.exceptAll(new).count() == 0
+    assert new.exceptAll(rebuilt).count() == 0
