@@ -103,6 +103,7 @@ HEADLINE = [
     "q_join_asof_tolerance",
     "q_window_rolling_time",
     "q_outliers",
+    "q_incremental_join",
 ]
 
 
