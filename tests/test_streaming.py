@@ -433,3 +433,80 @@ def test_event_deltas_reject_unknown_op(spark):
         ).collect()
     }
     assert out == {"a": (1, 10.0)}
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental join-view maintenance (streaming/incremental_join.py)
+# ---------------------------------------------------------------------------
+def _status_dim(spark):
+    return spark.createDataFrame(
+        [("O", "open"), ("P", "pending"), ("F", "final")],
+        ["o_orderstatus", "status_label"],
+    )
+
+
+def test_stream_changes_to_view_matches_batch(spark, sf_dir, tmp_path):
+    """After the full feed streams through, the maintained joined view
+    must equal latest_state(feed) enriched against the dim — the
+    streaming IVM identity."""
+    from mysql_cdc_to_http_spark.streaming.incremental_join import (
+        stream_changes_to_view,
+    )
+    from mysql_cdc_to_http_spark.streaming.latest_state import latest_state
+
+    events_dir = write_event_files(spark, sf_dir)
+    changes = stream_change_events(spark, events_dir)
+    view_dir = str(tmp_path / "view")
+    q = stream_changes_to_view(
+        changes,
+        spark,
+        view_dir,
+        str(tmp_path / "ckpt"),
+        _status_dim(spark),
+        fact_key="o_orderkey",
+        join_key="o_orderstatus",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(view_dir)
+    from mysql_cdc_to_http_spark.sources.cdc import read_change_events
+
+    feed = read_change_events(spark, events_dir)
+    key = F.coalesce(
+        F.col("after.o_orderkey"), F.col("before.o_orderkey")
+    ).alias("__k")
+    expected = (
+        latest_state(
+            feed.select("op", "offset", "before", "after", key),
+            key_cols=["__k"],
+        )
+        .select("after.*")
+        .join(_status_dim(spark), "o_orderstatus")
+        .select(*got.columns)
+    )
+    assert got.count() == expected.count() > 0
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_merge_changes_into_view_replay_idempotent(spark, sf_dir, tmp_path):
+    """Key overwrite makes at-least-once replay safe WITHOUT an epoch
+    guard: folding the same batch twice leaves the view unchanged."""
+    from mysql_cdc_to_http_spark.sources.cdc import synthetic_change_events
+    from mysql_cdc_to_http_spark.streaming.incremental_join import (
+        merge_changes_into_view,
+    )
+
+    batch = synthetic_change_events(spark, sf_dir)
+    view_dir = str(tmp_path / "view")
+    dim = _status_dim(spark)
+    merge_changes_into_view(
+        spark, batch, view_dir, dim, "o_orderkey", "o_orderstatus"
+    )
+    once = spark.read.parquet(view_dir).collect()
+    merge_changes_into_view(
+        spark, batch, view_dir, dim, "o_orderkey", "o_orderstatus"
+    )
+    twice = spark.read.parquet(view_dir).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+    assert len(once) > 0
