@@ -210,15 +210,85 @@ def bench_stream_stream_join(spark, sf_dir: str) -> dict:
     }
 
 
+def bench_ivm_view(spark, sf_dir: str, n_files: int = 16) -> dict:
+    """Micro-batch joined-view maintenance (streaming IVM): replay the
+    CDC feed through stream_changes_to_view and check the final view
+    against the batch identity latest_state(feed) ⋈ dim."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.sources.cdc import (
+        read_change_events,
+        stream_change_events,
+        write_event_files,
+    )
+    from mysql_cdc_to_http_spark.streaming.incremental_join import (
+        stream_changes_to_view,
+    )
+    from mysql_cdc_to_http_spark.streaming.latest_state import latest_state
+
+    events_dir = write_event_files(spark, sf_dir, n_files=n_files)
+    work = tempfile.mkdtemp(prefix="graft_ivm_bench_")
+    view_dir = os.path.join(work, "view")
+    dim = spark.createDataFrame(
+        [("O", "open"), ("P", "pending"), ("F", "final")],
+        ["o_orderstatus", "status_label"],
+    )
+    changes = stream_change_events(spark, events_dir)
+    t0 = time.perf_counter()
+    q = stream_changes_to_view(
+        changes,
+        spark,
+        view_dir,
+        os.path.join(work, "ckpt"),
+        dim,
+        fact_key="o_orderkey",
+        join_key="o_orderstatus",
+    )
+    q.processAllAvailable()
+    q.stop()
+    wall = time.perf_counter() - t0
+    feed = read_change_events(spark, events_dir)
+    n_in = feed.count()
+    got = spark.read.parquet(view_dir)
+    key = F.coalesce(
+        F.col("after.o_orderkey"), F.col("before.o_orderkey")
+    ).alias("__k")
+    expected = (
+        latest_state(
+            feed.select("op", "offset", "before", "after", key),
+            key_cols=["__k"],
+        )
+        .select("after.*")
+        .join(dim, "o_orderstatus")
+        .select(*got.columns)
+    )
+    matches = (
+        got.count() == expected.count()
+        and got.exceptAll(expected).count() == 0
+    )
+    out = {
+        "rows_in": n_in,
+        "view_rows": got.count(),
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(n_in / wall, 1) if wall > 0 else None,
+        "view_matches_batch": matches,
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def run(spark, sf_dir: str, n_files: int = 16) -> dict:
     cdc = bench_cdc_pipeline(spark, sf_dir, n_files=n_files)
     ssj = bench_stream_stream_join(spark, sf_dir)
+    ivm = bench_ivm_view(spark, sf_dir, n_files=n_files)
     return {
         "cdc_pipeline": cdc,
         "stream_stream_join": ssj,
+        "ivm_view": ivm,
         "checks": {
             "resumed_exactly_once": cdc["resumed_exactly_once"],
             "state_bounded": cdc["state_bounded"],
+            "ivm_view_matches_batch": ivm["view_matches_batch"],
         },
     }
 
