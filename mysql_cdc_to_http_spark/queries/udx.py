@@ -118,3 +118,53 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 import sys as _sys
 from pyspark import cloudpickle as _cloudpickle
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+# --------------------------------------------------------------------------
+# X95 — grouped-agg pandas UDF (a true UDAF): geometric mean per group.
+# Completes the UDX ladder: scalar (X34), per-group frame transform
+# (X35), table function (X36) — and now a custom AGGREGATE running as
+# one Arrow batch per group, usable in groupBy and over windows.
+# --------------------------------------------------------------------------
+@pandas_udf(DoubleType())
+def _geo_mean(v: pd.Series) -> float:
+    """exp(mean(ln v)) — defined for the all-positive o_totalprice."""
+    import numpy as np
+
+    return float(np.exp(np.log(v.to_numpy()).mean()))
+
+
+@query(
+    "q_udaf",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(exp(avg(ln(o_totalprice))), 4) AS geo_mean_price
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (grouped-agg pandas UDF): per-priority geometric
+    mean of order value. The Python path is value-checked against the
+    pure-SQL identity exp(avg(ln x)); the 4-dp round absorbs the
+    summation-order/libm ulp differences between numpy's mean and the
+    engines' avg. Scale note: GROUPED_AGG ships each group's column to
+    Python as ONE Arrow batch — fine for bounded groups (5 priorities);
+    for high-cardinality keys prefer the algebraic identity inline
+    (exp(avg(ln))) which partial-aggregates map-side, exactly like the
+    oracle's form."""
+    orders = load_table(spark, sf_dir, "orders")
+    # a GROUPED_AGG pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — run it alone and join the counts
+    geo = orders.groupBy("o_orderpriority").agg(
+        F.round(_geo_mean(F.col("o_totalprice")), 4).alias("geo_mean_price")
+    )
+    counts = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        counts.join(geo, "o_orderpriority")
+        .select("o_orderpriority", "n", "geo_mean_price")
+        .orderBy("o_orderpriority")
+    )
