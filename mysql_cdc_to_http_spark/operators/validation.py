@@ -16,6 +16,7 @@ shared too.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
 
 #: name of the synthetic column carrying failed-rule names
 REASONS_COL = "__failed_rules"
@@ -100,3 +101,51 @@ def stream_validate_and_route(
         .outputMode("append")
         .start()
     )
+
+
+def read_json_with_quarantine(
+    spark,
+    path: str,
+    schema: str | T.StructType,
+):
+    """Corrupt-record-tolerant JSONL ingestion: parse under PERMISSIVE
+    mode with a ``_corrupt_record`` capture column and split the scan
+    into (valid, corrupt) frames — the ingestion-side complement of the
+    row-rule quarantine above (a real feed contains lines that are not
+    even JSON; FAILFAST would abort the job on the first one, DROPMALFORMED
+    would silently lose them — both wrong for a pipeline that must
+    account for every input byte).
+
+    ``corrupt`` carries the raw offending line untouched, so the
+    quarantine is replayable after a parser/schema fix. Caveat wired in,
+    not documented-only: Spark requires the corrupt-capture column to be
+    selected together with a cache barrier for counts to be stable
+    (SPARK-21610: a count() over only the corrupt column can be pruned
+    to a metadata scan) — the returned frames are built from one cached
+    base so valid/corrupt counts always sum to the input line count.
+
+    Scale: PERMISSIVE parsing is per-line, pipeline-parallel, no
+    shuffle; the cache is scan-sized and should be released by the
+    caller after the split is consumed (register_cached contract)."""
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    full = T.StructType(
+        list(schema.fields)
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    base = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .persist()
+    )
+    valid = base.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    corrupt = base.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw")
+    )
+    return register_cached(valid, [base]), corrupt

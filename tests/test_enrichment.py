@@ -501,3 +501,36 @@ def test_pagerank_partition_invariant(spark, sf_dir):
         for r in pagerank(pairs.repartition(17), iterations=2).collect()
     }
     assert a == b  # 8-dp iteration rounding kills sum-order wobble
+
+
+# ---------------------------------------------------------------------------
+# corrupt-record-tolerant ingestion (operators/validation.py)
+# ---------------------------------------------------------------------------
+def test_read_json_with_quarantine(spark, tmp_path):
+    from mysql_cdc_to_http_spark.operators.caching import release_all_cached
+    from mysql_cdc_to_http_spark.operators.validation import (
+        read_json_with_quarantine,
+    )
+
+    lines = [
+        '{"id": 1, "name": "ok"}',
+        "this is not json at all",
+        '{"id": 2, "name": "fine"}',
+        '{"id": 3, "name": "unterminated',
+        '{"id": "not-an-int-but-parses", "name": "x"}',
+    ]
+    p = tmp_path / "feed.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    valid, corrupt = read_json_with_quarantine(
+        spark, str(p), "id bigint, name string"
+    )
+    v = {(r.id, r.name) for r in valid.collect()}
+    c = [r.raw for r in corrupt.collect()]
+    # well-formed JSON with a type mismatch is PERMISSIVE-nulled, not
+    # corrupt — only non-JSON lines land in quarantine
+    assert (1, "ok") in v and (2, "fine") in v and (3, "unterminated") not in v
+    assert valid.count() + corrupt.count() == len(lines)
+    # the quarantine carries the raw offending bytes, replayable
+    assert "this is not json at all" in c
+    assert '{"id": 3, "name": "unterminated' in c
+    release_all_cached()
