@@ -104,6 +104,7 @@ HEADLINE = [
     "q_window_rolling_time",
     "q_outliers",
     "q_incremental_join",
+    "q_udaf",
 ]
 
 
