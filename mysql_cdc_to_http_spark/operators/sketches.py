@@ -54,3 +54,100 @@ def hll_rollup(partials: DataFrame, group_cols: list[str]) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("ndv_est")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: the mergeable FREQUENCY analog of the HLL rollup.
+#
+# Same 100 TB shape as hll_partials/hll_rollup: materialize one small
+# sketch per ingested segment, answer any coarser "how often does key k
+# appear?" by SUMMING sketches — never re-reading rows. Unlike the
+# DataSketches HLL binary, this CMS is stored RELATIONALLY as
+# (row_i, bucket, cnt) rows: merge is a plain SUM group-by (losslessly
+# associative), the table is depth x width rows (model-sized — 4 x 512
+# default = 2048 longs), and every step is portable integer arithmetic
+# on md5 buckets (the engine's cross-engine determinism primitive, see
+# operators/sampling.py:split_bucket), so an external SQL engine
+# reproduces the sketch bit-for-bit and estimates can be EQUALITY-
+# oracled, not just bound-checked.
+#
+# Guarantee carried by construction: estimate >= true count always
+# (min over depth rows of an over-counted bucket); error above truth is
+# bounded by collisions, shrinking as width grows.
+# ---------------------------------------------------------------------------
+
+
+def cms_bucket(
+    value_col: Column, row_col: Column, width: int, salt: str = "cms-v1"
+) -> Column:
+    """Bucket of ``value`` under hash row ``row_i``: first 24 md5 bits
+    of 'salt|row|value' mod width. Pure projection, reproducible in any
+    engine with md5."""
+    hex6 = F.substring(
+        F.md5(
+            F.concat_ws(
+                "|", F.lit(salt), row_col.cast("string"), value_col.cast("string")
+            )
+        ),
+        1,
+        6,
+    )
+    return F.pmod(F.conv(hex6, 16, 10).cast("long"), F.lit(width))
+
+
+def cms_partials(
+    df: DataFrame,
+    segment_col,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """One CMS per segment as (segment, row_i, bucket, cnt) rows.
+
+    The explode(depth) blow-up never reaches the shuffle: partial
+    aggregation collapses each map task to at most
+    segments x depth x width rows before the exchange."""
+    seg = segment_col if isinstance(segment_col, Column) else F.col(segment_col)
+    rows = df.select(
+        seg.alias("segment"),
+        F.col(value_col).alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row_i"),
+    )
+    return rows.groupBy(
+        "segment",
+        "row_i",
+        cms_bucket(F.col("__v"), F.col("row_i"), width, salt).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(partials: DataFrame) -> DataFrame:
+    """Collapse per-segment sketches into one CMS by summation — the
+    lossless merge that makes pre-aggregated segments answer any
+    coarser frequency question without re-scanning base data."""
+    return partials.groupBy("row_i", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """Point-frequency estimates for each probe value: min over the
+    depth rows of that value's bucket counts. The sketch side is
+    depth x width rows — broadcast, so probing is shuffle-free on the
+    sketch and aggregates only probes x depth rows."""
+    from pyspark.sql.functions import broadcast
+
+    probe_rows = probes.select(
+        F.col(value_col).alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row_i"),
+    ).withColumn("bucket", cms_bucket(F.col("__v"), F.col("row_i"), width, salt))
+    return (
+        probe_rows.join(broadcast(cms), ["row_i", "bucket"], "left")
+        .groupBy(F.col("__v").alias(value_col))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("freq_est"))
+    )

@@ -377,3 +377,77 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_cms_freq",
+    oracle="""
+    WITH rows_i AS (SELECT UNNEST(range(4)) AS row_i),
+    cms AS (
+      SELECT row_i,
+             ('0x' || substr(md5('cms-v1|' || CAST(row_i AS VARCHAR) || '|'
+                                 || CAST(l_suppkey AS VARCHAR)), 1, 6))::INTEGER
+               % 512 AS bucket,
+             COUNT(*) AS cnt
+      FROM lineitem CROSS JOIN rows_i
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM lineitem GROUP BY 1
+    ),
+    top AS (
+      SELECT l_suppkey, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, l_suppkey LIMIT 10
+    ),
+    probe AS (
+      SELECT t.l_suppkey, t.exact_cnt, r.row_i,
+             ('0x' || substr(md5('cms-v1|' || CAST(r.row_i AS VARCHAR) || '|'
+                                 || CAST(t.l_suppkey AS VARCHAR)), 1, 6))::INTEGER
+               % 512 AS bucket
+      FROM top t CROSS JOIN rows_i r
+    )
+    SELECT p.l_suppkey, p.exact_cnt,
+           CAST(MIN(c.cnt) AS BIGINT) AS freq_est,
+           MIN(c.cnt) >= p.exact_cnt AS is_overestimate
+    FROM probe p JOIN cms c USING (row_i, bucket)
+    GROUP BY p.l_suppkey, p.exact_cnt
+    ORDER BY exact_cnt DESC, l_suppkey
+    """,
+)
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable count-min sketch (operators/sketches.py): one CMS per
+    (ship-month) segment over l_suppkey, merged by summation, then
+    point-frequency probes for the top-10 suppliers by exact count —
+    the frequency analog of q_hll_rollup's pre-aggregate-once pattern.
+
+    Fully EQUALITY-oracled (not bound-checked): the sketch is md5-bucket
+    integer arithmetic, so DuckDB rebuilds the identical (row, bucket)
+    counts and the identical min-estimates. The merged path and a
+    direct build are the same numbers by associativity of SUM, so
+    probing the rollup also proves lossless merge. ``is_overestimate``
+    asserts the CMS theorem est >= truth on every probe."""
+    from mysql_cdc_to_http_spark.operators.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_partials,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = cms_partials(
+        li, F.month("l_shipdate"), "l_suppkey", depth=4, width=512
+    )
+    merged = cms_merge(partials)
+    exact = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("l_suppkey")).limit(10)
+    est = cms_estimate(merged, top, "l_suppkey", depth=4, width=512)
+    return (
+        top.join(est, "l_suppkey")
+        .select(
+            "l_suppkey",
+            "exact_cnt",
+            "freq_est",
+            (F.col("freq_est") >= F.col("exact_cnt")).alias("is_overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("l_suppkey"))
+    )

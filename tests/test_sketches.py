@@ -37,3 +37,64 @@ def test_hll_partials_one_row_per_group_segment(spark):
     partials = hll_partials(_toy(spark, 4), ["grp"], "day", "user")
     assert partials.count() == 6  # 2 groups × 3 days
     assert partials.columns == ["grp", "segment", "sketch"]
+
+
+# --- count-min sketch -------------------------------------------------------
+
+from mysql_cdc_to_http_spark.operators.sketches import (  # noqa: E402
+    cms_estimate,
+    cms_merge,
+    cms_partials,
+)
+
+
+def _cms_toy(spark, n_parts=4):
+    # skewed frequencies: value v{i} appears (i+1)*3 times, 3 segments
+    rows = [
+        (j % 3, f"v{i}") for i in range(12) for j in range((i + 1) * 3)
+    ]
+    return spark.createDataFrame(rows, "day int, v string").repartition(n_parts)
+
+
+def test_cms_never_underestimates_and_is_exact_without_collisions(spark):
+    df = _cms_toy(spark)
+    merged = cms_merge(cms_partials(df, "day", "v", depth=4, width=512))
+    probes = df.select("v").distinct()
+    est = {
+        r["v"]: r["freq_est"]
+        for r in cms_estimate(merged, probes, "v", depth=4, width=512).collect()
+    }
+    truth = {f"v{i}": (i + 1) * 3 for i in range(12)}
+    for v, t in truth.items():
+        assert est[v] >= t, f"{v}: CMS underestimated {est[v]} < {t}"
+    # 12 keys x 4 rows into width 512: collisions are possible but the
+    # min over 4 independent rows makes an inflated estimate require a
+    # collision in EVERY row — assert exactness, which also pins the
+    # bucket function (md5 prefix, salt, modulus) against drift.
+    assert est == truth
+
+
+def test_cms_merge_equals_direct_build(spark):
+    df = _cms_toy(spark, n_parts=7)
+    merged = cms_merge(cms_partials(df, "day", "v", depth=4, width=64))
+    direct = cms_merge(cms_partials(df, F.lit(0), "v", depth=4, width=64))
+    assert sorted(merged.collect()) == sorted(direct.collect())
+
+
+def test_cms_partition_invariant(spark):
+    outs = []
+    for n_parts in (1, 7):
+        df = _cms_toy(spark, n_parts)
+        merged = cms_merge(cms_partials(df, "day", "v", depth=2, width=64))
+        outs.append(sorted(merged.collect()))
+    assert outs[0] == outs[1]
+
+
+def test_cms_absent_key_estimates_from_collisions_only(spark):
+    df = _cms_toy(spark)
+    merged = cms_merge(cms_partials(df, "day", "v", depth=4, width=512))
+    ghost = spark.createDataFrame([("never-seen",)], "v string")
+    [row] = cms_estimate(merged, ghost, "v", depth=4, width=512).collect()
+    # left-join coalesce path: an unseen key reads 0 unless all 4 of its
+    # buckets collide with real keys (impossible here: 12 keys, 512 wide)
+    assert row["freq_est"] == 0
