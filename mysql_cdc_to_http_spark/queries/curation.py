@@ -398,3 +398,63 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = _line_corpus(docs)
     kept = remove_frequent_lines(lines, max_doc_freq=_LINE_MAX_DF)
     return reassemble_lines(kept, docs).orderBy("doc_id")
+
+
+@query(
+    "q_quality_classifier",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    tt AS (
+      SELECT doc_id, len(t) AS n_tokens, unnest(t) AS tok FROM tok
+    ),
+    wt AS (
+      SELECT doc_id, n_tokens,
+             ((('0x' || substr(md5('qc-w1|' || CAST(
+                  ('0x' || substr(md5('qc-v1|' || tok), 1, 6))::INTEGER % 1024
+                AS VARCHAR)), 1, 6))::INTEGER % 2049) - 1024) / 1024.0 AS w
+      FROM tt
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           SUM(w) / n_tokens AS quality_score,
+           SUM(w) / n_tokens >= 0 AS keep
+    FROM wt
+    GROUP BY doc_id, n_tokens
+    ORDER BY doc_id
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (operators/classifier.py): a
+    hashed-bag-of-words linear model scored per document as ONE
+    whole-stage-codegen projection — token array folded through
+    F.aggregate, each token looked up by the hashing trick (md5 feature
+    index -> md5-derived weight). No explode, no shuffle, no Python:
+    the plan a 100 TB quality gate needs (the classifier runs inside
+    the scan stage; output is the same row count as input).
+
+    EXACT equality oracle with NO rounding slack: weights are k/1024
+    (multiples of 2^-10, |w| <= 1), so per-doc sums are exact in IEEE
+    double in any addition order, and the mean is one correctly-rounded
+    division — DuckDB reproduces the doubles bit-for-bit."""
+    from mysql_cdc_to_http_spark.operators.classifier import score_tokens
+    from mysql_cdc_to_http_spark.operators.curation import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("__toks")
+    ).select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        score_tokens(F.col("__toks")).alias("quality_score"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "quality_score",
+        (F.col("quality_score") >= 0).alias("keep"),
+    ).orderBy("doc_id")

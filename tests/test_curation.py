@@ -194,3 +194,85 @@ def test_reassemble_lines_order_and_empty_docs(spark):
     # doc 9 lost its only line but still appears, as the empty doc
     assert got[9] == (0, hashlib.md5(b"").hexdigest())
     assert got[8][0] == 6
+
+
+# --- hashed linear quality classifier ---------------------------------------
+
+
+def test_classifier_matches_pure_python_md5_model(spark):
+    """Pin the full model (tokenize → feature hash → weight hash → mean)
+    against an independent hashlib recomputation."""
+    import hashlib
+
+    from mysql_cdc_to_http_spark.operators.classifier import score_tokens
+    from mysql_cdc_to_http_spark.operators.curation import tokenize
+    from pyspark.sql import functions as F
+
+    def py_score(text):
+        toks = " ".join(text.lower().split()).split(" ")
+        total = 0.0
+        for t in toks:
+            fi = int(hashlib.md5(f"qc-v1|{t}".encode()).hexdigest()[:6], 16) % 1024
+            k = int(hashlib.md5(f"qc-w1|{fi}".encode()).hexdigest()[:6], 16) % 2049
+            total += (k - 1024) / 1024.0
+        return total / len(toks)
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "spark spark spark",
+        "  leading and   trailing   whitespace  ",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    got = {
+        r["i"]: r["s"]
+        for r in df.select(
+            "i", score_tokens(tokenize(F.col("text"))).alias("s")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_score(t), f"doc {i}: {got[i]} != {py_score(t)}"
+
+
+def test_classifier_scoring_is_shuffle_free(spark, sf_dir):
+    """The whole scoring path must stay inside the scan stage: no
+    Exchange, no aggregate, no Python eval in the plan."""
+    from mysql_cdc_to_http_spark.operators.classifier import score_tokens
+    from mysql_cdc_to_http_spark.operators.curation import tokenize
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", score_tokens(tokenize(F.col("text"))).alias("s")
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "Aggregate", "Python", "Sort"):
+        assert bad not in plan, f"classifier plan leaked a {bad}:\n{plan}"
+
+
+def test_classifier_collisions_share_weights(spark):
+    """Hashing-trick contract: tokens that collide on the feature index
+    contribute the identical weight."""
+    import hashlib
+
+    from mysql_cdc_to_http_spark.operators.classifier import (
+        feature_index,
+        feature_weight,
+    )
+    from pyspark.sql import functions as F
+
+    # find two distinct tokens colliding in the 1024-bucket space
+    def fi(t):
+        return int(hashlib.md5(f"qc-v1|{t}".encode()).hexdigest()[:6], 16) % 1024
+
+    base = fi("tok0")
+    other = next(f"tok{i}" for i in range(1, 5000) if fi(f"tok{i}") == base)
+    df = spark.createDataFrame([("tok0",), (other,)], "t string")
+    ws = [
+        r["w"]
+        for r in df.select(
+            feature_weight(feature_index(F.col("t"))).alias("w")
+        ).collect()
+    ]
+    assert ws[0] == ws[1]
