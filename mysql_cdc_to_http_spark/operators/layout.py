@@ -148,3 +148,73 @@ def stream_to_partitioned_layout(
         .outputMode("append")
         .start()
     )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int = 16,
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """Deterministic sharded export — the last step of a training-data
+    pipeline: split the corpus into ``n_shards`` hive directories
+    (shard=0..n-1) with EXACTLY one parquet file each, membership fixed
+    by md5(id) so re-running the export on the same corpus reproduces
+    identical shard membership regardless of cluster size, partitioning,
+    or input order (a seeded-random split has none of those properties —
+    same argument as operators/sampling.py:hash_split).
+
+    One file per shard by construction: ``repartition(n, shard)`` routes
+    every row of a shard value to one task (hash of the VALUE decides
+    the task, so a shard never straddles tasks), and ``partitionBy``
+    then writes one file per (task, value) pair. Collisions of two
+    shard values onto one task cost balance of WORK, not of output.
+
+    Returns the manifest DataFrame — one row per shard with ``n_rows``
+    and an order-independent content checksum (XOR of 60-bit md5
+    prefixes of the ids: commutative, overflow-free at any cardinality,
+    and any single-row difference flips it) — driver-sized (n_shards
+    rows), ready to write alongside the data.
+    """
+    from mysql_cdc_to_http_spark.operators.sampling import split_bucket
+
+    sharded = df.withColumn(
+        "shard", split_bucket(F.col(id_col), n_shards, salt)
+    )
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return shard_manifest(df, id_col, n_shards, salt)
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 16,
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """The manifest alone (no write): per-shard row count + XOR
+    checksum. Recomputable by any engine with md5 — an auditor verifies
+    a delivered export by recomputing this from the shard files and
+    comparing, without trusting the producer."""
+    from mysql_cdc_to_http_spark.operators.sampling import split_bucket
+
+    id60 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        df.select(
+            split_bucket(F.col(id_col), n_shards, salt).alias("shard"),
+            id60.alias("__id60"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("__id60").alias("content_xor"),
+        )
+        .orderBy("shard")
+    )

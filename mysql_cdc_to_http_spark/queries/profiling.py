@@ -362,3 +362,36 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", F.round(z, 4).alias("z"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_shard_manifest",
+    oracle="""
+    WITH s AS (
+      SELECT ('0x' || substr(md5('shard-v1|' || CAST(doc_id AS VARCHAR)),
+                             1, 6))::INTEGER % 16 AS shard,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS id60
+      FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(id60) AS BIGINT) AS content_xor
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-export manifest (operators/layout.py:shard_manifest):
+    per-shard row count + order-independent XOR content checksum under
+    the deterministic md5 shard assignment write_shards uses. The
+    auditor's view of a training-data delivery — any engine with md5
+    recomputes membership AND checksum from the shard files alone, so
+    the oracle proves the full manifest bit-for-bit (XOR of 60-bit md5
+    prefixes: commutative, overflow-free, single-row-sensitive).
+
+    The write path itself (one file per shard directory, balanced
+    sizes, partition-invariant reruns) is covered in test_layout.py."""
+    from mysql_cdc_to_http_spark.operators.layout import shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_manifest(docs, "doc_id", n_shards=16)

@@ -196,3 +196,78 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     zc = spark.read.parquet(zdir).filter(pred).count()
     lc = spark.read.parquet(ldir).filter(pred).count()
     assert zc == lc == orders.filter(pred).count() > 0
+
+
+# --- deterministic sharded export -------------------------------------------
+
+
+def test_write_shards_one_file_per_shard_and_roundtrip(spark, tmp_path, sf_dir):
+    import glob
+
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.operators.layout import write_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    manifest = write_shards(docs, out, "doc_id", n_shards=8).collect()
+
+    assert [r["shard"] for r in manifest] == list(range(8))
+    for r in manifest:
+        files = glob.glob(f"{out}/shard={r['shard']}/*.parquet")
+        assert len(files) == 1, f"shard {r['shard']}: {len(files)} files"
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )
+    assert sum(r["n_rows"] for r in manifest) == docs.count()
+
+
+def test_write_shards_membership_partition_invariant(spark, tmp_path, sf_dir):
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.operators.layout import write_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    m1 = write_shards(
+        docs.repartition(1), str(tmp_path / "a"), "doc_id", n_shards=8
+    ).collect()
+    m2 = write_shards(
+        docs.repartition(13), str(tmp_path / "b"), "doc_id", n_shards=8
+    ).collect()
+    assert [tuple(r) for r in m1] == [tuple(r) for r in m2]
+
+
+def test_shard_manifest_checksum_detects_any_row_change(spark, sf_dir):
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.operators.layout import shard_manifest
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {r["shard"]: r["content_xor"] for r in
+            shard_manifest(docs, "doc_id", 8).collect()}
+    # drop one known row; only its shard's checksum may change, and must
+    victim = docs.select("doc_id").orderBy("doc_id").first()["doc_id"]
+    tampered = {r["shard"]: r["content_xor"] for r in
+                shard_manifest(docs.filter(F.col("doc_id") != victim),
+                               "doc_id", 8).collect()}
+    diffs = [s for s in full if tampered.get(s) != full[s]]
+    assert len(diffs) == 1
+
+
+def test_shard_manifest_verifies_written_shards(spark, tmp_path, sf_dir):
+    """The auditor flow: recompute the manifest FROM the shard files and
+    match it against the producer's manifest."""
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.operators.layout import (
+        shard_manifest,
+        write_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    produced = write_shards(docs, out, "doc_id", n_shards=8).collect()
+    audited = shard_manifest(
+        spark.read.parquet(out), "doc_id", 8
+    ).collect()
+    assert [tuple(r) for r in audited] == [tuple(r) for r in produced]
