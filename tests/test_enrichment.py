@@ -534,3 +534,65 @@ def test_read_json_with_quarantine(spark, tmp_path):
     assert "this is not json at all" in c
     assert '{"id": 3, "name": "unterminated' in c
     release_all_cached()
+
+
+# --- record linkage ---------------------------------------------------------
+
+
+def test_fuzzy_match_threshold_sentinel_and_bounds(spark):
+    """levenshtein's threshold form returns -1 past the bound; the
+    filter must treat that as no-match, and keep 0 (exact dupes)."""
+    from mysql_cdc_to_http_spark.operators.linkage import fuzzy_match
+    from pyspark.sql import functions as F  # noqa: F401
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "alice", "alice"),     # dist 0
+            (1, 3, "alice", "alicia"),    # dist 2
+            (1, 4, "alice", "zzzzzz"),    # dist 6
+        ],
+        "id_a int, id_b int, name_a string, name_b string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_match(pairs, "name_a", "name_b", max_dist=2).collect()
+    }
+    assert got == {(1, 2): 0, (1, 3): 2}
+
+
+def test_blocked_pairs_candidates_are_within_block_only(spark):
+    from mysql_cdc_to_http_spark.operators.linkage import blocked_pairs
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "aa1"), (2, "aa2"), (3, "bb1"), (4, "aa3")],
+        "id int, name string",
+    )
+    pairs = blocked_pairs(
+        df, "id", F.substring("name", 1, 2), ["name"]
+    ).select("id_a", "id_b").collect()
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs)
+    # block 'aa' = {1,2,4} -> 3 ordered pairs; 'bb' singleton -> none
+    assert got == [(1, 2), (1, 4), (2, 4)]
+
+
+def test_record_linkage_blocking_misses_out_of_key_edits(spark):
+    """Document the recall contract: an edit INSIDE the blocking key
+    separates the records into different blocks — not matched."""
+    from mysql_cdc_to_http_spark.operators.linkage import (
+        blocked_pairs,
+        fuzzy_match,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "abcXdef"), (2, "abcXdeg"), (3, "abdXdef")],
+        "id int, name string",
+    )
+    # block on first 3 chars: (1,2) share 'abc'; 3's in-key typo isolates it
+    pairs = blocked_pairs(df, "id", F.substring("name", 1, 3), ["name"])
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_match(pairs, "name_a", "name_b", 1).collect()
+    )
+    assert got == [(1, 2)]
