@@ -105,6 +105,13 @@ HEADLINE = [
     "q_outliers",
     "q_incremental_join",
     "q_udaf",
+    # added round 6 (third wave): mergeable CMS, the shuffle-free quality
+    # classifier, the sharded-export manifest, blocked record linkage.
+    # r6 totals cover 62 queries; compare per-query or prior subsets.
+    "q_cms_freq",
+    "q_quality_classifier",
+    "q_shard_manifest",
+    "q_record_linkage",
 ]
 
 

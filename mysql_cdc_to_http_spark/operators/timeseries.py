@@ -121,3 +121,45 @@ def fill_gaps(
     return out.withColumn(
         "is_gap", F.col("__observed").isNull()
     ).drop("__observed")
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_expr,
+    group_cols: list[str] | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Downsample a tick stream to OHLC bars — one row per (group,
+    bucket) with open/high/low/close/n/volume. The financial-data
+    counterpart of resample_locf: a single two-phase hash aggregate
+    (map-side partials carry 6 scalars per bar), no window, no sort —
+    the only plan that survives a 100 TB tick table.
+
+    open/close use ``min_by``/``max_by`` with a (ts, tiebreak)
+    STRUCT ordering key, so they are deterministic even if two ticks
+    share a timestamp; high/low are plain min/max. ``volume`` sums
+    through DECIMAL(18,2) and casts back to double — exact for
+    2-decimal tick values at any cardinality/partitioning (the
+    q_agg_q1 discipline), where a double sum would drift by
+    partitioning."""
+    group_cols = group_cols or []
+    order_key = (
+        F.struct(F.col(ts_col), F.col(tiebreak_col))
+        if tiebreak_col
+        else F.col(ts_col)
+    )
+    v = F.col(value_col)
+    return (
+        df.groupBy(*group_cols, bucket_expr.alias("bar_ts"))
+        .agg(
+            F.min_by(v, order_key).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order_key).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(v.cast("decimal(18,2)")).cast("double").alias("volume"),
+        )
+        .orderBy(*group_cols, "bar_ts")
+    )

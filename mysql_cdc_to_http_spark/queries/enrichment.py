@@ -802,3 +802,44 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "dist")
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q_ohlc_bars",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_ts,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM events
+    GROUP BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+    ORDER BY event_type, bar_ts
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC tick downsampling (operators/timeseries.py:ohlc_bars):
+    daily open/high/low/close/volume bars per event type in ONE
+    two-phase hash aggregate — six scalars per bar in the map-side
+    partial, no window, no sort. open/close pick the value at the
+    min/max (ts, event_id) struct key via min_by/max_by, deterministic
+    even under timestamp ties (the oracle's arg_min(value, ts) is
+    equivalent here because event timestamps are unique at every sf —
+    verified; the engine keeps the struct tiebreak for the general
+    case). volume sums through DECIMAL and casts back — exact for
+    2-decimal ticks, partitioning-invariant (q_agg_q1 discipline);
+    open/high/low/close are raw stored doubles, no arithmetic at all."""
+    from mysql_cdc_to_http_spark.operators.timeseries import ohlc_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_bars(
+        ev,
+        "ts",
+        "value",
+        F.date_trunc("DAY", F.col("ts")),
+        group_cols=["event_type"],
+        tiebreak_col="event_id",
+    )

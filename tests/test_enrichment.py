@@ -596,3 +596,57 @@ def test_record_linkage_blocking_misses_out_of_key_edits(spark):
         for r in fuzzy_match(pairs, "name_a", "name_b", 1).collect()
     )
     assert got == [(1, 2)]
+
+
+# --- OHLC bars --------------------------------------------------------------
+
+
+def test_ohlc_bars_tie_discipline_and_values(spark):
+    """Two ticks share a timestamp: open/close must use the (ts,
+    tiebreak) struct order, not luck."""
+    import datetime as dt
+
+    from mysql_cdc_to_http_spark.operators.timeseries import ohlc_bars
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 50.0),                              # tied open, lower id
+        (2, t0, 10.0),                              # tied open, higher id
+        (3, t0 + dt.timedelta(minutes=5), 99.0),
+        (4, t0 + dt.timedelta(minutes=9), 20.0),    # tied close, lower id
+        (5, t0 + dt.timedelta(minutes=9), 30.0),    # tied close, higher id
+    ]
+    df = spark.createDataFrame(rows, "event_id int, ts timestamp, value double")
+    [bar] = ohlc_bars(
+        df,
+        "ts",
+        "value",
+        F.date_trunc("HOUR", F.col("ts")),
+        tiebreak_col="event_id",
+    ).collect()
+    assert bar["open"] == 50.0    # id 1 wins the tie
+    assert bar["close"] == 30.0   # id 5 wins the tie
+    assert bar["high"] == 99.0 and bar["low"] == 10.0
+    assert bar["n_ticks"] == 5
+    assert bar["volume"] == 209.0
+
+
+def test_ohlc_bars_volume_partition_invariant(spark, sf_dir):
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.operators.timeseries import ohlc_bars
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    outs = []
+    for n in (1, 16):
+        bars = ohlc_bars(
+            ev.repartition(n),
+            "ts",
+            "value",
+            F.date_trunc("DAY", F.col("ts")),
+            group_cols=["event_type"],
+            tiebreak_col="event_id",
+        )
+        outs.append(sorted(tuple(r) for r in bars.collect()))
+    assert outs[0] == outs[1]
