@@ -458,3 +458,59 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         (F.col("quality_score") >= 0).alias("keep"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_lm_perplexity",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    ix AS (
+      SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      FROM tok WHERE len(t) >= 2
+    ),
+    bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM ix),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    v AS (
+      SELECT COUNT(DISTINCT w) AS v
+      FROM (SELECT unnest(t) AS w FROM tok)
+    ),
+    score AS (
+      SELECT g.doc_id,
+             ln(CAST(COALESCE(b.c12, 0) + 1 AS DOUBLE)
+                / CAST(COALESCE(u.c1, 0) + v.v AS DOUBLE)) AS lp
+      FROM bg g
+      LEFT JOIN bi b USING (w1, w2)
+      LEFT JOIN uni u USING (w1)
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(SUM(lp) / COUNT(*), 6) AS avg_logp
+    FROM score GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality scoring (operators/lm.py): train add-one-
+    smoothed bigram counts on the corpus (two map-combinable hash aggs;
+    the model stays DISTRIBUTED — no driver collect, no broadcast of
+    the vocab-squared table), then score every document by mean
+    ln P(w2|w1) through two by-key joins + one per-doc agg — the CCNet/
+    GPT-3 LM-perplexity gate as pure DataFrame ops.
+
+    Engine parity: every ln argument is a ratio of exact integer counts
+    (identical in both engines); 6-dp round on the mean absorbs libm ln
+    ulps (the q_char_entropy argument)."""
+    from mysql_cdc_to_http_spark.operators.lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    uni, bi, vocab = train_bigram_lm(docs)
+    return score_perplexity(docs, uni, bi, vocab).orderBy("doc_id")

@@ -276,3 +276,69 @@ def test_classifier_collisions_share_weights(spark):
         ).collect()
     ]
     assert ws[0] == ws[1]
+
+
+# --- bigram LM scoring ------------------------------------------------------
+
+
+def test_lm_bigram_probabilities_sum_to_one_per_prefix(spark):
+    """Add-one smoothing invariant: for any seen prefix w1,
+    sum over the whole vocab of P(w2|w1) = 1."""
+    from mysql_cdc_to_http_spark.operators.lm import train_bigram_lm
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b a b")], "doc_id long, text string"
+    )
+    uni, bi, vocab = train_bigram_lm(docs)
+    v = vocab.collect()[0]["v"]          # {a, b, c} -> 3
+    assert v == 3
+    c1 = {r["w1"]: r["c1"] for r in uni.collect()}
+    c12 = {(r["w1"], r["w2"]): r["c12"] for r in bi.collect()}
+    all_tokens = ["a", "b", "c"]
+    for w1 in c1:
+        total = sum(
+            (c12.get((w1, w2), 0) + 1) / (c1[w1] + v) for w2 in all_tokens
+        )
+        assert abs(total - 1.0) < 1e-12, (w1, total)
+
+
+def test_lm_score_known_tiny_corpus(spark):
+    """Hand-computed mean log-prob on a 2-doc corpus."""
+    import math
+
+    from mysql_cdc_to_http_spark.operators.lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    uni, bi, vocab = train_bigram_lm(docs)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in score_perplexity(docs, uni, bi, vocab).collect()
+    }
+    # counts: bigrams ab:3, ba:1, bc:1 ; prefix occurrences a:3, b:2 ; V=3
+    p_ab = (3 + 1) / (3 + 3)
+    p_ba = (1 + 1) / (2 + 3)
+    p_bc = (1 + 1) / (2 + 3)
+    exp1 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
+    exp2 = round((math.log(p_ab) + math.log(p_bc)) / 2, 6)
+    assert got == {1: (3, exp1), 2: (2, exp2)}
+
+
+def test_lm_short_docs_excluded_but_counted_in_vocab(spark):
+    from mysql_cdc_to_http_spark.operators.lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "zzz")], "doc_id long, text string"
+    )
+    uni, bi, vocab = train_bigram_lm(docs)
+    assert vocab.collect()[0]["v"] == 3          # zzz counts toward V
+    scored = score_perplexity(docs, uni, bi, vocab).collect()
+    assert [r["doc_id"] for r in scored] == [1]  # no bigrams -> no row
