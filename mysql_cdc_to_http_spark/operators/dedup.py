@@ -626,3 +626,61 @@ def incremental_dedup(
 import sys as _sys
 from pyspark import cloudpickle as _cloudpickle
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    tau: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means-cluster the
+    embedding space, then drop any vector with a LOWER-id neighbor at
+    cosine >= tau INSIDE its cluster. Composition of the engine's
+    clustering + similarity primitives, and the reason both exist in a
+    training-data pipeline: all-pairs cosine over a corpus is O(n²),
+    but within-cluster pairs are O(n²/k) per cluster — the cluster id
+    is the blocking key (same candidate-generation discipline as
+    MinHash-LSH and operators/linkage.py), and the k-means model keeps
+    blocks semantically coherent so the recall loss is exactly the
+    cross-cluster tail (by design — the SemDeDup approximation).
+
+    Returns (id, cluster, kept): full corpus with survivors flagged —
+    callers filter kept for the deduplicated set. Deterministic end to
+    end: lowest-id k-means init, 6-dp centroid rounds, lowest-id
+    survivor rule."""
+    from mysql_cdc_to_http_spark.operators.clustering import kmeans
+    from mysql_cdc_to_http_spark.operators.similarity import (
+        as_double,
+        cosine,
+    )
+
+    assigned = kmeans(vectors, k, iters, id_col, vec_col).select(
+        id_col, "cluster"
+    )
+    side = vectors.select(
+        F.col(id_col), as_double(vec_col).alias("cv")
+    ).join(assigned, id_col)
+    a = side.select(
+        F.col(id_col).alias("id_a"), F.col("cv").alias("va"), "cluster"
+    )
+    b = side.select(
+        F.col(id_col).alias("id_b"), F.col("cv").alias("vb"), "cluster"
+    )
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= F.lit(tau))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dups.withColumn("__dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
+        )
+    )

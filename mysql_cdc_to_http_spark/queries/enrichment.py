@@ -428,9 +428,9 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket_ts")
 
 
-@query(
-    "q_kmeans",
-    oracle="""
+# Shared oracle fragment: the two unrolled Lloyd iterations of the
+# deterministic k=4 k-means (used by q_kmeans and q_dedup_semantic).
+_KMEANS_CTE = """
     WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
     init AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
@@ -478,6 +478,13 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d2
       ) WHERE rn = 1
     )
+"""
+
+
+@query(
+    "q_kmeans",
+    oracle=_KMEANS_CTE
+    + """
     SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a2 ORDER BY vec_id
     """,
 )

@@ -1018,3 +1018,48 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+def _semantic_dedup_oracle() -> str:
+    from mysql_cdc_to_http_spark.queries.enrichment import _KMEANS_CTE
+
+    return (
+        _KMEANS_CTE
+        + """
+    , en AS (
+      SELECT e.vec_id, e.v, a2.cluster,
+             sqrt(list_sum([CAST(e.v[x] AS DOUBLE) * e.v[x]
+                            FOR x IN generate_series(1, 64)])) AS n
+      FROM e JOIN a2 USING (vec_id)
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM en a JOIN en b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_sum([CAST(a.v[x] AS DOUBLE) * b.v[x]
+                      FOR x IN generate_series(1, 64)]) / (a.n * b.n) >= 0.45
+    )
+    SELECT en.vec_id, CAST(en.cluster AS INT) AS cluster,
+           (d.vec_id IS NULL) AS kept
+    FROM en LEFT JOIN dups d USING (vec_id)
+    ORDER BY en.vec_id
+    """
+    )
+
+
+@query("q_dedup_semantic", oracle=_semantic_dedup_oracle())
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.py:semantic_dedup):
+    k-means clusters as the blocking key, within-cluster cosine >= 0.45
+    drops the higher id. O(n²/k)-per-cluster instead of all-pairs — the
+    published SemDeDup recipe as a composition of this engine's
+    clustering + similarity primitives.
+
+    Oracle: the shared two-iteration k-means CTE (q_kmeans — cluster
+    argmins stable cross-engine, see its docstring) extended with
+    within-cluster pair cosines; the tau margin is measured ≥ 1e-4 at
+    every sf (vs ~1e-13 float noise), so the >= 0.45 cut is
+    engine-invariant."""
+    from mysql_cdc_to_http_spark.operators.dedup import semantic_dedup
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(vecs, k=4, iters=2, tau=0.45).orderBy("vec_id")

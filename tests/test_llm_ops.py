@@ -729,3 +729,52 @@ def test_char_entropy_semantics(spark):
     assert got[2] == (6.0, ln2)
     assert got[3] == (4.0, ln2)
     assert got[4] == (4.0, ln2)
+
+
+# --- SemDeDup ---------------------------------------------------------------
+
+
+def test_semantic_dedup_planted_duplicates_drop_higher_id(spark):
+    from mysql_cdc_to_http_spark.operators.dedup import semantic_dedup
+
+    base = [float(i % 7) + 1.0 for i in range(8)]
+    far = [9.0 - b for b in base]
+    rows = [
+        (0, base),
+        (1, [b * 1.001 for b in base]),   # near-dup of 0 (cos ~ 1)
+        (2, far),
+        (3, far),                          # exact dup of 2
+    ]
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+            k=2,
+            iters=2,
+            tau=0.99,
+        ).collect()
+    }
+    assert out == {0: True, 1: False, 2: True, 3: False}
+
+
+def test_semantic_dedup_is_cluster_blocked(spark):
+    """A cross-cluster near-dup survives — the documented SemDeDup
+    approximation: recall loss is exactly the cross-cluster tail."""
+    from mysql_cdc_to_http_spark.operators.dedup import semantic_dedup
+
+    # two tight groups far apart; with k=2 each group is its own cluster
+    a = [1.0] * 8
+    b = [-1.0] * 8
+    rows = [(0, a), (1, b), (2, a), (3, b)]
+    out = semantic_dedup(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        k=2,
+        iters=2,
+        tau=0.99,
+    ).collect()
+    kept = {r["vec_id"]: r["kept"] for r in out}
+    clusters = {r["vec_id"]: r["cluster"] for r in out}
+    # within-cluster dups dropped
+    assert kept == {0: True, 1: True, 2: False, 3: False}
+    # and the blocking really did separate the groups
+    assert clusters[0] != clusters[1]
