@@ -445,3 +445,77 @@ def test_pagerank_rank_vector_never_collected(spark, sf_dir):
     plan = plan_of(QUERIES["q_pagerank"](spark, sf_dir))
     assert "LocalTableScan" not in plan  # no collected rank vector
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cms_partials_combine_before_exchange(spark, sf_dir):
+    """The explode(depth) blow-up must collapse map-side: a partial
+    HashAggregate below the exchange, final above — never raw exploded
+    rows through the shuffle."""
+    from mysql_cdc_to_http_spark.operators.sketches import cms_partials
+
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = cms_partials(li, F.month("l_shipdate"), "l_suppkey")
+    plan = plan_of(partials)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_cms_probe_broadcasts_the_sketch(spark, sf_dir):
+    plan = plan_of(QUERIES["q_cms_freq"](spark, sf_dir))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_lm_model_join_is_shuffle_not_broadcast(spark, sf_dir):
+    """The bigram model is vocab²-shaped: it must reach the scoring
+    join by key shuffle (SortMergeJoin/ShuffledHashJoin), never as a
+    driver-side broadcast of the whole model."""
+    from mysql_cdc_to_http_spark.catalog import load_table as lt
+    from mysql_cdc_to_http_spark.operators.lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    docs = lt(spark, sf_dir, "documents")
+    uni, bi, vocab = train_bigram_lm(docs)
+    # defeat the small-fixture broadcast estimate: below the threshold
+    # Spark would broadcast ANY table; hint the expectation explicitly
+    # by checking the join keeps its shuffle when autoBroadcast is off
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(score_perplexity(docs, uni, bi, vocab))
+        # the model joins stay key-shuffled…
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+        # …and the only broadcast hash-join candidate would be the model
+        # tables — none allowed (the 1-row vocab scalar legally rides a
+        # BroadcastNestedLoopJoin cross, which is not a hash join)
+        assert "BroadcastHashJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_record_linkage_single_block_shuffle(spark, sf_dir):
+    """Candidate generation must cost ONE equi-join on the blocking key
+    and carry no cartesian anywhere."""
+    plan = plan_of(QUERIES["q_record_linkage"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ohlc_is_single_two_phase_aggregate(spark, sf_dir):
+    from mysql_cdc_to_http_spark.operators.timeseries import ohlc_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlc_bars(
+        ev, "ts", "value", F.date_trunc("DAY", F.col("ts")),
+        group_cols=["event_type"], tiebreak_col="event_id",
+    )
+    plan = plan_of(bars)
+    # partial + final agg; no Window operator anywhere
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+    assert "Window" not in plan
+
+
+def test_semantic_dedup_pairs_join_on_cluster_key(spark, sf_dir):
+    plan = plan_of(QUERIES["q_dedup_semantic"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
