@@ -112,6 +112,10 @@ HEADLINE = [
     "q_quality_classifier",
     "q_shard_manifest",
     "q_record_linkage",
+    "q_lm_perplexity",
+    "q_ohlc_bars",
+    "q_dedup_semantic",
+    "q_time_decay",
 ]
 
 

@@ -652,35 +652,53 @@ def semantic_dedup(
     end: lowest-id k-means init, 6-dp centroid rounds, lowest-id
     survivor rule."""
     from mysql_cdc_to_http_spark.operators.clustering import kmeans
-    from mysql_cdc_to_http_spark.operators.similarity import (
-        as_double,
-        cosine,
-    )
+    from mysql_cdc_to_http_spark.operators.similarity import as_double
+
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+    from mysql_cdc_to_http_spark.operators.similarity import dot, l2_norm
 
     assigned = kmeans(vectors, k, iters, id_col, vec_col).select(
         id_col, "cluster"
     )
-    side = vectors.select(
-        F.col(id_col), as_double(vec_col).alias("cv")
-    ).join(assigned, id_col)
+    # persist the (id, vector, norm, cluster) side ONCE: both pair sides
+    # and the survivor join consume it, and its lineage re-runs the full
+    # kmeans assignment otherwise; per-row norms precomputed here cut the
+    # pair stage from 3 folds/pair (dot + 2 norms) to 1 (dot) + 1 multiply
+    side = (
+        vectors.select(F.col(id_col), as_double(vec_col).alias("cv"))
+        .withColumn("__n", l2_norm(F.col("cv")))
+        .join(assigned, id_col)
+        .persist()
+    )
     a = side.select(
-        F.col(id_col).alias("id_a"), F.col("cv").alias("va"), "cluster"
+        F.col(id_col).alias("id_a"),
+        F.col("cv").alias("va"),
+        F.col("__n").alias("na"),
+        "cluster",
     )
     b = side.select(
-        F.col(id_col).alias("id_b"), F.col("cv").alias("vb"), "cluster"
+        F.col(id_col).alias("id_b"),
+        F.col("cv").alias("vb"),
+        F.col("__n").alias("nb"),
+        "cluster",
     )
     dups = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= F.lit(tau))
+        .filter(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= F.lit(tau)
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return (
-        assigned.join(dups.withColumn("__dup", F.lit(True)), id_col, "left")
+    result = (
+        side.select(id_col, "cluster")
+        .join(dups.withColumn("__dup", F.lit(True)), id_col, "left")
         .select(
             id_col,
             "cluster",
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
         )
     )
+    return register_cached(result, [side])

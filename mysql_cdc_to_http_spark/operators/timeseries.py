@@ -163,3 +163,45 @@ def ohlc_bars(
         )
         .orderBy(*group_cols, "bar_ts")
     )
+
+
+def time_decay_agg(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_s: float,
+) -> DataFrame:
+    """Half-life-decayed per-group aggregate — the feature-store
+    recency feature: sum of value * 0.5^((t_last - t)/half_life),
+    anchored at each group's OWN last event (so the feature is a pure
+    function of the group's history, reproducible at training time).
+
+    Plan shape: one window max over the group key, then a group-by on
+    the SAME key — Catalyst reuses the window's hash partitioning, so
+    the fact stream shuffles ONCE; per-row decay weights are a codegen
+    projection. (The naive two-pass — agg maxes, join back — shuffles
+    the stream twice.)
+
+    Output: (group, n_events, last_ts, decayed_sum 6dp). The 6-dp round
+    absorbs libm pow ulps (decay weights are the only transcendental;
+    their arguments are identical IEEE doubles in any engine: timestamp
+    → double seconds, one subtraction, one division)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col)
+    t = F.col(ts_col).cast("double")
+    t_last = F.max(t).over(w)
+    decayed = F.col(value_col) * F.pow(
+        F.lit(0.5), (t_last - t) / F.lit(float(half_life_s))
+    )
+    return (
+        df.withColumn("__dv", decayed)
+        .withColumn("__tl", t_last)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(ts_col).alias("last_ts"),
+            F.round(F.sum("__dv"), 6).alias("decayed_sum"),
+        )
+    )

@@ -850,3 +850,38 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type"],
         tiebreak_col="event_id",
     )
+
+
+@query(
+    "q_time_decay",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, value,
+             MAX(epoch(ts)) OVER (PARTITION BY user_id) AS t_last
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(ts) AS last_ts,
+           round(SUM(value * pow(0.5, (t_last - epoch(ts)) / 86400.0)), 6)
+             AS decayed_sum
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed activity feature per user (1-day half-life) —
+    operators/timeseries.py:time_decay_agg. The recency-weighted
+    feature a training pipeline joins onto examples; anchored at each
+    user's own last event so it is reproducible offline. One fact
+    shuffle total: the window max and the group-by share the hash
+    partitioning on user_id (plan-tested).
+
+    Parity: decay exponents are (identical IEEE double)/(constant);
+    pow is the only transcendental and the 6-dp round absorbs its
+    ulps (q_char_entropy argument)."""
+    from mysql_cdc_to_http_spark.operators.timeseries import time_decay_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_decay_agg(ev, "user_id", "ts", "value", 86400.0).orderBy(
+        "user_id"
+    )

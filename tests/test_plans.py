@@ -519,3 +519,20 @@ def test_ohlc_is_single_two_phase_aggregate(spark, sf_dir):
 def test_semantic_dedup_pairs_join_on_cluster_key(spark, sf_dir):
     plan = plan_of(QUERIES["q_dedup_semantic"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_time_decay_single_fact_shuffle(spark, sf_dir):
+    """Window max and group-by share the user_id hash partitioning —
+    exactly one Exchange over the event stream."""
+    from mysql_cdc_to_http_spark.catalog import load_table as lt
+    from mysql_cdc_to_http_spark.operators.timeseries import time_decay_agg
+
+    ev = lt(spark, sf_dir, "events")
+    plan = plan_of(time_decay_agg(ev, "user_id", "ts", "value", 86400.0))
+    # count tree lines only (detail section repeats each node as "(N) Op")
+    n_exchanges = sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange" in ln and not ln.strip().startswith("(")
+    )
+    assert n_exchanges == 1, plan
