@@ -1,0 +1,104 @@
+"""Feature-engineering operator semantics + plan shape
+(operators/features.py): normalization, fixed-edge binning, PSI."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mysql_cdc_to_http_spark.operators.features import (
+    feature_stats,
+    fixed_bin,
+    normalize_features,
+    psi_drift,
+)
+
+
+def test_normalize_zscore_and_minmax_values(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 20.0)],
+        "g string, x double",
+    )
+    out = {
+        (r["g"], r["x"]): r
+        for r in normalize_features(df, ["x"], ["g"]).collect()
+    }
+    # group a: mean 2, std 1 → z = -1, 0, 1; minmax over [1,3]
+    assert out[("a", 1.0)]["x_z"] == -1.0
+    assert out[("a", 3.0)]["x_z"] == 1.0
+    assert out[("a", 2.0)]["x_mm"] == 0.5
+    # group b: minmax endpoints
+    assert out[("b", 10.0)]["x_mm"] == 0.0
+    assert out[("b", 20.0)]["x_mm"] == 1.0
+
+
+def test_normalize_constant_group_yields_null_not_inf(spark):
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0)], "g string, x double"
+    )
+    row = normalize_features(df, ["x"], ["g"]).collect()[0]
+    assert row["x_z"] is None  # std = 0 → NULL, never inf
+    assert row["x_mm"] is None  # range = 0 → NULL
+
+
+def test_exact_decimal_stats_partitioning_invariant(spark):
+    """The exact_decimal_scale mode's whole point: identical stats from
+    any partitioning. Compare 1-partition vs 16-partition layouts."""
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.col("id") * 0.01 + 3.25).alias("x"),
+    )
+    one = feature_stats(
+        df.coalesce(1), ["x"], ["g"], exact_decimal_scale=2
+    ).collect()
+    many = feature_stats(
+        df.repartition(16), ["x"], ["g"], exact_decimal_scale=2
+    ).collect()
+    a = {r["g"]: (r["x__mean"], r["x__std"]) for r in one}
+    b = {r["g"]: (r["x__mean"], r["x__std"]) for r in many}
+    assert a == b  # bit-identical, not approximately equal
+
+
+def test_normalize_stats_join_is_broadcast(spark, sf_dir):
+    """The stats side must broadcast — the fact stream is never
+    re-shuffled for the normalize join."""
+    from mysql_cdc_to_http_spark.queries import all_queries
+
+    df = all_queries()["q_feature_scale"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fixed_bin_clamps_edges(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (4.9,), (99.9,), (250.0,)], "v double"
+    )
+    bins = [
+        r[0]
+        for r in df.select(
+            fixed_bin(F.col("v"), 0.0, 100.0, 20).alias("b")
+        ).collect()
+    ]
+    assert bins == [0, 0, 0, 19, 19]
+
+
+def test_psi_identical_slices_is_zero_and_nonnegative(spark):
+    df = spark.range(0, 500).select((F.col("id") % 97).cast("double").alias("v"))
+    same = psi_drift(df, df, "v", 0.0, 100.0, n_bins=10).collect()
+    assert all(r["psi_total"] == 0.0 for r in same)
+    # shifted slice: every (p-q)·ln(p/q) term is ≥ 0 ⇒ total ≥ 0
+    shifted = df.select((F.col("v") + 30.0).alias("v"))
+    drift = psi_drift(df, shifted, "v", 0.0, 100.0, n_bins=10).collect()
+    assert all(r["psi_bin"] >= 0.0 for r in drift)
+    assert drift[0]["psi_total"] > 0.1  # a 30-unit shift is real drift
+
+
+def test_psi_empty_bins_finite(spark):
+    """Bins present on one side only must contribute finitely (Laplace
+    smoothing), not NaN/inf."""
+    import math
+
+    a = spark.createDataFrame([(1.0,)] * 10, "v double")
+    b = spark.createDataFrame([(99.0,)] * 10, "v double")
+    rows = psi_drift(a, b, "v", 0.0, 100.0, n_bins=10).collect()
+    assert all(math.isfinite(r["psi_bin"]) for r in rows)
