@@ -245,3 +245,64 @@ def weighted_sample_keys(
     ).cast("long")
     u = (u24 + 1).cast("double") / F.lit(float((1 << 24) + 1))
     return -F.log(u) / weight_col.cast("double")
+
+
+def ranked_prefix_sums(
+    df: DataFrame,
+    order_cols,
+    value_cols,
+    n_ranges: int = 64,
+) -> DataFrame:
+    """Inclusive running sums of each ``value_cols`` entry over the total
+    order given by ``order_cols`` (list of Columns, e.g.
+    ``[F.col("cnt").desc(), F.col("token")]``) — WITHOUT a global
+    single-partition window.
+
+    Same two-level discipline as :func:`global_prefix_sum`, generalized
+    from a numeric id to an arbitrary sort key: ``repartitionByRange``
+    on the sort key gives range-contiguous partitions (ascending
+    partition ids follow the sort order), an ordinary PARTITIONED window
+    cumsums inside each range in parallel, and the per-range totals —
+    one row per range — cumsum on a bounded frame and broadcast back.
+    Range boundaries come from Spark's reservoir sampling and vary run
+    to run, but the output is boundary-invariant because the order is
+    total (callers must include a tiebreak column).
+
+    Output: input columns + ``{v}__cum`` (inclusive) per value column.
+    """
+    from pyspark.sql.window import Window as W
+
+    part = df.repartitionByRange(n_ranges, *order_cols).withColumn(
+        "__p", F.spark_partition_id()
+    )
+    w_in = (
+        W.partitionBy("__p")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out = part
+    for v in value_cols:
+        out = out.withColumn(f"{v}__cum", F.sum(v).over(w_in))
+    totals = part.groupBy("__p").agg(
+        *[F.sum(v).alias(f"__t_{v}") for v in value_cols]
+    )
+    w_g = (
+        W.partitionBy(F.pmod(F.col("__p"), F.lit(1)))
+        .orderBy("__p")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prefix = totals.select(
+        "__p",
+        *[
+            F.coalesce(F.sum(f"__t_{v}").over(w_g), F.lit(0)).alias(
+                f"__pre_{v}"
+            )
+            for v in value_cols
+        ],
+    )
+    out = out.join(F.broadcast(prefix), "__p")
+    for v in value_cols:
+        out = out.withColumn(
+            f"{v}__cum", F.col(f"{v}__cum") + F.col(f"__pre_{v}")
+        ).drop(f"__pre_{v}")
+    return out.drop("__p")

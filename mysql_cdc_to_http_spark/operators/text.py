@@ -40,6 +40,31 @@ def token_count_ws(col: Column) -> Column:
     return F.size(tokenize(col))
 
 
+def bigrams(tokens: Column) -> Column:
+    """Adjacent-pair array from a token array: [{w1, w2}, ...].
+
+    Pure JVM higher-order-function projection (transform over an index
+    sequence) — no explode until the caller wants rows, no Python.
+    Guarded for < 2 tokens: Spark's ``sequence(1, 0)`` would count DOWN
+    ([1, 0]) instead of producing an empty range, so short arrays map
+    to an explicit empty array."""
+    return F.when(F.size(tokens) >= 2, pairs_of(tokens)).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+
+
+def pairs_of(tokens: Column) -> Column:
+    """transform(sequence(...)) bigram builder over an arbitrary token
+    array column (see :func:`bigrams` for the short-array guard)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - 1),
+        lambda i: F.struct(
+            F.element_at(tokens, i).alias("w1"),
+            F.element_at(tokens, i + 1).alias("w2"),
+        ),
+    )
+
+
 def token_count_re(col: Column) -> Column:
     """Regex (BPE-ish pre-tokenizer) token count."""
     # group idx 0 (whole match) — the default of 1 requires a capture group

@@ -142,3 +142,148 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(
         side_a, side_b, "value", lo=0.0, hi=100.0, n_bins=20, smooth=0.5
     ).orderBy("bin")
+
+
+@query(
+    "q_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(lower(text), ' ') AS t FROM documents
+    ),
+    idx AS (SELECT t, unnest(range(1, len(t))) AS i FROM toks),
+    bi AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM idx),
+    bc AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2),
+    terms AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    uc AS (SELECT w, COUNT(*) AS c FROM terms GROUP BY w),
+    tot AS (SELECT (SELECT COUNT(*) FROM bi) AS nb,
+                   (SELECT COUNT(*) FROM terms) AS nu)
+    SELECT w1, w2, CAST(bc.c AS BIGINT) AS c_xy,
+           round(ln((bc.c / CAST(nb AS DOUBLE)) /
+                    ((u1.c / CAST(nu AS DOUBLE)) *
+                     (u2.c / CAST(nu AS DOUBLE)))), 6) AS pmi
+    FROM bc
+    JOIN uc u1 ON bc.w1 = u1.w
+    JOIN uc u2 ON bc.w2 = u2.w
+    CROSS JOIN tot
+    WHERE bc.c >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 100
+    """,
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (tokenizer/phrase-table prep): adjacent
+    bigrams built as a JVM higher-order-function projection
+    (operators/text.py:bigrams — no Python, no self-join), counted with
+    one hash agg; unigram counts and the two corpus totals broadcast
+    back onto the (min-count-filtered) bigram stream; PMI =
+    ln(P(xy) / (P(x)·P(y))). Top-100 by (rounded) PMI is a
+    TakeOrderedAndProject — no global sort materializes.
+
+    Scale: the only fact-sized shuffles are the two count aggregates
+    (map-side combined). The min-count filter (c ≥ 5) runs BEFORE the
+    unigram joins, so join input is the collocation-candidate set, not
+    the raw bigram stream. Parity: counts are integers; the PMI double
+    arithmetic parenthesizes identically in both engines and orders by
+    the ROUNDED value with a full (w1, w2) tiebreak, so ln's ulps
+    cannot reorder the top-100 cut."""
+    from mysql_cdc_to_http_spark.operators import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tx.tokenize(F.col("text")).alias("t"))
+    bi = toks.select(F.explode(tx.bigrams(F.col("t"))).alias("b")).select(
+        "b.w1", "b.w2"
+    )
+    terms = toks.select(F.explode(F.col("t")).alias("w"))
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uc = terms.groupBy("w").agg(F.count(F.lit(1)).alias("uc"))
+    tot = bi.agg(F.count(F.lit(1)).alias("nb")).crossJoin(
+        terms.agg(F.count(F.lit(1)).alias("nu"))
+    )
+    pmi = F.log(
+        (F.col("c") / F.col("nb").cast("double"))
+        / (
+            (F.col("u1") / F.col("nu").cast("double"))
+            * (F.col("u2") / F.col("nu").cast("double"))
+        )
+    )
+    return (
+        bc.filter(F.col("c") >= 5)
+        .join(F.broadcast(uc.withColumnRenamed("uc", "u1")), bc.w1 == F.col("w"))
+        .drop("w")
+        .join(F.broadcast(uc.withColumnRenamed("uc", "u2")), bc.w2 == F.col("w"))
+        .drop("w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("c_xy"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(100)
+    )
+
+
+@query(
+    "q_vocab_coverage",
+    oracle="""
+    WITH terms AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    uc AS (SELECT w, COUNT(*) AS c FROM terms GROUP BY w),
+    t AS (
+      SELECT w, c,
+             SUM(c) OVER (ORDER BY c DESC, w
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk,
+             SUM(c) OVER () AS tot
+      FROM uc
+    )
+    SELECT CAST(rnk AS BIGINT) AS rank, w AS token, CAST(c AS BIGINT) AS cnt,
+           round(cum / CAST(tot AS DOUBLE), 6) AS cum_share
+    FROM t WHERE rnk <= 1000 ORDER BY rank
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary sizing: token types ranked by frequency with
+    cumulative corpus coverage — the curve that decides how big the
+    vocab must be for a target OOV rate.
+
+    The cumulative sums run through operators/sampling.py:
+    ranked_prefix_sums — repartitionByRange on (cnt DESC, token) gives
+    range-contiguous partitions, partitioned windows cumsum in
+    parallel, and only the per-range totals (one row per range) touch a
+    bounded single-partition frame. Rank itself is the prefix sum of
+    ones, so NO global row_number window exists in the plan. The vocab
+    table is type-count-sized (≪ corpus), but at web scale that is
+    still millions of rows — hence the two-level shape instead of one
+    global window. Parity: everything is integer until the final
+    share division; ordering is total via the token tiebreak."""
+    from mysql_cdc_to_http_spark.operators import text as tx
+    from mysql_cdc_to_http_spark.operators.sampling import ranked_prefix_sums
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(tx.tokenize(F.col("text"))).alias("token")
+    )
+    uc = terms.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    uc = uc.withColumn("one", F.lit(1))
+    tot = uc.agg(F.sum("cnt").alias("tot"))
+    cum = ranked_prefix_sums(
+        uc, [F.col("cnt").desc(), F.col("token")], ["cnt", "one"]
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("one__cum").cast("long").alias("rank"),
+            "token",
+            "cnt",
+            F.round(
+                F.col("cnt__cum") / F.col("tot").cast("double"), 6
+            ).alias("cum_share"),
+        )
+        .filter(F.col("rank") <= 1000)
+        .orderBy("rank")
+    )

@@ -102,3 +102,88 @@ def test_psi_empty_bins_finite(spark):
     b = spark.createDataFrame([(99.0,)] * 10, "v double")
     rows = psi_drift(a, b, "v", 0.0, 100.0, n_bins=10).collect()
     assert all(math.isfinite(r["psi_bin"]) for r in rows)
+
+
+def test_bigrams_short_arrays_empty(spark):
+    from mysql_cdc_to_http_spark.operators.text import bigrams
+
+    df = spark.createDataFrame(
+        [("a b c",), ("solo",), ("",)], "text string"
+    )
+    rows = df.select(
+        bigrams(F.split(F.lower("text"), r"\s+")).alias("b")
+    ).collect()
+    assert [len(r["b"]) for r in rows] == [2, 0, 0]
+    assert rows[0]["b"][0].asDict() == {"w1": "a", "w2": "b"}
+
+
+def test_ranked_prefix_sums_matches_global_window(spark):
+    from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.operators.sampling import ranked_prefix_sums
+
+    df = spark.range(0, 500).select(
+        F.concat(F.lit("t"), F.col("id")).alias("k"),
+        (F.col("id") % 37 + 1).alias("v"),
+    )
+    order = [F.col("v").desc(), F.col("k")]
+    got = {
+        r["k"]: r["v__cum"]
+        for r in ranked_prefix_sums(df, order, ["v"], n_ranges=16).collect()
+    }
+    ref = {
+        r["k"]: r["ref"]
+        for r in df.withColumn(
+            "ref",
+            F.sum("v").over(
+                W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_ranked_prefix_sums_range_count_invariant(spark):
+    from mysql_cdc_to_http_spark.operators.sampling import ranked_prefix_sums
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 11).alias("v")
+    )
+    order = [F.col("v").desc(), F.col("k")]
+    a = sorted(
+        (r["k"], r["v__cum"])
+        for r in ranked_prefix_sums(df, order, ["v"], n_ranges=4).collect()
+    )
+    b = sorted(
+        (r["k"], r["v__cum"])
+        for r in ranked_prefix_sums(df, order, ["v"], n_ranges=64).collect()
+    )
+    assert a == b
+
+
+def test_collocations_topk_no_global_sort(spark, sf_dir):
+    """Top-100 must be TakeOrderedAndProject; the unigram joins must be
+    broadcast (no SortMergeJoin anywhere in the plan)."""
+    from mysql_cdc_to_http_spark.queries import all_queries
+
+    df = all_queries()["q_collocations"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_coverage_no_global_rownumber_window(spark, sf_dir):
+    """The ranked cumsum must NOT contain a row_number/global window over
+    the full vocab — the plan's only single-partition frame is the
+    range-totals cumsum (pmod key)."""
+    from mysql_cdc_to_http_spark.queries import all_queries
+
+    df = all_queries()["q_vocab_coverage"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan
+    # monotone non-decreasing share reaching 1.0 at the vocab tail (the
+    # sf corpus vocab is < 1000 types, so the last row closes the curve)
+    rows = df.collect()
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares)
+    assert abs(shares[-1] - 1.0) < 1e-9
