@@ -151,3 +151,69 @@ def cms_estimate(
         .groupBy(F.col("__v").alias(value_col))
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("freq_est"))
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-style bitmap semi-join pruning (runtime-filter pattern)
+# --------------------------------------------------------------------------
+def bloom_bitmap(
+    dim: DataFrame, key_col: str, m_bits: int = 1 << 20
+) -> DataFrame:
+    """Distributed bitmap over xxhash64(key) % m_bits of the build side:
+    one row per occupied 64-bit word, ``(word, mask)``.
+
+    Built as one two-phase hash aggregate (bit_or is map-side
+    combinable) — the result is at most m_bits/64 rows (16 KiB of longs
+    at the default 2^20 bits) regardless of the build side's row count.
+    Nothing is collected to the driver; the bitmap stays a DataFrame
+    and is BROADCAST by the probe (:func:`bloom_prefilter`).
+
+    This is the explicit form of Spark's runtime bloom-filter injection
+    (spark.sql.optimizer.runtime.bloomFilter.*): you need it when the
+    optimizer can't see through the probe side (a pandas-UDF stage, a
+    checkpointed intermediate, a non-SQL source) or when the filter
+    must be REUSED across several queries — materialize the 16 KiB
+    bitmap once, prune many scans.
+    """
+    h = F.pmod(F.xxhash64(F.col(key_col)), F.lit(m_bits))
+    return (
+        dim.select(h.alias("__h"))
+        .select(
+            (F.col("__h") / 64).cast("long").alias("word"),
+            # shiftleft's amount must be a column here — expr form (the
+            # PySpark wrapper only takes a Python int)
+            F.expr("shiftleft(1L, cast(__h % 64 AS int))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("mask"))
+    )
+
+
+def bloom_prefilter(
+    probe: DataFrame, key_col: str, bitmap: DataFrame, m_bits: int = 1 << 20
+) -> DataFrame:
+    """Drop probe rows whose key cannot be in the build side: broadcast
+    the word/mask bitmap, join on the key's word, test the key's bit.
+
+    False positives pass (later exact join removes them); false
+    negatives are impossible (every build key set its bit), so
+    ``exact_join(bloom_prefilter(probe), dim) == exact_join(probe, dim)``
+    — which is what makes the composed operator exactly oracle-able.
+    The probe stream is filtered BEFORE any shuffle toward the real
+    join: at 100 TB this is the difference between shuffling the whole
+    fact table and shuffling only the ~selectivity fraction that can
+    match.
+    """
+    h = F.pmod(F.xxhash64(F.col(key_col)), F.lit(m_bits))
+    probed = probe.withColumn("__h", h).withColumn(
+        "__word", (F.col("__h") / 64).cast("long")
+    ).withColumn(
+        "__bit", F.expr("shiftleft(1L, cast(__h % 64 AS int))")
+    ).drop("__h")
+    return (
+        probed.join(
+            F.broadcast(bitmap), probed["__word"] == bitmap["word"], "inner"
+        )
+        .filter(F.col("mask").bitwiseAND(F.col("__bit")) != 0)
+        .drop("__word", "__bit", "word", "mask")
+    )

@@ -265,3 +265,63 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", F.col("click_ts").alias("last_click_ts")
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered join (explicit runtime-filter pattern)
+# --------------------------------------------------------------------------
+@query(
+    "q_join_bloom",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-bitmap-prefiltered dimension join (operators/sketches.py:
+    bloom_bitmap / bloom_prefilter): the BUILDING-segment customer keys
+    reduce to a ≤16 KiB word/mask bitmap (two-phase bit_or aggregate),
+    which broadcasts onto the orders scan and drops non-member rows
+    BEFORE the exact customer join sees them. False positives survive
+    the bitmap but die in the exact join, and false negatives are
+    impossible — so the composed result EQUALS the plain join and the
+    oracle is the plain SQL (the explicit form of Spark's runtime
+    bloom-filter injection, for plans the optimizer can't see through
+    or filters reused across queries).
+
+    Scale: at 100 TB the orders stream reaches the join shuffle already
+    cut to ~the segment's selectivity; the bitmap is O(m_bits) bytes
+    independent of dimension cardinality, so it broadcasts at any
+    scale where a key-list broadcast would not. Price sums ride DECIMAL
+    (q_agg_q1 discipline); counts are integers — parity is exact."""
+    from mysql_cdc_to_http_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_prefilter,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    bitmap = bloom_bitmap(cust.select("c_custkey"), "c_custkey")
+    pruned = bloom_prefilter(orders, "o_custkey", bitmap)
+    return (
+        pruned.join(cust, pruned.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.date_trunc("MONTH", F.col("o_orderdate"))
+            .cast("date")
+            .alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("order_month")
+    )

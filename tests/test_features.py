@@ -187,3 +187,35 @@ def test_vocab_coverage_no_global_rownumber_window(spark, sf_dir):
     shares = [r["cum_share"] for r in rows]
     assert shares == sorted(shares)
     assert abs(shares[-1] - 1.0) < 1e-9
+
+
+def test_bloom_prefilter_no_false_negatives_and_prunes(spark):
+    from mysql_cdc_to_http_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_prefilter,
+    )
+
+    dim = spark.range(0, 100).select((F.col("id") * 7).alias("k"))
+    probe = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    bitmap = bloom_bitmap(dim, "k", m_bits=1 << 16)
+    kept = bloom_prefilter(probe, "k", bitmap, m_bits=1 << 16)
+    kept_keys = {r["k"] for r in kept.collect()}
+    dim_keys = {r["k"] for r in dim.collect()}
+    # every true member survives (no false negatives)
+    assert dim_keys <= kept_keys
+    # the filter actually prunes: with 100 keys in 2^16 bits the FP rate
+    # is ~0.15%, so ~10k probes keep ≈ 100 members + a tiny FP tail
+    assert len(kept_keys) < 300
+    # bitmap is word-bounded regardless of build rows
+    assert bitmap.count() <= (1 << 16) // 64
+
+
+def test_bloom_bitmap_is_two_phase_and_broadcast(spark, sf_dir):
+    from mysql_cdc_to_http_spark.queries import all_queries
+
+    df = all_queries()["q_join_bloom"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the bitmap reaches the probe side as a broadcast, never a shuffle
+    # join; the exact customer join is also hash-based here
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
