@@ -702,3 +702,109 @@ def semantic_dedup(
         )
     )
     return register_cached(result, [side])
+
+
+# --------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr pass, re-expressed
+# relationally at token granularity instead of a suffix array)
+# --------------------------------------------------------------------------
+def exact_span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Remove every token covered by an n-token window whose exact text
+    occurs more than once in the corpus (intra- or inter-document).
+
+    The suffix-array formulation doesn't distribute; the relational one
+    does, in three shuffles regardless of corpus size:
+
+    1. window hashes — a pure JVM HOF projection (slice + concat_ws +
+       md5 per start offset, exploded), then a count aggregate ON THE
+       HASH: the shuffle carries (hash, count partials) only, never
+       text.
+    2. duplicated-window starts — the window stream joins the dup-hash
+       set on the hash key (both sides hash-partitioned by the same
+       key; the payload is (doc, start) pairs).
+    3. coverage + rebuild — one shuffle by document: token positions
+       left-join dup starts (co-partitioned), a per-doc ordered window
+       marks each position covered if ANY duplicated window starts in
+       (pos-n, pos] (``max(flag) over rows n-1 preceding``), and the
+       survivors reassemble via sort_array(collect_list(struct(pos,
+       tok))) — order-deterministic under any partitioning.
+
+    Output: (id, n_tokens, n_dup_tokens, clean_text). Documents shorter
+    than ``n`` tokens have no windows and survive whole; documents that
+    are entirely duplicated spans come back with clean_text = ''.
+    """
+    t = F.split(F.lower(F.col(text_col)), r"\s+")
+    toks = docs.select(F.col(id_col).alias("id"), t.alias("t"))
+
+    starts = F.transform(
+        F.sequence(F.lit(1), F.size("t") - F.lit(n - 1)),
+        lambda i: F.struct(
+            i.alias("start"),
+            F.md5(F.concat_ws(" ", F.slice("t", i, n))).alias("h"),
+        ),
+    )
+    wins = (
+        toks.filter(F.size("t") >= n)
+        .select("id", F.explode(starts).alias("w"))
+        .select("id", "w.start", "w.h")
+    )
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    dup_starts = wins.join(dup_h, "h").select(
+        "id", "start", F.lit(1).alias("flag")
+    )
+
+    pos = toks.select(
+        "id", F.size("t").alias("n_tokens"), F.posexplode("t")
+    ).select(
+        "id", "n_tokens", (F.col("pos") + 1).alias("pos"), "col"
+    )
+    from pyspark.sql.window import Window as W
+
+    marked = pos.join(
+        dup_starts,
+        (pos["id"] == dup_starts["id"]) & (pos["pos"] == dup_starts["start"]),
+        "left",
+    ).select(pos["id"], "n_tokens", "pos", "col", "flag")
+    cover_w = (
+        W.partitionBy("id").orderBy("pos").rowsBetween(-(n - 1), 0)
+    )
+    covered = marked.withColumn(
+        "covered", F.max(F.coalesce("flag", F.lit(0))).over(cover_w) == 1
+    )
+    return (
+        covered.groupBy("id", "n_tokens")
+        .agg(
+            F.sum(F.col("covered").cast("int")).alias("n_dup_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("covered"),
+                                F.struct(F.col("pos"), F.col("col")),
+                            )
+                        )
+                    ),
+                    lambda s: s["col"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("id"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("n_dup_tokens").cast("int").alias("n_dup_tokens"),
+            "clean_text",
+        )
+    )

@@ -1063,3 +1063,65 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(vecs, k=4, iters=2, tau=0.45).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. ExactSubstr, relational form)
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    wins AS (SELECT doc_id, unnest(range(1, len(t)-8+2)) AS s, t
+             FROM toks WHERE len(t) >= 8),
+    h AS (SELECT doc_id, s, md5(array_to_string(t[s:s+7], ' ')) AS hh
+          FROM wins),
+    d AS (SELECT hh FROM h GROUP BY hh HAVING COUNT(*) > 1),
+    ds AS (SELECT doc_id, s FROM h JOIN d USING (hh)),
+    pos AS (SELECT doc_id, len(t) AS n_tokens, unnest(t) AS tok,
+                   generate_subscripts(t, 1) AS pos
+            FROM toks),
+    m AS (SELECT p.doc_id, p.n_tokens, p.pos, p.tok,
+                 CASE WHEN ds.s IS NULL THEN 0 ELSE 1 END AS flag
+          FROM pos p
+          LEFT JOIN ds ON p.doc_id = ds.doc_id AND p.pos = ds.s),
+    c AS (SELECT doc_id, n_tokens, pos, tok,
+                 MAX(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                   AS covered
+          FROM m)
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(SUM(covered) AS INT) AS n_dup_tokens,
+           md5(COALESCE(string_agg(CASE WHEN covered = 0 THEN tok END,
+                                   ' ' ORDER BY pos), '')) AS clean_md5
+    FROM c GROUP BY doc_id, n_tokens ORDER BY doc_id
+    """,
+)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span removal (operators/dedup.py:
+    exact_span_dedup): every token covered by an 8-token window whose
+    exact text occurs ≥ 2 times anywhere in the corpus is dropped, and
+    the document is reassembled from the survivors — the ExactSubstr
+    pass of Lee et al. 2021, which a suffix array serves on one machine
+    and a three-shuffle relational plan serves on a cluster (window
+    hashes → dup-hash count on the HASH key only → per-doc coverage
+    window + ordered rebuild; see the operator docstring for why each
+    shuffle carries keys/offsets, never document text).
+
+    Parity is exact end-to-end: window hashes are md5 over identical
+    strings, duplication is integer counting, coverage is a max over
+    0/1 flags, and the rebuilt text compares by md5. Docs with no
+    window (< 8 tokens) pass through whole; fully-duplicated docs
+    return the md5 of the empty string."""
+    from mysql_cdc_to_http_spark.operators.dedup import exact_span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = exact_span_dedup(docs, "doc_id", "text", n=8)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "n_dup_tokens",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")

@@ -778,3 +778,76 @@ def test_semantic_dedup_is_cluster_blocked(spark):
     assert kept == {0: True, 1: True, 2: False, 3: False}
     # and the blocking really did separate the groups
     assert clusters[0] != clusters[1]
+
+
+# --------------------------------------------------------------------------
+# exact_span_dedup (Lee et al. ExactSubstr relational form)
+# --------------------------------------------------------------------------
+def test_exact_span_dedup_planted_cross_doc_span(spark):
+    from mysql_cdc_to_http_spark.operators.dedup import exact_span_dedup
+
+    boiler = "this license text is repeated verbatim across both docs"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma delta"),
+            (2, f"unrelated words here {boiler} tail ending"),
+            (3, "a completely different document with no duplicate spans at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in exact_span_dedup(docs, "doc_id", "text", n=9).collect()
+    }
+    # the 9-token boilerplate disappears from both carriers
+    assert "license" not in out[1]["clean_text"]
+    assert "license" not in out[2]["clean_text"]
+    # surrounding unique tokens survive
+    assert out[1]["clean_text"].startswith("alpha beta")
+    assert out[1]["clean_text"].endswith("gamma delta")
+    assert out[2]["clean_text"].startswith("unrelated words here")
+    # untouched doc passes through byte-identical
+    assert out[3]["clean_text"] == (
+        "a completely different document with no duplicate spans at all"
+    )
+    assert out[3]["n_dup_tokens"] == 0
+
+
+def test_exact_span_dedup_intra_doc_and_short_docs(spark):
+    from mysql_cdc_to_http_spark.operators.dedup import exact_span_dedup
+
+    rep = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{rep} filler {rep}"),  # same 8-gram twice WITHIN one doc
+            (2, "too short"),  # < n tokens: no windows, passes whole
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in exact_span_dedup(docs, "doc_id", "text", n=8).collect()
+    }
+    # both copies of the repeated span are covered; only 'filler' survives
+    assert out[1]["clean_text"] == "filler"
+    assert out[1]["n_dup_tokens"] == 16
+    assert out[2]["clean_text"] == "too short"
+    assert out[2]["n_dup_tokens"] == 0
+
+
+def test_exact_span_dedup_shuffles_carry_no_text(spark):
+    """The dup-hash aggregate and the dup-start join must move hashes and
+    offsets — the only stage allowed to carry tokens is the per-doc
+    rebuild. Guard: the plan has exactly 3 exchanges on the data path
+    (hash count, dup-start join side, per-doc coverage) plus the final
+    sort, and no exchange before the first projection (scan-side
+    explode happens pre-shuffle)."""
+    from mysql_cdc_to_http_spark.queries import all_queries
+
+    df = all_queries()["q_dedup_spans"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # no cartesian anywhere, no Python in the hot path
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
