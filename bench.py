@@ -116,6 +116,14 @@ HEADLINE = [
     "q_ohlc_bars",
     "q_dedup_semantic",
     "q_time_decay",
+    # round 6 (fourth wave): feature engineering + corpus statistics +
+    # runtime-filter join + exact-substring dedup. 68-query headline.
+    "q_feature_scale",
+    "q_psi_drift",
+    "q_collocations",
+    "q_vocab_coverage",
+    "q_join_bloom",
+    "q_dedup_spans",
 ]
 
 
