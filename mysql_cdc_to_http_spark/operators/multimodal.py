@@ -268,6 +268,84 @@ def image_stats(assets: DataFrame) -> DataFrame:
     )
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize by pure index sampling (no imaging lib):
+    output pixel (i, j) reads source pixel (⌊(i+.5)·sh/h⌋, ⌊(j+.5)·sw/w⌋)
+    — the standard pixel-center mapping, deterministic integer math."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    sh, sw = arr.shape[:2]
+    rows = np.floor((np.arange(height) + 0.5) * sh / height).astype(int)
+    cols = np.floor((np.arange(width) + 0.5) * sw / width).astype(int)
+    return arr[rows[:, None], cols[None, :], :]
+
+
+def resize_images(
+    assets: DataFrame, width: int = 32, height: int = 32
+) -> DataFrame:
+    """Thumbnail/resize pass over ``mapInPandas``: REAL decode
+    (stdlib PNG / Pillow via ``decode_media``), nearest-neighbor resize
+    to (width, height), raw pixel bytes back out as a binary column
+    plus typed shape metadata — the standard normalize-resolution step
+    before a vision encoder.
+
+    Same scale shape as ``extract_features``: Arrow batches in/out, one
+    output row per asset, undecodable blobs become ``decode_error``
+    rows instead of failing the stage. The resize itself is numpy index
+    sampling — no imaging dependency beyond the decode step, and
+    byte-deterministic (tested against hand-computed pixels), unlike
+    library resamplers whose filters vary by version."""
+
+    def _resize_batch(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, mtype, content in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["content"]
+            ):
+                try:
+                    arr = decode_media(bytes(content), str(mtype))
+                    out = resize_nearest(arr, width, height)
+                    rows.append(
+                        (
+                            int(aid),
+                            width,
+                            height,
+                            out.shape[2],
+                            out.astype(np.uint8).tobytes(),
+                            None,
+                        )
+                    )
+                except (NotImplementedError, ValueError) as exc:
+                    rows.append(
+                        (int(aid), None, None, None, None, str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "channels",
+                    "pixels", "decode_error",
+                ],
+            )
+
+    return assets.select("asset_id", "media_type", "content").mapInPandas(
+        _resize_batch, schema=_RESIZE_SCHEMA
+    )
+
+
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video assets: emits (asset_id, frame_no)
     rows for frames 0, n, 2n … — the real frame decode is the stubbed

@@ -851,3 +851,48 @@ def test_exact_span_dedup_shuffles_carry_no_text(spark):
     # no cartesian anywhere, no Python in the hot path
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_resize_nearest_exact_pixels():
+    import numpy as np
+
+    from mysql_cdc_to_http_spark.operators.multimodal import resize_nearest
+
+    # 4×4 gradient → 2×2 picks pixel centers (rows/cols 1 and 3)
+    src = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = resize_nearest(src, 2, 2)
+    assert out.shape == (2, 2, 1)
+    assert out[:, :, 0].tolist() == [[5, 7], [13, 15]]
+    # upscale 2×2 → 4×4 replicates each source pixel 2×2
+    small = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    up = resize_nearest(small, 4, 4)[:, :, 0]
+    assert up.tolist() == [
+        [10, 10, 20, 20],
+        [10, 10, 20, 20],
+        [30, 30, 40, 40],
+        [30, 30, 40, 40],
+    ]
+
+
+def test_resize_images_mapinpandas_real_png(spark):
+    import numpy as np
+
+    from mysql_cdc_to_http_spark.operators.multimodal import (
+        resize_nearest,
+    )
+    from mysql_cdc_to_http_spark.operators import multimodal as mm
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8, 1)
+    png = _encode_png(img)
+    assets = spark.createDataFrame(
+        [(1, "image/png", bytearray(png)), (2, "video/mp4", bytearray(b"xx"))],
+        "asset_id long, media_type string, content binary",
+    )
+    rows = {r["asset_id"]: r for r in mm.resize_images(assets, 4, 4).collect()}
+    good = rows[1]
+    assert (good["width"], good["height"], good["channels"]) == (4, 4, 1)
+    expect = resize_nearest(img, 4, 4).tobytes()
+    assert bytes(good["pixels"]) == expect
+    # undecodable video quarantines instead of failing the stage
+    assert rows[2]["decode_error"] is not None
+    assert rows[2]["pixels"] is None
