@@ -185,3 +185,42 @@ def psi_drift(
     return h.select(
         "bin", "cnt_a", "cnt_b", "p_a", "p_b", "psi_bin", "psi_total"
     )
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: Sequence[str],
+    k: int = 10,
+) -> DataFrame:
+    """Assign each row an equi-depth (equal-count) bin in [0, k-1] by
+    global rank over (value, tiebreaks) — quantile bucketizing for
+    feature discretization.
+
+    Rank comes from operators/sampling.py:ranked_prefix_sums (two-level
+    prefix sum over range-contiguous partitions), so there is NO global
+    row_number window and no single-task sort of the fact table — the
+    shape that survives 100 TB where ``ntile()`` over an unpartitioned
+    window serializes. bin = ⌊(rank-1)·k/total⌋ with integer arithmetic
+    (exact; ntile's remainder-spreading differs, which is why the
+    contract is the formula, not ntile). Ties are broken by the caller's
+    tiebreak columns, making the assignment total and engine-invariant.
+    """
+    from pyspark.sql.window import Window as W  # noqa: F401  (doc parity)
+
+    from mysql_cdc_to_http_spark.operators.sampling import ranked_prefix_sums
+
+    order = [F.col(value_col).asc()] + [F.asc(c) for c in tiebreak_cols]
+    with_one = df.withColumn("__one", F.lit(1))
+    ranked = ranked_prefix_sums(with_one, order, ["__one"])
+    total = with_one.groupBy().agg(F.count(F.lit(1)).alias("__tot"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            "bin",
+            (
+                (F.col("__one__cum") - 1) * k / F.col("__tot")
+            ).cast("long").cast("int"),
+        )
+        .drop("__one", "__one__cum", "__tot")
+    )

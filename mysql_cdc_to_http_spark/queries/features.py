@@ -287,3 +287,47 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 1000)
         .orderBy("rank")
     )
+
+
+@query(
+    "q_equidepth_bins",
+    oracle="""
+    WITH r AS (
+      SELECT l_extendedprice AS v,
+             ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                l_linenumber) AS rnk,
+             COUNT(*) OVER () AS tot
+      FROM lineitem
+    )
+    SELECT CAST(((rnk - 1) * 10) // tot AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(v) AS lo, MAX(v) AS hi
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) binning of a numeric feature
+    (operators/features.py:equi_depth_bins): global rank via the
+    two-level ranked prefix sum — no global row_number window, no
+    single-task sort — then bin = ⌊(rank-1)·k/total⌋. Output is the
+    10-row bin summary (count + value bounds): the discretizer table a
+    feature pipeline persists and joins back at serving time.
+
+    Parity: rank is total (price, orderkey, linenumber tiebreak), the
+    bin formula is integer arithmetic, bounds are raw stored doubles —
+    exact equality, no rounding anywhere."""
+    from mysql_cdc_to_http_spark.operators.features import equi_depth_bins
+
+    li = load_table(spark, sf_dir, "lineitem")
+    binned = equi_depth_bins(
+        li, "l_extendedprice", ["l_orderkey", "l_linenumber"], k=10
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("bin")
+    )

@@ -219,3 +219,26 @@ def test_bloom_bitmap_is_two_phase_and_broadcast(spark, sf_dir):
     # join; the exact customer join is also hash-based here
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_equi_depth_bins_equal_counts_and_order(spark):
+    from mysql_cdc_to_http_spark.operators.features import equi_depth_bins
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 1000).cast("double").alias("v")
+    )
+    out = equi_depth_bins(df, "v", ["k"], k=10)
+    counts = {
+        r["bin"]: r["c"]
+        for r in out.groupBy("bin").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert counts == {i: 100 for i in range(10)}  # exactly equal depth
+    # bins respect value order: max of bin i < min of bin i+1
+    bounds = {
+        r["bin"]: (r["lo"], r["hi"])
+        for r in out.groupBy("bin")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    for i in range(9):
+        assert bounds[i][1] <= bounds[i + 1][0]
