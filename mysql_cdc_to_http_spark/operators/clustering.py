@@ -129,3 +129,55 @@ def kmeans_centroids(
         assigned = assign_clusters(df, cents, id_col, vec_col)
         cents = recompute_centroids(assigned, k)
     return cents
+
+
+def product_quantize(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (the PQ of IVF-PQ): split each vector into
+    ``m`` contiguous subvectors, k-means each subspace independently
+    (same deterministic Lloyd as :func:`kmeans` — lowest-id init,
+    6-dp-rounded recomputed centroids, lowest-id tie-break), and encode
+    every vector as ``m`` small codes plus its reconstruction error
+    (sum of subspace distances to the chosen codewords).
+
+    Scale: the m codebooks are (m·k·dim/m) driver-sized models; per
+    subspace the corpus cost is exactly kmeans' — assignment is a
+    narrow projection against codeword literals, recompute shuffles
+    pre-combined (cluster, pos, sum, count). The final per-id code
+    join is m-way on the id key (each side already carries only
+    id + code + dist — at 100 TB this joins codes, not vectors).
+    Compression story: a 64-dim float vector (256 B) becomes m=4 bytes
+    + shared codebooks — the memory step that makes billion-vector ANN
+    indexes fit.
+
+    Determinism matches kmeans', so the whole encoding — codes AND
+    error — is SQL-oracle-able by unrolling each subspace's Lloyd
+    iterations (q_pq_codes does exactly that).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    out = None
+    for s in range(m):
+        piece = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
+        )
+        enc = kmeans(piece, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+        enc = enc.select(
+            F.col(id_col),
+            F.col("cluster").alias(f"code_{s}"),
+            F.col("dist").alias(f"__d{s}"),
+        )
+        out = enc if out is None else out.join(enc, id_col)
+    err = sum(F.col(f"__d{s}") for s in range(m))
+    return out.withColumn("recon_err", F.round(err, 6)).drop(
+        *[f"__d{s}" for s in range(m)]
+    )

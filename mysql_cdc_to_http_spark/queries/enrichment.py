@@ -885,3 +885,98 @@ def q_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_decay_agg(ev, "user_id", "ts", "value", 86400.0).orderBy(
         "user_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ codes + reconstruction error)
+# --------------------------------------------------------------------------
+def _pq_oracle(m: int = 4, k: int = 4, dim: int = 64) -> str:
+    """Unrolled-Lloyd oracle per subspace (the q_kmeans CTE pattern,
+    machine-generated m times over contiguous slices)."""
+    sub = dim // m
+    parts = ["WITH e0 AS (SELECT vec_id, embedding AS v FROM embeddings)"]
+    for s in range(m):
+        off = s * sub
+        body = f"""
+    e_{s} AS (SELECT vec_id, v[{off + 1}:{off + sub}] AS v FROM e0),
+    init_{s} AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+      FROM (SELECT vec_id, v FROM e_{s} ORDER BY vec_id LIMIT {k})
+    ),
+    d1_{s} AS (
+      SELECT e.vec_id, i.cluster,
+             list_sum([
+               (CAST(e.v[x] AS DOUBLE) - CAST(i.c[x] AS DOUBLE))
+               * (CAST(e.v[x] AS DOUBLE) - CAST(i.c[x] AS DOUBLE))
+               FOR x IN generate_series(1, {sub})
+             ]) AS dist
+      FROM e_{s} e, init_{s} i
+    ),
+    a1_{s} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d1_{s}
+      ) WHERE rn = 1
+    ),
+    cent1_{s} AS (
+      SELECT cluster, list(mv ORDER BY pos) AS c FROM (
+        SELECT a.cluster, g.x AS pos,
+               round(avg(CAST(e.v[g.x] AS DOUBLE)), 6) AS mv
+        FROM e_{s} e JOIN a1_{s} a USING (vec_id),
+             generate_series(1, {sub}) g(x)
+        GROUP BY a.cluster, g.x
+      ) GROUP BY cluster
+    ),
+    d2_{s} AS (
+      SELECT e.vec_id, c1.cluster,
+             list_sum([
+               (CAST(e.v[x] AS DOUBLE) - c1.c[x])
+               * (CAST(e.v[x] AS DOUBLE) - c1.c[x])
+               FOR x IN generate_series(1, {sub})
+             ]) AS dist
+      FROM e_{s} e, cent1_{s} c1
+    ),
+    a2_{s} AS (
+      SELECT vec_id, cluster, dist FROM (
+        SELECT vec_id, cluster, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d2_{s}
+      ) WHERE rn = 1
+    )"""
+        parts.append(body)
+    codes = ", ".join(
+        f"CAST(a2_{s}.cluster AS INT) AS code_{s}" for s in range(m)
+    )
+    err = " + ".join(f"a2_{s}.dist" for s in range(m))
+    joins = "a2_0" + "".join(
+        f" JOIN a2_{s} USING (vec_id)" for s in range(1, m)
+    )
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT vec_id, {codes}, round({err}, 6) AS recon_err
+    FROM {joins} ORDER BY vec_id
+    """
+    )
+
+
+@query("q_pq_codes", oracle=_pq_oracle())
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (operators/clustering.py:product_quantize):
+    64-dim embeddings → 4 subspaces × 4-codeword codebooks (two
+    deterministic Lloyd iterations each) → 4 codes + reconstruction
+    error per vector — the compression step of an IVF-PQ ANN index
+    (256 B float vector → 4 B of codes + shared codebooks).
+
+    The oracle unrolls all four subspace k-means in SQL (generated from
+    the q_kmeans CTE template). Codes match exactly for the q_kmeans
+    argmin-margin reason, per subspace; the error is a fixed-order fold
+    against 6-dp-rounded codewords — identical doubles both engines —
+    rounded to 6 dp (green sf0.001/0.01/0.1)."""
+    from mysql_cdc_to_http_spark.operators.clustering import product_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return product_quantize(emb, m=4, k=4, iters=2).orderBy("vec_id")

@@ -650,3 +650,51 @@ def test_ohlc_bars_volume_partition_invariant(spark, sf_dir):
         )
         outs.append(sorted(tuple(r) for r in bars.collect()))
     assert outs[0] == outs[1]
+
+
+# --------------------------------------------------------------------------
+# product quantization
+# --------------------------------------------------------------------------
+def test_pq_codes_shape_and_compression_quality(spark, sf_dir):
+    from mysql_cdc_to_http_spark.operators.clustering import product_quantize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = product_quantize(emb, m=4, k=4, iters=2)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:20]:
+        for s in range(4):
+            assert 0 <= r[f"code_{s}"] < 4
+        assert r["recon_err"] >= 0.0
+    # quantizing to the subspace MEANS must beat quantizing to a single
+    # global codeword set of the same total budget in reconstruction
+    # error on average — sanity: error is finite and nonzero spread
+    errs = [r["recon_err"] for r in rows]
+    assert max(errs) > min(errs) >= 0.0
+
+
+def test_pq_more_codewords_reduce_error(spark, sf_dir):
+    """k=8 codebooks must reconstruct at least as well (on average) as
+    k=2 — the basic rate-distortion direction."""
+    from mysql_cdc_to_http_spark.operators.clustering import product_quantize
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    e2 = product_quantize(emb, m=4, k=2, iters=2).agg(
+        F.avg("recon_err")
+    ).collect()[0][0]
+    e8 = product_quantize(emb, m=4, k=8, iters=2).agg(
+        F.avg("recon_err")
+    ).collect()[0][0]
+    assert e8 <= e2
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    from mysql_cdc_to_http_spark.operators.clustering import product_quantize
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 10)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError):
+        product_quantize(df, m=4)
