@@ -181,3 +181,79 @@ def product_quantize(
     return out.withColumn("recon_err", F.round(err, 6)).drop(
         *[f"__d{s}" for s in range(m)]
     )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """The m trained sub-codebooks behind :func:`product_quantize`
+    (same deterministic Lloyd per contiguous subspace), as
+    driver-sized m × k × (dim/m) lists — the shared model an ADC
+    search needs next to the stored codes."""
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        piece = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
+        )
+        cents = sample_centroids(piece, k, id_col, vec_col)
+        for _ in range(iters - 1):
+            assigned = assign_clusters(piece, cents, id_col, vec_col)
+            cents = recompute_centroids(assigned, k)
+        books.append(cents)
+    return books
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes — the search path of an
+    IVF-PQ index. The query is NOT quantized: per subspace, its exact
+    distance to each codeword is precomputed into an m × K table
+    (driver-side, model-sized), and every stored vector's approximate
+    distance is then just m table lookups on its codes:
+
+        adc(v) = Σ_s  T_s[code_s(v)]
+
+    — a pure projection over the CODES table (4 ints/row), never
+    touching stored vectors. At billion-vector scale this is why PQ
+    exists: the scan reads bytes, the arithmetic is m additions, and
+    top-k is TakeOrderedAndProject. Distance tables fold left-to-right
+    (identical order to the SQL oracle), so results are exact-compare
+    against the unrolled-Lloyd oracle of q_knn_pq.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    tables = []
+    for s in range(m):
+        q_s = query_vec[s * sub : (s + 1) * sub]
+        tables.append(
+            [
+                sum((q_s[x] - cw[x]) ** 2 for x in range(sub))
+                for cw in codebooks[s]
+            ]
+        )
+    adc = None
+    for s, t in enumerate(tables):
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in t]), F.col(f"code_{s}") + 1
+        )
+        adc = term if adc is None else adc + term
+    return (
+        codes.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

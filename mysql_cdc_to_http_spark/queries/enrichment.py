@@ -890,9 +890,14 @@ def q_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Product quantization (PQ codes + reconstruction error)
 # --------------------------------------------------------------------------
-def _pq_oracle(m: int = 4, k: int = 4, dim: int = 64) -> str:
+def _pq_oracle(
+    m: int = 4, k: int = 4, dim: int = 64, adc_k: int | None = None
+) -> str:
     """Unrolled-Lloyd oracle per subspace (the q_kmeans CTE pattern,
-    machine-generated m times over contiguous slices)."""
+    machine-generated m times over contiguous slices). With ``adc_k``,
+    appends the asymmetric-distance search tail (q_knn_pq): per-row
+    codeword distances to the lowest-id query vector, summed across
+    subspaces — same left-to-right fold order as the engine."""
     sub = dim // m
     parts = ["WITH e0 AS (SELECT vec_id, embedding AS v FROM embeddings)"]
     for s in range(m):
@@ -947,18 +952,45 @@ def _pq_oracle(m: int = 4, k: int = 4, dim: int = 64) -> str:
       ) WHERE rn = 1
     )"""
         parts.append(body)
-    codes = ", ".join(
-        f"CAST(a2_{s}.cluster AS INT) AS code_{s}" for s in range(m)
+    if adc_k is None:
+        codes = ", ".join(
+            f"CAST(a2_{s}.cluster AS INT) AS code_{s}" for s in range(m)
+        )
+        err = " + ".join(f"a2_{s}.dist" for s in range(m))
+        joins = "a2_0" + "".join(
+            f" JOIN a2_{s} USING (vec_id)" for s in range(1, m)
+        )
+        return (
+            ",".join(parts)
+            + f"""
+    SELECT vec_id, {codes}, round({err}, 6) AS recon_err
+    FROM {joins} ORDER BY vec_id
+    """
+        )
+    parts.append(
+        "\n    q AS (SELECT v FROM e0 ORDER BY vec_id LIMIT 1)"
     )
-    err = " + ".join(f"a2_{s}.dist" for s in range(m))
-    joins = "a2_0" + "".join(
-        f" JOIN a2_{s} USING (vec_id)" for s in range(1, m)
+    for s in range(m):
+        off = s * sub
+        parts.append(f"""
+    adc_{s} AS (
+      SELECT a.vec_id,
+             list_sum([
+               (CAST(q.v[x + {off}] AS DOUBLE) - c.c[x])
+               * (CAST(q.v[x + {off}] AS DOUBLE) - c.c[x])
+               FOR x IN generate_series(1, {sub})
+             ]) AS d
+      FROM a2_{s} a JOIN cent1_{s} c ON a.cluster = c.cluster, q
+    )""")
+    err = " + ".join(f"adc_{s}.d" for s in range(m))
+    joins = "adc_0" + "".join(
+        f" JOIN adc_{s} USING (vec_id)" for s in range(1, m)
     )
     return (
         ",".join(parts)
         + f"""
-    SELECT vec_id, {codes}, round({err}, 6) AS recon_err
-    FROM {joins} ORDER BY vec_id
+    SELECT vec_id, round({err}, 6) AS adc_dist
+    FROM {joins} ORDER BY adc_dist, vec_id LIMIT {adc_k}
     """
     )
 
@@ -980,3 +1012,45 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return product_quantize(emb, m=4, k=4, iters=2).orderBy("vec_id")
+
+
+@query("q_knn_pq", oracle=_pq_oracle(adc_k=10))
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (operators/clustering.py:
+    pq_adc_topk) — the search half of IVF-PQ: the lowest-id embedding
+    queries the corpus through its PQ codes. The query's per-codeword
+    distance tables are model-sized driver constants; every stored
+    vector costs m array lookups + m-1 adds in ONE codegen projection
+    over the codes table (vectors never read), and top-k is
+    TakeOrderedAndProject.
+
+    Unlike q_knn_ivf (real approximation, rows-only), ADC over fixed
+    codebooks is a DETERMINISTIC function of the data, so the oracle is
+    exact: the unrolled per-subspace Lloyd CTEs plus the same
+    fixed-order distance fold, compared at 6 dp with a full (dist, id)
+    ordering."""
+    from mysql_cdc_to_http_spark.operators.clustering import (
+        assign_clusters,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, m=4, k=4, iters=2)
+    sub = len(books[0][0])
+    codes = None
+    for s in range(4):
+        piece = emb.select(
+            "vec_id",
+            F.slice(F.col("embedding"), s * sub + 1, sub).alias("embedding"),
+        )
+        enc = assign_clusters(piece, books[s]).select(
+            "vec_id", F.col("cluster").alias(f"code_{s}")
+        )
+        codes = enc if codes is None else codes.join(enc, "vec_id")
+    qvec = [
+        float(x)
+        for x in emb.orderBy("vec_id").select("embedding").first()[0]
+    ]
+    from mysql_cdc_to_http_spark.operators.clustering import pq_adc_topk
+
+    return pq_adc_topk(codes, books, qvec, k=10)
