@@ -124,6 +124,10 @@ HEADLINE = [
     "q_vocab_coverage",
     "q_join_bloom",
     "q_dedup_spans",
+    "q_equidepth_bins",
+    "q_pq_codes",
+    "q_knn_pq",
+    "q_event_transitions",
 ]
 
 

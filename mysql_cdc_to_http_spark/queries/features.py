@@ -331,3 +331,61 @@ def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS c
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT prev_type, SUM(c) AS t FROM pairs GROUP BY prev_type)
+    SELECT p.prev_type, p.next_type, CAST(p.c AS BIGINT) AS n,
+           round(p.c / CAST(t.t AS DOUBLE), 6) AS prob
+    FROM pairs p JOIN tot t USING (prev_type)
+    ORDER BY prev_type, next_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (behavioral analytics / session modeling): lag each
+    user's (ts, event_id)-ordered stream one step, count (prev → next)
+    pairs, normalize per source state.
+
+    Scale: the lag window is PARTITIONED by user — parallel by key,
+    one fact shuffle; the pair counts then reduce to an
+    event-type²-sized table, and the per-source totals join on that
+    tiny table. Parity: ordering is total ((ts, event_id) tiebreak —
+    event timestamps alone can collide), counts are integers, the
+    probability is one integer-ratio division rounded at 6 dp."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return (
+        pairs.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("t").cast("double"), 6).alias("prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
