@@ -697,3 +697,81 @@ def q_queue_worker(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_delivered"))
         .orderBy("tbl")
     )
+
+
+# --------------------------------------------------------------------------
+# Time travel: snapshot AS OF an offset, reconstructed from SCD2 history
+# --------------------------------------------------------------------------
+@query(
+    "q_time_travel",
+    oracle=_EV
+    + """
+    , keyed AS (
+      SELECT tbl, offset_id % 1000 AS pk, op, offset_id,
+             CASE WHEN op = 'u' THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                  WHEN op = 'd' THEN NULL ELSE o_totalprice END AS price
+      FROM ev
+    ),
+    hist AS (
+      SELECT tbl, pk, op, price, offset_id AS valid_from,
+             lead(offset_id) OVER (PARTITION BY tbl, pk
+                                   ORDER BY offset_id) AS valid_to
+      FROM keyed
+    ),
+    mo AS (SELECT MAX(offset_id) AS mx FROM ev),
+    probes AS (
+      SELECT CAST((mx * k) // 4 AS BIGINT) AS as_of_offset
+      FROM mo, unnest([1, 2, 3]) AS t(k)
+    )
+    SELECT p.as_of_offset, h.tbl, h.pk, h.price
+    FROM probes p JOIN hist h
+      ON h.valid_from <= p.as_of_offset
+     AND (h.valid_to IS NULL OR p.as_of_offset < h.valid_to)
+    WHERE h.op <> 'd'
+    ORDER BY as_of_offset, tbl, pk
+    """,
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel from a CDC changelog (streaming/latest_state.py:
+    snapshot_as_of): reconstruct the live table AS OF three probe
+    offsets (¼, ½, ¾ of the feed) from the SCD2 history — the
+    Delta/Iceberg time-travel feature, rebuilt relationally. Per-key
+    SCD2 intervals are disjoint, so each snapshot is ONE interval
+    predicate over the history (no agg, no window at probe time); keys
+    deleted before a probe are correctly absent at that probe and
+    present at earlier ones.
+
+    Scale: history materializes once (one keyed window shuffle —
+    shared with q_scd2_history's plan); every AS-OF query after that
+    is a filtered scan, and the 3-row probe table joins as a broadcast.
+    Parity: offsets are integers, prices are stored-value arithmetic
+    shared with the scd2 oracle — exact."""
+    from mysql_cdc_to_http_spark.streaming.latest_state import (
+        scd2_history,
+        snapshot_as_of,
+    )
+
+    ev = _flat_events(spark, sf_dir).select(
+        "tbl",
+        (F.col("offset_id") % 1000).alias("pk"),
+        "op",
+        F.col("offset_id").alias("offset"),
+        F.col("after.o_totalprice").alias("price"),
+    )
+    hist = scd2_history(ev, ["tbl", "pk"], offset_col="offset")
+    mx = ev.agg(F.max("offset").alias("mx"))
+    probes = (
+        spark.range(1, 4)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            ((F.col("mx") * F.col("id")) / 4)
+            .cast("long")
+            .alias("as_of_offset")
+        )
+    )
+    snap = snapshot_as_of(
+        hist.crossJoin(F.broadcast(probes)), F.col("as_of_offset")
+    )
+    return snap.select("as_of_offset", "tbl", "pk", "price").orderBy(
+        "as_of_offset", "tbl", "pk"
+    )

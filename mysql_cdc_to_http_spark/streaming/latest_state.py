@@ -243,3 +243,28 @@ def stream_to_state(
         .outputMode("update")
         .start()
     )
+
+
+def snapshot_as_of(
+    history: DataFrame,
+    offset,
+    op_col: str = "op",
+) -> DataFrame:
+    """Time travel over an SCD2 history: the table snapshot AS OF the
+    given offset — rows whose validity interval [valid_from, valid_to)
+    covers it, minus delete tombstones (a key deleted before the probe
+    offset is absent, exactly as the live table was).
+
+    Because :func:`scd2_history` intervals are disjoint per key, this
+    needs NO aggregation or window — one interval predicate over the
+    (already materialized) history, so asking for any point in the past
+    costs a filtered scan, the Delta/Iceberg time-travel shape re-built
+    from a CDC changelog."""
+    from pyspark.sql import Column
+
+    probe = offset if isinstance(offset, Column) else F.lit(offset)
+    return history.filter(
+        (F.col("valid_from") <= probe)
+        & (F.col("valid_to").isNull() | (probe < F.col("valid_to")))
+        & (F.col(op_col) != "d")
+    )

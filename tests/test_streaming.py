@@ -510,3 +510,36 @@ def test_merge_changes_into_view_replay_idempotent(spark, sf_dir, tmp_path):
     twice = spark.read.parquet(view_dir).collect()
     assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
     assert len(once) > 0
+
+
+def test_snapshot_as_of_delete_semantics(spark):
+    """A key deleted before the probe offset must be absent at that
+    probe and present at earlier probes; an un-inserted key absent."""
+    from mysql_cdc_to_http_spark.streaming.latest_state import (
+        scd2_history,
+        snapshot_as_of,
+    )
+    import pyspark.sql.functions as F
+
+    changes = spark.createDataFrame(
+        [
+            (1, "c", 10, 100.0),
+            (1, "u", 20, 110.0),
+            (1, "d", 30, None),
+            (2, "c", 25, 200.0),
+        ],
+        "pk long, op string, offset long, price double",
+    )
+    hist = scd2_history(changes, ["pk"], offset_col="offset")
+
+    def snap(off):
+        return {
+            r["pk"]: r["price"]
+            for r in snapshot_as_of(hist, off).collect()
+        }
+
+    assert snap(5) == {}  # before any insert
+    assert snap(15) == {1: 100.0}
+    assert snap(22) == {1: 110.0}  # update visible, key 2 not yet
+    assert snap(27) == {1: 110.0, 2: 200.0}
+    assert snap(35) == {2: 200.0}  # key 1 deleted
