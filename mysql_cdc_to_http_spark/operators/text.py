@@ -391,3 +391,31 @@ def heavy_hitters(
 import sys as _sys
 from pyspark import cloudpickle as _cloudpickle
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+def c4_keep_line(line: Column) -> Column:
+    """The C4 (Raffel et al. 2020) line-retention predicate: ends in a
+    terminal punctuation mark (optionally close-quoted), at least 3
+    words, no curly brace, no 'javascript'. One boolean expression —
+    usable inside a ``filter()`` HOF so cleaning a page is a single
+    codegen projection."""
+    return (
+        line.rlike('[.!?]"?$')
+        & (F.size(F.split(line, " ")) >= 3)
+        & ~line.contains("{")
+        & ~F.lower(line).contains("javascript")
+    )
+
+
+def c4_clean_page(text: Column) -> tuple[Column, Column, Column, Column]:
+    """C4 page cleaning over a newline-joined page: returns
+    (n_lines, n_kept, page_dropped, clean_text) columns. Pages
+    containing 'lorem ipsum' drop entirely; otherwise the page is the
+    newline-join of retained lines. All four outputs come from ONE
+    split — Catalyst subexpression elimination shares it — and there is
+    no shuffle, no UDF: corpus cleaning at 100 TB is a narrow map."""
+    lines = F.split(text, "\n")
+    kept = F.filter(lines, c4_keep_line)
+    dropped = F.lower(text).contains("lorem ipsum")
+    clean = F.when(dropped, F.lit("")).otherwise(F.concat_ws("\n", kept))
+    return F.size(lines), F.size(kept), dropped, clean

@@ -514,3 +514,86 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     uni, bi, vocab = train_bigram_lm(docs)
     return score_perplexity(docs, uni, bi, vocab).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# C4 heuristic page cleaning (planted-fixture oracle, the q_pii_redact
+# pattern: the synthetic corpus is single-line clean text, so both
+# engines build an identical multi-line page with rule-triggering lines
+# derived from doc_id, then clean it — the CLEANING is what the oracle
+# checks, not the fixture)
+# --------------------------------------------------------------------------
+_C4_SPARK = (
+    "concat(text, '.',"
+    " case when doc_id % 3 = 0 then '\nclick here to continue' else '' end,"
+    " case when doc_id % 4 = 0 then"
+    "   '\nenable JavaScript to view this page.' else '' end,"
+    " case when doc_id % 5 = 0 then"
+    "   '\nfunction() { return 1; }' else '' end,"
+    " case when doc_id % 7 = 0 then '\nok.' else '' end,"
+    " case when doc_id % 11 = 0 then"
+    "   '\nlorem ipsum dolor sit amet.' else '' end)"
+)
+_C4_DUCK = (
+    "text || '.'"
+    " || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'click here to continue'"
+    "    ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN chr(10) ||"
+    "    'enable JavaScript to view this page.' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(10) ||"
+    "    'function() { return 1; }' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'ok.' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN chr(10) ||"
+    "    'lorem ipsum dolor sit amet.' ELSE '' END"
+)
+
+
+@query(
+    "q_c4_clean",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_C4_DUCK} AS page FROM documents),
+    split AS (
+      SELECT doc_id, page, string_split(page, chr(10)) AS lines,
+             contains(lower(page), 'lorem ipsum') AS page_dropped
+      FROM aug
+    ),
+    cleaned AS (
+      SELECT doc_id,
+             len(lines) AS n_lines,
+             list_filter(lines, l ->
+               regexp_matches(l, '[.!?]"?$')
+               AND len(string_split(l, ' ')) >= 3
+               AND NOT contains(l, '{{')
+               AND NOT contains(lower(l), 'javascript')) AS kept,
+             page_dropped
+      FROM split
+    )
+    SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+           CAST(len(kept) AS INT) AS n_kept, page_dropped,
+           md5(CASE WHEN page_dropped THEN ''
+                    ELSE array_to_string(kept, chr(10)) END) AS clean_md5
+    FROM cleaned ORDER BY doc_id
+    """,
+)
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic page cleaning (operators/text.py:
+    c4_clean_page): terminal-punctuation / ≥3-words / no-brace /
+    no-javascript line retention plus whole-page 'lorem ipsum' drop —
+    the Raffel et al. 2020 filter chain that precedes every other
+    curation pass. Planted multi-line fixtures (deterministic per
+    doc_id, the q_pii_redact discipline) make every rule fire on a
+    known subset; all outputs derive from one split in one codegen
+    projection — zero shuffle, zero Python. Parity: pure string
+    predicates and md5 of the rebuilt page — exact."""
+    from mysql_cdc_to_http_spark.operators.text import c4_clean_page
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.expr(_C4_SPARK).alias("page"))
+    n_lines, n_kept, dropped, clean = c4_clean_page(F.col("page"))
+    return aug.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept"),
+        dropped.alias("page_dropped"),
+        F.md5(clean).alias("clean_md5"),
+    ).orderBy("doc_id")

@@ -342,3 +342,45 @@ def test_lm_short_docs_excluded_but_counted_in_vocab(spark):
     assert vocab.collect()[0]["v"] == 3          # zzz counts toward V
     scored = score_perplexity(docs, uni, bi, vocab).collect()
     assert [r["doc_id"] for r in scored] == [1]  # no bigrams -> no row
+
+
+def test_c4_keep_line_rules(spark):
+    from mysql_cdc_to_http_spark.operators.text import c4_keep_line
+    import pyspark.sql.functions as F
+
+    cases = [
+        ("a good normal sentence.", True),
+        ("ends with a question mark?", True),
+        ('quoted ending works too."', True),
+        ("no terminal punctuation here", False),
+        ("too short.", False),  # < 3 words
+        ("enable JavaScript to proceed.", False),
+        ("code like { this } is dropped.", False),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "line string")
+    got = [
+        r["k"] for r in df.select(c4_keep_line(F.col("line")).alias("k")).collect()
+    ]
+    assert got == [e for _, e in cases]
+
+
+def test_c4_clean_page_lorem_ipsum_drops_whole_page(spark):
+    from mysql_cdc_to_http_spark.operators.text import c4_clean_page
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("keep this line intact.\nLorem Ipsum dolor sit amet.",),
+            ("keep this line intact.\ndrop me no punct",),
+        ],
+        "page string",
+    )
+    n_lines, n_kept, dropped, clean = c4_clean_page(F.col("page"))
+    rows = df.select(
+        n_lines.alias("nl"), n_kept.alias("nk"),
+        dropped.alias("d"), clean.alias("c"),
+    ).collect()
+    assert rows[0]["d"] and rows[0]["c"] == ""
+    assert not rows[1]["d"]
+    assert rows[1]["c"] == "keep this line intact."
+    assert (rows[1]["nl"], rows[1]["nk"]) == (2, 1)
