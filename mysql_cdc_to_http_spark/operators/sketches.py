@@ -217,3 +217,29 @@ def bloom_prefilter(
         .filter(F.col("mask").bitwiseAND(F.col("__bit")) != 0)
         .drop("__word", "__bit", "word", "mask")
     )
+
+
+def cms_join_size(
+    cms_a: DataFrame, cms_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Join-cardinality estimate from two count-min sketches built on
+    the SAME (salt, depth, width): |A ⋈ B| on the sketched key is
+    estimated by min over hash rows of Σ_buckets cntA·cntB (the
+    AMS/CMS inner-product estimator; Cormode & Muthukrishnan §4.2).
+    Overestimates, never underestimates — the same one-sided guarantee
+    as point queries, so an optimizer using it for broadcast-vs-shuffle
+    decisions errs toward the safe plan.
+
+    Cost: the two sketches are (depth × width)-row tables whatever the
+    inputs were; the estimate is one co-keyed join + two tiny
+    aggregates. This is how you size a join's output BEFORE running
+    it, with sketches cheap enough to keep per partition/day.
+    Output: 1 row, ``est_join_size`` long.
+    """
+    prod = cms_a.alias("a").join(
+        cms_b.alias("b"), ["row_i", "bucket"]
+    ).select(
+        "row_i", (F.col("a.cnt") * F.col("b.cnt")).alias("p")
+    )
+    per_row = prod.groupBy("row_i").agg(F.sum("p").alias("ip"))
+    return per_row.agg(F.min("ip").cast("long").alias("est_join_size"))

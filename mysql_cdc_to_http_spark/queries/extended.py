@@ -451,3 +451,81 @@ def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), F.asc("l_suppkey"))
     )
+
+
+@query(
+    "q_join_size_est",
+    oracle="""
+    WITH rows_i AS (SELECT UNNEST(range(4)) AS row_i),
+    cms_a AS (
+      SELECT row_i,
+             ('0x' || substr(md5('cms-v1|' || CAST(row_i AS VARCHAR) || '|'
+                                 || CAST(o_custkey AS VARCHAR)), 1, 6))::INTEGER
+               % 512 AS bucket,
+             COUNT(*) AS cnt
+      FROM orders CROSS JOIN rows_i
+      GROUP BY 1, 2
+    ),
+    cms_b AS (
+      SELECT row_i,
+             ('0x' || substr(md5('cms-v1|' || CAST(row_i AS VARCHAR) || '|'
+                                 || CAST(c_custkey AS VARCHAR)), 1, 6))::INTEGER
+               % 512 AS bucket,
+             COUNT(*) AS cnt
+      FROM customer CROSS JOIN rows_i
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY 1, 2
+    ),
+    ip AS (
+      SELECT a.row_i, SUM(a.cnt * b.cnt) AS p
+      FROM cms_a a JOIN cms_b b USING (row_i, bucket)
+      GROUP BY a.row_i
+    ),
+    est AS (SELECT CAST(MIN(p) AS BIGINT) AS est_join_size FROM ip),
+    tru AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS true_join_size
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+    )
+    SELECT est_join_size, true_join_size,
+           est_join_size >= true_join_size AS is_overestimate
+    FROM est, tru
+    """,
+)
+def q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches
+    (operators/sketches.py:cms_join_size): |orders ⋈ customers_BUILDING|
+    estimated by the CMS inner-product estimator (min over hash rows of
+    Σ cntA·cntB) WITHOUT running the join — the statistic an optimizer
+    uses to pick broadcast vs shuffle, computable from per-segment
+    sketches that merge losslessly as data lands.
+
+    The estimate is one-sided (collisions only ADD), so
+    ``is_overestimate`` asserts the theorem against the true join count
+    computed alongside. Fully equality-oracled: the sketch is the
+    md5-bucket relational CMS (q_cms_freq), the inner product is
+    integer arithmetic."""
+    from mysql_cdc_to_http_spark.operators.sketches import (
+        cms_join_size,
+        cms_merge,
+        cms_partials,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cms_a = cms_merge(cms_partials(orders, F.lit(0), "o_custkey"))
+    cms_b = cms_merge(cms_partials(cust, F.lit(0), "c_custkey"))
+    est = cms_join_size(cms_a, cms_b)
+    true_sz = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .agg(F.count(F.lit(1)).alias("true_join_size"))
+    )
+    return est.crossJoin(F.broadcast(true_sz)).select(
+        "est_join_size",
+        "true_join_size",
+        (F.col("est_join_size") >= F.col("true_join_size")).alias(
+            "is_overestimate"
+        ),
+    )

@@ -98,3 +98,30 @@ def test_cms_absent_key_estimates_from_collisions_only(spark):
     # left-join coalesce path: an unseen key reads 0 unless all 4 of its
     # buckets collide with real keys (impossible here: 12 keys, 512 wide)
     assert row["freq_est"] == 0
+
+
+def test_cms_join_size_tightens_with_width(spark, sf_dir):
+    """Wider sketches collide less: est(width=4096) <= est(width=256),
+    and both over-estimate the true join size."""
+    import pyspark.sql.functions as F
+
+    from mysql_cdc_to_http_spark.operators.sketches import (
+        cms_join_size,
+        cms_merge,
+        cms_partials,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    true_sz = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).count()
+    ests = {}
+    for width in (256, 4096):
+        a = cms_merge(cms_partials(orders, F.lit(0), "o_custkey", width=width))
+        b = cms_merge(cms_partials(cust, F.lit(0), "c_custkey", width=width))
+        ests[width] = cms_join_size(a, b).collect()[0]["est_join_size"]
+    assert ests[4096] <= ests[256]
+    assert ests[256] >= true_sz and ests[4096] >= true_sz
