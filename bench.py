@@ -128,6 +128,14 @@ HEADLINE = [
     "q_pq_codes",
     "q_knn_pq",
     "q_event_transitions",
+    # round 6 (sixth wave): time travel, C4 cleaning, CMS join-cardinality,
+    # and the Q13/Q17/Q22 subquery-shape ladder. 74-query headline.
+    "q_time_travel",
+    "q_c4_clean",
+    "q_join_size_est",
+    "q_agg_q13",
+    "q_agg_q17",
+    "q_agg_q22",
 ]
 
 

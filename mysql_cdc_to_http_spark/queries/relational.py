@@ -661,3 +661,196 @@ def q_agg_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# X119 — TPC-H Q13 shape: outer-join aggregation with the predicate in
+# the ON clause (NOT the WHERE — moving it would drop zero-order
+# customers), then a second aggregation over the first's output. The
+# double-aggregation / count-distribution shape nothing else covers.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q13",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM per_cust
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def q_agg_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count (urgent
+    orders excluded IN THE JOIN CONDITION, so customers with only
+    urgent orders still appear with n_orders = 0 — the Q13 semantic
+    trap). Scale shape: both sides shuffle once on the customer key —
+    the per-customer COUNT reuses the join's hash partitioning (one
+    exchange for join + first agg); the second aggregation's domain is
+    the distinct order-count values (tail-bounded, ~max orders per
+    customer), so it reduces to a handful of rows with map-side
+    partials. ``count(o_orderkey)`` counts non-null matches only, which
+    is exactly the outer-join zero-orders encoding."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# X120 — TPC-H Q17 shape: correlated scalar AVG subquery, decorrelated
+# into a per-key aggregate joined back onto the same stream. The
+# below-average filter is rewritten to integer-exact decimal arithmetic
+# (5 * qty * cnt < sum_qty  ⇔  qty < 0.2 * avg) so the comparison can
+# never flip on a float ulp between engines.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q17",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+             count(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_small_lots,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                     AS DOUBLE) / 7.0 AS DECIMAL(18,4)) + 0.0
+             AS avg_yearly
+    FROM lineitem
+    JOIN pq   USING (l_partkey)
+    JOIN part ON l_partkey = p_partkey
+    WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sum_qty
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_agg_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 generalized to every brand: revenue locked up in
+    small-lot line items (quantity below 20% of the part's average).
+    Scale shape: the decorrelated per-part aggregate and the join-back
+    both key on l_partkey, so Catalyst reuses ONE fact exchange for
+    agg + self-join (no second fact shuffle); part joins on its own
+    key after that (at 100 TB part scales with the fact — a shuffle
+    join, NOT a broadcast; at test SF AQE may still pick broadcast,
+    both are correct). The below-average predicate multiplies through
+    by the count instead of dividing (5*qty*cnt < sum) — pure DECIMAL
+    integer arithmetic, bit-identical in any engine and any partition
+    order. avg_yearly rounds through DECIMAL(18,4) (+0.0 restores
+    DOUBLE for the driver's canonicalizer)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(12,2)").alias("__qty"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("__price"),
+    )
+    pq = li.groupBy("l_partkey").agg(
+        F.sum("__qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(pq, "l_partkey")
+        .filter(F.col("__qty") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lots"),
+            (
+                (F.sum("__price").cast("double") / F.lit(7.0))
+                .cast("decimal(18,4)")
+                .cast("double")
+            ).alias("avg_yearly"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# X121 — TPC-H Q22 shape: global scalar aggregate broadcast as a filter
+# + NOT EXISTS anti join. Neither q_subquery (EXISTS) nor q_agg_q18
+# (IN-list semi) covers the scalar-broadcast + anti-join combination.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q22",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               / count(*) AS cutoff
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > cutoff
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q_agg_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (dormancy variant): wealthy customers with no orders
+    since 2000, by nation. Scale shape: the positive-balance average
+    reduces to ONE row (DECIMAL-exact sum, so the cutoff is the same
+    double in any engine/partitioning) and broadcasts into the filter —
+    no shuffle. The NOT EXISTS is a left_anti join on the customer key;
+    the orders side is date-filtered AT THE SCAN (pushdown) and
+    projected to o_custkey only before the shuffle, so the anti join
+    moves keys, not rows. The final per-nation rollup is ~25 groups,
+    two-phase. (The date predicate replaces TPC-H's never-ordered
+    test so the result is non-empty at every test SF — the plan shape
+    is identical.)"""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("__bal"),
+    )
+    cutoff = (
+        cust.filter(F.col("__bal") > 0.0)
+        .agg(
+            (F.sum("__bal").cast("double") / F.count(F.lit(1))).alias(
+                "cutoff"
+            )
+        )
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("__bal") > F.col("cutoff"))
+        .join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("__bal").cast("double").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
