@@ -136,6 +136,7 @@ HEADLINE = [
     "q_agg_q13",
     "q_agg_q17",
     "q_agg_q22",
+    "q_join_interval_bin",
 ]
 
 

@@ -325,3 +325,95 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+# --------------------------------------------------------------------------
+# X122 — binned interval-overlap join: both sides LARGE, so the
+# broadcast-nested-loop of q_join_range is not available. The bin trick
+# (operators/intervals.py) converts overlap into a shuffled equi-join.
+# Fixture: user sessions × ±5-minute windows around error events —
+# "which users were active near an error burst".
+# --------------------------------------------------------------------------
+@query(
+    "q_join_interval_bin",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM marked
+    ),
+    ivl AS (
+      SELECT user_id, sess_id,
+             epoch_us(MIN(ts)) AS ls, epoch_us(MAX(ts)) AS le
+      FROM sess GROUP BY user_id, sess_id
+    ),
+    err AS (
+      SELECT epoch_us(ts) - 300000000 AS rs,
+             epoch_us(ts) + 300000000 AS re
+      FROM events WHERE event_type = 'error'
+    ),
+    pairs AS (
+      SELECT user_id,
+             least(le, re) - greatest(ls, rs) AS ov
+      FROM ivl JOIN err ON ls <= re AND rs <= le
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(sum(ov) AS BIGINT) AS overlap_us
+    FROM pairs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_join_interval_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users active near error bursts: session intervals overlap-joined
+    against ±5-min windows around every error event, per-user overlap
+    count and total overlapped time.
+
+    Scale shape: NEITHER side is broadcast-able at 100 TB (sessions
+    scale with users×activity, error windows with traffic), so the
+    overlap join runs as the binned equi-join of
+    ``operators/intervals.py:overlap_bin_join`` — 10-minute bins,
+    explode-replication bounded by span/width+1 (~2 bins for a 10-min
+    error window; sessions are typically shorter), one hash shuffle on
+    the bin id, exact predicate re-check, and the first-bin emission
+    rule instead of a dedup pass. The DuckDB oracle runs the plain
+    O(n·m) overlap join (its IEJoin handles oracle scale), proving the
+    binned composition EXACTLY equals the naive semantics. All interval
+    math is integer epoch-micros. The session CTE is q_sessionize's
+    oracle verbatim, so session boundaries carry that query's parity."""
+    from mysql_cdc_to_http_spark.operators.intervals import overlap_bin_join
+    from mysql_cdc_to_http_spark.streaming.windows import sessionize_batch
+
+    events = load_table(spark, sf_dir, "events")
+    sess = sessionize_batch(events, gap_minutes=30).select(
+        "user_id",
+        F.unix_micros("sess_start").alias("ls"),
+        F.unix_micros("sess_end").alias("le"),
+    )
+    err = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            (F.unix_micros("ts") - 300_000_000).alias("rs"),
+            (F.unix_micros("ts") + 300_000_000).alias("re"),
+        )
+    )
+    pairs = overlap_bin_join(
+        sess, err, "ls", "le", "rs", "re", bin_width=600_000_000
+    )
+    ov = F.least("le", "re") - F.greatest("ls", "rs")
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum(ov).cast("bigint").alias("overlap_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -536,3 +536,48 @@ def test_time_decay_single_fact_shuffle(spark, sf_dir):
         if "Exchange" in ln and not ln.strip().startswith("(")
     )
     assert n_exchanges == 1, plan
+
+
+def test_interval_bin_join_is_equi_not_nested_loop(spark, sf_dir):
+    """X122: both interval sides are large — the bin trick must plan as
+    a hash/sort-merge EQUI-join on the bin id, never BNLJ/cartesian."""
+    plan = plan_of(QUERIES["q_join_interval_bin"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan  # AQE may shrink one side at toy SF
+    )
+
+
+def test_interval_bin_join_matches_naive_overlap(spark, sf_dir):
+    """The binned composition must equal the naive overlap join exactly
+    (first-bin emission dedup rule, closed-interval predicate)."""
+    from mysql_cdc_to_http_spark.operators.intervals import overlap_bin_join
+
+    left = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(
+            [(0, 5), (3, 3), (10, 25), (24, 40), (100, 100), (0, 100)]
+        )],
+        "lid long, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(
+            [(5, 6), (7, 9), (0, 0), (26, 99), (100, 120), (41, 41)]
+        )],
+        "rid long, rs long, re long",
+    )
+    for w in (1, 3, 7, 1000):
+        got = sorted(
+            (r.lid, r.rid)
+            for r in overlap_bin_join(
+                left, right, "ls", "le", "rs", "re", bin_width=w
+            ).collect()
+        )
+        naive = sorted(
+            (r.lid, r.rid)
+            for r in left.join(
+                right,
+                (left.ls <= right.re) & (right.rs <= left.le),
+            ).collect()
+        )
+        assert got == naive, f"bin_width={w}: {got} != {naive}"
