@@ -137,6 +137,7 @@ HEADLINE = [
     "q_agg_q17",
     "q_agg_q22",
     "q_join_interval_bin",
+    "q_triangle_count",
 ]
 
 

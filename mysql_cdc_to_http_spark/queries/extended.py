@@ -529,3 +529,76 @@ def q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_overestimate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# X123 — triangle counting (graph analytics family #3 after connected
+# components and PageRank). Graph: parts co-purchased in one order.
+# --------------------------------------------------------------------------
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pr a JOIN pr b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    nodes AS (
+      SELECT count(DISTINCT n) AS n_nodes FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v FROM edges
+      )
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.u AND e1.v < e2.v
+      JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM nodes, tri
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the co-purchase graph (parts sharing an order).
+
+    Scale shape, edge build: pairs are generated WITHIN an order by a
+    keyed self-join on l_orderkey (per-order line count is bounded, so
+    pair fan-out is bounded — never a global cross join), then distinct
+    over canonical (u < v) pairs. Counting is the degree-ordered wedge
+    join of ``operators/graph.py:triangle_count_df``: orienting edges
+    low→high (degree, id) caps every out-degree at O(sqrt(E)), which is
+    what keeps the wedge join's largest task bounded when the graph has
+    celebrity nodes ("the curse of the last reducer"). The DuckDB
+    oracle counts x<y<z ordered triangles directly — a different
+    formulation whose EXACT equality certifies the oriented one."""
+    from mysql_cdc_to_http_spark.operators.graph import triangle_count_df
+
+    pr = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b = pr.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        pr.join(b, (F.col("l_orderkey") == F.col("o2")))
+        .filter(F.col("l_partkey") < F.col("v"))
+        .select(F.col("l_partkey").alias("u"), "v")
+        .distinct()
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .agg(F.countDistinct("n").alias("n_nodes"))
+    )
+    tri = triangle_count_df(edges)
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

@@ -896,3 +896,21 @@ def test_resize_images_mapinpandas_real_png(spark):
     # undecodable video quarantines instead of failing the stage
     assert rows[2]["decode_error"] is not None
     assert rows[2]["pixels"] is None
+
+
+def test_triangle_count_known_graphs(spark):
+    from mysql_cdc_to_http_spark.operators.graph import triangle_count_df
+
+    def count(pairs):
+        e = spark.createDataFrame(pairs, "u long, v long")
+        return triangle_count_df(e).collect()[0]["n_triangles"]
+
+    # K4: C(4,3) = 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert count(k4) == 4
+    # path graph: none
+    assert count([(0, 1), (1, 2), (2, 3)]) == 0
+    # two triangles sharing an edge (diamond): 2
+    assert count([(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]) == 2
+    # star (celebrity hub): none — the degree-orientation stress shape
+    assert count([(0, i) for i in range(1, 20)]) == 0
