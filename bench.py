@@ -138,6 +138,8 @@ HEADLINE = [
     "q_agg_q22",
     "q_join_interval_bin",
     "q_triangle_count",
+    "q_winsorize",
+    "q_outliers_mad",
 ]
 
 

@@ -389,3 +389,267 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+# --------------------------------------------------------------------------
+# X124 — rank-exact winsorization (p1/p99 clipping). The feature-prep
+# complement of q_feature_scale (z-score) and q_outliers (3σ screen):
+# instead of dropping outliers, clip them to percentile cut points.
+# --------------------------------------------------------------------------
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority AS grp,
+             o_totalprice AS val,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    cuts AS (
+      SELECT grp, val, n,
+             max(CASE WHEN rn <= (n + 99) // 100 THEN val END)
+               OVER (PARTITION BY grp) AS lo_cut,
+             min(CASE WHEN rn >= n - (n + 99) // 100 + 1 THEN val END)
+               OVER (PARTITION BY grp) AS hi_cut
+      FROM ranked
+    )
+    SELECT grp,
+           lo_cut, hi_cut,
+           CAST(sum(CASE WHEN val < lo_cut THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(sum(CASE WHEN val > hi_cut THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi,
+           CAST(sum(CAST(least(greatest(val, lo_cut), hi_cut)
+                         AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+             AS winsorized_mean
+    FROM cuts
+    GROUP BY grp, lo_cut, hi_cut
+    ORDER BY grp
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization at the integer-rank p1/p99 cut points.
+
+    Determinism: the cut is "the k-th smallest / k-th largest VALUE"
+    with k = ceil(n/100) computed by INTEGER arithmetic ((n+99) div
+    100) — not an interpolated percentile, so no float formula can
+    disagree between engines; ties in the value order don't move the
+    cut (the value at rank k is tiebreak-invariant). The winsorized
+    mean sums clipped values through DECIMAL (clipped values are still
+    2-dp data values), making the sum partitioning-invariant, then one
+    double division.
+
+    Scale shape: ONE shuffle on the group key serves everything — the
+    ranked window, the two cut windows (same partitioning, no second
+    exchange), and the final per-group aggregate. Per-group sort is the
+    honest cost of exact ranks; the mergeable-sketch alternative for
+    monster groups is shipped as q_percentiles_approx, same tradeoff
+    contract as q_percentiles (exact) vs approx."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("val"),
+        "o_orderkey",
+    )
+    w_ord = W.partitionBy("grp").orderBy("val", "o_orderkey")
+    w_all = W.partitionBy("grp")
+    ranked = o.select(
+        "grp",
+        "val",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    k = F.expr("(n + 99) div 100")
+    cuts = ranked.select(
+        "grp",
+        "val",
+        F.max(F.when(F.col("rn") <= k, F.col("val")))
+        .over(w_all)
+        .alias("lo_cut"),
+        F.min(F.when(F.col("rn") >= F.col("n") - k + 1, F.col("val")))
+        .over(w_all)
+        .alias("hi_cut"),
+    )
+    clipped = F.least(F.greatest(F.col("val"), F.col("lo_cut")), F.col("hi_cut"))
+    return (
+        cuts.groupBy("grp", "lo_cut", "hi_cut")
+        .agg(
+            F.sum(F.when(F.col("val") < F.col("lo_cut"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("val") > F.col("hi_cut"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_hi"),
+            (
+                F.sum(clipped.cast("decimal(14,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "grp",
+            "lo_cut",
+            "hi_cut",
+            "n_clipped_lo",
+            "n_clipped_hi",
+            "winsorized_mean",
+        )
+        .orderBy("grp")
+    )
+
+
+# --------------------------------------------------------------------------
+# X125 — robust outlier screen: median/MAD modified z-score
+# (Iglewicz-Hoaglin). The robust twin of q_outliers' mean/σ z-score —
+# a single extreme value shifts mean AND σ (masking), but not the
+# median or the MAD.
+# --------------------------------------------------------------------------
+@query(
+    "q_outliers_mad",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type AS grp, value AS val, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    med AS (
+      SELECT grp, val, n,
+             (max(CASE WHEN rn = (n + 1) // 2 THEN val END)
+                OVER (PARTITION BY grp)
+              + max(CASE WHEN rn = (n + 2) // 2 THEN val END)
+                OVER (PARTITION BY grp)) / 2 AS median
+      FROM ranked
+    ),
+    dev_ranked AS (
+      SELECT grp, val, n, median, abs(val - median) AS dev,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY abs(val - median), val) AS rn2
+      FROM med
+    ),
+    mad AS (
+      SELECT grp, val, n, median,
+             (max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+                OVER (PARTITION BY grp)
+              + max(CASE WHEN rn2 = (n + 2) // 2 THEN dev END)
+                OVER (PARTITION BY grp)) / 2 AS mad
+      FROM dev_ranked
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(median AS DECIMAL(18,6)) AS DOUBLE) + 0.0 AS median,
+           CAST(CAST(mad AS DECIMAL(18,6)) AS DOUBLE) + 0.0 AS mad,
+           CAST(sum(CASE WHEN mad > 0
+                          AND abs(0.6745 * (val - median) / mad) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM mad
+    GROUP BY grp, median, mad
+    ORDER BY grp
+    """,
+)
+def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD modified z-score outlier counts per event type.
+
+    Determinism: median and MAD are rank-defined — the mean of the
+    values at integer ranks (n+1) div 2 and (n+2) div 2 in the sorted
+    order — never an interpolated quantile, so both engines compute the
+    identical doubles; the modified z-score 0.6745·(x−med)/MAD is then
+    the same IEEE expression on the same inputs on both sides, so the
+    3.5 threshold cannot flip. MAD=0 groups count zero outliers by the
+    explicit guard (division there would produce ±inf). The dev-rank
+    tiebreak is the value itself (abs(dev) ties collapse to mirror
+    pairs; either order yields the same rank-k dev value).
+
+    Scale shape: ONE shuffle on the group key; the two ranked windows
+    (value order, then deviation order) and the final aggregate all
+    share that partitioning — the second window adds a sort, not an
+    exchange. Exact per-group medians cost a per-group sort by
+    definition; q_percentiles_approx is the shipped sketch path for
+    monster groups."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.col("value").alias("val"),
+        "event_id",
+    )
+    w_all = W.partitionBy("grp")
+    ranked = ev.select(
+        "grp",
+        "val",
+        F.row_number()
+        .over(W.partitionBy("grp").orderBy("val", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    lo_mid = F.expr("(n + 1) div 2")
+    hi_mid = F.expr("(n + 2) div 2")
+    med = ranked.select(
+        "grp",
+        "val",
+        "n",
+        (
+            (
+                F.max(F.when(F.col("rn") == lo_mid, F.col("val"))).over(w_all)
+                + F.max(F.when(F.col("rn") == hi_mid, F.col("val"))).over(
+                    w_all
+                )
+            )
+            / 2
+        ).alias("median"),
+    )
+    dev = F.abs(F.col("val") - F.col("median"))
+    dev_ranked = med.select(
+        "grp",
+        "val",
+        "n",
+        "median",
+        dev.alias("dev"),
+        F.row_number()
+        .over(W.partitionBy("grp").orderBy(dev, "val"))
+        .alias("rn2"),
+    )
+    mad = dev_ranked.select(
+        "grp",
+        "val",
+        "median",
+        (
+            (
+                F.max(F.when(F.col("rn2") == lo_mid, F.col("dev"))).over(
+                    w_all
+                )
+                + F.max(F.when(F.col("rn2") == hi_mid, F.col("dev"))).over(
+                    w_all
+                )
+            )
+            / 2
+        ).alias("mad"),
+    )
+    is_outlier = (F.col("mad") > 0) & (
+        F.abs(
+            F.lit(0.6745) * (F.col("val") - F.col("median")) / F.col("mad")
+        )
+        > 3.5
+    )
+    return (
+        mad.groupBy("grp", "median", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(is_outlier, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "grp",
+            "n",
+            F.col("median").cast("decimal(18,6)").cast("double").alias(
+                "median"
+            ),
+            F.col("mad").cast("decimal(18,6)").cast("double").alias("mad"),
+            "n_outliers",
+        )
+        .orderBy("grp")
+    )
