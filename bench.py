@@ -140,6 +140,7 @@ HEADLINE = [
     "q_triangle_count",
     "q_winsorize",
     "q_outliers_mad",
+    "q_ab_test",
 ]
 
 

@@ -653,3 +653,115 @@ def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# --------------------------------------------------------------------------
+# X126b/X127 — A/B experiment readout: deterministic md5 variant
+# assignment + per-metric Welch z statistic from DECIMAL-exact moments.
+# --------------------------------------------------------------------------
+@query(
+    "q_ab_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_type, value,
+             CASE WHEN ('0x' || substr(md5('ab-v1|' ||
+                        CAST(user_id AS VARCHAR)), 1, 6))::BIGINT
+                       % 100 < 50
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, variant,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM assigned GROUP BY event_type, variant
+    ),
+    wide AS (
+      SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b,
+             a.s1 / a.n AS mean_a, b.s1 / b.n AS mean_b,
+             (a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1) AS var_a,
+             (b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1) AS var_b
+      FROM m a JOIN m b ON a.event_type = b.event_type
+      WHERE a.variant = 'A' AND b.variant = 'B'
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(CAST(mean_a - mean_b AS DECIMAL(18,6)) AS DOUBLE) + 0.0
+             AS mean_diff,
+           CAST(CAST((mean_a - mean_b)
+                     / sqrt(var_a / n_a + var_b / n_b)
+                     AS DECIMAL(18,6)) AS DOUBLE) + 0.0 AS welch_z
+    FROM wide ORDER BY event_type
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout per event type: users deterministically
+    assigned to variants by the engine's md5 bucket primitive
+    (operators/sampling.py:split_bucket discipline — any engine with
+    md5 reproduces the assignment), then the Welch z statistic for the
+    value metric.
+
+    Determinism: per-variant first/second moments sum through DECIMAL
+    (value is 2-dp data; squares are exact at scale 4), so n/s1/s2 are
+    partitioning-invariant; mean/variance/z are then the identical IEEE
+    expression on identical doubles in both engines, surfaced through
+    the DECIMAL(18,6) display round. Scale shape: ONE two-phase hash
+    aggregate over (event_type, variant) — the assignment is a pure
+    projection riding the scan — then a self-join of the
+    5×2-row moment table. Nothing but the aggregate touches the fact
+    stream."""
+    from mysql_cdc_to_http_spark.operators.sampling import split_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    assigned = ev.select(
+        "event_type",
+        F.when(
+            split_bucket(F.col("user_id"), 100, salt="ab-v1") < 50, "A"
+        )
+        .otherwise("B")
+        .alias("variant"),
+        dec.alias("v"),
+    )
+    m = assigned.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"),
+    )
+    a = m.filter(F.col("variant") == "A").select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("s1a"),
+        F.col("s2").alias("s2a"),
+    )
+    b = m.filter(F.col("variant") == "B").select(
+        F.col("event_type").alias("et_b"),
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("s1b"),
+        F.col("s2").alias("s2b"),
+    )
+    wide = a.join(b, F.col("event_type") == F.col("et_b"))
+    mean_a = F.col("s1a") / F.col("n_a")
+    mean_b = F.col("s1b") / F.col("n_b")
+    var_a = (F.col("s2a") - F.col("s1a") * F.col("s1a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("s2b") - F.col("s1b") * F.col("s1b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    z = (mean_a - mean_b) / F.sqrt(
+        var_a / F.col("n_a") + var_b / F.col("n_b")
+    )
+    return wide.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (mean_a - mean_b)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("mean_diff"),
+        z.cast("decimal(18,6)").cast("double").alias("welch_z"),
+    ).orderBy("event_type")

@@ -775,3 +775,49 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.select("as_of_offset", "tbl", "pk", "price").orderBy(
         "as_of_offset", "tbl", "pk"
     )
+
+
+# --------------------------------------------------------------------------
+# X126 — stream-static join: the canonical streaming ENRICHMENT pattern
+# (stream joined to a slowly-changing dimension at rest). Every other
+# join in the streaming family is stream-stream; this is the missing
+# shape — no watermark needed, the static side is re-resolved per
+# micro-batch (so dimension updates between batches are picked up).
+# --------------------------------------------------------------------------
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    ORDER BY c_mktsegment, event_type
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events enriched with the static customer dimension,
+    aggregated per (segment, event type).
+
+    Scale shape: the static side is a projected 2-column dim —
+    broadcast-hash-joined INSIDE each micro-batch (no stream-side
+    shuffle for the join, no state store: stream-static inner joins
+    are stateless by construction). The complete-mode aggregate equals
+    the batch join+group, which is exactly the DuckDB oracle. At 100 TB
+    the pattern holds: the dimension is broadcast-or-bucketed per
+    batch while only the aggregation state (segments × event types)
+    persists across batches."""
+    ev = _stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = ev.join(
+        F.broadcast(dim), F.col("user_id") == F.col("c_custkey"), "inner"
+    )
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return _run_to_memory(agg, "mem_stream_static", "complete").orderBy(
+        "c_mktsegment", "event_type"
+    )
