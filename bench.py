@@ -141,6 +141,8 @@ HEADLINE = [
     "q_winsorize",
     "q_outliers_mad",
     "q_ab_test",
+    "q_attribution",
+    "q_url_canonical",
 ]
 
 

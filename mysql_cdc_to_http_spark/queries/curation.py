@@ -597,3 +597,159 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         dropped.alias("page_dropped"),
         F.md5(clean).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# X129 — URL canonicalization + canonical dedup (web-crawl curation:
+# the same page arrives under scheme/case/tracking-param/fragment
+# variants; dedup must key on the canonical form). URLs are
+# deterministic fixtures built from doc_id (PII-fixture discipline —
+# both engines construct the identical raw strings).
+# --------------------------------------------------------------------------
+_URL_SPARK = (
+    "concat('HTTPS://WWW.Example', CAST(doc_id % 20 AS STRING),"
+    " '.COM:443/Path', CAST(doc_id % 97 AS STRING),"
+    " CASE WHEN doc_id % 3 = 0"
+    "   THEN concat('/?utm_source=feed&b=2&a=', CAST(doc_id % 50 AS STRING))"
+    " WHEN doc_id % 3 = 1"
+    "   THEN concat('?a=', CAST(doc_id % 50 AS STRING), '&utm_medium=em&b=2')"
+    " ELSE concat('?b=2&a=', CAST(doc_id % 50 AS STRING)) END,"
+    " CASE WHEN doc_id % 5 = 0 THEN '#section-3' ELSE '' END)"
+)
+
+_URL_DUCK = (
+    "concat('HTTPS://WWW.Example', CAST(doc_id % 20 AS VARCHAR),"
+    " '.COM:443/Path', CAST(doc_id % 97 AS VARCHAR),"
+    " CASE WHEN doc_id % 3 = 0"
+    "   THEN concat('/?utm_source=feed&b=2&a=', CAST(doc_id % 50 AS VARCHAR))"
+    " WHEN doc_id % 3 = 1"
+    "   THEN concat('?a=', CAST(doc_id % 50 AS VARCHAR), '&utm_medium=em&b=2')"
+    " ELSE concat('?b=2&a=', CAST(doc_id % 50 AS VARCHAR)) END,"
+    " CASE WHEN doc_id % 5 = 0 THEN '#section-3' ELSE '' END)"
+)
+
+
+@query(
+    "q_url_canonical",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_URL_DUCK} AS url FROM documents),
+    defrag AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
+    ),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]+)',
+                                    1)), ':(443|80)$', ''), '^www\\.', '')
+               AS host,
+             regexp_replace(
+               regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*([^?]*)',
+                              1), '/+$', '') AS path,
+             CASE WHEN contains(u, '?')
+                  THEN regexp_extract(u, '\\?(.*)$', 1) ELSE '' END AS qs
+      FROM defrag
+    ),
+    canon AS (
+      SELECT doc_id, host,
+             concat(scheme, '://', host, path,
+               CASE WHEN length(kept) > 0 THEN concat('?', kept)
+                    ELSE '' END) AS canonical_url
+      FROM (
+        SELECT doc_id, scheme, host, path,
+               array_to_string(
+                 list_sort(list_filter(string_split(qs, '&'),
+                                       x -> x NOT LIKE 'utm_%')), '&') AS kept
+        FROM parts
+      )
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+           min(canonical_url) AS sample_canonical
+    FROM canon GROUP BY host ORDER BY host
+    """,
+)
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize crawl URLs and count collapsed duplicates per host.
+
+    Canonicalization: strip fragment → lowercase scheme and host →
+    drop default ports (:443/:80) and a leading www. → strip trailing
+    path slashes → drop utm_* tracking params and SORT the survivors
+    (param order is not page identity). Every step is a JVM
+    regexp/HOF projection — ``split → filter → array_sort →
+    array_join`` for the query string — zero shuffles before the final
+    per-host aggregate; at 100 TB this runs at scan speed, and the
+    dedup itself is the usual hash agg on the canonical key. The
+    DuckDB oracle mirrors each step with its list functions
+    (string_split/list_filter/list_sort), so parity certifies the
+    canonical FORM, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", F.expr(_URL_SPARK).alias("url"))
+    u = F.regexp_replace(F.col("url"), r"#.*$", "")
+    defrag = raw.select("doc_id", u.alias("u"))
+    scheme = F.lower(
+        F.regexp_extract(F.col("u"), r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(
+                F.regexp_extract(
+                    F.col("u"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]+)", 1
+                )
+            ),
+            r":(443|80)$",
+            "",
+        ),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(
+            F.col("u"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*([^?]*)", 1
+        ),
+        r"/+$",
+        "",
+    )
+    qs = F.when(
+        F.col("u").contains("?"),
+        F.regexp_extract(F.col("u"), r"\?(.*)$", 1),
+    ).otherwise("")
+    parts = defrag.select(
+        "doc_id",
+        scheme.alias("scheme"),
+        host.alias("host"),
+        path.alias("path"),
+        qs.alias("qs"),
+    )
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.col("qs"), "&"),
+                lambda x: ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canon = parts.select(
+        "host",
+        F.concat(
+            F.col("scheme"),
+            F.lit("://"),
+            F.col("host"),
+            F.col("path"),
+            F.when(
+                F.length(kept) > 0, F.concat(F.lit("?"), kept)
+            ).otherwise(""),
+        ).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("canonical_url").alias("n_canonical"),
+            F.min("canonical_url").alias("sample_canonical"),
+        )
+        .orderBy("host")
+    )

@@ -602,3 +602,89 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+# --------------------------------------------------------------------------
+# X128 — multi-touch attribution: purchase value split linearly across
+# the user's touches (click/view) in the preceding 7 days. The
+# marketing-analytics fan-out join + per-conversion normalization shape.
+# --------------------------------------------------------------------------
+@query(
+    "q_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, ts AS touch_ts, event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    pairs AS (
+      SELECT conv_id, value, touch_type,
+             count(*) OVER (PARTITION BY conv_id) AS k
+      FROM conv JOIN touch USING (user_id)
+      WHERE touch_ts < conv_ts
+        AND touch_ts >= conv_ts - INTERVAL '7 days'
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 1000000 AS BIGINT)
+                    // k) AS BIGINT) AS credit_micros
+    FROM pairs GROUP BY touch_type ORDER BY touch_type
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally over that user's click/view touches in the prior 7 days;
+    credit rolls up by touch type.
+
+    Determinism: per-touch credit is integer micro-money —
+    ``(value as DECIMAL)·1e6 div k`` — so the split is exact integer
+    arithmetic (the remainder micro-units are deliberately dropped,
+    same in both engines), and the rollup is an integer sum: no float
+    anywhere. Scale shape: conversions and touches shuffle ONCE on
+    user_id for the range-predicate join (per-user fan-out is bounded
+    by a user's 7-day activity, the classic attribution bound); the
+    per-conversion touch count k is a window over conv_id — the
+    SECOND shuffle, sized to matched pairs only; final rollup is a
+    3-group two-phase agg. A 100 TB variant with monster users salts
+    user_id (operators/salting.py) — same discipline as q_join_salted."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("touch_ts") < F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS")
+        ),
+        "inner",
+    )
+    from pyspark.sql.window import Window as W
+
+    k = F.count(F.lit(1)).over(W.partitionBy("conv_id"))
+    credited = pairs.select(
+        "touch_type",
+        F.expr("CAST(value * 1000000 AS BIGINT)").alias("vmicros"),
+        k.alias("k"),
+    )
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(F.expr("vmicros div k")).alias("credit_micros"),
+        )
+        .orderBy("touch_type")
+    )

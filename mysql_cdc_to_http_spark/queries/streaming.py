@@ -821,3 +821,65 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "mem_stream_static", "complete").orderBy(
         "c_mktsegment", "event_type"
     )
+
+
+# --------------------------------------------------------------------------
+# X130 — streaming heavy hitters: per-window top-k users. The streaming
+# agg maintains (window × user) counts; the top-k rank runs over the
+# complete-mode RESULT table (rank is not a streaming operator — the
+# post-hoc rank over emitted state is the standard pattern).
+# --------------------------------------------------------------------------
+@query(
+    "q_stream_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS win_start,
+             user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT win_start, user_id, n,
+             row_number() OVER (PARTITION BY win_start
+                                ORDER BY n DESC, user_id) AS rk
+      FROM counts
+    )
+    SELECT win_start, CAST(rk AS BIGINT) AS rk, user_id, n
+    FROM ranked WHERE rk <= 3
+    ORDER BY win_start, rk
+    """,
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most active users per 6-hour tumbling window, from a
+    streamed feed.
+
+    Scale shape: the streaming side maintains ONLY the per-(window,
+    user) counts — keyed state, map-side partial agg per micro-batch;
+    the rank runs as a batch window over the emitted result (per-window
+    partitions, TakeOrdered-sized output). Determinism: counts are
+    integers and the (n DESC, user_id) tiebreak pins the top-3 frontier.
+    In production update-mode + a sink-side rank serves the same query
+    without complete-mode re-emission; complete mode here matches the
+    memory-sink harness used across the streaming family."""
+    from pyspark.sql.window import Window as W
+
+    ev = _stream_events(spark, sf_dir)
+    agg = ev.groupBy(
+        F.window("ts", "6 hours").alias("win"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    table = _run_to_memory(agg, "mem_stream_topk", "complete")
+    ranked = table.select(
+        F.col("win.start").alias("win_start"), "user_id", "n"
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("win_start").orderBy(
+                F.col("n").desc(), F.col("user_id")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 3)
+        .select("win_start", F.col("rk").cast("bigint").alias("rk"),
+                "user_id", "n")
+        .orderBy("win_start", "rk")
+    )
