@@ -143,6 +143,8 @@ HEADLINE = [
     "q_ab_test",
     "q_attribution",
     "q_url_canonical",
+    "q_stream_topk",
+    "q_pca_power",
 ]
 
 

@@ -257,3 +257,88 @@ def pq_adc_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def pca_power_scores(
+    df: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PC1 scores by power iteration — iterative family #4 (after
+    k-means, connected components, PageRank), sharing their
+    model-on-driver / data-on-executors split.
+
+    Math: w ← C·w / ‖C·w‖ with C the covariance matrix — but C (dim²)
+    is NEVER materialized: C·w = Σᵢ sᵢ·(vᵢ−μ)/n with sᵢ = ⟨vᵢ−μ, w⟩,
+    so each iteration is (a) a pure zip_with/aggregate PROJECTION
+    computing sᵢ against μ/w literals — zero shuffle — and (b) one
+    posexplode two-phase agg whose shuffle carries pre-combined
+    (pos, partial-sum) pairs, dim-sized per task. Per iteration the
+    corpus is scanned once; the dim-sized t vector is the only thing
+    that reaches the driver.
+
+    Determinism (what makes the unrolled SQL oracle exact): μ and each
+    t are 6-dp rounded IN-ENGINE (absorbing summation-order ulps, the
+    recompute_centroids contract); ‖t‖² sums EXACT DECIMAL squares of
+    those 6-dp values (zero float noise), λ = IEEE sqrt of its double;
+    the next w is t/λ quantized HALF_UP at 6 dp — java.math/DuckDB
+    DECIMAL-cast semantics, reproduced on the driver via
+    ``decimal.Decimal`` (binary floats never sit ON a 6-dp half
+    boundary, so HALF_UP is unambiguous). w₀ = 1/√dim rounds to
+    exactly 0.125 at dim=64 — representable, so all engines start
+    identical. Returns (id, pc1) — the per-vector projection onto the
+    final axis, 6-dp rounded."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("0.000001")
+    base = df.select(F.col(id_col), as_double(vec_col).alias("cv"))
+    n = base.count()
+    dim = len(base.select("cv").first()[0])
+    mu_rows = (
+        base.select(F.posexplode("cv"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("col"), 6).alias("m"))
+        .collect()
+    )
+    mu = [r["m"] for r in sorted(mu_rows, key=lambda r: r["pos"])]
+    if len(mu) != dim:
+        raise ValueError("ragged embedding column")
+    w = [float(Decimal(1 / math.sqrt(dim)).quantize(q6, ROUND_HALF_UP))] * dim
+
+    def centered_col():
+        mu_lit = F.array(*[F.lit(v) for v in mu])
+        return F.zip_with(F.col("cv"), mu_lit, lambda x, m: x - m)
+
+    def proj_col(weights):
+        w_lit = F.array(*[F.lit(v) for v in weights])
+        return F.aggregate(
+            F.zip_with(centered_col(), w_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    for _ in range(iters):
+        t_rows = (
+            base.select(proj_col(w).alias("s"), centered_col().alias("c"))
+            .select("s", F.posexplode("c"))
+            .groupBy("pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("col") * F.col("s")) / F.lit(float(n)), 6
+                ).alias("t")
+            )
+            .collect()
+        )
+        t = [r["t"] for r in sorted(t_rows, key=lambda r: r["pos"])]
+        lam2 = sum(Decimal(x).quantize(q6, ROUND_HALF_UP) ** 2 for x in t)
+        lam = math.sqrt(float(lam2))
+        if lam == 0.0:
+            raise ValueError("degenerate corpus: C·w vanished")
+        w = [
+            float(Decimal(x / lam).quantize(q6, ROUND_HALF_UP)) for x in t
+        ]
+    return base.select(
+        F.col(id_col), F.round(proj_col(w), 6).alias("pc1")
+    )

@@ -1054,3 +1054,71 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_cdc_to_http_spark.operators.clustering import pq_adc_topk
 
     return pq_adc_topk(codes, books, qvec, k=10)
+
+
+# --------------------------------------------------------------------------
+# X131 — PCA (first principal component) by power iteration, the
+# fourth iterative-refinement operator (k-means / connected components /
+# PageRank / PCA). Oracle: all three iterations unrolled in SQL.
+# --------------------------------------------------------------------------
+def _pca_oracle(iters: int = 3, dim: int = 64) -> str:
+    gs = f"generate_series(1,{dim})"
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),",
+        "nn AS (SELECT count(*) AS n FROM e),",
+        f"mu0 AS (SELECT g.x AS pos, round(avg(CAST(v[g.x] AS DOUBLE)), 6)"
+        f" AS m FROM e, {gs} g(x) GROUP BY g.x),",
+        "mul AS (SELECT list(m ORDER BY pos) AS mu FROM mu0),",
+        f"w0 AS (SELECT [0.125 FOR x IN {gs}] AS w),",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"s{i} AS (SELECT e.vec_id,"
+            f" list_sum([(CAST(e.v[x] AS DOUBLE) - mu.mu[x]) * w{p}.w[x]"
+            f" FOR x IN {gs}]) AS s FROM e, mul mu, w{p}),"
+        )
+        parts.append(
+            f"t{i} AS (SELECT g.x AS pos,"
+            f" round(sum(s{i}.s * (CAST(e.v[g.x] AS DOUBLE) - mu.mu[g.x]))"
+            f" / (SELECT n FROM nn), 6) AS t"
+            f" FROM e JOIN s{i} USING (vec_id), mul mu, {gs} g(x)"
+            f" GROUP BY g.x),"
+        )
+        parts.append(
+            f"l{i} AS (SELECT sqrt(CAST(sum(CAST(t AS DECIMAL(20,6))"
+            f" * CAST(t AS DECIMAL(20,6))) AS DOUBLE)) AS lam FROM t{i}),"
+        )
+        parts.append(
+            f"w{i} AS (SELECT list(wv ORDER BY pos) AS w FROM"
+            f" (SELECT pos, CAST(CAST(t / l{i}.lam AS DECIMAL(18,6))"
+            f" AS DOUBLE) AS wv FROM t{i}, l{i}))"
+            + ("," if i < iters else "")
+        )
+    parts.append(
+        f"SELECT e.vec_id, round(list_sum([(CAST(e.v[x] AS DOUBLE)"
+        f" - mu.mu[x]) * w{iters}.w[x] FOR x IN {gs}]), 6) AS pc1"
+        f" FROM e, mul mu, w{iters} ORDER BY e.vec_id"
+    )
+    return "\n".join(parts)
+
+
+@query("q_pca_power", oracle=_pca_oracle())
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principal-component scores for every embedding vector by
+    3 power iterations (operators/clustering.py:pca_power_scores).
+
+    Scale shape: the covariance matrix is never materialized — each
+    iteration is one zero-shuffle projection (per-vector ⟨v−μ, w⟩
+    against driver literals) plus one posexplode two-phase agg whose
+    shuffle carries dim-sized pre-combined partials; only the dim-long
+    t vector reaches the driver (model-sized, the k-means contract).
+    Determinism: 6-dp in-engine rounds on μ and t, EXACT-DECIMAL ‖t‖²,
+    IEEE sqrt, HALF_UP DECIMAL quantization for w — so the SQL oracle
+    (all iterations unrolled, the q_kmeans discipline) is exact."""
+    from mysql_cdc_to_http_spark.operators.clustering import (
+        pca_power_scores,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_power_scores(emb, iters=3).orderBy("vec_id")

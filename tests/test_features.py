@@ -242,3 +242,70 @@ def test_equi_depth_bins_equal_counts_and_order(spark):
     }
     for i in range(9):
         assert bounds[i][1] <= bounds[i + 1][0]
+
+
+def test_pca_power_converges_on_anisotropic_data(spark):
+    """On data WITH a dominant direction (planted lambda1 >> lambda2),
+    3 power iterations must recover it: |cos| > 0.99. (The shipped
+    corpus is near-isotropic — top eigenvalue ratio ~0.99, measured —
+    so convergence there is impossible by construction for ANY
+    power-iteration count that matters; the operator contract is the
+    exact 3-iteration trajectory, and quality is asserted here on a
+    spectrum where the method applies.)"""
+    import numpy as np
+
+    from mysql_cdc_to_http_spark.operators.clustering import pca_power_scores
+
+    rng = np.random.RandomState(7)
+    direction = rng.randn(64)
+    direction /= np.linalg.norm(direction)
+    X = rng.randn(400, 64) * 0.05 + np.outer(rng.randn(400) * 3.0, direction)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["pc1"] for r in pca_power_scores(df, iters=3).collect()}
+    Xc = X - X.mean(axis=0)
+    ref = Xc @ direction
+    ours = np.array([got[i] for i in range(len(X))])
+    cos = abs(float(ours @ ref) / (np.linalg.norm(ours) * np.linalg.norm(ref)))
+    assert cos > 0.99, f"pc1 direction off: |cos|={cos:.4f}"
+
+
+def test_pca_power_trajectory_matches_numpy_replica(spark, sf_dir_oracle):
+    """Implementation parity: the engine's 3-iteration trajectory equals
+    a numpy replica of the SAME algorithm (same 6-dp rounds, same
+    HALF_UP quantization) on the real corpus — pinning the operator
+    semantics independently of the DuckDB oracle."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.operators.clustering import pca_power_scores
+
+    q6 = Decimal("0.000001")
+
+    def r6(arr):
+        return np.array(
+            [float(Decimal(float(x)).quantize(q6, ROUND_HALF_UP)) for x in arr]
+        )
+
+    emb = load_table(spark, sf_dir_oracle, "embeddings")
+    rows = sorted((r["vec_id"], r["embedding"]) for r in emb.collect())
+    X = np.array([v for _, v in rows], dtype=np.float64)
+    n = len(X)
+    mu = r6(X.mean(axis=0))
+    Xc = X - mu
+    w = np.full(64, 0.125)
+    for _ in range(3):
+        s = Xc @ w
+        t = r6(Xc.T @ s / n)
+        lam2 = sum(Decimal(float(x)).quantize(q6, ROUND_HALF_UP) ** 2 for x in t)
+        w = r6(t / math.sqrt(float(lam2)))
+    ref = {vid: float(Decimal(float(sc)).quantize(q6, ROUND_HALF_UP))
+           for (vid, _), sc in zip(rows, Xc @ w)}
+    got = {r["vec_id"]: r["pc1"] for r in pca_power_scores(emb, iters=3).collect()}
+    diffs = [abs(got[k] - ref[k]) for k in ref]
+    assert max(diffs) <= 2e-6, f"max diff {max(diffs)}"
