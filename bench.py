@@ -145,6 +145,7 @@ HEADLINE = [
     "q_url_canonical",
     "q_stream_topk",
     "q_pca_power",
+    "q_audience_overlap",
 ]
 
 

@@ -688,3 +688,111 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+# --------------------------------------------------------------------------
+# X132 — bitmap audience overlap: exact |users(A) ∩ users(B)| for every
+# event-type pair via 62-bit word bitmaps (the ClickHouse/Druid bitmap
+# audience-intersection technique, in relational form).
+# --------------------------------------------------------------------------
+@query(
+    "q_audience_overlap",
+    oracle="""
+    WITH words AS (
+      SELECT event_type, user_id // 62 AS bucket,
+             bit_or(1::BIGINT << CAST(user_id % 62 AS INT)) AS w
+      FROM (SELECT DISTINCT event_type, user_id FROM events)
+      GROUP BY event_type, bucket
+    ),
+    sizes AS (
+      SELECT event_type, CAST(sum(bit_count(w)) AS BIGINT) AS n_users
+      FROM words GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(sum(bit_count(a.w & b.w)) AS BIGINT) AS n_both
+      FROM words a JOIN words b
+        ON a.bucket = b.bucket AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           sa.n_users AS n_a, sb.n_users AS n_b, n_both,
+           CAST(CAST(CAST(n_both AS DOUBLE)
+                     / (sa.n_users + sb.n_users - n_both)
+                     AS DECIMAL(18,6)) AS DOUBLE) + 0.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience intersection/Jaccard across event types,
+    computed on bitmap words instead of user-id sets.
+
+    Scale shape: the only fact-sized pass is the distinct + word
+    aggregation — two-phase, shuffling (type, bucket, 8-byte word)
+    partials; after that the audience of a billion users is
+    billion/62 words, and every pairwise intersection is a word-wise
+    AND + popcount over a words-sized join (co-partitioned on bucket).
+    That is the entire bitmap-index trick: set algebra on words, not
+    rows. 62-bit words sidestep the sign bit portably (DuckDB rejects
+    BIGINT << 63; Spark's would go negative). Exactness: bit_or/AND/
+    popcount are integer-exact, so unlike the HLL rollup (X68) this
+    intersection is not an estimate — the oracle equality is exact."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    words = ev.groupBy(
+        "event_type", F.expr("user_id div 62").alias("bucket")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))")
+        ).alias("w")
+    )
+    sizes = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("w")).cast("bigint").alias("n_users")
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"),
+        F.col("bucket").alias("ba"),
+        F.col("w").alias("wa"),
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"),
+        F.col("bucket").alias("bb"),
+        F.col("w").alias("wb"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("ba") == F.col("bb"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb"))))
+            .cast("bigint")
+            .alias("n_both")
+        )
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    jac = (
+        F.col("n_both").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+    ).cast("decimal(18,6)").cast("double")
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_both", jac.alias("jaccard")
+        )
+        .orderBy("type_a", "type_b")
+    )
