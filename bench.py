@@ -146,6 +146,8 @@ HEADLINE = [
     "q_stream_topk",
     "q_pca_power",
     "q_audience_overlap",
+    "q_gini",
+    "q_growth_curve",
 ]
 
 

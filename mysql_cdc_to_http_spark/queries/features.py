@@ -765,3 +765,137 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_diff"),
         z.cast("decimal(18,6)").cast("double").alias("welch_z"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# X133 — Gini coefficient of revenue concentration (dataset-balance /
+# inequality audit). Exact: integer ranks × DECIMAL revenue sums.
+# --------------------------------------------------------------------------
+@query(
+    "q_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM rev
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(x) AS sx,
+             sum(i * x) AS six
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS DOUBLE) AS total_revenue,
+           CAST(CAST((2 * CAST(six AS DOUBLE)
+                      - (n + 1) * CAST(sx AS DOUBLE))
+                     / (n * CAST(sx AS DOUBLE)) AS DECIMAL(18,6))
+                AS DOUBLE) + 0.0 AS gini
+    FROM agg
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue: G = (2·Σi·x₍ᵢ₎ −
+    (n+1)·Σx) / (n·Σx) over the ascending revenue order.
+
+    Determinism: per-customer revenue sums through DECIMAL; ranks are
+    integers from a TOTAL order ((x, custkey) tiebreak); Σi·x is a
+    DECIMAL·integer sum — all exact, with one double division at the
+    end behind the DECIMAL(18,6) display round. Scale shape: the rank
+    is the engine's two-level ranked prefix sum
+    (operators/sampling.py:ranked_prefix_sums — repartitionByRange +
+    partitioned windows + bounded range-totals cumsum), NEVER a global
+    single-partition row_number; the final reduction is a 3-value
+    aggregate."""
+    from mysql_cdc_to_http_spark.operators.sampling import (
+        ranked_prefix_sums,
+    )
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+        )
+        .withColumn("__one", F.lit(1).cast("bigint"))
+    )
+    ranked = ranked_prefix_sums(
+        rev, [F.col("x").asc(), F.col("o_custkey").asc()], ["__one"]
+    ).withColumnRenamed("__one__cum", "i")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    six = F.col("six").cast("double")
+    gini = ((F.lit(2) * six - (n + 1) * sx) / (n * sx)).cast(
+        "decimal(18,6)"
+    ).cast("double")
+    return agg.select(
+        n.cast("bigint").alias("n_customers"),
+        sx.alias("total_revenue"),
+        gini.alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X134 — feature-adoption curves: per event type, daily first-time
+# users + cumulative adopters.
+# --------------------------------------------------------------------------
+@query(
+    "q_growth_curve",
+    oracle="""
+    WITH first_seen AS (
+      SELECT event_type, user_id, CAST(min(ts) AS DATE) AS d FROM events
+      GROUP BY event_type, user_id
+    ),
+    daily AS (
+      SELECT event_type, d, CAST(count(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY event_type, d
+    )
+    SELECT event_type, d, new_users,
+           CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM daily ORDER BY event_type, d
+    """,
+)
+def q_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-adoption curves: for each event type, how many users
+    used it for the FIRST time each day, and the cumulative adopter
+    count.
+
+    Scale shape: the fact-sized work is one two-phase MIN(ts) aggregate
+    on (event_type, user_id); the daily rollup is calendar × types
+    sized, and the cumulative sum windows over that small table
+    PARTITIONED BY event_type (parallel, never single-partition). The
+    adoption semantics (first use, not activity) is what makes the
+    per-type curves diverge — rare types adopt over weeks while common
+    ones saturate on day one."""
+    from pyspark.sql.window import Window as W
+
+    first_seen = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select("event_type", F.to_date("first_ts").alias("d"))
+    )
+    daily = first_seen.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "event_type",
+        "d",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    ).orderBy("event_type", "d")
