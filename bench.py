@@ -148,6 +148,7 @@ HEADLINE = [
     "q_audience_overlap",
     "q_gini",
     "q_growth_curve",
+    "q_pareto_frontier",
 ]
 
 

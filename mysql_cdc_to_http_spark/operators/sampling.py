@@ -306,3 +306,53 @@ def ranked_prefix_sums(
             f"{v}__cum", F.col(f"{v}__cum") + F.col(f"__pre_{v}")
         ).drop(f"__pre_{v}")
     return out.drop("__p")
+
+
+def ranked_exclusive_cummax(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    n_ranges: int = 64,
+) -> DataFrame:
+    """Running MAX of ``value_col`` over all STRICTLY PRECEDING rows in
+    the ``order_cols`` total order — NULL for the global first row —
+    without a global single-partition window.
+
+    Same two-level discipline as :func:`ranked_prefix_sums` (cummax is
+    associative like sum): ``repartitionByRange`` on the sort key, an
+    ordinary partitioned window takes the within-range EXCLUSIVE cummax
+    (rowsBetween(unboundedPreceding, -1) — null on each range's first
+    row), and the per-range totals-table (one MAX row per range) prefixes
+    earlier ranges' maxima via a bounded window, broadcast back and
+    combined with ``greatest``. Boundary-invariant because the order is
+    total (callers must include a tiebreak in ``order_cols``).
+
+    Output: input columns + ``{value_col}__premax``.
+    """
+    from pyspark.sql.window import Window as W
+
+    part = df.repartitionByRange(n_ranges, *order_cols).withColumn(
+        "__p", F.spark_partition_id()
+    )
+    w_in = (
+        W.partitionBy("__p")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    out = part.withColumn("__in_max", F.max(value_col).over(w_in))
+    totals = part.groupBy("__p").agg(F.max(value_col).alias("__t"))
+    w_g = (
+        W.partitionBy(F.pmod(F.col("__p"), F.lit(1)))
+        .orderBy("__p")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prefix = totals.select("__p", F.max("__t").over(w_g).alias("__pre"))
+    out = out.join(F.broadcast(prefix), "__p")
+    combined = F.when(
+        F.col("__in_max").isNotNull() & F.col("__pre").isNotNull(),
+        F.greatest("__in_max", "__pre"),
+    ).otherwise(F.coalesce("__in_max", "__pre"))
+    return (
+        out.withColumn(f"{value_col}__premax", combined)
+        .drop("__p", "__in_max", "__pre")
+    )

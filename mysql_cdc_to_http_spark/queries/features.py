@@ -899,3 +899,71 @@ def q_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     ).orderBy("event_type", "d")
+
+
+# --------------------------------------------------------------------------
+# X135 — Pareto (skyline) frontier: parts not strictly dominated on
+# (cheaper price, larger size). The multi-objective selection operator,
+# computed by level-reduction + distributed exclusive cummax instead of
+# the quadratic NOT-EXISTS self-join.
+# --------------------------------------------------------------------------
+@query(
+    "q_pareto_frontier",
+    oracle="""
+    SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE (b.p_retailprice <  a.p_retailprice AND b.p_size >= a.p_size)
+         OR (b.p_retailprice <= a.p_retailprice AND b.p_size >  a.p_size)
+    )
+    ORDER BY p_retailprice, p_partkey
+    """,
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of parts: no other part is cheaper-or-equal AND
+    larger-or-equal with at least one strict.
+
+    Scale shape: the naive definition is a quadratic NOT-EXISTS
+    self-join (the oracle — fine at oracle scale, certifying the fast
+    form). The engine instead (1) reduces to PRICE LEVELS — one
+    two-phase agg to (price_cents, max_size, n) — collapsing the
+    corpus to its distinct-price table; (2) takes the EXCLUSIVE
+    running max of max_size over strictly-cheaper levels with the
+    two-level ranked cummax (operators/sampling.py:
+    ranked_exclusive_cummax — repartitionByRange + partitioned
+    windows + bounded range-prefix, never a global sort); (3) keeps
+    levels whose max_size beats every cheaper level, and (4) joins the
+    surviving (level, size) keys back to recover the frontier rows —
+    equal-price-equal-size rows are mutually non-dominating and all
+    survive, smaller-at-same-price rows are dominated and drop.
+    Integer cents make the strictly-cheaper order exact."""
+    from mysql_cdc_to_http_spark.operators.sampling import (
+        ranked_exclusive_cummax,
+    )
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        F.col("p_size").cast("bigint").alias("p_size"),
+        F.expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)").alias(
+            "price_c"
+        ),
+    )
+    levels = part.groupBy("price_c").agg(
+        F.max("p_size").alias("lvl_max")
+    )
+    scanned = ranked_exclusive_cummax(
+        levels, [F.col("price_c").asc()], "lvl_max"
+    )
+    frontier_levels = scanned.filter(
+        F.col("lvl_max__premax").isNull()
+        | (F.col("lvl_max") > F.col("lvl_max__premax"))
+    ).select("price_c", F.col("lvl_max").alias("p_size"))
+    return (
+        part.join(
+            F.broadcast(frontier_levels), ["price_c", "p_size"], "inner"
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )

@@ -309,3 +309,31 @@ def test_pca_power_trajectory_matches_numpy_replica(spark, sf_dir_oracle):
     got = {r["vec_id"]: r["pc1"] for r in pca_power_scores(emb, iters=3).collect()}
     diffs = [abs(got[k] - ref[k]) for k in ref]
     assert max(diffs) <= 2e-6, f"max diff {max(diffs)}"
+
+
+def test_pareto_frontier_helper_known_points(spark):
+    """Level-reduction + exclusive cummax must reproduce the strict-
+    dominance skyline on hand-checked points (incl. equal-price and
+    equal-point ties)."""
+    from mysql_cdc_to_http_spark.operators.sampling import (
+        ranked_exclusive_cummax,
+    )
+    from pyspark.sql import functions as F
+
+    pts = [
+        (1, 100, 5), (2, 100, 9), (3, 100, 9),   # level 100: max 9 (2,3 tie)
+        (4, 200, 9),                              # dominated (pricier, same)
+        (5, 200, 12),                             # frontier
+        (6, 300, 11),                             # dominated by 5
+        (7, 300, 15),                             # frontier
+    ]
+    df = spark.createDataFrame(pts, "id long, price long, size long")
+    levels = df.groupBy("price").agg(F.max("size").alias("m"))
+    scanned = ranked_exclusive_cummax(levels, [F.col("price").asc()], "m")
+    keep = scanned.filter(
+        F.col("m__premax").isNull() | (F.col("m") > F.col("m__premax"))
+    ).select("price", F.col("m").alias("size"))
+    got = sorted(
+        r["id"] for r in df.join(keep, ["price", "size"]).collect()
+    )
+    assert got == [2, 3, 5, 7]
