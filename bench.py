@@ -149,6 +149,7 @@ HEADLINE = [
     "q_gini",
     "q_growth_curve",
     "q_pareto_frontier",
+    "q_bootstrap_ci",
 ]
 
 

@@ -967,3 +967,120 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# X136 — Poisson bootstrap CI (the distributed bootstrap: per-record
+# independent Poisson(1) weights instead of global resampling, so
+# replicas never leave the row — one pass, R× map-side fan-out).
+# --------------------------------------------------------------------------
+# Poisson(1) inverse-CDF thresholds (cumulative e^{-1} Σ 1/k!), capped
+# at 8 (P(X>8) < 1e-6). Literal doubles — identical in any engine.
+_POIS_CUM = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+    "0.9999167588507119", "0.9999897508033253",
+)
+
+
+def _pois_case(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CUM)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(generate_series(0, 199)) AS r),
+    weighted AS (
+      SELECT r.r,
+             {_pois_case("(('0x' || substr(md5('boot-v1|' || CAST(r.r AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT / 16777216.0)")}
+               AS w,
+             d.n_chars
+      FROM documents d, reps r
+    ),
+    means AS (
+      SELECT r, CAST(sum(w * n_chars) AS DOUBLE) / sum(w) AS m
+      FROM weighted GROUP BY r HAVING sum(w) > 0
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, r) AS rn,
+             count(*) OVER () AS nr
+      FROM means
+    )
+    SELECT CAST(max(nr) AS BIGINT) AS n_replicas,
+           CAST(CAST(max(CASE WHEN rn = CAST(ceil(nr * 0.025) AS BIGINT)
+                              THEN m END) AS DECIMAL(18,6)) AS DOUBLE)
+             + 0.0 AS ci_lo,
+           CAST(CAST(max(CASE WHEN rn = nr - CAST(ceil(nr * 0.025) AS BIGINT)
+                                   + 1
+                              THEN m END) AS DECIMAL(18,6)) AS DOUBLE)
+             + 0.0 AS ci_hi
+    FROM ranked
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for the mean document length via the POISSON
+    bootstrap (Chamandy et al. / the estimator behind large-scale
+    bootstrap at Google): instead of materializing 200 resamples, each
+    record draws an independent Poisson(1) multiplicity per replica —
+    resampling becomes a weighted one-pass aggregate.
+
+    Determinism: the Poisson draw is inverse-CDF over an md5-derived
+    uniform (split_bucket discipline: first 24 hash bits / 2²⁴), so
+    every engine reproduces the exact weights; replica means are
+    INTEGER-sum ratios (weight × n_chars), and the CI bounds are
+    rank-selected order statistics ((m, r) total order, ceil-integer
+    ranks) — no interpolation, no float aggregation anywhere before
+    the display round. Scale shape: the fan-out is an in-task explode
+    of the 200-replica sequence with map-side partial aggregation —
+    the shuffle carries 200 rows per task, never 200× the corpus; the
+    order-statistic window runs over the 200-row replica table on a
+    non-foldable constant key."""
+    from pyspark.sql.window import Window as W
+
+    R = 200
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    rep = docs.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(R - 1)))
+    )
+    u = (
+        "(conv(substring(md5(concat('boot-v1|', CAST(r AS STRING), '|',"
+        " CAST(doc_id AS STRING))), 1, 6), 16, 10) / 16777216.0)"
+    )
+    weighted = rep.withColumn("w", F.expr(_pois_case(u)))
+    means = (
+        weighted.groupBy("r")
+        .agg(
+            F.sum(F.col("w") * F.col("n_chars")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "r", (F.col("swx").cast("double") / F.col("sw")).alias("m")
+        )
+    )
+    w_rank = W.partitionBy(F.pmod(F.col("r"), F.lit(1))).orderBy("m", "r")
+    ranked = means.select(
+        "m",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy(F.pmod(F.col("r"), F.lit(1))))
+        .alias("nr"),
+    )
+    k = F.expr("CAST(ceil(nr * 0.025) AS BIGINT)")
+    return ranked.agg(
+        F.max("nr").cast("bigint").alias("n_replicas"),
+        F.max(F.when(F.col("rn") == k, F.col("m")))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("ci_lo"),
+        F.max(F.when(F.col("rn") == F.col("nr") - k + 1, F.col("m")))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("ci_hi"),
+    )
