@@ -87,6 +87,159 @@ def http_batch_poster(
 
     return _post
 
+
+
+DLQ_SCHEMA = (
+    "grp string, payload string, idem_key string, error string, "
+    "attempts int"
+)
+
+
+def _post_one(
+    url: str,
+    body: bytes,
+    idem_key: str,
+    retries: int,
+    backoff_s: float,
+    timeout_s: float,
+) -> None:
+    req = urllib.request.Request(
+        url,
+        data=body,
+        headers={
+            "Content-Type": "application/json",
+            "Idempotency-Key": idem_key,
+        },
+        method="POST",
+    )
+    attempt = 0
+    while True:
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s):
+                return
+        except (urllib.error.URLError, OSError):
+            attempt += 1
+            if attempt > retries:
+                raise
+            time.sleep(backoff_s * (2 ** (attempt - 1)))
+
+
+def http_batch_poster_with_dlq(
+    base_url: str,
+    dlq_dir: str,
+    group_col: str = "grp",
+    payload_col: str = "payload",
+    key_col: str = "idem_key",
+    retries: int = 3,
+    backoff_s: float = 0.05,
+    timeout_s: float = 5.0,
+):
+    """foreachBatch body with a DEAD-LETTER QUEUE: events that still fail
+    after the bounded retries land in ``dlq_dir/epoch=<id>/`` as parquet
+    (payload + idempotency key + last error) instead of failing the
+    micro-batch — delivery of the healthy events proceeds, and the
+    poisoned ones stay replayable (:func:`replay_dlq`).
+
+    Tradeoff vs :func:`http_batch_poster` (fail-the-batch): the DLQ form
+    trades at-least-once-ALL for at-least-once-each-eventually — the
+    right call when one poisoned endpoint must not stall the stream
+    (the reference silently DROPS on error, main.go:108-111; the DLQ
+    keeps the reference's don't-stall behavior without the data loss).
+    Exactly-once effect on replayed batches: the epoch-keyed overwrite
+    makes re-executed micro-batches idempotent in the DLQ, and
+    downstream dedup on the idempotency key absorbs double POSTs.
+    Scale shape: delivery runs inside ``mapInPandas`` on executors
+    (Arrow batches, no driver collect); only failures are materialized,
+    and the DLQ write is an ordinary parquet sink."""
+
+    def _post(batch_df: DataFrame, epoch_id: int) -> None:
+        base = base_url.rstrip("/")
+        sel = batch_df.select(group_col, payload_col, key_col)
+
+        def _deliver(pdfs):
+            import pandas as pd
+
+            for pdf in pdfs:
+                fails: list[dict] = []
+                for _, row in pdf.iterrows():
+                    url = f"{base}/{row[group_col]}"
+                    try:
+                        _post_one(
+                            url,
+                            str(row[payload_col]).encode("utf-8"),
+                            str(row[key_col]),
+                            retries,
+                            backoff_s,
+                            timeout_s,
+                        )
+                    except Exception as exc:  # noqa: BLE001 — poison row
+                        fails.append(
+                            {
+                                "grp": row[group_col],
+                                "payload": row[payload_col],
+                                "idem_key": str(row[key_col]),
+                                "error": f"{type(exc).__name__}: {exc}"[:500],
+                                "attempts": retries + 1,
+                            }
+                        )
+                yield pd.DataFrame(
+                    fails,
+                    columns=[
+                        "grp", "payload", "idem_key", "error", "attempts",
+                    ],
+                )
+
+        failures = sel.mapInPandas(_deliver, schema=DLQ_SCHEMA)
+        failures.write.mode("overwrite").parquet(
+            f"{dlq_dir.rstrip('/')}/epoch={int(epoch_id)}"
+        )
+
+    return _post
+
+
+def replay_dlq(
+    spark,
+    dlq_dir: str,
+    base_url: str,
+    retries: int = 3,
+    backoff_s: float = 0.05,
+    timeout_s: float = 5.0,
+) -> int:
+    """Re-POST every dead-lettered event (all epochs); returns how many
+    STILL fail. Safe to run repeatedly: idempotency keys are preserved,
+    so a downstream that deduplicates on the key converges to
+    exactly-once effect no matter how many replays it takes."""
+    import glob as _glob
+
+    paths = sorted(_glob.glob(f"{dlq_dir.rstrip('/')}/epoch=*"))
+    if not paths:
+        return 0
+    df = spark.read.schema(DLQ_SCHEMA).parquet(*paths)
+    base = base_url.rstrip("/")
+
+    def _redeliver(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            n_fail = 0
+            for _, row in pdf.iterrows():
+                try:
+                    _post_one(
+                        f"{base}/{row['grp']}",
+                        str(row["payload"]).encode("utf-8"),
+                        str(row["idem_key"]),
+                        retries,
+                        backoff_s,
+                        timeout_s,
+                    )
+                except Exception:  # noqa: BLE001
+                    n_fail += 1
+            yield pd.DataFrame({"n_fail": [n_fail]})
+
+    out = df.mapInPandas(_redeliver, schema="n_fail long").collect()
+    return int(sum(r["n_fail"] for r in out))
+
+
 # Executors must not need this repo on their PYTHONPATH: register this
 # module for pickle-by-value so UDFs/closures ship inside the task
 # (the driver contract imports __spark_entry__.py by path, not site-packages).

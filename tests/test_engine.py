@@ -117,3 +117,73 @@ def test_engine_streaming_observed_metrics(spark, sf_dir, tmp_path, sink_server)
     assert totals["n_rows"] == sum(expected.values())
     for op in ("c", "u", "d"):
         assert totals[f"n_{op}"] == expected.get(op, 0)
+
+
+class _FlakySink(http.server.BaseHTTPRequestHandler):
+    """Rejects every POST to /poison with 500 until ``healed`` flips."""
+
+    hits: list[tuple[str, str]] = []
+    healed = False
+
+    def do_POST(self):  # noqa: N802
+        self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        if self.path.endswith("/poison") and not type(self).healed:
+            self.send_response(500)
+            self.end_headers()
+            return
+        type(self).hits.append(
+            (self.path, self.headers.get("Idempotency-Key", ""))
+        )
+        self.send_response(200)
+        self.end_headers()
+        self.wfile.write(b"{}")
+
+    def log_message(self, *a):
+        pass
+
+
+def test_http_dlq_quarantines_poison_and_replays(spark, tmp_path):
+    """Poisoned-endpoint events dead-letter instead of stalling the
+    batch; healthy events deliver; replay after heal converges to zero
+    failures with the ORIGINAL idempotency keys."""
+    from mysql_cdc_to_http_spark.sources.http_sink import (
+        http_batch_poster_with_dlq,
+        replay_dlq,
+    )
+
+    _FlakySink.hits = []
+    _FlakySink.healed = False
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _FlakySink)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        rows = [
+            ("ok", '{"id": %d}' % i, f"k{i}") for i in range(6)
+        ] + [("poison", '{"id": %d}' % i, f"p{i}") for i in range(3)]
+        batch = spark.createDataFrame(
+            rows, "grp string, payload string, idem_key string"
+        )
+        dlq = str(tmp_path / "dlq")
+        poster = http_batch_poster_with_dlq(
+            base, dlq, retries=1, backoff_s=0.01
+        )
+        poster(batch, epoch_id=0)
+        delivered = {k for _, k in _FlakySink.hits}
+        assert delivered == {f"k{i}" for i in range(6)}
+        dead = spark.read.parquet(f"{dlq}/epoch=0").collect()
+        assert sorted(r["idem_key"] for r in dead) == ["p0", "p1", "p2"]
+        assert all("500" in r["error"] or "Error" in r["error"] for r in dead)
+        # replay while still poisoned: all 3 fail again, nothing lost
+        assert replay_dlq(spark, dlq, base, retries=0) == 3
+        # heal, replay: converges, original keys preserved
+        _FlakySink.healed = True
+        assert replay_dlq(spark, dlq, base, retries=0) == 0
+        assert {k for p, k in _FlakySink.hits if p.endswith("/poison")} == {
+            "p0", "p1", "p2",
+        }
+        # idempotent re-run of the SAME epoch overwrites, not duplicates
+        _FlakySink.healed = False
+        poster(batch, epoch_id=0)
+        assert spark.read.parquet(f"{dlq}/epoch=0").count() == 3
+    finally:
+        srv.shutdown()
