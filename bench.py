@@ -150,6 +150,8 @@ HEADLINE = [
     "q_growth_curve",
     "q_pareto_frontier",
     "q_bootstrap_ci",
+    "q_ewma",
+    "q_session_pattern",
 ]
 
 

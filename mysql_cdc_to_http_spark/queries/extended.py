@@ -796,3 +796,73 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --------------------------------------------------------------------------
+# X139 — sequential pattern detection (MATCH_RECOGNIZE-lite): user-days
+# whose ordered event sequence matches view → click → purchase. The
+# collect-sort-concat shape: per-group ordered reduction to a string,
+# then a regex — no self-joins, no per-step windows (contrast q_funnel,
+# which tracks ONE global ordered funnel per user via min-ts chains).
+# --------------------------------------------------------------------------
+@query(
+    "q_session_pattern",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN regexp_matches(seq, 'v.*c.*p')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pattern
+    FROM seqs GROUP BY user_id
+    HAVING sum(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END)
+           > 0
+    ORDER BY user_id
+    """,
+)
+def q_session_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users with at least one DAY containing view → click → purchase
+    in order (other events may interleave — a regex over the day's
+    ordered event-initial string).
+
+    Scale shape: ONE grouped aggregation per (user, day) whose state is
+    the day's own events — ``collect_list(struct(ts, event_id,
+    initial)) → array_sort → transform → array_join`` — then the regex
+    as a codegen projection and a per-user rollup on the same user key
+    (exchange-compatible). Day-bounded groups keep the collected state
+    small by construction; the event-initial alphabet is collision-free
+    here ({c,e,p,s,v}) — a general deployment maps event names to
+    single code points first. DuckDB mirrors with ordered string_agg,
+    certifying the exact ordered sequences, not just match counts."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("i"),
+                        )
+                    )
+                ),
+                lambda x: x["i"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    hit = F.when(F.col("seq").rlike("v.*c.*p"), 1).otherwise(0)
+    return (
+        seqs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(hit).cast("bigint").alias("n_pattern"),
+        )
+        .filter(F.col("n_pattern") > 0)
+        .orderBy("user_id")
+    )

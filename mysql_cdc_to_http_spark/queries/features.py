@@ -1084,3 +1084,105 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ci_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# X138 — truncated EWMA smoothing of a daily series, in PURE INTEGER
+# micro-unit arithmetic: α = 1/2 makes the 8 truncated weights integers
+# after scaling by 256 (128,64,32,16,8,4,2,2), so numerator, denominator
+# and the final div are exact — no float, no rounding ambiguity anywhere.
+# --------------------------------------------------------------------------
+_EWMA_W = (128, 64, 32, 16, 8, 4, 2, 2)  # 256 × (1/2, 1/4, ..., 1/128, 1/128)
+
+
+def _ewma_int_terms(lag_fmt: str) -> tuple[str, str]:
+    nums, dens = [], []
+    for j, w in enumerate(_EWMA_W):
+        lag = "mm" if j == 0 else lag_fmt.format(j=j)
+        nums.append(f"COALESCE({w} * {lag}, 0)")
+        dens.append(f"CASE WHEN {lag} IS NOT NULL THEN {w} ELSE 0 END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+@query(
+    "q_ewma",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) * 10000 AS BIGINT)
+                  // count(*) AS BIGINT) AS mm
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d,
+           CAST(mm AS DOUBLE) / 1000000.0 AS day_mean,
+           CAST(CAST(({num}) // ({den}) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS ewma
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ORDER BY event_type, d
+    """.format(
+        num=_ewma_int_terms("lag(mm, {j}) OVER w")[0],
+        den=_ewma_int_terms("lag(mm, {j}) OVER w")[1],
+    ),
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-term truncated EWMA of the daily mean event value per type.
+
+    The textbook EWMA is a sequential recurrence — hostile to parallel
+    engines. The truncated form re-expresses it as a FIXED lag
+    composition: ewma_t = Σⱼ wⱼ·m₍t₋ⱼ₎ / Σⱼ wⱼ, weights renormalized
+    over the lags that exist so series edges are exact. Determinism is
+    total, not probabilistic: daily means floor to integer MICRO-UNITS
+    ((Σcents·10000) div n), α = 1/2 makes the scaled weights integers
+    (128…2), and the smoothed value is an integer div — both engines do
+    only integer arithmetic until the final exact /1e6 display (an
+    engine-rounding midpoint bit this query's first float version at
+    sf0.001; the integer form removes the class of bug, same rationale
+    as q_attribution's micro-money credits). Truncation error vs the
+    infinite recurrence is ≤ (1−α)⁸ of weight, carried by the
+    renormalization. Scale shape: one two-phase daily agg over the
+    facts, then ONE keyed window (8 lags share a single sort,
+    partition-parallel by type)."""
+    from pyspark.sql.window import Window as W
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) * 10000"
+                " AS BIGINT) div count(*) AS BIGINT)"
+            ).alias("mm")
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    num_terms, den_terms = [], []
+    for j, wj in enumerate(_EWMA_W):
+        lag = F.col("mm") if j == 0 else F.lag("mm", j).over(w)
+        num_terms.append(F.coalesce(F.lit(wj) * lag, F.lit(0)))
+        den_terms.append(
+            F.when(lag.isNotNull(), F.lit(wj)).otherwise(F.lit(0))
+        )
+    num = num_terms[0]
+    for term in num_terms[1:]:
+        num = num + term
+    den = den_terms[0]
+    for term in den_terms[1:]:
+        den = den + term
+    ewma = F.expr("num_i div den_i").cast("bigint").cast("double") / 1e6
+    return (
+        daily.select(
+            "event_type",
+            "d",
+            "mm",
+            num.alias("num_i"),
+            den.alias("den_i"),
+        )
+        .select(
+            "event_type",
+            "d",
+            (F.col("mm").cast("double") / 1e6).alias("day_mean"),
+            ewma.alias("ewma"),
+        )
+        .orderBy("event_type", "d")
+    )
