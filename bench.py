@@ -152,6 +152,7 @@ HEADLINE = [
     "q_bootstrap_ci",
     "q_ewma",
     "q_session_pattern",
+    "q_seasonal_anomaly",
 ]
 
 

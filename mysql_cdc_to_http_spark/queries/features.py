@@ -1186,3 +1186,102 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+# --------------------------------------------------------------------------
+# X140 — weekday-seasonal anomaly detection on daily volumes: seasonal-
+# naive baseline (same-weekday mean) + pooled-residual 2σ screen, in
+# ALL-INTEGER arithmetic (centi-units; the variance comparison is
+# cross-multiplied so no sqrt/division ever happens).
+# --------------------------------------------------------------------------
+@query(
+    "q_seasonal_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n,
+             dayofweek(CAST(ts AS DATE)) AS wd
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, d, n,
+             n * 100 - (sum(n * 100) OVER pw) // (count(*) OVER pw) AS r
+      FROM daily
+      WINDOW pw AS (PARTITION BY event_type, wd)
+    ),
+    pooled AS (
+      SELECT event_type, d, n, r,
+             count(*) OVER tw AS m,
+             sum(r) OVER tw AS sr,
+             sum(r * r) OVER tw AS sr2
+      FROM base
+      WINDOW tw AS (PARTITION BY event_type)
+    )
+    SELECT event_type, d, n,
+           CAST(r AS BIGINT) AS residual_centi
+    FROM pooled
+    WHERE (r * m - sr) * (r * m - sr) > 4 * (m * sr2 - sr * sr)
+    ORDER BY event_type, d
+    """,
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event volumes more than 2 pooled σ away from their
+    same-weekday seasonal baseline.
+
+    Determinism is total: counts are integers, the baseline is an
+    integer centi-unit floor-div, residuals are integers, and the 2σ
+    screen is the CROSS-MULTIPLIED variance inequality
+    (r·m − Σr)² > 4·(m·Σr² − (Σr)²) — algebraically identical to
+    |r − mean| > 2σ but free of sqrt, division, and any float that
+    could flip a boundary between engines (q_ewma's lesson applied to
+    a comparison instead of a display). Scale shape: one fact-sized
+    two-phase daily agg; both window passes ((type, weekday) baseline,
+    (type) pooled moments) run over the calendar-sized daily table,
+    partition-parallel."""
+    from pyspark.sql.window import Window as W
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("wd", F.dayofweek("d"))
+    )
+    pw = W.partitionBy("event_type", "wd")
+    base = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.sum(F.col("n") * 100).over(pw).alias("sw"),
+        F.count(F.lit(1)).over(pw).alias("kw"),
+    ).select(
+        "event_type",
+        "d",
+        "n",
+        (F.col("n") * 100 - F.expr("sw div kw")).alias("r"),
+    )
+    tw = W.partitionBy("event_type")
+    pooled = base.select(
+        "event_type",
+        "d",
+        "n",
+        "r",
+        F.count(F.lit(1)).over(tw).alias("m"),
+        F.sum("r").over(tw).alias("sr"),
+        F.sum(F.col("r") * F.col("r")).over(tw).alias("sr2"),
+    )
+    lhs = (F.col("r") * F.col("m") - F.col("sr")) * (
+        F.col("r") * F.col("m") - F.col("sr")
+    )
+    rhs = F.lit(4) * (
+        F.col("m") * F.col("sr2") - F.col("sr") * F.col("sr")
+    )
+    return (
+        pooled.filter(lhs > rhs)
+        .select(
+            "event_type",
+            "d",
+            "n",
+            F.col("r").cast("bigint").alias("residual_centi"),
+        )
+        .orderBy("event_type", "d")
+    )
