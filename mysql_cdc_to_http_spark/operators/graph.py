@@ -434,7 +434,10 @@ def triangle_count_df(
     )
     w1 = oriented.select("s", F.col("t").alias("t1"), F.col("dt").alias("d1"))
     w2 = oriented.select("s", F.col("t").alias("t2"), F.col("dt").alias("d2"))
-    wedges = w1.join(w2, "s").filter(
+    # shuffle-hash, not sort-merge: the wedge stream is quadratic in
+    # out-degree (the largest relation this operator touches) — never
+    # sort it; build the hash table on the edge-sized side instead.
+    wedges = w1.join(w2.hint("shuffle_hash"), "s").filter(
         (F.col("d1") < F.col("d2"))
         | ((F.col("d1") == F.col("d2")) & (F.col("t1") < F.col("t2")))
     )
@@ -442,6 +445,6 @@ def triangle_count_df(
         F.col("s").alias("t1"), F.col("t").alias("t2")
     )
     return (
-        wedges.join(closing, ["t1", "t2"], "inner")
+        wedges.join(closing.hint("shuffle_hash"), ["t1", "t2"], "inner")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
