@@ -356,3 +356,56 @@ def ranked_exclusive_cummax(
         out.withColumn(f"{value_col}__premax", combined)
         .drop("__p", "__in_max", "__pre")
     )
+
+
+def grouped_ranks(
+    df: DataFrame,
+    grp_cols: list[str],
+    order_cols,
+    n_ranges: int = 64,
+) -> DataFrame:
+    """Per-group dense row ranks + group sizes with parallelism
+    INDEPENDENT of the group count.
+
+    ``Window.partitionBy(grp)`` ranks with parallelism = #groups — a
+    5-group fact table sorts on 5 tasks no matter how many executors
+    exist. This two-level form range-partitions on (grp, order) so every
+    core gets a slice: within-slice row_number per group, then a
+    (slice × group)-sized count table provides each group's exclusive
+    prefix and total via bounded windows, broadcast back. Rank =
+    in-slice rank + slices-before prefix. Correct because grp_cols lead
+    the range key: a group's rows land in consecutive slices, ascending
+    slice id = ascending order.
+
+    Output: input columns + ``__grank`` (1-based rank within group under
+    ``order_cols``) and ``__gn`` (group size). ``order_cols`` must
+    contain a tiebreak making the order total.
+    """
+    from pyspark.sql.window import Window as W
+
+    keys = [F.col(g) for g in grp_cols] + list(order_cols)
+    part = df.repartitionByRange(n_ranges, *keys).withColumn(
+        "__p", F.spark_partition_id()
+    )
+    w_in = W.partitionBy("__p", *grp_cols).orderBy(*order_cols)
+    out = part.withColumn("__rn_in", F.row_number().over(w_in))
+    counts = part.groupBy("__p", *grp_cols).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_pre = (
+        W.partitionBy(*grp_cols)
+        .orderBy("__p")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_tot = W.partitionBy(*grp_cols)
+    pref = counts.select(
+        "__p",
+        *grp_cols,
+        F.coalesce(F.sum("__c").over(w_pre), F.lit(0)).alias("__pre"),
+        F.sum("__c").over(w_tot).alias("__gn"),
+    )
+    out = out.join(F.broadcast(pref), ["__p", *grp_cols])
+    return (
+        out.withColumn("__grank", F.col("__rn_in") + F.col("__pre"))
+        .drop("__p", "__rn_in", "__pre")
+    )

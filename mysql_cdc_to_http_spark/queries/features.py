@@ -441,37 +441,33 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-dp data values), making the sum partitioning-invariant, then one
     double division.
 
-    Scale shape: ONE shuffle on the group key serves everything — the
-    ranked window, the two cut windows (same partitioning, no second
-    exchange), and the final per-group aggregate. Per-group sort is the
-    honest cost of exact ranks; the mergeable-sketch alternative for
-    monster groups is shipped as q_percentiles_approx, same tradeoff
-    contract as q_percentiles (exact) vs approx."""
-    from pyspark.sql.window import Window as W
+    Scale shape: ranks come from operators/sampling.py:grouped_ranks —
+    the two-level range-partitioned form whose parallelism is
+    INDEPENDENT of the group count (Window.partitionBy(grp) would sort
+    this 5-group table on 5 tasks; at 100 TB a handful of monster
+    groups is exactly the winsorization use case). The k-th/-(k-1)-th
+    rows reduce to a groups-sized cut table broadcast back onto the
+    stream; the final rollup is a two-phase agg. One fact shuffle
+    total (the range repartition)."""
+    from mysql_cdc_to_http_spark.operators.sampling import grouped_ranks
 
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"),
         F.col("o_totalprice").alias("val"),
         "o_orderkey",
     )
-    w_ord = W.partitionBy("grp").orderBy("val", "o_orderkey")
-    w_all = W.partitionBy("grp")
-    ranked = o.select(
-        "grp",
-        "val",
-        F.row_number().over(w_ord).alias("rn"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
+    ranked = grouped_ranks(
+        o, ["grp"], [F.col("val"), F.col("o_orderkey")]
     )
-    k = F.expr("(n + 99) div 100")
-    cuts = ranked.select(
-        "grp",
-        "val",
-        F.max(F.when(F.col("rn") <= k, F.col("val")))
-        .over(w_all)
-        .alias("lo_cut"),
-        F.min(F.when(F.col("rn") >= F.col("n") - k + 1, F.col("val")))
-        .over(w_all)
-        .alias("hi_cut"),
+    k = F.expr("(__gn + 99) div 100")
+    cuts_lo = ranked.filter(F.col("__grank") == k).select(
+        "grp", F.col("val").alias("lo_cut")
+    )
+    cuts_hi = ranked.filter(
+        F.col("__grank") == F.col("__gn") - k + 1
+    ).select("grp", F.col("val").alias("hi_cut"))
+    cuts = ranked.join(F.broadcast(cuts_lo), "grp").join(
+        F.broadcast(cuts_hi), "grp"
     )
     clipped = F.least(F.greatest(F.col("val"), F.col("lo_cut")), F.col("hi_cut"))
     return (

@@ -337,3 +337,30 @@ def test_pareto_frontier_helper_known_points(spark):
         r["id"] for r in df.join(keep, ["price", "size"]).collect()
     )
     assert got == [2, 3, 5, 7]
+
+
+def test_grouped_ranks_matches_plain_window(spark):
+    """Two-level grouped rank must equal Window.partitionBy row_number
+    on every row, across range-boundary placements."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.operators.sampling import grouped_ranks
+
+    rng = random.Random(3)
+    rows = [
+        (rng.choice(["a", "b", "c"]), rng.randint(0, 50), i)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    got = grouped_ranks(df, ["g"], [F.col("v"), F.col("id")], n_ranges=7)
+    ref = df.withColumn(
+        "rk", F.row_number().over(W.partitionBy("g").orderBy("v", "id"))
+    ).withColumn("n", F.count(F.lit(1)).over(W.partitionBy("g")))
+    j = got.join(ref, ["g", "v", "id"])
+    bad = j.filter(
+        (F.col("__grank") != F.col("rk")) | (F.col("__gn") != F.col("n"))
+    ).count()
+    assert bad == 0
