@@ -153,6 +153,7 @@ HEADLINE = [
     "q_ewma",
     "q_session_pattern",
     "q_seasonal_anomaly",
+    "q_basket_lift",
 ]
 
 

@@ -903,3 +903,116 @@ def q_session_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_pattern") > 0)
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X142 — market-basket lift ("people also bought"): top co-purchase
+# partners per part ranked by lift, the recommendation-candidate
+# generator over the same bounded within-order pair stream as
+# q_triangle_count.
+# --------------------------------------------------------------------------
+@query(
+    "q_basket_lift",
+    oracle="""
+    WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM pr),
+    ic AS (SELECT l_partkey AS p, count(*) AS c FROM pr GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS c_xy
+      FROM pr a JOIN pr b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT x, y, c_xy,
+             round(c_xy * n_orders / (CAST(cx.c AS DOUBLE) * cy.c), 6)
+               AS lift
+      FROM pairs
+      JOIN ic cx ON cx.p = x
+      JOIN ic cy ON cy.p = y
+      CROSS JOIN n
+      WHERE c_xy >= 2
+    ),
+    ranked AS (
+      SELECT x, y, CAST(c_xy AS BIGINT) AS c_xy, lift,
+             row_number() OVER (PARTITION BY x
+                                ORDER BY lift DESC, y) AS rk
+      FROM scored
+    )
+    SELECT x AS part, y AS partner, c_xy, lift, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY part, rk
+    """,
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 co-purchase partners per part by lift
+    (P(x,y)/(P(x)·P(y))), min support 2 baskets.
+
+    Determinism: lift = c_xy·N/(c_x·c_y) divides EXACT integers (all
+    < 2⁵³, so the doubles are exact and the quotient is the identical
+    IEEE value in both engines); ordering uses the 6-dp-rounded lift
+    with the partner id as tiebreak — the q_collocations rounded-order
+    discipline, so the top-5 frontier can't flip on an ulp. Scale
+    shape: pairs are generated within-order (bounded fan-out, the
+    q_triangle_count discipline) and hash-aggregated; item counts and
+    the basket total broadcast back; the per-item top-5 is a window
+    partitioned BY ITEM — parallelism scales with the catalog, and the
+    support filter cuts the pair stream before ranking."""
+    from pyspark.sql.window import Window as W
+
+    pr = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = pr.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    ic = pr.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    b = pr.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("y")
+    )
+    pairs = (
+        pr.join(b, F.col("l_orderkey") == F.col("o2"))
+        .filter(F.col("l_partkey") != F.col("y"))
+        .groupBy(F.col("l_partkey").alias("x"), "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 2)
+    )
+    cx = ic.select(F.col("p").alias("x"), F.col("c").alias("cx"))
+    cy = ic.select(F.col("p").alias("y"), F.col("c").alias("cy"))
+    scored = (
+        pairs.join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            F.round(
+                F.col("c_xy")
+                * F.col("n_orders")
+                / (F.col("cx").cast("double") * F.col("cy")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("x").orderBy(F.col("lift").desc(), F.col("y"))
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 5)
+        .select(
+            F.col("x").alias("part"),
+            F.col("y").alias("partner"),
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            "lift",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+        .orderBy("part", "rk")
+    )
