@@ -154,6 +154,7 @@ HEADLINE = [
     "q_session_pattern",
     "q_seasonal_anomaly",
     "q_basket_lift",
+    "q_bfs_hops",
 ]
 
 

@@ -1016,3 +1016,85 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# X143 — BFS shortest hops (single-source, bounded depth): graph family
+# #4 after connected components, PageRank, triangle counting. Frontier
+# expansion as join-and-min rounds; oracle = the same 3 levels unrolled.
+# --------------------------------------------------------------------------
+@query(
+    "q_bfs_hops",
+    oracle="""
+    WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pr a JOIN pr b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    src AS (SELECT min(u) AS s FROM e),
+    d1 AS (SELECT DISTINCT v AS n FROM e, src WHERE u = s),
+    d2 AS (SELECT DISTINCT e.v AS n FROM e JOIN d1 ON e.u = d1.n),
+    d3 AS (SELECT DISTINCT e.v AS n FROM e JOIN d2 ON e.u = d2.n),
+    lv AS (
+      SELECT s AS n, 0 AS d FROM src
+      UNION ALL SELECT n, 1 FROM d1
+      UNION ALL SELECT n, 2 FROM d2
+      UNION ALL SELECT n, 3 FROM d3
+    )
+    SELECT n AS part, CAST(min(d) AS BIGINT) AS hops
+    FROM lv GROUP BY n ORDER BY hops, part
+    """,
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest hop count from the lowest-keyed part to every part
+    within 3 hops of the co-purchase graph.
+
+    Scale shape: classic distributed BFS — each round is ONE keyed
+    join (frontier ⋈ edges on the source endpoint) plus a min-distance
+    aggregate; the frontier, not the graph, is what moves. Distances
+    are small integers, min() is exact, so the oracle (the same three
+    levels unrolled as CTEs) is exact. Fixed depth keeps the plan
+    static (no driver-side convergence loop needed for the bounded-
+    radius use case — ego-network / blast-radius queries); the
+    iterative unbounded form is connected_components' fixpoint loop
+    with its checkpoint discipline. The source id is a 1-row aggregate
+    broadcast into round 1 — nothing node-sized ever reaches the
+    driver."""
+    pr = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b = pr.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v")
+    )
+    e = (
+        pr.join(b, F.col("l_orderkey") == F.col("o2"))
+        .filter(F.col("l_partkey") != F.col("v"))
+        .select(F.col("l_partkey").alias("u"), "v")
+        .distinct()
+    )
+    src = e.agg(F.min("u").alias("s"))
+    d0 = src.select(F.col("s").alias("n"), F.lit(0).alias("d"))
+    frontier = src.select(F.col("s").alias("n"))
+    levels = [d0]
+    for depth in (1, 2, 3):
+        frontier = (
+            e.join(
+                F.broadcast(frontier) if depth == 1 else frontier,
+                F.col("u") == F.col("n"),
+            )
+            .select(F.col("v").alias("n"))
+            .distinct()
+        )
+        levels.append(frontier.select("n", F.lit(depth).alias("d")))
+    lv = levels[0]
+    for x in levels[1:]:
+        lv = lv.unionAll(x)
+    return (
+        lv.groupBy(F.col("n").alias("part"))
+        .agg(F.min("d").cast("bigint").alias("hops"))
+        .select("part", "hops")
+        .orderBy("hops", "part")
+    )
