@@ -155,6 +155,7 @@ HEADLINE = [
     "q_seasonal_anomaly",
     "q_basket_lift",
     "q_bfs_hops",
+    "q_cluster_terms",
 ]
 
 

@@ -1122,3 +1122,124 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_power_scores(emb, iters=3).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# X144 — c-TF-IDF cluster characterization (the BERTopic move): k-means
+# clusters over embeddings, then the tokens that DISTINGUISH each
+# cluster — class-based TF-IDF where a "document" is the whole cluster.
+# Composes two existing families (clustering + text stats) end-to-end,
+# and the oracle composes the same way (the unrolled-Lloyd CTE feeds
+# the token pipeline).
+# --------------------------------------------------------------------------
+@query(
+    "q_cluster_terms",
+    oracle=_KMEANS_CTE
+    + """
+    , toks AS (
+      SELECT a2.cluster, unnest(string_split(lower(d.text), ' ')) AS tok
+      FROM documents d JOIN a2 ON d.doc_id = a2.vec_id
+    ),
+    tf AS (
+      SELECT cluster, tok, count(*) AS tf FROM toks
+      WHERE tok <> '' GROUP BY cluster, tok
+    ),
+    ct AS (SELECT cluster, sum(tf) AS ctot FROM tf GROUP BY cluster),
+    tt AS (SELECT tok, sum(tf) AS ttot FROM tf GROUP BY tok),
+    tot AS (SELECT sum(tf) AS gtot FROM tf),
+    scored AS (
+      SELECT cluster, t.tok, tf,
+             round(ln((CAST(tf AS DOUBLE) * gtot)
+                      / (CAST(ctot AS DOUBLE) * ttot)), 6) AS score
+      FROM tf t
+      JOIN ct USING (cluster)
+      JOIN tt USING (tok)
+      CROSS JOIN tot
+      WHERE tf >= 5
+    ),
+    ranked AS (
+      SELECT cluster, tok, tf, score,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY score DESC, tok) AS rk
+      FROM scored
+    )
+    SELECT CAST(cluster AS INT) AS cluster, tok,
+           CAST(tf AS BIGINT) AS tf, score, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY cluster, rk
+    """,
+)
+def q_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinguishing tokens per embedding cluster by
+    cluster-token PMI: score = ln(P(tok|cluster) / P(tok)) — positive
+    when a token is over-represented in the cluster relative to the
+    corpus (class-based TF-IDF's df variant degenerates here because
+    the synthetic corpus shares its vocabulary across clusters —
+    presence can't separate, frequency can; min support tf ≥ 5).
+
+    Determinism: cluster assignments carry q_kmeans' full contract
+    (deterministic init, 6-dp centroid rounds); all four PMI inputs
+    are integer counts, so ln sees the identical exact-integer-product
+    double ratio in both engines — 6-dp rounded ordering with token
+    tiebreak (the q_collocations frontier rule).
+    Scale shape: assignment is the zero-shuffle projection against
+    centroid literals; the token pipeline is explode → two hash aggs
+    (tf keyed by (cluster, token), df by token — the second input is
+    already cluster-deduped, vocabulary-sized); the per-cluster top-5
+    is a window over k partitions of the SCORED (vocabulary-sized)
+    table, not the corpus."""
+    from mysql_cdc_to_http_spark.operators.clustering import kmeans
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans(emb, k=4, iters=2).select("vec_id", "cluster")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        docs.join(assigned, F.col("doc_id") == F.col("vec_id"))
+        .select(
+            "cluster",
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    tf = toks.groupBy("cluster", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    ct = tf.groupBy("cluster").agg(F.sum("tf").alias("ctot"))
+    tt = tf.groupBy("tok").agg(F.sum("tf").alias("ttot"))
+    tot = tf.agg(F.sum("tf").alias("gtot"))
+    scored = (
+        tf.filter(F.col("tf") >= 5)
+        .join(F.broadcast(ct), "cluster")
+        .join(tt, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster",
+            "tok",
+            "tf",
+            F.round(
+                F.log(
+                    (F.col("tf").cast("double") * F.col("gtot"))
+                    / (F.col("ctot").cast("double") * F.col("ttot"))
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("cluster").orderBy(
+                F.col("score").desc(), F.col("tok")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 5)
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "tok",
+            F.col("tf").cast("bigint").alias("tf"),
+            "score",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+        .orderBy("cluster", "rk")
+    )
