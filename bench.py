@@ -156,6 +156,7 @@ HEADLINE = [
     "q_basket_lift",
     "q_bfs_hops",
     "q_cluster_terms",
+    "q_forget_audit",
 ]
 
 

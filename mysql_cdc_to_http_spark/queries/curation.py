@@ -753,3 +753,111 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# --------------------------------------------------------------------------
+# X145 — right-to-be-forgotten cascade audit: a deterministic deletion
+# cohort propagated through the FK graph (customer → orders → lineitem,
+# plus the events feed), with per-table purge/keep counts — the
+# compliance pass a CDC pipeline runs before rewriting tables.
+# --------------------------------------------------------------------------
+@query(
+    "q_forget_audit",
+    oracle="""
+    WITH forget AS (
+      SELECT c_custkey FROM customer
+      WHERE ('0x' || substr(md5('forget-v1|' || CAST(c_custkey AS VARCHAR)),
+                            1, 6))::BIGINT % 100 < 2
+    ),
+    o_purge AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM forget)
+    )
+    SELECT 'customer' AS tbl,
+           CAST((SELECT count(*) FROM forget) AS BIGINT) AS n_purged,
+           CAST((SELECT count(*) FROM customer) -
+                (SELECT count(*) FROM forget) AS BIGINT) AS n_kept
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM o_purge) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) -
+                (SELECT count(*) FROM o_purge) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM o_purge))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o_purge))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'events',
+           CAST((SELECT count(*) FROM events
+                 WHERE user_id IN (SELECT c_custkey FROM forget))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM events
+                 WHERE user_id NOT IN (SELECT c_custkey FROM forget))
+                AS BIGINT)
+    ORDER BY tbl
+    """,
+)
+def q_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table purge/keep counts for a 2% deletion cohort cascaded
+    through the FK graph.
+
+    The cohort is md5-deterministic (split_bucket discipline — an
+    auditor reproduces the exact member set in any engine). Scale
+    shape: the cohort and its derived order-key list are tail-sized
+    key sets — each table is audited with ONE left_semi/left_anti pair
+    against a broadcast key list (no fact-side reshuffle, the
+    q_agg_q18 semi-join discipline); the cascade (customer → orders →
+    lineitem) chains two such key-list derivations. The same semi/anti
+    split IS the rewrite plan: writing the anti side with
+    operators/layout.py is the actual purge, so the audit counts are
+    exactly what the rewrite would keep."""
+    from mysql_cdc_to_http_spark.operators.sampling import split_bucket
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    forget = cust.filter(
+        split_bucket(F.col("c_custkey"), 100, salt="forget-v1") < 2
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    o_purge = orders.join(
+        F.broadcast(forget),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    ).select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    def audit(name, df, key, keys_df, keys_col):
+        cond = F.col(key) == F.col(keys_col)
+        purged = df.join(F.broadcast(keys_df), cond, "left_semi").agg(
+            F.count(F.lit(1)).alias("n_purged")
+        )
+        kept = df.join(F.broadcast(keys_df), cond, "left_anti").agg(
+            F.count(F.lit(1)).alias("n_kept")
+        )
+        return purged.crossJoin(kept).select(
+            F.lit(name).alias("tbl"), "n_purged", "n_kept"
+        )
+
+    out = (
+        audit("customer", cust, "c_custkey", forget.select(
+            F.col("c_custkey").alias("fk")), "fk")
+        .unionAll(
+            audit("orders", orders.select("o_custkey"), "o_custkey",
+                  forget.select(F.col("c_custkey").alias("fk")), "fk")
+        )
+        .unionAll(
+            audit("lineitem", li, "l_orderkey",
+                  o_purge.select(F.col("o_orderkey").alias("fk")), "fk")
+        )
+        .unionAll(
+            audit("events", ev, "user_id",
+                  forget.select(F.col("c_custkey").alias("fk")), "fk")
+        )
+    )
+    return out.orderBy("tbl")
