@@ -157,6 +157,7 @@ HEADLINE = [
     "q_bfs_hops",
     "q_cluster_terms",
     "q_forget_audit",
+    "q_stream_session_dynamic",
 ]
 
 

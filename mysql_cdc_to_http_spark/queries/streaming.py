@@ -883,3 +883,77 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id", "n")
         .orderBy("win_start", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# X146 — DYNAMIC-GAP session windows: each event extends its session by
+# a gap that depends on the event itself (errors close fast, activity
+# lingers) — the session_window(expr) API surface that fixed-gap X30
+# doesn't touch. Oracle: union-of-intervals semantics reconstructed
+# with a strict-prefix running max.
+# --------------------------------------------------------------------------
+@query(
+    "q_stream_session_dynamic",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(ts) AS t_us,
+             CASE WHEN event_type = 'error' THEN 300000000
+                  ELSE 1800000000 END AS gap_us
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, event_id, t_us, gap_us,
+             CASE WHEN max(t_us + gap_us) OVER
+                    (PARTITION BY user_id ORDER BY t_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR t_us >= max(t_us + gap_us) OVER
+                    (PARTITION BY user_id ORDER BY t_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS brk
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, ts, t_us, gap_us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS win_start,
+           make_timestamp(max(t_us + gap_us)) AS win_end,
+           CAST(count(*) AS BIGINT) AS n
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, win_start
+    """,
+)
+def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions where ERROR events extend the session only 5
+    minutes but normal activity extends it 30 — the dynamic-gap
+    ``session_window(ts, CASE …)`` streaming API.
+
+    Semantics (both sides): each event claims [ts, ts+gap(event));
+    overlapping claims merge; an event landing exactly ON the current
+    session end starts a new session (half-open windows). The oracle
+    reconstructs that union-of-intervals with a STRICT-PREFIX running
+    max of (ts + gap) per user — a break wherever the next event
+    starts at-or-after every prior claim's end. Scale shape: the
+    streaming side is one keyed stateful operator (session state per
+    user, merged on overlap, evicted on watermark in append mode);
+    the oracle's running max is the same single keyed window
+    discipline as q_sessionize."""
+    ev = _stream_events(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "error", F.lit("5 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    agg = ev.groupBy(
+        F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    table = _run_to_memory(agg, "mem_session_dynamic", "complete")
+    return table.select(
+        "user_id",
+        F.col("w.start").alias("win_start"),
+        F.col("w.end").alias("win_end"),
+        "n",
+    ).orderBy("user_id", "win_start")
