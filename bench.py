@@ -158,6 +158,8 @@ HEADLINE = [
     "q_cluster_terms",
     "q_forget_audit",
     "q_stream_session_dynamic",
+    "q_backtest_mape",
+    "q_skew_report",
 ]
 
 

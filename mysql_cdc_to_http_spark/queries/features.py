@@ -1281,3 +1281,158 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+# --------------------------------------------------------------------------
+# X147 — forecast backtest: seasonal-naive forecast (same weekday last
+# week) evaluated with integer-exact MAE / WAPE / sMAPE. The
+# train-in-the-past / test-in-the-future temporal discipline, as a
+# query.
+# --------------------------------------------------------------------------
+@query(
+    "q_backtest_mape",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT a.event_type, a.d, a.n, f.n AS fc
+      FROM daily a JOIN daily f
+        ON a.event_type = f.event_type AND f.d = a.d - INTERVAL 7 DAY
+    ),
+    scored AS (
+      SELECT event_type, n, fc,
+             abs(n - fc) AS ae,
+             (2000000 * abs(n - fc)) // (n + fc) AS smape_u
+      FROM joined
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST((1000000 * sum(ae)) // count(*) AS BIGINT) AS mae_micro,
+           CAST((1000000 * sum(ae)) // sum(n) AS BIGINT) AS wape_micro,
+           CAST(sum(smape_u) // count(*) AS BIGINT) AS smape_micro
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (volume = same weekday
+    last week) per event type: MAE, WAPE, and sMAPE — every metric an
+    integer micro-unit floor of exact integer sums, so the evaluation
+    is bit-identical in any engine (q_ewma's integer discipline
+    applied to forecast scoring; n + fc > 0 always since both are
+    day counts ≥ 1).
+
+    Scale shape: one fact-sized daily agg; the forecast join is the
+    calendar-sized daily table self-joined on (type, d−7) — keyed,
+    tiny; metrics are a two-phase agg over it. The temporal hygiene —
+    forecasts only ever read STRICTLY older rows — is structural (the
+    join key subtracts 7 days), not policed by a filter."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fc = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("n").alias("fc"),
+    )
+    joined = daily.join(
+        fc,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("d2") == F.date_sub(F.col("d"), 7)),
+    )
+    ae = F.abs(F.col("n") - F.col("fc"))
+    scored = joined.select(
+        "event_type",
+        "n",
+        ae.alias("ae"),
+        F.expr("(2000000 * abs(n - fc)) div (n + fc)").alias("smape_u"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr("(1000000 * sum(ae)) div count(*)")
+            .cast("bigint")
+            .alias("mae_micro"),
+            F.expr("(1000000 * sum(ae)) div sum(n)")
+            .cast("bigint")
+            .alias("wape_micro"),
+            F.expr("sum(smape_u) div count(*)")
+            .cast("bigint")
+            .alias("smape_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# X148 — join-key skew report: the pre-flight a 100 TB join runs BEFORE
+# choosing a strategy. Integer-exact distribution stats + a derived
+# salt recommendation for operators/salting.py.
+# --------------------------------------------------------------------------
+@query(
+    "q_skew_report",
+    oracle="""
+    WITH kc AS (
+      SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(c) AS n, count(*) AS nk, max(c) AS top1 FROM kc
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(nk AS BIGINT) AS n_keys,
+           CAST(top1 AS BIGINT) AS top1_cnt,
+           CAST((1000000 * top1) // n AS BIGINT) AS top1_share_micro,
+           CAST((SELECT count(*) FROM kc, tot WHERE c * nk > 2 * n)
+                AS BIGINT) AS n_hot_keys,
+           CAST((top1 * nk + n - 1) // n AS BIGINT) AS rec_salts
+    FROM tot
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution report for the orders→customer join key:
+    row/key counts, the heaviest key's share, how many keys run above
+    2× the mean, and the salt factor that flattens the hottest key to
+    mean-sized slices (⌈top1/avg⌉ — what operators/salting.py's
+    n_salts wants).
+
+    Everything is integer arithmetic over two aggregates (per-key
+    counts: one fact-sized two-phase hash agg whose skew, if any, is
+    exactly what AQE's partial aggregation absorbs; then a key-table
+    reduction). The hot-key screen cross-multiplies (c·K > 2·N)
+    instead of comparing float means — q_seasonal_anomaly's
+    boundary-free comparison rule."""
+    kc = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = kc.agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("nk"),
+        F.max("c").alias("top1"),
+    )
+    hot = (
+        kc.crossJoin(F.broadcast(tot))
+        .filter(F.col("c") * F.col("nk") > 2 * F.col("n"))
+        .agg(F.count(F.lit(1)).alias("n_hot_keys"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(hot))
+        .select(
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("nk").cast("bigint").alias("n_keys"),
+            F.col("top1").cast("bigint").alias("top1_cnt"),
+            F.expr("(1000000 * top1) div n")
+            .cast("bigint")
+            .alias("top1_share_micro"),
+            F.col("n_hot_keys").cast("bigint").alias("n_hot_keys"),
+            F.expr("(top1 * nk + n - 1) div n")
+            .cast("bigint")
+            .alias("rec_salts"),
+        )
+    )
