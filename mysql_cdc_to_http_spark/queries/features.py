@@ -559,71 +559,65 @@ def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak is the value itself (abs(dev) ties collapse to mirror
     pairs; either order yields the same rank-k dev value).
 
-    Scale shape: ONE shuffle on the group key; the two ranked windows
-    (value order, then deviation order) and the final aggregate all
-    share that partitioning — the second window adds a sort, not an
-    exchange. Exact per-group medians cost a per-group sort by
-    definition; q_percentiles_approx is the shipped sketch path for
-    monster groups."""
-    from pyspark.sql.window import Window as W
+    Scale shape: BOTH rank passes (value order for the median,
+    deviation order for the MAD) run on operators/sampling.py:
+    grouped_ranks — parallelism independent of the group count, the
+    same retrofit that flattened q_percentiles/q_winsorize; the
+    groups-sized median/MAD tables broadcast back between passes. Two
+    fact range-repartitions total, no per-group single-task sort."""
+    from mysql_cdc_to_http_spark.operators.sampling import grouped_ranks
 
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("grp"),
         F.col("value").alias("val"),
         "event_id",
     )
-    w_all = W.partitionBy("grp")
-    ranked = ev.select(
-        "grp",
-        "val",
-        F.row_number()
-        .over(W.partitionBy("grp").orderBy("val", "event_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-    )
-    lo_mid = F.expr("(n + 1) div 2")
-    hi_mid = F.expr("(n + 2) div 2")
-    med = ranked.select(
-        "grp",
-        "val",
-        "n",
-        (
+    r1 = grouped_ranks(ev, ["grp"], [F.col("val"), F.col("event_id")])
+    lo_mid = F.expr("(__gn + 1) div 2")
+    hi_mid = F.expr("(__gn + 2) div 2")
+    med = (
+        r1.filter(
+            (F.col("__grank") == lo_mid) | (F.col("__grank") == hi_mid)
+        )
+        .groupBy("grp")
+        .agg(
             (
-                F.max(F.when(F.col("rn") == lo_mid, F.col("val"))).over(w_all)
-                + F.max(F.when(F.col("rn") == hi_mid, F.col("val"))).over(
-                    w_all
+                (
+                    F.max(
+                        F.when(F.col("__grank") == lo_mid, F.col("val"))
+                    )
+                    + F.max(
+                        F.when(F.col("__grank") == hi_mid, F.col("val"))
+                    )
                 )
-            )
-            / 2
-        ).alias("median"),
+                / 2
+            ).alias("median")
+        )
     )
+    with_med = ev.join(F.broadcast(med), "grp")
     dev = F.abs(F.col("val") - F.col("median"))
-    dev_ranked = med.select(
-        "grp",
-        "val",
-        "n",
-        "median",
-        dev.alias("dev"),
-        F.row_number()
-        .over(W.partitionBy("grp").orderBy(dev, "val"))
-        .alias("rn2"),
-    )
-    mad = dev_ranked.select(
-        "grp",
-        "val",
-        "median",
-        (
+    devd = with_med.select("grp", "val", "median", dev.alias("dev"))
+    r2 = grouped_ranks(devd, ["grp"], [F.col("dev"), F.col("val")])
+    mad = (
+        r2.filter(
+            (F.col("__grank") == lo_mid) | (F.col("__grank") == hi_mid)
+        )
+        .groupBy("grp")
+        .agg(
             (
-                F.max(F.when(F.col("rn2") == lo_mid, F.col("dev"))).over(
-                    w_all
+                (
+                    F.max(
+                        F.when(F.col("__grank") == lo_mid, F.col("dev"))
+                    )
+                    + F.max(
+                        F.when(F.col("__grank") == hi_mid, F.col("dev"))
+                    )
                 )
-                + F.max(F.when(F.col("rn2") == hi_mid, F.col("dev"))).over(
-                    w_all
-                )
-            )
-            / 2
-        ).alias("mad"),
+                / 2
+            ).alias("mad")
+        )
     )
+    scored = with_med.join(F.broadcast(mad), "grp")
     is_outlier = (F.col("mad") > 0) & (
         F.abs(
             F.lit(0.6745) * (F.col("val") - F.col("median")) / F.col("mad")
@@ -631,7 +625,7 @@ def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         > 3.5
     )
     return (
-        mad.groupBy("grp", "median", "mad")
+        scored.groupBy("grp", "median", "mad")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(is_outlier, 1).otherwise(0))
