@@ -160,6 +160,7 @@ HEADLINE = [
     "q_stream_session_dynamic",
     "q_backtest_mape",
     "q_skew_report",
+    "q_stream_stream_join_outer",
 ]
 
 

@@ -957,3 +957,87 @@ def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.end").alias("win_end"),
         "n",
     ).orderBy("user_id", "win_start")
+
+
+# --------------------------------------------------------------------------
+# X149 — stream-stream LEFT OUTER interval join: the missing semantic
+# next to X55's inner form. Null rows are WATERMARK-GATED — a left row
+# emits its null match only once its 5-minute window has fully expired
+# under the global watermark — and the oracle reproduces exactly that
+# gate, so the streaming-specific emission rule itself is what gets
+# oracle-checked.
+# --------------------------------------------------------------------------
+@query(
+    "q_stream_stream_join_outer",
+    oracle="""
+    WITH w AS (SELECT max(ts) - INTERVAL '10 minutes' AS wm FROM events),
+    matched AS (
+      SELECT a.event_id AS left_id, b.event_id AS right_id,
+             a.user_id, a.ts AS left_ts, b.ts AS right_ts
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND b.ts > a.ts
+       AND b.ts <= a.ts + INTERVAL '5 minutes'
+    ),
+    expired_unmatched AS (
+      SELECT a.event_id AS left_id, CAST(NULL AS BIGINT) AS right_id,
+             a.user_id, a.ts AS left_ts, CAST(NULL AS TIMESTAMP) AS right_ts
+      FROM events a, w
+      WHERE a.ts + INTERVAL '5 minutes' < wm
+        AND NOT EXISTS (
+          SELECT 1 FROM events b
+          WHERE b.user_id = a.user_id
+            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'
+        )
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM expired_unmatched
+    ORDER BY left_id, right_id NULLS FIRST
+    """,
+)
+def q_stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every event paired with
+    its followers within 5 minutes, or with NULLs once no follower can
+    still arrive.
+
+    The semantic under test is the null-emission GATE: unlike the
+    inner form (emit on arrival, batch-deterministic), a left-outer
+    null row may only be emitted when the watermark proves the match
+    window closed — Spark emits it from the no-data flush batch after
+    the watermark passes left_ts + 5min. The oracle encodes that same
+    condition (wm = max event time − the 10-minute delay), so parity
+    certifies the eviction rule, not just the pair set: left rows in
+    the final 15 minutes of the feed with no match correctly emit
+    NOTHING. State sizing matches the inner form (watermark + interval
+    bound evict both buffers)."""
+    left = (
+        _stream_events(spark, sf_dir)
+        .select(
+            F.col("event_id").alias("left_id"),
+            "user_id",
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", "10 minutes")
+    )
+    right = (
+        _stream_events(spark, sf_dir)
+        .select(
+            F.col("event_id").alias("right_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", "10 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("right_ts") > F.col("left_ts"))
+        & (
+            F.col("right_ts")
+            <= F.col("left_ts") + F.expr("INTERVAL 5 minutes")
+        ),
+        "left_outer",
+    ).select("left_id", "right_id", "user_id", "left_ts", "right_ts")
+    return _run_to_memory(joined, "mem_ss_join_outer", "append").orderBy(
+        "left_id", F.col("right_id").asc_nulls_first()
+    )
