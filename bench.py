@@ -161,6 +161,8 @@ HEADLINE = [
     "q_backtest_mape",
     "q_skew_report",
     "q_stream_stream_join_outer",
+    "q_variant",
+    "q_nested_orders",
 ]
 
 

@@ -355,3 +355,129 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys(props_map)), ",").alias("keys_csv"),
         F.size(F.map_keys(props_map)).alias("n_keys"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# X150 — VARIANT semi-structured type (Spark 4): parse_json into the
+# binary variant encoding, typed variant_get extraction, aggregation on
+# the extracted values. The modern schema-on-read path — the engine's
+# from_json/get_json_object surface (X27) predates it.
+# --------------------------------------------------------------------------
+@query(
+    "q_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the events props JSON into Spark 4's VARIANT type and
+    aggregate a typed extraction.
+
+    VARIANT is the engine-native semi-structured path: parse once into
+    the binary variant encoding at the scan, then ``variant_get`` with
+    a type — no per-query string re-parsing, no schema declaration
+    (the reference's rows are schemaless maps, main.go:126; VARIANT is
+    the Spark-4 answer to exactly that shape). Extraction stays inside
+    whole-stage codegen; the VARIANT column itself never reaches the
+    output (driver-safe). Integer payloads make the aggregate exact;
+    the DuckDB oracle reads the same JSON with ->> extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.max(k).cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# X151 — nested array-of-structs processing: orders carrying their line
+# items as a nested array, with per-order measures computed INSIDE the
+# array by HOFs (no re-explode). The denormalized document-shape
+# surface (§1.2 notes the reference has no nested types; Spark does,
+# and a training-data lakehouse uses them constantly).
+# --------------------------------------------------------------------------
+@query(
+    "q_nested_orders",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             count(*) AS n_items,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST((1000000 * sum(n_items)) // count(*) AS BIGINT)
+             AS avg_items_micro,
+           CAST(sum(revenue) AS DOUBLE) AS total_revenue
+    FROM per_order JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_nested_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the nested order document (order → array of line-item
+    structs), compute per-order measures with array HOFs, roll up by
+    priority.
+
+    The point under test is the NESTED path: after ``collect_list
+    (struct(...))``, item count is ``size(items)`` and revenue is an
+    ``F.aggregate`` fold over the struct array — no second explode,
+    no re-shuffle; once documents are denormalized this is how every
+    per-document measure runs. Determinism: the fold accumulates in
+    DECIMAL, so the (collection-order-dependent!) array order cannot
+    change the sum — the same reason collect_list output is otherwise
+    banned from oracle outputs. The oracle computes identical measures
+    from the FLAT relation, certifying the nested compute against the
+    relational definition. avg items is an integer micro-floor."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+            F.col("l_discount").cast("decimal(4,2)").alias("disc"),
+        ).alias("item"),
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list("item").alias("items")
+    )
+    revenue = F.aggregate(
+        F.col("items"),
+        F.lit("0").cast("decimal(28,4)"),
+        lambda acc, x: (
+            acc + (x["price"] * (F.lit(1) - x["disc"])).cast("decimal(28,4)")
+        ).cast("decimal(28,4)"),
+    )
+    per_order = nested.select(
+        "l_orderkey",
+        F.size("items").alias("n_items"),
+        revenue.alias("revenue"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return (
+        per_order.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("(1000000 * sum(n_items)) div count(*)")
+            .cast("bigint")
+            .alias("avg_items_micro"),
+            F.sum("revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
