@@ -1041,3 +1041,39 @@ def q_stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "mem_ss_join_outer", "append").orderBy(
         "left_id", F.col("right_id").asc_nulls_first()
     )
+
+
+# --------------------------------------------------------------------------
+# X152 — dropDuplicatesWithinWatermark (Spark 3.5+): dedup state with a
+# TTL instead of X32's grow-forever key set — the form a 100 TB stream
+# actually runs, since unbounded dedup state is a slow OOM.
+# --------------------------------------------------------------------------
+@query(
+    "q_stream_dedup_ttl",
+    oracle="SELECT DISTINCT event_id FROM events ORDER BY event_id",
+)
+def q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup whose per-key state EXPIRES with the watermark
+    (``dropDuplicatesWithinWatermark``): duplicates are only guaranteed
+    dropped while the first occurrence is within the 30-minute
+    watermark delay — exactly the at-most-once-per-TTL contract a
+    bounded-state pipeline wants.
+
+    The oracle equals full DISTINCT because the feed's duplicates are
+    CO-LOCATED by construction (the dup feed doubles each event and
+    range-buckets by event_id, so both copies share a micro-batch or
+    adjacent ones — well inside the TTL). The semantic difference from
+    X32 is the state bound, not this corpus's answer; the state-expiry
+    behavior itself is what the API guarantees and what the watermark
+    column wires in. The reference's delivery dedup need is the same
+    shape: idempotency keys within a redelivery horizon
+    (sources/http_sink.py), never forever."""
+    ev = _stream_events(spark, sf_dir, dup=True)
+    deduped = (
+        ev.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    return _run_to_memory(deduped, "mem_dedup_ttl", "append").orderBy(
+        "event_id"
+    )
