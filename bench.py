@@ -163,6 +163,8 @@ HEADLINE = [
     "q_stream_stream_join_outer",
     "q_variant",
     "q_nested_orders",
+    "q_stream_dedup_ttl",
+    "q_mutual_info",
 ]
 
 

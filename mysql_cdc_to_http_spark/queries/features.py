@@ -1430,3 +1430,78 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rec_salts"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X153 — mutual information between two categorical views of the
+# stream (event type × spend bucket): the feature-selection /
+# dependency-audit statistic, from one contingency aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "q_mutual_info",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS x,
+             least(CAST(floor(value / 50) AS BIGINT), 3) AS y,
+             count(*) AS cxy
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT x, y, cxy,
+             sum(cxy) OVER (PARTITION BY x) AS cx,
+             sum(cxy) OVER (PARTITION BY y) AS cy,
+             sum(cxy) OVER () AS n
+      FROM c
+    )
+    SELECT x AS event_type,
+           CAST(sum(cxy) AS BIGINT) AS n_events,
+           round(sum((CAST(cxy AS DOUBLE) / n)
+                     * ln(CAST(cxy AS DOUBLE) * n
+                          / (CAST(cx AS DOUBLE) * cy))), 6)
+             AS mi_contrib
+    FROM m GROUP BY x ORDER BY x
+    """,
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type contribution to the mutual information between
+    event type and spend bucket (I(X;Y) = Σ p ln(p_xy/(p_x·p_y)) —
+    the dependency audit run before treating a feature as independent
+    signal; Σ of the column is the full MI).
+
+    Determinism: the contingency table is one two-phase hash agg
+    (types × 4 buckets rows); marginals are windows over that tiny
+    table; every ln/division input is an exact integer-product double,
+    so both engines evaluate identical expressions — 6-dp rounded
+    (q_collocations' PMI discipline, aggregated). Scale: the fact
+    stream is touched once, by the counting agg; bucket assignment is
+    integer arithmetic in the scan projection."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.col("event_type").alias("x"),
+        F.least(F.expr("CAST(floor(value / 50) AS BIGINT)"), F.lit(3)).alias("y"),
+    ).agg(F.count(F.lit(1)).alias("cxy"))
+    m = c.select(
+        "x",
+        "y",
+        "cxy",
+        F.sum("cxy").over(W.partitionBy("x")).alias("cx"),
+        F.sum("cxy").over(W.partitionBy("y")).alias("cy"),
+        F.sum("cxy")
+        .over(W.partitionBy(F.pmod(F.col("y"), F.lit(1))))
+        .alias("n"),
+    )
+    contrib = (F.col("cxy").cast("double") / F.col("n")) * F.log(
+        F.col("cxy").cast("double")
+        * F.col("n")
+        / (F.col("cx").cast("double") * F.col("cy"))
+    )
+    return (
+        m.groupBy(F.col("x").alias("event_type"))
+        .agg(
+            F.sum("cxy").cast("bigint").alias("n_events"),
+            F.round(F.sum(contrib), 6).alias("mi_contrib"),
+        )
+        .orderBy("event_type")
+    )
