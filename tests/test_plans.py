@@ -581,3 +581,47 @@ def test_interval_bin_join_matches_naive_overlap(spark, sf_dir):
             ).collect()
         )
         assert got == naive, f"bin_width={w}: {got} != {naive}"
+
+
+def test_q22_anti_join_moves_keys_not_rows(spark, sf_dir):
+    """X121: the NOT-EXISTS anti join must read only o_custkey from
+    orders (keys-only projection reaches the scan) and never BNLJ."""
+    plan = plan_of(QUERIES["q_agg_q22"](spark, sf_dir))
+    # the scalar-cutoff crossJoin is a 1-row broadcast NL (legitimate);
+    # the NOT-EXISTS itself must be a broadcast-hash LeftAnti
+    assert "BroadcastHashJoin LeftAnti" in plan
+    # the orders scan is pruned to the single join-key column
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any(
+        s.strip() == "o_custkey:bigint,o_orderdate:timestamp_ntz"
+        for s in scans
+    ), scans
+
+
+def test_grouped_ranks_has_no_group_count_bottleneck(spark, sf_dir):
+    """X141: winsorize/percentiles rank via range repartition — the
+    plan must contain RangePartitioning on the fact stream and no
+    single-partition Window over it."""
+    for name in ("q_winsorize", "q_percentiles"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "rangepartitioning" in plan.lower(), name
+
+
+def test_audience_overlap_joins_words_not_rows(spark, sf_dir):
+    """X132: after the word aggregation, the pairwise intersection must
+    join on the bucket id — hash/sort-merge equi-join, never a
+    cartesian of user rows."""
+    plan = plan_of(QUERIES["q_audience_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_forget_audit_broadcasts_key_lists(spark, sf_dir):
+    """X145: every table audit joins against a BROADCAST key list — the
+    fact tables must not reshuffle for the semi/anti pairs."""
+    plan = plan_of(QUERIES["q_forget_audit"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert plan.count("LeftSemi") >= 4
+    assert plan.count("LeftAnti") >= 4
