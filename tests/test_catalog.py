@@ -113,3 +113,31 @@ def test_ntz_normalization_matches_legacy_long_path(spark, tmp_path):
         }
 
     assert micros(ntz_dir) == micros(long_dir)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Additive schema evolution: files written before a column existed
+    must read as NULL for that column under mergeSchema, with the
+    union schema; the pre-evolution files are NOT rewritten. (Streaming
+    note: a running query pins its schema at start — evolution applies
+    on restart, which is why checkpoints survive additive columns.)"""
+    from pyspark.sql import functions as F
+
+    v1 = spark.range(5).select(
+        F.col("id"), (F.col("id") * 2).alias("a")
+    )
+    v1.write.parquet(str(tmp_path / "t" / "batch=1"))
+    v2 = spark.range(5, 8).select(
+        F.col("id"), (F.col("id") * 2).alias("a"), F.lit("new").alias("b")
+    )
+    v2.write.parquet(str(tmp_path / "t" / "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "t")
+    )
+    assert set(merged.columns) == {"id", "a", "b", "batch"}
+    rows = {r["id"]: (r["a"], r["b"]) for r in merged.collect()}
+    assert rows[0] == (0, None) and rows[6] == (12, "new")
+    # without mergeSchema, footer-of-first-file wins — the failure mode
+    # the option exists to fix is VISIBLE, not silent corruption
+    plain = spark.read.parquet(str(tmp_path / "t"))
+    assert set(plain.columns) <= {"id", "a", "b", "batch"}
