@@ -165,6 +165,7 @@ HEADLINE = [
     "q_nested_orders",
     "q_stream_dedup_ttl",
     "q_mutual_info",
+    "q_knn_ivfpq",
 ]
 
 

@@ -1243,3 +1243,87 @@ def q_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# X155 — IVF-PQ composed search: the full billion-scale ANN recipe
+# (coarse inverted-file probe → PQ asymmetric distance over the probed
+# cell), EXACT-oracled because both trained stages are deterministic —
+# the oracle stitches the unrolled coarse-Lloyd CTE to the unrolled
+# per-subspace PQ CTEs.
+# --------------------------------------------------------------------------
+def _ivfpq_oracle(adc_k: int = 10) -> str:
+    pq = _pq_oracle(adc_k=adc_k)
+    # merge WITH-clauses: coarse quantizer CTEs first, then PQ's
+    assert pq.startswith("WITH e0 AS")
+    merged = _KMEANS_CTE.rstrip() + ",\n" + pq[len("WITH ") :]
+    # restrict the ADC ranking to the query's coarse cell (nprobe=1)
+    tail_from = (
+        "FROM adc_0 JOIN adc_1 USING (vec_id) JOIN adc_2 USING (vec_id)"
+        " JOIN adc_3 USING (vec_id) ORDER BY adc_dist, vec_id"
+    )
+    assert tail_from in merged
+    merged = merged.replace(
+        tail_from,
+        "FROM adc_0 JOIN adc_1 USING (vec_id) JOIN adc_2 USING (vec_id)"
+        " JOIN adc_3 USING (vec_id)"
+        " JOIN a2 USING (vec_id),"
+        " (SELECT cluster AS qc FROM a2 ORDER BY vec_id LIMIT 1)"
+        " WHERE a2.cluster = qc"
+        " ORDER BY adc_dist, vec_id",
+    )
+    return merged
+
+
+@query("q_knn_ivfpq", oracle=_ivfpq_oracle())
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search, composed end-to-end: a coarse k-means quantizer
+    routes the query to its inverted-file cell (nprobe=1), and PQ
+    asymmetric distance ranks ONLY that cell's codes — the memory/
+    compute recipe behind billion-vector ANN indexes (cell pruning ×
+    256→4-byte codes), assembled from the engine's existing
+    deterministic stages.
+
+    Scale shape: cell assignment and ADC are both projections against
+    driver-model literals; the probed cell is ~N/k_coarse of the
+    corpus, and the search never reads a float vector — codes only;
+    top-k is TakeOrderedAndProject. Exactness: unlike the standalone
+    IVF (rows-only, arbitrary recall), BOTH trained stages here are
+    deterministic Lloyd (lowest-id init, 6-dp centroid rounds), so the
+    composed result is a pure function of the data — the oracle
+    stitches the q_kmeans CTE to the q_knn_pq CTEs and filters the ADC
+    ranking to the query's cell. Recall vs exact brute-force remains
+    data-limited on the near-isotropic corpus (the documented X45/X113
+    caveat); what this query certifies is the COMPOSITION."""
+    from mysql_cdc_to_http_spark.operators.clustering import (
+        assign_clusters,
+        kmeans,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans(emb, k=4, iters=2).select("vec_id", "cluster")
+    qcell = assigned.orderBy("vec_id").select("cluster").first()[0]
+    cands = assigned.filter(F.col("cluster") == F.lit(qcell)).select(
+        "vec_id"
+    )
+    books = pq_codebooks(emb, m=4, k=4, iters=2)
+    sub = len(books[0][0])
+    codes = None
+    for s in range(4):
+        piece = emb.select(
+            "vec_id",
+            F.slice(F.col("embedding"), s * sub + 1, sub).alias(
+                "embedding"
+            ),
+        )
+        enc = assign_clusters(piece, books[s]).select(
+            "vec_id", F.col("cluster").alias(f"code_{s}")
+        )
+        codes = enc if codes is None else codes.join(enc, "vec_id")
+    qvec = [
+        float(x)
+        for x in emb.orderBy("vec_id").select("embedding").first()[0]
+    ]
+    return pq_adc_topk(codes.join(cands, "vec_id"), books, qvec, k=10)
