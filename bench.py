@@ -166,6 +166,7 @@ HEADLINE = [
     "q_stream_dedup_ttl",
     "q_mutual_info",
     "q_knn_ivfpq",
+    "q_weighted_median",
 ]
 
 

@@ -409,3 +409,61 @@ def grouped_ranks(
         out.withColumn("__grank", F.col("__rn_in") + F.col("__pre"))
         .drop("__p", "__rn_in", "__pre")
     )
+
+
+def grouped_prefix_sums(
+    df: DataFrame,
+    grp_cols: list[str],
+    order_cols,
+    value_cols: list[str],
+    n_ranges: int = 64,
+) -> DataFrame:
+    """Per-group inclusive running sums of ``value_cols`` under
+    ``order_cols`` — :func:`grouped_ranks`' discipline generalized from
+    rank (a running count) to arbitrary running sums, parallelism
+    independent of the group count. Adds ``{v}__cum`` per value column
+    and ``{v}__tot`` (the group total). ``order_cols`` must contain a
+    tiebreak making the order total."""
+    from pyspark.sql.window import Window as W
+
+    keys = [F.col(g) for g in grp_cols] + list(order_cols)
+    part = df.repartitionByRange(n_ranges, *keys).withColumn(
+        "__p", F.spark_partition_id()
+    )
+    w_in = (
+        W.partitionBy("__p", *grp_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out = part
+    for v in value_cols:
+        out = out.withColumn(f"{v}__cum", F.sum(v).over(w_in))
+    counts = part.groupBy("__p", *grp_cols).agg(
+        *[F.sum(v).alias(f"__c_{v}") for v in value_cols]
+    )
+    w_pre = (
+        W.partitionBy(*grp_cols)
+        .orderBy("__p")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_tot = W.partitionBy(*grp_cols)
+    pref = counts.select(
+        "__p",
+        *grp_cols,
+        *[
+            F.coalesce(F.sum(f"__c_{v}").over(w_pre), F.lit(0)).alias(
+                f"__pre_{v}"
+            )
+            for v in value_cols
+        ],
+        *[
+            F.sum(f"__c_{v}").over(w_tot).alias(f"{v}__tot")
+            for v in value_cols
+        ],
+    )
+    out = out.join(F.broadcast(pref), ["__p", *grp_cols])
+    for v in value_cols:
+        out = out.withColumn(
+            f"{v}__cum", F.col(f"{v}__cum") + F.col(f"__pre_{v}")
+        ).drop(f"__pre_{v}")
+    return out.drop("__p")

@@ -1505,3 +1505,79 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# X156 — exact weighted median (quantity-weighted price per return
+# flag): the weighted order statistic, rank-free and float-free — the
+# cut is the first value whose cumulative weight reaches half the
+# group total, by integer comparison.
+# --------------------------------------------------------------------------
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS val,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS wc,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    c AS (
+      SELECT grp, val, wc,
+             sum(wc) OVER (PARTITION BY grp
+                           ORDER BY val, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS wcum,
+             sum(wc) OVER (PARTITION BY grp) AS wtot
+      FROM w
+    )
+    SELECT grp,
+           CAST(max(wtot) AS BIGINT) AS total_weight_centi,
+           min(CASE WHEN 2 * wcum >= wtot THEN val END)
+             AS weighted_median
+    FROM c GROUP BY grp ORDER BY grp
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag: the
+    smallest value v with cumweight(v) ≥ W/2.
+
+    Determinism is total: weights scale to integer centi-units, the
+    cumulative sums are integers from a TOTAL order, and the median
+    test is the cross-multiplied integer inequality 2·wcum ≥ wtot — no
+    interpolation, no float. Scale shape: the cumulative weights come
+    from operators/sampling.py:grouped_prefix_sums — the grouped_ranks
+    two-level discipline generalized to running SUMS, so parallelism
+    stays independent of the group count (3 monster groups ≠ 3 tasks);
+    the final reduction is a groups-sized aggregate."""
+    from mysql_cdc_to_http_spark.operators.sampling import (
+        grouped_prefix_sums,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("val"),
+        F.expr(
+            "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("wc"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = grouped_prefix_sums(
+        li,
+        ["grp"],
+        [F.col("val"), F.col("l_orderkey"), F.col("l_linenumber")],
+        ["wc"],
+    )
+    return (
+        cum.groupBy("grp")
+        .agg(
+            F.max("wc__tot").cast("bigint").alias("total_weight_centi"),
+            F.min(
+                F.when(
+                    2 * F.col("wc__cum") >= F.col("wc__tot"), F.col("val")
+                )
+            ).alias("weighted_median"),
+        )
+        .orderBy("grp")
+    )

@@ -364,3 +364,37 @@ def test_grouped_ranks_matches_plain_window(spark):
         (F.col("__grank") != F.col("rk")) | (F.col("__gn") != F.col("n"))
     ).count()
     assert bad == 0
+
+
+def test_grouped_prefix_sums_matches_plain_window(spark):
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.operators.sampling import (
+        grouped_prefix_sums,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (rng.choice(["a", "b"]), rng.randint(0, 30), rng.randint(1, 9), i)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, w long, id long")
+    got = grouped_prefix_sums(
+        df, ["g"], [F.col("v"), F.col("id")], ["w"], n_ranges=5
+    )
+    ref = df.withColumn(
+        "c",
+        F.sum("w").over(
+            W.partitionBy("g")
+            .orderBy("v", "id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    ).withColumn("t", F.sum("w").over(W.partitionBy("g")))
+    j = got.join(ref, ["g", "v", "id", "w"])
+    bad = j.filter(
+        (F.col("w__cum") != F.col("c")) | (F.col("w__tot") != F.col("t"))
+    ).count()
+    assert bad == 0
