@@ -167,6 +167,7 @@ HEADLINE = [
     "q_mutual_info",
     "q_knn_ivfpq",
     "q_weighted_median",
+    "q_time_to_convert",
 ]
 
 

@@ -1098,3 +1098,106 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part", "hops")
         .orderBy("hops", "part")
     )
+
+
+# --------------------------------------------------------------------------
+# X157 — time-to-convert distribution: view → first purchase latency
+# per user, with rank-exact global median/p90 (integer seconds, integer
+# ranks — the funnel's "how fast" companion to q_funnel's "how many").
+# --------------------------------------------------------------------------
+@query(
+    "q_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT f.user_id,
+             CAST(epoch_us(min(e.ts)) - epoch_us(f.first_view) AS BIGINT)
+               // 1000000 AS delta_s
+      FROM firsts f JOIN events e
+        ON e.user_id = f.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts > f.first_view
+      WHERE f.first_view IS NOT NULL
+      GROUP BY f.user_id, f.first_view
+    ),
+    ranked AS (
+      SELECT delta_s,
+             row_number() OVER (ORDER BY delta_s, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM conv
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converts,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN delta_s END)
+                AS BIGINT) AS median_lo_s,
+           CAST(max(CASE WHEN rn = n - (n + 9) // 10 + 1 THEN delta_s END)
+                AS BIGINT) AS p90_s
+    FROM ranked
+    """,
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long users take from their first view to their first
+    subsequent purchase: conversion count, lower median, and the
+    rank-exact p90 of the latency.
+
+    Determinism: latencies floor to integer seconds; the median is
+    "the value at integer rank (n+1) div 2" and p90 "at rank
+    n − ceil(n/10) + 1" — order statistics, never interpolation. Scale
+    shape: first-view is one two-phase agg; the first-purchase-after
+    join keys on user_id (one fact shuffle, reusing the agg's
+    partitioning); the rank over the conversions table runs on the
+    two-level ranked prefix sum (user-count-sized input, no global
+    single-task sort)."""
+    from mysql_cdc_to_http_spark.operators.sampling import (
+        ranked_prefix_sums,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("first_view")
+        )
+        .filter(F.col("first_view").isNotNull())
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    conv = (
+        firsts.join(
+            purch,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") > F.col("first_view")),
+        )
+        .groupBy("user_id", "first_view")
+        .agg(F.min("pts").alias("first_purchase"))
+        .select(
+            "user_id",
+            F.expr(
+                "(unix_micros(first_purchase) - unix_micros(first_view))"
+                " div 1000000"
+            ).alias("delta_s"),
+        )
+        .withColumn("__one", F.lit(1).cast("bigint"))
+    )
+    ranked = ranked_prefix_sums(
+        conv, [F.col("delta_s").asc(), F.col("user_id").asc()], ["__one"]
+    ).withColumnRenamed("__one__cum", "rn")
+    stats = ranked.agg(F.count(F.lit(1)).alias("n"))
+    j = ranked.crossJoin(F.broadcast(stats))
+    med_rank = F.expr("(n + 1) div 2")
+    p90_rank = F.expr("n - (n + 9) div 10 + 1")
+    return j.agg(
+        F.max("n").cast("bigint").alias("n_converts"),
+        F.max(F.when(F.col("rn") == med_rank, F.col("delta_s")))
+        .cast("bigint")
+        .alias("median_lo_s"),
+        F.max(F.when(F.col("rn") == p90_rank, F.col("delta_s")))
+        .cast("bigint")
+        .alias("p90_s"),
+    )
