@@ -286,3 +286,54 @@ def test_snapshot_diff_apply_roundtrip_property(spark, old_rows, new_rows):
     rebuilt = apply_diff(old, changes, ["k"], ["a", "b"])
     assert rebuilt.exceptAll(new).count() == 0
     assert new.exceptAll(rebuilt).count() == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([1, 2, 5, 13, 100]),
+)
+def test_overlap_bin_join_equals_naive_property(spark, ls, rs, w):
+    """X122 property: for ANY interval sets and ANY bin width, the
+    binned equi-join's pair set equals the naive overlap join —
+    first-bin emission must never duplicate or drop a pair."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.operators.intervals import overlap_bin_join
+
+    left = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(ls)],
+        "lid long, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(rs)],
+        "rid long, rs long, re long",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in overlap_bin_join(
+            left, right, "ls", "le", "rs", "re", bin_width=w
+        ).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in left.join(
+            right, (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
+        ).collect()
+    )
+    assert got == naive
