@@ -168,6 +168,7 @@ HEADLINE = [
     "q_knn_ivfpq",
     "q_weighted_median",
     "q_time_to_convert",
+    "q_rolling_distinct",
 ]
 
 

@@ -1201,3 +1201,74 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p90_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# X158 — EXACT rolling 7-day distinct users per day, via bitmap words:
+# distinct-over-sliding-window is normally HLL territory (merge
+# sketches across the window); 62-bit words make it exact — bit_or is
+# mergeable just like HLL registers, but lossless.
+# --------------------------------------------------------------------------
+@query(
+    "q_rolling_distinct",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+             user_id // 62 AS bucket,
+             bit_or(1::BIGINT << CAST(user_id % 62 AS INT)) AS w
+      FROM events GROUP BY 1, 2, 3
+    ),
+    rolled AS (
+      SELECT d, di, bucket,
+             bit_or(w) OVER (PARTITION BY bucket ORDER BY di
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS w7
+      FROM daily
+    )
+    SELECT d,
+           CAST(sum(bit_count(w7)) AS BIGINT) AS distinct_users_7d
+    FROM rolled GROUP BY d ORDER BY d
+    """,
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling distinct user counts, one row per day.
+
+    Distinct counts don't sum across days (users repeat), so a rolling
+    window normally forces either a day×window self-join or an
+    APPROXIMATE sketch merge (X68's HLL). Bitmap words give the third
+    way: per-(day, bucket) 62-bit words are MERGEABLE like HLL
+    registers (bit_or), but lossless — the window merge is a RANGE
+    frame over the day index per bucket (gap-correct: range, not rows),
+    and popcount sums across buckets. All integer bit algebra → exact
+    oracle. Scale shape: the fact stream is touched once (the daily
+    word agg, two-phase); the windowed merge runs over the
+    (days × buckets) word table, partition-parallel by bucket —
+    users/62 words per day regardless of event volume."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "di"
+        ),
+        F.expr("user_id div 62").alias("bucket"),
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))")
+        ).alias("w")
+    )
+    w7 = F.bit_or("w").over(
+        W.partitionBy("bucket").orderBy("di").rangeBetween(-6, 0)
+    )
+    rolled = daily.select("d", w7.alias("w7"))
+    return (
+        rolled.groupBy("d")
+        .agg(
+            F.sum(F.bit_count("w7")).cast("bigint").alias(
+                "distinct_users_7d"
+            )
+        )
+        .orderBy("d")
+    )

@@ -125,3 +125,37 @@ def test_cms_join_size_tightens_with_width(spark, sf_dir):
         ests[width] = cms_join_size(a, b).collect()[0]["est_join_size"]
     assert ests[4096] <= ests[256]
     assert ests[256] >= true_sz and ests[4096] >= true_sz
+
+
+def test_rolling_distinct_equals_bruteforce(spark, sf_dir_oracle):
+    """X158: the bitmap rolling-window distinct must equal the
+    brute-force day-range COUNT(DISTINCT) — independent formulation, so
+    a shared bitmap bug can't hide (the oracle uses the same words)."""
+    import duckdb
+
+    from mysql_cdc_to_http_spark.queries import all_queries
+
+    got = {
+        str(r["d"]): r["distinct_users_7d"]
+        for r in all_queries()["q_rolling_distinct"](
+            spark, sf_dir_oracle
+        ).collect()
+    }
+    con = duckdb.connect()
+    ref = dict(
+        con.execute(
+            f"""
+            WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d
+                          FROM '{sf_dir_oracle}/events.parquet'),
+            brute AS (
+              SELECT days.d, count(DISTINCT e.user_id) AS n
+              FROM days JOIN '{sf_dir_oracle}/events.parquet' e
+                ON CAST(e.ts AS DATE)
+                   BETWEEN days.d - INTERVAL 6 DAY AND days.d
+              GROUP BY days.d
+            )
+            SELECT CAST(d AS VARCHAR), n FROM brute
+            """
+        ).fetchall()
+    )
+    assert got == ref
