@@ -277,14 +277,39 @@ def bench_ivm_view(spark, sf_dir: str, n_files: int = 16) -> dict:
     return out
 
 
+def bench_session_state(spark, sf_dir: str) -> dict:
+    """Input rows/s through the DYNAMIC-GAP session-window aggregate —
+    the heaviest streaming state shape (per-key session objects merged
+    on overlap, not fixed-window counters). Complete-mode re-emission
+    makes this a stress number, not a latency number."""
+    from mysql_cdc_to_http_spark.queries import all_queries
+
+    fn = all_queries()["q_stream_session_dynamic"]
+    t0 = time.perf_counter()
+    out = fn(spark, sf_dir)
+    n_sessions = out.count()
+    wall = time.perf_counter() - t0
+    n_in = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).count()
+    return {
+        "rows_in": n_in,
+        "sessions_out": n_sessions,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(n_in / wall, 1) if wall > 0 else None,
+    }
+
+
 def run(spark, sf_dir: str, n_files: int = 16) -> dict:
     cdc = bench_cdc_pipeline(spark, sf_dir, n_files=n_files)
     ssj = bench_stream_stream_join(spark, sf_dir)
     ivm = bench_ivm_view(spark, sf_dir, n_files=n_files)
+    sess = bench_session_state(spark, sf_dir)
     return {
         "cdc_pipeline": cdc,
         "stream_stream_join": ssj,
         "ivm_view": ivm,
+        "session_state": sess,
         "checks": {
             "resumed_exactly_once": cdc["resumed_exactly_once"],
             "state_bounded": cdc["state_bounded"],
