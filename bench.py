@@ -169,6 +169,7 @@ HEADLINE = [
     "q_weighted_median",
     "q_time_to_convert",
     "q_rolling_distinct",
+    "q_churn",
 ]
 
 

@@ -1272,3 +1272,124 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# --------------------------------------------------------------------------
+# X159 — weekly churn/new-user accounting via bitmap set difference:
+# active(w), new(w) = cur∖prev, churned(w) = prev∖cur — exact set
+# algebra on words (AND NOT + popcount), the third member of the
+# bitmap family (X132 intersections, X158 rolling unions).
+# --------------------------------------------------------------------------
+@query(
+    "q_churn",
+    oracle="""
+    WITH words AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+               AS wi,
+             user_id // 62 AS bucket,
+             bit_or(1::BIGINT << CAST(user_id % 62 AS INT)) AS w
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT cur.wi, cur.bucket,
+             cur.w AS wc, COALESCE(prev.w, 0) AS wp
+      FROM words cur LEFT JOIN words prev
+        ON prev.bucket = cur.bucket AND prev.wi = cur.wi - 1
+      WHERE cur.wi >= 1
+    ),
+    gone AS (
+      SELECT prev.wi + 1 AS wi,
+             sum(bit_count(prev.w & ~COALESCE(cur.w, 0))) AS n_churned
+      FROM words prev LEFT JOIN words cur
+        ON cur.bucket = prev.bucket AND cur.wi = prev.wi + 1
+      GROUP BY prev.wi
+    )
+    SELECT CAST(p.wi AS BIGINT) AS week,
+           CAST(sum(bit_count(wc)) AS BIGINT) AS n_active,
+           CAST(sum(bit_count(wc & ~wp)) AS BIGINT) AS n_new,
+           CAST(max(g.n_churned) AS BIGINT) AS n_churned
+    FROM paired p JOIN gone g ON g.wi = p.wi
+    GROUP BY p.wi ORDER BY week
+    """,
+)
+def q_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per week: purchasing users, new purchasers (bought this week,
+    not last), churned purchasers (bought last week, not this) —
+    bitmap set difference. (Purchase activity, not any-event activity:
+    every synthetic user emits SOME event weekly, so the any-event
+    churn is degenerate; weekly purchaser sets genuinely vary.)
+
+    Set differences don't distribute over counts (a user can be new in
+    one bucket's view only), but they DO distribute over disjoint
+    bitmap buckets: cur∖prev and prev∖cur are word-wise AND NOT within
+    each bucket, summed by popcount — integer-exact, no distinct
+    re-counting, no user-level join. Churn needs the PREV-side
+    perspective (a bucket with no current word is all-churned), hence
+    the second left join from prev. Scale: one fact-sized word agg;
+    everything after is (weeks × buckets)-sized, co-partitioned joins
+    on the bucket key."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    words = ev.groupBy(
+        F.expr(
+            "datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7"
+        ).alias("wi"),
+        F.expr("user_id div 62").alias("bucket"),
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))")
+        ).alias("w")
+    )
+    cur = words.select("wi", "bucket", F.col("w").alias("wc"))
+    prev = words.select(
+        (F.col("wi") + 1).alias("wi"),
+        F.col("bucket").alias("bp"),
+        F.col("w").alias("wp"),
+    )
+    paired = (
+        cur.filter(F.col("wi") >= 1)
+        .join(
+            prev,
+            (F.col("bucket") == F.col("bp"))
+            & (cur.wi == prev.wi),
+            "left",
+        )
+        .select(
+            cur.wi.alias("week"),
+            "wc",
+            F.coalesce("wp", F.lit(0)).alias("wp"),
+        )
+    )
+    gone = (
+        prev.join(
+            cur,
+            (F.col("bucket") == F.col("bp")) & (cur.wi == prev.wi),
+            "left",
+        )
+        .select(
+            prev.wi.alias("week"),
+            F.expr(
+                "bit_count(wp & ~coalesce(wc, CAST(0 AS BIGINT)))"
+            ).alias("ch"),
+        )
+        .groupBy("week")
+        .agg(F.sum("ch").alias("n_churned"))
+    )
+    return (
+        paired.groupBy("week")
+        .agg(
+            F.sum(F.bit_count("wc")).cast("bigint").alias("n_active"),
+            F.sum(F.expr("bit_count(wc & ~wp)"))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+        .join(gone, "week")
+        .select(
+            F.col("week").cast("bigint").alias("week"),
+            "n_active",
+            "n_new",
+            F.col("n_churned").cast("bigint").alias("n_churned"),
+        )
+        .orderBy("week")
+    )
