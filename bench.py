@@ -170,6 +170,7 @@ HEADLINE = [
     "q_time_to_convert",
     "q_rolling_distinct",
     "q_churn",
+    "q_negative_samples",
 ]
 
 

@@ -1125,3 +1125,104 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_tokens",
         F.md5("clean_text").alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# X160 — contrastive negative sampling: k deterministic random
+# negatives per anchor document (md5-derived, self-collision bumped),
+# existence-verified by join. The pair-generation step of contrastive /
+# embedding training data.
+# --------------------------------------------------------------------------
+@query(
+    "q_negative_samples",
+    oracle="""
+    WITH n AS (SELECT count(*) AS nd FROM documents),
+    cand AS (
+      SELECT d.doc_id, j.j,
+             ('0x' || substr(md5('neg-v1|' || CAST(d.doc_id AS VARCHAR)
+                                 || '|' || CAST(j.j AS VARCHAR)), 1, 6))
+               ::BIGINT % nd AS raw
+      FROM documents d, (SELECT unnest(generate_series(0, 3)) AS j) j, n
+    ),
+    fixed AS (
+      SELECT doc_id, j,
+             CASE WHEN raw = doc_id THEN (raw + 1) % (SELECT nd FROM n)
+                  ELSE raw END AS neg_id
+      FROM cand
+    )
+    SELECT f.doc_id, CAST(f.j AS BIGINT) AS j, f.neg_id,
+           t.n_chars AS neg_chars
+    FROM fixed f JOIN documents t ON t.doc_id = f.neg_id
+    ORDER BY f.doc_id, f.j
+    """,
+)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four deterministic negatives per anchor document for contrastive
+    training pairs, with the negative's metadata joined on.
+
+    Determinism: negatives are md5-bucket draws (split_bucket
+    discipline — reruns, engines, and auditors reproduce the exact
+    pairing); a draw landing on the anchor bumps to the next id
+    (deterministic, never a loop since nd ≥ 2). The contiguous doc_id
+    domain [0, nd) makes the modulus a valid id directly — a sparse-id
+    corpus would first build a dense rank (the X111 ranked prefix
+    sum). Scale shape: the draw is a projection with an in-task
+    4-explode; the only shuffle is the existence/metadata join on the
+    negative id — keyed, fact-sized, exactly what a training-pair
+    materialization pays anyway."""
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    cand = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "nd",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "j",
+            "nd",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.lit("neg-v1"),
+                                F.col("doc_id").cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("nd"),
+            ).alias("raw"),
+        )
+    )
+    fixed = cand.select(
+        "doc_id",
+        "j",
+        F.when(
+            F.col("raw") == F.col("doc_id"),
+            F.pmod(F.col("raw") + 1, F.col("nd")),
+        )
+        .otherwise(F.col("raw"))
+        .alias("neg_id"),
+    )
+    tgt = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("n_chars").alias("neg_chars")
+    )
+    return (
+        fixed.join(tgt, "neg_id")
+        .select(
+            "doc_id", F.col("j").cast("bigint").alias("j"), "neg_id",
+            "neg_chars",
+        )
+        .orderBy("doc_id", "j")
+    )
