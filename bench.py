@@ -171,6 +171,7 @@ HEADLINE = [
     "q_rolling_distinct",
     "q_churn",
     "q_negative_samples",
+    "q_quantile_match",
 ]
 
 

@@ -1581,3 +1581,103 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# --------------------------------------------------------------------------
+# X161 — quantile matching (CDF normalization): slice B's values mapped
+# onto slice A's distribution by integer rank correspondence — the
+# batch-effect / domain-shift correction that PSI (X106) detects.
+# --------------------------------------------------------------------------
+@query(
+    "q_quantile_match",
+    oracle="""
+    WITH a AS (
+      SELECT event_type AS grp, value AS val,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS na
+      FROM events WHERE event_id % 2 = 0
+    ),
+    b AS (
+      SELECT event_type AS grp, value AS val, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS nb
+      FROM events WHERE event_id % 2 = 1
+    ),
+    mapped AS (
+      SELECT b.grp, b.val AS val_b, a.val AS val_matched
+      FROM b JOIN a
+        ON a.grp = b.grp
+       AND a.rk = (b.rk * a.na + b.nb - 1) // b.nb
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(val_matched AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS mean_matched,
+           min(val_matched) AS min_matched,
+           max(val_matched) AS max_matched
+    FROM mapped GROUP BY grp ORDER BY grp
+    """,
+)
+def q_quantile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the odd-event slice's value distribution onto the even
+    slice's, per event type: B's rank-r value becomes A's value at the
+    integer-proportional rank ⌈r·nA/nB⌉ — exact CDF matching, no
+    interpolation.
+
+    Determinism: both rankings are total orders; the rank
+    correspondence is pure integer arithmetic; matched values are A's
+    2-dp data values summed through DECIMAL. Scale shape: each slice
+    ranks via grouped_ranks (two-level, group-count-independent); the
+    correspondence join keys on (group, rank) — co-partitioned,
+    matched-rows-sized. The join is guaranteed total because the
+    ceiling maps [1, nB] into [1, nA]."""
+    from mysql_cdc_to_http_spark.operators.sampling import grouped_ranks
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.col("value").alias("val"),
+        "event_id",
+    )
+    a = grouped_ranks(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ["grp"],
+        [F.col("val"), F.col("event_id")],
+    ).select(
+        "grp",
+        F.col("val").alias("val_a"),
+        F.col("__grank").alias("rk_a"),
+        F.col("__gn").alias("na"),
+    )
+    b = grouped_ranks(
+        ev.filter(F.col("event_id") % 2 == 1),
+        ["grp"],
+        [F.col("val"), F.col("event_id")],
+    ).select(
+        "grp",
+        F.col("__grank").alias("rk_b"),
+        F.col("__gn").alias("nb"),
+    )
+    na = a.select("grp", F.col("na")).distinct()
+    mapped = (
+        b.join(na, "grp")
+        .select(
+            "grp",
+            F.expr("(rk_b * na + nb - 1) div nb").alias("rk_a"),
+        )
+        .join(a.select("grp", "rk_a", "val_a"), ["grp", "rk_a"])
+    )
+    return (
+        mapped.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("val_a").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_matched"),
+            F.min("val_a").alias("min_matched"),
+            F.max("val_a").alias("max_matched"),
+        )
+        .orderBy("grp")
+    )
