@@ -48,7 +48,10 @@ def overlap_bin_join(
     ``[r_start, r_end]`` overlap, as a binned equi-join.
 
     Interval bounds must be NON-NEGATIVE integer columns in a shared
-    unit (epoch micros here); ``bin_width`` is in the same unit.
+    unit (epoch micros here) with ``start <= end`` — a reversed
+    interval would silently bin through sequence()'s DESCENDING mode
+    instead of erroring, so callers validate order upstream;
+    ``bin_width`` is in the same unit.
     ``extra_keys`` are equality keys required in addition to time
     overlap (they ride the same shuffle). Column names must be disjoint
     between the two inputs apart from ``extra_keys``.

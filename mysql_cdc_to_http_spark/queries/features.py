@@ -1130,7 +1130,11 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001; the integer form removes the class of bug, same rationale
     as q_attribution's micro-money credits). Truncation error vs the
     infinite recurrence is ≤ (1−α)⁸ of weight, carried by the
-    renormalization. Scale shape: one two-phase daily agg over the
+    renormalization. (The integer-div parity argument needs
+    non-negative micro-units — Spark ``div`` truncates toward zero
+    while DuckDB ``//`` floors, which diverge on negatives; event
+    values are positive by schema, and a signed-metric variant would
+    offset into the positive range first.) Scale shape: one two-phase daily agg over the
     facts, then ONE keyed window (8 lags share a single sort,
     partition-parallel by type)."""
     from pyspark.sql.window import Window as W
