@@ -172,6 +172,7 @@ HEADLINE = [
     "q_churn",
     "q_negative_samples",
     "q_quantile_match",
+    "q_agg_q7",
 ]
 
 

@@ -854,3 +854,89 @@ def q_agg_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# X162 — TPC-H Q7 shape: the SAME dimension in two different join
+# roles (customer nation vs supplier nation), pair-inequality
+# constraint, year rollup. Q5 constrains the nations EQUAL; Q7 wants
+# the cross-border pairs — the role-aliasing shape nothing else covers.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q7",
+    oracle="""
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+      AND n1.n_regionkey = 1 AND n2.n_regionkey = 2
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    ORDER BY cust_nation, supp_nation, ship_year
+    """,
+)
+def q_agg_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: cross-border trade volume between nation pairs
+    (customer nation in region 1, supplier nation in region 2), by
+    ship year.
+
+    Scale shape: the SAME nation dimension joins twice in different
+    ROLES — both broadcast (tiny at any SF), so the two role joins add
+    ZERO fact shuffles; the fact stream re-keys exactly twice (the
+    orderkey and custkey joins, q_agg_q5's minimum for this join
+    graph), with the supplier join riding broadcast too. The
+    pair-inequality and region predicates prune INSIDE the broadcast
+    dimensions before they ever meet the stream. Revenue is exact
+    DECIMAL per the q_agg_q1 rule."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        "l_extendedprice",
+        "l_discount",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.filter(F.col("n_regionkey") == 1).select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.filter(F.col("n_regionkey") == 2).select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
+        .filter(F.col("nk1") != F.col("nk2"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    )
