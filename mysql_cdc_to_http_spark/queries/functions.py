@@ -481,3 +481,59 @@ def q_nested_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# X163 — try_* fail-soft arithmetic/access (Spark 3.5/4 ANSI
+# companions): NULL instead of error on division-by-zero, overflow,
+# malformed casts, out-of-bounds access. The engine-native version of
+# the reference's fail-soft coercion philosophy (main.go:150-153) for
+# the ANSI-on world.
+# --------------------------------------------------------------------------
+@query(
+    "q_fn_try",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN CAST(event_id % 5 AS BIGINT) = 0 THEN NULL
+                ELSE value / (event_id % 5) END AS div_soft,
+           CASE WHEN event_id % 3 = 0 THEN NULL
+                ELSE CAST(9223372036854775807 AS BIGINT) END AS add_soft,
+           try_cast(CASE WHEN event_id % 2 = 0
+                         THEN CAST(value AS VARCHAR)
+                         ELSE 'not-a-number' END AS DOUBLE) AS num_soft,
+           CASE WHEN event_id % 4 < 2
+                THEN string_split(event_type, '')[CAST(event_id % 4 AS INT) + 1]
+                END AS elem_soft
+    FROM events ORDER BY event_id
+    """,
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fail-soft scalar surface under ANSI mode: ``try_divide`` (NULL
+    on /0), ``try_add`` (NULL on bigint overflow), ``try_to_number``-
+    style parse via try_cast (NULL on malformed), ``try_element_at``
+    (NULL out of bounds). The registry pins ANSI OFF for result parity,
+    but these functions are what an ANSI-ON deployment uses to keep
+    the reference's fail-soft semantics — same contract, explicit
+    per-expression. The oracle states each NULL condition as a CASE,
+    certifying the semantics rather than calling same-named functions."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("try_divide(value, event_id % 5)").alias("div_soft"),
+        F.expr(
+            "CASE WHEN event_id % 3 = 0"
+            " THEN try_add(CAST(9223372036854775807 AS BIGINT),"
+            "              CAST(1 AS BIGINT))"
+            " ELSE CAST(9223372036854775807 AS BIGINT) END"
+        ).alias("add_soft"),
+        F.expr(
+            "try_cast(CASE WHEN event_id % 2 = 0"
+            " THEN CAST(value AS STRING) ELSE 'not-a-number' END"
+            " AS DOUBLE)"
+        ).alias("num_soft"),
+        F.expr(
+            "try_element_at(split(event_type, ''),"
+            " CASE WHEN event_id % 4 < 2 THEN CAST(event_id % 4 AS INT) + 1"
+            " ELSE 99 END)"
+        ).alias("elem_soft"),
+    ).orderBy("event_id")
