@@ -537,3 +537,63 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 99 END)"
         ).alias("elem_soft"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# X164 — MAP-type surface: construction, lookup, map_filter /
+# transform_values / map_concat HOFs. Maps are the engine's envelope
+# currency (the reference's rows are string-keyed maps, main.go:126);
+# outputs are extracted SCALARS because map columns are driver-unsafe.
+# --------------------------------------------------------------------------
+@query(
+    "q_fn_map",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice * 2          AS doubled_price,
+           CAST(o_orderkey % 7 AS BIGINT) AS mod7,
+           CASE WHEN o_totalprice > 100000 THEN 2 ELSE 1 END AS n_kept,
+           concat('s=', o_orderstatus, ',p=', o_orderpriority) AS packed,
+           3 AS n_merged
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a map per order, transform and filter it with MAP HOFs,
+    then extract scalar results: transform_values doubles the price
+    entry, map_filter keeps entries above a threshold (count kept),
+    map_concat merges a second map, element_at looks entries back up.
+    The oracle computes the same SCALARS directly — certifying the
+    map pipeline's observable results (maps themselves can't cross
+    the driver-hash boundary). All HOFs are JVM codegen; at 100 TB
+    this is projection-speed like every scalar family."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.create_map(
+            F.lit("price"), F.col("o_totalprice"),
+            F.lit("mod7"), (F.col("o_orderkey") % 7).cast("double"),
+        ).alias("m"),
+    )
+    doubled = F.transform_values(F.col("m"), lambda k, v: v * 2)
+    kept = F.map_filter(
+        F.col("m"), lambda k, v: (k == F.lit("mod7")) | (v > 100000)
+    )
+    merged = F.map_concat(
+        F.col("m"),
+        F.create_map(F.lit("status"), F.lit(1.0)),
+    )
+    return base.select(
+        "o_orderkey",
+        F.element_at(doubled, "price").alias("doubled_price"),
+        F.element_at(F.col("m"), "mod7").cast("bigint").alias("mod7"),
+        F.size(kept).alias("n_kept"),
+        F.concat(
+            F.lit("s="),
+            F.col("o_orderstatus"),
+            F.lit(",p="),
+            F.col("o_orderpriority"),
+        ).alias("packed"),
+        F.size(merged).alias("n_merged"),
+    ).orderBy("o_orderkey")
