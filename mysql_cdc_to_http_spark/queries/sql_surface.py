@@ -91,33 +91,57 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_dist",
     oracle="""
     SELECT c_nationkey, c_custkey,
-           round(percent_rank() OVER w, 6) AS pr,
-           round(cume_dist() OVER w, 6) AS cd,
+           CAST((CAST(round(percent_rank() OVER w
+                            * (count(*) OVER p - 1), 0) AS BIGINT)
+                 * 1000000)
+                // greatest(count(*) OVER p - 1, 1) AS BIGINT) AS pr_micro,
+           CAST((CAST(round(cume_dist() OVER w
+                            * count(*) OVER p, 0) AS BIGINT) * 1000000)
+                // count(*) OVER p AS BIGINT) AS cd_micro,
            nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey
                ORDER BY c_acctbal DESC, c_custkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              AS second_richest
     FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+           p AS (PARTITION BY c_nationkey)
     ORDER BY c_nationkey, c_custkey
     """,
 )
 def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist / nth_value — the distribution half of
-    the window-function family (ranking half is q_window_rank)."""
+    the window-function family (ranking half is q_window_rank).
+
+    The distribution values surface as integer MICRO-FLOORS: both
+    engines compute the same percent_rank/cume_dist rationals
+    (total-order window, so rank is unambiguous), but a float display
+    round of k/(n−1) can land ON a 6-dp midpoint once n is large —
+    round(pr·(n−1)) recovers the exact integer rank numerator, and the
+    micro-division is then pure integer arithmetic (caught by the
+    sf0.1 all-queries sweep round 6; the sf0.01 gate never hit a
+    midpoint cell)."""
     return _sql(
         spark,
         sf_dir,
         """
         SELECT c_nationkey, c_custkey,
-               round(percent_rank() OVER w, 6) AS pr,
-               round(cume_dist() OVER w, 6) AS cd,
+               CAST((CAST(round(percent_rank() OVER w
+                                * (count(*) OVER p - 1), 0) AS BIGINT)
+                     * 1000000)
+                    div greatest(count(*) OVER p - 1, 1) AS BIGINT)
+                 AS pr_micro,
+               CAST((CAST(round(cume_dist() OVER w
+                                * count(*) OVER p, 0) AS BIGINT)
+                     * 1000000)
+                    div count(*) OVER p AS BIGINT) AS cd_micro,
                nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey
                    ORDER BY c_acctbal DESC, c_custkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
                  AS second_richest
         FROM customer
-        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey),
+               p AS (PARTITION BY c_nationkey)
         ORDER BY c_nationkey, c_custkey
         """,
         tables=("customer",),
