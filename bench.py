@@ -173,6 +173,8 @@ HEADLINE = [
     "q_negative_samples",
     "q_quantile_match",
     "q_agg_q7",
+    "q_fn_try",
+    "q_fn_map",
 ]
 
 
