@@ -175,6 +175,7 @@ HEADLINE = [
     "q_agg_q7",
     "q_fn_try",
     "q_fn_map",
+    "q_fn_struct",
 ]
 
 

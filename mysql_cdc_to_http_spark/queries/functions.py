@@ -597,3 +597,58 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("packed"),
         F.size(merged).alias("n_merged"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# X165 — STRUCT surface: construction, field access, lexicographic
+# struct comparison (the min_by/max_by tie-break workhorse used across
+# the engine, exercised here explicitly), and struct-typed argmin.
+# --------------------------------------------------------------------------
+@query(
+    "q_fn_struct",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey) AS rn_a,
+             row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_d
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           max(CASE WHEN rn_a = 1 THEN o_orderkey END) AS cheapest_order,
+           max(CASE WHEN rn_d = 1 THEN o_orderkey END) AS priciest_order,
+           max(CASE WHEN rn_a = 1 THEN o_totalprice END) AS min_price
+    FROM r GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-ordered aggregation per customer: the order id at the
+    (price, id)-lexicographic minimum and maximum, plus the minimum
+    price recovered from a struct min's field access.
+
+    Structs compare lexicographically field-by-field in both engines,
+    which is why (value, tiebreak) structs are the engine's standard
+    deterministic-argmin device (q_ohlc_bars, session patterns, asof);
+    this query pins that contract directly — min_by/max_by over a
+    struct ordering key is ambiguous-free even under price ties.
+    One two-phase hash agg; struct construction is codegen. (DuckDB's
+    min_by rejects struct ordering keys, so the oracle states the same
+    lexicographic semantics via row_number windows — semantics
+    certified, not function names, the q_fn_try rule.)"""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.struct(
+        F.col("o_totalprice").alias("o_totalprice"),
+        F.col("o_orderkey").alias("o_orderkey"),
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min_by("o_orderkey", key).alias("cheapest_order"),
+            F.max_by("o_orderkey", key).alias("priciest_order"),
+            F.min(key).getField("o_totalprice").alias("min_price"),
+        )
+        .orderBy("o_custkey")
+    )
