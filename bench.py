@@ -176,6 +176,7 @@ HEADLINE = [
     "q_fn_try",
     "q_fn_map",
     "q_fn_struct",
+    "q_allocate_budget",
 ]
 
 

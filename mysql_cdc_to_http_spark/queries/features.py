@@ -1685,3 +1685,85 @@ def q_quantile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# --------------------------------------------------------------------------
+# X166 — exact proportional allocation (Hamilton largest-remainder
+# apportionment): split an integer budget across groups ∝ their counts
+# so the parts sum EXACTLY to the whole — the quota/budget/sampling-
+# allocation primitive where naive rounding leaves residue.
+# --------------------------------------------------------------------------
+@query(
+    "q_allocate_budget",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+    ),
+    t AS (SELECT sum(cnt) AS n, count(*) AS k FROM c),
+    base AS (
+      SELECT event_type, cnt,
+             (1000000 * cnt) // n AS base_q,
+             (1000000 * cnt) % n AS rem,
+             n
+      FROM c, t
+    ),
+    ranked AS (
+      SELECT event_type, cnt, base_q,
+             row_number() OVER (ORDER BY rem DESC, event_type) AS rr,
+             1000000 - sum(base_q) OVER () AS leftover
+      FROM base
+    )
+    SELECT event_type, CAST(cnt AS BIGINT) AS cnt,
+           CAST(base_q + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked ORDER BY event_type
+    """,
+)
+def q_allocate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate a 1,000,000-unit budget across event types proportional
+    to their volumes, summing exactly to the budget: integer floor
+    quotas + the Hamilton largest-remainder distribution of the
+    leftover units (remainder-descending, type tiebreak).
+
+    Everything is integer arithmetic — quotas, remainders, the
+    leftover count, the rank cutoff — so the allocation is the same in
+    any engine and any partitioning, and Σquota = budget is an
+    identity, not a hope. Scale shape: one fact-sized two-phase count
+    agg; the apportionment runs over the groups-sized table (windows
+    on a non-foldable constant key)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(F.sum("cnt").alias("n"))
+    base = c.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "cnt",
+        F.expr("(1000000 * cnt) div n").alias("base_q"),
+        F.expr("(1000000 * cnt) % n").alias("rem"),
+    )
+    wk = F.pmod(F.col("cnt"), F.lit(1))
+    ranked = base.select(
+        "event_type",
+        "cnt",
+        "base_q",
+        F.row_number()
+        .over(W.partitionBy(wk).orderBy(F.col("rem").desc(), "event_type"))
+        .alias("rr"),
+        (F.lit(1000000) - F.sum("base_q").over(W.partitionBy(wk))).alias(
+            "leftover"
+        ),
+    )
+    return (
+        ranked.select(
+            "event_type",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            (
+                F.col("base_q")
+                + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("quota"),
+        )
+        .orderBy("event_type")
+    )
