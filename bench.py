@@ -177,6 +177,7 @@ HEADLINE = [
     "q_fn_map",
     "q_fn_struct",
     "q_allocate_budget",
+    "q_sample_exact_quota",
 ]
 
 

@@ -1226,3 +1226,109 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "j")
     )
+
+
+# --------------------------------------------------------------------------
+# X167 — exact-size stratified sample: Hamilton-apportioned per-stratum
+# quotas (X166) filled by md5-ranked selection — a fixed TOTAL sample
+# size with proportional strata, which seeded sampleBy (X48) cannot
+# promise (its per-stratum sizes are binomial draws).
+# --------------------------------------------------------------------------
+@query(
+    "q_sample_exact_quota",
+    oracle="""
+    WITH c AS (
+      SELECT source, count(*) AS cnt FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(cnt) AS n FROM c),
+    base AS (
+      SELECT source, cnt,
+             (1000 * cnt) // n AS base_q, (1000 * cnt) % n AS rem
+      FROM c, t
+    ),
+    quota AS (
+      SELECT source, cnt,
+             base_q + CASE WHEN row_number() OVER
+                 (ORDER BY rem DESC, source)
+                 <= 1000 - sum(base_q) OVER () THEN 1 ELSE 0 END AS q
+      FROM base
+    ),
+    keyed AS (
+      SELECT d.doc_id, d.source, q.q,
+             row_number() OVER (PARTITION BY d.source
+                 ORDER BY md5('sq-v1|' || CAST(d.doc_id AS VARCHAR)),
+                          d.doc_id) AS rk
+      FROM documents d JOIN quota q USING (source)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM keyed WHERE rk <= q
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_sample_exact_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 1000-document sample with EXACT total size and Hamilton-
+    proportional per-source quotas, members chosen by md5 rank within
+    each stratum.
+
+    Why it exists next to X48: ``sampleBy`` draws each row
+    independently, so stratum sizes (and the total) are random;
+    fixed-budget corpus construction needs the sizes to be the
+    CONTRACT. Determinism is end-to-end integer/md5: quotas are the
+    X166 apportionment, membership is "the q smallest md5 keys in the
+    stratum" (total order with id tiebreak), so any engine reproduces
+    the identical sample — the id_sum column certifies membership, not
+    just counts. Scale shape: counting agg + groups-sized
+    apportionment + ONE keyed rank pass per stratum (md5 keys only,
+    grouped_ranks-upgradable for monster strata)."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(F.sum("cnt").alias("n"))
+    base = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.expr("(1000 * cnt) div n").alias("base_q"),
+        F.expr("(1000 * cnt) % n").alias("rem"),
+    )
+    wk = F.pmod(F.col("base_q"), F.lit(1))
+    quota = base.select(
+        "source",
+        (
+            F.col("base_q")
+            + F.when(
+                F.row_number().over(
+                    W.partitionBy(wk).orderBy(
+                        F.col("rem").desc(), "source"
+                    )
+                )
+                <= F.lit(1000) - F.sum("base_q").over(W.partitionBy(wk)),
+                1,
+            ).otherwise(0)
+        ).alias("q"),
+    )
+    keyed = docs.join(F.broadcast(quota), "source").withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit("sq-v1"), F.col("doc_id").cast("string")
+                    )
+                ),
+                "doc_id",
+            )
+        ),
+    )
+    return (
+        keyed.filter(F.col("rk") <= F.col("q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
