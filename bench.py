@@ -178,6 +178,7 @@ HEADLINE = [
     "q_fn_struct",
     "q_allocate_budget",
     "q_sample_exact_quota",
+    "q_rolling_corr",
 ]
 
 

@@ -1767,3 +1767,94 @@ def q_allocate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# X168 — rolling correlation between two daily series (purchase vs
+# error volumes): windowed Pearson over EXACT integer moment sums —
+# the co-movement monitor, free of float accumulation.
+# --------------------------------------------------------------------------
+@query(
+    "q_rolling_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    rolled AS (
+      SELECT d,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * y) OVER w AS sxy,
+             sum(x * x) OVER w AS sx2, sum(y * y) OVER w AS sy2
+      FROM daily
+      WINDOW w AS (ORDER BY di RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, CAST(n AS BIGINT) AS n_days,
+           CAST(CAST(CASE WHEN (n*sx2 - sx*sx) > 0 AND (n*sy2 - sy*sy) > 0
+                THEN (n*sxy - sx*sy)
+                     / sqrt(CAST((n*sx2 - sx*sx) AS DOUBLE)
+                            * (n*sy2 - sy*sy))
+                END AS DECIMAL(18,6)) AS DOUBLE) + 0.0 AS corr7
+    FROM rolled WHERE n >= 3 ORDER BY d
+    """,
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson correlation between daily purchase and
+    error volumes.
+
+    Determinism: all five moment sums are INTEGER window sums over a
+    RANGE frame on the day index (gap-correct), so the correlation
+    formula's inputs are identical in any engine — one sqrt/division
+    on identical doubles behind the DECIMAL display round, with
+    zero-variance windows explicitly NULL (the division guard is an
+    integer comparison). Scale shape: one fact-sized conditional
+    daily agg; the window runs over the calendar-sized table. A
+    per-key variant (correlating thousands of series) partitions the
+    same window by key — parallel by construction."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "di"
+        ),
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "y"
+        ),
+    )
+    w = (
+        W.partitionBy(F.pmod(F.col("di"), F.lit(1)))
+        .orderBy("di")
+        .rangeBetween(-6, 0)
+    )
+    rolled = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("sy2"),
+    )
+    vx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(vx.cast("double") * vy),
+    ).cast("decimal(18,6)").cast("double")
+    return (
+        rolled.filter(F.col("n") >= 3)
+        .select("d", F.col("n").cast("bigint").alias("n_days"),
+                corr.alias("corr7"))
+        .orderBy("d")
+    )
