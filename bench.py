@@ -179,6 +179,8 @@ HEADLINE = [
     "q_allocate_budget",
     "q_sample_exact_quota",
     "q_rolling_corr",
+    "q_lead_lag_corr",
+    "q_changepoint",
 ]
 
 

@@ -1858,3 +1858,182 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 corr.alias("corr7"))
         .orderBy("d")
     )
+
+
+# --------------------------------------------------------------------------
+# X169 — lead-lag cross-correlation: Pearson between the purchase and
+# error daily series at lags −3..+3 — "which series moves first", the
+# diagnostic one step past X168's contemporaneous correlation.
+# --------------------------------------------------------------------------
+@query(
+    "q_lead_lag_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+    pairs AS (
+      SELECT l.lag, a.x, b.y
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.di = a.di + l.lag
+    ),
+    m AS (
+      SELECT lag, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+             sum(x*x) AS sx2, sum(y*y) AS sy2
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           CAST(CAST(CASE WHEN (n*sx2 - sx*sx) > 0 AND (n*sy2 - sy*sy) > 0
+                THEN (n*sxy - sx*sy)
+                     / sqrt(CAST((n*sx2 - sx*sx) AS DOUBLE)
+                            * (n*sy2 - sy*sy)) END
+                AS DECIMAL(18,6)) AS DOUBLE) + 0.0 AS xcorr
+    FROM m ORDER BY lag
+    """,
+)
+def q_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of daily purchase volume against error volume
+    shifted by −3..+3 days (positive lag = errors follow purchases).
+
+    Same exactness contract as q_rolling_corr: the lag alignment is an
+    integer-keyed self-join of the calendar-sized daily table, the
+    moments are integer sums, and the Pearson formula runs once per
+    lag on identical doubles. Scale shape: facts are touched once (the
+    daily agg); the 7-lag × days pair table is calendar-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "di"
+        )
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "y"
+        ),
+    )
+    lags = daily.sparkSession.range(-3, 4).select(
+        F.col("id").alias("lag")
+    )
+    b = daily.select(F.col("di").alias("di_b"), F.col("y").alias("yb"))
+    pairs = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(b, F.col("di_b") == F.col("di") + F.col("lag"))
+        .select("lag", "x", F.col("yb").alias("y"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    vx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(vx.cast("double") * vy),
+    ).cast("decimal(18,6)").cast("double")
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        corr.alias("xcorr"),
+    ).orderBy("lag")
+
+
+# --------------------------------------------------------------------------
+# X170 — CUSUM change-point detection, all-integer: the day where the
+# cumulative deviation from the series mean peaks — level-shift
+# localization with zero float arithmetic (scale counts by D so the
+# mean never becomes a fraction).
+# --------------------------------------------------------------------------
+@query(
+    "q_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, sum(n) AS total, count(*) AS d
+      FROM daily GROUP BY event_type
+    ),
+    cusum AS (
+      SELECT daily.event_type, di,
+             sum(n * d - total) OVER (PARTITION BY daily.event_type
+                 ORDER BY di
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM daily JOIN tot ON daily.event_type = tot.event_type
+    ),
+    ranked AS (
+      SELECT event_type, di, s,
+             row_number() OVER (PARTITION BY event_type
+                 ORDER BY abs(s) DESC, di) AS rk
+      FROM cusum
+    )
+    SELECT event_type,
+           CAST(di AS BIGINT) AS changepoint_day,
+           CAST(s AS BIGINT) AS cusum_scaled
+    FROM ranked WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most likely level-shift day per event type: the argmax of
+    |CUSUM| where CUSUM_t = Σ_{i≤t} (nᵢ·D − N) — the deviation-from-
+    mean running sum scaled by the day count D so every term is an
+    integer (nᵢ − N/D would be fractional; nᵢ·D − N is not).
+
+    Determinism is total — integer counts, integer cusum, integer
+    argmax with day tiebreak. Scale shape: one fact-sized daily agg;
+    cusum and the argmax run per type over the calendar-sized table
+    (keyed windows, parallel by type)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "di"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("d")
+    )
+    cusum = (
+        daily.join(tot, "event_type")
+        .withColumn(
+            "s",
+            F.sum(F.col("n") * F.col("d") - F.col("total")).over(
+                W.partitionBy("event_type")
+                .orderBy("di")
+                .rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    ranked = cusum.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(
+                F.abs(F.col("s")).desc(), "di"
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("di").cast("bigint").alias("changepoint_day"),
+            F.col("s").cast("bigint").alias("cusum_scaled"),
+        )
+        .orderBy("event_type")
+    )
