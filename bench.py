@@ -181,6 +181,7 @@ HEADLINE = [
     "q_rolling_corr",
     "q_lead_lag_corr",
     "q_changepoint",
+    "q_benford",
 ]
 
 

@@ -2037,3 +2037,83 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# X171 — Benford first-digit audit: observed first-digit shares of
+# order totals vs the Benford expectation — the classic anomaly/fraud
+# screen, in integer micro-units (the expectations are hardcoded
+# integer literals of round(log10(1+1/d)·1e6)).
+# --------------------------------------------------------------------------
+_BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@query(
+    "q_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (
+      SELECT d, count(*) AS cnt, sum(count(*)) OVER () AS total
+      FROM digits GROUP BY d
+    ),
+    e(d, bm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+                        (4, 96910), (5, 79181), (6, 66947),
+                        (7, 57992), (8, 51153), (9, 45757))
+    SELECT c.d AS first_digit,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST((1000000 * cnt) // total AS BIGINT) AS share_micro,
+           CAST(bm AS BIGINT) AS benford_micro,
+           CAST((1000000 * cnt) // total - bm AS BIGINT) AS dev_micro
+    FROM c JOIN e ON e.d = c.d
+    ORDER BY first_digit
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of order totals against Benford's law.
+
+    The first digit comes from the CENT-integer's decimal string
+    (never from float formatting — both engines stringify the same
+    integer); shares are integer micro-floors; the Benford
+    expectations are integer literals (round(log10(1+1/d)·1e6)
+    precomputed), so the deviation column is exact integer arithmetic
+    end to end. Scale shape: one two-phase digit-count agg over the
+    facts; everything after is 9 rows. Real deployments screen
+    per-entity (GROUP BY account) with the same plan partitioned by
+    entity."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    digits = o.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("d")
+    )
+    c = digits.groupBy("d").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.agg(F.sum("cnt").alias("total"))
+    e = o.sparkSession.createDataFrame(
+        [(d, m) for d, m in _BENFORD_MICRO.items()], "d long, bm long"
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(e), "d")
+        .select(
+            F.col("d").alias("first_digit"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.expr("(1000000 * cnt) div total")
+            .cast("bigint")
+            .alias("share_micro"),
+            F.col("bm").cast("bigint").alias("benford_micro"),
+            F.expr("(1000000 * cnt) div total - bm")
+            .cast("bigint")
+            .alias("dev_micro"),
+        )
+        .orderBy("first_digit")
+    )
