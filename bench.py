@@ -182,6 +182,7 @@ HEADLINE = [
     "q_lead_lag_corr",
     "q_changepoint",
     "q_benford",
+    "q_kaplan_meier",
 ]
 
 

@@ -1393,3 +1393,157 @@ def q_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------------
+# X172 — Kaplan-Meier survival estimator: time from first view to
+# first purchase, users who never purchase CENSORED at end-of-window —
+# the survival-analysis primitive (churn/conversion curves) that naive
+# averages get wrong by ignoring censoring.
+# --------------------------------------------------------------------------
+@query(
+    "q_kaplan_meier",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS mts FROM events),
+    firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS fv
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT f.user_id, f.fv, min(e.ts) AS fp
+      FROM firsts f JOIN events e
+        ON e.user_id = f.user_id AND e.event_type = 'purchase'
+       AND e.ts > f.fv
+      WHERE f.fv IS NOT NULL
+      GROUP BY f.user_id, f.fv
+    ),
+    subj AS (
+      SELECT f.user_id,
+             CAST(epoch_us(COALESCE(c.fp, mx.mts))
+                  - epoch_us(f.fv) AS BIGINT) // 1000000 AS t,
+             CASE WHEN c.fp IS NULL THEN 0 ELSE 1 END AS ev
+      FROM firsts f LEFT JOIN conv c ON c.user_id = f.user_id, mx
+      WHERE f.fv IS NOT NULL
+    ),
+    times AS (
+      SELECT t, sum(ev) AS d,
+             (SELECT count(*) FROM subj s2 WHERE s2.t >= times_in.t)
+               AS n_risk
+      FROM subj times_in WHERE ev = 1 GROUP BY t
+    ),
+    km AS (
+      SELECT t, d, n_risk,
+             CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                       OVER wp = 1 THEN 0.0
+                  ELSE exp(sum(CASE WHEN d < n_risk
+                               THEN ln((n_risk - d) / CAST(n_risk AS DOUBLE))
+                               ELSE 0.0 END) OVER wp) END AS s
+      FROM times
+      WINDOW wp AS (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(t AS BIGINT) AS t_sec,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(CAST(s AS DECIMAL(18,6)) AS DOUBLE) + 0.0 AS survival
+    FROM km ORDER BY t_sec
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for view→purchase conversion:
+    S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ), never-converting users censored at
+    the observation end instead of dropped (dropping them is the
+    classic conversion-time bias).
+
+    Determinism: event times are integer seconds; dᵢ and the risk set
+    nᵢ are integer counts, so each factor is an exact rational double;
+    the product is computed as exp of the ORDERED window sum of logs —
+    both engines fold the same doubles in the same (time-ordered)
+    sequence — behind the DECIMAL display round; the terminal
+    everyone-converts time (factor 0, ln undefined) is absorbed by an
+    explicit S=0 flag instead of relying on ±inf arithmetic. Scale shape: subject
+    table = one agg + one keyed join (the q_time_to_convert plan);
+    the risk-set counts and KM fold run over the distinct-event-times
+    table (an inequality self-count at oracle scale; the engine uses
+    a descending cumulative sum instead — no quadratic anywhere)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mts"))
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("fv")
+        )
+        .filter(F.col("fv").isNotNull())
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    conv = (
+        firsts.join(
+            purch,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") > F.col("fv")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("fp"))
+    )
+    subj = (
+        firsts.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(
+                "(unix_micros(COALESCE(fp, mts)) - unix_micros(fv))"
+                " div 1000000"
+            ).alias("t"),
+            F.when(F.col("fp").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    # risk set n(t) = #subjects with t_u >= t: total minus the count of
+    # strictly-smaller times — an EXCLUSIVE ascending cumulative count
+    # over the per-time subject counts (no inequality self-join).
+    per_t = subj.groupBy("t").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("ev").alias("d")
+    )
+    wk = F.pmod(F.col("t"), F.lit(1))
+    w_excl = (
+        W.partitionBy(wk).orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    )
+    tot = per_t.agg(F.sum("m").alias("n_all"))
+    risked = per_t.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n_all")
+            - F.coalesce(F.sum("m").over(w_excl), F.lit(0))
+        ).alias("n_risk"),
+    )
+    times = risked.filter(F.col("d") > 0)
+    w_km = (
+        W.partitionBy(F.pmod(F.col("t"), F.lit(1)))
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    hit_zero = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_km)
+    log_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(
+            (F.col("n_risk") - F.col("d"))
+            / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    s = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(log_term).over(w_km))
+    )
+    return times.select(
+        F.col("t").cast("bigint").alias("t_sec"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        s.cast("decimal(18,6)").cast("double").alias("survival"),
+    ).orderBy("t_sec")
