@@ -183,6 +183,7 @@ HEADLINE = [
     "q_changepoint",
     "q_benford",
     "q_kaplan_meier",
+    "q_cohort_ltv",
 ]
 
 

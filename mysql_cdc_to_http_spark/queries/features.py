@@ -2117,3 +2117,101 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+# --------------------------------------------------------------------------
+# X173 — cohort LTV curves: cumulative purchase value per user by
+# (first-active-week cohort × weeks-since offset) — the revenue
+# companion of the X80 retention grid, in integer cent/micro units.
+# --------------------------------------------------------------------------
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+               AS wi,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END AS cents
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, min(wi) AS c FROM wk GROUP BY user_id
+    ),
+    sizes AS (SELECT c, count(*) AS n_users FROM cohort GROUP BY c),
+    rev AS (
+      SELECT cohort.c, wk.wi - cohort.c AS off, sum(wk.cents) AS cents
+      FROM wk JOIN cohort USING (user_id)
+      GROUP BY cohort.c, wk.wi - cohort.c
+    ),
+    cum AS (
+      SELECT c, off,
+             sum(cents) OVER (PARTITION BY c ORDER BY off
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cents
+      FROM rev
+    )
+    SELECT CAST(cum.c AS BIGINT) AS cohort_week,
+           CAST(off AS BIGINT) AS weeks_since,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST((cum_cents * 10000) // n_users AS BIGINT)
+             AS ltv_per_user_micro
+    FROM cum JOIN sizes ON sizes.c = cum.c
+    ORDER BY cohort_week, weeks_since
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average cumulative purchase value per user, by signup-week
+    cohort and weeks since signup — the LTV curve a growth team reads
+    next to the retention grid (X80).
+
+    Determinism: purchase values go to integer CENTS at the scan,
+    cohort assignment and offsets are integer week arithmetic, the
+    cumulative sum is an integer keyed window, and the per-user
+    normalization is an integer micro-floor. Scale shape: one
+    fact-sized projection + per-user MIN agg; the grid is
+    (cohorts × offsets)-sized with keyed cumsum windows — the exact
+    retention-cohort plan plus one integer division."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.expr(
+            "datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7"
+        ).alias("wi"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        )
+        .otherwise(0)
+        .alias("cents"),
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("wi").alias("c"))
+    sizes = cohort.groupBy("c").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        wk.join(cohort, "user_id")
+        .groupBy("c", (F.col("wi") - F.col("c")).alias("off"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    cum = rev.withColumn(
+        "cum_cents",
+        F.sum("cents").over(
+            W.partitionBy("c")
+            .orderBy("off")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        cum.join(F.broadcast(sizes), "c")
+        .select(
+            F.col("c").cast("bigint").alias("cohort_week"),
+            F.col("off").cast("bigint").alias("weeks_since"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.expr("(cum_cents * 10000) div n_users")
+            .cast("bigint")
+            .alias("ltv_per_user_micro"),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )
