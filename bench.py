@@ -184,6 +184,7 @@ HEADLINE = [
     "q_benford",
     "q_kaplan_meier",
     "q_cohort_ltv",
+    "q_rfm",
 ]
 
 

@@ -2215,3 +2215,107 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+# --------------------------------------------------------------------------
+# X174 — RFM segmentation: recency/frequency/monetary quintile scores
+# per customer (the CRM workhorse), every quintile an integer
+# rank-formula bin (X111's equi-depth contract), segments exact.
+# --------------------------------------------------------------------------
+@query(
+    "q_rfm",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_o,
+             count(*) AS freq,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, freq, cents,
+             row_number() OVER (ORDER BY last_o, o_custkey) AS r_rank,
+             row_number() OVER (ORDER BY freq, o_custkey) AS f_rank,
+             row_number() OVER (ORDER BY cents, o_custkey) AS m_rank,
+             count(*) OVER () AS n
+      FROM base
+    ),
+    scored AS (
+      SELECT ((r_rank - 1) * 5) // n + 1 AS r,
+             ((f_rank - 1) * 5) // n + 1 AS f,
+             ((m_rank - 1) * 5) // n + 1 AS m,
+             cents
+      FROM ranked
+    )
+    SELECT concat(CAST(r AS VARCHAR), CAST(f AS VARCHAR),
+                  CAST(m AS VARCHAR)) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
+    FROM scored GROUP BY r, f, m ORDER BY segment
+    """,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segments: each customer scored 1-5 on Recency (last order
+    date), Frequency (order count) and Monetary (total spend), the
+    125-cell segment grid summarized.
+
+    Determinism: quintiles are the integer rank-formula bins
+    ((rank−1)·5 div n — the X111 equi-depth contract, no ntile
+    remainder spreading, no percentile interpolation) over TOTAL
+    orders with id tiebreaks; spend is integer cents; segment labels
+    and averages are exact. Scale shape: one fact-sized customer agg;
+    the three rankings run over the customer table — grouped_ranks-
+    upgradable verbatim when customers outgrow comfortable windows
+    (here the single-sequence form keeps the oracle 1:1)."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_o"),
+        F.count(F.lit(1)).alias("freq"),
+        F.expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+            " AS BIGINT)"
+        ).alias("cents"),
+    )
+    wk = F.pmod(F.col("freq"), F.lit(1))
+    ranked = base.select(
+        "freq",
+        "cents",
+        F.row_number()
+        .over(W.partitionBy(wk).orderBy("last_o", "o_custkey"))
+        .alias("r_rank"),
+        F.row_number()
+        .over(W.partitionBy(wk).orderBy("freq", "o_custkey"))
+        .alias("f_rank"),
+        F.row_number()
+        .over(W.partitionBy(wk).orderBy("cents", "o_custkey"))
+        .alias("m_rank"),
+        F.count(F.lit(1)).over(W.partitionBy(wk)).alias("n"),
+    )
+    scored = ranked.select(
+        F.expr("((r_rank - 1) * 5) div n + 1").alias("r"),
+        F.expr("((f_rank - 1) * 5) div n + 1").alias("f"),
+        F.expr("((m_rank - 1) * 5) div n + 1").alias("m"),
+        "cents",
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.expr("sum(cents) div count(*)")
+            .cast("bigint")
+            .alias("avg_cents"),
+        )
+        .select(
+            F.concat(
+                F.col("r").cast("string"),
+                F.col("f").cast("string"),
+                F.col("m").cast("string"),
+            ).alias("segment"),
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            "avg_cents",
+        )
+        .orderBy("segment")
+    )
