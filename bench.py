@@ -185,6 +185,7 @@ HEADLINE = [
     "q_kaplan_meier",
     "q_cohort_ltv",
     "q_rfm",
+    "q_abc_analysis",
 ]
 
 

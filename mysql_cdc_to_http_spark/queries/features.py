@@ -2319,3 +2319,86 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# X175 — ABC (Pareto 80/20) analysis: parts classified A/B/C by
+# cumulative revenue share — cross-multiplied integer thresholds over
+# the two-level ranked prefix sum (the Lorenz-curve cut points as a
+# classification, next to X133's Gini summary).
+# --------------------------------------------------------------------------
+@query(
+    "q_abc_analysis",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cents) OVER () AS total
+      FROM rev
+    ),
+    classed AS (
+      SELECT CASE WHEN cum * 100 <= 80 * total THEN 'A'
+                  WHEN cum * 100 <= 95 * total THEN 'B'
+                  ELSE 'C' END AS cls,
+             cents
+      FROM ranked
+    )
+    SELECT cls,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM classed GROUP BY cls ORDER BY cls
+    """,
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B/C part classes by cumulative revenue share: A = parts
+    inside the first 80% of revenue (descending), B to 95%, C the
+    tail.
+
+    Determinism: revenue is integer cents, the cumulative is an
+    integer prefix sum over a total order, and the class cuts are the
+    cross-multiplied inequalities cum·100 ≤ 80·total — no percentage
+    float ever materializes. Scale shape: one fact-sized per-part agg;
+    the global descending cumulative runs on
+    operators/sampling.py:ranked_prefix_sums (range-partitioned
+    two-level — no single-task sort of the part table), and the class
+    rollup is 3 groups."""
+    from mysql_cdc_to_http_spark.operators.sampling import (
+        ranked_prefix_sums,
+    )
+
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    ranked = ranked_prefix_sums(
+        rev, [F.col("cents").desc(), F.col("l_partkey").asc()], ["cents"]
+    ).withColumnRenamed("cents__cum", "cum")
+    tot = ranked.agg(F.sum("cents").alias("total"))
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("cum") * 100 <= 80 * F.col("total"), "A")
+        .when(F.col("cum") * 100 <= 95 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("cls"),
+        "cents",
+    )
+    return (
+        classed.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("cls")
+    )
