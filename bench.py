@@ -186,6 +186,7 @@ HEADLINE = [
     "q_cohort_ltv",
     "q_rfm",
     "q_abc_analysis",
+    "q_control_chart",
 ]
 
 

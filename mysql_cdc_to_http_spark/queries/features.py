@@ -2402,3 +2402,96 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cls")
     )
+
+
+# --------------------------------------------------------------------------
+# X176 — XmR control chart (individuals + moving range): daily volumes
+# screened against ±2.66·MR̄ natural process limits — the SPC
+# monitoring primitive, with the limit test CROSS-MULTIPLIED into pure
+# integer arithmetic (2.66 = 2660/1000; no float limit ever computed).
+# --------------------------------------------------------------------------
+@query(
+    "q_control_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    mr AS (
+      SELECT event_type, di, n,
+             abs(n - lag(n) OVER (PARTITION BY event_type ORDER BY di))
+               AS m
+      FROM daily
+    ),
+    stats AS (
+      SELECT event_type,
+             count(*) AS d,
+             sum(n) AS sn,
+             sum(m) AS sm,
+             count(m) AS dm
+      FROM mr GROUP BY event_type
+    )
+    SELECT mr.event_type,
+           CAST(max(stats.d) AS BIGINT) AS n_days,
+           CAST(max(stats.sm) AS BIGINT) AS mr_sum,
+           CAST(sum(CASE WHEN abs(mr.n * stats.d - stats.sn)
+                              * 1000 * stats.dm
+                         > 2660 * stats.sm * stats.d
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM mr JOIN stats USING (event_type)
+    GROUP BY mr.event_type ORDER BY mr.event_type
+    """,
+)
+def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Individuals/moving-range (XmR) control screen per event type:
+    days whose volume leaves the ±2.66·MR̄ natural process limits.
+
+    Determinism is total: volumes and moving ranges are integers, and
+    the limit test |x − x̄| > 2.66·MR̄ is cross-multiplied to
+    |x·D − Σx|·1000·Dₘ > 2660·ΣMR·D — the 2.66 XmR constant becomes
+    the integer 2660, and neither mean nor limit is ever a float
+    (q_seasonal_anomaly's comparison rule with a ratio constant).
+    Scale shape: one fact-sized daily agg; the lag window and the
+    screen run per type over the calendar-sized table."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "di"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mr = daily.withColumn(
+        "m",
+        F.abs(
+            F.col("n")
+            - F.lag("n").over(W.partitionBy("event_type").orderBy("di"))
+        ),
+    )
+    stats = mr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("n").alias("sn"),
+        F.sum("m").alias("sm"),
+        F.count("m").alias("dm"),
+    )
+    j = mr.join(F.broadcast(stats), "event_type")
+    viol = (
+        F.abs(F.col("n") * F.col("d") - F.col("sn"))
+        * 1000
+        * F.col("dm")
+        > 2660 * F.col("sm") * F.col("d")
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.max("d").cast("bigint").alias("n_days"),
+            F.max("sm").cast("bigint").alias("mr_sum"),
+            F.sum(F.when(viol, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+        .orderBy("event_type")
+    )
