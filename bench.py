@@ -187,6 +187,7 @@ HEADLINE = [
     "q_rfm",
     "q_abc_analysis",
     "q_control_chart",
+    "q_latency_histogram",
 ]
 
 

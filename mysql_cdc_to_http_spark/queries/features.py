@@ -2495,3 +2495,98 @@ def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# X177 — logarithmic latency histogram: view→purchase latencies in
+# power-of-two buckets, the observability-style duration histogram —
+# bucket = bit length of the integer latency, computed EXACTLY as
+# length(bin(n)) (no float log2 whose rounding could flip a
+# power-of-two boundary).
+# --------------------------------------------------------------------------
+@query(
+    "q_latency_histogram",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS fv
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT f.user_id,
+             CAST(epoch_us(min(e.ts)) - epoch_us(f.fv) AS BIGINT)
+               // 1000000 AS delta_s
+      FROM firsts f JOIN events e
+        ON e.user_id = f.user_id AND e.event_type = 'purchase'
+       AND e.ts > f.fv
+      WHERE f.fv IS NOT NULL
+      GROUP BY f.user_id, f.fv
+    ),
+    bucketed AS (
+      SELECT length(bin(delta_s + 1)) AS b FROM conv
+    )
+    SELECT CAST(b AS BIGINT) AS bucket,
+           CAST(power(2, b - 1) - 1 AS BIGINT) AS lo_s,
+           CAST(power(2, b) - 2 AS BIGINT) AS hi_s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM bucketed GROUP BY b ORDER BY bucket
+    """,
+)
+def q_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of view→purchase latencies (the
+    Prometheus-style exponential duration buckets): bucket b holds
+    latencies in [2^(b−1)−1, 2^b−2] seconds.
+
+    Determinism: the bucket is the BIT LENGTH of the integer latency
+    (+1 for zero), computed as length(bin(n)) — pure integer/string,
+    immune to the float-log2 power-of-two boundary (log2(2^k) is
+    exact, but a correctly-vs-nearly-rounded libm disagreement one ulp
+    below would flip floor; bit length cannot). Bucket bounds come
+    from integer power(2, b) on the 9-row output. Scale shape: the
+    q_time_to_convert subject plan plus one tiny hash agg — the
+    histogram itself is ≤64 rows by construction at ANY scale."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("fv")
+        )
+        .filter(F.col("fv").isNotNull())
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    conv = (
+        firsts.join(
+            purch,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") > F.col("fv")),
+        )
+        .groupBy("user_id", "fv")
+        .agg(F.min("pts").alias("fp"))
+        .select(
+            F.expr(
+                "(unix_micros(fp) - unix_micros(fv)) div 1000000"
+            ).alias("delta_s")
+        )
+    )
+    bucketed = conv.select(
+        F.length(F.bin(F.col("delta_s") + 1)).alias("b")
+    )
+    return (
+        bucketed.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("b").cast("bigint").alias("bucket"),
+            (F.pow(F.lit(2.0), F.col("b") - 1) - 1)
+            .cast("bigint")
+            .alias("lo_s"),
+            (F.pow(F.lit(2.0), F.col("b")) - 2)
+            .cast("bigint")
+            .alias("hi_s"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy("bucket")
+    )
