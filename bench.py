@@ -188,6 +188,7 @@ HEADLINE = [
     "q_abc_analysis",
     "q_control_chart",
     "q_latency_histogram",
+    "q_interleave",
 ]
 
 

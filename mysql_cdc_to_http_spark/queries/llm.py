@@ -1332,3 +1332,88 @@ def q_sample_exact_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# X178 — deterministic dataset interleaving: the training-mix SCHEDULE
+# (4 en : 1 zh : 1 es : 1 de : 1 fr per period of 8), each language
+# internally md5-shuffled — every global position is a pure integer
+# function of (language, within-language rank), so any engine and any
+# rerun produces the identical token-stream order.
+# --------------------------------------------------------------------------
+_MIX = {"en": (4, 0), "zh": (1, 4), "es": (1, 5), "de": (1, 6), "fr": (1, 7)}
+
+
+@query(
+    "q_interleave",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY md5('mix-v1|' || CAST(doc_id AS VARCHAR)),
+                          doc_id) - 1 AS r
+      FROM documents
+    ),
+    w AS (SELECT * FROM (VALUES ('en', 4, 0), ('zh', 1, 4), ('es', 1, 5),
+                                ('de', 1, 6), ('fr', 1, 7))
+                 t(lang, wt, st)),
+    sched AS (
+      SELECT doc_id, ranked.lang,
+             (r // wt) * 8 + st + (r % wt) AS pos
+      FROM ranked JOIN w USING (lang)
+    )
+    SELECT CAST(pos AS BIGINT) AS pos, lang, doc_id
+    FROM sched ORDER BY pos, doc_id LIMIT 40
+    """,
+)
+def q_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 40 slots of the deterministic 4:1:1:1:1 language-mixing
+    schedule over md5-shuffled per-language streams.
+
+    This is the dataset-mixing step of a training pipeline made
+    reproducible: position = (r div w)·P + start + (r mod w) — a pure
+    integer function of the document's within-language md5 rank, so
+    the interleaved ORDER (not just the ratios) is the contract; a
+    resumed or re-sharded run reads the same stream. Scale shape:
+    per-language ranks are keyed windows over md5 keys
+    (grouped_ranks-upgradable); the schedule is a projection; the
+    preview is TakeOrderedAndProject. When a language exhausts, its
+    later slots simply vanish (positions are consumed in order) —
+    ratios hold while supply lasts, by construction."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    ranked = docs.withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit("mix-v1"), F.col("doc_id").cast("string")
+                    )
+                ),
+                "doc_id",
+            )
+        )
+        - 1,
+    )
+    w = docs.sparkSession.createDataFrame(
+        [(lang, wt, st) for lang, (wt, st) in _MIX.items()],
+        "lang string, wt long, st long",
+    )
+    sched = ranked.join(F.broadcast(w), "lang").select(
+        (
+            F.expr("(r div wt) * 8") + F.col("st") + F.expr("r % wt")
+        ).alias("pos"),
+        "lang",
+        "doc_id",
+    )
+    return (
+        sched.select(
+            F.col("pos").cast("bigint").alias("pos"), "lang", "doc_id"
+        )
+        .orderBy("pos", "doc_id")
+        .limit(40)
+    )
