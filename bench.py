@@ -189,6 +189,7 @@ HEADLINE = [
     "q_control_chart",
     "q_latency_histogram",
     "q_interleave",
+    "q_point_in_time",
 ]
 
 

@@ -1417,3 +1417,105 @@ def q_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos", "doc_id")
         .limit(40)
     )
+
+
+# --------------------------------------------------------------------------
+# X179 — point-in-time feature assembly (the feature-store primitive):
+# for every purchase (= training example), features computed from
+# STRICTLY PRIOR events only — leakage-free by construction, because
+# every feature is an exclusive window frame, not a filtered join an
+# off-by-one could corrupt.
+# --------------------------------------------------------------------------
+@query(
+    "q_point_in_time",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id, user_id, ts, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             count(*) OVER wx AS n_prior,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                AS BIGINT) ELSE 0 END) OVER wx
+               AS prior_spend_cents,
+             max(CASE WHEN event_type = 'click' THEN ts END) OVER wx
+               AS last_click
+      FROM events
+      WINDOW wx AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           CAST(COALESCE(n_prior, 0) AS BIGINT) AS n_prior_events,
+           CAST(COALESCE(prior_spend_cents, 0) AS BIGINT)
+             AS prior_spend_cents,
+           CAST(CASE WHEN last_click IS NOT NULL
+                THEN (epoch_us(ts) - epoch_us(last_click)) // 1000000
+                END AS BIGINT) AS sec_since_click
+    FROM ordered WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training examples for a purchase model, each carrying three
+    features computed from the user's history STRICTLY BEFORE the
+    example's own timestamp: prior event count, prior purchase spend
+    (integer cents), and seconds since the last click.
+
+    This is the feature-store point-in-time join done the safe way:
+    every feature is an EXCLUSIVE window frame (unbounded preceding →
+    1 preceding) over the (ts, event_id)-total-ordered per-user
+    stream, so temporal leakage is impossible by construction — there
+    is no as-of predicate to get wrong, and the example's own row can
+    never contribute to its features. Determinism: counts/cents are
+    integers, the click gap is integer seconds, the frame order is
+    total. Scale shape: ONE keyed window pass serves all three
+    features (shared sort, shared exchange); the label filter runs
+    after, so examples and features never desynchronize."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    wx = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.count(F.lit(1)).over(wx).alias("n_prior"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        )
+        .over(wx)
+        .alias("prior_spend_cents"),
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        )
+        .over(wx)
+        .alias("last_click"),
+    )
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_prior", F.lit(0))
+            .cast("bigint")
+            .alias("n_prior_events"),
+            F.coalesce("prior_spend_cents", F.lit(0))
+            .cast("bigint")
+            .alias("prior_spend_cents"),
+            F.when(
+                F.col("last_click").isNotNull(),
+                F.expr(
+                    "(unix_micros(ts) - unix_micros(last_click))"
+                    " div 1000000"
+                ),
+            )
+            .cast("bigint")
+            .alias("sec_since_click"),
+        )
+        .orderBy("event_id")
+    )
