@@ -190,6 +190,7 @@ HEADLINE = [
     "q_latency_histogram",
     "q_interleave",
     "q_point_in_time",
+    "q_embedding_audit",
 ]
 
 

@@ -1519,3 +1519,84 @@ def q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X180 — embedding QA audit: the health screen a pipeline runs before
+# trusting a new embedding batch — norm distribution per label,
+# zero/degenerate vectors, dimension constancy.
+# --------------------------------------------------------------------------
+@query(
+    "q_embedding_audit",
+    oracle="""
+    WITH norms AS (
+      SELECT label, len(embedding) AS dim,
+             sqrt(list_sum([CAST(embedding[x] AS DOUBLE)
+                            * CAST(embedding[x] AS DOUBLE)
+                            FOR x IN generate_series(1, 64)])) AS nrm
+      FROM embeddings
+    )
+    SELECT CAST(label AS INT) AS label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
+           CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           CAST(CAST(min(nrm) AS DECIMAL(18,6)) AS DOUBLE) + 0.0
+             AS min_norm,
+           CAST(CAST(max(nrm) AS DECIMAL(18,6)) AS DOUBLE) + 0.0
+             AS max_norm
+    FROM norms GROUP BY label ORDER BY label
+    """,
+)
+def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding health: vector counts, distinct dimensions
+    (must be 1 — ragged batches are the classic silent corruption),
+    zero-vector count, and the L2-norm envelope.
+
+    Determinism: each norm is a FIXED-ORDER fold of the vector's own
+    64 floats (the q_kmeans distance precedent — both engines sum the
+    same elements in sequence), and min/max over identical doubles
+    pick identical values, display-rounded through DECIMAL. Scale
+    shape: one projection + one two-phase agg; the audit output is
+    labels-sized. This is the gate that catches truncated uploads,
+    all-zero rows from a failed encoder, and mixed-dimension batches
+    before they poison an ANN index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") * x.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norms = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.sqrt(sq_sum).alias("nrm"),
+    )
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("dim").cast("bigint").alias("n_dims"),
+            F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero"),
+            F.min("nrm").cast("decimal(18,6)").cast("double").alias(
+                "min_norm"
+            ),
+            F.max("nrm").cast("decimal(18,6)").cast("double").alias(
+                "max_norm"
+            ),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n",
+            "n_dims",
+            "n_zero",
+            "min_norm",
+            "max_norm",
+        )
+        .orderBy("label")
+    )
