@@ -191,6 +191,7 @@ HEADLINE = [
     "q_interleave",
     "q_point_in_time",
     "q_embedding_audit",
+    "q_exposure_response",
 ]
 
 

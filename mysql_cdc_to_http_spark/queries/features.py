@@ -2590,3 +2590,84 @@ def q_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# X181 — exposure-response curve: conversion rate as a function of
+# view exposure — the dose-response readout behind "do more views
+# cause more purchases", integer micro-rates per exposure bucket.
+# --------------------------------------------------------------------------
+@query(
+    "q_exposure_response",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS views,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    bucketed AS (
+      SELECT CASE WHEN views = 0 THEN 0
+                  WHEN views <= 5 THEN 1
+                  WHEN views <= 15 THEN 2
+                  WHEN views <= 30 THEN 3
+                  ELSE 4 END AS exposure,
+             converted
+      FROM per_user
+    )
+    SELECT CAST(exposure AS BIGINT) AS exposure_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST((1000000 * sum(converted)) // count(*) AS BIGINT)
+             AS conv_rate_micro
+    FROM bucketed GROUP BY exposure ORDER BY exposure_bucket
+    """,
+)
+def q_exposure_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by view-exposure bucket (0, 1-5, 6-15, 16-30,
+    31+ views): the dose-response curve read before anyone claims the
+    funnel causes anything.
+
+    Determinism: exposure buckets are integer CASE cuts on integer
+    view counts, conversion is an integer max-flag, and rates are
+    integer micro-floors — nothing to disagree on. Scale shape: one
+    fact-sized per-user two-phase agg, then a 5-row rollup. (The
+    causal caveat belongs to the reader: X127's randomized A/B is the
+    engine's estimator for effects; this query characterizes the
+    OBSERVED curve.)"""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("views"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    exposure = (
+        F.when(F.col("views") == 0, 0)
+        .when(F.col("views") <= 5, 1)
+        .when(F.col("views") <= 15, 2)
+        .when(F.col("views") <= 30, 3)
+        .otherwise(4)
+    )
+    return (
+        per_user.select(exposure.alias("exposure"), "converted")
+        .groupBy("exposure")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.expr("(1000000 * sum(converted)) div count(*)")
+            .cast("bigint")
+            .alias("conv_rate_micro"),
+        )
+        .select(
+            F.col("exposure").cast("bigint").alias("exposure_bucket"),
+            "n_users",
+            "n_converted",
+            "conv_rate_micro",
+        )
+        .orderBy("exposure_bucket")
+    )
