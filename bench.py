@@ -192,6 +192,7 @@ HEADLINE = [
     "q_point_in_time",
     "q_embedding_audit",
     "q_exposure_response",
+    "q_purchase_cadence",
 ]
 
 

@@ -2671,3 +2671,90 @@ def q_exposure_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("exposure_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# X182 — purchase cadence: the distribution of per-user gaps between
+# consecutive purchases (rank-exact median/p90 in integer hours) — the
+# replenishment-cycle metric behind reorder reminders and CLV models.
+# --------------------------------------------------------------------------
+@query(
+    "q_purchase_cadence",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) - epoch_us(prev) AS BIGINT)
+               // 3600000000 AS gap_h
+      FROM p WHERE prev IS NOT NULL
+    ),
+    ranked AS (
+      SELECT gap_h,
+             row_number() OVER (ORDER BY gap_h, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM gaps
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap_h END)
+                AS BIGINT) AS median_gap_h,
+           CAST(max(CASE WHEN rn = n - (n + 9) // 10 + 1 THEN gap_h END)
+                AS BIGINT) AS p90_gap_h
+    FROM ranked
+    """,
+)
+def q_purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How often buyers come back: the distribution of hours between a
+    user's consecutive purchases, summarized by rank-exact lower
+    median and p90.
+
+    Determinism: gaps floor to integer hours; the quantiles are order
+    statistics at integer ranks over a total order (the
+    q_time_to_convert discipline applied to repeat behavior — that
+    query measures the FIRST conversion, this one the cycle after
+    it). Scale shape: one keyed lag window over the purchase subset,
+    then the two-level global ranking (ranked_prefix_sums) and a
+    1-row reduction."""
+    from mysql_cdc_to_http_spark.operators.sampling import (
+        ranked_prefix_sums,
+    )
+    from pyspark.sql.window import Window as W
+
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "prev",
+            F.lag("ts").over(
+                W.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "user_id",
+            F.expr(
+                "(unix_micros(ts) - unix_micros(prev)) div 3600000000"
+            ).alias("gap_h"),
+        )
+        .withColumn("__one", F.lit(1).cast("bigint"))
+    )
+    ranked = ranked_prefix_sums(
+        p, [F.col("gap_h").asc(), F.col("user_id").asc()], ["__one"]
+    ).withColumnRenamed("__one__cum", "rn")
+    stats = ranked.agg(F.count(F.lit(1)).alias("n"))
+    j = ranked.crossJoin(F.broadcast(stats))
+    med_rank = F.expr("(n + 1) div 2")
+    p90_rank = F.expr("n - (n + 9) div 10 + 1")
+    return j.agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.max(F.when(F.col("rn") == med_rank, F.col("gap_h")))
+        .cast("bigint")
+        .alias("median_gap_h"),
+        F.max(F.when(F.col("rn") == p90_rank, F.col("gap_h")))
+        .cast("bigint")
+        .alias("p90_gap_h"),
+    )
