@@ -914,3 +914,37 @@ def test_triangle_count_known_graphs(spark):
     assert count([(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]) == 2
     # star (celebrity hub): none — the degree-orientation stress shape
     assert count([(0, i) for i in range(1, 20)]) == 0
+
+
+def test_triangle_count_approx_unbiased_and_bounded(spark):
+    """DOULION estimator semantics on the real co-purchase graph:
+    the sampled subgraph is the md5-deterministic half of the exact
+    edge set, and 8·t_sampled lands within a documented relative error
+    of the exact count at sf0.01 (where exact truth is cheap)."""
+    from mysql_cdc_to_http_spark.queries.registry import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    exact = QUERIES["q_triangle_count"](spark, sf).collect()[0]
+    approx = QUERIES["q_triangle_count_approx"](spark, sf).collect()[0]
+    # p=1/2 edge sampling: sampled edge count concentrates near |E|/2
+    assert 0.4 * exact["n_edges"] <= approx["n_edges_sampled"] <= 0.6 * exact["n_edges"]
+    # estimator is the integer 1/p^3 rescale, nothing else
+    assert approx["est_triangles"] == 8 * approx["n_triangles_sampled"]
+    # DOULION error bound: relative error shrinks with true count; on
+    # sf0.01's graph (thousands of triangles) 35% is a loose ceiling —
+    # deterministic membership makes this exact-reproducible, not flaky.
+    t = exact["n_triangles"]
+    assert t > 0
+    rel_err = abs(approx["est_triangles"] - t) / t
+    assert rel_err < 0.35, f"rel_err={rel_err:.3f} exact={t} est={approx['est_triangles']}"
+
+
+def test_triangle_count_approx_determinism(spark):
+    """Same sampled subgraph every run/partitioning: md5 membership is
+    the engine's determinism primitive, never a seeded RNG."""
+    from mysql_cdc_to_http_spark.queries.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = QUERIES["q_triangle_count_approx"](spark, sf).collect()[0]
+    b = QUERIES["q_triangle_count_approx"](spark, sf).collect()[0]
+    assert a == b
