@@ -940,3 +940,315 @@ def q_agg_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_nation", "supp_nation", "ship_year")
     )
+
+
+# --------------------------------------------------------------------------
+# X184 — TPC-H Q21 shape: DOUBLE correlated quantifier — EXISTS plus
+# NOT EXISTS against the SAME fact on the SAME key. The hardest
+# decorrelation pattern in the TPC-H suite ("suppliers who kept orders
+# waiting"): a row qualifies only relative to the full set of sibling
+# rows in its order. q_subquery covers one EXISTS, q_agg_q22 one NOT
+# EXISTS against a different table; Q21 needs both quantifiers over the
+# same correlated domain at once.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q21",
+    oracle="""
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL '90 days') AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    waiters AS (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM lo l1
+      WHERE l1.late
+        AND EXISTS (SELECT 1 FROM lo l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lo l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.late)
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM waiters JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q_agg_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (waiting-orders variant): suppliers who were the SOLE
+    late shipper on a multi-supplier order, ranked by how many orders
+    they alone delayed. "Late" = shipped more than 90 days after the
+    order date (this schema carries l_shipdate/o_orderdate, not
+    receipt/commit — same predicate algebra).
+
+    Decorrelation: the textbook plan runs the fact THREE times (outer
+    + EXISTS semi + NOT-EXISTS anti, each a correlated scan). Here both
+    quantifiers collapse into ONE per-order aggregate over the already
+    order-keyed stream —
+
+        n_supp      = count(DISTINCT supplier)          (EXISTS ⇔ ≥2)
+        n_late_supp = count(DISTINCT supplier | late)   (NOT EXISTS ⇔ =1)
+
+    — and because ``n_late_supp = 1`` pins the late supplier uniquely,
+    ``min(supplier | late)`` RECOVERS the qualifying pair without ever
+    joining back to the fact: the whole double-quantifier evaluates in
+    a single exchange on l_orderkey (the same partitioning the
+    orders-join already established, so Catalyst reuses it), followed
+    by a ~supplier-sized rollup and a broadcast name join. The oracle
+    states the literal correlated EXISTS / NOT EXISTS — a different
+    formulation whose exact agreement certifies the decorrelation.
+    Ties: (numwait DESC, s_name) is a total order (names unique), so
+    LIMIT 10 is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+        F.min(F.when(F.col("late"), F.col("l_suppkey"))).alias("waiter"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.filter(
+            (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        )
+        .join(F.broadcast(supp), F.col("waiter") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# X185 — TPC-H Q20 shape: nested IN chain whose innermost predicate is
+# a CORRELATED SCALAR AGGREGATE over the same fact with a different
+# filter (supplier IN (... GROUP BY ... HAVING agg > f(correlated
+# scalar agg))). q_agg_q17 decorrelates one scalar-avg; Q20 nests the
+# scalar agg inside a grouped HAVING inside an IN — two quantifier
+# layers deep.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q20",
+    oracle="""
+    WITH qual AS (
+      SELECT l_suppkey,
+             CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '2001-01-01'
+                           THEN CAST(floor(l_quantity) AS BIGINT) END)
+                  AS BIGINT) AS recent_qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 's%')
+        AND l_shipdate >= TIMESTAMP '2001-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING 2 * sum(CAST(floor(l_quantity) AS BIGINT)) > (
+        SELECT sum(CAST(floor(l2.l_quantity) AS BIGINT))
+        FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+          AND l2.l_suppkey = lineitem.l_suppkey)
+    )
+    SELECT s_name,
+           CAST(count(*) AS BIGINT) AS n_excess_parts,
+           CAST(sum(recent_qty) AS BIGINT) AS total_recent_qty
+    FROM qual JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY s_name
+    """,
+)
+def q_agg_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (excess-stock variant): per supplier, the 's'-named
+    parts for which MORE THAN HALF of that supplier's all-time shipped
+    quantity moved in the final year — the "promotion candidate"
+    surplus screen, restated for a schema without partsupp (the
+    (l_partkey, l_suppkey) pair plays ps_*; availqty's role is played
+    by the all-time quantity).
+
+    Decorrelation: the correlated scalar aggregate (all-time quantity
+    for the outer group's exact (part, supplier)) correlates on the
+    SAME keys the outer GROUP BY uses — so both collapse into ONE
+    conditional aggregate per (l_suppkey, l_partkey):
+
+        recent = sum(qty | shipdate ≥ D)      (the outer HAVING sum)
+        total  = sum(qty)                      (the correlated scalar)
+
+    and the HAVING becomes the integer filter ``2·recent > total``
+    (cross-multiplied — no 0.5, no float). A pair with no recent rows
+    has recent = 0 and can never pass, which is exactly the IN
+    semantics (the outer group wouldn't exist). One exchange on the
+    pair key; the part name filter broadcast-semi-joins BEFORE the
+    exchange so only candidate parts shuffle; supplier is a broadcast
+    name join after. Quantities ride ``floor() → BIGINT`` on BOTH
+    engines (DuckDB CAST rounds, Spark truncates — floor first, the
+    q_mutual_info rule)."""
+    part_s = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("s%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        "l_shipdate",
+        F.floor(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    cutoff = F.lit("2001-01-01 00:00:00").cast("timestamp")
+    pairs = (
+        li.join(
+            F.broadcast(part_s),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") >= cutoff, F.col("qty"))).alias(
+                "recent_qty"
+            ),
+            F.sum("qty").alias("total_qty"),
+        )
+        .filter(
+            F.col("recent_qty").isNotNull()
+            & (2 * F.col("recent_qty") > F.col("total_qty"))
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        pairs.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_excess_parts"),
+            F.sum("recent_qty").alias("total_recent_qty"),
+        )
+        .orderBy("s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# X186 — TPC-H Q2 shape: correlated MIN over a MULTI-JOIN subquery
+# (min-cost supplier within a region, the subquery itself a
+# supplier⋈nation⋈region chain) + argmin recovery join-back. The
+# deepest correlated-subquery join graph in TPC-H; q_agg_q17's scalar
+# avg correlates over one table, Q2's scalar min correlates over four.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q2",
+    oracle="""
+    WITH eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cost AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cost_cents
+      FROM lineitem
+    )
+    SELECT DISTINCT
+           CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           s_name, n_name, p_partkey, p_name, cost_cents
+    FROM part
+    JOIN cost ON p_partkey = l_partkey
+    JOIN eu   ON l_suppkey = s_suppkey
+    WHERE p_size <= 10
+      AND cost_cents = (
+        SELECT min(c2.cost_cents)
+        FROM cost c2 JOIN eu e2 ON c2.l_suppkey = e2.s_suppkey
+        WHERE c2.l_partkey = part.p_partkey)
+    ORDER BY acctbal_cents DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_agg_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (min-cost-supplier variant): for every small part
+    (p_size ≤ 10), the EUROPE supplier(s) who shipped it at the lowest
+    price, wealthiest suppliers first. partsupp's role is played by
+    per-line (l_partkey, l_suppkey, price); ps_supplycost by the line's
+    price in exact integer cents.
+
+    Decorrelation: the correlated scalar MIN ranges over a FOUR-table
+    join (cost ⋈ supplier ⋈ nation ⋈ region) re-correlated per part.
+    The region-restricted supplier set is computed ONCE (two broadcast
+    dim joins — tiny at any SF) and reused for both the outer join and
+    the min: the subquery then decorrelates into one groupBy(partkey).
+    min(cost) over the region-filtered cost stream, and the argmin rows
+    are RECOVERED by the (partkey, cost) equality join-back — agg and
+    join-back share the l_partkey exchange (the q_agg_q17 reuse
+    pattern), so the whole correlated-min costs ONE fact shuffle.
+    Money crosses engines as integer cents (round(x·100) — prices have
+    exactly 2 decimals, so the product sits next to an integer, never
+    a .5 boundary). (acctbal_cents DESC, s_name, p_partkey) totally
+    orders the ties Q2 famously returns, making LIMIT 100
+    deterministic."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    eu = (
+        supp.join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cost_cents"),
+        )
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("cost_cents").alias("min_cents")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .select("p_partkey", "p_name")
+    )
+    return (
+        cost.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("cost_cents") == F.col("min_cents")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.round(F.col("s_acctbal") * 100)
+            .cast("bigint")
+            .alias("acctbal_cents"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "cost_cents",
+        )
+        .distinct()
+        .orderBy(F.col("acctbal_cents").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )

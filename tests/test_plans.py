@@ -625,3 +625,57 @@ def test_forget_audit_broadcasts_key_lists(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert plan.count("LeftSemi") >= 4
     assert plan.count("LeftAnti") >= 4
+
+
+def test_q21_double_quantifier_single_fact_exchange(spark, sf_dir):
+    """X184: EXISTS + NOT-EXISTS collapse into ONE per-order aggregate
+    — the fact stream must shuffle exactly once on l_orderkey (the
+    orders join), with the aggregate reusing that partitioning; no
+    second fact-sized Exchange, no correlated re-scan of lineitem."""
+    plan = plan_of(QUERIES["q_agg_q21"](spark, sf_dir))
+    # lineitem is scanned once (the decorrelated form), not three times
+    assert plan.count("lineitem.parquet") <= 1 or (
+        plan.lower().count("lineitem") <= 2
+    ), plan
+    # supplier name join is broadcast, not a shuffle
+    assert "BroadcastExchange" in plan
+    # keys-only projections reach both fact scans
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any("l_orderkey" in s and "l_shipdate" in s and "l_quantity" not in s for s in scans), scans
+
+
+def test_q20_pair_agg_prunes_before_exchange(spark, sf_dir):
+    """X185: the part-name candidate filter must semi-join BROADCAST
+    before the pair aggregate's exchange (only candidate parts
+    shuffle), and the correlated scalar agg must not rescan lineitem."""
+    plan = plan_of(QUERIES["q_agg_q20"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    import re
+
+    # single conditional aggregate: exactly 3 scans (lineitem once —
+    # the correlated scalar agg must NOT rescan it — plus part, supplier)
+    assert len(re.findall(r"ReadSchema:", plan)) <= 3, plan
+
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    # lineitem scan carries only the 4 needed columns
+    assert any(
+        "l_partkey" in s and "l_suppkey" in s and "l_quantity" in s
+        and "l_extendedprice" not in s
+        for s in scans
+    ), scans
+
+
+def test_q2_correlated_min_shares_partkey_exchange(spark, sf_dir):
+    """X186: the correlated four-table MIN decorrelates to groupBy(
+    partkey).min + join-back; agg and join-back must share one
+    l_partkey exchange and all three dims must broadcast."""
+    plan = plan_of(QUERIES["q_agg_q2"](spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2  # eu chain + part
+    assert "CartesianProduct" not in plan
+    # the min-side and outer-side reuse the same shuffled stream: at
+    # most 2 fact-sized exchanges appear (partkey agg + final orderBy's
+    # rangepartitioning for the limit)
+    n_hash_exchanges = plan.count("hashpartitioning(l_partkey")
+    assert n_hash_exchanges <= 2, plan
