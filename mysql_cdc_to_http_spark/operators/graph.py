@@ -448,3 +448,71 @@ def triangle_count_df(
         wedges.join(closing.hint("shuffle_hash"), ["t1", "t2"], "inner")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def basket_pairs(
+    df: DataFrame,
+    order_col: str,
+    item_col: str,
+    cap: int = 32,
+    salt: str = "basket-v1",
+) -> DataFrame:
+    """Within-basket ordered item pairs (x ≠ y) with a HARD per-basket
+    size cap — the bounded-fan-out co-occurrence pair generator.
+
+    The naive within-basket self-join emits k² rows for a k-item
+    basket: fine when the data model bounds k (TPC-H orders carry ≤7
+    lines), catastrophic on real basket data where one crawler/bot
+    basket of 10⁵ items would emit 10¹⁰ rows through a single task
+    ("the curse of the last reducer", the same failure
+    triangle_count_df's degree-orientation guards against). The cap
+    makes the bound structural instead of data-model-dependent:
+
+    1. Rank items within each basket by ``md5(salt|order|item)``
+       (item-id tiebreak) — a deterministic pseudo-random order, so
+       truncation keeps an unbiased sample of the basket rather than
+       the lowest ids.
+    2. Keep ranks ≤ cap, THEN self-join. Per-basket fan-out is ≤
+       cap·(cap−1); the largest task is bounded regardless of input.
+
+    Recall contract: EXACT for every basket with ≤ cap items (nothing
+    is dropped — rank filter passes all rows, so the pair set is
+    identical to the uncapped join); for larger baskets, pairs among a
+    deterministic cap-sized md5-sample of its items. Cross-engine
+    reproducible: md5 ranking is the engine's determinism primitive —
+    any SQL engine recomputes the identical truncation, which keeps
+    capped queries DuckDB-oracle-able (q_basket_lift).
+
+    Returns columns ``x``, ``y`` (one row per ordered pair per basket;
+    aggregate downstream)."""
+    from pyspark.sql.window import Window as W
+
+    if cap < 2:
+        raise ValueError(f"cap must be >= 2, got {cap}")
+    rk = F.row_number().over(
+        W.partitionBy(order_col).orderBy(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(salt),
+                    F.col(order_col).cast("string"),
+                    F.col(item_col).cast("string"),
+                )
+            ),
+            item_col,
+        )
+    )
+    capped = (
+        df.select(order_col, item_col)
+        .withColumn("__rk", rk)
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+    b = capped.select(
+        F.col(order_col).alias("__o2"), F.col(item_col).alias("y")
+    )
+    return (
+        capped.join(b, F.col(order_col) == F.col("__o2"))
+        .filter(F.col(item_col) != F.col("y"))
+        .select(F.col(item_col).alias("x"), "y")
+    )

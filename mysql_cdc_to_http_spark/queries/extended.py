@@ -914,9 +914,20 @@ def q_session_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_basket_lift",
     oracle="""
-    WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM pr),
-    ic AS (SELECT l_partkey AS p, count(*) AS c FROM pr GROUP BY 1),
+    WITH pr0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pr AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               row_number() OVER (
+                 PARTITION BY l_orderkey
+                 ORDER BY md5('basket-v1|' || CAST(l_orderkey AS VARCHAR)
+                              || '|' || CAST(l_partkey AS VARCHAR)),
+                          l_partkey) AS rk
+        FROM pr0)
+      WHERE rk <= 32
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM pr0),
+    ic AS (SELECT l_partkey AS p, count(*) AS c FROM pr0 GROUP BY 1),
     pairs AS (
       SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS c_xy
       FROM pr a JOIN pr b
@@ -953,12 +964,23 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE value in both engines); ordering uses the 6-dp-rounded lift
     with the partner id as tiebreak — the q_collocations rounded-order
     discipline, so the top-5 frontier can't flip on an ulp. Scale
-    shape: pairs are generated within-order (bounded fan-out, the
-    q_triangle_count discipline) and hash-aggregated; item counts and
-    the basket total broadcast back; the per-item top-5 is a window
-    partitioned BY ITEM — parallelism scales with the catalog, and the
-    support filter cuts the pair stream before ranking."""
+    shape: pairs come from ``operators/graph.py:basket_pairs`` — a
+    HARD md5-deterministic per-basket cap of 32 items, so per-basket
+    fan-out is ≤ 32·31 STRUCTURALLY, not merely because the TPC-H
+    data model keeps orders ≤7 lines: one crawler-sized basket on
+    real data truncates instead of melting a task (planted
+    monster-basket bound asserted in tests/test_plans.py). The cap is
+    EXACT for every basket ≤ 32 items — at all test SFs the output is
+    identical to the uncapped form — and the oracle recomputes the
+    identical md5 truncation, so the capped query stays
+    value-hash-oracle-able. Support counts (item marginals, basket
+    total) come from the UNCAPPED stream and broadcast back; the
+    per-item top-5 is a window partitioned BY ITEM — parallelism
+    scales with the catalog — and the support filter cuts the pair
+    stream before ranking."""
     from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.operators.graph import basket_pairs
 
     pr = (
         load_table(spark, sf_dir, "lineitem")
@@ -971,13 +993,9 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ic = pr.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    b = pr.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("y")
-    )
     pairs = (
-        pr.join(b, F.col("l_orderkey") == F.col("o2"))
-        .filter(F.col("l_partkey") != F.col("y"))
-        .groupBy(F.col("l_partkey").alias("x"), "y")
+        basket_pairs(pr, "l_orderkey", "l_partkey", cap=32)
+        .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("c_xy"))
         .filter(F.col("c_xy") >= 2)
     )

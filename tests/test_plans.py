@@ -679,3 +679,47 @@ def test_q2_correlated_min_shares_partkey_exchange(spark, sf_dir):
     # rangepartitioning for the limit)
     n_hash_exchanges = plan.count("hashpartitioning(l_partkey")
     assert n_hash_exchanges <= 2, plan
+
+
+def test_basket_pairs_caps_planted_monster_basket(spark):
+    """X142: plant one 500-item basket among normal ones — the capped
+    pair generator must emit at most cap·(cap−1) pairs for it (vs
+    ~250k uncapped), stay exact for baskets ≤ cap, and truncate
+    deterministically (same sample on re-run)."""
+    from mysql_cdc_to_http_spark.operators.graph import basket_pairs
+
+    rows = [(1, i) for i in range(500)]          # monster basket
+    rows += [(2, i) for i in range(5)]           # normal baskets
+    rows += [(3, i) for i in range(3)]
+    df = spark.createDataFrame(rows, "o long, item long")
+
+    pairs = basket_pairs(df, "o", "item", cap=32)
+    got = pairs.groupBy("x").count()  # per-x fan-out within monster
+    total = pairs.count()
+    # monster contributes exactly 32*31; basket 2: 5*4; basket 3: 3*2
+    assert total == 32 * 31 + 5 * 4 + 3 * 2, total
+    # exactness for small baskets: every pair of basket 2 survives
+    small = (
+        basket_pairs(df.filter(F.col("o") == 2), "o", "item", cap=32)
+        .orderBy("x", "y")
+        .collect()
+    )
+    assert len(small) == 20
+    assert {(r["x"], r["y"]) for r in small} == {
+        (a, b) for a in range(5) for b in range(5) if a != b
+    }
+    # deterministic truncation: identical sampled item set on re-run
+    s1 = sorted(
+        r["x"] for r in basket_pairs(df, "o", "item", cap=32)
+        .select("x").distinct().collect()
+    )
+    s2 = sorted(
+        r["x"] for r in basket_pairs(df, "o", "item", cap=32)
+        .select("x").distinct().collect()
+    )
+    assert s1 == s2
+    # cap < 2 fails fast
+    import pytest
+
+    with pytest.raises(ValueError):
+        basket_pairs(df, "o", "item", cap=1)
