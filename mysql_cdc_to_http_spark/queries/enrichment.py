@@ -786,12 +786,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage / entity resolution (operators/linkage.py):
     customers whose names are within ONE edit of each other, found via
-    blocked fuzzy matching — block on the 7-digit name-prefix key (one
-    equi-join shuffle, ~10-row buckets at any sf), then JVM levenshtein
-    with the threshold short-circuit on within-block pairs only. The
-    blocking key caps candidates at ~11% of the quadratic all-pairs
-    space here, and the discipline is what makes fuzzy self-matching
-    survive 100 TB (same candidate-generation story as MinHash-LSH).
+    blocked fuzzy matching — block on the 7-char name-infix key (one
+    equi-join shuffle), then JVM levenshtein with the threshold
+    short-circuit on within-block pairs only. The key frees exactly
+    the trailing 2 digits of the customer id, so blocks are
+    STRUCTURALLY ≤ 100 members at ANY sf (pinned with block_stats in
+    tests/test_plans.py) and blocking prunes ≥ 98% of the quadratic
+    all-pairs space; for keys without such a construction bound, pass
+    ``max_block`` to blocked_pairs (deterministic md5 truncation) —
+    the discipline that makes fuzzy self-matching survive 100 TB
+    (same candidate-generation story as MinHash-LSH).
 
     Exact oracle: edit distance is integer-valued and both engines
     implement standard Levenshtein — no float anywhere."""

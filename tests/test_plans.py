@@ -723,3 +723,61 @@ def test_basket_pairs_caps_planted_monster_basket(spark):
 
     with pytest.raises(ValueError):
         basket_pairs(df, "o", "item", cap=1)
+
+
+def test_record_linkage_block_distribution_pinned(spark):
+    """X100: q_record_linkage's blocking key (7-char name infix) must
+    keep blocks small at the LARGEST test sf — the within-block cost is
+    quadratic in block size (steepest 100x curve in the suite), so the
+    max block size is the scale contract. The 7-char infix frees only
+    the trailing 2 digits of the customer id, so blocks are
+    STRUCTURALLY <= 100 members at ANY sf (measured exactly 100 at
+    sf0.1) — bounded by the key's construction, not by data luck.
+    Also pins that blocking prunes >= 98% of the quadratic space."""
+    from mysql_cdc_to_http_spark.operators.linkage import block_stats
+
+    cust = load_table(spark, "/root/testdata/sf0.1", "customer")
+    st = block_stats(cust, F.substring("c_name", 10, 7)).collect()[0]
+    n = cust.count()
+    assert st["max_size"] <= 100, st
+    assert st["n_pairs"] * 50 < n * (n - 1) / 2, st  # >=98% pruned
+
+
+def test_blocked_pairs_caps_planted_monster_block(spark):
+    """X100: plant a degenerate blocking key (800 records sharing one
+    block) — max_block truncates it deterministically to the cap while
+    small blocks stay exact; uncapped form would emit ~320k pairs."""
+    from mysql_cdc_to_http_spark.operators.linkage import blocked_pairs
+
+    rows = [(i, "same", f"name{i}") for i in range(800)]
+    rows += [(1000 + i, f"b{i}", f"x{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, k string, name string")
+    capped = blocked_pairs(
+        df, "id", F.col("k"), ["name"], max_block=16
+    )
+    per_block = dict(
+        capped.groupBy("__block").count().collect()
+    )
+    assert per_block["same"] == 16 * 15 / 2, per_block
+    # deterministic: same sample both runs
+    ids1 = sorted(
+        r.id_a
+        for r in blocked_pairs(df, "id", F.col("k"), ["name"], max_block=16)
+        .select("id_a").distinct().collect()
+    )
+    ids2 = sorted(
+        r.id_a
+        for r in blocked_pairs(df, "id", F.col("k"), ["name"], max_block=16)
+        .select("id_a").distinct().collect()
+    )
+    assert ids1 == ids2
+    # blocks <= cap are exact: 4 singleton blocks emit nothing, and an
+    # exact small block emits all its pairs
+    small = blocked_pairs(
+        df.filter(F.col("id") < 5), "id", F.col("k"), ["name"], max_block=16
+    )
+    assert small.count() == 5 * 4 / 2
+    import pytest
+
+    with pytest.raises(ValueError):
+        blocked_pairs(df, "id", F.col("k"), ["name"], max_block=1)
