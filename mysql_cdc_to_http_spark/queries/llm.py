@@ -1600,3 +1600,102 @@ def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# X187 — audio stats over REAL WAV decode: deterministic PCM synthesis →
+# stdlib wave encode → operators/multimodal.py:decode_wav → integer
+# stats. The audio rung of the multimodal ladder as a REGISTRY query:
+# the oracle recomputes the same stats symbolically, so the entire
+# synth → encode → decode → stats round trip is value-hash-certified,
+# not just plumbing-tested.
+# --------------------------------------------------------------------------
+@query(
+    "q_audio_stats",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, n_chars % 50 + 10 AS n FROM documents
+    ),
+    samp AS (
+      SELECT doc_id,
+             ((doc_id * 7 + j * 13) % 65536) - 32768 AS s
+      FROM params, generate_series(0, 58) AS t(j)
+      WHERE j < n
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(count(*) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq
+    FROM samp GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset audio stats through a REAL WAV codec round trip.
+
+    Each document synthesizes a deterministic PCM16 signal — frame j of
+    doc d is ``(7d + 13j) mod 65536 − 32768``, n = n_chars mod 50 + 10
+    frames at 8 kHz mono — which is ENCODED to an actual RIFF/WAV
+    container (stdlib ``wave``) and then DECODED back by
+    ``operators/multimodal.py:decode_wav`` inside one Arrow
+    ``mapInPandas`` stage; the emitted stats (frame count, floor-integer
+    duration, exact peak |sample|, exact Σs² as BIGINT — no float RMS,
+    the integer-exactness rule) are computed from the DECODED samples.
+    The DuckDB oracle knows nothing of WAV: it regenerates the signal
+    symbolically and aggregates — exact agreement certifies the codec
+    round trip bit-for-bit. Scale shape: one narrow projection into one
+    mapInPandas pass (Arrow-batched, no shuffle before it), then a
+    per-asset aggregate the UDF already emits — output is asset-sized;
+    compressed-codec audio would slot into the same stage behind
+    decode_media's gate."""
+    import io
+    import wave as wave_mod
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from mysql_cdc_to_http_spark.operators.multimodal import decode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    schema = (
+        "doc_id long, n_frames long, duration_ms long, "
+        "peak_abs long, sum_sq long"
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n_chars) % 50 + 10
+                s = (
+                    (int(did) * 7 + 13 * np.arange(n, dtype=np.int64))
+                    % 65536
+                    - 32768
+                ).astype("<i2")
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(s.tobytes())
+                arr, rate = decode_wav(buf.getvalue())
+                dec = arr[:, 0].astype(np.int64)
+                rows.append(
+                    (
+                        int(did),
+                        int(dec.shape[0]),
+                        int(dec.shape[0]) * 1000 // rate,
+                        int(np.abs(dec).max()),
+                        int((dec * dec).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "duration_ms", "peak_abs", "sum_sq"
+                ],
+            )
+
+    return docs.mapInPandas(_roundtrip, schema=schema).orderBy("doc_id")

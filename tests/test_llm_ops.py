@@ -948,3 +948,97 @@ def test_triangle_count_approx_determinism(spark):
     a = QUERIES["q_triangle_count_approx"](spark, sf).collect()[0]
     b = QUERIES["q_triangle_count_approx"](spark, sf).collect()[0]
     assert a == b
+
+
+def _make_wav(rate, channels, width, frames_bytes):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(frames_bytes)
+    return buf.getvalue()
+
+
+def test_decode_wav_exact():
+    """Stdlib WAV decode: sample values, shape, rate — bit-exact for
+    8/16-bit PCM including the 8-bit unsigned recentring."""
+    import numpy as np
+
+    from mysql_cdc_to_http_spark.operators.multimodal import decode_wav
+
+    pcm16 = np.array([0, 100, -100, 32767, -32768], dtype="<i2").tobytes()
+    arr, rate = decode_wav(_make_wav(8000, 1, 2, pcm16))
+    assert rate == 8000 and arr.shape == (5, 1)
+    assert arr[:, 0].tolist() == [0, 100, -100, 32767, -32768]
+    # 8-bit WAV is unsigned; decode recentres to signed
+    pcm8 = bytes([128, 255, 0])
+    arr8, _ = decode_wav(_make_wav(4000, 1, 1, pcm8))
+    assert arr8[:, 0].tolist() == [0, 127, -128]
+    # stereo interleaving preserved
+    st = np.array([1, 2, 3, 4], dtype="<i2").tobytes()
+    arr2, _ = decode_wav(_make_wav(8000, 2, 2, st))
+    assert arr2.tolist() == [[1, 2], [3, 4]]
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFgarbage-not-a-wav")
+
+
+def test_audio_stats_real_decode_over_mapinpandas(spark):
+    """REAL WAV decode through the Arrow mapInPandas pipeline: exact
+    rate/channels/frames/duration/peak per asset; a corrupt payload
+    quarantines to a decode_error row instead of failing the stage."""
+    import numpy as np
+
+    from mysql_cdc_to_http_spark.operators.multimodal import audio_stats
+
+    pcm = np.array([0, 3000, -4000, 1000], dtype="<i2").tobytes()
+    good = _make_wav(8000, 1, 2, pcm)
+    rows = [(1, "audio/wav", bytearray(good)), (2, "audio/wav", bytearray(b"RIFFbroken"))]
+    df = spark.createDataFrame(
+        rows, "asset_id long, media_type string, content binary"
+    )
+    out = {r.asset_id: r for r in audio_stats(df).collect()}
+    ok = out[1]
+    assert ok.decode_error is None
+    assert (ok.sample_rate, ok.n_channels, ok.n_frames) == (8000, 1, 4)
+    assert ok.duration_ms == 4 * 1000 // 8000
+    assert ok.peak_abs == 4000
+    assert abs(ok.rms - float(np.sqrt(np.mean(np.array([0, 3000, -4000, 1000], dtype=np.float64) ** 2)))) < 1e-9
+    bad = out[2]
+    assert bad.sample_rate is None and bad.decode_error is not None
+
+
+def test_resample_wav_deterministic_halving(spark):
+    """Nearest-sample resample 8 kHz → 4 kHz keeps exactly every other
+    sample (pixel-center mapping) and emits mono PCM16; stereo mixes
+    down by integer-truncated mean; re-runs are byte-identical."""
+    import numpy as np
+
+    from mysql_cdc_to_http_spark.operators.multimodal import (
+        resample_nearest_audio,
+        resample_wavs,
+    )
+
+    src = np.arange(8, dtype=np.int32)
+    out = resample_nearest_audio(src, 8000, 4000)
+    assert out.tolist() == [1, 3, 5, 7]
+    # identity resample is a no-op
+    assert resample_nearest_audio(src, 8000, 8000).tolist() == src.tolist()
+
+    pcm = np.array([10, 20, 30, 40, 50, 60, 70, 80], dtype="<i2").tobytes()
+    wav = _make_wav(8000, 1, 2, pcm)
+    df = spark.createDataFrame(
+        [(7, "audio/wav", bytearray(wav))],
+        "asset_id long, media_type string, content binary",
+    )
+    r1 = resample_wavs(df, dst_rate=4000).collect()[0]
+    r2 = resample_wavs(df, dst_rate=4000).collect()[0]
+    assert r1.decode_error is None and r1.n_frames == 4
+    got = np.frombuffer(bytes(r1.pcm16), dtype="<i2").tolist()
+    assert got == [20, 40, 60, 80]
+    assert bytes(r1.pcm16) == bytes(r2.pcm16)
