@@ -56,9 +56,69 @@ def _percentile(sorted_vals: list[float], p: float) -> float:
     return sorted_vals[idx]
 
 
-def bench_cdc_pipeline(spark, sf_dir: str, n_files: int = 16) -> dict:
+def _write_scaled_event_files(
+    spark, sf_dir: str, n_files: int, replicate: int
+) -> str:
+    """Materialize a ``replicate``× copy of the synthetic feed: replica
+    r shifts every offset by r·(max_offset+1), so the scaled feed is
+    one long monotone change stream (same envelope schema, ×r rows) —
+    the 10× soak's input. Cached like write_event_files."""
+    import glob as globmod  # noqa: F401 (parity with sources.cdc imports)
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.operators.envelope import serialize
+    from mysql_cdc_to_http_spark.sources.cdc import (
+        event_files_dir,
+        materialize_ordered_buckets,
+        synthetic_change_events,
+    )
+
+    out = event_files_dir(sf_dir, n_files) + f"_x{replicate}"
+    done = os.path.join(out, "_done")
+    if os.path.exists(done):
+        return out
+    events = synthetic_change_events(spark, sf_dir)
+    max_off = events.agg(F.max("offset")).collect()[0][0] + 1
+    reps = spark.range(replicate).select(F.col("id").alias("__rep"))
+    scaled = events.crossJoin(reps).select(
+        "before",
+        "after",
+        "source",
+        "op",
+        (F.col("offset") + F.col("__rep") * max_off).alias("offset"),
+        "ts_ms",
+    )
+    env = F.struct("before", "after", "source", "op", "offset", "ts_ms")
+    payloads = scaled.select(F.col("offset"), serialize(env).alias("value"))
+    materialize_ordered_buckets(
+        payloads.select("offset", "value"),
+        order_col="offset",
+        out_dir=os.path.join(out, "data"),
+        n_files=n_files,
+        fmt="text",
+        value_cols=["value"],
+    )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def bench_cdc_pipeline(
+    spark,
+    sf_dir: str,
+    n_files: int = 16,
+    replicate: int = 1,
+    key_domain: int = 1000,
+) -> dict:
     """Replay the synthetic CDC feed as ``n_files`` micro-batches into
-    the latest-state store, killing and resuming the query mid-feed."""
+    the latest-state store, killing and resuming the query mid-feed.
+
+    ``replicate``/``key_domain`` scale the soak: replicate=10 with a
+    10×-wider key domain replays 10× the rows over 10× the keys — the
+    envelope that shows rows/s holding and state growing with KEYS,
+    not input (state_bounded at one size proves little; round-6
+    verdict item #7)."""
     from pyspark.sql import functions as F
 
     from mysql_cdc_to_http_spark.sources.cdc import (
@@ -72,7 +132,12 @@ def bench_cdc_pipeline(spark, sf_dir: str, n_files: int = 16) -> dict:
         read_state,
     )
 
-    events_dir = write_event_files(spark, sf_dir, n_files=n_files)
+    if replicate > 1:
+        events_dir = _write_scaled_event_files(
+            spark, sf_dir, n_files, replicate
+        )
+    else:
+        events_dir = write_event_files(spark, sf_dir, n_files=n_files)
     work = tempfile.mkdtemp(prefix="graft_stream_bench_")
     state_dir = os.path.join(work, "state")
     ckpt = os.path.join(work, "ckpt")
@@ -81,7 +146,7 @@ def bench_cdc_pipeline(spark, sf_dir: str, n_files: int = 16) -> dict:
     def _keyed(df):
         return df.select(
             F.col("source.table").alias("tbl"),
-            (F.col("offset") % 1000).alias("pk"),
+            (F.col("offset") % key_domain).alias("pk"),
             "op",
             "offset",
             F.col("after.o_totalprice").alias("price"),
@@ -146,9 +211,10 @@ def bench_cdc_pipeline(spark, sf_dir: str, n_files: int = 16) -> dict:
         for r in read_state(spark, state_dir).collect()
     }
     resumed_exactly_once = got == want
-    n_keys = len(
-        set((r.tbl, r.pk) for r in all_events.select("tbl", "pk").collect())
-    )
+    # distinct-count distributedly — at the 10x soak the feed is
+    # 1.5M rows; collecting them to the driver for a set() is exactly
+    # the anti-pattern the engine bans
+    n_keys = all_events.select("tbl", "pk").distinct().count()
     state_rows = (
         spark.read.parquet(state_dir).count() if os.path.exists(state_dir) else 0
     )
@@ -302,17 +368,36 @@ def bench_session_state(spark, sf_dir: str) -> dict:
 
 def run(spark, sf_dir: str, n_files: int = 16) -> dict:
     cdc = bench_cdc_pipeline(spark, sf_dir, n_files=n_files)
+    # 10× soak: 10× the rows over a 10×-wider key domain. Sub-linear
+    # scaling contract: throughput holds within 2× while input is 10×,
+    # and state bytes grow no faster than the key-domain ratio
+    # (state follows KEYS, never cumulative input).
+    cdc10 = bench_cdc_pipeline(
+        spark, sf_dir, n_files=n_files, replicate=10, key_domain=10000
+    )
+    thr, thr10 = cdc["rows_per_sec"] or 0, cdc10["rows_per_sec"] or 0
+    scaling_ok = bool(
+        cdc10["resumed_exactly_once"]
+        and cdc10["state_bounded"]
+        and thr10 >= 0.5 * thr
+        and cdc10["state_bytes_final"]
+        <= 10 * max(cdc["state_bytes_final"], 1) * 1.5
+    )
     ssj = bench_stream_stream_join(spark, sf_dir)
     ivm = bench_ivm_view(spark, sf_dir, n_files=n_files)
     sess = bench_session_state(spark, sf_dir)
     return {
         "cdc_pipeline": cdc,
+        "cdc_pipeline_10x": cdc10,
         "stream_stream_join": ssj,
         "ivm_view": ivm,
         "session_state": sess,
         "checks": {
             "resumed_exactly_once": cdc["resumed_exactly_once"],
             "state_bounded": cdc["state_bounded"],
+            "resumed_exactly_once_10x": cdc10["resumed_exactly_once"],
+            "state_bounded_10x": cdc10["state_bounded"],
+            "scaling_10x_ok": scaling_ok,
             "ivm_view_matches_batch": ivm["view_matches_batch"],
         },
     }
