@@ -288,12 +288,23 @@ def pca_power_scores(
     boundary, so HALF_UP is unambiguous). w₀ = 1/√dim rounds to
     exactly 0.125 at dim=64 — representable, so all engines start
     identical. Returns (id, pc1) — the per-vector projection onto the
-    final axis, 6-dp rounded."""
+    final axis, 6-dp rounded.
+
+    ``base`` is PERSISTED for the whole trajectory (ADVICE r6): the
+    loop drives 4+iters driver-side actions over the same lineage, and
+    without the cache each would rescan/recompute the upstream — worse,
+    a NONDETERMINISTIC upstream (a sampled frame) would give μ, each t,
+    and the final projection different data, breaking the documented
+    exact-trajectory contract. The cache pins one materialization for
+    all of them; release via caching.release_all_cached() after the
+    final action (the register_cached contract)."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
     q6 = Decimal("0.000001")
-    base = df.select(F.col(id_col), as_double(vec_col).alias("cv"))
+    base = df.select(F.col(id_col), as_double(vec_col).alias("cv")).persist()
     n = base.count()
     dim = len(base.select("cv").first()[0])
     mu_rows = (
@@ -339,6 +350,7 @@ def pca_power_scores(
         w = [
             float(Decimal(x / lam).quantize(q6, ROUND_HALF_UP)) for x in t
         ]
-    return base.select(
+    out = base.select(
         F.col(id_col), F.round(proj_col(w), 6).alias("pc1")
     )
+    return register_cached(out, [base])

@@ -55,18 +55,46 @@ def overlap_bin_join(
     ``extra_keys`` are equality keys required in addition to time
     overlap (they ride the same shuffle). Column names must be disjoint
     between the two inputs apart from ``extra_keys``.
+
+    Fail-fast guards (ADVICE r6): ``bin_width <= 0`` and a span wider
+    than ``max_bins_per_interval`` bins raise AT CALL TIME / as a
+    typed per-row error instead of surfacing as an opaque
+    sequence/divide-by-zero failure deep inside the job — one interval
+    spanning ~spark.sql.maxArrayLength bins would otherwise kill the
+    stage after minutes of work. The cap bounds the replication factor
+    (shuffle amplification): an interval needing more than
+    ``max_bins_per_interval`` replicas means ``bin_width`` is
+    mis-sized for the data — widen it — not that the job should emit
+    millions of copies of one row.
     """
     keys = list(extra_keys or [])
     w = int(bin_width)
+    if w <= 0:
+        raise ValueError(
+            f"bin_width must be a positive interval-unit width, got {w}"
+        )
+    max_bins_per_interval = 100_000
 
     def binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        n_bins = F.expr(f"`{e}` div {w} - `{s}` div {w} + 1")
+        # assert_true carries the offending row's replication factor —
+        # a typed, immediate diagnosis instead of Catalyst's generic
+        # sequence-too-long error minutes into the stage. Folded into
+        # the sequence START expression (assert_true yields NULL when
+        # the predicate holds) so column pruning can never elide it.
+        check = F.assert_true(
+            n_bins <= max_bins_per_interval,
+            F.format_string(
+                "overlap_bin_join: interval spans %s bins (> cap "
+                f"{max_bins_per_interval}) — bin_width={w} is "
+                "mis-sized for this data; widen it",
+                n_bins.cast("string"),
+            ),
+        )
+        start = F.when(check.isNull(), F.expr(f"`{s}` div {w}"))
         return df.withColumn(
             "__bin",
-            F.explode(
-                F.sequence(
-                    F.expr(f"`{s}` div {w}"), F.expr(f"`{e}` div {w}")
-                )
-            ),
+            F.explode(F.sequence(start, F.expr(f"`{e}` div {w}"))),
         )
 
     lb = binned(left, l_start, l_end)

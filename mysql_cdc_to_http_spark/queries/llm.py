@@ -1531,9 +1531,11 @@ def q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH norms AS (
       SELECT label, len(embedding) AS dim,
-             sqrt(list_sum([CAST(embedding[x] AS DOUBLE)
-                            * CAST(embedding[x] AS DOUBLE)
-                            FOR x IN generate_series(1, 64)])) AS nrm
+             sqrt(coalesce(list_sum(
+               [CAST(embedding[x] AS DOUBLE)
+                * CAST(embedding[x] AS DOUBLE)
+                FOR x IN generate_series(1, len(embedding))]), 0.0))
+               AS nrm
       FROM embeddings
     )
     SELECT CAST(label AS INT) AS label,
@@ -1553,9 +1555,13 @@ def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (must be 1 — ragged batches are the classic silent corruption),
     zero-vector count, and the L2-norm envelope.
 
-    Determinism: each norm is a FIXED-ORDER fold of the vector's own
-    64 floats (the q_kmeans distance precedent — both engines sum the
-    same elements in sequence), and min/max over identical doubles
+    Determinism: each norm is a FIXED-ORDER fold of the vector's OWN
+    elements — the oracle's series runs to len(embedding), not a
+    hardcoded dimension, so on exactly the malformed inputs the audit
+    exists to catch (ragged dims, truncated rows, empty arrays) both
+    engines still agree on the diagnosis (ADVICE r6; parity on a
+    planted ragged batch pinned in tests/test_llm_ops.py) — and
+    min/max over identical doubles
     pick identical values, display-rounded through DECIMAL. Scale
     shape: one projection + one two-phase agg; the audit output is
     labels-sized. This is the gate that catches truncated uploads,

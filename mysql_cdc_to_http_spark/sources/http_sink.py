@@ -12,6 +12,7 @@ collect, no connection per row (one opener per partition).
 
 from __future__ import annotations
 
+import os
 import time
 import urllib.error
 import urllib.request
@@ -117,6 +118,19 @@ def _post_one(
         try:
             with urllib.request.urlopen(req, timeout=timeout_s):
                 return
+        except urllib.error.HTTPError as exc:
+            # HTTPError is a URLError subclass — handle it FIRST.
+            # Permanent 4xx (bad payload, unknown route, validation
+            # failure) can never succeed on retry: backing off against
+            # them just stalls the task for retries×backoff per poison
+            # row. Only 408 (timeout) and 429 (throttle) are
+            # retryable client codes; 5xx/connection errors back off.
+            if 400 <= exc.code < 500 and exc.code not in (408, 429):
+                raise
+            attempt += 1
+            if attempt > retries:
+                raise
+            time.sleep(backoff_s * (2 ** (attempt - 1)))
         except (urllib.error.URLError, OSError):
             attempt += 1
             if attempt > retries:
@@ -205,23 +219,30 @@ def replay_dlq(
     backoff_s: float = 0.05,
     timeout_s: float = 5.0,
 ) -> int:
-    """Re-POST every dead-lettered event (all epochs); returns how many
-    STILL fail. Safe to run repeatedly: idempotency keys are preserved,
-    so a downstream that deduplicates on the key converges to
-    exactly-once effect no matter how many replays it takes."""
+    """Re-POST every dead-lettered event; returns how many STILL fail.
+
+    CONVERGENT replays: after delivery, each epoch directory is
+    REWRITTEN with only its still-failing rows (attempts incremented),
+    and fully-drained epochs are deleted — so a delivered event is
+    never re-POSTed by the next replay and repeated invocations
+    monotonically shrink the DLQ to empty. (The pre-round-7 form
+    re-sent every row forever and leaned entirely on downstream
+    idempotency-key dedup; keys are still preserved, so the dedup
+    remains a second line of defense for the replay that crashes
+    between POST and rewrite.)"""
     import glob as _glob
+    import shutil as _shutil
 
     paths = sorted(_glob.glob(f"{dlq_dir.rstrip('/')}/epoch=*"))
     if not paths:
         return 0
-    df = spark.read.schema(DLQ_SCHEMA).parquet(*paths)
     base = base_url.rstrip("/")
 
     def _redeliver(pdfs):
         import pandas as pd
 
         for pdf in pdfs:
-            n_fail = 0
+            fails: list[dict] = []
             for _, row in pdf.iterrows():
                 try:
                     _post_one(
@@ -232,12 +253,37 @@ def replay_dlq(
                         backoff_s,
                         timeout_s,
                     )
-                except Exception:  # noqa: BLE001
-                    n_fail += 1
-            yield pd.DataFrame({"n_fail": [n_fail]})
+                except Exception as exc:  # noqa: BLE001 — still poison
+                    fails.append(
+                        {
+                            "grp": row["grp"],
+                            "payload": row["payload"],
+                            "idem_key": row["idem_key"],
+                            "error": f"{type(exc).__name__}: {exc}"[:500],
+                            "attempts": int(row["attempts"]) + retries + 1,
+                        }
+                    )
+            yield pd.DataFrame(
+                fails,
+                columns=["grp", "payload", "idem_key", "error", "attempts"],
+            )
 
-    out = df.mapInPandas(_redeliver, schema="n_fail long").collect()
-    return int(sum(r["n_fail"] for r in out))
+    n_fail_total = 0
+    for path in paths:
+        df = spark.read.schema(DLQ_SCHEMA).parquet(path)
+        still = df.mapInPandas(_redeliver, schema=DLQ_SCHEMA)
+        tmp = path + "__replay_tmp"
+        still.write.mode("overwrite").parquet(tmp)
+        n_fail = spark.read.schema(DLQ_SCHEMA).parquet(tmp).count()
+        n_fail_total += n_fail
+        # swap: the epoch dir now holds ONLY rows that still fail;
+        # a drained epoch disappears entirely
+        _shutil.rmtree(path, ignore_errors=True)
+        if n_fail > 0:
+            os.replace(tmp, path)
+        else:
+            _shutil.rmtree(tmp, ignore_errors=True)
+    return int(n_fail_total)
 
 
 # Executors must not need this repo on their PYTHONPATH: register this

@@ -187,3 +187,94 @@ def test_http_dlq_quarantines_poison_and_replays(spark, tmp_path):
         assert spark.read.parquet(f"{dlq}/epoch=0").count() == 3
     finally:
         srv.shutdown()
+
+
+def test_replay_dlq_prunes_delivered_rows(spark, tmp_path):
+    """ADVICE r6: replays must CONVERGE — after a successful replay the
+    epoch directory holds only still-failing rows (drained epochs are
+    deleted), so a delivered event is never re-POSTed by the next
+    replay."""
+    from mysql_cdc_to_http_spark.sources.http_sink import (
+        http_batch_poster_with_dlq,
+        replay_dlq,
+    )
+
+    _FlakySink.hits = []
+    _FlakySink.healed = False
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _FlakySink)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        batch = spark.createDataFrame(
+            [("poison", '{"id": %d}' % i, f"p{i}") for i in range(3)],
+            "grp string, payload string, idem_key string",
+        )
+        dlq = str(tmp_path / "dlq")
+        http_batch_poster_with_dlq(base, dlq, retries=0)(batch, epoch_id=5)
+        assert spark.read.parquet(f"{dlq}/epoch=5").count() == 3
+        # still poisoned: all fail, epoch rewritten with attempts bumped
+        assert replay_dlq(spark, dlq, base, retries=0) == 3
+        rows = spark.read.parquet(f"{dlq}/epoch=5").collect()
+        assert len(rows) == 3 and all(r["attempts"] >= 2 for r in rows)
+        # heal: replay drains and DELETES the epoch dir
+        _FlakySink.healed = True
+        assert replay_dlq(spark, dlq, base, retries=0) == 0
+        import glob
+
+        assert glob.glob(f"{dlq}/epoch=*") == []
+        n_posts_after_drain = len(_FlakySink.hits)
+        # a further replay is a no-op: nothing re-POSTs
+        assert replay_dlq(spark, dlq, base, retries=0) == 0
+        assert len(_FlakySink.hits) == n_posts_after_drain
+    finally:
+        srv.shutdown()
+
+
+class _PermanentReject(http.server.BaseHTTPRequestHandler):
+    """404s every POST; counts attempts so retry behavior is observable."""
+
+    attempts = 0
+    code = 404
+
+    def do_POST(self):  # noqa: N802
+        self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        type(self).attempts += 1
+        self.send_response(type(self).code)
+        self.end_headers()
+
+    def log_message(self, *a):
+        pass
+
+
+def test_post_one_does_not_retry_permanent_4xx():
+    """ADVICE r6: permanent 4xx (here 404) must fail IMMEDIATELY — one
+    attempt, no backoff stall — while 5xx still consumes the retry
+    budget."""
+    import pytest
+    import urllib.error
+
+    from mysql_cdc_to_http_spark.sources.http_sink import _post_one
+
+    _PermanentReject.attempts = 0
+    _PermanentReject.code = 404
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _PermanentReject)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/x"
+        with pytest.raises(urllib.error.HTTPError):
+            _post_one(url, b"{}", "k1", retries=3, backoff_s=0.01, timeout_s=2)
+        assert _PermanentReject.attempts == 1  # no retries burned
+        # 500 IS retryable: full budget consumed
+        _PermanentReject.attempts = 0
+        _PermanentReject.code = 500
+        with pytest.raises(urllib.error.HTTPError):
+            _post_one(url, b"{}", "k2", retries=2, backoff_s=0.01, timeout_s=2)
+        assert _PermanentReject.attempts == 3  # 1 + 2 retries
+        # 429 throttle is retryable too
+        _PermanentReject.attempts = 0
+        _PermanentReject.code = 429
+        with pytest.raises(urllib.error.HTTPError):
+            _post_one(url, b"{}", "k3", retries=1, backoff_s=0.01, timeout_s=2)
+        assert _PermanentReject.attempts == 2
+    finally:
+        srv.shutdown()

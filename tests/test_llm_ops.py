@@ -1042,3 +1042,52 @@ def test_resample_wav_deterministic_halving(spark):
     got = np.frombuffer(bytes(r1.pcm16), dtype="<i2").tolist()
     assert got == [20, 40, 60, 80]
     assert bytes(r1.pcm16) == bytes(r2.pcm16)
+
+
+def test_embedding_audit_parity_on_ragged_batch(spark, tmp_path):
+    """ADVICE r6: the audit's oracle must agree with Spark ON MALFORMED
+    inputs — ragged dims, zero vectors, empty arrays — the exact
+    conditions the audit exists to detect. Plant them and run the full
+    engine-vs-DuckDB compare on the planted table."""
+    import os
+
+    from tests.oracle import compare
+    from mysql_cdc_to_http_spark.catalog import TABLES
+    from mysql_cdc_to_http_spark.queries.registry import ORACLES, QUERIES
+
+    rows = [
+        (0, 0, [3.0, 4.0] + [0.0] * 62),          # healthy 64-dim
+        (1, 0, [1.0] * 64),
+        (2, 1, [2.0] * 32),                        # ragged: 32-dim
+        (3, 1, [0.0] * 64),                        # zero vector
+        (4, 1, []),                                # empty array
+    ]
+    sf = str(tmp_path / "sfx")
+    os.makedirs(sf)
+    # single parquet FILE (the testdata layout DuckDB's view expects),
+    # written via pyarrow — Spark writes directories
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "label": pa.array([r[1] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[2] for r in rows], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(table, f"{sf}/embeddings.parquet")
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(
+                f"/root/testdata/sf0.001/{t}.parquet", f"{sf}/{t}.parquet"
+            )
+    ok, msg = compare(
+        QUERIES["q_embedding_audit"](spark, sf), ORACLES["q_embedding_audit"], sf
+    )
+    assert ok, msg
+    got = {r.label: r for r in QUERIES["q_embedding_audit"](spark, sf).collect()}
+    assert got[0].n_dims == 1 and got[0].min_norm == 5.0
+    assert got[1].n_dims == 3 and got[1].n_zero == 2  # ragged + zero + empty

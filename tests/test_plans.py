@@ -781,3 +781,54 @@ def test_blocked_pairs_caps_planted_monster_block(spark):
 
     with pytest.raises(ValueError):
         blocked_pairs(df, "id", F.col("k"), ["name"], max_block=1)
+
+
+def test_overlap_bin_join_fails_fast_on_misconfiguration(spark):
+    """ADVICE r6: bin_width=0 raises at CALL time; an interval spanning
+    more than the replication cap raises a TYPED error naming the
+    offending span, not an opaque sequence failure; a sane call still
+    returns exact results."""
+    import pytest
+
+    from mysql_cdc_to_http_spark.operators.intervals import overlap_bin_join
+
+    left = spark.createDataFrame([(1, 0, 100)], "lid long, ls long, le long")
+    right = spark.createDataFrame([(2, 50, 60)], "rid long, rs long, re long")
+    with pytest.raises(ValueError, match="bin_width"):
+        overlap_bin_join(left, right, "ls", "le", "rs", "re", bin_width=0)
+    # monster span: 1 row spanning > 100k bins with width 1
+    wide = spark.createDataFrame(
+        [(9, 0, 200_000)], "lid long, ls long, le long"
+    )
+    with pytest.raises(Exception, match="bins"):
+        overlap_bin_join(
+            wide, right, "ls", "le", "rs", "re", bin_width=1
+        ).collect()
+    # healthy call unchanged
+    got = overlap_bin_join(
+        left, right, "ls", "le", "rs", "re", bin_width=32
+    ).collect()
+    assert len(got) == 1 and got[0]["rid"] == 2
+
+
+def test_pca_power_pins_base_with_cache(spark, sf_dir):
+    """ADVICE r6: the power-iteration trajectory must read ONE pinned
+    materialization of the corpus (persist), so the 5+ driver actions
+    never recompute upstream lineage — and a nondeterministic upstream
+    cannot give mu/t/projection different data. The returned frame's
+    plan shows the InMemory scan."""
+    from mysql_cdc_to_http_spark.operators.caching import (
+        release_all_cached,
+    )
+    from mysql_cdc_to_http_spark.operators.clustering import (
+        pca_power_scores,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pca_power_scores(emb, iters=1)
+    try:
+        plan = plan_of(out)
+        assert "InMemory" in plan, plan
+        assert out.count() > 0
+    finally:
+        assert release_all_cached() >= 1
