@@ -1252,3 +1252,773 @@ def q_agg_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("acctbal_cents").desc(), "s_name", "p_partkey")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# X188 — TPC-H Q6 shape: the pure scan-predicate-aggregate (no join at
+# all) — the query that measures nothing but pushdown + codegen + a
+# 1-row global DECIMAL aggregate; the "speed of light" baseline every
+# TPC-H run calibrates against.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q6",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_agg_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue that would be gained by eliminating mid-band
+    discounts on small lots in 1996.
+
+    Scale shape: the entire query is scan → pushed predicates →
+    map-side partial agg → 1-row final agg: every filter reaches
+    PushedFilters (plan-tested), the scan reads 4 columns, and NOTHING
+    shuffles except one scalar per partition. Forecast-revenue is the
+    exact DECIMAL product sum (discounts are exact hundredths;
+    extendedprice exact cents), so the double is bit-identical in any
+    engine and partition order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X189 — TPC-H Q4 shape: EXISTS with a CORRELATED INEQUALITY (the semi
+# join's condition references BOTH sides: l_shipdate > o_orderdate +
+# 60d). q_join_semi_anti's semi join is pure-equality; Q4's correlated
+# predicate must ride INTO the semi join itself.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL '60 days')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_agg_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: 1997 orders with at least one slow line (shipped >60
+    days after ordering), counted by priority — the order-priority
+    checking query.
+
+    Decorrelation: the EXISTS becomes one LEFT SEMI join whose
+    condition carries BOTH the equi-key and the correlated inequality
+    (Spark evaluates the inequality as the semi join's residual —
+    one exchange per side on the order key, no second pass, no
+    distinct needed since semi emits each order at most once).
+    Both scans prune to 2 columns; the rollup is 5 groups,
+    two-phase. The oracle states the literal correlated EXISTS."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# X190 — TPC-H Q12 shape: join + BINARY conditional counts (the
+# urgent/non-urgent split of slow shipments) — the two-branch
+# CASE-pivot inside one aggregate pass, nothing else.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q12",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL '30 days'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-lateness variant): among lines shipped more
+    than 30 days after ordering, how many belonged to urgent/high
+    orders vs the rest — by return flag (this schema's stand-in for
+    l_shipmode, which it does not carry).
+
+    Scale shape: ONE fact⋈fact equi-join on the order key (the
+    lateness inequality rides as the join residual — filtered before
+    the aggregate ever sees a row), then a 3-group two-phase agg whose
+    two branches are complementary CASE counts computed in the same
+    pass — the canonical conditional-pivot; no second scan, no second
+    shuffle. Counts are integers: nothing to round anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# X191 — TPC-H Q14 shape: join + RATIO-of-conditional-aggregates (promo
+# revenue share) — the percent-of-total computed INSIDE one aggregate,
+# kept in pure integers end to end.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q14",
+    oracle="""
+    WITH r AS (
+      SELECT date_trunc('month', l_shipdate) AS mon,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_tt,
+             (p_type = 'PROMO') AS promo
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT CAST(mon AS TIMESTAMP) AS mon,
+           CAST(sum(CASE WHEN promo THEN rev_tt ELSE 0 END) AS BIGINT)
+             AS promo_rev_tt,
+           CAST(sum(rev_tt) AS BIGINT) AS total_rev_tt,
+           CAST(sum(CASE WHEN promo THEN rev_tt ELSE 0 END) * 100000
+                // sum(rev_tt) AS BIGINT) AS promo_share_hm
+    FROM r GROUP BY mon ORDER BY mon
+    """,
+)
+def q_agg_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: monthly share of revenue from PROMO-type parts in
+    1997 — the promotion-effect monitor.
+
+    Determinism: revenue rides in integer TEN-THOUSANDTHS of a dollar
+    — cents × (100 − discount-hundredths), both factors exact integers
+    (prices have 2 decimals, discounts are exact hundredths) — so the
+    share is the INTEGER division promo·10⁵ div total
+    (hundred-thousandths of the ratio ≈ thousandths of a percent): no
+    float division, no 100·x/y rounding, no engine disagreement
+    possible. The 10⁵ scale (not 10⁶) keeps the product comfortably
+    inside int64 headroom at sf ≥ 1 monthly volumes. Scale shape: one
+    fact shuffle for the part join (broadcast at test SF; at 100 TB
+    part scales with the fact and the join keys co-partition), then a
+    12-group two-phase conditional agg."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_tt = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    promo = F.col("p_type") == "PROMO"
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.date_trunc("month", "l_shipdate").alias("mon"),
+            rev_tt.alias("rev_tt"),
+            promo.alias("promo"),
+        )
+        .groupBy("mon")
+        .agg(
+            F.sum(F.when(F.col("promo"), F.col("rev_tt")).otherwise(0)).alias(
+                "promo_rev_tt"
+            ),
+            F.sum("rev_tt").alias("total_rev_tt"),
+        )
+        .select(
+            "mon",
+            "promo_rev_tt",
+            "total_rev_tt",
+            F.expr("promo_rev_tt * 100000 div total_rev_tt").alias(
+                "promo_share_hm"
+            ),
+        )
+        .orderBy("mon")
+    )
+
+
+# --------------------------------------------------------------------------
+# X192 — TPC-H Q10 shape: 4-table join + grouped revenue + TOP-N on the
+# AGGREGATE (not a raw column) — returned-items customer ranking, the
+# "who should we call about returns" query.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q10",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_agg_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in
+    1997-H1.
+
+    Scale shape: the fact stream re-keys twice (orderkey join, custkey
+    join — the Q3/Q5 minimum for this join graph), nation broadcasts,
+    and the top-20 runs as TakeOrderedAndProject over the grouped
+    aggregate — per-partition heaps, never a global sort of the
+    customer rollup. Revenue is the exact DECIMAL sum, so its double
+    is partition-order-invariant and the DESC ranking cannot flip on
+    an ulp; c_custkey breaks hypothetical ties to keep LIMIT 20 a
+    total order."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# X193 — TPC-H Q15 shape: grouped aggregate → GLOBAL MAX over the
+# aggregate → equality join-back (the top-supplier "view + where =
+# (select max)" pattern) — argmax over an aggregate, ties kept.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q15",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS total_tt
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    ),
+    m AS (SELECT max(total_tt) AS mx FROM rev)
+    SELECT s_suppkey, s_name, total_tt
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey, m
+    WHERE total_tt = mx
+    ORDER BY s_suppkey
+    """,
+)
+def q_agg_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the top supplier(s) by 1997-Q1 revenue — the
+    CREATE VIEW + WHERE total = (SELECT max(total) FROM view) shape,
+    which returns ALL maximal suppliers on a tie (unlike LIMIT 1).
+
+    Decorrelation/scale shape: revenue per supplier is ONE two-phase
+    agg in integer ten-thousandths (exact — see q_agg_q14); the
+    supplier-sized rollup is PERSISTED so the scalar max and the
+    equality filter read one materialization — without the cache each
+    branch rescans the fact (Spark plans the two consumers
+    independently; measured 2 lineitem scans), which at 100 TB doubles
+    the dominant cost. The 1-row max then BROADCASTS back into the
+    filter (q_agg_q22 cutoff pattern); supplier names join broadcast.
+    Integer equality means tie membership is exact — no epsilon, no
+    float max. Cache released via release_all_cached (bench/harness
+    contract, operators/caching.py)."""
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev_tt = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    rev = (
+        li.groupBy("l_suppkey").agg(F.sum(rev_tt).alias("total_tt")).persist()
+    )
+    mx = rev.agg(F.max("total_tt").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    out = (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_tt") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_tt")
+        .orderBy("s_suppkey")
+    )
+    return register_cached(out, [rev])
+
+
+# --------------------------------------------------------------------------
+# X194 — TPC-H Q16 shape: NOT IN subquery (anti join on a filtered id
+# list) + COUNT(DISTINCT) per group + ORDER BY the count — the
+# supplier-diversity report.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q16",
+    oracle="""
+    SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def q_agg_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier-diversity variant): how many distinct
+    suppliers ship each (brand, size) of non-promo small parts,
+    excluding suppliers in arrears (negative balance — this schema's
+    stand-in for the complaints LIKE filter).
+
+    Decorrelation: NOT IN over a non-nullable key list is a LEFT ANTI
+    join against the (tiny, broadcast) excluded-supplier ids —
+    evaluated BEFORE the aggregate so excluded suppliers never shuffle.
+    (With a nullable subquery column NOT IN would need the three-valued
+    null check — s_suppkey is a key, so anti join is exact.) The part
+    predicate broadcast-joins and prunes at the scan; count(DISTINCT)
+    is Spark's two-phase expand — keyed on (brand, size, suppkey),
+    skew-free. Ordering by the count puts the aggregate itself in the
+    sort key (Q16's signature), with (brand, size) completing the
+    total order."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 4, 7)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# X195 — TPC-H Q19 shape: DISJUNCTIVE multi-band join predicate (three
+# OR'd conjunction bands over part attrs × line quantity) — the shape
+# that stresses predicate normalization: the join key must still be
+# extracted from under the OR.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q19",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_agg_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: discounted revenue from three disjunctive
+    brand/size/quantity bands — the OR-of-ANDs predicate that only
+    qualifies a (part, line) PAIR, never either side alone.
+
+    Scale shape: the equi-key (partkey) is conjunctive ABOVE the OR,
+    so the join still plans as a hash join (broadcast at test SF) with
+    the three bands as a residual filter — the catastrophic plan
+    (nested-loop over the cross space because the OR hid the key) is
+    what this shape exists to rule out; plan-tested. Part-side
+    prefilter: p_size ≤ 15 covers every band, pushed to the part scan.
+    Revenue is the exact DECIMAL sum (q_agg_q1 discipline)."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(1, 15))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X196 — TPC-H Q8 shape: NATIONAL MARKET SHARE — a ratio of conditional
+# aggregates over the LARGEST join graph in the suite (fact + orders +
+# customer + two nation roles + supplier), numerator condition on a
+# DIFFERENT dimension than the group key.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q8",
+    oracle="""
+    WITH t AS (
+      SELECT year(o_orderdate) AS yr,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_tt,
+             (s_nationkey = 7) AS is_target
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE cn.n_regionkey = 2
+    )
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(sum(CASE WHEN is_target THEN rev_tt ELSE 0 END) AS BIGINT)
+             AS target_rev_tt,
+           CAST(sum(rev_tt) AS BIGINT) AS total_rev_tt,
+           CAST(sum(CASE WHEN is_target THEN rev_tt ELSE 0 END) * 100000
+                // sum(rev_tt) AS BIGINT) AS share_hm
+    FROM t GROUP BY yr ORDER BY yr
+    """,
+)
+def q_agg_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_7's market share — the fraction of revenue from
+    purchases by region-2 customers that NATION_7's suppliers captured,
+    per year.
+
+    The Q8 signature: the GROUP key (year) comes from orders, the
+    DENOMINATOR population from the customer-side region filter, and
+    the NUMERATOR condition from the supplier side — three different
+    tables feeding one conditional ratio. Scale shape: the fact
+    re-keys twice (orderkey, custkey — the proven Q5/Q7 minimum);
+    customer-nation and supplier both broadcast with their predicates
+    pruned inside the build side; share rides the integer
+    ten-thousandths + ·10⁵ div discipline of q_agg_q14 — the
+    year-level ratio is exact integer arithmetic, never a float
+    percent."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    cn = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 2)
+        .select(F.col("n_nationkey").alias("cnk"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    rev_tt = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            rev_tt.alias("rev_tt"),
+            (F.col("s_nationkey") == 7).alias("is_target"),
+        )
+        .groupBy("yr")
+        .agg(
+            F.sum(
+                F.when(F.col("is_target"), F.col("rev_tt")).otherwise(0)
+            ).alias("target_rev_tt"),
+            F.sum("rev_tt").alias("total_rev_tt"),
+        )
+        .select(
+            "yr",
+            "target_rev_tt",
+            "total_rev_tt",
+            F.expr("target_rev_tt * 100000 div total_rev_tt").alias(
+                "share_hm"
+            ),
+        )
+        .orderBy("yr")
+    )
+
+
+# --------------------------------------------------------------------------
+# X197 — TPC-H Q9 shape: PROFIT decomposition — revenue MINUS cost in
+# one pass, grouped by a dimension attribute × year, with the cost side
+# derived from a second fact-joined table; all-integer money.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q9",
+    oracle="""
+    WITH t AS (
+      SELECT n_name AS nation, year(o_orderdate) AS yr,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             - ((CAST(round(p_retailprice * 100) AS BIGINT) * 3) // 5)
+               * CAST(floor(l_quantity) AS BIGINT) * 100 AS profit_tt
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE p_name LIKE '%ar%'
+    )
+    SELECT nation, CAST(yr AS BIGINT) AS yr,
+           CAST(sum(profit_tt) AS BIGINT) AS profit_tt,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM t GROUP BY nation, yr ORDER BY nation, yr
+    """,
+)
+def q_agg_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-profit variant): per supplier nation × year,
+    the profit on parts whose name contains 'ar' — discounted revenue
+    minus unit cost × quantity. partsupp's ps_supplycost is played by
+    60% of retail price, computed as the INTEGER (retail_cents·3) div 5
+    so "60%" is an exact deterministic integer, not a float multiply.
+
+    Scale shape: the fact re-keys once on orderkey (year source) —
+    supplier, nation, and the name-filtered part all broadcast; profit
+    is assembled per ROW in ten-thousandths (revenue exact per
+    q_agg_q14; cost = unit-cents × integer qty × 100) and summed in
+    one two-phase agg over ~25 nations × 7 years. The LIKE filter
+    prunes part INSIDE the broadcast build side."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%ar%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    rev_tt = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    unit_cost_cents = F.expr(
+        "(cast(round(p_retailprice * 100) as bigint) * 3) div 5"
+    )
+    cost_tt = (
+        unit_cost_cents
+        * F.floor(F.col("l_quantity")).cast("bigint")
+        * F.lit(100)
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            (rev_tt - cost_tt).alias("profit_tt"),
+        )
+        .groupBy("nation", "yr")
+        .agg(
+            F.sum("profit_tt").alias("profit_tt"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("nation", "yr")
+    )
+
+
+# --------------------------------------------------------------------------
+# X198 — TPC-H Q11 shape: grouped value vs a FRACTION-OF-GLOBAL-TOTAL
+# threshold (HAVING sum(...) > 1/2000 × (SELECT sum(...))) — the
+# "important stock" screen; scalar-broadcast + integer cross-multiply.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_q11",
+    oracle="""
+    WITH stock AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)
+                      * CAST(round(p_retailprice * 100) AS BIGINT))
+                  AS BIGINT) AS val_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(sum(val_cents) AS BIGINT) AS total FROM stock)
+    SELECT l_partkey AS partkey, val_cents
+    FROM stock, tot
+    WHERE val_cents * 2000 > total
+    ORDER BY val_cents DESC, partkey
+    """,
+)
+def q_agg_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important-stock variant): parts whose shipped value
+    (quantity × retail cents — the partsupp availqty×supplycost analog)
+    exceeds 1/2000 of the whole corpus's shipped value.
+
+    Decorrelation: the correlated-looking threshold is a GLOBAL scalar
+    — computed once over the same grouped rollup (PERSISTED, so the
+    total reads the cached part-sized rollup instead of rescanning the
+    fact — the q_agg_q15 double-scan fix), reduced to one row,
+    broadcast into the filter (q_agg_q22's cutoff pattern); the
+    fraction comparison cross-multiplies to the integer
+    ``val·2000 > total`` — no 0.0005, no float threshold. Scale shape:
+    one fact exchange on partkey for the rollup (part broadcasts its
+    price in); the threshold pass and final sort run over the
+    part-sized rollup only. Ordering by (val_cents DESC, partkey)
+    totally orders ties."""
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice"
+    )
+    val = (
+        F.floor(F.col("l_quantity")).cast("bigint")
+        * F.round(F.col("p_retailprice") * 100).cast("bigint")
+    )
+    stock = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("val_cents"))
+        .persist()
+    )
+    tot = stock.agg(F.sum("val_cents").alias("total"))
+    out = (
+        stock.crossJoin(F.broadcast(tot))
+        .filter(F.col("val_cents") * 2000 > F.col("total"))
+        .select(F.col("l_partkey").alias("partkey"), "val_cents")
+        .orderBy(F.col("val_cents").desc(), "partkey")
+    )
+    return register_cached(out, [stock])

@@ -8,7 +8,13 @@ store — each micro-batch is combined with existing state and re-ranked,
 which is idempotent under replay (exactly-once state from at-least-once
 delivery, the guarantee the reference lacks — SURVEY §2.1 delivery
 finding). On Delta/Iceberg this becomes MERGE INTO; parquet-overwrite is
-the dependency-free stand-in with the same semantics.
+the dependency-free stand-in with the same semantics. (Round-7 status
+of the MERGE target: no delta/iceberg jar exists anywhere in this
+container — verified by filesystem search — and there is no network to
+vendor one, so the table-format sink stays env-gated alongside the
+Kafka/JDBC transports; the foreachBatch body is the single seam where
+``MERGE INTO state USING batch ON keys WHEN MATCHED UPDATE / NOT
+MATCHED INSERT / matched-and-op='d' DELETE`` drops in unchanged.)
 """
 
 from __future__ import annotations

@@ -257,9 +257,13 @@ def test_png_decode_rejects_unsupported_variants():
     # installed the honest gate fires
     with _pytest.raises((NotImplementedError, ValueError)):
         decode_media(pal, "image/png")
-    # audio stays gated
-    with _pytest.raises(NotImplementedError):
+    # RIFF payloads route to the REAL stdlib WAV decoder (round 7) —
+    # corrupt ones fail as ValueError (the quarantine class), while
+    # compressed audio without the RIFF magic stays honestly gated
+    with _pytest.raises(ValueError):
         decode_media(b"RIFFxxxx", "audio/wav")
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\xffOggS-not-riff", "audio/ogg")
     # ... but a baseline PNG decodes for real regardless of media_type
     img = np.full((2, 3, 3), 128, dtype=np.uint8)
     assert decode_media(_encode_png(img), "image/png").shape == (2, 3, 3)

@@ -832,3 +832,34 @@ def test_pca_power_pins_base_with_cache(spark, sf_dir):
         assert out.count() > 0
     finally:
         assert release_all_cached() >= 1
+
+
+def test_q19_disjunctive_predicate_keeps_hash_join(spark, sf_dir):
+    """X195: the OR-of-ANDs bands must NOT hide the equi-key — the join
+    plans as a (broadcast) hash join with the bands as residual, never
+    a nested loop over the cross space."""
+    plan = plan_of(QUERIES["q_agg_q19"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q6_scan_only_plan(spark, sf_dir):
+    """X188: Q6 is scan → pushdown → 1-row agg; every predicate must
+    reach PushedFilters and no Join/Window may appear."""
+    plan = plan_of(QUERIES["q_agg_q6"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    assert "PushedFilters" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or col in plan.split("PushedFilters")[1][:400], col
+
+
+def test_q15_q11_scalar_broadcast_reuse(spark, sf_dir):
+    """X193/X198: the global max / global total over the grouped rollup
+    must reduce to one row and broadcast back — no re-aggregation of
+    the fact, no fact-sized join for the scalar."""
+    for name in ("q_agg_q15", "q_agg_q11"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, name
+        # exactly one scan of lineitem feeds both rollup and scalar
+        assert plan.count("lineitem.parquet]") <= 1, name
