@@ -82,8 +82,13 @@ def overlap_bin_join(
         # sequence-too-long error minutes into the stage. Folded into
         # the sequence START expression (assert_true yields NULL when
         # the predicate holds) so column pruning can never elide it.
+        # NULL start/end makes n_bins NULL; assert_true raises on
+        # non-true predicates (NULL included), so gate the guard on
+        # non-null bounds — null-bounded rows keep their historical
+        # behavior (dropped by exploding the null sequence) instead of
+        # failing the stage with a misleading message. (ADVICE r7)
         check = F.assert_true(
-            n_bins <= max_bins_per_interval,
+            n_bins.isNull() | (n_bins <= max_bins_per_interval),
             F.format_string(
                 "overlap_bin_join: interval spans %s bins (> cap "
                 f"{max_bins_per_interval}) — bin_width={w} is "

@@ -154,7 +154,16 @@ def decode_media(content: bytes, media_type: str, fake: bool = False) -> np.ndar
     """
     if fake:
         return np.frombuffer(content, dtype=np.uint8)
-    if content[:4] == _RIFF_MAGIC:
+    # RIFF is a container *family* — claim the WAV path only when the
+    # subtype fourcc (bytes 8:12) is WAVE, or the caller declares the
+    # payload as WAV audio (so a truncated/corrupt WAV still fails as
+    # ValueError, the quarantine class). Other RIFF subtypes — WebP
+    # images, AVI video — fall through to the Pillow /
+    # NotImplementedError branches below. (ADVICE r7)
+    if content[:4] == _RIFF_MAGIC and (
+        content[8:12] == b"WAVE"
+        or media_type in ("audio/wav", "audio/x-wav", "audio/wave")
+    ):
         return decode_wav(content)[0]
     if content[:8] == _PNG_MAGIC:
         try:

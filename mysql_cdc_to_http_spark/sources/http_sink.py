@@ -34,29 +34,21 @@ def post_rows(
     """Executor-side partition POST loop. Runs on workers — must not touch
     driver state. Retries with exponential backoff; raises after final
     failure so the task (and micro-batch) retries rather than silently
-    dropping the event like the reference does."""
+    dropping the event like the reference does.
+
+    Shares :func:`_post_one`'s retry loop (ADVICE r7): permanent 4xx
+    responses (except 408/429) raise immediately instead of burning
+    retries×backoff on a poison row that can never succeed; the
+    idempotency key is the table+offset binlog-position analog."""
     for row in rows:
-        body = row[payload_col].encode("utf-8")
-        req = urllib.request.Request(
+        _post_one(
             url,
-            data=body,
-            headers={
-                "Content-Type": "application/json",
-                # idempotency key: table + offset (binlog-position analog)
-                "Idempotency-Key": str(row[key_col]),
-            },
-            method="POST",
+            row[payload_col].encode("utf-8"),
+            str(row[key_col]),
+            retries,
+            backoff_s,
+            timeout_s,
         )
-        attempt = 0
-        while True:
-            try:
-                with urllib.request.urlopen(req, timeout=timeout_s):
-                    break
-            except (urllib.error.URLError, OSError):
-                attempt += 1
-                if attempt > retries:
-                    raise
-                time.sleep(backoff_s * (2 ** (attempt - 1)))
 
 
 def http_batch_poster(
@@ -233,7 +225,15 @@ def replay_dlq(
     import glob as _glob
     import shutil as _shutil
 
-    paths = sorted(_glob.glob(f"{dlq_dir.rstrip('/')}/epoch=*"))
+    root = dlq_dir.rstrip("/")
+    # Crash recovery (ADVICE r7): scratch dirs are named so the
+    # 'epoch=*' discovery glob can never match them ('_replay_tmp_…'
+    # sorts outside the pattern); a run that crashed between the tmp
+    # write and the swap leaves only ignorable scratch, which we sweep
+    # here — the original epoch dir is still intact and authoritative.
+    for stale in _glob.glob(f"{root}/_replay_tmp_epoch=*"):
+        _shutil.rmtree(stale, ignore_errors=True)
+    paths = sorted(_glob.glob(f"{root}/epoch=*"))
     if not paths:
         return 0
     base = base_url.rstrip("/")
@@ -272,7 +272,7 @@ def replay_dlq(
     for path in paths:
         df = spark.read.schema(DLQ_SCHEMA).parquet(path)
         still = df.mapInPandas(_redeliver, schema=DLQ_SCHEMA)
-        tmp = path + "__replay_tmp"
+        tmp = f"{root}/_replay_tmp_{os.path.basename(path)}"
         still.write.mode("overwrite").parquet(tmp)
         n_fail = spark.read.schema(DLQ_SCHEMA).parquet(tmp).count()
         n_fail_total += n_fail

@@ -278,3 +278,71 @@ def test_post_one_does_not_retry_permanent_4xx():
         assert _PermanentReject.attempts == 2
     finally:
         srv.shutdown()
+
+
+def test_post_rows_does_not_retry_permanent_4xx():
+    """ADVICE r7: the primary foreachBatch sink loop (post_rows) shares
+    _post_one's 4xx fail-fast — a 404 poison row costs ONE attempt, not
+    retries×backoff, while 5xx still consumes the retry budget."""
+    import pytest
+    import urllib.error
+
+    from mysql_cdc_to_http_spark.sources.http_sink import post_rows
+
+    _PermanentReject.attempts = 0
+    _PermanentReject.code = 404
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _PermanentReject)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/x"
+        rows = [{"payload": "{}", "idem_key": "k1"}]
+        with pytest.raises(urllib.error.HTTPError):
+            post_rows(url, iter(rows), retries=3, backoff_s=0.01, timeout_s=2)
+        assert _PermanentReject.attempts == 1  # no retries burned
+        _PermanentReject.attempts = 0
+        _PermanentReject.code = 500
+        with pytest.raises(urllib.error.HTTPError):
+            post_rows(url, iter(rows), retries=2, backoff_s=0.01, timeout_s=2)
+        assert _PermanentReject.attempts == 3  # 1 + 2 retries
+    finally:
+        srv.shutdown()
+
+
+def test_replay_dlq_ignores_and_sweeps_stale_tmp(spark, tmp_path):
+    """ADVICE r7: a crash between the tmp write and the swap must not
+    double-POST — the scratch dir is named outside the 'epoch=*'
+    discovery glob and is swept on the next replay, so only the intact
+    original epoch is replayed and no nested __replay_tmp dirs form."""
+    import glob
+    import shutil
+
+    from mysql_cdc_to_http_spark.sources.http_sink import (
+        http_batch_poster_with_dlq,
+        replay_dlq,
+    )
+
+    _FlakySink.hits = []
+    _FlakySink.healed = False
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _FlakySink)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        batch = spark.createDataFrame(
+            [("poison", '{"id": %d}' % i, f"p{i}") for i in range(3)],
+            "grp string, payload string, idem_key string",
+        )
+        dlq = str(tmp_path / "dlq")
+        http_batch_poster_with_dlq(base, dlq, retries=0)(batch, epoch_id=2)
+        # simulate the crash window: a stale scratch dir with the SAME
+        # rows sits next to the intact epoch dir
+        shutil.copytree(f"{dlq}/epoch=2", f"{dlq}/_replay_tmp_epoch=2")
+        _FlakySink.healed = True
+        assert replay_dlq(spark, dlq, base, retries=0) == 0
+        # each key POSTed exactly once — the stale tmp was NOT replayed
+        keys = [k for p, k in _FlakySink.hits if p.endswith("/poison")]
+        assert sorted(keys) == ["p0", "p1", "p2"]
+        # scratch swept, epoch drained, nothing nested left behind
+        assert glob.glob(f"{dlq}/*replay_tmp*") == []
+        assert glob.glob(f"{dlq}/epoch=*") == []
+    finally:
+        srv.shutdown()

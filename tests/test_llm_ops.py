@@ -1095,3 +1095,27 @@ def test_embedding_audit_parity_on_ragged_batch(spark, tmp_path):
     got = {r.label: r for r in QUERIES["q_embedding_audit"](spark, sf).collect()}
     assert got[0].n_dims == 1 and got[0].min_norm == 5.0
     assert got[1].n_dims == 3 and got[1].n_zero == 2  # ragged + zero + empty
+
+
+def test_decode_media_riff_subtype_routing():
+    """ADVICE r7: RIFF is a container family. Only WAVE subtypes (or
+    payloads declared audio/wav) take the stdlib WAV path; WebP images
+    route to the Pillow branch (honest gate here — Pillow absent) and
+    AVI video hits the documented NotImplementedError gate, never a
+    misleading 'invalid WAV payload' ValueError."""
+    import pytest as _pytest
+
+    from mysql_cdc_to_http_spark.operators.multimodal import decode_media
+
+    webp = b"RIFF" + b"\x00\x00\x00\x00" + b"WEBP" + b"VP8 " + b"\x00" * 16
+    with _pytest.raises(NotImplementedError, match="Pillow"):
+        decode_media(webp, "image/webp")
+    avi = b"RIFF" + b"\x00\x00\x00\x00" + b"AVI " + b"\x00" * 16
+    with _pytest.raises(NotImplementedError, match="codec"):
+        decode_media(avi, "video/x-msvideo")
+    # declared-WAV corrupt payload keeps the ValueError quarantine class
+    with _pytest.raises(ValueError):
+        decode_media(b"RIFFxxxx", "audio/wav")
+    # real WAVE subtype still decodes regardless of declared type
+    wav = _make_wav(8000, 1, 2, b"\x01\x00\x02\x00")
+    assert decode_media(wav, "application/octet-stream").shape == (2, 1)

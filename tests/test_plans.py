@@ -863,3 +863,32 @@ def test_q15_q11_scalar_broadcast_reuse(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, name
         # exactly one scan of lineitem feeds both rollup and scalar
         assert plan.count("lineitem.parquet]") <= 1, name
+
+
+def test_overlap_bin_join_null_bounds_dropped_not_failed(spark):
+    """ADVICE r7: NULL interval bounds make n_bins NULL; the span-cap
+    assert_true must not fire on them (assert_true raises on non-true,
+    NULL included). Null-bounded rows keep the historical explode-drop
+    behavior while the cap still catches genuinely oversized spans."""
+    import pytest
+
+    from mysql_cdc_to_http_spark.operators.intervals import overlap_bin_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, None, 100), (3, 0, None)],
+        "lid long, ls long, le long",
+    )
+    right = spark.createDataFrame([(7, 50, 60)], "rid long, rs long, re long")
+    got = overlap_bin_join(
+        left, right, "ls", "le", "rs", "re", bin_width=32
+    ).collect()
+    # only the fully-bounded row joins; null-bounded ones dropped silently
+    assert [(r["lid"], r["rid"]) for r in got] == [(1, 7)]
+    # the cap still fires on a real monster span
+    wide = spark.createDataFrame(
+        [(9, 0, 200_000)], "lid long, ls long, le long"
+    )
+    with pytest.raises(Exception, match="bins"):
+        overlap_bin_join(
+            wide, right, "ls", "le", "rs", "re", bin_width=1
+        ).collect()
