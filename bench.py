@@ -193,6 +193,26 @@ HEADLINE = [
     "q_embedding_audit",
     "q_exposure_response",
     "q_purchase_cadence",
+    # round 8: the round-7 additions (TPC-H ladder completion, WAV audio
+    # stats, DOULION sampled triangles) join the headline — they were
+    # registry members invisible to BENCH_r07. 157-query headline;
+    # compare per-query or prior-round-name subsets.
+    "q_agg_q2",
+    "q_agg_q4",
+    "q_agg_q6",
+    "q_agg_q8",
+    "q_agg_q9",
+    "q_agg_q10",
+    "q_agg_q11",
+    "q_agg_q12",
+    "q_agg_q14",
+    "q_agg_q15",
+    "q_agg_q16",
+    "q_agg_q19",
+    "q_agg_q20",
+    "q_agg_q21",
+    "q_audio_stats",
+    "q_triangle_count_approx",
 ]
 
 

@@ -892,3 +892,27 @@ def test_overlap_bin_join_null_bounds_dropped_not_failed(spark):
         overlap_bin_join(
             wide, right, "ls", "le", "rs", "re", bin_width=1
         ).collect()
+
+
+def test_triangle_approx_coin_samples_before_edge_distinct(spark, sf_dir):
+    """X183 (round 8): the DOULION md5 coin must run BELOW the
+    canonical-edge distinct's (u,v) exchange — filter∘distinct ≡
+    distinct∘filter for the deterministic pair coin, and sampling
+    before the shuffle is what makes the sampled form cheaper than
+    exact at every stage past pair generation (warm sf0.1:
+    5.95 s exact → 3.91 s sampled), not just in the p³ wedge work."""
+    df = QUERIES["q_triangle_count_approx"](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    lines = plan.splitlines()
+    ex_idx = [
+        i for i, l in enumerate(lines) if "Exchange hashpartitioning(u#" in l
+    ]
+    coin_idx = [i for i, l in enumerate(lines) if "tri-v1" in l]
+    assert ex_idx, "edge-distinct exchange missing from plan"
+    # every (u,v) exchange has the coin strictly below it (children
+    # print after parents), and no coin floats above an exchange
+    assert len(coin_idx) == len(ex_idx), (ex_idx, coin_idx)
+    assert all(c > e for e, c in zip(ex_idx, coin_idx)), (ex_idx, coin_idx)
