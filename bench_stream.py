@@ -19,6 +19,13 @@ the two stateful surfaces that define the engine's streaming story:
 2. **Stream-stream interval join** (queries/streaming.py
    q_stream_stream_join): both sides streamed, watermark + event-time
    bound state eviction. Reports input rows/s through the join.
+3. **HTTP delivery path** (round 8 — the reference's actual value
+   path, R12): the CDC feed streams through ``build_delivery_frame``
+   into the DLQ-protected HTTP poster against a local HTTP/1.1 echo
+   server, with a deterministic ~2% of rows routed to a /poison
+   endpoint that 500s. Reports delivered rows/s (incl. retries + DLQ
+   parquet writes), dead-letter counts, and a heal + ``replay_dlq``
+   convergence cycle that must drain the DLQ to empty.
 
 Prints exactly ONE JSON line standalone; ``bench.py`` embeds the same
 dict under a ``"stream"`` key so the driver records it in BENCH_r{N}.
@@ -366,6 +373,157 @@ def bench_session_state(spark, sf_dir: str) -> dict:
     }
 
 
+class _EchoSinkHandler:
+    """Placeholder namespace — real handler built in bench_http_delivery
+    (it needs per-run mutable counters, so the class is created fresh)."""
+
+
+def bench_http_delivery(
+    spark, sf_dir: str, n_files: int = 8, poison_pct: int = 2
+) -> dict:
+    """The reference's actual VALUE path (R12: consume → envelope →
+    HTTP POST, main.go:105-113) measured end-to-end: the CDC feed
+    streams through build_delivery_frame into the DLQ-protected HTTP
+    poster against a local threaded echo server. ~poison_pct% of rows
+    are deterministically routed to a /poison endpoint that 500s, so
+    the run also exercises retry + dead-lettering; after the feed
+    drains the endpoint is healed and ONE replay_dlq cycle must
+    converge the DLQ to empty (drained epoch dirs deleted).
+
+    Reported: delivered rows/s (wall covers POSTs incl. retries and
+    DLQ parquet writes), 2xx/5xx counts, dlq_rows, replay counters.
+    Scale shape: delivery runs partition-parallel inside mapInPandas
+    on executors (one urllib opener per row against localhost here; a
+    real deployment amortizes connections per partition) — rows/s is
+    therefore a LOWER bound set by the echo server round trip."""
+    import http.server
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.engine import build_delivery_frame
+    from mysql_cdc_to_http_spark.operators.sampling import split_bucket
+    from mysql_cdc_to_http_spark.sources.cdc import (
+        stream_change_events,
+        write_event_files,
+    )
+    from mysql_cdc_to_http_spark.sources.http_sink import (
+        http_batch_poster_with_dlq,
+        replay_dlq,
+    )
+
+    counters = {"ok": 0, "err": 0}
+    lock = threading.Lock()
+    healed = threading.Event()
+
+    class _Echo(http.server.BaseHTTPRequestHandler):
+        # HTTP/1.1 so the sink's keep-alive connections actually persist
+        # (the default 1.0 closes per response, forcing a TCP setup per
+        # row and understating the sink's real throughput), and Nagle
+        # off so the 2-byte body segment isn't held behind delayed-ACK
+        # (~40 ms/request = 23 rows/s single-stream until disabled)
+        protocol_version = "HTTP/1.1"
+        disable_nagle_algorithm = True
+
+        def do_POST(self):  # noqa: N802
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            if self.path.endswith("/poison") and not healed.is_set():
+                with lock:
+                    counters["err"] += 1
+                self.send_response(500)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            with lock:
+                counters["ok"] += 1
+            body = b"{}"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Echo)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+
+    events_dir = write_event_files(spark, sf_dir, n_files=n_files)
+    work = tempfile.mkdtemp(prefix="graft_http_bench_")
+    dlq = os.path.join(work, "dlq")
+    ckpt = os.path.join(work, "ckpt")
+
+    def _frame(changes):
+        frame = build_delivery_frame(changes, spark)
+        # plant the poison route deterministically (md5 coin on the
+        # idempotency key — reproducible across runs)
+        return frame.withColumn(
+            "grp",
+            F.when(
+                split_bucket(F.col("idem_key"), 100, salt="http-soak-v1")
+                < poison_pct,
+                F.lit("poison"),
+            ).otherwise(F.col("grp")),
+        )
+
+    poster = http_batch_poster_with_dlq(
+        base, dlq, retries=1, backoff_s=0.01, timeout_s=5.0, parallelism=16
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        t0 = time.perf_counter()
+        q = (
+            _frame(stream_change_events(spark, events_dir))
+            .writeStream.foreachBatch(poster)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        wall = time.perf_counter() - t0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    import glob as _glob
+
+    dlq_rows = 0
+    if _glob.glob(f"{dlq}/epoch=*"):
+        dlq_rows = spark.read.parquet(f"{dlq}/epoch=*").count()
+    delivered = counters["ok"]
+    rejected_5xx = counters["err"]
+
+    # heal + one replay cycle: DLQ must drain to empty
+    healed.set()
+    t1 = time.perf_counter()
+    still_failing = replay_dlq(spark, dlq, base, retries=0)
+    replay_wall = time.perf_counter() - t1
+    dlq_drained = still_failing == 0 and _glob.glob(f"{dlq}/epoch=*") == []
+    replayed_ok = counters["ok"] - delivered
+
+    srv.shutdown()
+    shutil.rmtree(work, ignore_errors=True)
+
+    rows_total = delivered + dlq_rows  # every routed row accounted for
+    return {
+        "rows_routed": rows_total,
+        "rows_delivered_2xx": delivered,
+        "rows_rejected_5xx": rejected_5xx,
+        "dlq_rows": dlq_rows,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(rows_total / wall, 1) if wall > 0 else None,
+        "replay_still_failing": still_failing,
+        "replay_delivered": replayed_ok,
+        "replay_wall_sec": round(replay_wall, 3),
+        "dlq_drained_after_replay": bool(dlq_drained),
+        "delivery_complete": bool(
+            dlq_drained and replayed_ok == dlq_rows
+        ),
+    }
+
+
 def run(spark, sf_dir: str, n_files: int = 16) -> dict:
     cdc = bench_cdc_pipeline(spark, sf_dir, n_files=n_files)
     # 10× soak: 10× the rows over a 10×-wider key domain. Sub-linear
@@ -386,12 +544,14 @@ def run(spark, sf_dir: str, n_files: int = 16) -> dict:
     ssj = bench_stream_stream_join(spark, sf_dir)
     ivm = bench_ivm_view(spark, sf_dir, n_files=n_files)
     sess = bench_session_state(spark, sf_dir)
+    http = bench_http_delivery(spark, sf_dir, n_files=n_files // 2)
     return {
         "cdc_pipeline": cdc,
         "cdc_pipeline_10x": cdc10,
         "stream_stream_join": ssj,
         "ivm_view": ivm,
         "session_state": sess,
+        "http_delivery": http,
         "checks": {
             "resumed_exactly_once": cdc["resumed_exactly_once"],
             "state_bounded": cdc["state_bounded"],
@@ -399,6 +559,7 @@ def run(spark, sf_dir: str, n_files: int = 16) -> dict:
             "state_bounded_10x": cdc10["state_bounded"],
             "scaling_10x_ok": scaling_ok,
             "ivm_view_matches_batch": ivm["view_matches_batch"],
+            "http_delivery_complete": http["delivery_complete"],
         },
     }
 

@@ -346,3 +346,43 @@ def test_replay_dlq_ignores_and_sweeps_stale_tmp(spark, tmp_path):
         assert glob.glob(f"{dlq}/epoch=*") == []
     finally:
         srv.shutdown()
+
+
+def test_keepalive_poster_survives_surprise_connection_close():
+    """Round 8: the keep-alive sink must treat a server-side close of a
+    REUSED connection as a connection event, not an endpoint failure —
+    one free retry on a fresh connection, no caller budget consumed
+    (retries=0 here), idempotency key re-sent unchanged."""
+    from mysql_cdc_to_http_spark.sources.http_sink import _KeepAlivePoster
+
+    class _SurpriseClose(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        keys: list = []
+
+        def do_POST(self):  # noqa: N802
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            type(self).keys.append(self.headers.get("Idempotency-Key", ""))
+            body = b"{}"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            # close WITHOUT a Connection: close header — the client
+            # believes the connection is still reusable
+            self.close_connection = True
+
+        def log_message(self, *a):
+            pass
+
+    _SurpriseClose.keys = []
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _SurpriseClose)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/g"
+        poster = _KeepAlivePoster(timeout_s=2)
+        for i in range(5):  # every request after the first rides a
+            poster.post(url, b"{}", f"k{i}", retries=0, backoff_s=0.01)
+        poster.close()
+        assert _SurpriseClose.keys == [f"k{i}" for i in range(5)]
+    finally:
+        srv.shutdown()
