@@ -213,6 +213,7 @@ HEADLINE = [
     "q_agg_q21",
     "q_audio_stats",
     "q_triangle_count_approx",
+    "q_record_linkage_multipass",
 ]
 
 

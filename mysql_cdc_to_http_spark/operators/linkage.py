@@ -126,3 +126,35 @@ def block_stats(
             (F.col("k") * (F.col("k") - F.lit(1))) / F.lit(2)
         ).cast("bigint").alias("n_pairs"),
     )
+
+
+def multipass_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_keys: list[Column],
+    payload_cols: list[str],
+    max_block: int | None = None,
+) -> DataFrame:
+    """Candidate pairs from SEVERAL independent blocking keys, unioned
+    and deduplicated on the pair ids — the standard multi-pass recall
+    answer (module docstring): a typo INSIDE one key's columns escapes
+    that pass but is caught by any pass whose key avoids those columns.
+    Recall is the union of per-pass recalls; a pair is missed only if
+    EVERY key's columns contain a discrepancy.
+
+    Cost shape: each pass is one candidate-sized equi-join on its key
+    (same shuffle discipline as :func:`blocked_pairs`, including the
+    optional ``max_block`` truncation guard per pass), and the final
+    distinct dedups pairs found by multiple passes. The dedup shuffles
+    candidate pairs carrying the payload columns — acceptable because
+    the payload here IS the scoring column every pass already moved;
+    candidates are block-bounded, never corpus-quadratic."""
+    if not block_keys:
+        raise ValueError("multipass_pairs needs at least one block key")
+    out: DataFrame | None = None
+    for key in block_keys:
+        p = blocked_pairs(
+            df, id_col, key, payload_cols, max_block=max_block
+        ).drop("__block")
+        out = p if out is None else out.unionByName(p)
+    return out.distinct()

@@ -816,6 +816,86 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_record_linkage_multipass",
+    oracle="""
+    WITH s AS (
+      SELECT c_custkey, c_name FROM customer
+    ),
+    p1 AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             a.c_name AS name_a, b.c_name AS name_b
+      FROM s a JOIN s b
+        ON substr(a.c_name, 10, 7) = substr(b.c_name, 10, 7)
+       AND a.c_custkey < b.c_custkey
+    ),
+    p2 AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             a.c_name AS name_a, b.c_name AS name_b
+      FROM s a JOIN s b
+        ON substr(a.c_name, 10, 6) || substr(a.c_name, 17, 2)
+         = substr(b.c_name, 10, 6) || substr(b.c_name, 17, 2)
+       AND a.c_custkey < b.c_custkey
+    ),
+    cand AS (SELECT * FROM p1 UNION SELECT * FROM p2)
+    SELECT id_a, id_b,
+           CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def q_record_linkage_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass blocked record linkage (operators/linkage.py:
+    multipass_pairs) — round-8 verdict item #5. Single-pass blocking
+    has a structural recall hole: a discrepancy INSIDE the blocking
+    key's own columns routes the two records to different blocks, so
+    the pair is never compared. The standard answer is to union
+    candidates from several INDEPENDENT keys; a pair is missed only if
+    every key's columns contain a discrepancy.
+
+    Here both passes key on disjoint digit windows of the name:
+    pass 1 fixes digits 1-7 (frees 8-9, the single-pass key of
+    q_record_linkage); pass 2 fixes digits 1-6 and 8-9 (frees digit 7).
+    Pass 2 therefore catches within-one-edit pairs whose custkeys
+    differ in the hundreds digit — REAL pairs at every sf that the
+    single-pass form structurally misses (e.g. Customer#000000005 vs
+    Customer#000000105), not just a planted-test artifact; the planted
+    recall test (tests/test_plans.py) additionally proves the miss/
+    catch contrast directly. Both keys are construction-bounded
+    (≤100 and ≤10 members per block), so no max_block truncation is
+    needed and the oracle is exact: candidates are a deterministic set,
+    levenshtein is integer, and UNION dedups identically in both
+    engines.
+
+    Scale shape: two candidate-sized equi-joins (one hash shuffle on
+    each key) + one distinct over block-bounded candidates — multi-pass
+    multiplies cost by the number of passes, never re-introduces the
+    corpus-quadratic all-pairs join."""
+    from mysql_cdc_to_http_spark.operators.linkage import (
+        fuzzy_match,
+        multipass_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = multipass_pairs(
+        cust,
+        "c_custkey",
+        [
+            F.substring("c_name", 10, 7),
+            F.concat(
+                F.substring("c_name", 10, 6), F.substring("c_name", 17, 2)
+            ),
+        ],
+        ["c_name"],
+    )
+    return (
+        fuzzy_match(pairs, "c_name_a", "c_name_b", max_dist=1)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
     "q_ohlc_bars",
     oracle="""
     SELECT event_type,
