@@ -14,6 +14,27 @@ SF001 = "/root/testdata/sf0.01"
 
 os.environ.setdefault("TZ", "UTC")
 
+# google.protobuf shim (vendor/pbshim/sitecustomize.py): makes the
+# transformWithStateInPandas runner importable in this sandbox by
+# reusing the machine's gcloud-vendored pure-Python protobuf runtime.
+# Must run BEFORE the session-scoped spark fixture launches the JVM:
+# the TWS runner is a child of the JVM and needs the shim on
+# PYTHONPATH (sitecustomize) to patch its own interpreter; the driver
+# process is patched by exec'ing the shim here. No-op when a real
+# protobuf runtime (or no GAE copy) is present.
+_PBSHIM = os.path.join(REPO, "vendor", "pbshim")
+if os.path.isdir(_PBSHIM):
+    os.environ["PYTHONPATH"] = (
+        _PBSHIM + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "_pbshim_sitecustomize", os.path.join(_PBSHIM, "sitecustomize.py")
+    )
+    _mod = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_mod)
+
 
 @pytest.fixture(scope="session")
 def spark():
