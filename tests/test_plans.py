@@ -960,3 +960,61 @@ def test_multipass_linkage_catches_typo_inside_first_key(spark):
     assert (5, 105) not in single     # typo INSIDE key 1: pass 1 blind
     assert (5, 105) in multi          # pass 2 frees digit 7 and finds it
     assert single <= multi            # union never loses single-pass pairs
+
+
+import pytest as _pytest
+
+_TPCH_ALL = [f"q_agg_q{i}" for i in range(1, 23)]
+# shapes whose defining predicate is a SINGLE-COLUMN date range on a
+# fact table — the filter MUST reach the parquet scan as a pushed
+# filter. Not listed: q7/q8 (group by year, no range predicate in this
+# schema's shape), q12 (cross-column lateness l_shipdate vs
+# o_orderdate — unpushable by construction, rides the join residual),
+# q20 (the date cutoff is a conditional-aggregate branch, not a row
+# filter).
+_TPCH_DATED = {
+    "q_agg_q1", "q_agg_q3", "q_agg_q4", "q_agg_q5", "q_agg_q6",
+    "q_agg_q10", "q_agg_q14", "q_agg_q15",
+}
+
+
+@_pytest.mark.parametrize("name", _TPCH_ALL)
+def test_tpch_ladder_plan_invariants(spark, sf_dir, name):
+    """Round-8 verdict #7: the consolidated TPC-H gate. The per-query
+    plan tests pin each shape's hard properties piecewise; this sweep
+    asserts the invariants EVERY shape must satisfy, so a Catalyst or
+    refactor regression anywhere in the 22-query ladder fails CI even
+    when results stay correct:
+    - no CartesianProduct anywhere (scalar 1-row combinations plan as
+      broadcast nested loops, never a materialized cross product);
+    - date-range shapes push their date filter into the parquet scan
+      (PushedFilters on the fact scan — IsNotNull alone doesn't count);
+    - every scan is column-pruned: no table is read at full width
+      unless the query genuinely uses every column (none does)."""
+    import re
+
+    plan = plan_of(QUERIES[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
+
+    if name in _TPCH_DATED:
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert any(
+            ("date" in p.lower()) and re.search(r"(GreaterThan|LessThan|EqualTo|In\()", p)
+            for p in pushed
+        ), f"{name}: no pushed date filter in {pushed}"
+
+    # column pruning on the FACT tables, where width is what hurts at
+    # 100 TB (dims may legitimately read full width — e.g. q2 uses all
+    # four supplier columns); no shape uses all 11 lineitem or all 6
+    # orders columns
+    widths = {"l_": 11, "o_": 6}
+    for schema in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        fields = [f.split(":")[0] for f in schema.split(",") if f]
+        if not fields:
+            continue
+        full = widths.get(fields[0][:2])
+        if full is not None:
+            assert len(fields) < full, (
+                f"{name}: fact scan reads ALL {full} columns — "
+                f"pruning lost: {fields}"
+            )
