@@ -214,6 +214,7 @@ HEADLINE = [
     "q_audio_stats",
     "q_triangle_count_approx",
     "q_record_linkage_multipass",
+    "q_bpe_pairs",
 ]
 
 

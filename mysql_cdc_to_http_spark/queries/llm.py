@@ -1705,3 +1705,74 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(_roundtrip, schema=schema).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# X200 — BPE merge-pair counting: the hot inner loop of tokenizer
+# training (Sennrich et al., "Neural Machine Translation of Rare Words
+# with Subword Units" — public algorithm), distributed. One iteration =
+# count adjacent symbol pairs across the corpus and pick the most
+# frequent; the full training loop repeats with the winning pair merged.
+# --------------------------------------------------------------------------
+@query(
+    "q_bpe_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f
+      FROM words WHERE length(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, f
+      FROM wf, UNNEST(range(1, length(w))) AS t(i)
+    )
+    SELECT pair, CAST(SUM(f) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair ORDER BY freq DESC, pair LIMIT 50
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent character pairs over the corpus, frequency-
+    weighted — one BPE training iteration's pair statistics.
+
+    Scale shape — the standard BPE trick, distributed: pairs are
+    counted over the DISTINCT-WORD table weighted by word frequency,
+    never over every token occurrence, so the pair-generation explode
+    is VOCABULARY-sized (Heaps' law: ~√corpus) while the only
+    corpus-sized work is the word-frequency hash aggregate (map-side
+    partial, shuffle carries one row per distinct word per partition).
+    Pair expansion is a JVM higher-order function
+    (``transform(sequence(...))`` + explode) inside whole-stage codegen
+    — no Python in the hot path — and the final count is again a
+    two-phase aggregate over ≤ |alphabet|² pair keys with a
+    TakeOrderedAndProject top-k (no global sort). The full BPE loop
+    is driver-coordinated: apply the winning merge to the vocab table
+    (a broadcast map over distinct words), re-count, repeat — each
+    iteration is this same vocabulary-sized plan, which is what makes
+    tokenizer training feasible at 100 TB where per-occurrence
+    counting is not.
+
+    Exact oracle: integer frequencies, deterministic (freq DESC, pair)
+    tie-break at the LIMIT boundary; both engines split on single
+    spaces and drop sub-2-char tokens identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(50)
+    )

@@ -1018,3 +1018,30 @@ def test_tpch_ladder_plan_invariants(spark, sf_dir, name):
                 f"{name}: fact scan reads ALL {full} columns — "
                 f"pruning lost: {fields}"
             )
+
+
+def test_bpe_pairs_explodes_vocab_not_corpus(spark, sf_dir):
+    """X200: the pair explode must run ABOVE the word-frequency
+    aggregate (vocabulary-sized input, Heaps' law), never over raw
+    token occurrences; both aggregates partial map-side; top-k is
+    TakeOrderedAndProject, no global Sort."""
+    df = QUERIES["q_bpe_pairs"](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    lines = plan.splitlines()
+    pair_gen = next(
+        i for i, l in enumerate(lines) if "Generate" in l and "transform" in l
+    )
+    word_agg = next(
+        i for i, l in enumerate(lines)
+        if "Exchange hashpartitioning(w#" in l
+    )
+    # children print after parents: the pair Generate reads the word
+    # aggregate's OUTPUT (appears above the word exchange), so pair
+    # expansion is vocab-sized
+    assert pair_gen < word_agg, plan
+    assert plan.count("partial_") >= 2  # both aggregates map-side partial
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrdered", "")  # no global sort
