@@ -215,6 +215,7 @@ HEADLINE = [
     "q_triangle_count_approx",
     "q_record_linkage_multipass",
     "q_bpe_pairs",
+    "q_image_phash",
 ]
 
 

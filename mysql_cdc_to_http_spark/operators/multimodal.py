@@ -137,6 +137,40 @@ def decode_png(content: bytes) -> np.ndarray:
     return out.reshape(h, w, ch)
 
 
+def encode_png_gray(arr: np.ndarray) -> bytes:
+    """Minimal REAL PNG encoder for 8-bit grayscale (filter 0,
+    non-interlaced) — the spec inverse of :func:`decode_png`'s baseline
+    subset, using only the stdlib. Exists so multimodal queries can
+    round-trip an actual container (synthesize → encode → decode →
+    analyze) without Pillow, the q_audio_stats/WAV pattern applied to
+    images."""
+    import struct
+    import zlib
+
+    if arr.ndim != 2:
+        raise ValueError(f"expected (H, W) grayscale, got shape {arr.shape}")
+    h, w = arr.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_media(content: bytes, media_type: str, fake: bool = False) -> np.ndarray:
     """Decode a media payload to a raw array.
 

@@ -1776,3 +1776,123 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "pair")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# X201 — image perceptual hash (dHash) through a REAL PNG codec round
+# trip, + same-hash near-dup grouping: the multimodal arm of the dedup
+# ladder (public algorithm: difference hash, as popularized by the
+# pHash/imagehash projects).
+# --------------------------------------------------------------------------
+@query(
+    "q_image_phash",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+             (doc_id*31 + 5*x*x + 13*y + 3*x*y) % 256 AS p
+      FROM documents,
+           UNNEST(range(0, 8)) AS tx(x), UNNEST(range(0, 8)) AS ty(y)
+    ),
+    hashes AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN b.p > a.p
+                  THEN 1::BIGINT << CAST(a.y*7 + a.x AS INTEGER)
+                  ELSE 0 END) AS BIGINT) AS dhash
+      FROM px a JOIN px b
+        ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+      WHERE a.x < 7
+      GROUP BY a.doc_id
+    ),
+    sums AS (
+      SELECT doc_id, CAST(SUM(p) AS BIGINT) AS px_sum FROM px GROUP BY doc_id
+    )
+    SELECT h.doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+           s.px_sum, h.dhash,
+           CAST(COUNT(*) OVER (PARTITION BY h.dhash) AS BIGINT) AS n_same_hash
+    FROM hashes h JOIN sums s USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset perceptual difference hash (dHash) through a REAL PNG
+    codec round trip, with same-hash near-dup grouping.
+
+    Each document synthesizes a deterministic 8×8 grayscale tile —
+    pixel (x, y) of doc d is ``(31d + 5x² + 13y + 3xy) mod 256`` —
+    which is ENCODED to an actual PNG container
+    (operators/multimodal.py:encode_png_gray, stdlib zlib) and DECODED
+    back by the real ``decode_png`` inside one Arrow ``mapInPandas``
+    stage; the 56-bit dHash (bit y·7+x set iff p[y][x+1] > p[y][x] on
+    the DECODED pixels — 56 bits so the key fits a signed long in both
+    engines) and the exact pixel sum come from the decoded array. The
+    DuckDB oracle knows nothing of PNG: it regenerates the pixels
+    symbolically and computes the same bits — exact agreement certifies
+    the encode→decode round trip bit-for-bit (the q_audio_stats/WAV
+    pattern applied to images). ``n_same_hash`` then groups identical
+    perceptual hashes — the image-dedup primitive: at scale the dhash
+    is the blocking key (exact for identical tiles; near-dup banding
+    splits the 56 bits into chunks exactly like SimHash's pigeonhole,
+    operators/dedup.py).
+
+    Scale shape: one narrow projection (ids only) into one Arrow
+    mapInPandas pass — no shuffle before it; the group count is a
+    window PARTITIONED BY the hash (keyed, never unpartitioned); output
+    is asset-sized. A real thumbnail corpus slots into the same stage:
+    decode_media handles the container, resize_nearest normalizes to
+    the 8×8 grid, the hash math is unchanged."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    schema = (
+        "doc_id long, width long, height long, px_sum long, dhash long"
+    )
+
+    y_grid, x_grid = np.mgrid[0:8, 0:8]
+    weights = (
+        np.ones((8, 7), dtype=np.int64)
+        << (np.arange(8, dtype=np.int64)[:, None] * 7
+            + np.arange(7, dtype=np.int64)[None, :])
+    )
+
+    def _phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                tile = (
+                    (d * 31 + 5 * x_grid * x_grid + 13 * y_grid
+                     + 3 * x_grid * y_grid) % 256
+                ).astype(np.uint8)
+                dec = decode_png(encode_png_gray(tile))[:, :, 0].astype(
+                    np.int64
+                )
+                bits = dec[:, 1:] > dec[:, :-1]
+                rows.append(
+                    (
+                        d,
+                        int(dec.shape[1]),
+                        int(dec.shape[0]),
+                        int(dec.sum()),
+                        int((bits * weights).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "px_sum", "dhash"],
+            )
+
+    hashes = docs.mapInPandas(_phash, schema=schema)
+    return hashes.withColumn(
+        "n_same_hash",
+        F.count(F.lit(1)).over(W.partitionBy("dhash")).cast("bigint"),
+    ).orderBy("doc_id")

@@ -1119,3 +1119,26 @@ def test_decode_media_riff_subtype_routing():
     # real WAVE subtype still decodes regardless of declared type
     wav = _make_wav(8000, 1, 2, b"\x01\x00\x02\x00")
     assert decode_media(wav, "application/octet-stream").shape == (2, 1)
+
+
+def test_encode_png_gray_roundtrip_exact():
+    """X201: the engine-side grayscale PNG encoder must be the exact
+    spec inverse of decode_png — pixel-for-pixel round trip, and the
+    output is a genuine baseline PNG (magic + IHDR gray/8-bit)."""
+    import numpy as np
+
+    from mysql_cdc_to_http_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray,
+    )
+
+    a = ((np.arange(240).reshape(12, 20) * 37 + 11) % 256).astype(np.uint8)
+    png = encode_png_gray(a)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    dec = decode_png(png)
+    assert dec.shape == (12, 20, 1)
+    assert (dec[:, :, 0] == a).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="grayscale"):
+        encode_png_gray(np.zeros((2, 2, 3), dtype=np.uint8))
