@@ -216,6 +216,7 @@ HEADLINE = [
     "q_record_linkage_multipass",
     "q_bpe_pairs",
     "q_image_phash",
+    "q_kmv_sample",
 ]
 
 

@@ -419,3 +419,99 @@ def c4_clean_page(text: Column) -> tuple[Column, Column, Column, Column]:
     dropped = F.lower(text).contains("lorem ipsum")
     clean = F.when(dropped, F.lit("")).otherwise(F.concat_ws("\n", kept))
     return F.size(lines), F.size(kept), dropped, clean
+
+
+def bpe_train(
+    word_freqs: DataFrame, n_merges: int
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Byte-pair-encoding training loop, distributed (Sennrich et al.
+    2016, public algorithm). Input: the DISTINCT-word frequency table
+    ``(w string, f long)`` — the corpus-sized word count is the
+    caller's one fact aggregate (q_bpe_pairs); everything here is
+    VOCABULARY-sized.
+
+    Loop per merge (driver-coordinated, the standard structure —
+    n_merges is a config constant, not data-dependent):
+    1. adjacent-pair frequencies over the symbol arrays — JVM
+       higher-order zip of each array with its tail, explode, two-phase
+       aggregate;
+    2. argmax pair — ONE driver-sized collect of a single row
+       (orderBy(freq desc, pair).limit(1): deterministic tie-break);
+    3. apply the merge — an Arrow pandas UDF over the vocab rows only
+       (merge application is inherently sequential per word; Python is
+       acceptable here precisely because the input is Heaps'-law
+       vocab-sized, never corpus-sized).
+    Each iteration persists the new symbol table and unpersists the
+    old — lineage stays O(1) deep across merges instead of O(n_merges).
+
+    Returns (ordered merge list, final vocab DataFrame
+    ``(w, f, symbols array<string>)``)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    vocab = word_freqs.select(
+        "w",
+        "f",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("symbols"),
+    ).persist()
+    vocab.count()
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pair_freq = (
+            vocab.select(
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(symbols, 1, size(symbols) - 1),"
+                        " slice(symbols, 2, size(symbols) - 1),"
+                        " (a, b) -> struct(a, b))"
+                    )
+                ).alias("p"),
+                "f",
+            )
+            .groupBy("p")
+            .agg(F.sum("f").alias("freq"))
+            .orderBy(F.desc("freq"), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+        )
+        top = pair_freq.collect()
+        if not top:
+            break
+        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+        merges.append((a, b))
+
+        # factory so each iteration's UDF closes over ITS OWN (a, b)
+        # cells: UDF closures are pickled per JOB, so a plain loop
+        # variable would rebind to the last merge if a downstream
+        # action re-pickles the lineage (e.g. after cache eviction)
+        def _make_apply(a: str, b: str):
+            merged = a + b
+
+            @pandas_udf("array<string>")
+            def _apply(cols: pd.Series) -> pd.Series:
+                def merge_one(syms):
+                    out, i, n = [], 0, len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                            out.append(merged)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    return out
+
+                return cols.map(merge_one)
+
+            return _apply
+
+        new_vocab = vocab.withColumn(
+            "symbols", _make_apply(a, b)("symbols")
+        ).persist()
+        new_vocab.count()
+        vocab.unpersist()
+        vocab = new_vocab
+    return merges, vocab

@@ -1681,3 +1681,71 @@ def q_triangle_count_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_edges.crossJoin(F.broadcast(tri)).select(
         "n_edges_sampled", "n_triangles_sampled", "est_triangles"
     )
+
+
+# --------------------------------------------------------------------------
+# X202 — KMV (k-minimum-values) bottom-k sketch per group: one sketch,
+# three uses — a deterministic uniform sample OF THE DISTINCT VALUES,
+# a distinct-count estimator ((k−1)/R, Bar-Yossef et al. 2002), and —
+# because the SAME hash orders every group — coordinated samples whose
+# bottom-k overlap estimates cross-group Jaccard (MinHash on sets).
+# --------------------------------------------------------------------------
+@query(
+    "q_kmv_sample",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    r AS (
+      SELECT event_type, user_id,
+             md5('kmv-v1|' || CAST(user_id AS VARCHAR)) AS h,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5('kmv-v1|' || CAST(user_id AS VARCHAR)), user_id
+             ) AS rk
+      FROM d
+    )
+    SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id, h
+    FROM r WHERE rk <= 8
+    ORDER BY event_type, rk
+    """,
+)
+def q_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type bottom-8 users by ``md5('kmv-v1|'||user_id)`` —
+    the KMV sketch surfaced as rows (group, rank, member, hash).
+
+    Why this beats RNG sampling at 100 TB: the sample is a PURE
+    FUNCTION of the value — deterministic across engines (exact DuckDB
+    oracle, no RNG caveat), MERGEABLE (bottom-k of a union is the
+    bottom-k of merged bottom-ks, so map-side partials and incremental
+    maintenance both work), uniform over DISTINCT values (duplicate
+    rows cannot bias it), and COORDINATED across groups (the same hash
+    orders every group, so two groups' bottom-k sets overlap in
+    proportion to their Jaccard similarity — audience-overlap
+    estimation for free; pinned in tests/test_llm_ops.py alongside the
+    (k−1)/R distinct-count estimator's error bound).
+
+    Scale shape: distinct on (group, member) — the one fact-sized
+    shuffle, map-side partial distinct first — then a row_number window
+    PARTITIONED BY the group (keyed, never global) cut at k; output is
+    k rows per group. At extreme group cardinality swap the window for
+    a bottom-k aggregate (min_by list merge); the sketch semantics and
+    the oracle are unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    d = ev.select("event_type", "user_id").distinct()
+    h = F.md5(
+        F.concat_ws("|", F.lit("kmv-v1"), F.col("user_id").cast("string"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(h, "user_id")
+    )
+    return (
+        d.select(
+            "event_type",
+            rk.cast("bigint").alias("rk"),
+            "user_id",
+            h.alias("h"),
+        )
+        .filter(F.col("rk") <= 8)
+        .orderBy("event_type", "rk")
+    )

@@ -1142,3 +1142,119 @@ def test_encode_png_gray_roundtrip_exact():
 
     with _pytest.raises(ValueError, match="grayscale"):
         encode_png_gray(np.zeros((2, 2, 3), dtype=np.uint8))
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """X200+: the distributed BPE loop must produce the same ordered
+    merge list and final segmentations as a straightforward in-memory
+    reference BPE (same deterministic tie-break: freq desc, then pair
+    lexicographic) on a small corpus."""
+    from mysql_cdc_to_http_spark.operators.text import bpe_train
+
+    word_freqs = [
+        ("lower", 5), ("lowest", 3), ("newer", 6), ("wider", 2),
+        ("low", 7), ("new", 4), ("widest", 1),
+    ]
+
+    # reference in-memory BPE
+    def ref_bpe(wf, n_merges):
+        vocab = {w: [*w] for w, _ in wf}
+        freqs = dict(wf)
+        merges = []
+        for _ in range(n_merges):
+            pc = {}
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] = (
+                        pc.get((syms[i], syms[i + 1]), 0) + freqs[w]
+                    )
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            a, b = best
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return merges, vocab
+
+    want_merges, want_vocab = ref_bpe(word_freqs, 6)
+    df = spark.createDataFrame(word_freqs, "w string, f long")
+    got_merges, got_vocab_df = bpe_train(df, 6)
+    assert got_merges == want_merges
+    got_vocab = {r["w"]: list(r["symbols"]) for r in got_vocab_df.collect()}
+    assert got_vocab == want_vocab
+    got_vocab_df.unpersist()
+
+
+def test_kmv_sketch_estimates_and_coordination(spark, sf_dir):
+    """X202: the KMV sketch's two derived claims, pinned on real data:
+    (a) the (k−1)/R distinct-count estimator lands within the standard
+    ~1/sqrt(k−2) relative-error envelope of the true NDV per group;
+    (b) samples are COORDINATED — the same hash orders every group, so
+    the bottom-k overlap between two groups tracks their true user-set
+    Jaccard (exact agreement when both groups' user sets are identical:
+    identical sketches)."""
+    from mysql_cdc_to_http_spark.queries import all_queries
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"  # enough users per group for the bound
+    out = all_queries()["q_kmv_sample"](spark, sf).collect()
+    k = 8
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    truth = {
+        r["event_type"]: r["ndv"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("ndv"))
+        .collect()
+    }
+    by_grp: dict = {}
+    for r in out:
+        by_grp.setdefault(r["event_type"], []).append(r)
+    assert set(by_grp) == set(truth)
+    for grp, rows in by_grp.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, k + 1))
+        # estimator: (k-1)/R with R = kth-min hash / 2^128 (use the
+        # leading 15 hex chars = 60 bits, plenty of resolution)
+        r_frac = int(rows[-1]["h"][:15], 16) / float(1 << 60)
+        est = (k - 1) / r_frac
+        rel_err = abs(est - truth[grp]) / truth[grp]
+        # ~1/sqrt(k-2) ≈ 0.41; allow 3x envelope for one draw
+        assert rel_err < 1.23, (grp, est, truth[grp], rel_err)
+    # coordination: every pair of groups with IDENTICAL user sets gets
+    # identical sketches; here all event types draw from the same user
+    # population at sf0.01, so bottom-k members must largely agree
+    samples = {g: {r["user_id"] for r in rows} for g, rows in by_grp.items()}
+    grps = sorted(samples)
+    full_sets = {
+        g: {r["user_id"] for r in ev.filter(F.col("event_type") == g)
+            .select("user_id").distinct().collect()}
+        for g in grps
+    }
+    for i in range(len(grps)):
+        for j in range(i + 1, len(grps)):
+            a, b = grps[i], grps[j]
+            true_j = len(full_sets[a] & full_sets[b]) / len(
+                full_sets[a] | full_sets[b]
+            )
+            sketch_j = len(samples[a] & samples[b]) / len(
+                samples[a] | samples[b]
+            )
+            # coordinated bottom-k: sketch Jaccard within 0.5 of truth
+            # for k=8 (coarse but directionally pinned; exact when sets
+            # are equal)
+            assert abs(sketch_j - true_j) <= 0.5, (a, b, sketch_j, true_j)
+            if full_sets[a] == full_sets[b]:
+                assert samples[a] == samples[b]
