@@ -30,7 +30,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "window"
-    names_arg = sys.argv[2:] if mode == "names" else []
+    names_arg = sys.argv[2:] if mode in ("names", "robust") else []
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
     spec = importlib.util.spec_from_file_location(
@@ -63,7 +63,9 @@ def main() -> int:
 
     qs, oracles = mod.queries(), mod.oracle_sql()
     if mode in ("window", "robust"):
-        names = list(qs)[:50]
+        # robust accepts explicit names too (new-query protocol:
+        # verify each addition interpreted / AQE-off)
+        names = names_arg or list(qs)[:50]
     elif mode == "all":
         names = list(qs)
     elif mode == "names":
