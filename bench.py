@@ -217,6 +217,7 @@ HEADLINE = [
     "q_bpe_pairs",
     "q_image_phash",
     "q_kmv_sample",
+    "q_stream_kmv",
 ]
 
 

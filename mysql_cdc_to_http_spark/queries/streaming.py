@@ -1077,3 +1077,104 @@ def q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(deduped, "mem_dedup_ttl", "append").orderBy(
         "event_id"
     )
+
+
+# --------------------------------------------------------------------------
+# X203 — streaming KMV sketch maintenance: the mergeable-sketch
+# property LIVE. bottom-k(union) = bottom-k(merged bottom-ks), so a
+# micro-batch fold over any batch boundaries converges to exactly the
+# batch sketch — and state is k rows per group regardless of how much
+# input has streamed past.
+# --------------------------------------------------------------------------
+@query(
+    "q_stream_kmv",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    r AS (
+      SELECT event_type, user_id,
+             md5('kmv-v1|' || CAST(user_id AS VARCHAR)) AS h,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5('kmv-v1|' || CAST(user_id AS VARCHAR)), user_id
+             ) AS rk
+      FROM d
+    )
+    SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id, h
+    FROM r WHERE rk <= 8
+    ORDER BY event_type, rk
+    """,
+)
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV bottom-8 maintained INCREMENTALLY over the event
+    stream (foreachBatch fold into a parquet sketch store), then read
+    back — the streaming twin of ``q_kmv_sample`` with the IDENTICAL
+    batch oracle, which is the whole point: the sketch is mergeable
+    (bottom-k of a union is the bottom-k of merged bottom-ks), so
+    micro-batch boundaries cannot change the result, and the state the
+    stream carries is k rows per group FOREVER — bounded by the sketch
+    size, not by keys seen and not by input length (compare
+    q_stream_dedup, whose state grows with distinct keys under the
+    watermark). At 100 TB this is the distinct-sample / NDV-estimate /
+    audience-overlap primitive that a always-on pipeline can afford to
+    keep per (group × day) indefinitely.
+
+    Per micro-batch work: distinct (group, user) within the batch,
+    batch-local bottom-k (keyed window), merge with the k-row store,
+    re-cut at k, atomic write-then-swap. Everything after the batch
+    distinct is sketch-sized."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window as W
+
+    k = 8
+    ev = _stream_events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="graft_kmv_stream_")
+    state_dir = os.path.join(work, "state")
+    h = F.md5(
+        F.concat_ws("|", F.lit("kmv-v1"), F.col("user_id").cast("string"))
+    )
+    rk = F.row_number().over(W.partitionBy("event_type").orderBy("h", "user_id"))
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rk", rk).filter(F.col("rk") <= k).drop("rk")
+        )
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        part = _cut(
+            batch_df.select("event_type", "user_id")
+            .distinct()
+            .select("event_type", "user_id", h.alias("h"))
+        )
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            part = _cut(prev.unionByName(part).distinct())
+        tmp = os.path.join(work, "_state_tmp")
+        part.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.replace(tmp, state_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            ev.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    snap = spark.read.parquet(state_dir)
+    return (
+        snap.withColumn("rk", rk.cast("bigint"))
+        .select("event_type", "rk", "user_id", "h")
+        .orderBy("event_type", "rk")
+    )
