@@ -218,6 +218,7 @@ HEADLINE = [
     "q_image_phash",
     "q_kmv_sample",
     "q_stream_kmv",
+    "q_schema_evolution",
 ]
 
 

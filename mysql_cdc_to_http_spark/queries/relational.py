@@ -2022,3 +2022,73 @@ def q_agg_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("val_cents").desc(), "partkey")
     )
     return register_cached(out, [stock])
+
+
+def _schema_evolution_cache(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a two-epoch parquet dataset once per sf_dir: epoch 1
+    (even orderkeys) was written BEFORE the o_orderpriority column
+    existed; epoch 2 (odd orderkeys) carries it. The on-disk shape a
+    long-lived ingestion layout actually develops as producers add
+    columns."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_schemaevo", tag)
+    if not os.path.exists(os.path.join(out, "_done")):
+        orders = load_table(spark, sf_dir, "orders")
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(os.path.join(out, "data/epoch=1"))
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(os.path.join(out, "data/epoch=2"))
+        with open(os.path.join(out, "_done"), "w") as fh:
+            fh.write("ok")
+    return os.path.join(out, "data")
+
+
+# --------------------------------------------------------------------------
+# X204 — schema evolution across file epochs: mergeSchema read of a
+# dataset whose later files added a column. Without an explicit merged
+# read, parquet's footer-of-first-file schema silently DROPS the new
+# column — the classic long-lived-ingestion failure mode (pinned
+# negatively in tests/test_catalog.py).
+# --------------------------------------------------------------------------
+@query(
+    "q_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS pri,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY 1
+    ORDER BY pri NULLS FIRST
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the two-epoch dataset with ``mergeSchema=true`` and
+    aggregate by the LATE-ADDED column: epoch-1 rows (written before
+    o_orderpriority existed) surface as NULL priority — present,
+    grouped, never dropped — while epoch-2 rows group normally. The
+    oracle reconstructs the same logical result from the source table
+    (epoch membership is orderkey parity), so the hash certifies the
+    merged read end-to-end: schema union, NULL back-fill, and exact
+    integer-cents totals.
+
+    Scale shape: mergeSchema costs one footer read PER FILE at planning
+    (fine for epoch-partitioned layouts; for 10⁶-file datasets pin the
+    unified schema explicitly via ``schema(...)`` — same result, no
+    footer sweep, and that exact contrast plus the silent-drop default
+    is pinned in tests/test_catalog.py). The aggregate itself is the
+    ordinary two-phase hash shape."""
+    data_dir = _schema_evolution_cache(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(data_dir)
+    return (
+        merged.groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("total_cents"),
+        )
+        .orderBy(F.asc_nulls_first("pri"))
+    )
