@@ -1045,3 +1045,39 @@ def test_bpe_pairs_explodes_vocab_not_corpus(spark, sf_dir):
     assert plan.count("partial_") >= 2  # both aggregates map-side partial
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.replace("TakeOrdered", "")  # no global sort
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Round 8: DPP — joining a partition-keyed fact with a FILTERED dim
+    must inject a dynamicpruning subquery into the fact scan's
+    PartitionFilters, so only the dim-selected partitions are read at
+    runtime. At 100 TB this is the join-driven analog of static
+    partition pruning: the scan set is decided by the dim filter, not
+    by reading everything and filtering after. Verified both in-plan
+    (dynamicpruning expression) and by result parity with the
+    pre-filtered join."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "orders_by_year")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [(1995, "keep"), (1996, "drop")], "y int, tag string"
+    )
+    j = fact.join(
+        dim.filter(F.col("tag") == "keep"), fact["o_year"] == dim["y"]
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = j._jdf.queryExecution().explainString(mode)
+    assert "dynamicpruning" in plan.lower(), plan
+    # runtime parity: DPP result equals the statically pre-filtered join
+    n = j.count()
+    want = orders.filter(F.col("o_year") == 1995).count()
+    assert n == want > 0
