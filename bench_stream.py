@@ -373,11 +373,6 @@ def bench_session_state(spark, sf_dir: str) -> dict:
     }
 
 
-class _EchoSinkHandler:
-    """Placeholder namespace — real handler built in bench_http_delivery
-    (it needs per-run mutable counters, so the class is created fresh)."""
-
-
 def bench_http_delivery(
     spark, sf_dir: str, n_files: int = 8, poison_pct: int = 2
 ) -> dict:
@@ -393,9 +388,12 @@ def bench_http_delivery(
     Reported: delivered rows/s (wall covers POSTs incl. retries and
     DLQ parquet writes), 2xx/5xx counts, dlq_rows, replay counters.
     Scale shape: delivery runs partition-parallel inside mapInPandas
-    on executors (one urllib opener per row against localhost here; a
-    real deployment amortizes connections per partition) — rows/s is
-    therefore a LOWER bound set by the echo server round trip."""
+    on executors, each partition holding ONE keep-alive HTTP
+    connection for its whole batch (_KeepAlivePoster — the same
+    connection-amortization the Go http.Client gave the reference
+    implicitly) — rows/s is therefore a LOWER bound set by the
+    localhost echo server's request round trip, not by connection
+    setup."""
     import http.server
     import threading
 

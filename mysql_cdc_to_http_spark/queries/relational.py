@@ -12,6 +12,7 @@ across engines (FP sums differ in the last ulp between any two engines).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -2032,17 +2033,28 @@ def _schema_evolution_cache(spark: SparkSession, sf_dir: str) -> str:
     columns."""
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(tempfile.gettempdir(), "spark_graft_schemaevo", tag)
-    if not os.path.exists(os.path.join(out, "_done")):
+    data = os.path.join(out, "data")
+    # ADVICE r8: build-then-atomic-publish. The old check-_done-then-
+    # write-in-place form let a concurrent session (parallel pytest /
+    # bench) read epoch dirs mid-overwrite. Now each builder stages into
+    # its own mkdtemp and os.replace()s the COMPLETE tree into place —
+    # readers only ever see a fully-written dataset; the losing builder
+    # of a race just discards its staging copy.
+    if not os.path.isdir(data):
         orders = load_table(spark, sf_dir, "orders")
+        os.makedirs(out, exist_ok=True)
+        stage = tempfile.mkdtemp(prefix="_stage_", dir=out)
         orders.filter(F.col("o_orderkey") % 2 == 0).select(
             "o_orderkey", "o_totalprice"
-        ).write.mode("overwrite").parquet(os.path.join(out, "data/epoch=1"))
+        ).write.mode("overwrite").parquet(os.path.join(stage, "epoch=1"))
         orders.filter(F.col("o_orderkey") % 2 == 1).select(
             "o_orderkey", "o_totalprice", "o_orderpriority"
-        ).write.mode("overwrite").parquet(os.path.join(out, "data/epoch=2"))
-        with open(os.path.join(out, "_done"), "w") as fh:
-            fh.write("ok")
-    return os.path.join(out, "data")
+        ).write.mode("overwrite").parquet(os.path.join(stage, "epoch=2"))
+        try:
+            os.rename(stage, data)  # atomic publish; fails if we lost a race
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+    return data
 
 
 # --------------------------------------------------------------------------

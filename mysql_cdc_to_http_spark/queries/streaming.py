@@ -48,20 +48,31 @@ def _events_stream_dir(
 
     kind = "events_dup" if dup else "events"
     out = _cache_dir(kind, sf_dir)
-    done = os.path.join(out, "_done")
-    if not os.path.exists(done):
+    # ADVICE r8 (race class): stage into a private mkdtemp, then
+    # atomically os.rename the COMPLETE tree into place — a concurrent
+    # session either wins the rename or discards its staging copy, and
+    # readers never observe a half-written data/ dir.
+    if not os.path.isdir(os.path.join(out, "data")):
+        import shutil
+        import tempfile as _tf
+
+        parent = os.path.dirname(out)
+        os.makedirs(parent, exist_ok=True)
+        stage = _tf.mkdtemp(prefix=f"_stage_{kind}_", dir=parent)
         ev = load_table(spark, sf_dir, "events")
         if dup:
             ev = ev.unionByName(ev)  # every event twice → dedup target
         materialize_ordered_buckets(
             ev,
             order_col="event_id",
-            out_dir=os.path.join(out, "data"),
+            out_dir=os.path.join(stage, "data"),
             n_files=n_files,
             fmt="parquet",
         )
-        with open(done, "w") as fh:
-            fh.write("ok")
+        try:
+            os.rename(stage, out)
+        except OSError:  # lost the race — a complete copy already exists
+            shutil.rmtree(stage, ignore_errors=True)
     return out
 
 
@@ -571,8 +582,16 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _queue_dir(spark: SparkSession, sf_dir: str) -> str:
     out = _cache_dir("queue", sf_dir)
-    done = os.path.join(out, "_done")
-    if not os.path.exists(done):
+    # same atomic stage-then-rename publish as _events_stream_dir
+    # (ADVICE r8 race class); _done remains as the reader-visible marker
+    # because it is INSIDE the atomically-renamed tree.
+    if not os.path.exists(os.path.join(out, "_done")):
+        import shutil
+        import tempfile as _tf
+
+        parent = os.path.dirname(out)
+        os.makedirs(parent, exist_ok=True)
+        stage = _tf.mkdtemp(prefix="_stage_queue_", dir=parent)
         ev = (
             _flat_events(spark, sf_dir)
             .select(
@@ -585,9 +604,13 @@ def _queue_dir(spark: SparkSession, sf_dir: str) -> str:
                 ).alias("value")
             )
         )
-        enqueue_batch(ev, out)
-        with open(done, "w") as fh:
+        enqueue_batch(ev, stage)
+        with open(os.path.join(stage, "_done"), "w") as fh:
             fh.write("ok")
+        try:
+            os.rename(stage, out)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
     return out
 
 
@@ -1172,9 +1195,21 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
-    snap = spark.read.parquet(state_dir)
-    return (
-        snap.withColumn("rk", rk.cast("bigint"))
-        .select("event_type", "rk", "user_id", "h")
-        .orderBy("event_type", "rk")
-    )
+    # The final sketch is k rows per group by construction, so
+    # materializing it driver-side is sketch-sized work — and it lets
+    # the scratch tree (state, checkpoint, tmp) be removed HERE instead
+    # of leaking one graft_kmv_stream_* dir per invocation (ADVICE r8):
+    # the returned DataFrame must not lazily read a deleted path.
+    try:
+        snap_rows = (
+            spark.read.parquet(state_dir)
+            .withColumn("rk", rk.cast("bigint"))
+            .select("event_type", "rk", "user_id", "h")
+            .orderBy("event_type", "rk")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        snap_rows, "event_type string, rk bigint, user_id bigint, h string"
+    ).orderBy("event_type", "rk")

@@ -168,6 +168,13 @@ def write_event_files(
     done = os.path.join(out, "_done")
     if os.path.exists(done) and not force:
         return out
+    # ADVICE r8 race class: stage into a private dir, atomically rename
+    # the complete tree into place; concurrent builders can't interleave
+    # and readers never see data/ mid-write. `force` replaces the
+    # published tree with another atomic swap.
+    parent = os.path.dirname(out)
+    os.makedirs(parent, exist_ok=True)
+    stage = tempfile.mkdtemp(prefix="_stage_cdc_", dir=parent)
     events = synthetic_change_events(spark, sf_dir)
     env = F.struct(
         "before", "after", "source", "op", "offset", "ts_ms"
@@ -178,13 +185,21 @@ def write_event_files(
     materialize_ordered_buckets(
         payloads.select("offset", "value"),
         order_col="offset",
-        out_dir=os.path.join(out, "data"),
+        out_dir=os.path.join(stage, "data"),
         n_files=n_files,
         fmt="text",
         value_cols=["value"],
     )
-    with open(done, "w") as fh:
+    with open(os.path.join(stage, "_done"), "w") as fh:
         fh.write("ok")
+    try:
+        if force and os.path.isdir(out):
+            old = tempfile.mkdtemp(prefix="_old_cdc_", dir=parent)
+            os.rename(out, os.path.join(old, "x"))
+            shutil.rmtree(old, ignore_errors=True)
+        os.rename(stage, out)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
     return out
 
 

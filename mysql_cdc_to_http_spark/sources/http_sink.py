@@ -338,13 +338,21 @@ def replay_dlq(
     import shutil as _shutil
 
     root = dlq_dir.rstrip("/")
-    # Crash recovery (ADVICE r7): scratch dirs are named so the
+    # Crash recovery (ADVICE r7+r8): scratch dirs are named so the
     # 'epoch=*' discovery glob can never match them ('_replay_tmp_…'
-    # sorts outside the pattern); a run that crashed between the tmp
-    # write and the swap leaves only ignorable scratch, which we sweep
-    # here — the original epoch dir is still intact and authoritative.
+    # sorts outside the pattern). Two crash positions exist:
+    #  - before the rmtree(epoch): the epoch dir is intact and
+    #    authoritative, so the scratch is a discardable duplicate;
+    #  - between rmtree(epoch) and os.replace(tmp, epoch): the scratch
+    #    is the ONLY surviving copy of the still-failing rows, so it
+    #    must be PROMOTED back to its epoch name, not deleted —
+    #    deleting it here would silently drop dead-lettered events.
     for stale in _glob.glob(f"{root}/_replay_tmp_epoch=*"):
-        _shutil.rmtree(stale, ignore_errors=True)
+        orig = f"{root}/{os.path.basename(stale)[len('_replay_tmp_'):]}"
+        if os.path.isdir(orig):
+            _shutil.rmtree(stale, ignore_errors=True)
+        else:
+            os.replace(stale, orig)
     paths = sorted(_glob.glob(f"{root}/epoch=*"))
     if not paths:
         return 0

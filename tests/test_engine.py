@@ -348,6 +348,52 @@ def test_replay_dlq_ignores_and_sweeps_stale_tmp(spark, tmp_path):
         srv.shutdown()
 
 
+def test_replay_dlq_promotes_orphan_tmp(spark, tmp_path):
+    """ADVICE r8 (medium): a crash BETWEEN rmtree(epoch) and the
+    os.replace swap leaves the scratch dir as the ONLY copy of the
+    still-failing rows. The sweep must PROMOTE it back to its epoch
+    name and replay it — deleting it would lose dead-lettered events,
+    regressing the DLQ from at-least-once to lossy."""
+    import glob
+    import os
+    import shutil
+
+    from mysql_cdc_to_http_spark.sources.http_sink import (
+        http_batch_poster_with_dlq,
+        replay_dlq,
+    )
+
+    _FlakySink.hits = []
+    _FlakySink.healed = False
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _FlakySink)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        batch = spark.createDataFrame(
+            [("poison", '{"id": %d}' % i, f"p{i}") for i in range(3)],
+            "grp string, payload string, idem_key string",
+        )
+        dlq = str(tmp_path / "dlq")
+        http_batch_poster_with_dlq(base, dlq, retries=0)(batch, epoch_id=7)
+        # simulate the post-rmtree crash: epoch dir GONE, scratch is the
+        # sole survivor
+        shutil.move(f"{dlq}/epoch=7", f"{dlq}/_replay_tmp_epoch=7")
+        assert not os.path.isdir(f"{dlq}/epoch=7")
+        # endpoint still poisoned: the promoted rows must fail (=3), not
+        # vanish (=0)
+        assert replay_dlq(spark, dlq, base, retries=0) == 3
+        assert glob.glob(f"{dlq}/*replay_tmp*") == []
+        assert spark.read.parquet(f"{dlq}/epoch=7").count() == 3
+        # heal: the recovered rows deliver with their original keys
+        _FlakySink.healed = True
+        assert replay_dlq(spark, dlq, base, retries=0) == 0
+        keys = [k for p, k in _FlakySink.hits if p.endswith("/poison")]
+        assert sorted(keys) == ["p0", "p1", "p2"]
+        assert glob.glob(f"{dlq}/epoch=*") == []
+    finally:
+        srv.shutdown()
+
+
 def test_keepalive_poster_survives_surprise_connection_close():
     """Round 8: the keep-alive sink must treat a server-side close of a
     REUSED connection as a connection event, not an endpoint failure —

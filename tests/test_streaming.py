@@ -543,3 +543,22 @@ def test_snapshot_as_of_delete_semantics(spark):
     assert snap(22) == {1: 110.0}  # update visible, key 2 not yet
     assert snap(27) == {1: 110.0, 2: 200.0}
     assert snap(35) == {2: 200.0}  # key 1 deleted
+
+
+def test_stream_kmv_cleans_scratch_dir(spark, sf_dir):
+    """ADVICE r8: q_stream_kmv must not leak its graft_kmv_stream_*
+    scratch tree (state + checkpoint + tmp) — repeated bench/verify
+    sweeps were accumulating one temp dir per invocation. The query
+    materializes the sketch (k rows/group) and removes the tree before
+    returning."""
+    import glob
+    import tempfile
+
+    from mysql_cdc_to_http_spark.queries import all_queries
+
+    before = set(glob.glob(f"{tempfile.gettempdir()}/graft_kmv_stream_*"))
+    out = all_queries()["q_stream_kmv"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0  # the sketch materialized
+    after = set(glob.glob(f"{tempfile.gettempdir()}/graft_kmv_stream_*"))
+    assert after - before == set()  # no orphan scratch dirs
