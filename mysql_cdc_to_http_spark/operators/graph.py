@@ -410,6 +410,25 @@ def triangle_count_df(
 
     Returns a 1-row DataFrame (n_triangles BIGINT) — an aggregate, like
     every count in this engine; nothing collects to the driver."""
+    return triangle_count_oriented(oriented_edges(edges, src=src, dst=dst))
+
+
+def oriented_edges(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Degree-orient an undirected canonical edge list: every edge is
+    emitted from its (degree, id)-SMALLER endpoint. Returns columns
+    ``s, t, ds, dt`` (source, target, their full-graph degrees).
+
+    Split out of ``triangle_count_df`` (r8 verdict #1) so the oriented
+    list can be built ONCE, persisted, and shared by the exact and
+    DOULION-sampled triangle forms: orientation is a total order on
+    NODES, so any edge-SUBSET of this list is itself consistently
+    oriented — a sampled subgraph can be counted by filtering these
+    rows without recomputing degrees (a subgraph's own degrees would
+    differ, but any consistent total order counts each triangle exactly
+    once; keeping the full-graph order also keeps the out-degree bound,
+    since subgraph out-degrees only shrink)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     deg = (
         e.select(F.col("a").alias("n"))
@@ -426,12 +445,17 @@ def triangle_count_df(
     lt = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = ranked.select(
+    return ranked.select(
         F.when(lt, F.col("a")).otherwise(F.col("b")).alias("s"),
         F.when(lt, F.col("b")).otherwise(F.col("a")).alias("t"),
         F.when(lt, F.col("da")).otherwise(F.col("db")).alias("ds"),
         F.when(lt, F.col("db")).otherwise(F.col("da")).alias("dt"),
     )
+
+
+def triangle_count_oriented(oriented: DataFrame) -> DataFrame:
+    """Wedge-join triangle count over an already-oriented edge list
+    (``s, t, ds, dt`` — see ``oriented_edges``). 1-row result."""
     w1 = oriented.select("s", F.col("t").alias("t1"), F.col("dt").alias("d1"))
     w2 = oriented.select("s", F.col("t").alias("t2"), F.col("dt").alias("d2"))
     # shuffle-hash, not sort-merge: the wedge stream is quadratic in

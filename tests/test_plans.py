@@ -894,28 +894,68 @@ def test_overlap_bin_join_null_bounds_dropped_not_failed(spark):
         ).collect()
 
 
-def test_triangle_approx_coin_samples_before_edge_distinct(spark, sf_dir):
-    """X183 (round 8): the DOULION md5 coin must run BELOW the
-    canonical-edge distinct's (u,v) exchange — filter∘distinct ≡
-    distinct∘filter for the deterministic pair coin, and sampling
-    before the shuffle is what makes the sampled form cheaper than
-    exact at every stage past pair generation (warm sf0.1:
-    5.95 s exact → 3.91 s sampled), not just in the p³ wedge work."""
-    df = QUERIES["q_triangle_count_approx"](spark, sf_dir)
+def test_triangle_forms_share_one_edge_materialization(spark, sf_dir):
+    """X123/X183 (r8 verdict #1): exact and DOULION triangle counting
+    must share ONE persisted oriented edge list. After either form has
+    materialized it, BOTH plans read the edge list from the in-memory
+    relation — neither rebuilds the lineitem pair self-join or the
+    degree orientation — and the sampled form is a pure filter of it."""
+    from mysql_cdc_to_http_spark.queries.extended import (
+        _TRI_EDGES,
+        _copurchase_oriented,
+    )
+
+    _TRI_EDGES.clear()
+    exact = QUERIES["q_triangle_count"](spark, sf_dir)
+    rows_exact = exact.collect()  # builds + persists the shared list
+    assert len(_TRI_EDGES) == 1  # one memoized edge list for this sf_dir
+    shared = next(iter(_TRI_EDGES.values()))
+    assert shared.is_cached
+
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "simple"
     )
-    plan = df._jdf.queryExecution().explainString(mode)
-    lines = plan.splitlines()
-    ex_idx = [
-        i for i, l in enumerate(lines) if "Exchange hashpartitioning(u#" in l
-    ]
-    coin_idx = [i for i, l in enumerate(lines) if "tri-v1" in l]
-    assert ex_idx, "edge-distinct exchange missing from plan"
-    # every (u,v) exchange has the coin strictly below it (children
-    # print after parents), and no coin floats above an exchange
-    assert len(coin_idx) == len(ex_idx), (ex_idx, coin_idx)
-    assert all(c > e for e, c in zip(ex_idx, coin_idx)), (ex_idx, coin_idx)
+
+    import re
+
+    def _executed_lines(plan: str) -> list[str]:
+        # InMemoryRelation prints its CACHED child plan (incl. the
+        # original lineitem scan) nested under it — that subtree is
+        # what the cache REPLACES, not what executes. Drop each
+        # InMemoryRelation's deeper-nested body, keep the rest. Node
+        # depth = column where the node text starts, past the ` : | +-`
+        # tree bars (plain leading-space counting is defeated by the
+        # bars, which keep sibling branches at a fixed column).
+        def depth(line: str) -> int:
+            return re.match(r"^[\s:|+\-=*()0-9]*", line).end()
+
+        out, skip_past = [], None
+        for line in plan.splitlines():
+            if skip_past is not None:
+                if line.strip() and depth(line) > skip_past:
+                    continue
+                skip_past = None
+            if "InMemoryRelation" in line:
+                skip_past = depth(line)
+            out.append(line)
+        return out
+
+    for name in ("q_triangle_count", "q_triangle_count_approx"):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .explainString(mode)
+        )
+        assert "InMemoryTableScan" in plan, (name, plan[:800])
+        executed = "\n".join(_executed_lines(plan))
+        # the expensive build is NOT re-run: no lineitem scan, no
+        # (u,v) pair-distinct exchange anywhere in the EXECUTED plan
+        assert "lineitem" not in executed, name
+        assert "Exchange hashpartitioning(u#" not in executed, name
+    # still correct: memoized second call returns identical results
+    assert QUERIES["q_triangle_count"](spark, sf_dir).collect() == rows_exact
+    # and the helper hands back the SAME frame (no rebuild)
+    assert _copurchase_oriented(spark, sf_dir) is shared
 
 
 def test_multipass_linkage_catches_typo_inside_first_key(spark):
