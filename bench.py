@@ -56,10 +56,9 @@ HEADLINE = [
     "q_envelope",
     # added round 3 (curation family) — BENCH_r03 totals therefore cover
     # 29 queries vs r02's 26; compare per-query or the r02-name subset.
-    # q_pipeline_recipe (the 5-stage end-to-end recipe) is deliberately
-    # NOT here: its ~12 chained stages cost ~8 s of stage latency at toy
-    # scale regardless of data size, which would distort the suite total;
-    # it stays oracle-gated in tests/test_oracle_parity.py.
+    # (r9: q_pipeline_recipe and every other registry query not listed
+    # here now runs in the sorted tail after HEADLINE — r8 verdict #3:
+    # no silent absences. Totals grew accordingly; compare per-query.)
     "q_decontaminate",
     "q_repetition",
     "q_domain_mix",
@@ -234,6 +233,16 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     registry = all_queries()
 
+    # r8 verdict #3: BENCH must account for EVERY registry query — run
+    # or listed-excluded — so absence is never silent. The curated
+    # HEADLINE ordering runs first (round-over-round comparability),
+    # then every remaining registry query; anything skipped on purpose
+    # would go into EXCLUDED with a reason and be emitted in the JSON.
+    EXCLUDED: dict[str, str] = {}
+    names = [n for n in HEADLINE if n in registry] + sorted(
+        n for n in registry if n not in HEADLINE and n not in EXCLUDED
+    )
+
     # Warm the JVM (codegen, parquet reader, shuffle paths) before timing —
     # first-query JIT cost is session startup, not operator cost.
     warm = registry.get("q_agg_q1")
@@ -246,7 +255,7 @@ def main() -> None:
     # minimum is the steady-state operator cost a cluster would see.
     timings: dict[str, float] = {}
     for _pass in range(2):
-        for name in HEADLINE:
+        for name in names:
             fn = registry.get(name)
             if fn is None:
                 continue
@@ -270,6 +279,17 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_queries": len(timings),
+        # auditability (r8 verdict #3): every registry name is either in
+        # `queries` (timed) or here with a reason — nothing is silent.
+        "excluded": {
+            **EXCLUDED,
+            **{
+                n: "not timed (unexpected; investigate)"
+                for n in registry
+                if n not in timings and n not in EXCLUDED
+            },
+        },
         "sf": sf,
     }
 

@@ -534,6 +534,8 @@ def incremental_dedup(
     threshold: float = 0.6,
     shingle_mode: str = "word",
     max_bucket_size: int = 500,
+    state_handle: dict | None = None,
+    prepared: DataFrame | None = None,
 ) -> DataFrame:
     """Fold one batch into a PERSISTENT dedup state — the continuous-
     ingestion form of MinHash-LSH dedup (a training pipeline never sees
@@ -554,7 +556,27 @@ def incremental_dedup(
     (id, band, bucket), payload arrays join back by id for the verify;
     the store append is the crash-safe write-then-swap from
     streaming/latest_state.py. Returns the surviving rows of
-    ``new_docs`` (materialized — the state swap is a side effect)."""
+    ``new_docs`` (derived from the eagerly-checkpointed post-fold
+    state, so it stays valid after later folds swap the store files;
+    the state swap itself commits eagerly inside this call).
+
+    ``state_handle`` (r8 verdict #4): an optional mutable dict carrying
+    the post-fold state ACROSS folds of one driver loop. When the same
+    dict is passed to consecutive folds, each fold reuses the previous
+    fold's eagerly-checkpointed state instead of reading the store back
+    from parquet, and the single full execution per fold is the
+    checkpoint — the swap write and the returned survivors both derive
+    from it without recomputation. Crash-safety is unchanged: the
+    write-then-swap still commits every fold; the handle is a cache,
+    not the source of truth (a fresh process starts from the store).
+
+    ``prepared``: optional pre-computed ``prepare_minhash`` output for
+    exactly the rows of ``new_docs`` (id, shingles, sig). Signature
+    prep is content-addressed — a deterministic function of (text,
+    params) — so a driver loop that signatures several pending epochs
+    in ONE Arrow pass (or reuses a memoized prep) hands each fold its
+    slice here and the fold skips the per-batch pandas-UDF pass. The
+    caller owns the frame's persistence; it is not unpersisted here."""
     import os
 
     from mysql_cdc_to_http_spark.streaming.latest_state import (
@@ -564,15 +586,25 @@ def incremental_dedup(
 
     rows_per_band = n_hashes // bands
     _recover_state_dir(state_dir)
-    prepared_new = prepare_minhash(
-        new_docs, id_col, text_col, n_hashes, shingle_k, shingle_mode
-    ).persist()
-    if os.path.exists(state_dir):
+    caller_prepared = prepared is not None
+    prepared_new = (
+        prepared
+        if caller_prepared
+        else prepare_minhash(
+            new_docs, id_col, text_col, n_hashes, shingle_k, shingle_mode
+        ).persist()
+    )
+    cached_state = (state_handle or {}).get("df")
+    empty_state = False
+    if cached_state is not None:
+        state = cached_state
+    elif os.path.exists(state_dir):
         state = spark.read.parquet(state_dir)
     else:
         state = spark.createDataFrame(
             [], f"{id_col} long, shingles array<long>, sig array<long>"
         )
+        empty_state = True
     state = state.persist()
     banded_new = band_signatures(
         prepared_new, id_col, "sig", bands, rows_per_band, max_bucket_size
@@ -602,21 +634,35 @@ def incremental_dedup(
         F.col(f"m.{id_col}").alias("id_a"),
         F.col(f"n.{id_col}").alias("id_b"),
     )
-    cands = cands_old.unionByName(cands_new).distinct()
-    shingle_src = state.unionByName(prepared_new).select(id_col, "shingles")
+    # no distinct on the candidate pairs: a pair hit in several bands
+    # verifies twice (a few duplicate tiny rows) but the result feeds a
+    # DISTINCT on id_b anyway — dropping the pair-dedup shuffle removes
+    # a whole stage from every fold's latency floor (r8 verdict #4).
+    # The very first fold has no store yet: skip the old-vs-new branch
+    # entirely instead of banding/joining a zero-row relation.
+    cands = cands_new if empty_state else cands_old.unionByName(cands_new)
+    shingle_src = (
+        prepared_new.select(id_col, "shingles")
+        if empty_state
+        else state.unionByName(prepared_new).select(id_col, "shingles")
+    )
     matched = jaccard_verify(
         cands, shingle_src, id_col, "shingles", threshold
     ).select(F.col("id_b").alias(id_col)).distinct()
     survivors = prepared_new.join(matched, id_col, "left_anti")
-    new_state = state.unionByName(survivors)
-    _swap_into_state_dir(new_state, state_dir)
-    # localCheckpoint (eager): the returned frame must not keep a lazy
-    # reference to the pre-swap state files — a later fold replaces them
-    # and a deferred materialization would read deleted parquet.
-    out = new_docs.join(
-        spark.read.parquet(state_dir).select(id_col), id_col, "left_semi"
+    # ONE full execution per fold: eagerly checkpoint the merged state
+    # (also cuts any lazy reference to the pre-swap store files, which
+    # the swap below replaces), then both the store write and the
+    # returned survivors derive from the checkpoint without recompute.
+    new_state = (
+        survivors if empty_state else state.unionByName(survivors)
     ).localCheckpoint()
-    prepared_new.unpersist()
+    _swap_into_state_dir(new_state, state_dir)
+    if state_handle is not None:
+        state_handle["df"] = new_state
+    out = new_docs.join(new_state.select(id_col), id_col, "left_semi")
+    if not caller_prepared:
+        prepared_new.unpersist()
     state.unpersist()
     return out
 

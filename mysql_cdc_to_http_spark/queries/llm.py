@@ -349,6 +349,38 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(variants)
 
 
+_DUP_PREP: dict = {}
+
+
+def _dup_corpus_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (id, shingles, sig) for the FULL dup corpus,
+    computed in ONE Arrow pass, persisted, memoized per (session,
+    sf_dir) — signature prep is a deterministic function of (text,
+    params), so it is content-addressed and shareable across the fold
+    loop's epochs (r8 verdict #4: the per-fold pandas-UDF pass was
+    q_dedup_incremental's dominant fixed cost)."""
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+    from mysql_cdc_to_http_spark.operators.dedup import prepare_minhash
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DUP_PREP.get(key)
+    if cached is not None:
+        if not cached.is_cached:  # re-persist after release_all_cached
+            register_cached(cached.persist(), [cached])
+        return cached
+    # repartition before persisting: the corpus is thousands of rows,
+    # and every fold re-scans this cache several times (band m/n sides,
+    # shingle source, survivor anti-join) — 8 cached partitions means 8
+    # tasks per rescan instead of the source parquet's 32. At real
+    # scale size this to the signature volume, not a constant.
+    prep = prepare_minhash(
+        _dup_corpus(spark, sf_dir), "doc_id", "text", 64, 3, "word"
+    ).repartition(8)
+    _DUP_PREP[key] = prep
+    register_cached(prep.persist(), [prep])
+    return prep
+
+
 @query(
     "q_dedup_minhash",
     oracle=r"""
@@ -480,32 +512,63 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id member of each cluster — the docs that never appear as id_b
     in the brute-force >=threshold pair set. The batched fold equals
     one-shot dedup + canonical survivors (also asserted directly in
-    tests/test_llm_ops.py)."""
+    tests/test_llm_ops.py).
+
+    r9 (r8 verdict #4): the two folds share a ``state_handle`` — fold 2
+    reuses fold 1's checkpointed state instead of reading the store
+    back from parquet, and each fold executes its plan exactly once
+    (checkpoint → swap write + survivors both derive from it). The
+    scratch store is removed before returning: the returned frame
+    depends only on the checkpoints and the source tables."""
     import os
+    import shutil
     import tempfile
 
     from mysql_cdc_to_http_spark.operators.dedup import incremental_dedup
 
     corpus = _dup_corpus(spark, sf_dir)
-    state = os.path.join(
-        tempfile.mkdtemp(prefix="graft_dedup_state_"), "state"
-    )
-    out1 = incremental_dedup(
-        spark,
-        corpus.filter(F.col("doc_id") < 100000),
-        state,
-        bands=16,
-        shingle_k=3,
-        shingle_mode="word",
-    )
-    out2 = incremental_dedup(
-        spark,
-        corpus.filter(F.col("doc_id") >= 100000),
-        state,
-        bands=16,
-        shingle_k=3,
-        shingle_mode="word",
-    )
+    prep = _dup_corpus_prepared(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="graft_dedup_state_")
+    state = os.path.join(work, "state")
+    handle: dict = {}
+    # The fold loop is a chain of SMALL shuffles (banded buckets and
+    # candidate pairs are bucket-capped — hundreds of rows here); at
+    # the session's generic width every fold pays ~15 AQE jobs of task
+    # scheduling on near-empty partitions (measured: AQE re-planning
+    # alone costs ~1 s per invocation at this size). Pin a narrow
+    # width and static planning for the loop, restore after (the
+    # q_stream_* discipline; at real scale keep AQE on and size the
+    # width to the signature volume instead — this is the toy-scale
+    # end of the same knob, set per-fold batch not per-cluster).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out1 = incremental_dedup(
+            spark,
+            corpus.filter(F.col("doc_id") < 100000),
+            state,
+            bands=16,
+            shingle_k=3,
+            shingle_mode="word",
+            state_handle=handle,
+            prepared=prep.filter(F.col("doc_id") < 100000),
+        )
+        out2 = incremental_dedup(
+            spark,
+            corpus.filter(F.col("doc_id") >= 100000),
+            state,
+            bands=16,
+            shingle_k=3,
+            shingle_mode="word",
+            state_handle=handle,
+            prepared=prep.filter(F.col("doc_id") >= 100000),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        shutil.rmtree(work, ignore_errors=True)
     return (
         out1.select("doc_id").withColumn("batch", F.lit(1))
         .unionByName(out2.select("doc_id").withColumn("batch", F.lit(2)))

@@ -64,9 +64,13 @@ def test_output_schema_driver_safe(spark, sf_dir_oracle, name):
 
 
 def test_docs_inventory_sync():
-    """Every registered query must appear in COVERAGE.md, and every
-    `q_*` name mentioned in COVERAGE.md/SURVEY §2.3 must be registered —
-    the judge-facing inventory and the registry stay 1:1."""
+    """BOTH directions (r8 verdict #6): every registered query must
+    appear in COVERAGE.md AND in SURVEY.md §2 (registry ⊆ docs — no
+    undocumented extras drifting in), and every `q_*` name mentioned in
+    COVERAGE.md/SURVEY must be registered (docs ⊆ registry — no ghost
+    rows). Exceptions: the COVERAGE.md rename log, and
+    q_stream_stateful_tws (SURVEY X205a: deliberately un-registered —
+    the driver harness lacks vendor/pbshim's sitecustomize)."""
     import pathlib
     import re
 
@@ -75,7 +79,9 @@ def test_docs_inventory_sync():
     surv = (root / "SURVEY.md").read_text()
     for name in QUERIES:
         assert name in cov, f"{name} missing from COVERAGE.md"
+        assert name in surv, f"{name} missing from SURVEY.md §2"
     documented = set(re.findall(r"`(q_[a-z0-9_]+)`", cov + surv))
     renamed = {"q_scan_parquet", "q_window_frames", "q_quality_score"}
-    ghosts = documented - set(QUERIES) - renamed  # COVERAGE.md rename log
+    unregistered_by_design = {"q_stream_stateful_tws"}
+    ghosts = documented - set(QUERIES) - renamed - unregistered_by_design
     assert not ghosts, f"documented but not registered: {sorted(ghosts)}"
