@@ -283,6 +283,111 @@ def bench_stream_stream_join(spark, sf_dir: str) -> dict:
     }
 
 
+def bench_ss_join_outer_latency(spark, sf_dir: str) -> dict:
+    """r8 verdict #5: q_stream_stream_join_outer is the suite's wall
+    maximum (~10 s) and is scheduling-constant, not data-bound — but
+    nothing PROVED which part of the per-micro-batch pipeline dominates.
+    This probe runs the same left-outer interval join while capturing
+    StreamingQuery progress, and reports the per-batch duration
+    decomposition (addBatch = plan+execute, getBatch/latestOffset =
+    source, walCommit/commitOffsets = checkpoint bookkeeping,
+    queryPlanning) plus per-state-operator commit times, so the latency
+    floor is attributed instead of asserted."""
+    import pyspark.sql.functions as F
+
+    from mysql_cdc_to_http_spark.queries.streaming import _stream_events
+
+    left = (
+        _stream_events(spark, sf_dir)
+        .select(
+            F.col("event_id").alias("left_id"),
+            "user_id",
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", "10 minutes")
+    )
+    right = (
+        _stream_events(spark, sf_dir)
+        .select(
+            F.col("event_id").alias("right_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", "10 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("right_ts") > F.col("left_ts"))
+        & (
+            F.col("right_ts")
+            <= F.col("left_ts") + F.expr("INTERVAL 5 minutes")
+        ),
+        "left_outer",
+    ).select("left_id", "right_id", "user_id", "left_ts", "right_ts")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    t0 = time.perf_counter()
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("bench_ssj_outer_latency")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = list(q.recentProgress)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    wall = time.perf_counter() - t0
+
+    dur_keys = (
+        "addBatch",
+        "getBatch",
+        "latestOffset",
+        "queryPlanning",
+        "triggerExecution",
+        "walCommit",
+        "commitOffsets",
+    )
+    dur_totals = {k: 0 for k in dur_keys}
+    state_ops: dict[str, dict] = {}
+    n_batches = 0
+    for p in progress:
+        d = p.get("durationMs") or {}
+        if not d:
+            continue
+        n_batches += 1
+        for k in dur_keys:
+            dur_totals[k] += int(d.get(k, 0))
+        for op in p.get("stateOperators") or []:
+            name = op.get("operatorName", "?")
+            agg = state_ops.setdefault(
+                name, {"commit_ms": 0, "rows_total_max": 0}
+            )
+            agg["commit_ms"] += int(op.get("commitTimeMs", 0))
+            agg["rows_total_max"] = max(
+                agg["rows_total_max"], int(op.get("numRowsTotal", 0))
+            )
+    other = dur_totals["triggerExecution"] - sum(
+        dur_totals[k] for k in dur_keys if k not in (
+            "triggerExecution",
+        )
+    )
+    return {
+        "n_batches": n_batches,
+        "wall_sec": round(wall, 3),
+        "duration_ms_total": dur_totals,
+        "trigger_minus_components_ms": other,
+        "state_operators": state_ops,
+    }
+
+
 def bench_ivm_view(spark, sf_dir: str, n_files: int = 16) -> dict:
     """Micro-batch joined-view maintenance (streaming IVM): replay the
     CDC feed through stream_changes_to_view and check the final view
@@ -540,6 +645,7 @@ def run(spark, sf_dir: str, n_files: int = 16) -> dict:
         <= 10 * max(cdc["state_bytes_final"], 1) * 1.5
     )
     ssj = bench_stream_stream_join(spark, sf_dir)
+    ssj_lat = bench_ss_join_outer_latency(spark, sf_dir)
     ivm = bench_ivm_view(spark, sf_dir, n_files=n_files)
     sess = bench_session_state(spark, sf_dir)
     http = bench_http_delivery(spark, sf_dir, n_files=n_files // 2)
@@ -547,6 +653,7 @@ def run(spark, sf_dir: str, n_files: int = 16) -> dict:
         "cdc_pipeline": cdc,
         "cdc_pipeline_10x": cdc10,
         "stream_stream_join": ssj,
+        "ss_join_outer_latency": ssj_lat,
         "ivm_view": ivm,
         "session_state": sess,
         "http_delivery": http,

@@ -93,9 +93,15 @@ def _run_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
     # The shuffle-partition count at stream start is locked into the
     # state-store layout; a harness session default of 200 would mean
     # 200 tiny state partitions per micro-batch on toy data. Pin a sane
-    # count for the run, restore after.
+    # count for the run, restore after. r9: 16 → 8 — the r8-verdict-#5
+    # latency probe (bench_stream.bench_ss_join_outer_latency) showed
+    # per-batch STATE-STORE COMMIT across partitions is the stateful
+    # floor (symmetricHashJoin commit ≈ 73 s summed over 5 batches ×
+    # 16 partitions at sf0.1); halving partitions cut the outer join
+    # 10.1 → 6.1 s with byte-identical results. At real scale this is
+    # the same knob sized UP to state volume instead.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (
             df.writeStream.outputMode(mode)
