@@ -8,7 +8,7 @@
 PY ?= python
 SF ?= /root/testdata/sf0.01
 
-.PHONY: test verify verify-window verify-all verify-robust verify-bench
+.PHONY: test verify verify-window verify-all verify-robust verify-ext verify-bench
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -22,6 +22,9 @@ verify-all:
 verify-robust:
 	SPARK_GRAFT_SF_DIR=$(SF) $(PY) scripts/verify_sweep.py robust
 
+verify-ext:
+	SPARK_GRAFT_SF_DIR=$(SF) $(PY) scripts/verify_sweep.py ext
+
 verify-bench:
 	@out=$$(SPARK_GRAFT_SF_DIR=$(SF) SPARK_GRAFT_STREAM=0 $(PY) bench.py 2>/dev/null); \
 	n=$$(printf '%s\n' "$$out" | grep -c '^{'); \
@@ -30,5 +33,5 @@ verify-bench:
 	fi; \
 	printf '%s\n' "$$out" | $(PY) -c "import json,sys; d=json.loads(sys.stdin.read()); assert d['metric']=='headline_suite_sec' and 'queries' in d; print('bench contract ok:', d['value'], 'sec,', len(d['queries']), 'queries')"
 
-verify: verify-window verify-all verify-robust verify-bench
+verify: verify-window verify-all verify-robust verify-ext verify-bench
 	@echo "verify: all sweeps green"

@@ -10,8 +10,15 @@ that one config hides still surface. Modes:
   python scripts/verify_sweep.py window            # first-50 registry gate
   python scripts/verify_sweep.py all               # every registered query
   python scripts/verify_sweep.py robust            # window, codegen+AQE off
+  python scripts/verify_sweep.py ext               # window, EXTENSION ON +
+                                                   #   adversarial confs
   python scripts/verify_sweep.py names q_x q_y ... # specific queries
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 ... )    # other scale factors
+
+`ext` (r8 verdict #7) closes the coverage gap between pytest (extension
+jar always on, UTC, ANSI off) and the other sweep modes (never load the
+jar): the rank-1-rewrite path itself runs under the adversarial config
+and is oracle-swept, not just plan/parity tested.
 
 Exit code 0 iff every checked query passes (oracle parity where an
 oracle exists, rows-only otherwise) and no output schema would crash the
@@ -30,7 +37,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "window"
-    names_arg = sys.argv[2:] if mode in ("names", "robust") else []
+    names_arg = sys.argv[2:] if mode in ("names", "robust", "ext") else []
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
     spec = importlib.util.spec_from_file_location(
@@ -54,6 +61,14 @@ def main() -> int:
         builder = builder.config(
             "spark.sql.codegen.wholeStage", "false"
         ).config("spark.sql.adaptive.enabled", "false")
+    if mode == "ext":
+        jar = os.path.join(REPO, "extension", "spark-graft-extension.jar")
+        if not os.path.exists(jar):
+            print(f"extension jar missing: {jar}", file=sys.stderr)
+            return 2
+        builder = builder.config("spark.jars", jar).config(
+            "spark.sql.extensions", "sparkgraft.SparkGraftExtensions"
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -62,9 +77,9 @@ def main() -> int:
     from tests.oracle import compare
 
     qs, oracles = mod.queries(), mod.oracle_sql()
-    if mode in ("window", "robust"):
-        # robust accepts explicit names too (new-query protocol:
-        # verify each addition interpreted / AQE-off)
+    if mode in ("window", "robust", "ext"):
+        # robust/ext accept explicit names too (new-query protocol:
+        # verify each addition interpreted / AQE-off / extension-on)
         names = names_arg or list(qs)[:50]
     elif mode == "all":
         names = list(qs)
