@@ -353,7 +353,20 @@ def replay_dlq(
             _shutil.rmtree(stale, ignore_errors=True)
         else:
             os.replace(stale, orig)
-    paths = sorted(_glob.glob(f"{root}/epoch=*"))
+    # Only COMMITTED epochs are replayable: a replay racing live
+    # ingestion (r8 verdict #8) can glob an epoch dir the poster is
+    # still writing; without this gate the replay would read a partial
+    # parquet dir and then REWRITE the epoch with only the rows it saw
+    # — losing whatever the poster committed after the read. Parquet's
+    # _SUCCESS marker is written at job commit, so gating on it makes
+    # replay and ingestion safely concurrent (an uncommitted epoch is
+    # simply picked up by the next replay cycle). Our own rewrites go
+    # through the same parquet writer, so shrunk epochs stay eligible.
+    paths = sorted(
+        p
+        for p in _glob.glob(f"{root}/epoch=*")
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
+    )
     if not paths:
         return 0
     base = base_url.rstrip("/")

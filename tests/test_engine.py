@@ -432,3 +432,45 @@ def test_keepalive_poster_survives_surprise_connection_close():
         assert _SurpriseClose.keys == [f"k{i}" for i in range(5)]
     finally:
         srv.shutdown()
+
+
+def test_replay_dlq_skips_uncommitted_epoch(spark, tmp_path):
+    """r8 verdict #8 guard: replay only touches COMMITTED epoch dirs
+    (parquet _SUCCESS present). An epoch mid-write by a racing poster
+    must be invisible — without the gate, replay would read the partial
+    dir and rewrite the epoch with only the rows it saw, losing
+    whatever the poster committed after the read."""
+    import glob
+    import os
+
+    from mysql_cdc_to_http_spark.sources.http_sink import (
+        http_batch_poster_with_dlq,
+        replay_dlq,
+    )
+
+    _FlakySink.hits = []
+    _FlakySink.healed = True
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _FlakySink)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        batch = spark.createDataFrame(
+            [("poison", '{"id": 1}', "k1")],
+            "grp string, payload string, idem_key string",
+        )
+        dlq = str(tmp_path / "dlq")
+        _FlakySink.healed = False
+        http_batch_poster_with_dlq(base, dlq, retries=0)(batch, epoch_id=3)
+        # simulate a mid-write epoch: committed data, _SUCCESS removed
+        os.remove(f"{dlq}/epoch=3/_SUCCESS")
+        _FlakySink.healed = True
+        assert replay_dlq(spark, dlq, base, retries=0) == 0  # skipped
+        assert _FlakySink.hits == []  # nothing POSTed
+        assert glob.glob(f"{dlq}/epoch=3") != []  # left untouched
+        # once the epoch "commits", the next cycle replays it
+        open(f"{dlq}/epoch=3/_SUCCESS", "w").close()
+        assert replay_dlq(spark, dlq, base, retries=0) == 0
+        assert [k for _, k in _FlakySink.hits] == ["k1"]
+        assert glob.glob(f"{dlq}/epoch=*") == []
+    finally:
+        srv.shutdown()
