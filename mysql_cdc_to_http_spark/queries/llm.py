@@ -576,6 +576,95 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_prefix",
+    oracle=r"""
+    WITH sampled AS (
+      SELECT doc_id, text FROM documents
+      WHERE ('0x' || substr(md5('pfx-v1|' || CAST(doc_id AS VARCHAR)), 1, 6)
+            )::INTEGER % 100 < 20
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM sampled
+      UNION ALL
+      SELECT doc_id + 100000, substr(text, instr(text, ' ') + 1)
+      FROM sampled
+    ),
+    toksets AS (
+      SELECT doc_id,
+             list_distinct(
+               string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
+             ) AS toks
+      FROM corpus
+    ),
+    sized AS (SELECT doc_id, toks, len(toks) AS n FROM toksets),
+    flat AS (SELECT doc_id, n, unnest(toks) AS tok FROM sized),
+    dfreq AS (SELECT tok, count(*) AS df FROM flat GROUP BY tok),
+    ranked AS (
+      SELECT f.doc_id, f.n, f.tok,
+             row_number() OVER (
+               PARTITION BY f.doc_id ORDER BY d.df, f.tok
+             ) AS pos
+      FROM flat f JOIN dfreq d USING (tok)
+    ),
+    pfx AS (
+      SELECT doc_id, n, tok FROM ranked
+      WHERE pos <= n - ((19 * n + 19) // 20) + 1
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pfx a JOIN pfx b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+       AND least(a.n, b.n) * 20 >= greatest(a.n, b.n) * 19
+    ),
+    ver AS (
+      SELECT id_a, id_b,
+             len(list_intersect(ta.toks, tb.toks)) AS i,
+             len(ta.toks) + len(tb.toks)
+               - len(list_intersect(ta.toks, tb.toks)) AS u
+      FROM cands
+      JOIN sized ta ON ta.doc_id = cands.id_a
+      JOIN sized tb ON tb.doc_id = cands.id_b
+    )
+    SELECT id_a, id_b, CAST(i AS BIGINT) AS inter, CAST(u AS BIGINT) AS uni
+    FROM ver WHERE 20 * i >= 19 * u
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X206 — EXACT-recall similarity self-join by prefix filtering
+    (AllPairs/PPJoin family): every pair with token-set Jaccard ≥ 0.95
+    (the synthetic corpus is template-generated and DENSE at loose
+    thresholds — 280k pairs at 0.6 — so the demonstration threshold
+    sits where near-dup production thresholds do),
+    certified complete — the recall guarantee the MinHash (X37),
+    SimHash (X42), and embedding-LSH (X44) arms trade away. Both
+    engines compute the identical rarity order (doc-frequency asc,
+    token asc), the identical integer-ceiling prefix, and the identical
+    cross-multiplied verify, so the DuckDB hash certifies candidate
+    generation AND the no-false-negative property on this corpus
+    (operators/dedup.py:prefix_filter_pairs — scale notes there: the
+    df table is vocab-sized, candidates ride rare-token postings)."""
+    from mysql_cdc_to_http_spark.operators.dedup import prefix_filter_pairs
+    from mysql_cdc_to_http_spark.operators.sampling import split_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # 20% md5 sample of BASE ids, taken before the variant union so an
+    # original and its near-dup variant stay together. Honest reason:
+    # the synthetic corpus is template-generated, so its TRUE >=0.95
+    # pair set grows ~quadratically with corpus size (117k true pairs
+    # at >=0.8 for 10k docs) -- no exact algorithm can undercut its own
+    # output; the sample keeps the demonstration output-bounded while
+    # the operator stays general.
+    docs = docs.filter(split_bucket(F.col("doc_id"), 100, salt="pfx-v1") < 20)
+    variants = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    return prefix_filter_pairs(corpus, 19, 20).orderBy("id_a", "id_b")
+
+
 @query("q_dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir)

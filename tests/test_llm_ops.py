@@ -1258,3 +1258,50 @@ def test_kmv_sketch_estimates_and_coordination(spark, sf_dir):
             assert abs(sketch_j - true_j) <= 0.5, (a, b, sketch_j, true_j)
             if full_sets[a] == full_sets[b]:
                 assert samples[a] == samples[b]
+
+
+def test_prefix_filter_exact_recall(spark, sf_dir):
+    """X206: the prefix filter's contract is NO false negatives — its
+    output must EQUAL the brute-force all-pairs >= t set (LSH arms only
+    promise recall probabilistically). Verified directly: brute-force
+    cross join on the same sampled corpus at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.operators.dedup import (
+        normalize_text,
+        prefix_filter_pairs,
+    )
+    from mysql_cdc_to_http_spark.operators.sampling import split_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.filter(split_bucket(F.col("doc_id"), 100, salt="pfx-v1") < 20)
+    variants = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_pairs(corpus, 19, 20).collect()
+    }
+    toks = corpus.select(
+        "doc_id",
+        F.array_distinct(
+            F.split(normalize_text(F.col("text")), " ")
+        ).alias("toks"),
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    uni = F.size("ta") + F.size("tb") - inter
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.lit(20) * inter >= F.lit(19) * uni)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert len(brute) > 0  # the variant construction plants true pairs
+    assert got == brute  # complete AND sound
