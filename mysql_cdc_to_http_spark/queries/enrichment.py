@@ -1411,3 +1411,86 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.orderBy("vec_id").select("embedding").first()[0]
     ]
     return pq_adc_topk(codes.join(cands, "vec_id"), books, qvec, k=10)
+
+
+# --------------------------------------------------------------------------
+# X207 — grid-blocked EXACT spatial nearest-neighbor join: the 2-D
+# analog of the ANN ladder's quantize-then-verify discipline, with a
+# certification radius instead of a recall gamble.
+# --------------------------------------------------------------------------
+@query(
+    "q_join_spatial_grid",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey AS cid,
+             ('0x' || substr(md5('geo-x|' || CAST(c_custkey AS VARCHAR)), 1, 6)
+             )::BIGINT % 1000000 AS x,
+             ('0x' || substr(md5('geo-y|' || CAST(c_custkey AS VARCHAR)), 1, 6)
+             )::BIGINT % 1000000 AS y
+      FROM customer
+    ),
+    supp AS (
+      SELECT s_suppkey AS sid,
+             ('0x' || substr(md5('geo-x|s' || CAST(s_suppkey AS VARCHAR)), 1, 6)
+             )::BIGINT % 1000000 AS x,
+             ('0x' || substr(md5('geo-y|s' || CAST(s_suppkey AS VARCHAR)), 1, 6)
+             )::BIGINT % 1000000 AS y
+      FROM supplier
+    ),
+    d AS (
+      SELECT s.sid, c.cid,
+             (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y) AS d2
+      FROM supp s CROSS JOIN cust c
+    ),
+    r AS (
+      SELECT sid, cid, d2,
+             row_number() OVER (PARTITION BY sid ORDER BY d2, cid) AS rn
+      FROM d
+    )
+    SELECT sid AS s_suppkey, cid AS nn, CAST(d2 AS BIGINT) AS dist2
+    FROM r WHERE rn = 1
+    ORDER BY s_suppkey
+    """,
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X207 — nearest customer to every supplier in a synthetic 2-D
+    integer plane (coordinates are md5-derived from the keys — the
+    engine's determinism primitive — so both engines build the exact
+    same point set; squared distances stay integer end-to-end).
+
+    The engine runs operators/similarity.py:grid_nearest_join — 3×3
+    grid-cell candidates, winners certified global when dist ≤ cell,
+    brute-force only for the residue — while the DuckDB oracle is the
+    PLAIN all-pairs argmin. Hash equality therefore certifies the
+    grid scheme EXACT, not approximately right: blocking changed the
+    join's cost shape (per-cell candidates vs |S|×|C|), not its
+    result. Cell = 125,000 (an 8×8 grid over the 10⁶ square) sized so
+    typical neighborhoods hold candidates within the certification
+    radius."""
+    from mysql_cdc_to_http_spark.operators.sampling import split_bucket
+    from mysql_cdc_to_http_spark.operators.similarity import (
+        grid_nearest_join,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        split_bucket(F.col("c_custkey"), 1000000, salt="geo-x").alias("x"),
+        split_bucket(F.col("c_custkey"), 1000000, salt="geo-y").alias("y"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("qid"),
+        split_bucket(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")),
+            1000000,
+            salt="geo-x",
+        ).alias("x"),
+        split_bucket(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")),
+            1000000,
+            salt="geo-y",
+        ).alias("y"),
+    )
+    out = grid_nearest_join(supp, cust, cell=125000, qid="qid", pid="pid")
+    return out.select(
+        F.col("qid").alias("s_suppkey"), "nn", "dist2"
+    ).orderBy("s_suppkey")

@@ -749,3 +749,38 @@ def test_pq_adc_recall_vs_exact(spark, sf_dir):
     # here is the data's, not the operator's: ADC picks must be
     # measurably closer than corpus average (observed ratio ≈ 0.80).
     assert picked_avg < 0.9 * corpus_avg, (picked_avg, corpus_avg)
+
+
+def test_grid_nearest_residue_fallback_exact(spark):
+    """X207: the certify-or-fallback contract. With a tiny cell on a
+    sparse point set, phase-1 winners exceed the certification radius
+    (or cells are empty) — the residue path must still return the
+    EXACT global nearest for every query, matching brute force."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.operators.similarity import (
+        grid_nearest_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 10, 10), (2, 900, 900), (3, 500, 140)],
+        "pid long, x long, y long",
+    )
+    qs = spark.createDataFrame(
+        [(100, 0, 0), (101, 880, 920), (102, 450, 200), (103, 499, 499)],
+        "qid long, x long, y long",
+    )
+    # cell=50: q100's nn is at d2=200 > 50^2 -> uncertified residue;
+    # q103 sits in a cell whose whole 3x3 neighborhood is empty
+    got = {
+        (r.qid, r.nn, r.dist2)
+        for r in grid_nearest_join(qs, pts, cell=50).collect()
+    }
+    d2 = lambda a, b: (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2  # noqa: E731
+    P = {1: (10, 10), 2: (900, 900), 3: (500, 140)}
+    want = set()
+    for q, qxy in {100: (0, 0), 101: (880, 920), 102: (450, 200),
+                   103: (499, 499)}.items():
+        best = min((d2(qxy, pxy), pid) for pid, pxy in P.items())
+        want.add((q, best[1], best[0]))
+    assert got == want
