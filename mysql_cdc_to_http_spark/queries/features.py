@@ -2758,3 +2758,132 @@ def q_purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p90_gap_h"),
     )
+
+
+# --------------------------------------------------------------------------
+# X208 — mergeable equi-width histogram sketch → deterministic quantile
+# estimates. Completes the mergeable-sketch family: HLL (distinct, X68),
+# CMS (frequency, X97), KMV (distinct-sample, X202) — and now rank.
+# --------------------------------------------------------------------------
+@query(
+    "q_quantile_sketch",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+    ),
+    s AS (
+      SELECT count(*) AS n, min(v) AS vmin, max(v) AS vmax FROM v
+    ),
+    w AS (
+      SELECT n, vmin, ((vmax - vmin) // 64) + 1 AS width FROM s
+    ),
+    bins AS (
+      SELECT (v.v - w.vmin) // w.width AS bin, count(*) AS cnt
+      FROM v, w GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin) AS cum,
+             sum(cnt) OVER (ORDER BY bin) - cnt AS cum_before
+      FROM bins
+    ),
+    qs AS (
+      SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4), (19, 20))
+        AS t(q_num, q_den)
+    ),
+    k AS (
+      SELECT q_num, q_den,
+             (q_num * w.n + q_den - 1) // q_den AS k, w.vmin, w.width
+      FROM qs, w
+    ),
+    hit AS (
+      SELECT k.q_num, k.q_den, k.k,
+             min(c.bin) AS bin
+      FROM k JOIN cum c ON c.cum >= k.k
+      GROUP BY 1, 2, 3
+    )
+    SELECT h.q_num, h.q_den, h.k, h.bin,
+           CAST(k.vmin + h.bin * k.width
+                + ((h.k - c.cum_before - 1) * k.width) // c.cnt
+                AS BIGINT) AS est
+    FROM hit h
+    JOIN k ON k.q_num = h.q_num AND k.q_den = h.q_den
+    JOIN cum c ON c.bin = h.bin
+    ORDER BY h.q_num * 1000 / h.q_den
+    """,
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X208 — rank/quantile estimation from a MERGEABLE equi-width
+    histogram sketch, the 4th member of the sketch family (HLL =
+    distinct, CMS = frequency, KMV = distinct-sample, histogram =
+    rank). Per-partition bin counts combine map-side (partial hash
+    aggregate — the mergeability that lets 1000 executors each own a
+    shard of the histogram and union for free; plan-tested like X68);
+    the quantile read-out touches only the 64-row sketch.
+
+    Zero float: bin width is an integer ceiling over the global range,
+    the rank target is the integer ceiling k = ⌈q·n⌉ (cross-multiplied
+    rationals), and the within-bin estimate interpolates with integer
+    division — so the DuckDB hash certifies the whole estimator, and
+    the error bound |est − exact| ≤ width is pinned by a test against
+    the exact percentile. At 100 TB the read-out cost is unchanged
+    (64 rows); only the one pass that bins the data scales."""
+    v = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    )
+    stats = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    ).select(
+        "n",
+        "vmin",
+        (F.expr("(vmax - vmin) div 64") + 1).alias("width"),
+    )
+    bins = (
+        v.crossJoin(F.broadcast(stats))
+        .select(F.expr("(v - vmin) div width").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql.window import Window as W
+
+    cum = bins.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(W.orderBy("bin")).alias("cum"),
+        (F.sum("cnt").over(W.orderBy("bin")) - F.col("cnt")).alias(
+            "cum_before"
+        ),
+    )
+    qs = spark.createDataFrame(
+        [(1, 4), (1, 2), (3, 4), (19, 20)], "q_num int, q_den int"
+    )
+    k = qs.crossJoin(F.broadcast(stats)).select(
+        "q_num",
+        "q_den",
+        F.expr("(q_num * n + q_den - 1) div q_den").alias("k"),
+        "vmin",
+        "width",
+    )
+    hit = (
+        k.join(cum, F.col("cum") >= F.col("k"))
+        .groupBy("q_num", "q_den", "k", "vmin", "width")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = (
+        hit.join(cum.select("bin", "cnt", "cum_before"), "bin")
+        .select(
+            "q_num",
+            "q_den",
+            "k",
+            "bin",
+            (
+                F.col("vmin")
+                + F.col("bin") * F.col("width")
+                + F.expr("((k - cum_before - 1) * width) div cnt")
+            ).cast("bigint").alias("est"),
+        )
+        .orderBy(F.expr("q_num * 1000 / q_den"))
+    )
+    return est

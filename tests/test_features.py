@@ -398,3 +398,43 @@ def test_grouped_prefix_sums_matches_plain_window(spark):
         (F.col("w__cum") != F.col("c")) | (F.col("w__tot") != F.col("t"))
     ).count()
     assert bad == 0
+
+
+def test_quantile_sketch_error_bound_and_merge_shape(spark, sf_dir):
+    """X208: (a) every estimate is within one bin WIDTH of the exact
+    rank-k value (the equi-width histogram's deterministic error
+    bound); (b) the binning aggregate combines map-side (partial hash
+    aggregate below the exchange) — the mergeability that makes it a
+    sketch, same gate as the HLL/CMS partials."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.queries import all_queries
+
+    out = {
+        (r.q_num, r.q_den): (r.k, r.est)
+        for r in all_queries()["q_quantile_sketch"](spark, sf_dir).collect()
+    }
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"))
+    )
+    vals = sorted(r.v for r in v.collect())
+    n = len(vals)
+    width = (vals[-1] - vals[0]) // 64 + 1
+    for (qn, qd), (k, est) in out.items():
+        assert k == (qn * n + qd - 1) // qd
+        exact = vals[k - 1]  # k is a 1-based rank
+        assert abs(est - exact) <= width, (qn, qd, est, exact, width)
+
+    plan = (
+        all_queries()["q_quantile_sketch"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # the bin-count aggregate must have a partial phase below its
+    # exchange: HashAggregate(keys=[bin...], functions=[partial_count...)
+    assert re.search(r"partial_count", plan), plan[:1500]
