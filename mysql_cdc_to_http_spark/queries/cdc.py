@@ -11,6 +11,8 @@ extraction → file-source round trip.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mysql_cdc_to_http_spark.catalog import load_table
@@ -620,4 +622,61 @@ def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total"),
         )
         .orderBy("o_orderstatus", "c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# X209 — Spark 4 Python DataSource connector: the envelope feed mounted
+# as a first-class spark.read.format("graft_cdc") source.
+# --------------------------------------------------------------------------
+@query(
+    "q_python_datasource",
+    oracle=_EV
+    + """
+    SELECT tbl, op, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(offset_id) AS min_offset, MAX(offset_id) AS max_offset
+    FROM ev
+    GROUP BY tbl, op ORDER BY tbl, op
+    """,
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X209 — the CDC feed read through a CUSTOM connector built on
+    Spark 4's Python DataSource API (sources/pyds.py): schema +
+    file-per-partition planning + per-partition line readers, i.e. the
+    reference's purpose-built input connector (main.go canal handler)
+    re-expressed at Spark's connector seam rather than as a path glob.
+    Envelope JSON is parsed DOWNSTREAM with the engine's existing
+    schema (transport and schema-on-read stay layered, like the
+    reference). The oracle reconstructs the same per-(table, op)
+    counts and offset ranges from the source-of-truth table, so the
+    hash certifies the connector delivered every line of every file
+    exactly once — partition planning included."""
+    from mysql_cdc_to_http_spark.sources import pyds
+    from mysql_cdc_to_http_spark.sources.cdc import (
+        ENVELOPE_SCHEMA,
+        write_event_files,
+    )
+
+    events_dir = write_event_files(spark, sf_dir)
+    pyds.register(spark)
+    raw = (
+        spark.read.format("graft_cdc")
+        .option("path", os.path.join(events_dir, "data"))
+        .load()
+    )
+    env = raw.select(
+        F.from_json(F.col("value"), ENVELOPE_SCHEMA).alias("e")
+    ).select(
+        F.col("e.source.table").alias("tbl"),
+        F.col("e.op").alias("op"),
+        F.col("e.offset").alias("offset_id"),
+    )
+    return (
+        env.groupBy("tbl", "op")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("offset_id").alias("min_offset"),
+            F.max("offset_id").alias("max_offset"),
+        )
+        .orderBy("tbl", "op")
     )

@@ -289,3 +289,38 @@ def test_maintain_joined_view_equals_full_recompute(spark, sf_dir):
     # kept view for the subtraction
     plan = j_inc._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 3  # 2 anti + semi sides
+
+
+def test_python_datasource_partitions_per_file(spark, sf_dir):
+    """X209: the custom connector plans ONE input partition per feed
+    file (Spark schedules file-parallel like its native sources), and
+    every file/line arrives exactly once."""
+    import os
+
+    from mysql_cdc_to_http_spark.sources import pyds
+    from mysql_cdc_to_http_spark.sources.cdc import write_event_files
+    from pyspark.sql import functions as F
+
+    events_dir = write_event_files(spark, sf_dir, n_files=8)
+    pyds.register(spark)
+    df = (
+        spark.read.format("graft_cdc")
+        .option("path", os.path.join(events_dir, "data"))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    per_file = {
+        r.file_no: r.n
+        for r in df.groupBy("file_no")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(per_file) == set(range(8))
+    # total lines == total feed rows (read the dir directly as text)
+    n_text = spark.read.text(os.path.join(events_dir, "data")).count()
+    assert sum(per_file.values()) == n_text
+    # line numbers within a file are dense from 0
+    mx = df.groupBy("file_no").agg(
+        F.max("line_no").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    assert all(r.mx == r.n - 1 for r in mx.collect())
