@@ -515,3 +515,80 @@ def bpe_train(
         vocab.unpersist()
         vocab = new_vocab
     return merges, vocab
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a TRAINED merge list to a corpus — the inference half of
+    the BPE pair (X200a trains; this encodes). Standard greedy apply
+    (Sennrich et al. 2016): per word, repeatedly merge the adjacent
+    pair with the LOWEST merge rank until no ranked pair remains.
+
+    Scale shape: the merge table is a driver-sized model shipped
+    inside the Arrow UDF closure (like the k-means centroids and the
+    PQ codebooks — model broadcast, data stays put); encoding streams
+    corpus-sized batches through ``mapInPandas``-style vectorization
+    with a per-batch WORD MEMO — Zipf's law means a batch's distinct
+    words are far fewer than its word occurrences, so the sequential
+    merge loop runs per distinct word, not per token. Output is
+    per-document counts (id, n_words, n_chars, n_tokens) — the
+    compression-ratio facts a tokenizer-budget pipeline needs; the
+    token STREAM itself would be an array column (driver-unsafe
+    output) and is trivially emitted by the same UDF when a sink
+    wants it."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf("struct<n_words: long, n_chars: long, n_tokens: long>")
+    def _enc(texts: pd.Series) -> pd.DataFrame:
+        memo: dict[str, int] = {}
+
+        def encode_word(w: str) -> int:
+            hit = memo.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w)
+            while len(syms) > 1:
+                best_rank, best_i = None, -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                a, b = merges[best_rank]
+                merged, out, i = a + b, [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            memo[w] = len(syms)
+            return len(syms)
+
+        rows = []
+        for t in texts:
+            words = [w for w in (t or "").lower().split() if w]
+            rows.append(
+                {
+                    "n_words": len(words),
+                    "n_chars": sum(len(w) for w in words),
+                    "n_tokens": sum(encode_word(w) for w in words),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return docs.select(
+        F.col(id_col),
+        _enc(F.col(text_col)).alias("e"),
+    ).select(id_col, "e.n_words", "e.n_chars", "e.n_tokens")

@@ -1305,3 +1305,63 @@ def test_prefix_filter_exact_recall(spark, sf_dir):
     }
     assert len(brute) > 0  # the variant construction plants true pairs
     assert got == brute  # complete AND sound
+
+
+def test_bpe_encode_matches_train_and_reference(spark):
+    """X210: (a) greedy rank-lowest-first encoding reproduces the
+    SEQUENTIAL merge application bpe_train performs — encoding the
+    training words with the full merge list yields exactly the final
+    symbol-table token counts; (b) counts match an independent
+    pure-python sequential-apply reference on fresh text."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.operators.text import bpe_encode, bpe_train
+
+    freqs = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3),
+         ("newer", 4), ("wide", 2)],
+        "w string, f long",
+    )
+    merges, vocab = bpe_train(freqs, 8)
+    want = {r.w: len(r.symbols) for r in vocab.collect()}
+    docs = spark.createDataFrame(
+        [(i, w) for i, (w, _) in enumerate(
+            [("low", 0), ("lower", 0), ("newest", 0), ("widest", 0),
+             ("newer", 0), ("wide", 0)])],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_tokens for r in bpe_encode(docs, merges).collect()}
+    for i, w in enumerate(["low", "lower", "newest", "widest", "newer",
+                           "wide"]):
+        assert got[i] == want[w], (w, got[i], want[w])
+
+    # (b) independent sequential-apply reference on unseen words
+    def ref_encode(word):
+        syms = list(word)
+        for a, b in merges:  # sequential, in training order
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    fresh = spark.createDataFrame(
+        [(0, "newfangled widgets"), (1, "the lowest wideness"),
+         (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_encode(fresh, merges).collect()
+    }
+    for did, text in [(0, "newfangled widgets"), (1, "the lowest wideness"),
+                      (2, ""), (3, "   ")]:
+        words = [w for w in text.lower().split() if w]
+        assert got2[did] == (
+            len(words), sum(ref_encode(w) for w in words)
+        ), (did, got2[did])
