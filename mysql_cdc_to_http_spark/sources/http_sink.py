@@ -138,6 +138,44 @@ class _KeepAlivePoster:
             time.sleep(backoff_s * (2 ** (attempt - 1)))
 
 
+class _TokenBucket:
+    """Per-partition token-bucket rate limiter for the delivery path
+    (X211). ``rps`` tokens refill per second up to ``burst``; ``take``
+    blocks until a token is available. Runs ON EXECUTORS, one bucket
+    per partition — the aggregate egress is therefore rps × active
+    partitions, which is the knob a 1000-executor cluster actually
+    needs (a global limiter would serialize through one host). The
+    sleep happens inside foreachBatch, so a slow endpoint lengthens
+    the micro-batch and Spark's trigger loop backpressures upstream
+    consumption naturally — rate limiting and backpressure are the
+    same mechanism here, like the reference's synchronous post loop
+    (main.go:105-113) but with an explicit, configurable ceiling."""
+
+    def __init__(self, rps: float, burst: float | None = None):
+        import time as _t
+
+        self.rps = float(rps)
+        self.capacity = float(burst if burst is not None else max(rps, 1.0))
+        self.allowance = self.capacity
+        self.last = _t.monotonic()
+
+    def take(self) -> None:
+        import time as _t
+
+        now = _t.monotonic()
+        self.allowance = min(
+            self.capacity, self.allowance + (now - self.last) * self.rps
+        )
+        self.last = now
+        if self.allowance < 1.0:
+            wait = (1.0 - self.allowance) / self.rps
+            _t.sleep(wait)
+            self.last = _t.monotonic()
+            self.allowance = 0.0
+        else:
+            self.allowance -= 1.0
+
+
 def post_rows(
     url: str,
     rows: Iterator,
@@ -146,6 +184,8 @@ def post_rows(
     retries: int = 3,
     backoff_s: float = 0.2,
     timeout_s: float = 5.0,
+    rate_rps: float | None = None,
+    rate_burst: float | None = None,
 ) -> None:
     """Executor-side partition POST loop. Runs on workers — must not touch
     driver state. Retries with exponential backoff; raises after final
@@ -158,8 +198,11 @@ def post_rows(
     idempotency key is the table+offset binlog-position analog. One
     keep-alive connection serves the whole partition (round 8)."""
     poster = _KeepAlivePoster(timeout_s)
+    bucket = _TokenBucket(rate_rps, rate_burst) if rate_rps else None
     try:
         for row in rows:
+            if bucket is not None:
+                bucket.take()
             poster.post(
                 url,
                 row[payload_col].encode("utf-8"),
@@ -176,9 +219,13 @@ def http_batch_poster(
     group_col: str = "grp",
     payload_col: str = "payload",
     key_col: str = "idem_key",
+    rate_rps: float | None = None,
+    rate_burst: float | None = None,
 ):
     """foreachBatch body: route each group to ``base_url/<group>`` and POST
-    its rows partition-parallel (main.go:105's URL suffix semantics)."""
+    its rows partition-parallel (main.go:105's URL suffix semantics).
+    ``rate_rps`` caps each PARTITION's egress with a token bucket
+    (see :class:`_TokenBucket`) — aggregate ceiling = rps × partitions."""
 
     def _post(batch_df: DataFrame, epoch_id: int) -> None:
         base = base_url.rstrip("/")
@@ -194,7 +241,14 @@ def http_batch_poster(
             for row in it:
                 buckets.setdefault(row[group_col], []).append(row)
             for grp, rows in buckets.items():
-                post_rows(f"{base}/{grp}", iter(rows), payload_col, key_col)
+                post_rows(
+                    f"{base}/{grp}",
+                    iter(rows),
+                    payload_col,
+                    key_col,
+                    rate_rps=rate_rps,
+                    rate_burst=rate_burst,
+                )
 
         sel.foreachPartition(_route_partition)
 

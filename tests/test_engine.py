@@ -474,3 +474,42 @@ def test_replay_dlq_skips_uncommitted_epoch(spark, tmp_path):
         assert glob.glob(f"{dlq}/epoch=*") == []
     finally:
         srv.shutdown()
+
+
+def test_http_sink_token_bucket_rate_limit(spark):
+    """X211: a rate-limited poster paces its partition to ~rate_rps
+    (after the burst) and still delivers every row; the unlimited path
+    is unaffected. The limiter is executor-side, so pacing lengthens
+    the foreachBatch call — which is exactly how it backpressures the
+    trigger loop."""
+    import time
+
+    from mysql_cdc_to_http_spark.sources.http_sink import http_batch_poster
+
+    _Sink.hits = []
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Sink)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        n = 40
+        batch = spark.createDataFrame(
+            [("g", '{"i": %d}' % i, f"k{i}") for i in range(n)],
+            "grp string, payload string, idem_key string",
+        ).coalesce(1)  # one partition -> one bucket governs all n rows
+        # burst 5, 50 rps: 40 rows need >= (40-5)/50 = 0.7 s
+        t0 = time.perf_counter()
+        http_batch_poster(base, rate_rps=50, rate_burst=5)(batch, 0)
+        limited = time.perf_counter() - t0
+        assert sorted(k for _, k in _Sink.hits) == sorted(
+            f"k{i}" for i in range(n)
+        )
+        assert limited >= 0.6, limited  # paced (scheduling slack aside)
+
+        _Sink.hits = []
+        t1 = time.perf_counter()
+        http_batch_poster(base)(batch, 1)
+        unlimited = time.perf_counter() - t1
+        assert len(_Sink.hits) == n
+        assert unlimited < limited  # no pacing on the default path
+    finally:
+        srv.shutdown()
