@@ -56,6 +56,68 @@ def hll_rollup(partials: DataFrame, group_cols: list[str]) -> DataFrame:
     )
 
 
+def hll_overlap(
+    partials: DataFrame,
+    group_cols: list[str],
+    labels: tuple[str, str],
+    set_col: str = "set_label",
+) -> DataFrame:
+    """Set-overlap estimates from per-set HLL sketches (X212): given
+    partials carrying one sketch per (group, set_label) with the two
+    ``labels`` per group, estimate |A|, |B|, |A∪B| and derive
+    |A∩B| = max(0, |A| + |B| − |A∪B|) by inclusion–exclusion.
+
+    This is the audience-overlap question ("how many users did BOTH
+    campaigns reach?") answered from sketches alone — at 100 TB the
+    two sides may be different quarters of the same petabyte table,
+    and the intersection comes from merging kilobyte register files,
+    never co-scanning the raw sets. One hash aggregate over the
+    partials does all three estimates: per-set unions are conditional
+    ``hll_union_agg`` over the SAME shuffle (``when`` passes null for
+    the other label and union-agg skips nulls), so the plan is a
+    single exchange on ``group_cols`` whatever the base data size.
+
+    Error model callers must respect: the union estimate carries the
+    sketch's rsd (~1.6% at lgk=12), so the DERIVED intersection's
+    absolute error scales with |A∪B|, not |A∩B| — a tiny true overlap
+    between huge sets can even estimate negative (clamped to 0 here).
+    Assertions belong on |est∩ − exact∩| relative to the UNION size.
+
+    Output per group: ``est_a``, ``est_b``, ``est_union``,
+    ``est_intersection`` (longs).
+    """
+    # Labels are caller-supplied (schema knowledge, not data): resolving
+    # them from the partials would cost a driver-side action on the
+    # data path for something the pipeline already knows statically.
+    a, b = labels
+
+    def _est_for(label: str) -> Column:
+        return F.hll_sketch_estimate(
+            F.hll_union_agg(
+                F.when(F.col(set_col) == label, F.col("sketch"))
+            )
+        )
+
+    est_a, est_b = _est_for(a).alias("est_a"), _est_for(b).alias("est_b")
+    est_union = F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+        "est_union"
+    )
+    return (
+        partials.groupBy(*group_cols)
+        .agg(est_a, est_b, est_union)
+        .select(
+            *group_cols,
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+            ).alias("est_intersection"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch: the mergeable FREQUENCY analog of the HLL rollup.
 #

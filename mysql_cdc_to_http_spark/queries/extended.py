@@ -417,6 +417,110 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_hll_intersect",
+    oracle="""
+    WITH pres AS (
+      SELECT o_orderpriority, o_custkey,
+             MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS in_b
+      FROM orders
+      WHERE year(o_orderdate) IN (1995, 1996)
+      GROUP BY o_orderpriority, o_custkey)
+    SELECT o_orderpriority,
+           CAST(SUM(in_a) AS BIGINT) AS exact_a,
+           CAST(SUM(in_b) AS BIGINT) AS exact_b,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS exact_both,
+           CAST(COUNT(*) AS BIGINT) AS exact_union,
+           TRUE AS union_within_5pct,
+           TRUE AS inter_within_5pct_of_union
+    FROM pres GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set-intersection by inclusion–exclusion (X212,
+    operators/sketches.py:hll_overlap): per order priority, how many
+    customers ordered in BOTH 1995 and 1996 — answered from per-year
+    sketch partials alone, |A∩B| = |A| + |B| − |A∪B|, where all three
+    cardinalities come from unioning kilobyte register files. The
+    audience-overlap question (repeat-customer rate): at 100 TB the
+    two years are disjoint partitions of the fact table, and the
+    overlap costs one exchange of (groups × 2) sketches, never a
+    co-scan of both years. The overlap here is genuinely partial
+    (~14% of the union at every sf), so the assertion exercises the
+    estimator, not a degenerate all-or-nothing set.
+
+    Oracle-checkable despite approximation (same argument as
+    q_hll_rollup): estimates are deterministic, so the error-bound
+    booleans are stable. The intersection bound is asserted against
+    the UNION size, not the intersection — inclusion–exclusion's
+    absolute error scales with |A∪B| (see hll_overlap's docstring),
+    and a bound relative to a small overlap would be claiming
+    precision the estimator does not have."""
+    from mysql_cdc_to_http_spark.operators.sketches import (
+        hll_overlap,
+        hll_partials,
+    )
+
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    partials = hll_partials(
+        od,
+        ["o_orderpriority"],
+        F.year("o_orderdate").cast("string"),
+        "o_custkey",
+        lgk=12,
+    )
+    est = hll_overlap(
+        partials, ["o_orderpriority"], ("1995", "1996"), set_col="segment"
+    )
+    pres = (
+        od.groupBy("o_orderpriority", "o_custkey")
+        .agg(
+            F.max(
+                F.when(F.year("o_orderdate") == 1995, 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.year("o_orderdate") == 1996, 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    exact = pres.groupBy("o_orderpriority").agg(
+        F.sum("in_a").cast("long").alias("exact_a"),
+        F.sum("in_b").cast("long").alias("exact_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("exact_both"),
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+    )
+    return (
+        exact.join(est, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "exact_a",
+            "exact_b",
+            "exact_both",
+            "exact_union",
+            (
+                F.abs(
+                    F.col("est_union").cast("double")
+                    / F.col("exact_union").cast("double")
+                    - 1.0
+                )
+                < 0.05
+            ).alias("union_within_5pct"),
+            (
+                F.abs(
+                    (F.col("est_intersection") - F.col("exact_both")).cast(
+                        "double"
+                    )
+                )
+                < 0.05 * F.col("exact_union").cast("double") + 1.0
+            ).alias("inter_within_5pct_of_union"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "q_cms_freq",
     oracle="""
     WITH rows_i AS (SELECT UNNEST(range(4)) AS row_i),

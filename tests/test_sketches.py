@@ -39,6 +39,66 @@ def test_hll_partials_one_row_per_group_segment(spark):
     assert partials.columns == ["grp", "segment", "sketch"]
 
 
+def test_hll_overlap_exact_in_sparse_regime(spark):
+    """X212: inclusion–exclusion intersection from per-set sketches.
+    Sparse regime → estimates are exact, so the derived overlap is
+    too: A = u0..u99, B = u50..u149 ⇒ |A∩B| = 50, |A∪B| = 150."""
+    from mysql_cdc_to_http_spark.operators.sketches import hll_overlap
+
+    rows = [("a", f"u{i:03d}") for i in range(100)] + [
+        ("b", f"u{i:03d}") for i in range(50, 150)
+    ]
+    df = spark.createDataFrame(
+        [("g", lbl, u) for lbl, u in rows], "grp string, lbl string, user string"
+    ).repartition(5)
+    partials = hll_partials(df, ["grp"], "lbl", "user", lgk=12)
+    got = hll_overlap(
+        partials, ["grp"], ("a", "b"), set_col="segment"
+    ).collect()[0]
+    assert (got["est_a"], got["est_b"]) == (100, 100)
+    assert got["est_union"] == 150
+    assert got["est_intersection"] == 50
+
+
+def test_hll_overlap_disjoint_clamps_at_zero(spark):
+    """Disjoint sets: est∩ = max(0, a + b − union) must clamp — sketch
+    noise can push a + b below the union estimate, and a negative
+    cardinality must never escape the operator."""
+    from mysql_cdc_to_http_spark.operators.sketches import hll_overlap
+
+    rows = [("a", f"x{i}") for i in range(200)] + [
+        ("b", f"y{i}") for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        [("g", lbl, u) for lbl, u in rows], "grp string, lbl string, user string"
+    )
+    partials = hll_partials(df, ["grp"], "lbl", "user", lgk=12)
+    got = hll_overlap(
+        partials, ["grp"], ("a", "b"), set_col="segment"
+    ).collect()[0]
+    assert got["est_intersection"] >= 0
+    assert got["est_intersection"] <= 4  # ≈0 up to sketch noise
+
+
+def test_hll_overlap_single_exchange_plan(spark):
+    """The three estimates (A, B, union) come from ONE hash aggregate
+    over the partials — conditional union-aggs share the shuffle; a
+    second exchange would mean the overlap re-shuffles per set."""
+    from mysql_cdc_to_http_spark.operators.sketches import hll_overlap
+
+    df = spark.createDataFrame(
+        [("g", "a", "u1"), ("g", "b", "u2")],
+        "grp string, lbl string, user string",
+    )
+    partials = hll_partials(df, ["grp"], "lbl", "user")
+    plan = (
+        hll_overlap(partials, ["grp"], ("a", "b"), set_col="segment")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one exchange builds the partials, one rolls them up — never more
+    assert plan.count("Exchange") <= 2
+
+
 # --- count-min sketch -------------------------------------------------------
 
 from mysql_cdc_to_http_spark.operators.sketches import (  # noqa: E402
