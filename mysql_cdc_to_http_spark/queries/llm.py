@@ -2048,3 +2048,103 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_same_hash",
         F.count(F.lit(1)).over(W.partitionBy("dhash")).cast("bigint"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# X214 — GROUP-AWARE train/val/test split (leakage-safe holdout): the
+# split key is the USER, not the row, so every event of a user lands in
+# one split. Splitting a fact/interaction table row-wise leaks: the
+# same user's behavior trains and evaluates the model. The query
+# certifies the invariant by auditing BOTH schemes — the group split
+# must strand zero users across splits while the row-wise control
+# strands thousands — so the contract (not just the bucketing) is what
+# the oracle checks.
+# --------------------------------------------------------------------------
+@query(
+    "q_group_split",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id,
+             ('0x' || substr(md5('split-v2|' || CAST(user_id AS VARCHAR)),
+                             1, 6))::INTEGER % 100 AS gb,
+             ('0x' || substr(md5('split-v2|' || CAST(event_id AS VARCHAR)),
+                             1, 6))::INTEGER % 100 AS rb
+      FROM events
+    ),
+    lab AS (
+      SELECT user_id,
+             CASE WHEN gb < 80 THEN 'train' WHEN gb < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             CASE WHEN rb < 80 THEN 'train' WHEN rb < 90 THEN 'val'
+                  ELSE 'test' END AS row_split
+      FROM g
+    ),
+    leak_g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS leak_users_grouped
+      FROM (SELECT user_id FROM lab GROUP BY user_id
+            HAVING COUNT(DISTINCT split) > 1)
+    ),
+    leak_r AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS leak_users_rowwise
+      FROM (SELECT user_id FROM lab GROUP BY user_id
+            HAVING COUNT(DISTINCT row_split) > 1)
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(user_id) AS min_user,
+           leak_users_grouped,
+           leak_users_rowwise
+    FROM lab, leak_g, leak_r
+    GROUP BY split, leak_users_grouped, leak_users_rowwise
+    ORDER BY split
+    """,
+)
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe holdout (X214, operators/sampling.py:hash_split
+    keyed by the GROUP): events split by md5(user_id) buckets so a
+    user's whole history shares a split, with a dual audit — the
+    grouped scheme's cross-split user count (must be 0 by
+    construction, computed honestly, not assumed) next to the
+    row-keyed control's (materially positive on any multi-event-user
+    corpus), broadcast back as 1-row aggregates. At 100 TB this is one
+    projection (the md5 bucket needs no shuffle) plus one user-keyed
+    aggregate for the audit; the split itself never shuffles the fact
+    table. The reference has no sampling surface; this is the
+    training-pipeline rung the brief orders (leakage-safe splits are
+    table stakes for interaction data)."""
+    from mysql_cdc_to_http_spark.operators.sampling import hash_split
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    lab = hash_split(ev, "user_id").withColumnRenamed("split", "g_split")
+    lab = hash_split(lab, "event_id").withColumnRenamed("split", "row_split")
+
+    per_user = lab.groupBy("user_id").agg(
+        F.countDistinct("g_split").alias("n_g"),
+        F.countDistinct("row_split").alias("n_r"),
+    )
+    leaks = per_user.agg(
+        F.sum(F.when(F.col("n_g") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("leak_users_grouped"),
+        F.sum(F.when(F.col("n_r") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("leak_users_rowwise"),
+    )
+    per_split = lab.groupBy(F.col("g_split").alias("split")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.min("user_id").alias("min_user"),
+    )
+    return (
+        per_split.crossJoin(F.broadcast(leaks))
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            "min_user",
+            "leak_users_grouped",
+            "leak_users_rowwise",
+        )
+        .orderBy("split")
+    )

@@ -1365,3 +1365,20 @@ def test_bpe_encode_matches_train_and_reference(spark):
         assert got2[did] == (
             len(words), sum(ref_encode(w) for w in words)
         ), (did, got2[did])
+
+
+def test_group_split_is_leakage_free(spark, sf_dir):
+    """X214: the user-keyed split strands no user across splits, while
+    the row-keyed control demonstrably leaks on the same corpus — the
+    audit columns are computed, not asserted constants, so this pins
+    the operator property the oracle also checks."""
+    from mysql_cdc_to_http_spark.queries.llm import q_group_split
+
+    rows = q_group_split(spark, sf_dir).collect()
+    assert {r.split for r in rows} == {"train", "val", "test"}
+    assert all(r.leak_users_grouped == 0 for r in rows)
+    assert all(r.leak_users_rowwise > 0 for r in rows)
+    # splits partition the corpus
+    assert sum(r.n_events for r in rows) == spark.read.parquet(
+        f"{sf_dir}/events.parquet"
+    ).count()
