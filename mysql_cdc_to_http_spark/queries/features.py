@@ -2887,3 +2887,166 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.expr("q_num * 1000 / q_den"))
     )
     return est
+
+
+# --------------------------------------------------------------------------
+# X215 — distribution-free grouped quantiles from a DETERMINISTIC
+# uniform sample (the KMV spine, X202, pointed at rank estimation).
+# Complements X208's equi-width histogram sketch: the histogram's
+# error depends on the value RANGE (heavy tails smear it); the
+# sample-quantile estimator is distribution-free with the DKW bound
+# sup|F_m − F| ≤ sqrt(ln(2/δ)/(2m)) — and because the sample is a pure
+# md5 function of the key, the estimates are cross-engine EXACT, so
+# the oracle certifies both the estimates and the bound check.
+# --------------------------------------------------------------------------
+@query(
+    "q_sample_quantiles",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS prio, o_orderkey AS okey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             md5('kmvq-v1|' || CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders
+    ),
+    samp AS (
+      SELECT prio, okey, cents,
+             row_number() OVER (PARTITION BY prio ORDER BY h, okey) AS sr
+      FROM v QUALIFY sr <= 256
+    ),
+    m AS (SELECT prio, CAST(max(sr) AS BIGINT) AS m FROM samp GROUP BY prio),
+    ranked AS (
+      SELECT s.prio, s.cents,
+             row_number() OVER (PARTITION BY s.prio
+                                ORDER BY s.cents, s.okey) AS vr
+      FROM samp s
+    ),
+    est AS (
+      SELECT r.prio,
+             max(CASE WHEN r.vr = (m.m + 1) // 2 THEN r.cents END)
+               AS est_p50_cents,
+             max(CASE WHEN r.vr = (9 * m.m + 9) // 10 THEN r.cents END)
+               AS est_p90_cents
+      FROM ranked r JOIN m ON r.prio = m.prio
+      GROUP BY r.prio
+    ),
+    audit AS (
+      SELECT v.prio, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN v.cents <= e.est_p50_cents THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cnt_le_p50,
+             CAST(sum(CASE WHEN v.cents <= e.est_p90_cents THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cnt_le_p90
+      FROM v JOIN est e ON v.prio = e.prio
+      GROUP BY v.prio
+    )
+    SELECT a.prio AS o_orderpriority, a.n, m.m,
+           e.est_p50_cents, e.est_p90_cents,
+           a.cnt_le_p50, a.cnt_le_p90,
+           abs(a.cnt_le_p50 * 1000 - 500 * a.n) <= 95 * a.n
+             AS p50_within_dkw,
+           abs(a.cnt_le_p90 * 1000 - 900 * a.n) <= 95 * a.n
+             AS p90_within_dkw
+    FROM audit a JOIN m ON a.prio = m.prio JOIN est e ON a.prio = e.prio
+    ORDER BY o_orderpriority
+    """,
+)
+def q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped p50/p90 estimation from a bottom-256-by-md5 sample with
+    a DKW-certified error audit (X215). Per order priority: take the
+    256 orders with the smallest md5('kmvq-v1|'||orderkey) — a
+    deterministic uniform sample, the X202 KMV spine — read the sample
+    order statistics at ceil(p·m), then audit against the FULL group
+    with one conditional aggregate: |#{v ≤ q̂}/n − p| must sit inside
+    0.095 (DKW ε = sqrt(ln(2/0.05)/512) ≈ 0.085 at m = 256, plus 1/m
+    discreteness), checked in integer cross-multiplied form so no
+    float ever divides.
+
+    Why this next to X208's histogram sketch: equi-width bins tie the
+    error to the value RANGE (one outlier order of magnitude ruins
+    every bin), while the sample quantile is distribution-free — the
+    bound holds for any totalprice distribution. And unlike
+    approx_percentile (X62 covers it), the estimate is a pure function
+    of the data, so it is reproducible run-to-run, engine-to-engine.
+
+    Scale shape: the sample spine is the X202 window (group-keyed
+    row_number, never global; swap for a bottom-k aggregate at extreme
+    group cardinality — semantics unchanged); everything downstream of
+    the cut runs on ≤256 rows/group; the audit is one map-side-partial
+    conditional aggregate over the facts with the groups-sized
+    estimate table broadcast. Nothing fact-sized ever sorts."""
+    from pyspark.sql.window import Window as W
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.md5(
+            F.concat_ws(
+                "|", F.lit("kmvq-v1"), F.col("o_orderkey").cast("string")
+            )
+        ).alias("h"),
+    )
+    sr = F.row_number().over(W.partitionBy("prio").orderBy("h", "okey"))
+    samp = v.withColumn("sr", sr).filter(F.col("sr") <= 256)
+    m = samp.groupBy("prio").agg(F.max("sr").cast("bigint").alias("m"))
+    vr = F.row_number().over(W.partitionBy("prio").orderBy("cents", "okey"))
+    ranked = samp.withColumn("vr", vr)
+    est = (
+        ranked.join(F.broadcast(m), "prio")
+        .groupBy("prio")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("vr") == F.expr("(m + 1) div 2"), F.col("cents")
+                )
+            ).alias("est_p50_cents"),
+            F.max(
+                F.when(
+                    F.col("vr") == F.expr("(9 * m + 9) div 10"),
+                    F.col("cents"),
+                )
+            ).alias("est_p90_cents"),
+        )
+    )
+    audit = (
+        v.join(F.broadcast(est), "prio")
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("cents") <= F.col("est_p50_cents"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("cnt_le_p50"),
+            F.sum(
+                F.when(F.col("cents") <= F.col("est_p90_cents"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("cnt_le_p90"),
+        )
+    )
+    return (
+        audit.join(F.broadcast(m), "prio")
+        .join(F.broadcast(est), "prio")
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            "n",
+            "m",
+            "est_p50_cents",
+            "est_p90_cents",
+            "cnt_le_p50",
+            "cnt_le_p90",
+            (
+                F.abs(F.col("cnt_le_p50") * 1000 - 500 * F.col("n"))
+                <= 95 * F.col("n")
+            ).alias("p50_within_dkw"),
+            (
+                F.abs(F.col("cnt_le_p90") * 1000 - 900 * F.col("n"))
+                <= 95 * F.col("n")
+            ).alias("p90_within_dkw"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -438,3 +438,20 @@ def test_quantile_sketch_error_bound_and_merge_shape(spark, sf_dir):
     # the bin-count aggregate must have a partial phase below its
     # exchange: HashAggregate(keys=[bin...], functions=[partial_count...)
     assert re.search(r"partial_count", plan), plan[:1500]
+
+
+def test_sample_quantiles_dkw_bound_holds(spark, sf_dir):
+    """X215: every group's p50/p90 estimate from the 256-row md5 spine
+    must land within the DKW band of the full-group CDF, and the
+    estimator must degrade to the exact quantile when the sample IS
+    the group (m == n at sf0.001 for small groups)."""
+    from mysql_cdc_to_http_spark.queries.features import q_sample_quantiles
+
+    rows = q_sample_quantiles(spark, sf_dir).collect()
+    assert rows, "no groups"
+    for r in rows:
+        assert r.p50_within_dkw and r.p90_within_dkw, r
+        assert r.m <= 256 and r.m <= r.n
+        assert r.est_p50_cents <= r.est_p90_cents
+        if r.m == r.n:  # sample == population → estimate is exact
+            assert abs(r.cnt_le_p50 * 2 - r.n) <= 2 * 1  # ceil rank slack
