@@ -3050,3 +3050,143 @@ def q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# X216 — grouped OLS trend fit by EXACT integer moments: closed-form
+# slope/intercept/R² for daily revenue vs day index, per order
+# priority. Distributed regression with zero FP in the moments: the
+# five sums (Σx, Σy, Σx², Σxy, Σy²) are integer aggregates (map-side
+# partial, one exchange), and the closed forms are evaluated in
+# DECIMAL/HUGEINT with the sign·(abs div) idiom (Spark div truncates,
+# DuckDB // floors — they agree only on non-negatives, the q_ewma
+# lesson), so both engines produce bit-identical micro-unit outputs.
+# Iterative gradient descent would need neither more accuracy nor
+# fewer passes: for OLS the sufficient statistics ARE the model.
+# --------------------------------------------------------------------------
+@query(
+    "q_ols_trend",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS prio,
+             datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 100 AS y
+      FROM orders
+      GROUP BY 1, 2
+    ),
+    mo AS (
+      SELECT prio, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM d GROUP BY prio
+    ),
+    cf AS (
+      SELECT prio, n, sx, sy,
+             n::HUGEINT * sxy::HUGEINT - sx::HUGEINT * sy::HUGEINT AS num,
+             n::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT AS denx,
+             n::HUGEINT * syy::HUGEINT - sy::HUGEINT * sy::HUGEINT AS deny,
+             sy::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sxy::HUGEINT AS numi
+      FROM mo
+    )
+    SELECT prio AS o_orderpriority, n AS n_days,
+           CASE WHEN denx > 0 THEN
+             CAST(CAST(sign(num) AS BIGINT)
+                  * ((abs(num) * 1000000) // denx) AS BIGINT) END
+             AS slope_micro_per_day,
+           CASE WHEN denx > 0 THEN
+             CAST(CAST(sign(numi) AS BIGINT)
+                  * (abs(numi) // denx) AS BIGINT) END
+             AS intercept_dollars,
+           CASE WHEN denx > 0 AND deny > 0 THEN
+             CAST((num * num * 10000) // (denx * deny) AS BIGINT) END
+             AS r2_bp
+    FROM cf ORDER BY o_orderpriority
+    """,
+)
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority revenue trend (X216): OLS slope (micro-dollars per
+    day), intercept (dollars), and R² (basis points) of daily revenue
+    against the day index since 1992-01-01 — the "is this segment
+    growing, and how linearly" question as two exact hash aggregates.
+
+    Shape: days roll up per (priority, day) — one fact-sized exchange
+    with map-side partials — then five integer moments per priority
+    (group-count-sized), then pure closed-form arithmetic on the tiny
+    moment table. Slope numerators are signed, so the expression uses
+    sign(x)·(|x| div d): Spark's ``div`` truncates toward zero while
+    DuckDB's ``//`` floors, and they agree only on non-negative
+    operands (the q_ewma parity lesson). R²'s numerator/denominator
+    are non-negative by Cauchy-Schwarz, so it divides directly.
+
+    Unit discipline: y is whole DOLLARS (cents div 100, deterministic)
+    to keep num² · 10⁴ inside DECIMAL(38)/HUGEINT at the tested
+    scales; at a 100× bigger corpus rescale y to k$ — the closed form
+    is unit-covariant (slope scales with y, R² is unit-free), so the
+    operator does not change shape. A gradient-descent fit would add
+    FP nondeterminism for zero benefit: the sufficient statistics ARE
+    the exact model for OLS."""
+    x = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+    )
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"), x.alias("x")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+                " AS BIGINT) div 100"
+            ).alias("y")
+        )
+    )
+    mo = daily.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    cf = mo.select(
+        "prio",
+        "n",
+        F.expr(
+            "CAST(n AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(20,0))"
+            " - CAST(sx AS DECIMAL(20,0)) * CAST(sy AS DECIMAL(20,0))"
+        ).alias("num"),
+        F.expr(
+            "CAST(n AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(20,0))"
+            " - CAST(sx AS DECIMAL(20,0)) * CAST(sx AS DECIMAL(20,0))"
+        ).alias("denx"),
+        F.expr(
+            "CAST(n AS DECIMAL(12,0)) * CAST(syy AS DECIMAL(20,0))"
+            " - CAST(sy AS DECIMAL(20,0)) * CAST(sy AS DECIMAL(20,0))"
+        ).alias("deny"),
+        F.expr(
+            "CAST(sy AS DECIMAL(20,0)) * CAST(sxx AS DECIMAL(20,0))"
+            " - CAST(sx AS DECIMAL(20,0)) * CAST(sxy AS DECIMAL(20,0))"
+        ).alias("numi"),
+    )
+    return cf.select(
+        F.col("prio").alias("o_orderpriority"),
+        F.col("n").alias("n_days"),
+        F.expr(
+            "CASE WHEN denx > 0 THEN CAST(CAST(sign(num) AS BIGINT)"
+            " * CAST((CAST(abs(num) AS DECIMAL(31,0)) * 1000000) div denx"
+            "        AS BIGINT) AS BIGINT) END"
+        ).alias("slope_micro_per_day"),
+        F.expr(
+            "CASE WHEN denx > 0 THEN CAST(CAST(sign(numi) AS BIGINT)"
+            " * CAST(abs(numi) div denx AS BIGINT) AS BIGINT) END"
+        ).alias("intercept_dollars"),
+        F.expr(
+            "CASE WHEN denx > 0 AND deny > 0 THEN"
+            " CAST((CAST(num AS DECIMAL(31,0)) * CAST(num AS DECIMAL(31,0))"
+            "       * 10000) div (denx * deny) AS BIGINT) END"
+        ).alias("r2_bp"),
+    ).orderBy("o_orderpriority")

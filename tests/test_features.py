@@ -455,3 +455,46 @@ def test_sample_quantiles_dkw_bound_holds(spark, sf_dir):
         assert r.est_p50_cents <= r.est_p90_cents
         if r.m == r.n:  # sample == population → estimate is exact
             assert abs(r.cnt_le_p50 * 2 - r.n) <= 2 * 1  # ceil rank slack
+
+
+def test_ols_trend_matches_numpy_lstsq(spark, sf_dir):
+    """X216: the integer-moment closed form must agree with an
+    independent float OLS (numpy lstsq) on the same daily series to
+    within one output quantum (1 micro-unit slope / 1 dollar
+    intercept / 1 bp R²) — certifying the algebra, not just parity."""
+    import numpy as np
+
+    from mysql_cdc_to_http_spark.queries.features import q_ols_trend
+
+    got = {r.o_orderpriority: r for r in q_ols_trend(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = (
+        orders.groupBy(
+            "o_orderpriority",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+                " AS BIGINT) div 100"
+            ).alias("y")
+        )
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.o_orderpriority, []).append((r.x, r.y))
+    for prio, pts in series.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        A = np.vstack([xs, np.ones_like(xs)]).T
+        (slope, intercept), res, _, _ = np.linalg.lstsq(A, ys, rcond=None)
+        r = got[prio]
+        assert abs(r.slope_micro_per_day - slope * 1e6) <= 2, (prio, slope)
+        assert abs(r.intercept_dollars - intercept) <= 2, (prio, intercept)
+        ss_tot = float(((ys - ys.mean()) ** 2).sum())
+        if ss_tot > 0:
+            r2 = 1.0 - float(res[0]) / ss_tot if len(res) else 1.0
+            assert abs(r.r2_bp - r2 * 10000) <= 2, (prio, r2)
