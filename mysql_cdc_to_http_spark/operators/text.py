@@ -592,3 +592,67 @@ def bpe_encode(
         F.col(id_col),
         _enc(F.col(text_col)).alias("e"),
     ).select(id_col, "e.n_words", "e.n_chars", "e.n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# X217 — positional inverted index + exact phrase search.
+#
+# The IR primitive under benchmark-decontamination and exact-substring
+# tooling: postings of (term, doc, ordinal) answer any-length exact
+# phrase queries with per-term-filtered joins on consecutive ordinals.
+# Token ORDINALS (1st token, 2nd token, …) rather than char offsets make
+# adjacency a +1 join and sidestep engine differences in whitespace
+# handling: the token stream is regexp_extract_all('[a-z0-9]+') of the
+# lowercased text, identical in Spark and DuckDB/ANSI SQL.
+# ---------------------------------------------------------------------------
+def positional_postings(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """(term, doc, pos) postings with 1-based token ordinals.
+
+    One posexplode over the token array — a single fact-sized pass, no
+    shuffle of its own (the consumer's join/write decides the
+    partitioning). At corpus scale, persist this bucketed/partitioned
+    BY TERM (operators/layout.py:write_partitioned) so a phrase probe
+    reads only its terms' postings files instead of re-exploding the
+    corpus; the probe-side plan below is unchanged either way.
+    """
+    # Spark's regexp_extract_all defaults to capture group 1, so the
+    # token pattern is wrapped in one; DuckDB's returns group 0 —
+    # identical token streams either way.
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '([a-z0-9]+)', 1)"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos0", "term")
+    ).select("term", "doc_id", (F.col("pos0") + 1).alias("pos"))
+
+
+def phrase_match(postings, terms: list[str]):
+    """Per-doc occurrence counts of the exact token phrase ``terms``.
+
+    Chain of ordinal-adjacency joins: postings(term₁) ⋈ postings(term₂)
+    on doc and pos+1, … — each side is FILTERED TO ONE TERM before the
+    join, so join inputs are postings-list-sized, never corpus-sized
+    (term equality reaches the scan as a pushed filter when postings
+    are term-partitioned). Overlapping occurrences count separately,
+    as they must ("batch batch batch" contains "batch batch" twice).
+    Returns (doc_id, n_occ).
+    """
+    if len(terms) < 1:
+        raise ValueError("phrase_match needs at least one term")
+    acc = postings.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("pos").alias("pos1")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("term") == t).select(
+            F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+        )
+        acc = acc.join(
+            nxt,
+            (F.col("doc_id") == F.col("d2"))
+            & (F.col("p2") == F.col("pos1") + i),
+        ).select("doc_id", "pos1")
+    return acc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )

@@ -2148,3 +2148,76 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# X217 — positional inverted index + exact phrase search
+# (operators/text.py:positional_postings / phrase_match): the IR
+# primitive under decontamination and exact-substring tooling. Token
+# ORDINALS make adjacency a +1 join and both engines tokenize with the
+# same regexp_extract_all('[a-z0-9]+'), so occurrence counts —
+# including OVERLAPPING ones for the self-repeating trigram — are
+# exactly oracle-checkable.
+# --------------------------------------------------------------------------
+@query(
+    "q_phrase_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+             generate_subscripts(
+               regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+      FROM documents
+    ),
+    p2 AS (
+      SELECT 'table scan' AS phrase, a.doc_id,
+             CAST(count(*) AS BIGINT) AS n_occ
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.term = 'table' AND b.term = 'scan'
+      GROUP BY a.doc_id
+    ),
+    p3 AS (
+      SELECT 'batch batch batch' AS phrase, a.doc_id,
+             CAST(count(*) AS BIGINT) AS n_occ
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      WHERE a.term = 'batch' AND b.term = 'batch' AND c.term = 'batch'
+      GROUP BY a.doc_id
+    )
+    SELECT * FROM p2
+    UNION ALL SELECT * FROM p3
+    ORDER BY phrase, doc_id
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional inverted index (X217):
+    per-doc occurrence counts for a bigram ('table scan') and a
+    SELF-REPEATING trigram ('batch batch batch' — overlapping
+    occurrences must each count: 'batch ×4' contains it twice, and the
+    adjacency-join formulation gets that right by construction where a
+    naive split-on-phrase would not).
+
+    Scale shape: the postings build is one posexplode pass; each
+    probe side is filtered to ONE term before its join, so join inputs
+    are postings-list-sized. At corpus scale the postings persist
+    term-partitioned (operators/layout.py) and the probe reads two or
+    three terms' files — the reason search engines store this exact
+    structure. Complements X50's n-gram decontamination (set overlap,
+    no positions) and X110's suffix-array spans (arbitrary substrings,
+    heavier): token-exact phrases at query time, index built once."""
+    from mysql_cdc_to_http_spark.operators.text import (
+        phrase_match,
+        positional_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = positional_postings(docs)
+    p2 = phrase_match(postings, ["table", "scan"]).select(
+        F.lit("table scan").alias("phrase"), "doc_id", "n_occ"
+    )
+    p3 = phrase_match(postings, ["batch", "batch", "batch"]).select(
+        F.lit("batch batch batch").alias("phrase"), "doc_id", "n_occ"
+    )
+    return p2.unionByName(p3).orderBy("phrase", "doc_id")

@@ -1382,3 +1382,60 @@ def test_group_split_is_leakage_free(spark, sf_dir):
     assert sum(r.n_events for r in rows) == spark.read.parquet(
         f"{sf_dir}/events.parquet"
     ).count()
+
+
+def test_phrase_match_counts_overlapping_occurrences(spark):
+    """X217: 'batch batch batch' inside 'batch batch batch batch'
+    occurs TWICE (overlap), once in a clean triple, zero in a pair —
+    the adjacency-join must count all of it; and a single-term phrase
+    degrades to term frequency."""
+    from mysql_cdc_to_http_spark.operators.text import (
+        phrase_match,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "batch batch batch batch"),
+            (2, "a batch batch batch z"),
+            (3, "batch batch only"),
+            (4, "no hits here"),
+        ],
+        "doc_id long, text string",
+    )
+    postings = positional_postings(docs)
+    got = {
+        r.doc_id: r.n_occ
+        for r in phrase_match(
+            postings, ["batch", "batch", "batch"]
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1}
+    tf = {
+        r.doc_id: r.n_occ
+        for r in phrase_match(postings, ["batch"]).collect()
+    }
+    assert tf == {1: 4, 2: 3, 3: 2}
+
+
+def test_phrase_match_probe_filters_before_join(spark):
+    """X217 plan: each probe side must be filtered to its term BELOW
+    the join — the index contract is that probes touch postings-list-
+    sized inputs, never the whole postings relation."""
+    from mysql_cdc_to_http_spark.operators.text import (
+        phrase_match,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "table scan now")], "doc_id long, text string"
+    )
+    plan = (
+        phrase_match(positional_postings(docs), ["table", "scan"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # both term equality filters survive into the optimized plan
+    assert "table" in plan and "scan" in plan
+    assert plan.index("Join") < plan.index("table")  # filters under the join
