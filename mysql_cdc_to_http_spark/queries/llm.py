@@ -2357,3 +2357,156 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rrf_micro"),
     )
     return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(20)
+
+
+# --------------------------------------------------------------------------
+# X219 — retrieval evaluation: recall@k, AP@k, MRR for the dense
+# ranking (X38's scorer) against label-match relevance, in integer
+# micro-units end to end. Precision@i terms are rationals with
+# different denominators, so the sum uses TRUNCATED integer division
+# at each step — identical truncation in both engines, which is what
+# hash parity needs; the honest name is ap_micro (truncated), not
+# "exact MAP". Completes the retrieval ladder: score (X88/X38), fuse
+# (X218), and now MEASURE.
+# --------------------------------------------------------------------------
+@query(
+    "q_retrieval_eval",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label
+      FROM embeddings WHERE vec_id < 10
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, rnk, rel FROM (
+        SELECT q.query_id, c.vec_id AS corpus_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv,
+                            CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                          c.vec_id) AS rnk,
+               CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel
+        FROM embeddings c, q WHERE c.vec_id >= 10
+      ) WHERE rnk <= 20
+    ),
+    nrel AS (
+      SELECT q.query_id,
+             CAST(count(*) FILTER (c.label = q.label) AS BIGINT) AS n_rel
+      FROM q, embeddings c WHERE c.vec_id >= 10 GROUP BY q.query_id
+    ),
+    hits AS (
+      SELECT query_id, rnk, rel,
+             sum(rel) OVER (PARTITION BY query_id ORDER BY rnk) AS h
+      FROM ranked
+    ),
+    m AS (
+      SELECT query_id,
+             CAST(max(h) AS BIGINT) AS hits_at_k,
+             CAST(sum(CASE WHEN rel = 1
+                           THEN (h * 1000000) // rnk END) AS BIGINT)
+               AS ap_num,
+             CAST(min(CASE WHEN rel = 1 THEN rnk END) AS BIGINT)
+               AS first_rel
+      FROM hits GROUP BY query_id
+    )
+    SELECT m.query_id, nrel.n_rel, m.hits_at_k,
+           CASE WHEN nrel.n_rel > 0
+                THEN (m.hits_at_k * 1000000) // nrel.n_rel END
+             AS recall_micro,
+           CASE WHEN nrel.n_rel > 0
+                THEN COALESCE(m.ap_num, 0) // LEAST(nrel.n_rel, 20) END
+             AS ap_micro,
+           CASE WHEN m.first_rel IS NOT NULL
+                THEN 1000000 // m.first_rel END AS mrr_micro
+    FROM m JOIN nrel USING (query_id)
+    ORDER BY query_id
+    """,
+)
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query retrieval metrics (X219): recall@20, AP@20, MRR for
+    the X38 dense ranking, with relevance = label agreement between
+    query and corpus vectors — the evaluation harness an embedding
+    pipeline runs after every index build.
+
+    Integer discipline: the ranking is cross-engine-stable (6-dp
+    rounded cosine, id tie-break, as certified by q_knn_cosine);
+    running hit counts are integers; every ratio is a TRUNCATED
+    integer division in micro-units ((x·10⁶) div d). AP sums
+    per-position precision terms truncated at each step — documented
+    as such (deterministic, not exact rationals; the truncation error
+    is < 10⁻⁶ per term and identical in both engines, which is what a
+    value-hash gate requires).
+
+    Scale shape: scoring is the audited broadcast-query plan; the
+    metric layer touches only k rows per query plus one broadcast
+    label-count aggregate (n_rel per query label over the corpus).
+    Nothing here grows with corpus size except the already-measured
+    scorer."""
+    from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    qlab = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    clab = corpus.select(
+        F.col("vec_id").alias("corpus_id"), F.col("label").alias("clabel")
+    )
+    ranked = (
+        cosine_topk_bruteforce(queries, corpus, k=20)
+        .join(F.broadcast(qlab), "query_id")
+        .join(clab, "corpus_id")
+        .select(
+            "query_id",
+            F.col("rank").alias("rnk"),
+            F.when(F.col("clabel") == F.col("qlabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    nrel = (
+        qlab.crossJoin(clab)
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_rel")
+        )
+    )
+    h = F.sum("rel").over(W.partitionBy("query_id").orderBy("rnk"))
+    hits = ranked.withColumn("h", h)
+    m = hits.groupBy("query_id").agg(
+        F.max("h").cast("long").alias("hits_at_k"),
+        F.sum(
+            F.when(F.col("rel") == 1, F.expr("(h * 1000000) div rnk"))
+        )
+        .cast("long")
+        .alias("ap_num"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk")))
+        .cast("long")
+        .alias("first_rel"),
+    )
+    return (
+        m.join(F.broadcast(nrel), "query_id")
+        .select(
+            "query_id",
+            "n_rel",
+            "hits_at_k",
+            F.expr(
+                "CASE WHEN n_rel > 0 THEN (hits_at_k * 1000000) div n_rel END"
+            ).alias("recall_micro"),
+            F.expr(
+                "CASE WHEN n_rel > 0 THEN COALESCE(ap_num, 0)"
+                " div LEAST(n_rel, 20) END"
+            ).alias("ap_micro"),
+            F.expr(
+                "CASE WHEN first_rel IS NOT NULL"
+                " THEN 1000000 div first_rel END"
+            ).alias("mrr_micro"),
+        )
+        .orderBy("query_id")
+    )

@@ -1462,3 +1462,42 @@ def test_hybrid_rrf_fuses_exact_integer_scores(spark, sf_dir):
     assert any(
         r.lex_rank is not None and r.dense_rank is not None for r in rows
     ) or True  # overlap is corpus-dependent; arithmetic above is the gate
+
+
+def test_retrieval_eval_matches_reference_metrics(spark, sf_dir):
+    """X219: metrics recomputed in plain Python from the same ranked
+    lists (independent implementation of recall/AP/MRR with the same
+    truncation contract) must match exactly."""
+    from mysql_cdc_to_http_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+    from mysql_cdc_to_http_spark.queries.llm import q_retrieval_eval
+
+    got = {r.query_id: r for r in q_retrieval_eval(spark, sf_dir).collect()}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    ranked = cosine_topk_bruteforce(
+        emb.filter("vec_id < 10"), emb.filter("vec_id >= 10"), k=20
+    ).collect()
+    per_q = {}
+    for r in sorted(ranked, key=lambda r: (r.query_id, r.rank)):
+        per_q.setdefault(r.query_id, []).append(
+            labels[r.corpus_id] == labels[r.query_id]
+        )
+    n_rel = {
+        q: sum(1 for v, l in labels.items() if v >= 10 and l == labels[q])
+        for q in per_q
+    }
+    for q, rels in per_q.items():
+        hits, ap_num, first = 0, 0, None
+        for i, rel in enumerate(rels, start=1):
+            if rel:
+                hits += 1
+                ap_num += (hits * 1000000) // i
+                first = first or i
+        r = got[q]
+        assert r.n_rel == n_rel[q]
+        assert r.hits_at_k == hits
+        assert r.recall_micro == (hits * 1000000) // n_rel[q]
+        assert r.ap_micro == ap_num // min(n_rel[q], 20)
+        assert r.mrr_micro == (1000000 // first if first else None)
