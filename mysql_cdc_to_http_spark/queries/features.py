@@ -3129,10 +3129,36 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator does not change shape. A gradient-descent fit would add
     FP nondeterminism for zero benefit: the sufficient statistics ARE
     the exact model for OLS."""
+    daily = _daily_revenue(spark, sf_dir)
+    mo = _ols_moments(daily)
+    cf = _ols_closed_form(mo)
+    return cf.select(
+        F.col("prio").alias("o_orderpriority"),
+        F.col("n").alias("n_days"),
+        F.expr(
+            "CASE WHEN denx > 0 THEN CAST(CAST(sign(num) AS BIGINT)"
+            " * CAST((CAST(abs(num) AS DECIMAL(31,0)) * 1000000) div denx"
+            "        AS BIGINT) AS BIGINT) END"
+        ).alias("slope_micro_per_day"),
+        F.expr(
+            "CASE WHEN denx > 0 THEN CAST(CAST(sign(numi) AS BIGINT)"
+            " * CAST(abs(numi) div denx AS BIGINT) AS BIGINT) END"
+        ).alias("intercept_dollars"),
+        F.expr(
+            "CASE WHEN denx > 0 AND deny > 0 THEN"
+            " CAST((CAST(num AS DECIMAL(31,0)) * CAST(num AS DECIMAL(31,0))"
+            "       * 10000) div (denx * deny) AS BIGINT) END"
+        ).alias("r2_bp"),
+    ).orderBy("o_orderpriority")
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prio, x=day index since 1992-01-01, y=daily revenue in whole
+    dollars) — the shared integer series under X216/X220."""
     x = F.datediff(
         F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
     )
-    daily = (
+    return (
         load_table(spark, sf_dir, "orders")
         .groupBy(
             F.col("o_orderpriority").alias("prio"), x.alias("x")
@@ -3144,7 +3170,11 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y")
         )
     )
-    mo = daily.groupBy("prio").agg(
+
+
+def _ols_moments(daily: DataFrame) -> DataFrame:
+    """Five exact integer moments per group (shared X216/X220)."""
+    return daily.groupBy("prio").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
@@ -3152,7 +3182,12 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
     )
-    cf = mo.select(
+
+
+def _ols_closed_form(mo: DataFrame) -> DataFrame:
+    """num/denx/deny/numi in DECIMAL from the integer moments
+    (shared X216/X220)."""
+    return mo.select(
         "prio",
         "n",
         F.expr(
@@ -3172,21 +3207,194 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - CAST(sx AS DECIMAL(20,0)) * CAST(sxy AS DECIMAL(20,0))"
         ).alias("numi"),
     )
-    return cf.select(
-        F.col("prio").alias("o_orderpriority"),
-        F.col("n").alias("n_days"),
-        F.expr(
-            "CASE WHEN denx > 0 THEN CAST(CAST(sign(num) AS BIGINT)"
-            " * CAST((CAST(abs(num) AS DECIMAL(31,0)) * 1000000) div denx"
-            "        AS BIGINT) AS BIGINT) END"
-        ).alias("slope_micro_per_day"),
-        F.expr(
-            "CASE WHEN denx > 0 THEN CAST(CAST(sign(numi) AS BIGINT)"
-            " * CAST(abs(numi) div denx AS BIGINT) AS BIGINT) END"
-        ).alias("intercept_dollars"),
-        F.expr(
-            "CASE WHEN denx > 0 AND deny > 0 THEN"
-            " CAST((CAST(num AS DECIMAL(31,0)) * CAST(num AS DECIMAL(31,0))"
-            "       * 10000) div (denx * deny) AS BIGINT) END"
-        ).alias("r2_bp"),
-    ).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# X220 — split-conformal prediction intervals on the OLS trend
+# (Papadopoulos et al. 2002 / Vovk): distribution-free finite-sample
+# coverage from a calibration split, with ZERO floating point — the
+# residual |y·denx − num·x − numi| keeps the OLS prediction as an
+# exact rational over the common denominator denx, so order
+# statistics, the conformal quantile, and the holdout coverage audit
+# are all integer comparisons (DECIMAL(38)/HUGEINT).
+# --------------------------------------------------------------------------
+@query(
+    "q_conformal_ols",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS prio,
+             datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 100 AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    lab AS (
+      SELECT *,
+             ('0x' || substr(md5('conf-v1|' || prio || '|'
+                                 || CAST(x AS VARCHAR)), 1, 6))::INTEGER
+               % 100 AS b
+      FROM d
+    ),
+    mo AS (
+      SELECT prio, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM lab WHERE b < 40 GROUP BY prio
+    ),
+    cf AS (
+      SELECT prio,
+             n::HUGEINT * sxy::HUGEINT - sx::HUGEINT * sy::HUGEINT AS num,
+             n::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT AS denx,
+             sy::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sxy::HUGEINT AS numi
+      FROM mo
+    ),
+    resid AS (
+      SELECT lab.prio, lab.x, lab.b,
+             abs(lab.y::HUGEINT * cf.denx
+                 - cf.num * lab.x::HUGEINT - cf.numi) AS rs
+      FROM lab JOIN cf ON lab.prio = cf.prio
+      WHERE lab.b >= 40
+    ),
+    cal AS (
+      SELECT prio, rs,
+             row_number() OVER (PARTITION BY prio ORDER BY rs, x) AS rn,
+             count(*) OVER (PARTITION BY prio) AS n_cal
+      FROM resid WHERE b < 70
+    ),
+    qhat AS (
+      SELECT prio, CAST(max(n_cal) AS BIGINT) AS n_cal,
+             max(CASE WHEN rn = least((9 * n_cal + 18) // 10, n_cal)
+                      THEN rs END) AS q_scaled
+      FROM cal GROUP BY prio
+    ),
+    cov AS (
+      SELECT r.prio, CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN r.rs <= q.q_scaled THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_covered
+      FROM resid r JOIN qhat q ON r.prio = q.prio
+      WHERE r.b >= 70 GROUP BY r.prio
+    ),
+    pooled AS (
+      SELECT (sum(n_covered) * 1000000) // sum(n_test) AS pooled_micro
+      FROM cov
+    )
+    SELECT q.prio AS o_orderpriority, q.n_cal, c.n_test,
+           CASE WHEN cf.denx > 0
+                THEN CAST(q.q_scaled // cf.denx AS BIGINT) END AS q_dollars,
+           c.n_covered,
+           (c.n_covered * 1000000) // c.n_test AS coverage_micro,
+           p.pooled_micro AS pooled_coverage_micro,
+           p.pooled_micro >= 850000 AS pooled_coverage_ok
+    FROM qhat q JOIN cov c ON q.prio = c.prio JOIN cf ON cf.prio = q.prio,
+         pooled p
+    ORDER BY o_orderpriority
+    """,
+)
+def q_conformal_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal intervals for the X216 trend model (X220): days
+    split 40/30/30 (train/calibrate/test) by md5(prio|day); the model
+    fits on TRAIN (shared _ols_moments/_ols_closed_form), the 90%
+    conformal quantile q̂ is the ceil(0.9·(n_cal+1))-th order statistic
+    of calibration |residuals|, and the TEST split audits coverage —
+    the finite-sample, distribution-free guarantee (coverage ≥ 1−α up
+    to exchangeability noise; the gate is on POOLED coverage (≥85%),
+    because that marginal statement is what conformal actually
+    guarantees — per-group coverage on a 90-day test split can dip
+    into the 70s by exchangeability noise alone, and the per-group
+    counts are emitted as data, not gated).
+
+    The no-float trick: with slope = num/denx and intercept =
+    numi/denx exact rationals, |y − ŷ| · denx = |y·denx − num·x −
+    numi| is an INTEGER — so ranking residuals, picking q̂, and the
+    holdout comparisons are integer-exact in both engines; the one
+    division (q̂ → whole dollars for reporting) is a non-negative
+    HUGEINT div. Scale shape: moments/quantile/coverage are each one
+    keyed aggregate or bounded window; the calibration window is
+    per-group over ~30% of DAYS, not rows."""
+    daily = _daily_revenue(spark, sf_dir)
+    from mysql_cdc_to_http_spark.operators.sampling import split_bucket
+
+    b = split_bucket(
+        F.concat_ws("|", F.col("prio"), F.col("x")), 100, "conf-v1"
+    )
+    lab = daily.withColumn("b", b)
+    cf = _ols_closed_form(
+        _ols_moments(lab.filter(F.col("b") < 40))
+    ).select("prio", "num", "denx", "numi")
+    resid = (
+        lab.filter(F.col("b") >= 40)
+        .join(F.broadcast(cf), "prio")
+        .select(
+            "prio",
+            "x",
+            "b",
+            F.expr(
+                "abs(CAST(y AS DECIMAL(20,0)) * denx"
+                " - num * CAST(x AS DECIMAL(12,0)) - numi)"
+            ).alias("rs"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    cal = (
+        resid.filter(F.col("b") < 70)
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("prio").orderBy("rs", "x"))
+        )
+        .withColumn(
+            "n_cal", F.count(F.lit(1)).over(W.partitionBy("prio"))
+        )
+    )
+    qhat = cal.groupBy("prio").agg(
+        F.max("n_cal").cast("long").alias("n_cal"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.expr("least((9 * n_cal + 18) div 10, n_cal)"),
+                F.col("rs"),
+            )
+        ).alias("q_scaled"),
+    )
+    cov = (
+        resid.filter(F.col("b") >= 70)
+        .join(F.broadcast(qhat), "prio")
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("rs") <= F.col("q_scaled"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    pooled = cov.agg(
+        F.expr("(sum(n_covered) * 1000000) div sum(n_test)").alias(
+            "pooled_coverage_micro"
+        )
+    )
+    return (
+        qhat.join(cov, "prio")
+        .join(F.broadcast(cf), "prio")
+        .crossJoin(F.broadcast(pooled))
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            "n_cal",
+            "n_test",
+            F.expr(
+                "CASE WHEN denx > 0"
+                " THEN CAST(q_scaled div denx AS BIGINT) END"
+            ).alias("q_dollars"),
+            "n_covered",
+            F.expr("(n_covered * 1000000) div n_test").alias(
+                "coverage_micro"
+            ),
+            "pooled_coverage_micro",
+            (F.col("pooled_coverage_micro") >= 850000).alias(
+                "pooled_coverage_ok"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -498,3 +498,21 @@ def test_ols_trend_matches_numpy_lstsq(spark, sf_dir):
         if ss_tot > 0:
             r2 = 1.0 - float(res[0]) / ss_tot if len(res) else 1.0
             assert abs(r.r2_bp - r2 * 10000) <= 2, (prio, r2)
+
+
+def test_conformal_ols_pooled_coverage_and_quantile_rank(spark, sf_dir):
+    """X220: pooled coverage must clear the 85% gate, each group's q̂
+    must be a positive width, and the pooled figure must equal the
+    recomputed ratio of the emitted counts."""
+    from mysql_cdc_to_http_spark.queries.features import q_conformal_ols
+
+    rows = q_conformal_ols(spark, sf_dir).collect()
+    assert len(rows) == 5
+    tot_cov = sum(r.n_covered for r in rows)
+    tot_test = sum(r.n_test for r in rows)
+    pooled = (tot_cov * 1000000) // tot_test
+    for r in rows:
+        assert r.pooled_coverage_micro == pooled
+        assert r.pooled_coverage_ok
+        assert r.q_dollars is not None and r.q_dollars > 0
+        assert 0 < r.n_covered <= r.n_test
