@@ -457,3 +457,69 @@ def grid_nearest_join(
             F.col("b.d2").cast("long").alias("dist2"),
         )
     )
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Gonzalez farthest-point k-center selection (X221): greedily pick
+    the vector FARTHEST from the chosen set (minimum max-similarity,
+    rounded 6 dp, id tie-break), k−1 times from a deterministic seed
+    (lowest id). The classic 2-approximation for k-center, used as
+    diversity/coreset selection over embedding corpora.
+
+    Distributed shape: the model (selected centers) is driver-sized by
+    definition, exactly like the k-means/IVF centroid pattern — each
+    round is ONE full-scan projection (greatest of the running
+    max-similarity and the similarity to the newest center, a literal
+    array) plus ONE 1-row argmin collect. k rounds → k scans; nothing
+    corpus-sized ever shuffles, and the running max-sim column carries
+    all history so round i only scores against ONE new center.
+
+    Returns (selections, scored): ``selections`` is a list of
+    (rank, id, sel_maxsim — None for the seed), ``scored`` the corpus
+    with the final per-vector max-similarity to the selected set
+    (coverage = min over it).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("cid"), as_double(vec_col).alias("v")
+    ).persist()
+    try:
+        seed = c.orderBy("cid").limit(1).collect()[0]
+        selections = [(1, seed.cid, None)]
+        newest_vec = seed.v
+        cur = c.select(
+            "cid", "v", F.lit(None).cast("double").alias("ms")
+        )
+        for rank in range(2, k + 1):
+            lit_vec = F.array(*[F.lit(float(x)) for x in newest_vec])
+            sim = F.round(cosine(F.col("v"), lit_vec), 6)
+            cur = cur.select(
+                "cid",
+                "v",
+                F.greatest(
+                    F.coalesce("ms", F.lit(-2.0)), sim
+                ).alias("ms"),
+            )
+            chosen = [cid for _, cid, _ in selections]
+            pick = (
+                cur.filter(~F.col("cid").isin(chosen))
+                .orderBy(F.col("ms").asc(), F.col("cid").asc())
+                .limit(1)
+                .collect()[0]
+            )
+            selections.append((rank, pick.cid, float(pick.ms)))
+            newest_vec = pick.v
+        # fold in the last center so coverage reflects the full set
+        lit_vec = F.array(*[F.lit(float(x)) for x in newest_vec])
+        sim = F.round(cosine(F.col("v"), lit_vec), 6)
+        scored = cur.select(
+            "cid",
+            F.greatest(F.coalesce("ms", F.lit(-2.0)), sim).alias("ms"),
+        )
+        return selections, scored
+    finally:
+        c.unpersist()

@@ -2510,3 +2510,105 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X221 — k-center coreset selection (Gonzalez 1985 farthest-point, the
+# 2-approximation): diversity selection over the embedding corpus —
+# the data-pruning move that picks a maximally-spread subset (dataset
+# distillation / active-learning seeding), complementing SemDeDup
+# (X103: drop redundant) with "keep diverse". Deterministic because
+# every greedy choice orders on the 6-dp-ROUNDED max-similarity with
+# id tie-break, so the 4-step greedy chain is exactly reproducible as
+# nested SQL subqueries.
+# --------------------------------------------------------------------------
+@query(
+    "q_kcenter",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= 10
+    ),
+    c1 AS (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 1),
+    s1 AS (
+      SELECT corpus.vec_id, corpus.v,
+             round(list_cosine_similarity(corpus.v, c1.v), 6) AS ms
+      FROM corpus, c1
+    ),
+    c2 AS (SELECT vec_id, v, ms FROM s1
+           WHERE vec_id NOT IN (SELECT vec_id FROM c1)
+           ORDER BY ms, vec_id LIMIT 1),
+    s2 AS (
+      SELECT s1.vec_id, s1.v,
+             greatest(s1.ms,
+                      round(list_cosine_similarity(s1.v, c2.v), 6)) AS ms
+      FROM s1, c2
+    ),
+    c3 AS (SELECT vec_id, v, ms FROM s2
+           WHERE vec_id NOT IN (SELECT vec_id FROM c1
+                                UNION SELECT vec_id FROM c2)
+           ORDER BY ms, vec_id LIMIT 1),
+    s3 AS (
+      SELECT s2.vec_id, s2.v,
+             greatest(s2.ms,
+                      round(list_cosine_similarity(s2.v, c3.v), 6)) AS ms
+      FROM s2, c3
+    ),
+    c4 AS (SELECT vec_id, v, ms FROM s3
+           WHERE vec_id NOT IN (SELECT vec_id FROM c1
+                                UNION SELECT vec_id FROM c2
+                                UNION SELECT vec_id FROM c3)
+           ORDER BY ms, vec_id LIMIT 1),
+    s4 AS (
+      SELECT s3.vec_id,
+             greatest(s3.ms,
+                      round(list_cosine_similarity(s3.v, c4.v), 6)) AS ms
+      FROM s3, c4
+    ),
+    cov AS (SELECT min(ms) AS coverage_maxsim FROM s4),
+    sel AS (
+      SELECT 1 AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS sel_maxsim
+      FROM c1
+      UNION ALL SELECT 2, vec_id, ms FROM c2
+      UNION ALL SELECT 3, vec_id, ms FROM c3
+      UNION ALL SELECT 4, vec_id, ms FROM c4
+    )
+    SELECT CAST(sel.sel_rank AS BIGINT) AS sel_rank, sel.vec_id,
+           sel.sel_maxsim, cov.coverage_maxsim
+    FROM sel, cov ORDER BY sel_rank
+    """,
+)
+def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick 4 maximally-diverse corpus vectors (X221,
+    operators/similarity.py:kcenter_coreset) and report the coverage
+    of the selection: each selected vector's max-similarity at
+    selection time (the greedy objective, descending diversity) and
+    the final min-over-corpus max-similarity (how well 4 centers
+    cover everything — 1 minus the k-center radius, in cosine terms).
+
+    The greedy argmin collects are 1-row model-sized actions (the
+    k-means discipline); per-round work is one projection over the
+    corpus scoring against ONE literal center vector, with the
+    running max-sim column carrying all earlier centers — k scans
+    total, no corpus-sized shuffle anywhere. The DuckDB oracle unrolls
+    the same 4 greedy steps as nested subqueries; 6-dp rounding plus
+    id tie-breaks make every choice identical in both engines."""
+    from mysql_cdc_to_http_spark.operators.similarity import kcenter_coreset
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") >= 10
+    )
+    selections, scored = kcenter_coreset(emb, k=4)
+    cov = scored.agg(F.min("ms").alias("coverage_maxsim"))
+    sel = spark.createDataFrame(
+        [
+            (r, int(cid), s)
+            for r, cid, s in selections
+        ],
+        "sel_rank long, vec_id long, sel_maxsim double",
+    )
+    return (
+        sel.crossJoin(F.broadcast(cov))
+        .select("sel_rank", "vec_id", "sel_maxsim", "coverage_maxsim")
+        .orderBy("sel_rank")
+    )

@@ -1501,3 +1501,21 @@ def test_retrieval_eval_matches_reference_metrics(spark, sf_dir):
         assert r.recall_micro == (hits * 1000000) // n_rel[q]
         assert r.ap_micro == ap_num // min(n_rel[q], 20)
         assert r.mrr_micro == (1000000 // first if first else None)
+
+
+def test_kcenter_greedy_objective_is_monotone(spark, sf_dir):
+    """X221: each later pick is CLOSER to the selected set (greedy
+    max-sim at selection is non-decreasing over ranks), the final
+    coverage dominates the last pick's objective, and picks are
+    distinct corpus members."""
+    from mysql_cdc_to_http_spark.queries.llm import q_kcenter
+
+    rows = sorted(q_kcenter(spark, sf_dir).collect(), key=lambda r: r.sel_rank)
+    assert [r.sel_rank for r in rows] == [1, 2, 3, 4]
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == 4 and all(i >= 10 for i in ids)
+    sims = [r.sel_maxsim for r in rows[1:]]
+    assert sims == sorted(sims), sims  # farthest-first => non-decreasing
+    assert rows[0].sel_maxsim is None
+    # every corpus vector is at least as covered as the last pick was
+    assert rows[0].coverage_maxsim >= sims[-1]
