@@ -3398,3 +3398,175 @@ def q_conformal_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# X222 — rank-biased overlap (RBO_min@10, Webber et al. 2010) between
+# the lexical (BM25) and dense (cosine) rankings: the ranker-agreement
+# metric you watch when swapping retrieval models. With p = 9/10
+# RATIONAL, every weight p^{d-1}·(1/d) has the exact common
+# denominator 10^10·2520 (2520 = lcm(1..10)), so the whole metric is
+# integer arithmetic: num = Σ_d w_d·o_d with precomputed integer
+# weights, rbo_micro = (num·10⁶) div (10^10·2520).
+# --------------------------------------------------------------------------
+_RBO_WEIGHTS = {
+    1: 2520000000000,
+    2: 1134000000000,
+    3: 680400000000,
+    4: 459270000000,
+    5: 330674400000,
+    6: 248005800000,
+    7: 191318760000,
+    8: 150663523500,
+    9: 120530818800,
+    10: 97629963228,
+}
+_RBO_DEN = 25200000000000  # 10^10 * lcm(1..10)
+_RBO_WEIGHTS_SQL = ", ".join(
+    f"({d}, {w}::BIGINT)" for d, w in _RBO_WEIGHTS.items()
+)
+
+
+@query(
+    "q_rbo",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+    ft AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM terms WHERE term IN ('spark', 'query', 'join')
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM terms WHERE term IN ('spark', 'query', 'join')
+            GROUP BY term),
+    idf AS (
+      SELECT term, ln((s.n - df + 0.5) / (df + 0.5) + 1.0) AS idf, s.avgdl
+      FROM dfq, stats s
+    ),
+    contrib AS (
+      SELECT ft.doc_id,
+             idf.idf * (ft.tf * 2.2)
+             / (ft.tf + 1.2 * (0.25 + 0.75 * dl.dl / idf.avgdl)) AS c
+      FROM ft JOIN idf USING (term) JOIN dl ON ft.doc_id = dl.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, rnk AS ar FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY round(SUM(c), 6) DESC, doc_id)
+                 AS rnk
+        FROM contrib GROUP BY doc_id
+      ) WHERE rnk <= 10
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0),
+    dense AS (
+      SELECT doc_id, rnk AS br FROM (
+        SELECT c.vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY round(list_cosine_similarity(q.qv,
+                            CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                          c.vec_id) AS rnk
+        FROM embeddings c, q WHERE c.vec_id >= 10
+      ) WHERE rnk <= 10
+    ),
+    both_ranked AS (
+      SELECT lex.doc_id, lex.ar, dense.br
+      FROM lex JOIN dense USING (doc_id)
+    ),
+    w(depth, w) AS (VALUES {{WEIGHTS}}),
+    od AS (
+      SELECT w.depth, w.w,
+             CAST(COALESCE(sum(CASE WHEN b.ar <= w.depth
+                                     AND b.br <= w.depth
+                                    THEN 1 END), 0) AS BIGINT) AS overlap
+      FROM w LEFT JOIN both_ranked b ON TRUE
+      GROUP BY w.depth, w.w
+    ),
+    total AS (
+      SELECT CAST((sum(w * overlap)::HUGEINT * 1000000)
+                  // {_RBO_DEN}::HUGEINT AS BIGINT) AS rbo_micro
+      FROM od
+    )
+    SELECT CAST(od.depth AS BIGINT) AS depth, od.overlap, total.rbo_micro
+    FROM od, total ORDER BY depth
+    """.replace("{WEIGHTS}", _RBO_WEIGHTS_SQL),
+)
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranker agreement (X222): RBO_min@10 between the BM25 top-10 and
+    the dense cosine top-10 (the two X218 inputs), plus the per-depth
+    overlap profile o_d. Top-weighted by construction (depth-d overlap
+    carries weight p^{d-1}/d), which is what distinguishes RBO from
+    plain set overlap: agreement at rank 1 matters ~26× more than at
+    rank 10.
+
+    Exactness: both rankings are cross-engine-stable (rounded scores,
+    id tie-breaks — certified by their own oracles); overlaps are
+    integers; p = 9/10 keeps every weight rational with common
+    denominator 10^10·lcm(1..10), precomputed as integer literals on
+    both sides, so rbo_micro is a single non-negative integer
+    division. This is RBO_min at depth 10 (no extrapolation term) —
+    the conservative published variant for truncated lists.
+
+    Scale: both inputs are the already-audited top-k plans; the metric
+    itself touches ≤10×10 rows."""
+    from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+    from mysql_cdc_to_http_spark.queries.llm import _bm25_topn
+
+    lex = _bm25_topn(spark, sf_dir, 10).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("ar"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = cosine_topk_bruteforce(
+        emb.filter(F.col("vec_id") == 0),
+        emb.filter(F.col("vec_id") >= 10),
+        k=10,
+    ).select(F.col("corpus_id").alias("doc_id"), F.col("rank").alias("br"))
+    both_ranked = lex.join(dense, "doc_id")
+    w = spark.createDataFrame(
+        list(_RBO_WEIGHTS.items()), "depth int, w long"
+    )
+    # LEFT join against the (possibly EMPTY) id-intersection so every
+    # depth row survives with overlap 0 — a cross join would erase the
+    # spine whenever the two top-10 lists share no document.
+    od = (
+        w.join(F.broadcast(both_ranked), F.lit(True), "left")
+        .groupBy("depth", "w")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("ar") <= F.col("depth"))
+                        & (F.col("br") <= F.col("depth")),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("overlap")
+        )
+    )
+    total = od.agg(
+        F.expr(
+            "CAST((CAST(sum(w * overlap) AS DECIMAL(25,0)) * 1000000)"
+            f" div CAST({_RBO_DEN} AS DECIMAL(20,0)) AS BIGINT)"
+        ).alias("rbo_micro")
+    )
+    return (
+        od.select(F.col("depth").cast("long").alias("depth"), "overlap")
+        .crossJoin(F.broadcast(total))
+        .orderBy("depth")
+    )

@@ -516,3 +516,39 @@ def test_conformal_ols_pooled_coverage_and_quantile_rank(spark, sf_dir):
         assert r.pooled_coverage_ok
         assert r.q_dollars is not None and r.q_dollars > 0
         assert 0 < r.n_covered <= r.n_test
+
+
+def test_rbo_identical_and_disjoint_lists(spark):
+    """X222 weight algebra on constructed rankings: identical top-10
+    lists give RBO_min@10 = 1 − 0.9^10 (651321 micro, the truncated
+    form's ceiling); disjoint lists give 0."""
+    from mysql_cdc_to_http_spark.queries.features import (
+        _RBO_DEN,
+        _RBO_WEIGHTS,
+    )
+
+    # identical lists: o_d = d
+    num = sum(w * d for d, w in _RBO_WEIGHTS.items())
+    assert (num * 1000000) // _RBO_DEN == 651321
+    # monotone: overlaps can only accumulate
+    assert all(
+        _RBO_WEIGHTS[d] > _RBO_WEIGHTS[d + 1] for d in range(1, 10)
+    ), "top-weightedness must hold"
+
+
+def test_rbo_overlap_profile_is_monotone(spark, sf_dir):
+    """X222 on real data: o_d is non-decreasing in depth, bounded by d,
+    and rbo_micro equals the integer recomputation from the profile."""
+    from mysql_cdc_to_http_spark.queries.features import (
+        _RBO_DEN,
+        _RBO_WEIGHTS,
+        q_rbo,
+    )
+
+    rows = sorted(q_rbo(spark, sf_dir).collect(), key=lambda r: r.depth)
+    assert [r.depth for r in rows] == list(range(1, 11))
+    ovs = [r.overlap for r in rows]
+    assert all(0 <= o <= d for d, o in zip(range(1, 11), ovs))
+    assert all(a <= b for a, b in zip(ovs, ovs[1:]))
+    num = sum(_RBO_WEIGHTS[d] * o for d, o in zip(range(1, 11), ovs))
+    assert rows[0].rbo_micro == (num * 1000000) // _RBO_DEN
