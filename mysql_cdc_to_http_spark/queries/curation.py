@@ -861,3 +861,128 @@ def q_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("tbl")
+
+
+# --------------------------------------------------------------------------
+# X223 — Gopher-style document-level quality rules (Rae et al. 2021,
+# appendix A1, word-level subset). The heuristic gate that sits BEFORE
+# the model-based classifier (X98) in a pretraining recipe: cheap,
+# interpretable, and a pure projection. Line-level rules (bullets,
+# terminal punctuation, boilerplate) live in the C4 pass (X117) and the
+# CCNet line dedup (X85); the repetition rule family is X51 — this
+# operator is the word-statistics subset, kept disjoint on purpose.
+# All ratios are integer micro-units via truncated division of
+# non-negative integers (Spark `div` == DuckDB `//` there), so the
+# gate booleans are hash-exact cross-engine.
+# --------------------------------------------------------------------------
+# The published rule counts hits from an English stopword list; the
+# list is a knob (Gopher's own is "required word" style). The synthetic
+# corpus's function words stand in here so the >=2 threshold actually
+# discriminates (the English list intersects this vocabulary only at
+# {'the','a'}, which would collapse the rule to a constant).
+_GOPHER_STOPS = ("the", "a", "data", "spark", "query", "join", "scan", "merge")
+
+
+@query(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(t, w -> length(w)))
+                  AS BIGINT) AS sum_len,
+             CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+                  AS BIGINT) AS alpha_cnt,
+             CAST(len(list_filter(
+                    ['the','a','data','spark','query','join','scan','merge'],
+                    s -> list_contains(t, s))) AS BIGINT) AS stop_hits,
+             CAST(length(d.text) - length(replace(d.text, '#', ''))
+                  AS BIGINT)
+             + CAST((length(d.text) - length(replace(d.text, '...', '')))
+                    // 3 AS BIGINT) AS sym_cnt
+      FROM tok JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, n_words,
+           (sum_len * 1000000) // n_words   AS mean_word_len_micro,
+           (alpha_cnt * 1000000) // n_words AS alpha_frac_micro,
+           stop_hits,
+           (sym_cnt * 1000000) // n_words   AS symbol_ratio_micro,
+           (n_words BETWEEN 50 AND 100000
+            AND (sum_len * 1000000) // n_words
+                BETWEEN 3000000 AND 10000000
+            AND (alpha_cnt * 1000000) // n_words >= 800000
+            AND stop_hits >= 2
+            AND (sym_cnt * 1000000) // n_words <= 100000) AS gopher_pass
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (X223): per-document word statistics and the
+    conjunctive pass/fail gate — word count in [50, 100k], mean word
+    length in [3, 10], >=80% alphabetic words, >=2 distinct stopwords,
+    symbol-to-word ratio (# and ...) <= 0.1.
+
+    Scale: one codegen projection over the corpus (higher-order array
+    functions, no UDF, no shuffle besides the output sort) — the same
+    shape as X117's C4 cleaner; at 100 TB this is scan-bound.
+
+    Exactness: every statistic is an integer count; every ratio is a
+    truncated integer division of non-negatives, where Spark's `div`
+    and DuckDB's `//` agree, so the micro-unit columns and the gate
+    boolean hash-match exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    m = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.length(w).cast("long"),
+        ).alias("sum_len"),
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+        .cast("long")
+        .alias("alpha_cnt"),
+        F.size(F.filter(stops, lambda s: F.array_contains(words, s)))
+        .cast("long")
+        .alias("stop_hits"),
+        (
+            (F.length("text") - F.length(F.expr("replace(text, '#')")))
+            + (
+                (F.length("text") - F.length(F.expr("replace(text, '...')")))
+                / F.lit(3)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("sym_cnt"),
+    )
+    return (
+        m.select(
+            "doc_id",
+            "n_words",
+            F.expr("(sum_len * 1000000) div n_words").alias(
+                "mean_word_len_micro"
+            ),
+            F.expr("(alpha_cnt * 1000000) div n_words").alias(
+                "alpha_frac_micro"
+            ),
+            "stop_hits",
+            F.expr("(sym_cnt * 1000000) div n_words").alias(
+                "symbol_ratio_micro"
+            ),
+        )
+        .withColumn(
+            "gopher_pass",
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len_micro").between(3000000, 10000000)
+            & (F.col("alpha_frac_micro") >= 800000)
+            & (F.col("stop_hits") >= 2)
+            & (F.col("symbol_ratio_micro") <= 100000),
+        )
+        .orderBy("doc_id")
+    )
