@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
@@ -655,4 +655,66 @@ def phrase_match(postings, terms: list[str]):
         ).select("doc_id", "pos1")
     return acc.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 4, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003, the MOSS algorithm): word k-grams -> 16-hex md5 hashes ->
+    minimum hash per sliding window of w positions, leftmost-min
+    tie-break folded into the ordering key (hash || lpad(ordinal)).
+
+    Returns distinct (doc_id, fp) rows. Guarantee: two documents
+    sharing any word run of length >= k + w - 1 share at least one
+    selected fingerprint; selected density is ~2/(w+1) of all k-grams.
+
+    Scale: one doc_id-partitioned window frame; only (doc_id, 16-char
+    fp) survives — text never shuffles past the first projection.
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(
+                F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+            ),
+            " ",
+        ).alias("t"),
+    )
+    flat = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(t) - {k - 1}, 1)),"
+                f" i -> struct(i AS i, concat_ws(' ', slice(t, i, {k}))"
+                " AS g))"
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.i").cast("long").alias("i"),
+        F.concat(
+            F.substring(F.md5(F.col("s.g")), 1, 16),
+            F.lpad(F.col("s.i").cast("string"), 8, "0"),
+        ).alias("key"),
+    )
+    wdoc = W.partitionBy("doc_id")
+    wmin = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(w - 1), W.currentRow)
+    )
+    return (
+        flat.select(
+            "doc_id",
+            "i",
+            F.count(F.lit(1)).over(wdoc).alias("ng"),
+            F.min("key").over(wmin).alias("wmin"),
+        )
+        .filter(F.expr(f"i >= least({w}, ng)"))
+        .select("doc_id", F.substring("wmin", 1, 16).alias("fp"))
+        .distinct()
     )

@@ -986,3 +986,137 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X224 — Winnowing document fingerprinting (Schleimer, Wilkerson &
+# Aiken 2003 — the MOSS algorithm). The guarantee-bearing rung of the
+# dedup ladder between SimHash banding (X42/X76, probabilistic) and
+# exact-substring spans (X110, exhaustive): selecting the MINIMUM
+# k-gram hash in every sliding window of w positions guarantees any
+# shared run of >= k+w-1 words produces at least one shared
+# fingerprint, at ~2/(w+1) storage density. k=4, w=4 here: runs of 7+
+# words are always caught.
+#
+# Cross-engine exactness: the "hash" is the first 16 hex chars of
+# md5(gram), and the window tie-break is folded into the ordering key
+# itself — key = hash || lpad(ordinal, 8, '0'), so min(key) is
+# (min hash, then leftmost ordinal) on both engines with plain binary
+# string comparison. Deterministic leftmost-min winnowing.
+# --------------------------------------------------------------------------
+@query(
+    "q_winnow_fingerprints",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(t) - 3, 1) + 1),
+               i -> struct_pack(i := i,
+                                g := array_to_string(t[i:i+3], ' ')))) AS s
+      FROM tok
+    ),
+    keyed AS (
+      SELECT doc_id, CAST(s.i AS BIGINT) AS i,
+             substring(md5(s.g), 1, 16)
+               || lpad(CAST(s.i AS VARCHAR), 8, '0') AS key
+      FROM grams
+    ),
+    win AS (
+      SELECT doc_id, i,
+             count(*) OVER (PARTITION BY doc_id) AS ng,
+             min(key) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+               AS wmin
+      FROM keyed
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, substring(wmin, 1, 16) AS fp
+      FROM win WHERE i >= least(4, ng)
+    ),
+    cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+            FROM fps GROUP BY doc_id),
+    freq AS (
+      SELECT fp FROM (
+        SELECT fp, count(*) AS c FROM fps GROUP BY fp
+      ) WHERE c <= 50
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared_fps
+      FROM fps a
+      JOIN freq USING (fp)
+      JOIN fps b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared_fps,
+           ca.n_fp AS n_fp_a, cb.n_fp AS n_fp_b
+    FROM pairs
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE shared_fps >= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint match report (X224): candidate
+    near-duplicate pairs sharing >= 2 selected fingerprints, with each
+    side's fingerprint count for containment-style normalization
+    downstream.
+
+    Scale: fingerprints are a ~2/(w+1) = 40% sample of k-gram hashes,
+    and only (doc_id, 16-char fp) pairs ever shuffle — never text. The
+    pair join is fingerprint-bucketed with a doc-frequency cap (fp in
+    > 50 docs dropped as a stop-gram, the same skew guard as the LSH
+    bucket caps), so candidates are bucket-local, never
+    corpus-quadratic. The window min is a per-doc sliding frame — one
+    hash-partition exchange on doc_id.
+
+    Guarantee (the reason this rung exists): any shared word run of
+    length >= k+w-1 = 7 yields a shared fingerprint — a recall floor
+    the probabilistic arms (MinHash/SimHash) cannot promise."""
+    from mysql_cdc_to_http_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, k=4, w=4)
+    cnt = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    freq = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= 50)
+        .select("fp")
+    )
+    a = fps.join(freq, "fp")
+    b = fps.select(
+        F.col("doc_id").alias("doc_b_id"), F.col("fp").alias("fp_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("fp") == F.col("fp_b"))
+            & (F.col("doc_id") < F.col("doc_b_id")),
+        )
+        .groupBy(
+            F.col("doc_id").alias("doc_a"),
+            F.col("doc_b_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )
+    return (
+        pairs.join(
+            cnt.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            cnt.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "shared_fps", "n_fp_a", "n_fp_b")
+        .orderBy("doc_a", "doc_b")
+    )

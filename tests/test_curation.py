@@ -384,3 +384,63 @@ def test_c4_clean_page_lorem_ipsum_drops_whole_page(spark):
     assert not rows[1]["d"]
     assert rows[1]["c"] == "keep this line intact."
     assert (rows[1]["nl"], rows[1]["nk"]) == (2, 1)
+
+
+# ---------------------------------------------------------------------------
+# X224: winnowing fingerprints (Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_shared_run_detected(spark):
+    """The winnowing guarantee: with k=4, w=4, any shared word run of
+    length >= k+w-1 = 7 MUST yield a shared selected fingerprint —
+    the recall floor the probabilistic dedup arms can't promise."""
+    from mysql_cdc_to_http_spark.operators.text import winnow_fingerprints
+
+    run = "alpha beta gamma delta epsilon zeta eta"  # exactly 7 words
+    docs = spark.createDataFrame(
+        [
+            (1, f"unrelated prefix words here {run} and a suffix tail"),
+            (2, f"{run} totally different continuation of document two"),
+            (3, "no overlap with either of the other documents at all "
+                "just filler words repeated filler words repeated"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=4, w=4)
+    shared_12 = (
+        fps.filter(F.col("doc_id") == 1)
+        .select("fp")
+        .intersect(fps.filter(F.col("doc_id") == 2).select("fp"))
+        .count()
+    )
+    assert shared_12 >= 1, "7-word shared run must share a fingerprint"
+    shared_13 = (
+        fps.filter(F.col("doc_id") == 1)
+        .select("fp")
+        .intersect(fps.filter(F.col("doc_id") == 3).select("fp"))
+        .count()
+    )
+    assert shared_13 == 0
+
+
+def test_winnow_density_and_short_docs(spark):
+    """Selected fingerprints are a strict subset of k-gram hashes
+    (~2/(w+1) density on random text), and a doc shorter than k words
+    still yields exactly one fingerprint (clamped partial gram)."""
+    from mysql_cdc_to_http_spark.operators.text import winnow_fingerprints
+
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(500)}" for _ in range(400)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "only three words")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=4, w=4)
+    n1 = fps.filter(F.col("doc_id") == 1).count()
+    n_grams = 400 - 3
+    # density ~2/(w+1)=0.4; allow generous slack but pin "a sample"
+    assert 0.15 * n_grams <= n1 <= 0.75 * n_grams
+    assert fps.filter(F.col("doc_id") == 2).count() == 1
