@@ -31,7 +31,7 @@ verify-bench:
 	if [ "$$n" != "1" ]; then \
 	  echo "bench.py must print exactly ONE JSON line (got $$n)"; exit 1; \
 	fi; \
-	printf '%s\n' "$$out" | $(PY) -c "import json,sys; d=json.loads(sys.stdin.read()); assert d['metric']=='headline_suite_sec' and 'queries' in d; print('bench contract ok:', d['value'], 'sec,', len(d['queries']), 'queries')"
+	printf '%s\n' "$$out" | $(PY) -c "import json,sys; line=sys.stdin.read().strip(); assert len(line) <= 2000, ('line exceeds driver tail window', len(line)); d=json.loads(line); assert d['metric']=='headline_suite_sec' and 'queries' in d; full=json.load(open('BENCH_FULL.json')); assert d['n_queries']==len(full['queries']), 'full-file drift'; print('bench contract ok:', d['value'], 'sec, line', len(line), 'chars,', d['n_queries'], 'queries (', d['queries_shown'], 'on line, full in BENCH_FULL.json)')"
 
 verify: verify-window verify-all verify-robust verify-ext verify-bench
 	@echo "verify: all sweeps green"

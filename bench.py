@@ -305,8 +305,80 @@ def main() -> None:
         except Exception as exc:  # keep the one-JSON-line contract
             payload["stream"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
-    print(json.dumps(payload))
+    # Full payload → BENCH_FULL.json (judge-readable, committed per round).
+    # The PRINTED line must parse from the driver's 2000-char stdout tail —
+    # rounds 6–9 printed the full 240-query dict (>2000 chars) and the
+    # driver recorded parsed=null every round. Print a compact line: suite
+    # total, the slowest queries that fit the budget, stream rates+checks,
+    # and a pointer to the full file.
+    full_path = os.path.join(REPO, "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+
+    print(_compact_line(payload))
     spark.stop()
+
+
+def _compact_stream(stream: dict) -> dict:
+    """Headline rows/s per streaming surface + the boolean checks."""
+    if "error" in stream:
+        return {"error": str(stream["error"])[:160]}
+    rate_of = {
+        "cdc_rps": "cdc_pipeline",
+        "cdc10_rps": "cdc_pipeline_10x",
+        "ssj_rps": "stream_stream_join",
+        "ivm_rps": "ivm_view",
+        "sess_rps": "session_state",
+        "http_rps": "http_delivery",
+    }
+    out: dict = {}
+    for key, section in rate_of.items():
+        sec = stream.get(section)
+        if isinstance(sec, dict):
+            out[key] = sec.get("rows_per_sec", sec.get("error", "?"))
+            if isinstance(out[key], str):
+                out[key] = str(out[key])[:80]
+    checks = stream.get("checks")
+    if isinstance(checks, dict):
+        out["checks_ok"] = sum(1 for v in checks.values() if v is True)
+        out["checks_n"] = len(checks)
+        fails = [k for k, v in checks.items() if v is not True]
+        if fails:
+            out["checks_failed"] = fails[:6]
+    return out
+
+
+def _compact_line(payload: dict, budget: int = 1750) -> str:
+    """One JSON line ≤ budget chars: totals + slowest queries that fit."""
+    line = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "sf": payload["sf"],
+        "n_queries": payload["n_queries"],
+        "n_excluded": len(payload.get("excluded", {})),
+        "full": "BENCH_FULL.json",
+        "queries": {},
+    }
+    if "stream" in payload:
+        line["stream"] = _compact_stream(payload["stream"])
+    # Fill with the slowest queries first — the ones a perf reviewer needs —
+    # until the serialized line would exceed the budget.
+    ranked = sorted(
+        payload["queries"].items(), key=lambda kv: kv[1], reverse=True
+    )
+    for name, sec in ranked:
+        line["queries"][name] = sec
+        if len(json.dumps(line)) > budget:
+            del line["queries"][name]
+            break
+    line["queries_shown"] = len(line["queries"])
+    out = json.dumps(line)
+    while len(out) > budget and line["queries"]:
+        line["queries"].popitem()
+        line["queries_shown"] = len(line["queries"])
+        out = json.dumps(line)
+    return out
 
 
 if __name__ == "__main__":

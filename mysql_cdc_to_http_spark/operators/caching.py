@@ -29,6 +29,14 @@ from pyspark.sql import DataFrame
 #: persisted frames awaiting release, in registration order
 _LIVE: list[DataFrame] = []
 
+#: module-level memo dicts (e.g. queries.extended._TRI_EDGES) whose
+#: values are persisted frames keyed by (appId, sf_dir). Registered so
+#: release_all_cached can EVICT the entries too — without this the
+#: memos grow unbounded per (appId, sf_dir) in a long session and a
+#: cleared-but-not-unpersisted memo leaks an InMemoryRelation
+#: (round-9 advice).
+_MEMOS: list[dict] = []
+
 
 def register_cached(result: DataFrame, deps: list[DataFrame]) -> DataFrame:
     """Record persisted frames backing ``result`` for later release."""
@@ -36,14 +44,29 @@ def register_cached(result: DataFrame, deps: list[DataFrame]) -> DataFrame:
     return result
 
 
+def register_memo(memo: dict) -> dict:
+    """Register a module-level {key: DataFrame} memo for eviction by
+    :func:`release_all_cached`. The memo only saves plan construction —
+    the next access after release rebuilds and re-persists — so
+    eviction is always safe."""
+    _MEMOS.append(memo)
+    return memo
+
+
 def release_all_cached(blocking: bool = False) -> int:
-    """Unpersist every registered dependency. Call AFTER materializing
-    the consuming result (collect/count/write) — releasing earlier just
-    forces the cached stage to recompute. Returns the number released."""
+    """Unpersist every registered dependency and evict registered memo
+    entries. Call AFTER materializing the consuming result
+    (collect/count/write) — releasing earlier just forces the cached
+    stage to recompute. Returns the number released."""
     n = len(_LIVE)
     for dep in _LIVE:
         dep.unpersist(blocking)
     _LIVE.clear()
+    for memo in _MEMOS:
+        # entries' frames were just unpersisted via _LIVE (register_cached
+        # runs alongside every memo insert); dropping the dict entry frees
+        # the plan object and bounds memo growth across (appId, sf_dir).
+        memo.clear()
     return n
 
 

@@ -92,16 +92,29 @@ def hll_overlap(
     a, b = labels
 
     def _est_for(label: str) -> Column:
-        return F.hll_sketch_estimate(
-            F.hll_union_agg(
-                F.when(F.col(set_col) == label, F.col("sketch"))
-            )
+        # NULL (not 0) when the label has NO partial in the group —
+        # hll_sketch_estimate over an all-NULL union reports 0, which is
+        # indistinguishable from an empty set; the explicit presence
+        # count (same shuffle, same hash aggregate) disambiguates
+        # (round-9 advice: a missing sketch must not read as zero
+        # overlap).
+        present = F.count(F.when(F.col(set_col) == label, 1)) > 0
+        return F.when(
+            present,
+            F.hll_sketch_estimate(
+                F.hll_union_agg(
+                    F.when(F.col(set_col) == label, F.col("sketch"))
+                )
+            ),
         )
 
     est_a, est_b = _est_for(a).alias("est_a"), _est_for(b).alias("est_b")
     est_union = F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
         "est_union"
     )
+    # NULL per-label estimates propagate into est_intersection (the old
+    # unguarded form let ``greatest`` skip the NULL arithmetic and report
+    # a plausible-looking 0 overlap for a label that was never sketched).
     return (
         partials.groupBy(*group_cols)
         .agg(est_a, est_b, est_union)
@@ -110,9 +123,12 @@ def hll_overlap(
             "est_a",
             "est_b",
             "est_union",
-            F.greatest(
-                F.lit(0).cast("long"),
-                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+            F.when(
+                F.col("est_a").isNotNull() & F.col("est_b").isNotNull(),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                ),
             ).alias("est_intersection"),
         )
     )

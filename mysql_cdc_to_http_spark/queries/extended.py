@@ -676,7 +676,9 @@ def q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X123 — triangle counting (graph analytics family #3 after connected
 # components and PageRank). Graph: parts co-purchased in one order.
 # --------------------------------------------------------------------------
-_TRI_EDGES: dict = {}
+from mysql_cdc_to_http_spark.operators.caching import register_memo
+
+_TRI_EDGES: dict = register_memo({})
 
 
 def _copurchase_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:

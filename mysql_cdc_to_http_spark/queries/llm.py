@@ -356,7 +356,9 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(variants)
 
 
-_DUP_PREP: dict = {}
+from mysql_cdc_to_http_spark.operators.caching import register_memo
+
+_DUP_PREP: dict = register_memo({})
 
 
 def _dup_corpus_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2040,7 +2040,8 @@ def _schema_evolution_cache(spark: SparkSession, sf_dir: str) -> str:
     # its own mkdtemp and os.replace()s the COMPLETE tree into place —
     # readers only ever see a fully-written dataset; the losing builder
     # of a race just discards its staging copy.
-    if not os.path.isdir(data):
+    done = os.path.join(data, "epoch=2", "_SUCCESS")
+    if not os.path.exists(done):
         orders = load_table(spark, sf_dir, "orders")
         os.makedirs(out, exist_ok=True)
         stage = tempfile.mkdtemp(prefix="_stage_", dir=out)
@@ -2053,7 +2054,19 @@ def _schema_evolution_cache(spark: SparkSession, sf_dir: str) -> str:
         try:
             os.rename(stage, data)  # atomic publish; fails if we lost a race
         except OSError:
-            shutil.rmtree(stage, ignore_errors=True)
+            # Trust the winner only if its tree is COMPLETE (last epoch's
+            # _SUCCESS present — round-9 advice); else evict the partial
+            # and retry the swap once.
+            if os.path.exists(done):
+                shutil.rmtree(stage, ignore_errors=True)
+            else:
+                try:
+                    old = tempfile.mkdtemp(prefix="_old_", dir=out)
+                    os.rename(data, os.path.join(old, "x"))
+                    shutil.rmtree(old, ignore_errors=True)
+                    os.rename(stage, data)
+                except OSError:
+                    shutil.rmtree(stage, ignore_errors=True)
     return data
 
 

@@ -52,7 +52,8 @@ def _events_stream_dir(
     # atomically os.rename the COMPLETE tree into place — a concurrent
     # session either wins the rename or discards its staging copy, and
     # readers never observe a half-written data/ dir.
-    if not os.path.isdir(os.path.join(out, "data")):
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
         import shutil
         import tempfile as _tf
 
@@ -69,10 +70,25 @@ def _events_stream_dir(
             n_files=n_files,
             fmt="parquet",
         )
+        with open(os.path.join(stage, "_done"), "w") as fh:
+            fh.write("ok")
         try:
             os.rename(stage, out)
-        except OSError:  # lost the race — a complete copy already exists
-            shutil.rmtree(stage, ignore_errors=True)
+        except OSError:
+            # `out` appeared meanwhile. Only trust it if COMPLETE (_done
+            # inside the published tree — round-9 advice: a stale partial
+            # from an old-format crash would otherwise be served forever);
+            # else evict the partial and retry the swap once.
+            if os.path.exists(done):
+                shutil.rmtree(stage, ignore_errors=True)
+            else:
+                try:
+                    old = _tf.mkdtemp(prefix=f"_old_{kind}_", dir=parent)
+                    os.rename(out, os.path.join(old, "x"))
+                    shutil.rmtree(old, ignore_errors=True)
+                    os.rename(stage, out)
+                except OSError:
+                    shutil.rmtree(stage, ignore_errors=True)
     return out
 
 

@@ -192,14 +192,31 @@ def write_event_files(
     )
     with open(os.path.join(stage, "_done"), "w") as fh:
         fh.write("ok")
-    try:
-        if force and os.path.isdir(out):
+    def _swap_in() -> None:
+        if os.path.isdir(out):
             old = tempfile.mkdtemp(prefix="_old_cdc_", dir=parent)
             os.rename(out, os.path.join(old, "x"))
             shutil.rmtree(old, ignore_errors=True)
         os.rename(stage, out)
+
+    try:
+        if force:
+            _swap_in()
+        else:
+            os.rename(stage, out)
     except OSError:
-        shutil.rmtree(stage, ignore_errors=True)
+        # Rename failed because `out` appeared meanwhile. Only discard
+        # the fresh stage if the existing tree is COMPLETE (_done marker
+        # present) — a stale partial (crash before _done) would otherwise
+        # be returned forever (round-9 advice). If partial, evict it and
+        # retry the swap once.
+        if os.path.exists(done):
+            shutil.rmtree(stage, ignore_errors=True)
+        else:
+            try:
+                _swap_in()
+            except OSError:
+                shutil.rmtree(stage, ignore_errors=True)
     return out
 
 

@@ -186,6 +186,7 @@ def post_rows(
     timeout_s: float = 5.0,
     rate_rps: float | None = None,
     rate_burst: float | None = None,
+    bucket: "_TokenBucket | None" = None,
 ) -> None:
     """Executor-side partition POST loop. Runs on workers — must not touch
     driver state. Retries with exponential backoff; raises after final
@@ -196,9 +197,14 @@ def post_rows(
     4xx responses (except 408/429) raise immediately instead of burning
     retries×backoff on a poison row that can never succeed; the
     idempotency key is the table+offset binlog-position analog. One
-    keep-alive connection serves the whole partition (round 8)."""
+    keep-alive connection serves the whole partition (round 8).
+
+    ``bucket`` lets the caller share one limiter across multiple
+    ``post_rows`` calls (one per partition, not per group — round-9
+    advice); when omitted, ``rate_rps`` builds a fresh one here."""
     poster = _KeepAlivePoster(timeout_s)
-    bucket = _TokenBucket(rate_rps, rate_burst) if rate_rps else None
+    if bucket is None and rate_rps:
+        bucket = _TokenBucket(rate_rps, rate_burst)
     try:
         for row in rows:
             if bucket is not None:
@@ -240,14 +246,19 @@ def http_batch_poster(
             buckets: dict[object, list] = {}
             for row in it:
                 buckets.setdefault(row[group_col], []).append(row)
+            # ONE token bucket for the whole partition, shared across
+            # every group's post_rows call — the documented ceiling is
+            # rps × active partitions; a per-(partition, group) bucket
+            # would under-enforce it by a factor of G and grant a fresh
+            # burst per group (round-9 advice, medium).
+            limiter = _TokenBucket(rate_rps, rate_burst) if rate_rps else None
             for grp, rows in buckets.items():
                 post_rows(
                     f"{base}/{grp}",
                     iter(rows),
                     payload_col,
                     key_col,
-                    rate_rps=rate_rps,
-                    rate_burst=rate_burst,
+                    bucket=limiter,
                 )
 
         sel.foreachPartition(_route_partition)

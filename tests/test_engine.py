@@ -511,5 +511,20 @@ def test_http_sink_token_bucket_rate_limit(spark):
         unlimited = time.perf_counter() - t1
         assert len(_Sink.hits) == n
         assert unlimited < limited  # no pacing on the default path
+
+        # ONE bucket per PARTITION, not per (partition, group): the same
+        # 40 rows split across 4 groups must pace identically — a
+        # per-group bucket would grant 4 bursts and 4×rps, finishing in
+        # ~(10-5)/50 = 0.1 s (round-9 advice, medium).
+        _Sink.hits = []
+        multi = spark.createDataFrame(
+            [("g%d" % (i % 4), '{"i": %d}' % i, f"k{i}") for i in range(n)],
+            "grp string, payload string, idem_key string",
+        ).coalesce(1)
+        t2 = time.perf_counter()
+        http_batch_poster(base, rate_rps=50, rate_burst=5)(multi, 2)
+        multi_grp = time.perf_counter() - t2
+        assert len(_Sink.hits) == n
+        assert multi_grp >= 0.6, multi_grp  # still rps × partitions
     finally:
         srv.shutdown()

@@ -905,6 +905,11 @@ def test_triangle_forms_share_one_edge_materialization(spark, sf_dir):
         _copurchase_oriented,
     )
 
+    # unpersist any memoized edge list BEFORE clearing the memo —
+    # clearing alone leaks the InMemoryRelation in the shared test
+    # session (round-9 advice)
+    for _frame in _TRI_EDGES.values():
+        _frame.unpersist()
     _TRI_EDGES.clear()
     exact = QUERIES["q_triangle_count"](spark, sf_dir)
     rows_exact = exact.collect()  # builds + persists the shared list

@@ -80,6 +80,27 @@ def test_hll_overlap_disjoint_clamps_at_zero(spark):
     assert got["est_intersection"] <= 4  # ≈0 up to sketch noise
 
 
+def test_hll_overlap_missing_label_is_null_not_zero(spark):
+    """A label with NO partial in a group must surface as NULL est_b /
+    NULL est_intersection — not a plausible-looking 0 overlap (round-9
+    advice: ``greatest`` skips NULLs, so the unguarded form reported
+    est∩ = 0 for a set that was never sketched). A missing set stays
+    distinguishable from an empty one."""
+    from mysql_cdc_to_http_spark.operators.sketches import hll_overlap
+
+    df = spark.createDataFrame(
+        [("g", "a", f"u{i}") for i in range(20)],
+        "grp string, lbl string, user string",
+    )
+    partials = hll_partials(df, ["grp"], "lbl", "user", lgk=12)
+    got = hll_overlap(
+        partials, ["grp"], ("a", "b"), set_col="segment"
+    ).collect()[0]
+    assert got["est_a"] == 20
+    assert got["est_b"] is None
+    assert got["est_intersection"] is None
+
+
 def test_hll_overlap_single_exchange_plan(spark):
     """The three estimates (A, B, union) come from ONE hash aggregate
     over the partials — conditional union-aggs share the shuffle; a
