@@ -1,0 +1,238 @@
+"""Data-layout queries (round 10): physical-design operators whose whole
+point is the 100 TB story — how rows are ARRANGED decides how much of
+the table a selective query must scan, long before any executor runs.
+
+X224 Z-order clustering: multi-dimensional cluster-by for min/max file
+pruning (the Delta/Iceberg OPTIMIZE ZORDER primitive, and Databricks'
+liquid-clustering ancestor), implemented as exact integer bit
+interleaving so the layout decision itself is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mysql_cdc_to_http_spark.catalog import load_table
+from mysql_cdc_to_http_spark.queries.registry import query
+
+# 8 bits per dimension -> 16-bit z-value; 16 files via the top 4 z bits.
+_ZBITS = 8
+_NFILES = 16
+
+
+def _bit(col: str, i: int) -> str:
+    """bit i of a non-negative integer, in div/mod arithmetic that Spark
+    and DuckDB evaluate identically (no shift-operator dialect drift)."""
+    return f"(({col} div {1 << i}) % 2)"
+
+
+def _z_expr(xb: str, yb: str) -> str:
+    """Morton interleave of two {_ZBITS}-bit bucket ids: x in even bit
+    positions, y in odd — a single codegen-able integer expression."""
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"{_bit(xb, i)} * {1 << (2 * i)}")
+        terms.append(f"{_bit(yb, i)} * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def _z_sql(xb: str, yb: str) -> str:
+    """Same interleave for the DuckDB oracle (// instead of div)."""
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"(({xb} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({yb} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH mx AS (
+  SELECT MAX(l_partkey) AS maxp, MAX(l_suppkey) AS maxs,
+         MAX(l_orderkey) AS maxo, COUNT(*) AS n_rows
+  FROM lineitem
+),
+keyed AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         (l_partkey * 256) // (mx.maxp + 1) AS xb,
+         (l_suppkey * 256) // (mx.maxs + 1) AS yb,
+         (l_orderkey * {_NFILES}) // (mx.maxo + 1) AS linfile,
+         mx.maxp, mx.maxs, mx.n_rows
+  FROM lineitem, mx
+),
+zkeyed AS (
+  SELECT *, ({_z_sql('xb', 'yb')}) // {1 << (2 * _ZBITS - 4)} AS zfile,
+         -- box = bucket range [64, 128) on BOTH dims, expressed as raw-key
+         -- thresholds that land exactly on bucket boundaries
+         (pk >= (maxp + 4) // 4 AND pk < (maxp + 2) // 2
+          AND sk >= (maxs + 4) // 4 AND sk < (maxs + 2) // 2) AS hit
+  FROM keyed
+),
+stacked AS (
+  SELECT 'linear' AS layout, linfile AS f, pk, sk, hit, n_rows FROM zkeyed
+  UNION ALL
+  SELECT 'zorder' AS layout, zfile AS f, pk, sk, hit, n_rows FROM zkeyed
+),
+files AS (
+  SELECT layout, f, MIN(pk) AS pk_min, MAX(pk) AS pk_max,
+         MIN(sk) AS sk_min, MAX(sk) AS sk_max,
+         CAST(COUNT(*) AS BIGINT) AS rows_in_file,
+         CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         MAX(n_rows) AS n_rows
+  FROM stacked GROUP BY layout, f
+),
+boxed AS (
+  SELECT files.*,
+         NOT (pk_max < (mx.maxp + 4) // 4 OR pk_min >= (mx.maxp + 2) // 2
+              OR sk_max < (mx.maxs + 4) // 4
+              OR sk_min >= (mx.maxs + 2) // 2) AS scanned
+  FROM files, mx
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS files_total,
+       CAST(SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+         AS files_scanned,
+       CAST(SUM(CASE WHEN scanned THEN rows_in_file ELSE 0 END) AS BIGINT)
+         AS rows_scanned,
+       CAST(SUM(hits) AS BIGINT) AS rows_matched,
+       CAST(SUM(CASE WHEN scanned THEN rows_in_file ELSE 0 END) * 1000000
+            // MAX(n_rows) AS BIGINT) AS scan_ratio_micro
+FROM boxed
+GROUP BY layout
+ORDER BY layout
+"""
+
+
+@query("q_zorder_layout", oracle=_ZORDER_ORACLE)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X224 — Z-order (Morton) clustering with a min/max pruning audit:
+    lay lineitem out in 16 files two ways — linear (orderkey ranges,
+    what a naive ingest produces) vs z-ordered on (partkey, suppkey) —
+    and measure how many files a 2-D box predicate must scan under
+    standard parquet min/max file skipping. The z-order layout confines
+    the box's rows to files whose (pk, sk) envelopes are tight in BOTH
+    dimensions, so the same query scans ~1/16th of the data; the linear
+    layout's files each span the full (pk, sk) domain and NOTHING can
+    be skipped. This is the Delta/Iceberg ``OPTIMIZE ZORDER BY``
+    decision, reproduced as exact arithmetic.
+
+    Determinism/exactness: bucket ids are (key*256) div (max+1) on
+    non-negative integers (Spark ``div`` == DuckDB ``//``); the Morton
+    interleave is a pure integer polynomial (see _z_expr — div/mod
+    bit extraction, no shift-operator dialect drift); the box thresholds
+    are chosen to land exactly on bucket boundaries ((max+4) div 4,
+    (max+2) div 2 = first keys of buckets 64 and 128), so file
+    assignment, the scan decision, and every count are engine-exact
+    integers — the layout policy itself is hash-oracled.
+
+    Scale shape: ONE fact scan; the layout stack (explode to
+    layout × file) doubles rows into a partial-aggregated groupBy on 32
+    keys, then a 32-row rollup — the plan is scan → explode → two hash
+    aggregates, no join, no window, no sort until the 2-row output. At
+    100 TB the file stats table IS the table's min/max index (Delta log
+    / Iceberg manifests); the audit costs one pass and the re-layout
+    write itself would be ``repartitionByRange(zvalue)`` with the same
+    z expression. Files here = 16 for a 16-cell z-grid; real tables set
+    file count from target file size, not a constant."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        F.col("l_orderkey").alias("ok"),
+    )
+    mx = li.agg(
+        F.max("pk").alias("maxp"),
+        F.max("sk").alias("maxs"),
+        F.max("ok").alias("maxo"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    keyed = li.crossJoin(F.broadcast(mx)).select(
+        "pk",
+        "sk",
+        "maxp",
+        "maxs",
+        "n_rows",
+        F.expr("(pk * 256) div (maxp + 1)").alias("xb"),
+        F.expr("(sk * 256) div (maxs + 1)").alias("yb"),
+        F.expr(f"(ok * {_NFILES}) div (maxo + 1)").alias("linfile"),
+    )
+    zkeyed = keyed.select(
+        "pk",
+        "sk",
+        "maxp",
+        "maxs",
+        "n_rows",
+        "linfile",
+        F.expr(
+            f"({_z_expr('xb', 'yb')}) div {1 << (2 * _ZBITS - 4)}"
+        ).alias("zfile"),
+        F.expr(
+            "pk >= (maxp + 4) div 4 AND pk < (maxp + 2) div 2"
+            " AND sk >= (maxs + 4) div 4 AND sk < (maxs + 2) div 2"
+        ).alias("hit"),
+    )
+    stacked = zkeyed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.col("linfile").alias("f"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.col("zfile").alias("f"),
+                ),
+            )
+        ).alias("lf"),
+        "pk",
+        "sk",
+        "hit",
+        "maxp",
+        "maxs",
+        "n_rows",
+    ).select(
+        F.col("lf.layout").alias("layout"),
+        F.col("lf.f").alias("f"),
+        "pk",
+        "sk",
+        "hit",
+        "maxp",
+        "maxs",
+        "n_rows",
+    )
+    files = stacked.groupBy("layout", "f").agg(
+        F.min("pk").alias("pk_min"),
+        F.max("pk").alias("pk_max"),
+        F.min("sk").alias("sk_min"),
+        F.max("sk").alias("sk_max"),
+        F.count(F.lit(1)).alias("rows_in_file"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("hits"),
+        F.max("maxp").alias("maxp"),
+        F.max("maxs").alias("maxs"),
+        F.max("n_rows").alias("n_rows"),
+    )
+    boxed = files.withColumn(
+        "scanned",
+        ~(
+            (F.col("pk_max") < F.expr("(maxp + 4) div 4"))
+            | (F.col("pk_min") >= F.expr("(maxp + 2) div 2"))
+            | (F.col("sk_max") < F.expr("(maxs + 4) div 4"))
+            | (F.col("sk_min") >= F.expr("(maxs + 2) div 2"))
+        ),
+    )
+    return (
+        boxed.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files_total"),
+            F.sum(F.when(F.col("scanned"), 1).otherwise(0))
+            .cast("long")
+            .alias("files_scanned"),
+            F.sum(F.when(F.col("scanned"), F.col("rows_in_file")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("hits").cast("long").alias("rows_matched"),
+            F.expr(
+                "CAST(sum(CASE WHEN scanned THEN rows_in_file ELSE 0 END)"
+                " * 1000000 div max(n_rows) AS BIGINT)"
+            ).alias("scan_ratio_micro"),
+        )
+        .orderBy("layout")
+    )
