@@ -1120,3 +1120,166 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "shared_fps", "n_fp_a", "n_fp_b")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# X225 — UniMax-style budget-constrained corpus mixing (Chung et al.
+# 2023): allocate a total token budget across language corpora with a
+# per-language epoch cap — low-resource languages get their full cap
+# (upsampled to E epochs), the high-resource head splits what remains
+# evenly (downsampled below one epoch if the budget demands it). The
+# closed form is waterfilling over languages sorted ascending by size;
+# the capped set is a PREFIX of that order, so one pass of window
+# functions finds it — no iteration.
+#
+# Cross-engine exactness: the capped test is cross-multiplied
+# (E·c_k·(n−k+1) ≤ B − E·cum_{k−1} — never a division), the water level
+# is a single non-negative integer division with its remainder dealt
+# out one token each to the first `rem` uncapped languages in sort
+# order, so Σ alloc == B EXACTLY and every column hashes identically.
+# --------------------------------------------------------------------------
+_UNIMAX_E = 2  # epoch cap per language
+# budget = 1.5 × corpus tokens: binding (< E×total), so the largest
+# language lands uncapped at every sf while the tail hits its cap.
+
+
+@query(
+    "q_unimax_budget",
+    oracle=r"""
+    WITH toklang AS (
+      SELECT lang,
+             CAST(SUM(len(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               ' '))) AS BIGINT) AS c
+      FROM documents GROUP BY lang
+    ),
+    ranked AS (
+      SELECT lang, c,
+             CAST(row_number() OVER w AS BIGINT) AS k,
+             CAST(SUM(c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(c) OVER () AS BIGINT) AS total
+      FROM toklang
+      WINDOW w AS (ORDER BY c, lang)
+    ),
+    capped AS (
+      SELECT *, (total * 3) // 2 AS b,
+             2 * c * (n - k + 1) <= (total * 3) // 2 - 2 * (cum - c)
+               AS is_capped
+      FROM ranked
+    ),
+    leveled AS (
+      SELECT *,
+             CAST(SUM(CASE WHEN is_capped THEN 1 ELSE 0 END) OVER ()
+                  AS BIGINT) AS kk,
+             CAST(COALESCE(SUM(CASE WHEN is_capped THEN c END) OVER (), 0)
+                  AS BIGINT) AS cumk,
+             CAST(SUM(CASE WHEN is_capped THEN 0 ELSE 1 END)
+                  OVER (ORDER BY c, lang ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS urank
+      FROM capped
+    )
+    SELECT lang, c AS tokens, k AS size_rank, is_capped,
+           CAST(CASE WHEN is_capped THEN 2 * c
+                WHEN kk < n THEN (b - 2 * cumk) // (n - kk)
+                  + (CASE WHEN urank <= (b - 2 * cumk) % (n - kk)
+                          THEN 1 ELSE 0 END)
+                ELSE 0 END AS BIGINT) AS alloc_tokens,
+           CAST(CASE WHEN is_capped THEN 2 * c
+                WHEN kk < n THEN (b - 2 * cumk) // (n - kk)
+                  + (CASE WHEN urank <= (b - 2 * cumk) % (n - kk)
+                          THEN 1 ELSE 0 END)
+                ELSE 0 END * 1000000 // c AS BIGINT) AS epochs_micro
+    FROM leveled
+    ORDER BY lang
+    """,
+)
+def q_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (X225): per-language token counts →
+    epoch-capped waterfill of a 1.5×-corpus token budget. Languages
+    small enough that granting them E=2 epochs still leaves a fair
+    share for everyone larger are CAPPED at 2×tokens; the rest split
+    the remaining budget evenly (the water level), remainder dealt one
+    token apiece in size order so the allocations sum to the budget
+    exactly. On this corpus English is ~3× any other language, so every
+    sf yields the canonical UniMax picture: the tail upsampled to 2
+    epochs, the head downsampled below 1 (epochs_micro < 1000000).
+
+    Exactness: capped test cross-multiplied (no division); one integer
+    division total (the water level) plus an exact remainder deal-out —
+    Σ alloc_tokens == budget is asserted in tests. Window order (c,
+    lang) is unique, and every running sum pins ROWS framing so RANGE
+    defaults can't differ between engines.
+
+    Scale shape: the fact-sized work is ONE scan of documents into a
+    per-language token-count aggregate (map-side partial sums of a
+    codegen'd split-length projection — no explode); everything after
+    operates on the LANGUAGE table (≤ thousands of rows for any real
+    corpus), where the global window is a deliberate singleton — the
+    model-sized-driver-table discipline, same as the k-means/k-center
+    model steps. At 100 TB the allocation itself then drives
+    deterministic md5 downsampling per language (X62's sampler) with
+    rate = alloc/tokens."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    dom = docs.select("lang", F.size(toks).alias("nt")).groupBy("lang").agg(
+        F.sum("nt").cast("long").alias("c")
+    )
+    w = Window.orderBy("c", "lang")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = dom.select(
+        "lang",
+        "c",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("c").over(w_run).cast("long").alias("cum"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        F.sum("c").over(w_all).cast("long").alias("total"),
+    )
+    e = _UNIMAX_E
+    capped = ranked.select(
+        "*",
+        F.expr("(total * 3) div 2").alias("b"),
+        F.expr(
+            f"{e} * c * (n - k + 1) <= (total * 3) div 2 - {e} * (cum - c)"
+        ).alias("is_capped"),
+    )
+    leveled = capped.select(
+        "*",
+        F.sum(F.when(F.col("is_capped"), 1).otherwise(0))
+        .over(w_all)
+        .cast("long")
+        .alias("kk"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_capped"), F.col("c"))).over(w_all),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("cumk"),
+        F.sum(F.when(F.col("is_capped"), 0).otherwise(1))
+        .over(w_run)
+        .cast("long")
+        .alias("urank"),
+    )
+    alloc_sql = (
+        f"CASE WHEN is_capped THEN {e} * c"
+        f" WHEN kk < n THEN (b - {e} * cumk) div (n - kk)"
+        f"  + (CASE WHEN urank <= (b - {e} * cumk) % (n - kk)"
+        f"     THEN 1 ELSE 0 END)"
+        f" ELSE 0 END"
+    )
+    return leveled.select(
+        "lang",
+        F.col("c").alias("tokens"),
+        F.col("k").alias("size_rank"),
+        "is_capped",
+        F.expr(f"CAST(({alloc_sql}) AS BIGINT)").alias("alloc_tokens"),
+        F.expr(f"CAST(({alloc_sql}) * 1000000 div c AS BIGINT)").alias(
+            "epochs_micro"
+        ),
+    ).orderBy("lang")

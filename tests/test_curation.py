@@ -444,3 +444,36 @@ def test_winnow_density_and_short_docs(spark):
     # density ~2/(w+1)=0.4; allow generous slack but pin "a sample"
     assert 0.15 * n_grams <= n1 <= 0.75 * n_grams
     assert fps.filter(F.col("doc_id") == 2).count() == 1
+
+
+# --- X225: UniMax budget-constrained mixing ---------------------------------
+
+
+def test_unimax_budget_waterfill_invariants(spark, sf_dir):
+    """The allocation IS the waterfill: allocations sum to the budget
+    EXACTLY (remainder dealt out, never dropped), the capped set is a
+    prefix of the size order, capped languages get exactly E=2 epochs,
+    uncapped ones share one water level (±1 remainder token) strictly
+    below their own cap, and the largest language is always the one
+    being downsampled (epochs < 2)."""
+    from mysql_cdc_to_http_spark.queries.curation import q_unimax_budget
+
+    rows = sorted(
+        q_unimax_budget(spark, sf_dir).collect(), key=lambda r: r.size_rank
+    )
+    total = sum(r.tokens for r in rows)
+    budget = total * 3 // 2
+    assert sum(r.alloc_tokens for r in rows) == budget
+    flags = [r.is_capped for r in rows]  # in size order
+    assert flags == sorted(flags, reverse=True), "capped set must be a prefix"
+    assert any(flags) and not all(flags), "budget must actually bind"
+    for r in rows:
+        if r.is_capped:
+            assert r.alloc_tokens == 2 * r.tokens
+            assert r.epochs_micro == 2_000_000
+        else:
+            assert r.alloc_tokens < 2 * r.tokens
+    levels = [r.alloc_tokens for r in rows if not r.is_capped]
+    assert max(levels) - min(levels) <= 1  # one water level, ±1 remainder
+    assert rows[-1].is_capped is False
+    assert rows[-1].epochs_micro < 2_000_000
