@@ -2614,3 +2614,196 @@ def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sel_rank", "vec_id", "sel_maxsim", "coverage_maxsim")
         .orderBy("sel_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# X226 — domain-pair similarity from MERGEABLE MinHash signatures: one
+# bottom-1 (min) sketch per (domain, slot) estimates Jaccard between
+# whole DOMAINS without ever co-scanning their texts — the corpus-level
+# companion to per-document MinHash (X37). min is associative, so the
+# signature is a map-side partial aggregate (the HLL-rollup discipline,
+# X74) and two quarters of a petabyte corpus compare via 16 longs each.
+# The exact intersection/union counts ride along as the accuracy audit.
+# --------------------------------------------------------------------------
+_DMH_SLOTS = 16
+
+
+def _dmh_hash(i: int):
+    """Slot-i shingle hash: first 15 md5 hex chars (60 bits) as a long —
+    the cross-engine determinism primitive (operators/sampling.py:
+    split_bucket), so DuckDB reproduces every min exactly."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(f"dmh{i}"), F.col("g"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def _domain_signatures(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(distinct (source, shingle) frame, per-domain signature frame):
+    word-3-shingles from whitespace-normalized text, then one min per
+    hash slot + the distinct-shingle count. min is associative, so the
+    aggregate runs with map-side partials — the signature merges."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    sh = (
+        docs.select("source", toks.alias("t"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 2, 1)),"
+                    " i -> concat_ws(' ', slice(t, i, 3)))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sigs = sh.groupBy("source").agg(
+        *[F.min(_dmh_hash(i)).alias(f"s{i}") for i in range(_DMH_SLOTS)],
+        F.count(F.lit(1)).cast("long").alias("nsh"),
+    )
+    return sh, sigs
+
+
+@query(
+    "q_domain_minhash",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                    i -> array_to_string(t[i:i+2], ' '))) AS g
+      FROM tok
+    ),
+    sigs AS (
+      SELECT source,
+         MIN(('0x' || substr(md5('dmh0|' || g), 1, 15))::BIGINT) AS s0,
+         MIN(('0x' || substr(md5('dmh1|' || g), 1, 15))::BIGINT) AS s1,
+         MIN(('0x' || substr(md5('dmh2|' || g), 1, 15))::BIGINT) AS s2,
+         MIN(('0x' || substr(md5('dmh3|' || g), 1, 15))::BIGINT) AS s3,
+         MIN(('0x' || substr(md5('dmh4|' || g), 1, 15))::BIGINT) AS s4,
+         MIN(('0x' || substr(md5('dmh5|' || g), 1, 15))::BIGINT) AS s5,
+         MIN(('0x' || substr(md5('dmh6|' || g), 1, 15))::BIGINT) AS s6,
+         MIN(('0x' || substr(md5('dmh7|' || g), 1, 15))::BIGINT) AS s7,
+         MIN(('0x' || substr(md5('dmh8|' || g), 1, 15))::BIGINT) AS s8,
+         MIN(('0x' || substr(md5('dmh9|' || g), 1, 15))::BIGINT) AS s9,
+         MIN(('0x' || substr(md5('dmh10|' || g), 1, 15))::BIGINT) AS s10,
+         MIN(('0x' || substr(md5('dmh11|' || g), 1, 15))::BIGINT) AS s11,
+         MIN(('0x' || substr(md5('dmh12|' || g), 1, 15))::BIGINT) AS s12,
+         MIN(('0x' || substr(md5('dmh13|' || g), 1, 15))::BIGINT) AS s13,
+         MIN(('0x' || substr(md5('dmh14|' || g), 1, 15))::BIGINT) AS s14,
+         MIN(('0x' || substr(md5('dmh15|' || g), 1, 15))::BIGINT) AS s15,
+             CAST(COUNT(*) AS BIGINT) AS nsh
+      FROM sh GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS domain_a, b.source AS domain_b,
+             CAST(COUNT(*) AS BIGINT) AS inter_exact
+      FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT sa.source AS domain_a, sb.source AS domain_b,
+           CAST((CASE WHEN sa.s0 = sb.s0 THEN 1 ELSE 0 END) + (CASE WHEN sa.s1 = sb.s1 THEN 1 ELSE 0 END) + (CASE WHEN sa.s2 = sb.s2 THEN 1 ELSE 0 END) + (CASE WHEN sa.s3 = sb.s3 THEN 1 ELSE 0 END) + (CASE WHEN sa.s4 = sb.s4 THEN 1 ELSE 0 END) + (CASE WHEN sa.s5 = sb.s5 THEN 1 ELSE 0 END) + (CASE WHEN sa.s6 = sb.s6 THEN 1 ELSE 0 END) + (CASE WHEN sa.s7 = sb.s7 THEN 1 ELSE 0 END) + (CASE WHEN sa.s8 = sb.s8 THEN 1 ELSE 0 END) + (CASE WHEN sa.s9 = sb.s9 THEN 1 ELSE 0 END) + (CASE WHEN sa.s10 = sb.s10 THEN 1 ELSE 0 END) + (CASE WHEN sa.s11 = sb.s11 THEN 1 ELSE 0 END) + (CASE WHEN sa.s12 = sb.s12 THEN 1 ELSE 0 END) + (CASE WHEN sa.s13 = sb.s13 THEN 1 ELSE 0 END) + (CASE WHEN sa.s14 = sb.s14 THEN 1 ELSE 0 END) + (CASE WHEN sa.s15 = sb.s15 THEN 1 ELSE 0 END) AS BIGINT) AS slots_matched,
+           CAST(((CASE WHEN sa.s0 = sb.s0 THEN 1 ELSE 0 END) + (CASE WHEN sa.s1 = sb.s1 THEN 1 ELSE 0 END) + (CASE WHEN sa.s2 = sb.s2 THEN 1 ELSE 0 END) + (CASE WHEN sa.s3 = sb.s3 THEN 1 ELSE 0 END) + (CASE WHEN sa.s4 = sb.s4 THEN 1 ELSE 0 END) + (CASE WHEN sa.s5 = sb.s5 THEN 1 ELSE 0 END) + (CASE WHEN sa.s6 = sb.s6 THEN 1 ELSE 0 END) + (CASE WHEN sa.s7 = sb.s7 THEN 1 ELSE 0 END) + (CASE WHEN sa.s8 = sb.s8 THEN 1 ELSE 0 END) + (CASE WHEN sa.s9 = sb.s9 THEN 1 ELSE 0 END) + (CASE WHEN sa.s10 = sb.s10 THEN 1 ELSE 0 END) + (CASE WHEN sa.s11 = sb.s11 THEN 1 ELSE 0 END) + (CASE WHEN sa.s12 = sb.s12 THEN 1 ELSE 0 END) + (CASE WHEN sa.s13 = sb.s13 THEN 1 ELSE 0 END) + (CASE WHEN sa.s14 = sb.s14 THEN 1 ELSE 0 END) + (CASE WHEN sa.s15 = sb.s15 THEN 1 ELSE 0 END)) * 1000000 // 16 AS BIGINT)
+             AS jaccard_est_micro,
+           COALESCE(i.inter_exact, 0) AS inter_exact,
+           sa.nsh + sb.nsh - COALESCE(i.inter_exact, 0) AS union_exact,
+           CAST(COALESCE(i.inter_exact, 0) * 1000000
+                // (sa.nsh + sb.nsh - COALESCE(i.inter_exact, 0)) AS BIGINT)
+             AS jaccard_exact_micro
+    FROM sigs sa
+    JOIN sigs sb ON sa.source < sb.source
+    LEFT JOIN inter i
+      ON i.domain_a = sa.source AND i.domain_b = sb.source
+    ORDER BY domain_a, domain_b
+    """,
+)
+def q_domain_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-pair Jaccard from mergeable MinHash sketches (X226): each
+    domain's signature is 16 independent min-hashes over its DISTINCT
+    word-3-shingles; P[min_a == min_b] = J(A, B), so the slot-agreement
+    fraction estimates Jaccard between entire domains from 16 longs per
+    domain. The exact |A∩B| / |A∪B| ride along as the audit columns —
+    at real scale you keep the sketch path (signatures merge map-side;
+    comparing two corpus snapshots costs joining D×16 longs) and
+    drop the exact self-join, which exists here to make the estimator's
+    error measurable and the whole result hash-oracle-able.
+
+    Exactness: shingle hashing is the md5→15-hex→long primitive (no FP
+    anywhere); estimates are integer micro-unit divisions of
+    non-negatives. The shingle idiom (normalize-whitespace split,
+    slice/array_to_string 3-grams, short docs degrade to one truncated
+    shingle) matches X224's winnowing grams on both engines.
+
+    Scale shape: one documents scan → explode to distinct (domain,
+    shingle) — the only fact-sized exchange; signatures are a 16-column
+    min aggregate WITH map-side partials (min is associative — the
+    mergeable-sketch discipline of X74/X90); the domain-pair join is
+    D² over D domains (20 here), model-sized. The audit intersection
+    join shuffles on shingle with ≤D rows per key — bounded fan-out,
+    dropped entirely in the sketch-only production path."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh, sigs = _domain_signatures(docs)
+    a = sigs.select(
+        F.col("source").alias("domain_a"),
+        *[F.col(f"s{i}").alias(f"sa{i}") for i in range(_DMH_SLOTS)],
+        F.col("nsh").alias("nsh_a"),
+    )
+    b = sigs.select(
+        F.col("source").alias("domain_b"),
+        *[F.col(f"s{i}").alias(f"sb{i}") for i in range(_DMH_SLOTS)],
+        F.col("nsh").alias("nsh_b"),
+    )
+    matched = sum(
+        F.when(F.col(f"sa{i}") == F.col(f"sb{i}"), 1).otherwise(0)
+        for i in range(_DMH_SLOTS)
+    )
+    pairs = a.join(b, F.col("domain_a") < F.col("domain_b")).select(
+        "domain_a",
+        "domain_b",
+        matched.cast("long").alias("slots_matched"),
+        F.expr(
+            f"CAST(({'+'.join(f'(CASE WHEN sa{i} = sb{i} THEN 1 ELSE 0 END)' for i in range(_DMH_SLOTS))})"
+            f" * 1000000 div {_DMH_SLOTS} AS BIGINT)"
+        ).alias("jaccard_est_micro"),
+        "nsh_a",
+        "nsh_b",
+    )
+    ix = (
+        sh.alias("x")
+        .join(sh.alias("y"), (F.col("x.g") == F.col("y.g"))
+              & (F.col("x.source") < F.col("y.source")))
+        .groupBy(
+            F.col("x.source").alias("domain_a"),
+            F.col("y.source").alias("domain_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_exact"))
+    )
+    out = (
+        pairs.join(ix, ["domain_a", "domain_b"], "left")
+        .withColumn("inter_exact", F.coalesce("inter_exact", F.lit(0)))
+        .withColumn(
+            "union_exact",
+            (F.col("nsh_a") + F.col("nsh_b") - F.col("inter_exact")).cast(
+                "long"
+            ),
+        )
+    )
+    return out.select(
+        "domain_a",
+        "domain_b",
+        "slots_matched",
+        "jaccard_est_micro",
+        "inter_exact",
+        "union_exact",
+        F.expr(
+            "CAST(inter_exact * 1000000 div union_exact AS BIGINT)"
+        ).alias("jaccard_exact_micro"),
+    ).orderBy("domain_a", "domain_b")

@@ -1519,3 +1519,65 @@ def test_kcenter_greedy_objective_is_monotone(spark, sf_dir):
     assert rows[0].sel_maxsim is None
     # every corpus vector is at least as covered as the last pick was
     assert rows[0].coverage_maxsim >= sims[-1]
+
+
+# --- X226: domain-pair MinHash ------------------------------------------------
+
+
+def test_domain_minhash_signature_semantics(spark):
+    """The sketch identity P[min_a == min_b] = J(A,B) at its two exact
+    endpoints: domains with IDENTICAL shingle sets agree on every slot
+    (J=1 ⇒ same mins, deterministically), disjoint domains agree on
+    none (60-bit md5 mins of disjoint sets — deterministic fixture, no
+    collision), and a half-overlapping pair lands strictly between."""
+    from mysql_cdc_to_http_spark.queries.llm import (
+        _DMH_SLOTS,
+        _domain_signatures,
+    )
+
+    text1 = "alpha beta gamma delta epsilon zeta eta theta"
+    text2 = "one two three four five six seven eight nine"
+    docs = spark.createDataFrame(
+        [
+            ("same_a", text1),
+            ("same_b", text1),
+            ("other", text2),
+            ("mix", text1 + " " + text2),
+        ],
+        "source string, text string",
+    )
+    _, sigs = _domain_signatures(docs)
+    s = {r["source"]: r for r in sigs.collect()}
+
+    def agree(x, y):
+        return sum(
+            s[x][f"s{i}"] == s[y][f"s{i}"] for i in range(_DMH_SLOTS)
+        )
+
+    assert agree("same_a", "same_b") == _DMH_SLOTS
+    assert agree("same_a", "other") == 0
+    assert 0 < agree("mix", "same_a") < _DMH_SLOTS
+
+
+def test_domain_minhash_report_invariants(spark, sf_dir):
+    """Registry form on real data: every unordered domain pair appears
+    exactly once, the audit columns are internally consistent
+    (inter <= min side, union = a + b - inter, exact micro-Jaccard is
+    the integer division of its own audit columns), and the estimate
+    is a valid slot fraction."""
+    from mysql_cdc_to_http_spark.queries.llm import (
+        _DMH_SLOTS,
+        q_domain_minhash,
+    )
+
+    rows = q_domain_minhash(spark, sf_dir).collect()
+    doms = sorted({r["domain_a"] for r in rows} | {r["domain_b"] for r in rows})
+    assert len(rows) == len(doms) * (len(doms) - 1) // 2
+    for r in rows:
+        assert 0 <= r["slots_matched"] <= _DMH_SLOTS
+        assert r["jaccard_est_micro"] == r["slots_matched"] * 1000000 // _DMH_SLOTS
+        assert r["union_exact"] >= r["inter_exact"] >= 0
+        assert (
+            r["jaccard_exact_micro"]
+            == r["inter_exact"] * 1000000 // r["union_exact"]
+        )
