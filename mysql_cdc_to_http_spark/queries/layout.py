@@ -236,3 +236,171 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# --------------------------------------------------------------------------
+# X227 — rendezvous (highest-random-weight) sharding + rebalance audit:
+# the shard-assignment policy that survives resizing. mod-N hashing
+# reassigns ~(1 − stay%) of ALL keys when the shard count changes
+# (16→20 keeps only keys with h%16 == h%20 — 20% of hash space);
+# rendezvous hashing (Thaler & Ravishankar 1998) moves EXACTLY the keys
+# whose argmax lands on a new shard — 4/20 = 20% expected, a 4× smaller
+# reshuffle for the same resize, with no ring metadata (vs consistent
+# hashing) and per-key O(shards) pure hashing.
+# --------------------------------------------------------------------------
+_RDV_OLD = 16
+_RDV_NEW = 20
+
+
+def _rdv_list_spark(n: int) -> str:
+    # conv() returns STRING — the CAST inside the lambda is load-bearing:
+    # without it array_max compares lexicographically, not numerically.
+    return (
+        f"transform(sequence(0, {n - 1}), s -> CAST(conv(substring(md5("
+        f"concat_ws('|', 'rdv-v1', CAST(key AS STRING),"
+        f" CAST(s AS STRING))), 1, 15), 16, 10) AS BIGINT))"
+    )
+
+
+def _rdv_list_sql(n: int) -> str:
+    return (
+        f"list_transform(range(0, {n}), s -> ('0x' || substr(md5("
+        f"'rdv-v1|' || CAST(key AS VARCHAR) || '|' || CAST(s AS VARCHAR)"
+        f"), 1, 15))::BIGINT)"
+    )
+
+
+_RDV_ORACLE = f"""
+WITH keys AS (
+  SELECT o_orderkey AS key FROM orders
+),
+assigned AS (
+  SELECT key,
+         ('0x' || substr(md5('rdvk|' || CAST(key AS VARCHAR)), 1, 15))::BIGINT
+           AS h0,
+         list_indexof({_rdv_list_sql(_RDV_OLD)},
+           list_aggregate({_rdv_list_sql(_RDV_OLD)}, 'max')) - 1 AS rdv_old,
+         list_indexof({_rdv_list_sql(_RDV_NEW)},
+           list_aggregate({_rdv_list_sql(_RDV_NEW)}, 'max')) - 1 AS rdv_new
+  FROM keys
+),
+stacked AS (
+  SELECT 'mod' AS scheme, h0 % {_RDV_OLD} AS old_shard,
+         h0 % {_RDV_NEW} AS new_shard FROM assigned
+  UNION ALL
+  SELECT 'rendezvous' AS scheme, rdv_old AS old_shard,
+         rdv_new AS new_shard FROM assigned
+),
+loads AS (
+  SELECT scheme, new_shard,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END)
+              AS BIGINT) AS moved
+  FROM stacked GROUP BY scheme, new_shard
+)
+SELECT scheme,
+       CAST(SUM(cnt) AS BIGINT) AS rows_total,
+       CAST(SUM(moved) AS BIGINT) AS rows_moved,
+       CAST(SUM(moved) * 1000000 // SUM(cnt) AS BIGINT)
+         AS moved_ratio_micro,
+       CAST(COUNT(*) AS BIGINT) AS shards_used,
+       CAST(MAX(cnt) * {_RDV_NEW} * 1000000 // SUM(cnt) AS BIGINT)
+         AS max_load_micro
+FROM loads
+GROUP BY scheme
+ORDER BY scheme
+"""
+
+
+@query("q_rendezvous_shards", oracle=_RDV_ORACLE)
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X227 — rendezvous-hash shard assignment with a 16→20 resize
+    audit: per scheme, how many rows a resize forces to move
+    (moved_ratio_micro) and how balanced the new assignment is
+    (max_load_micro = heaviest shard × shards ÷ rows; 1 000 000 ==
+    perfectly even). mod-N moves ~80 % of every key on this resize
+    (h%16 == h%20 only for 16/80ths of hash space); rendezvous moves
+    ~20 % — exactly the keys whose highest-random-weight shard is one
+    of the 4 new ones — the minimum any stateless policy can achieve.
+
+    Exactness: every weight is the md5→15-hex→long primitive; argmax =
+    array_position(array_max) — 60-bit weights make ties impossible in
+    practice and both engines resolve a tie to the FIRST position of
+    the same value list, so the assignment is engine-exact; ratios are
+    integer micro-unit divisions of non-negatives.
+
+    Scale shape: assignment is a pure PROJECTION — per key, O(shards)
+    hashes inside one codegen'd higher-order function; NO shuffle until
+    the 40-group (scheme × shard) load aggregate and the 2-row rollup.
+    At 10⁹ keys × 1000 shards the per-key argmax list is the only cost
+    that grows; production systems cut it with a two-level (rack →
+    shard) rendezvous tree — same operator, composed twice. The audit
+    is what you run BEFORE a resize to size the data motion it will
+    cause (shard migration at 100 TB is the expensive step)."""
+    keys = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key")
+    )
+    assigned = keys.select(
+        "key",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("rdvk"), F.col("key"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h0"),
+        F.expr(
+            f"array_position({_rdv_list_spark(_RDV_OLD)},"
+            f" array_max({_rdv_list_spark(_RDV_OLD)})) - 1"
+        )
+        .cast("long")
+        .alias("rdv_old"),
+        F.expr(
+            f"array_position({_rdv_list_spark(_RDV_NEW)},"
+            f" array_max({_rdv_list_spark(_RDV_NEW)})) - 1"
+        )
+        .cast("long")
+        .alias("rdv_new"),
+    )
+    stacked = assigned.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("mod").alias("scheme"),
+                    (F.col("h0") % _RDV_OLD).alias("old_shard"),
+                    (F.col("h0") % _RDV_NEW).alias("new_shard"),
+                ),
+                F.struct(
+                    F.lit("rendezvous").alias("scheme"),
+                    F.col("rdv_old").alias("old_shard"),
+                    F.col("rdv_new").alias("new_shard"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.scheme", "s.old_shard", "s.new_shard")
+    loads = stacked.groupBy("scheme", "new_shard").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(
+            F.when(F.col("old_shard") != F.col("new_shard"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("moved"),
+    )
+    return (
+        loads.groupBy("scheme")
+        .agg(
+            F.sum("cnt").cast("long").alias("rows_total"),
+            F.sum("moved").cast("long").alias("rows_moved"),
+            F.expr(
+                "CAST(sum(moved) * 1000000 div sum(cnt) AS BIGINT)"
+            ).alias("moved_ratio_micro"),
+            F.count(F.lit(1)).cast("long").alias("shards_used"),
+            F.expr(
+                f"CAST(max(cnt) * {_RDV_NEW} * 1000000 div sum(cnt)"
+                " AS BIGINT)"
+            ).alias("max_load_micro"),
+        )
+        .orderBy("scheme")
+    )

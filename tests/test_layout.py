@@ -310,3 +310,40 @@ def test_zorder_layout_audit_plan_shape(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- X227: rendezvous sharding rebalance audit -------------------------------
+
+
+def test_rendezvous_resize_moves_minimum(spark, sf_dir):
+    """The policy contract: on a 16→20 resize, rendezvous moves ~4/20 of
+    keys (only those whose argmax lands on a new shard — the stateless
+    minimum) while mod-N moves ~4/5 (only h%80 < 16 of hash space keeps
+    its shard). Both schemes place every key and stay reasonably
+    balanced."""
+    from mysql_cdc_to_http_spark.queries.layout import q_rendezvous_shards
+
+    rows = {
+        r["scheme"]: r for r in q_rendezvous_shards(spark, sf_dir).collect()
+    }
+    mod, rdv = rows["mod"], rows["rendezvous"]
+    assert mod["rows_total"] == rdv["rows_total"] > 0
+    # theory 800000 vs 200000 micro; generous bands for small-sf noise
+    assert mod["moved_ratio_micro"] > 700_000
+    assert rdv["moved_ratio_micro"] < 300_000
+    assert rdv["rows_moved"] * 3 < mod["rows_moved"]
+    # all 20 new shards used; heaviest shard within 2x of even
+    assert mod["shards_used"] == rdv["shards_used"] == 20
+    assert rdv["max_load_micro"] < 2_000_000
+    assert mod["max_load_micro"] < 2_000_000
+
+
+def test_rendezvous_assignment_is_projection(spark, sf_dir):
+    """Scale contract: shard assignment shuffles NOTHING — the only
+    exchanges feed the (scheme × shard) load aggregate and the 2-row
+    rollup. No join of any kind appears in the plan."""
+    from mysql_cdc_to_http_spark.queries.layout import q_rendezvous_shards
+
+    plan = _plan(q_rendezvous_shards(spark, sf_dir))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
