@@ -376,25 +376,46 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out of the JSON text — validating the full serialize→parse loop
     (doubles survive via shortest-repr round-trip). Every 50th payload is
     ALSO rebuilt WITHOUT a source field — the reference panics on those
-    (main.go:428-429); the engine dead-letters them as 'unknown_table'."""
+    (main.go:428-429); the engine dead-letters them as 'unknown_table'.
+
+    Round-11 perf: ONE ``from_json`` parse per payload (a projection
+    pulling op/table/price out of the parsed struct) instead of three
+    ``get_json_object`` calls that each re-parsed the full JSON text —
+    same values (doubles take the same shortest-repr→binary path), a
+    third of the parse work. The dead-letter twin keeps
+    ``extract_table_name`` — the fallback semantics under test."""
     ev = synthetic_change_events(spark, sf_dir)
     full = serialize(
         F.struct("before", "after", "source", "op", "offset", "ts_ms")
     )
     no_source = serialize(F.struct("op", "offset"))
     maybe_broken = F.when(F.col("offset") % 50 == 0, no_source).otherwise(full)
+    # Range-repartition the narrow (offset, payload) projection BEFORE
+    # the parse: a small parquet file scans as one split, which would
+    # serialize all JSON work on one core, and the range partitioning
+    # already satisfies the final orderBy's required distribution so the
+    # sort stays partition-local — one shuffle total, same as before.
     with_payload = ev.select(
         F.col("offset").alias("offset_id"),
         full.alias("p"),
         maybe_broken.alias("p_maybe_broken"),
+    ).repartitionByRange(
+        spark.sparkContext.defaultParallelism, "offset_id"
     )
-    return with_payload.select(
+    parsed_schema = (
+        "op STRING, source STRUCT<table: STRING>,"
+        " after STRUCT<o_totalprice: DOUBLE>"
+    )
+    parsed = with_payload.select(
         "offset_id",
-        F.get_json_object("p", "$.op").alias("op_j"),
-        F.get_json_object("p", "$.source.table").alias("tbl_j"),
-        F.get_json_object("p", "$.after.o_totalprice").cast("double").alias(
-            "after_price_j"
-        ),
+        F.from_json("p", parsed_schema).alias("j"),
+        "p_maybe_broken",
+    )
+    return parsed.select(
+        "offset_id",
+        F.col("j.op").alias("op_j"),
+        F.col("j.source.table").alias("tbl_j"),
+        F.col("j.after.o_totalprice").alias("after_price_j"),
         extract_table_name(F.col("p_maybe_broken")).alias("tbl_extracted"),
     ).orderBy("offset_id")
 

@@ -274,15 +274,19 @@ _RDV_ORACLE = f"""
 WITH keys AS (
   SELECT o_orderkey AS key FROM orders
 ),
-assigned AS (
+weighted AS (
   SELECT key,
          ('0x' || substr(md5('rdvk|' || CAST(key AS VARCHAR)), 1, 15))::BIGINT
            AS h0,
-         list_indexof({_rdv_list_sql(_RDV_OLD)},
-           list_aggregate({_rdv_list_sql(_RDV_OLD)}, 'max')) - 1 AS rdv_old,
-         list_indexof({_rdv_list_sql(_RDV_NEW)},
-           list_aggregate({_rdv_list_sql(_RDV_NEW)}, 'max')) - 1 AS rdv_new
+         {_rdv_list_sql(_RDV_NEW)} AS w_new
   FROM keys
+),
+assigned AS (
+  SELECT key, h0,
+         list_indexof(w_new[1:{_RDV_OLD}],
+           list_aggregate(w_new[1:{_RDV_OLD}], 'max')) - 1 AS rdv_old,
+         list_indexof(w_new, list_aggregate(w_new, 'max')) - 1 AS rdv_new
+  FROM weighted
 ),
 stacked AS (
   SELECT 'mod' AS scheme, h0 % {_RDV_OLD} AS old_shard,
@@ -337,10 +341,23 @@ def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard) rendezvous tree — same operator, composed twice. The audit
     is what you run BEFORE a resize to size the data motion it will
     cause (shard migration at 100 TB is the expensive step)."""
-    keys = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("key")
+    # Repartition the bare key column before the hash-heavy projection:
+    # the shuffle moves only 8 bytes/row, but a small parquet file scans
+    # as ONE split, which would serialize all O(keys x shards) md5 work
+    # onto a single core. At cluster scale the scan is already split by
+    # maxPartitionBytes and this exchange stays proportional to the key
+    # column, never the table.
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("key"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    assigned = keys.select(
+    # Materialize the 20-slot weight list ONCE per key; the 16-slot list
+    # is its prefix (same hash formula, s = 0..15), so the resize audit
+    # costs 20 md5 evaluations per key, not 2x(16+20) as it would if the
+    # transform(...) were re-stated inside both array_position and
+    # array_max (codegen does not CSE across those call sites).
+    weighted = keys.select(
         "key",
         F.conv(
             F.substring(
@@ -351,16 +368,15 @@ def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("h0"),
-        F.expr(
-            f"array_position({_rdv_list_spark(_RDV_OLD)},"
-            f" array_max({_rdv_list_spark(_RDV_OLD)})) - 1"
-        )
+        F.expr(_rdv_list_spark(_RDV_NEW)).alias("w_new"),
+    ).withColumn("w_old", F.slice(F.col("w_new"), 1, _RDV_OLD))
+    assigned = weighted.select(
+        "key",
+        "h0",
+        (F.array_position(F.col("w_old"), F.array_max(F.col("w_old"))) - 1)
         .cast("long")
         .alias("rdv_old"),
-        F.expr(
-            f"array_position({_rdv_list_spark(_RDV_NEW)},"
-            f" array_max({_rdv_list_spark(_RDV_NEW)})) - 1"
-        )
+        (F.array_position(F.col("w_new"), F.array_max(F.col("w_new"))) - 1)
         .cast("long")
         .alias("rdv_new"),
     )

@@ -1126,3 +1126,19 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     n = j.count()
     want = orders.filter(F.col("o_year") == 1995).count()
     assert n == want > 0
+
+
+def test_rendezvous_weight_list_materialized_once(spark, sf_dir):
+    """X227 (round-11 fix): the per-key rendezvous weight list must be
+    built by exactly ONE transform(sequence(...)) in the optimized plan
+    — one md5 per (key, shard) plus one for h0 — not re-stated inside
+    each array_position/array_max call site (codegen does not CSE
+    across them; the re-stated form costs ~2x(16+20) hashes per key).
+    The 16-slot list must be a slice of the 20-slot list, never a
+    second transform."""
+    df = QUERIES["q_rendezvous_shards"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("transform(") == 1, opt
+    # exactly two md5 call sites: h0 and the transform lambda body
+    assert opt.count("md5(") == 2, opt
+    assert "slice(" in opt, opt
