@@ -2067,6 +2067,12 @@ def _schema_evolution_cache(spark: SparkSession, sf_dir: str) -> str:
                     os.rename(stage, data)
                 except OSError:
                     shutil.rmtree(stage, ignore_errors=True)
+                    # Retry can fail for a non-race reason (EXDEV, perms)
+                    # AFTER the partial tree was renamed away — verify the
+                    # publish landed; re-raise instead of returning a path
+                    # that may no longer exist (round-10 advice).
+                    if not os.path.exists(done):
+                        raise
     return data
 
 

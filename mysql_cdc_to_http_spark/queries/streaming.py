@@ -89,6 +89,12 @@ def _events_stream_dir(
                     os.rename(stage, out)
                 except OSError:
                     shutil.rmtree(stage, ignore_errors=True)
+                    # Retry can fail for a non-race reason (EXDEV, perms)
+                    # AFTER the partial tree was renamed away — verify the
+                    # publish landed; re-raise instead of returning a path
+                    # that may no longer exist (round-10 advice).
+                    if not os.path.exists(done):
+                        raise
     return out
 
 
@@ -633,6 +639,11 @@ def _queue_dir(spark: SparkSession, sf_dir: str) -> str:
             os.rename(stage, out)
         except OSError:
             shutil.rmtree(stage, ignore_errors=True)
+            # Verify the concurrent winner actually published a complete
+            # tree; re-raise the rename failure if nothing usable exists
+            # (round-10 advice — same class as _events_stream_dir).
+            if not os.path.exists(os.path.join(out, "_done")):
+                raise
     return out
 
 

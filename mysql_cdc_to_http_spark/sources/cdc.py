@@ -217,6 +217,14 @@ def write_event_files(
                 _swap_in()
             except OSError:
                 shutil.rmtree(stage, ignore_errors=True)
+                # The retry may fail for a NON-race reason (EXDEV, perms)
+                # after _swap_in already renamed the partial tree away —
+                # returning an unverified path would surface as a baffling
+                # downstream read error. Verify the publish actually
+                # exists; re-raise the publish failure if not (round-10
+                # advice).
+                if not os.path.exists(done):
+                    raise
     return out
 
 

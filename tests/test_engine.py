@@ -519,7 +519,13 @@ def test_http_sink_token_bucket_rate_limit(spark):
         post_rows(f"{base}/g", iter(rows))
         unlimited = time.perf_counter() - t1
         assert len(_Sink.hits) == n
-        assert unlimited < 0.5, unlimited  # no pacing on the default path
+        # No pacing on the default path: compare against the LIMITED run
+        # instead of an absolute wall-clock ceiling — 40 POSTs through a
+        # ThreadingHTTPServer under full-suite CPU contention can blow
+        # any absolute bound, but ambient load hits both runs, and the
+        # limited run carries >= 0.7 s of deliberate sleep the unlimited
+        # one must lack (round-10 advice).
+        assert unlimited < limited, (unlimited, limited)
 
         # ONE bucket per PARTITION, not per (partition, group): the same
         # 40 rows split across 4 groups must pace identically through the
