@@ -99,13 +99,26 @@ def _events_stream_dir(
 
 
 def _stream_events(
-    spark: SparkSession, sf_dir: str, dup: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    dup: bool = False,
+    files_per_trigger: int = 1,
 ) -> DataFrame:
+    """``files_per_trigger`` sets micro-batch granularity. Default 1 (one
+    file per batch) maximizes cross-batch semantics — late-data drops,
+    per-batch watermark steps — and is what the order-sensitive queries
+    (q_stream_watermark, dedup, sessionization) require. The stream-stream
+    join trio passes 2: the emitted set of a watermarked interval join is
+    decided by the FINAL watermark (the no-data flush batch emits every
+    expired null row), so halving the batch count keeps results and
+    cross-batch state matching identical while halving the fixed per-batch
+    state-commit floor across its 5 stateful stages (round-10 verdict #4:
+    the trio was 6.6% of the suite, all scheduling floor)."""
     out = _events_stream_dir(spark, sf_dir, dup=dup)
     schema = spark.read.parquet(os.path.join(out, "data")).schema
     return (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(os.path.join(out, "data"))
     )
 
@@ -312,7 +325,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted exactly once as soon as both sides arrive — so the batch
     self-join IS the oracle."""
     left = (
-        _stream_events(spark, sf_dir)
+        _stream_events(spark, sf_dir, files_per_trigger=2)
         .select(
             F.col("event_id").alias("left_id"),
             "user_id",
@@ -321,7 +334,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("left_ts", "10 minutes")
     )
     right = (
-        _stream_events(spark, sf_dir)
+        _stream_events(spark, sf_dir, files_per_trigger=2)
         .select(
             F.col("event_id").alias("right_id"),
             F.col("user_id").alias("r_user_id"),
@@ -1067,7 +1080,7 @@ def q_stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOTHING. State sizing matches the inner form (watermark + interval
     bound evict both buffers)."""
     left = (
-        _stream_events(spark, sf_dir)
+        _stream_events(spark, sf_dir, files_per_trigger=2)
         .select(
             F.col("event_id").alias("left_id"),
             "user_id",
@@ -1076,7 +1089,7 @@ def q_stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("left_ts", "10 minutes")
     )
     right = (
-        _stream_events(spark, sf_dir)
+        _stream_events(spark, sf_dir, files_per_trigger=2)
         .select(
             F.col("event_id").alias("right_id"),
             F.col("user_id").alias("r_user_id"),
@@ -1322,7 +1335,7 @@ def q_stream_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     forwarder (main.go:94-113) has no join surface at all; this rung
     exists for the analytics engine the brief orders on top."""
     left = (
-        _stream_events(spark, sf_dir)
+        _stream_events(spark, sf_dir, files_per_trigger=2)
         .select(
             F.col("event_id").alias("left_id"),
             "user_id",
@@ -1331,7 +1344,7 @@ def q_stream_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("left_ts", "10 minutes")
     )
     right = (
-        _stream_events(spark, sf_dir)
+        _stream_events(spark, sf_dir, files_per_trigger=2)
         .select(
             F.col("event_id").alias("right_id"),
             F.col("user_id").alias("r_user_id"),
