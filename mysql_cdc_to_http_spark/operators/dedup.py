@@ -894,12 +894,22 @@ def prefix_filter_pairs(
     this operator's contract."""
     from pyspark.sql.window import Window as W
 
-    toks = docs.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.split(normalize_text(F.col(text_col)), " ")
-        ).alias("toks"),
-    ).withColumn("n", F.size("toks"))
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    # Persisted: the tokenized corpus feeds THREE consumers in one DAG
+    # (the posting-list flatten, and both verify-side payload lookups);
+    # without persist each re-reads and re-tokenizes the corpus. Sized
+    # at one array row per doc — the same budget as the doc itself.
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.array_distinct(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("toks"),
+        )
+        .withColumn("n", F.size("toks"))
+        .persist()
+    )
     flat = toks.select(id_col, "n", F.explode("toks").alias("tok"))
     df_rank = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = flat.join(df_rank, "tok")
@@ -940,10 +950,20 @@ def prefix_filter_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # Spread the exact verify: on a template-dense corpus the candidate
+    # set is the operator's volume (posting-list pairs >> true pairs),
+    # and AQE would coalesce the small-byte-size distinct output to one
+    # partition — serializing every array_intersect. An explicit
+    # repartition (not subject to AQE coalescing) keeps verify wide; the
+    # token payloads broadcast when corpus-small (Catalyst's choice —
+    # forcing it would break the corpus-sized payload case at scale).
+    cands = cands.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
     ta = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("ta"))
     tb = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("tb"))
     inter = F.size(F.array_intersect("ta", "tb"))
-    return (
+    verified = (
         cands.join(ta, "id_a")
         .join(tb, "id_b")
         .select(
@@ -957,3 +977,4 @@ def prefix_filter_pairs(
             >= F.lit(threshold_num) * F.col("uni")
         )
     )
+    return register_cached(verified, [toks])
