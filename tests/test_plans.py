@@ -1142,3 +1142,22 @@ def test_rendezvous_weight_list_materialized_once(spark, sf_dir):
     # exactly two md5 call sites: h0 and the transform lambda body
     assert opt.count("md5(") == 2, opt
     assert "slice(" in opt, opt
+
+
+def test_winnow_pair_join_is_fingerprint_bucketed(spark, sf_dir):
+    """X224 (round-11): the winnowing candidate pair join must be an
+    EQUI-join on the fingerprint (hash-partition exchange on fp —
+    bucket-local candidates, the LSH discipline), never a nested-loop
+    over doc×doc with the fp equality as a post-filter. The
+    doc-frequency stop-gram cap (fp in >50 docs dropped) must sit
+    BELOW the join, so no over-cap posting list ever enters it."""
+    df = QUERIES["q_winnow_fingerprints"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the pair join's equi-key is the fingerprint itself
+    assert "fp" in plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # the frequency cap is a filter on the aggregated fp counts (c <= 50)
+    # feeding the join, not applied after pair formation
+    assert "<= 50" in opt, opt
