@@ -523,3 +523,94 @@ def kcenter_coreset(
         return selections, scored
     finally:
         c.unpersist()
+
+
+def maintain_ivf_index(
+    old_index: DataFrame,
+    upserts: DataFrame,
+    delete_keys: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF index maintenance under CDC churn (X228): update
+    a materialized ``assign_buckets`` index to reflect vector
+    upserts/deletes touching only delta-sized work — the X94
+    ``maintain_joined_view`` discipline applied to the ANN ladder, which
+    is what a 100 TB embedding store actually runs (re-bucketing the
+    corpus per churn batch would be a full index rebuild each time).
+
+    ``old_index``: (id, cv, bucket) as produced by ``assign_buckets``.
+    ``upserts``: (id, vec) rows inserted or re-embedded. ``delete_keys``:
+    one-column id frame of deletions.
+
+    Derivation: an index row is stale iff its vector was deleted or
+    re-embedded — drop those via ONE broadcast anti-join on the
+    (change-sized) touched-key union, then append the upserts assigned
+    by the SAME centroid projection that built the index. Centroids stay
+    fixed between retrains, so incremental == full rebuild EXACTLY (the
+    identity is this operator's contract, property-tested row-exactly
+    and oracle-checked by q_knn_ivf_incremental); drift is watched by
+    ``ivf_staleness`` and a retrain is an explicit, gated event — never
+    an implicit per-batch cost.
+
+    Scale shape: the anti-join broadcasts touched keys (delta-sized by
+    definition); assignment of the delta is the usual zero-shuffle
+    centroid-literal projection; the union appends without reshuffling
+    the surviving index. State is the index itself — at production
+    scale, a bucket-partitioned table maintained via MERGE INTO."""
+    touched = (
+        delete_keys.select(F.col(delete_keys.columns[0]).alias(id_col))
+        .unionByName(upserts.select(id_col))
+        .distinct()
+    )
+    kept = old_index.join(F.broadcast(touched), id_col, "left_anti")
+    reassigned = assign_buckets(
+        upserts, centroids, id_col=id_col, vec_col=vec_col
+    )
+    return kept.unionByName(reassigned.select(*kept.columns))
+
+
+def ivf_staleness(
+    old_index: DataFrame, new_index: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Centroid-staleness audit for the retrain gate: one row with the
+    sizes of both index generations, how many surviving vectors CHANGED
+    bucket (re-embedding drift — the signal that the fixed centroids no
+    longer describe the data), arrivals/departures, and
+    ``stale_micro`` = moved+in+out per million of the new index. The
+    caller retrains (recompute centroids + one full re-bucketing) only
+    when stale_micro crosses its threshold — the gate that keeps
+    incremental maintenance from silently degrading recall. All counts
+    integer; the ratio is a truncated micro-unit division, so the audit
+    is engine-exact."""
+    o = old_index.select(F.col(id_col).alias("id"), F.col("bucket").alias("ob"))
+    n = new_index.select(F.col(id_col).alias("id"), F.col("bucket").alias("nb"))
+    j = o.join(n, "id", "full_outer")
+    return j.agg(
+        F.count("ob").cast("long").alias("n_old"),
+        F.count("nb").cast("long").alias("n_new"),
+        F.sum(
+            F.when(
+                F.col("ob").isNotNull()
+                & F.col("nb").isNotNull()
+                & (F.col("ob") != F.col("nb")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_moved"),
+        F.sum(F.when(F.col("ob").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_in"),
+        F.sum(F.when(F.col("nb").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_out"),
+        F.expr(
+            "CAST((sum(CASE WHEN ob IS NOT NULL AND nb IS NOT NULL"
+            " AND ob != nb THEN 1 ELSE 0 END)"
+            " + sum(CASE WHEN ob IS NULL THEN 1 ELSE 0 END)"
+            " + sum(CASE WHEN nb IS NULL THEN 1 ELSE 0 END)) * 1000000"
+            " div count(nb) AS BIGINT)"
+        ).alias("stale_micro"),
+    )

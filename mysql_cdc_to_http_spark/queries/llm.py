@@ -30,6 +30,7 @@ from mysql_cdc_to_http_spark.operators.similarity import (
     cosine_topk_bruteforce,
     hyperplane_lsh_pairs,
     ivf_topk,
+    maintain_ivf_index,
     sample_centroids,
 )
 from mysql_cdc_to_http_spark.queries.registry import query
@@ -821,6 +822,123 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = assign_buckets(corpus, centroids)
     return ivf_topk(queries, bucketed, centroids, k=3, nprobe=4).orderBy(
         "query_id", "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# X228 — incremental IVF index maintenance under CDC churn: the bridge
+# between the engine's CDC surface (X87/X94 diff-and-maintain) and the
+# ANN ladder (X45). The maintained index must equal a from-scratch
+# rebuild with the same centroids — the oracle recomputes exactly that.
+# --------------------------------------------------------------------------
+@query(
+    "q_knn_ivf_incremental",
+    oracle="""
+    WITH corpus_old AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= 10
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      FROM corpus_old ORDER BY vec_id LIMIT 16
+    ),
+    corpus_new AS (
+      SELECT vec_id, v FROM corpus_old
+      WHERE vec_id % 23 != 0 AND vec_id % 7 != 0
+      UNION ALL
+      SELECT vec_id, list_reverse(v) FROM corpus_old
+      WHERE vec_id % 7 = 0 AND vec_id % 23 != 0
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(v, x -> -x)
+      FROM corpus_old WHERE vec_id % 31 = 0
+    ),
+    new_assign AS (
+      SELECT c.vec_id,
+             (SELECT cid FROM (
+                SELECT cid, list_cosine_similarity(c.v, cents.cv) AS s
+                FROM cents
+              ) ORDER BY s DESC, cid LIMIT 1) AS bucket
+      FROM corpus_new c
+    ),
+    old_assign AS (
+      SELECT c.vec_id,
+             (SELECT cid FROM (
+                SELECT cid, list_cosine_similarity(c.v, cents.cv) AS s
+                FROM cents
+              ) ORDER BY s DESC, cid LIMIT 1) AS bucket
+      FROM corpus_old c
+    )
+    SELECT CAST(n.bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(n.vec_id) AS BIGINT) AS sum_id,
+           CAST(SUM(CASE WHEN o.bucket IS NULL OR o.bucket != n.bucket
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_arrivals
+    FROM new_assign n LEFT JOIN old_assign o ON o.vec_id = n.vec_id
+    GROUP BY n.bucket ORDER BY bucket
+    """,
+)
+def q_knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X228 — incremental IVF index maintenance under CDC churn
+    (operators/similarity.py:maintain_ivf_index): the materialized
+    nearest-centroid index is updated for a deterministic churn batch —
+    deletes (vec_id % 23), re-embeddings (% 7, reversed vector — a
+    drastic embedding change that can move its bucket), inserts (% 31,
+    negated vector under a new id) — touching only delta-sized work:
+    one broadcast anti-join on touched keys plus the zero-shuffle
+    centroid projection over the delta.
+
+    The IDENTITY is the contract: with centroids fixed between
+    retrains, incremental maintenance must equal a full re-bucketing of
+    the post-churn corpus — the oracle computes that rebuild from
+    scratch (same 16 lowest-id centroids, cosine argmax with
+    first-position tie-break), so hash parity certifies the maintenance
+    algebra, not just row counts. Per-bucket occupancy plus
+    ``n_arrivals`` (vectors whose bucket differs from their old
+    assignment, or brand-new) audits the churn the index absorbed;
+    ``ivf_staleness`` turns the same numbers into the retrain gate
+    (property- and streaming-fold-tested in tests/test_llm_ops.py).
+
+    Cross-engine exactness: argmax margins on this corpus dwarf float
+    noise (the q_kmeans rule — dot-with-unit-centroid ranks identically
+    to cosine; verified at sf0.001/0.01/0.1); all output columns are
+    integer counts/sums."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus_old = emb.filter(F.col("vec_id") >= 10)
+    centroids = sample_centroids(corpus_old, n_centroids=16)
+    old_index = assign_buckets(corpus_old, centroids)
+    deletes = corpus_old.filter(F.col("vec_id") % 23 == 0).select("vec_id")
+    reembeds = corpus_old.filter(
+        (F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 23 != 0)
+    ).select("vec_id", F.reverse("embedding").alias("embedding"))
+    inserts = corpus_old.filter(F.col("vec_id") % 31 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    maintained = maintain_ivf_index(
+        old_index, reembeds.unionByName(inserts), deletes, centroids
+    )
+    old_b = old_index.select(
+        "vec_id", F.col("bucket").alias("old_bucket")
+    )
+    return (
+        maintained.join(old_b, "vec_id", "left")
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("vec_id").cast("long").alias("sum_id"),
+            F.sum(
+                F.when(
+                    F.col("old_bucket").isNull()
+                    | (F.col("old_bucket") != F.col("bucket")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_arrivals"),
+        )
+        .orderBy("bucket")
     )
 
 

@@ -1581,3 +1581,135 @@ def test_domain_minhash_report_invariants(spark, sf_dir):
             r["jaccard_exact_micro"]
             == r["inter_exact"] * 1000000 // r["union_exact"]
         )
+
+
+# ---------------------------------------------------------------------------
+# X228 — incremental IVF index maintenance under CDC churn
+# ---------------------------------------------------------------------------
+def _ivf_churn_fixture(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.operators.similarity import (
+        assign_buckets,
+        sample_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus_old = emb.filter(F.col("vec_id") >= 10)
+    centroids = sample_centroids(corpus_old, n_centroids=16)
+    old_index = assign_buckets(corpus_old, centroids)
+    deletes = corpus_old.filter(F.col("vec_id") % 23 == 0).select("vec_id")
+    reembeds = corpus_old.filter(
+        (F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 23 != 0)
+    ).select("vec_id", F.reverse("embedding").alias("embedding"))
+    inserts = corpus_old.filter(F.col("vec_id") % 31 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    corpus_new = (
+        corpus_old.join(deletes, "vec_id", "left_anti")
+        .join(reembeds.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(reembeds)
+        .unionByName(inserts)
+    )
+    return corpus_old, centroids, old_index, deletes, reembeds, inserts, corpus_new
+
+
+def test_ivf_incremental_equals_full_rebuild(spark, sf_dir):
+    """X228 identity contract: maintain_ivf_index over the churn batch
+    must reproduce assign_buckets over the post-churn corpus ROW-EXACTLY
+    (same ids, same buckets) — the property that makes incremental
+    maintenance trustworthy between retrains."""
+    from mysql_cdc_to_http_spark.operators.similarity import (
+        assign_buckets,
+        maintain_ivf_index,
+    )
+
+    (_, centroids, old_index, deletes, reembeds, inserts, corpus_new) = (
+        _ivf_churn_fixture(spark, sf_dir)
+    )
+    maintained = maintain_ivf_index(
+        old_index, reembeds.unionByName(inserts), deletes, centroids
+    )
+    rebuilt = assign_buckets(corpus_new, centroids)
+    got = {(r["vec_id"], r["bucket"]) for r in maintained.collect()}
+    want = {(r["vec_id"], r["bucket"]) for r in rebuilt.collect()}
+    assert got == want
+    # churn actually exercised every path: deletions happened, at least
+    # one re-embedding moved bucket, inserts arrived under new ids
+    old = {r["vec_id"]: r["bucket"] for r in old_index.collect()}
+    new = dict(got)
+    assert set(old) - set(new), "no deletions"
+    assert any(k >= 100000 for k in new), "no inserts"
+    moved = [k for k in set(old) & set(new) if old[k] != new[k]]
+    assert moved, "no re-embedding changed bucket (fixture too weak)"
+
+
+def test_ivf_incremental_foreachbatch_fold(spark, sf_dir):
+    """X228 streaming form: the churn applied as TWO successive
+    delta batches (the foreachBatch discipline — each batch folds
+    maintain_ivf_index over the running index) must land on the same
+    index as the one-shot batch rebuild. Order matters: batch 2's
+    re-embeds overwrite batch 1 state only via the anti-join+append
+    algebra, so this pins idempotent-fold correctness."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.operators.similarity import (
+        assign_buckets,
+        maintain_ivf_index,
+    )
+
+    (_, centroids, old_index, deletes, reembeds, inserts, corpus_new) = (
+        _ivf_churn_fixture(spark, sf_dir)
+    )
+    # split the churn by key parity into two micro-batches
+    state = old_index
+    for parity in (0, 1):
+        d = deletes.filter(F.col("vec_id") % 2 == parity)
+        u = (
+            reembeds.unionByName(inserts)
+            .filter(F.col("vec_id") % 2 == parity)
+        )
+        state = maintain_ivf_index(state, u, d, centroids)
+        # localCheckpoint stands in for the per-batch state-store write
+        state = state.localCheckpoint(eager=True)
+    rebuilt = assign_buckets(corpus_new, centroids)
+    got = {(r["vec_id"], r["bucket"]) for r in state.collect()}
+    want = {(r["vec_id"], r["bucket"]) for r in rebuilt.collect()}
+    assert got == want
+
+
+def test_ivf_staleness_gate(spark, sf_dir):
+    """ivf_staleness audits churn absorbed by the index: counts must
+    reconcile with the fixture's arithmetic and the retrain gate fires
+    only above threshold. Identity case: staleness of an index against
+    itself is zero."""
+    from mysql_cdc_to_http_spark.operators.similarity import (
+        assign_buckets,
+        ivf_staleness,
+        maintain_ivf_index,
+    )
+
+    (_, centroids, old_index, deletes, reembeds, inserts, _) = (
+        _ivf_churn_fixture(spark, sf_dir)
+    )
+    maintained = maintain_ivf_index(
+        old_index, reembeds.unionByName(inserts), deletes, centroids
+    )
+    row = ivf_staleness(old_index, maintained).collect()[0]
+    n_old = old_index.count()
+    assert row["n_old"] == n_old
+    assert row["n_out"] == deletes.count()
+    assert row["n_in"] == inserts.count()
+    assert 0 < row["n_moved"] <= reembeds.count()
+    assert (
+        row["stale_micro"]
+        == (row["n_moved"] + row["n_in"] + row["n_out"]) * 1000000 // row["n_new"]
+    )
+    # this fixture's churn (~1/23 + moved subset of 1/7 + 1/31) sits
+    # below a 30% retrain threshold — the gate keeps the centroids
+    assert row["stale_micro"] < 300000
+    zero = ivf_staleness(maintained, maintained).collect()[0]
+    assert zero["n_moved"] == zero["n_in"] == zero["n_out"] == 0
+    assert zero["stale_micro"] == 0
