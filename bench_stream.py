@@ -730,6 +730,139 @@ def bench_http_delivery(
     }
 
 
+def bench_http_delivery_batched(
+    spark, sf_dir: str, n_files: int = 8, poison_pct: int = 2,
+    batch_size: int = 32,
+) -> dict:
+    """NDJSON batch-mode twin of :func:`bench_http_delivery` (round-10
+    verdict #6): the same CDC feed, poison routing, and replay-drain
+    contract, delivered with ``batch_size``-row application/x-ndjson
+    POSTs. The echo server counts newline-separated ROWS (not
+    requests), so rows_per_sec is comparable row-for-row with the
+    per-row lane; the speedup comes from amortizing the request round
+    trip across batch members. Poisoned batches dead-letter their
+    member rows individually and one healed replay_dlq cycle must
+    drain the DLQ — identical convergence semantics to per-row."""
+    import http.server
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.engine import build_delivery_frame
+    from mysql_cdc_to_http_spark.operators.sampling import split_bucket
+    from mysql_cdc_to_http_spark.sources.cdc import (
+        stream_change_events,
+        write_event_files,
+    )
+    from mysql_cdc_to_http_spark.sources.http_sink import (
+        http_batch_poster_with_dlq,
+        replay_dlq,
+    )
+
+    counters = {"ok_rows": 0, "ok_reqs": 0, "err": 0}
+    lock = threading.Lock()
+    healed = threading.Event()
+
+    class _Echo(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        disable_nagle_algorithm = True
+
+        def do_POST(self):  # noqa: N802
+            body = self.rfile.read(
+                int(self.headers.get("Content-Length", 0))
+            )
+            if self.path.endswith("/poison") and not healed.is_set():
+                with lock:
+                    counters["err"] += 1
+                self.send_response(500)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            with lock:
+                counters["ok_reqs"] += 1
+                counters["ok_rows"] += body.count(b"\n") + 1 if body else 0
+            out = b"{}"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Echo)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+
+    events_dir = write_event_files(spark, sf_dir, n_files=n_files)
+    work = tempfile.mkdtemp(prefix="graft_http_bench_nd_")
+    dlq = os.path.join(work, "dlq")
+    ckpt = os.path.join(work, "ckpt")
+
+    def _frame(changes):
+        frame = build_delivery_frame(changes, spark)
+        return frame.withColumn(
+            "grp",
+            F.when(
+                split_bucket(F.col("idem_key"), 100, salt="http-soak-v1")
+                < poison_pct,
+                F.lit("poison"),
+            ).otherwise(F.col("grp")),
+        )
+
+    poster = http_batch_poster_with_dlq(
+        base, dlq, retries=1, backoff_s=0.01, timeout_s=5.0,
+        parallelism=16, batch_size=batch_size,
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        t0 = time.perf_counter()
+        q = (
+            _frame(stream_change_events(spark, events_dir))
+            .writeStream.foreachBatch(poster)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        wall = time.perf_counter() - t0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    import glob as _glob
+
+    dlq_rows = 0
+    if _glob.glob(f"{dlq}/epoch=*"):
+        dlq_rows = spark.read.parquet(f"{dlq}/epoch=*").count()
+    delivered_rows = counters["ok_rows"]
+
+    healed.set()
+    still_failing = replay_dlq(spark, dlq, base, retries=0)
+    dlq_drained = still_failing == 0 and _glob.glob(f"{dlq}/epoch=*") == []
+    replayed_rows = counters["ok_rows"] - delivered_rows
+
+    srv.shutdown()
+    shutil.rmtree(work, ignore_errors=True)
+
+    rows_total = delivered_rows + dlq_rows
+    return {
+        "batch_size": batch_size,
+        "rows_routed": rows_total,
+        "rows_delivered_2xx": delivered_rows,
+        "requests_2xx": counters["ok_reqs"],
+        "rows_rejected_5xx": counters["err"],
+        "dlq_rows": dlq_rows,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(rows_total / wall, 1) if wall > 0 else None,
+        "replay_still_failing": still_failing,
+        "replay_delivered_rows": replayed_rows,
+        "dlq_drained_after_replay": bool(dlq_drained),
+        "delivery_complete": bool(dlq_drained and replayed_rows == dlq_rows),
+    }
+
+
 def _guard(fn, *args, **kwargs) -> dict:
     """Isolate one bench section: a crash (e.g. r9's transient chmod
     ExitCodeException in a checkpoint dir) yields {"error": ...} for THAT
@@ -767,6 +900,16 @@ def run(spark, sf_dir: str, n_files: int = 16) -> dict:
     ivm = _guard(bench_ivm_view, spark, sf_dir, n_files=n_files)
     sess = _guard(bench_session_state, spark, sf_dir)
     http = _guard(bench_http_delivery, spark, sf_dir, n_files=n_files // 2)
+    httpb = _guard(
+        bench_http_delivery_batched, spark, sf_dir, n_files=n_files // 2
+    )
+    if "error" not in http and "error" not in httpb:
+        batched_speedup_5x = bool(
+            (httpb["rows_per_sec"] or 0) >= 5 * (http["rows_per_sec"] or 1)
+            and httpb["delivery_complete"]
+        )
+    else:
+        batched_speedup_5x = False
     return {
         "cdc_pipeline": cdc,
         "cdc_pipeline_10x": cdc10,
@@ -775,6 +918,7 @@ def run(spark, sf_dir: str, n_files: int = 16) -> dict:
         "ivm_view": ivm,
         "session_state": sess,
         "http_delivery": http,
+        "http_delivery_batched": httpb,
         "checks": {
             "resumed_exactly_once": cdc.get("resumed_exactly_once", False),
             "state_bounded": cdc.get("state_bounded", False),
@@ -788,6 +932,8 @@ def run(spark, sf_dir: str, n_files: int = 16) -> dict:
             "http_concurrent_replay_converged": http.get(
                 "concurrent_replay_converged", False
             ),
+            "http_batched_complete": httpb.get("delivery_complete", False),
+            "http_batched_speedup_5x": batched_speedup_5x,
         },
     }
 

@@ -545,3 +545,104 @@ def test_http_sink_token_bucket_rate_limit(spark):
         assert multi_grp >= 0.6, multi_grp  # still rps × partitions
     finally:
         srv.shutdown()
+
+
+class _NdjsonSink(http.server.BaseHTTPRequestHandler):
+    """Records (path, idem_key, body_lines, content_type); /poison 500s
+    until healed."""
+
+    requests: list[tuple[str, str, list[str], str]] = []
+    healed = False
+
+    def do_POST(self):  # noqa: N802
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        if self.path.endswith("/poison") and not type(self).healed:
+            self.send_response(500)
+            self.end_headers()
+            return
+        type(self).requests.append(
+            (
+                self.path,
+                self.headers.get("Idempotency-Key", ""),
+                body.decode("utf-8").split("\n"),
+                self.headers.get("Content-Type", ""),
+            )
+        )
+        self.send_response(200)
+        self.end_headers()
+        self.wfile.write(b"{}")
+
+    def log_message(self, *a):
+        pass
+
+
+def test_http_dlq_ndjson_batch_mode(spark, tmp_path):
+    """Round-10 verdict #6 — opt-in NDJSON batching: same-group rows
+    coalesce into one application/x-ndjson POST with a deterministic
+    per-batch idempotency key (md5 of the key-sorted member keys);
+    failed batches dead-letter their member ROWS individually so
+    replay_dlq semantics are unchanged; re-running the same epoch
+    produces byte-identical batches and keys."""
+    import hashlib
+
+    from mysql_cdc_to_http_spark.sources.http_sink import (
+        http_batch_poster_with_dlq,
+        replay_dlq,
+    )
+
+    _NdjsonSink.requests = []
+    _NdjsonSink.healed = False
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _NdjsonSink)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        ok_rows = [("ok", '{"id": %d}' % i, f"k{i}") for i in range(7)]
+        poison_rows = [
+            ("poison", '{"id": %d}' % i, f"p{i}") for i in range(3)
+        ]
+        batch = spark.createDataFrame(
+            ok_rows + poison_rows,
+            "grp string, payload string, idem_key string",
+        ).coalesce(1)
+        dlq = str(tmp_path / "dlq")
+        poster = http_batch_poster_with_dlq(
+            base, dlq, retries=0, backoff_s=0.01, batch_size=4
+        )
+        poster(batch, epoch_id=0)
+        # 7 ok rows in batches of 4 → 2 requests (4 + 3 lines), NDJSON
+        ok_reqs = [r for r in _NdjsonSink.requests if r[0].endswith("/ok")]
+        assert sorted(len(r[2]) for r in ok_reqs) == [3, 4]
+        assert all(ct == "application/x-ndjson" for *_, ct in ok_reqs)
+        got_payloads = sorted(line for r in ok_reqs for line in r[2])
+        assert got_payloads == sorted(p for _, p, _ in ok_rows)
+        # deterministic batch identity: md5 over the key-sorted chunk
+        keys = sorted(k for _, _, k in ok_rows)
+        want_keys = {
+            "b-" + hashlib.md5("\n".join(keys[i : i + 4]).encode()).hexdigest()
+            for i in range(0, len(keys), 4)
+        }
+        assert {r[1] for r in ok_reqs} == want_keys
+        # poison batch dead-letters its member ROWS (per-row payload+key)
+        dead = spark.read.parquet(f"{dlq}/epoch=0").collect()
+        assert sorted(r["idem_key"] for r in dead) == ["p0", "p1", "p2"]
+        assert sorted(r["payload"] for r in dead) == sorted(
+            p for _, p, _ in poison_rows
+        )
+        # replay is per-row and converges after heal — unchanged contract
+        _NdjsonSink.healed = True
+        assert replay_dlq(spark, dlq, base, retries=0) == 0
+        import glob
+
+        assert glob.glob(f"{dlq}/epoch=*") == []
+        # replayed rows arrive individually with their ORIGINAL keys
+        poison_reqs = [
+            r for r in _NdjsonSink.requests if r[0].endswith("/poison")
+        ]
+        assert {r[1] for r in poison_reqs} == {"p0", "p1", "p2"}
+        # same epoch re-run → identical batch keys (replay determinism)
+        _NdjsonSink.requests = []
+        poster(batch, epoch_id=0)
+        ok_reqs2 = [r for r in _NdjsonSink.requests if r[0].endswith("/ok")]
+        assert {r[1] for r in ok_reqs2} == want_keys
+    finally:
+        srv.shutdown()
