@@ -354,6 +354,107 @@ def reassemble_lines(
     )
 
 
+def dsir_scores(
+    docs: DataFrame,
+    target_pred,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """DSIR-style importance scores for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    hashed-n-gram variant): fit add-one-smoothed unigram models over
+    HASHED word-bigram buckets for the TARGET slice (``target_pred``
+    rows — the distribution you want more of) and for the full RAW
+    corpus, then score every document by its log-likelihood ratio
+
+        score(d) = sum_b c_b(d) * (ln(n_t[b]+1) - ln(n_s[b]+1))
+                 + C(d) * (ln(N_s+B) - ln(N_t+B))
+
+    — positive means the doc looks more like the target than like the
+    raw pool. Selection (score > 0, or top-k / sampling on the score)
+    is the published recipe for skewing a pretraining mix toward a
+    high-quality reference corpus without a trained classifier (the
+    interpretable-statistics sibling of the X98 model gate).
+
+    Scale shape: the two LMs are ``n_buckets``-row tables produced by
+    map-side-combinable hash aggregates (bucket = md5(bigram) % B — the
+    hashing trick caps model size regardless of vocabulary), broadcast
+    into the per-doc scoring join; fact-sized work is one (doc, bucket)
+    count aggregate plus one per-doc sum. Nothing collects; the model
+    never leaves the cluster.
+
+    Engine parity: every ln argument is an exact integer (counts + 1,
+    totals + B — identical in both engines); the 6-dp round on the
+    emitted score absorbs libm ulps (the q_char_entropy rule), and the
+    selection flag derives from the ROUNDED score so both engines gate
+    identically."""
+    toks = docs.select(
+        F.col(id_col), target_pred.cast("int").alias("__is_t"),
+        tokenize(F.col(text_col)).alias("t"),
+    )
+    grams = toks.select(
+        id_col,
+        "__is_t",
+        F.explode(word_ngrams_from_tokens(F.col("t"), 2)).alias("g"),
+    ).select(
+        id_col,
+        "__is_t",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+            % n_buckets
+        ).alias("b"),
+    )
+    doc_counts = grams.groupBy(id_col, "b").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.max("__is_t").alias("__is_t"),
+    )
+    lm_t = (
+        grams.filter(F.col("__is_t") == 1)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    lm_s = grams.groupBy("b").agg(F.count(F.lit(1)).alias("n_s"))
+    totals = (
+        lm_t.agg(F.sum("n_t").alias("nt_total"))
+        .crossJoin(lm_s.agg(F.sum("n_s").alias("ns_total")))
+    )
+    scored = (
+        doc_counts.join(F.broadcast(lm_t), "b", "left")
+        .join(F.broadcast(lm_s), "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(
+                F.col("c")
+                * (
+                    F.log(F.coalesce(F.col("n_t"), F.lit(0)) + 1)
+                    - F.log(F.coalesce(F.col("n_s"), F.lit(0)) + 1)
+                )
+            ).alias("__lr"),
+            F.first("nt_total").alias("__nt"),
+            F.first("ns_total").alias("__ns"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.round(
+                F.col("__lr")
+                + F.col("n_grams")
+                * (
+                    F.log(F.col("__ns") + n_buckets)
+                    - F.log(F.col("__nt") + n_buckets)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    return scored.withColumn(
+        "selected", (F.col("score") > 0).cast("int")
+    )
+
+
 # Executors must not need this repo on their PYTHONPATH (driver contract
 # imports by path).
 import sys as _sys

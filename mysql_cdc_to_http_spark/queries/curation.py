@@ -1283,3 +1283,80 @@ def q_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs_micro"
         ),
     ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# X229 — DSIR importance-resampling data selection (Xie et al. 2023):
+# score every document by the log-likelihood ratio of two hashed-bigram
+# unigram LMs — the English slice as target vs the full raw pool — and
+# gate on score > 0. The trained-classifier-free data-selection rung
+# next to X98 (model gate) and X223 (rule gate).
+# --------------------------------------------------------------------------
+_DSIR_B = 256
+
+
+@query(
+    "q_dsir_select",
+    oracle=rf"""
+    WITH tokl AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+             unnest(list_transform(
+               range(1, greatest(len(t) - 1, 1) + 1),
+               i -> ('0x' || substr(md5(array_to_string(t[i:i+1], ' ')),
+                                    1, 15))::BIGINT % {_DSIR_B})) AS b
+      FROM tokl
+    ),
+    doc_counts AS (
+      SELECT doc_id, b, max(is_t) AS is_t, count(*) AS c
+      FROM grams GROUP BY 1, 2
+    ),
+    lm_t AS (SELECT b, count(*) AS n_t FROM grams WHERE is_t = 1 GROUP BY b),
+    lm_s AS (SELECT b, count(*) AS n_s FROM grams GROUP BY b),
+    tot AS (SELECT (SELECT sum(n_t) FROM lm_t) AS nt,
+                   (SELECT sum(n_s) FROM lm_s) AS ns),
+    sc AS (
+      SELECT d.doc_id,
+             CAST(SUM(d.c) AS BIGINT) AS n_grams,
+             SUM(d.c * (ln(COALESCE(l.n_t, 0) + 1)
+                        - ln(COALESCE(s.n_s, 0) + 1)))
+               + SUM(d.c) * (ln(t.ns + {_DSIR_B}) - ln(t.nt + {_DSIR_B}))
+               AS raw
+      FROM doc_counts d
+      LEFT JOIN lm_t l USING (b)
+      LEFT JOIN lm_s s USING (b), tot t
+      GROUP BY d.doc_id, t.nt, t.ns
+    )
+    SELECT doc_id, n_grams, round(raw, 6) AS score,
+           CAST(CASE WHEN round(raw, 6) > 0 THEN 1 ELSE 0 END AS INT)
+             AS selected
+    FROM sc ORDER BY doc_id
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X229 — DSIR importance resampling
+    (operators/curation.py:dsir_scores): per-document log-likelihood
+    ratio between an add-one-smoothed hashed-bigram LM of the TARGET
+    slice (lang='en' — the reference distribution) and one of the full
+    raw pool; ``selected`` gates on ratio > 0, i.e. "more target-like
+    than pool-like". This is the published classifier-free data
+    selection recipe for steering a pretraining mix toward a reference
+    corpus; the hashing trick (md5(bigram) % 256) caps both models at
+    256 rows regardless of vocabulary, so they broadcast and the
+    fact-sized work is one (doc, bucket) aggregate + one per-doc sum.
+
+    Engine parity: every ln argument is an exact integer; the 6-dp
+    round absorbs libm ulps (q_char_entropy rule); the selection flag
+    derives from the ROUNDED score so both engines gate identically.
+    Verified green at sf0.001/0.01/0.1."""
+    from mysql_cdc_to_http_spark.operators.curation import dsir_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_scores(
+        docs, F.col("lang") == "en", n_buckets=_DSIR_B
+    ).orderBy("doc_id")

@@ -477,3 +477,38 @@ def test_unimax_budget_waterfill_invariants(spark, sf_dir):
     assert max(levels) - min(levels) <= 1  # one water level, ±1 remainder
     assert rows[-1].is_capped is False
     assert rows[-1].epochs_micro < 2_000_000
+
+
+def test_dsir_scores_prefer_target_distribution(spark, sf_dir):
+    """X229 semantics: DSIR importance scores must rank documents from
+    the TARGET slice (lang='en') above the raw pool on average — the
+    whole point of the log-likelihood-ratio gate — and the selection
+    flag must equal (rounded score > 0). Model tables stay
+    bucket-sized: the scoring join broadcasts them, never shuffles the
+    corpus by anything but (doc, bucket)."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.operators.curation import dsir_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_scores(docs, F.col("lang") == "en")
+    rows = scored.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).collect()
+    assert len(rows) == docs.count()  # every doc scored, none dropped
+    en = [r["score"] for r in rows if r["lang"] == "en"]
+    rest = [r["score"] for r in rows if r["lang"] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+    # the target slice should be enriched among selected docs
+    sel = [r for r in rows if r["selected"] == 1]
+    assert sel
+    frac_en_selected = sum(1 for r in sel if r["lang"] == "en") / len(sel)
+    frac_en_corpus = len(en) / len(rows)
+    assert frac_en_selected > frac_en_corpus
+    for r in rows:
+        assert r["selected"] == (1 if r["score"] > 0 else 0)
+    # plan shape: both LM tables broadcast into the scoring join
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
