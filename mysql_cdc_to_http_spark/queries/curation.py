@@ -1360,3 +1360,135 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_scores(
         docs, F.col("lang") == "en", n_buckets=_DSIR_B
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# X230 — temperature-scaled multilingual mixing (Arivazhagan et al.
+# 2019; the T5/mT5 sampling rule): resample the corpus with language
+# probabilities p_l ∝ (n_l/N)^(1/τ). τ=2 (exponent 1/2) is chosen
+# deliberately: IEEE-754 sqrt is CORRECTLY ROUNDED, so both engines
+# compute bit-identical weights with no rounding heuristics — the
+# whole allocation is then integer arithmetic (largest-remainder
+# apportionment), engine-exact end to end. The smooth companion to
+# X225's hard epoch cap: UniMax clips, temperature tilts.
+# --------------------------------------------------------------------------
+_TMIX_SCALE = 10_000_000_000  # weight = floor(sqrt(c*SCALE div N)) ~ 1e5*sqrt(share)
+
+
+@query(
+    "q_temperature_mix",
+    oracle=rf"""
+    WITH dom AS (
+      SELECT lang,
+             CAST(SUM(len(string_split(trim(regexp_replace(lower(text),
+                  '\s+', ' ', 'g')), ' '))) AS BIGINT) AS c
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM dom),
+    wtd AS (
+      SELECT lang, c, total,
+             CAST(floor(sqrt(CAST((c * {_TMIX_SCALE}) // total AS DOUBLE)))
+                  AS BIGINT) AS wi
+      FROM dom, tot
+    ),
+    wsum AS (SELECT CAST(SUM(wi) AS BIGINT) AS w FROM wtd),
+    base AS (
+      SELECT lang, c, total, wi, w,
+             CAST((total * wi) // w AS BIGINT) AS alloc0,
+             CAST((total * wi) % w AS BIGINT) AS r
+      FROM wtd, wsum
+    ),
+    dealt AS (
+      SELECT *,
+             row_number() OVER (ORDER BY r DESC, lang) AS dr,
+             CAST(total - SUM(alloc0) OVER () AS BIGINT) AS rem
+      FROM base
+    )
+    SELECT lang, c AS tokens, wi AS weight,
+           CAST(wi * 1000000 // w AS BIGINT) AS share_micro,
+           CAST(alloc0 + CASE WHEN dr <= rem THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_tokens,
+           CAST((alloc0 + CASE WHEN dr <= rem THEN 1 ELSE 0 END) * 1000000
+                // c AS BIGINT) AS epochs_micro
+    FROM dealt ORDER BY lang
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X230 — temperature-scaled mixing at τ=2: per-language allocation
+    of an N-token resampling budget with p_l ∝ sqrt(n_l/N) — the
+    T5/mT5 recipe that upsamples tail languages and downsamples the
+    head WITHOUT a hard cap (X225's UniMax is the clipped alternative;
+    both emit the same schema shape so a pipeline can A/B them).
+
+    Exactness: integer weight = floor(sqrt(c·SCALE div N)) — the inner
+    division is integer (identical truncation both engines) and IEEE
+    sqrt is correctly rounded, so the weights are bit-identical with
+    NO 6-dp absorb needed; allocation is largest-remainder
+    apportionment ((N·w_l) div W + remainder dealt by (remainder desc,
+    lang)) — Σ alloc == N exactly, pinned in tests. SCALE=1e10 keeps
+    c·SCALE inside BIGINT for corpora to ~9·10⁸ tokens per language;
+    at 100 TB lift the product into DECIMAL(38,0) — same plan.
+
+    Scale shape: one scan of documents into per-language token counts
+    (map-side partial sums of a codegen split-length projection, no
+    explode); everything after runs on the language table where the
+    global window is a deliberate singleton (the model-sized table
+    discipline, shared with X225). The allocation then drives per-
+    language deterministic md5 sampling (X62) with rate
+    alloc/tokens."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    dom = docs.select("lang", F.size(toks).alias("nt")).groupBy("lang").agg(
+        F.sum("nt").cast("long").alias("c")
+    )
+    w_all = Window.partitionBy()
+    wtd = dom.select(
+        "lang",
+        "c",
+        F.sum("c").over(w_all).cast("long").alias("total"),
+    ).select(
+        "*",
+        F.floor(
+            F.sqrt(F.expr(f"CAST((c * {_TMIX_SCALE}) div total AS DOUBLE)"))
+        )
+        .cast("long")
+        .alias("wi"),
+    )
+    base = wtd.select(
+        "*",
+        F.sum("wi").over(w_all).cast("long").alias("w"),
+    ).select(
+        "*",
+        F.expr("(total * wi) div w").cast("long").alias("alloc0"),
+        F.expr("(total * wi) % w").cast("long").alias("r"),
+    )
+    dealt = base.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("r").desc(), "lang"))
+        .cast("long")
+        .alias("dr"),
+        (F.col("total") - F.sum("alloc0").over(w_all)).cast("long").alias(
+            "rem"
+        ),
+    )
+    alloc = F.col("alloc0") + F.when(
+        F.col("dr") <= F.col("rem"), 1
+    ).otherwise(0)
+    return dealt.select(
+        "lang",
+        F.col("c").alias("tokens"),
+        F.col("wi").alias("weight"),
+        F.expr("wi * 1000000 div w").cast("long").alias("share_micro"),
+        alloc.cast("long").alias("alloc_tokens"),
+        F.expr(
+            "(alloc0 + CASE WHEN dr <= rem THEN 1 ELSE 0 END) * 1000000"
+            " div c"
+        )
+        .cast("long")
+        .alias("epochs_micro"),
+    ).orderBy("lang")

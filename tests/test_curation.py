@@ -512,3 +512,27 @@ def test_dsir_scores_prefer_target_distribution(spark, sf_dir):
     # plan shape: both LM tables broadcast into the scoring join
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_temperature_mix_invariants(spark, sf_dir):
+    """X230: the τ=2 allocation must (a) sum exactly to the corpus
+    token budget, (b) tilt shares toward the tail — every language
+    smaller than average gains epochs (epochs_micro > 1e6) and the
+    largest language loses them, and (c) preserve the size ORDER
+    (temperature flattens, never reorders)."""
+    from mysql_cdc_to_http_spark.queries.curation import q_temperature_mix
+
+    rows = q_temperature_mix(spark, sf_dir).collect()
+    total = sum(r["tokens"] for r in rows)
+    assert sum(r["alloc_tokens"] for r in rows) == total
+    biggest = max(rows, key=lambda r: r["tokens"])
+    smallest = min(rows, key=lambda r: r["tokens"])
+    assert biggest["epochs_micro"] < 1000000 < smallest["epochs_micro"]
+    by_tokens = sorted(rows, key=lambda r: r["tokens"])
+    allocs = [r["alloc_tokens"] for r in by_tokens]
+    assert allocs == sorted(allocs)  # order preserved
+    # flattening: allocation ratios compress vs token ratios
+    assert (
+        biggest["alloc_tokens"] * smallest["tokens"]
+        < biggest["tokens"] * smallest["alloc_tokens"]
+    )
