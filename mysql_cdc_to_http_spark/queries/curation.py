@@ -1492,3 +1492,103 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("epochs_micro"),
     ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# X231 — n-gram novelty profiling: per document, what fraction of its
+# distinct word-5-grams has NEVER appeared in any earlier document
+# (doc_id order = ingestion order). The corpus-side scan behind
+# memorization/novelty studies (e.g. the Pile's "novel n-grams"
+# accounting) and the streaming intuition for how fast a corpus stops
+# contributing new text. Exact integers end to end.
+# --------------------------------------------------------------------------
+@query(
+    "q_ngram_novelty",
+    oracle=rf"""
+    WITH tokl AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(t) - 4, 1) + 1),
+                 i -> array_to_string(t[i:i+4], ' '))) AS g
+        FROM tokl
+      )
+    ),
+    firsts AS (SELECT h, min(doc_id) AS first_doc FROM grams GROUP BY h)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_seen,
+           CAST((COUNT(*) - SUM(CASE WHEN f.first_doc < g.doc_id
+                                     THEN 1 ELSE 0 END)) * 1000000
+                // COUNT(*) AS BIGINT) AS novelty_micro
+    FROM grams g JOIN firsts f USING (h)
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X231 — per-document n-gram novelty: the fraction of a doc's
+    DISTINCT word-5-grams whose first corpus occurrence (min doc_id) is
+    the doc itself. High novelty = genuinely new text; low novelty =
+    the document restates what the corpus already contains — the
+    deduplication-adjacent signal memorization studies compute, and a
+    curriculum/selection feature next to X229's distribution match.
+
+    Exactness: grams travel as md5→15-hex→long keys (16 bytes shuffled
+    per gram, never the text — the X110 discipline); first-occurrence
+    is a map-side-partial MIN per gram hash; the novelty ratio is a
+    truncated integer micro-unit division. Every column hashes
+    identically cross-engine.
+
+    Scale shape: two shuffles — (doc, gram-hash) distinct + the
+    gram-keyed min — both on fixed-width longs; the join back rides the
+    same gram-hash partitioning (no extra exchange under AQE). The
+    first-occurrence table is vocabulary-of-5-grams-sized; Heaps' law
+    keeps it sublinear in the corpus, and a production run would
+    df-cap it exactly like X224's stop-grams."""
+    from mysql_cdc_to_http_spark.operators.curation import (
+        tokenize,
+        word_ngrams_from_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(word_ngrams_from_tokens(F.col("t"), 5)).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    firsts = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_seen"),
+            F.expr(
+                "CAST((count(1) - sum(CASE WHEN first_doc < doc_id THEN 1"
+                " ELSE 0 END)) * 1000000 div count(1) AS BIGINT)"
+            ).alias("novelty_micro"),
+        )
+        .orderBy("doc_id")
+    )

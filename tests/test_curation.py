@@ -536,3 +536,53 @@ def test_temperature_mix_invariants(spark, sf_dir):
         biggest["alloc_tokens"] * smallest["tokens"]
         < biggest["tokens"] * smallest["alloc_tokens"]
     )
+
+
+def test_ngram_novelty_semantics(spark, sf_dir):
+    """X231: the first document is 100% novel by construction; totals
+    reconcile (novelty_micro == (n_grams - n_seen)*1e6 div n_grams);
+    and a doc that is a verbatim restatement of an earlier one scores
+    0 novelty — checked on a planted copy."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.queries.curation import q_ngram_novelty
+
+    rows = q_ngram_novelty(spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    first = by_id[min(by_id)]
+    assert first["novelty_micro"] == 1000000 and first["n_seen"] == 0
+    for r in rows:
+        assert (
+            r["novelty_micro"]
+            == (r["n_grams"] - r["n_seen"]) * 1000000 // r["n_grams"]
+        )
+    # planted verbatim copy of doc 3 under a later id: every gram of
+    # the copy already has first_doc == 3 < copy id → novelty 0
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = docs.filter(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    from mysql_cdc_to_http_spark.operators.curation import (
+        tokenize,
+        word_ngrams_from_tokens,
+    )
+
+    corpus = docs.unionByName(copy)
+    toks = corpus.select("doc_id", tokenize(F.col("text")).alias("t"))
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(word_ngrams_from_tokens(F.col("t"), 5)).alias("g"),
+        )
+        .select("doc_id", F.md5("g").alias("h"))
+        .distinct()
+    )
+    firsts = grams.groupBy("h").agg(F.min("doc_id").alias("fd"))
+    copy_novel = (
+        grams.filter(F.col("doc_id") == 10_000_003)
+        .join(firsts, "h")
+        .filter(F.col("fd") == 10_000_003)
+        .count()
+    )
+    assert copy_novel == 0
