@@ -1512,13 +1512,13 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     grams AS (
-      SELECT DISTINCT doc_id,
+      SELECT doc_id,
              ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
       FROM (
         SELECT doc_id,
-               unnest(list_transform(
+               unnest(list_distinct(list_transform(
                  range(1, greatest(len(t) - 4, 1) + 1),
-                 i -> array_to_string(t[i:i+4], ' '))) AS g
+                 i -> array_to_string(t[i:i+4], ' ')))) AS g
         FROM tokl
       )
     ),
@@ -1561,18 +1561,19 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
-    grams = (
-        toks.select(
-            "doc_id",
-            F.explode(word_ngrams_from_tokens(F.col("t"), 5)).alias("g"),
-        )
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("h"),
-        )
-        .distinct()
+    # distinctness is WITHIN a doc, and a doc's grams live on one row —
+    # array_distinct before the explode makes the dedup a row-local
+    # projection instead of a fact-sized (doc, gram) shuffle.
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams_from_tokens(F.col("t"), 5))
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
     )
     firsts = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     return (
