@@ -152,8 +152,21 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
     )
-    qs = q.withColumn(
-        "__sims", F.transform(cents, lambda cent: dot(F.col("qv"), cent))
+    # probe ranking on 6-dp-ROUNDED cosine (dot-with-unit-centroid ÷
+    # |q|), centroid-id tie-break: same ordering as the raw dot (the
+    # per-query norm is a positive constant) but reproducible across
+    # engines, which is what lets the DuckDB oracle replicate the probe
+    # set exactly (round-11; previously rows-only).
+    # |q| materialized as a real column FIRST — an expression nested in
+    # the transform lambda re-evaluates per centroid (the tokenize rule)
+    qs = q.withColumn("__qn", l2_norm(F.col("qv"))).withColumn(
+        "__sims",
+        F.transform(
+            cents,
+            lambda cent: F.round(
+                dot(F.col("qv"), cent) / F.col("__qn"), 6
+            ),
+        ),
     )
     # rank centroids without a window: sort (−sim, centroid_id) pairs
     ranked = F.slice(

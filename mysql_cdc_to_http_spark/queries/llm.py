@@ -811,10 +811,70 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# IVF-bucketed ANN — rows-only (recall-tested vs brute force in tests/)
+# IVF-bucketed ANN — oracled since round 11 (previously rows-only): the
+# probe ranking rounds cosine to 6 dp with centroid-id tie-breaks, so
+# the probe SET — not just the final ranking — is engine-reproducible;
+# recall vs brute force stays separately tested in tests/.
 # --------------------------------------------------------------------------
-@query("q_knn_ivf")
+@query(
+    "q_knn_ivf",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id >= 10),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY corpus_id) - 1 AS cid, cv
+      FROM c ORDER BY corpus_id LIMIT 16
+    ),
+    bucketed AS (
+      SELECT c2.corpus_id, c2.cv,
+             (SELECT cid FROM (
+                SELECT cid, list_cosine_similarity(c2.cv, cents.cv) AS s
+                FROM cents
+              ) ORDER BY s DESC, cid LIMIT 1) AS bucket
+      FROM c c2
+    ),
+    probes AS (
+      SELECT query_id, cid AS bucket FROM (
+        SELECT q.query_id, cents.cid,
+               round(list_cosine_similarity(q.qv, cents.cv), 6) AS s,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, cents.cv), 6)
+                          DESC, cents.cid
+               ) AS pr
+        FROM q CROSS JOIN cents
+      ) WHERE pr <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, b.corpus_id,
+             round(list_cosine_similarity(q.qv, b.cv), 6) AS cos_sim
+      FROM probes p
+      JOIN bucketed b ON b.bucket = p.bucket
+      JOIN q USING (query_id)
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, corpus_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, cos_sim, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45 — IVF search, ORACLE-EXACT since round 11: the DuckDB twin
+    rebuilds the same index (argmax bucket assignment, X228's validated
+    pattern), selects the same nprobe=4 probe set (6-dp-rounded cosine
+    with centroid-id tie-breaks — ivf_topk ranks on the same rounded
+    value, so the probe SET itself is certified, not just the final
+    ranking), and ranks candidates identically (q_knn_cosine's rounded-
+    rank rule). Margins on this corpus dwarf float noise (the q_kmeans
+    argument; verified sf0.001/0.01/0.1). Recall vs exact brute force
+    remains separately tested (tests/test_llm_ops.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
