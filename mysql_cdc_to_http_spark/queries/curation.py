@@ -1593,3 +1593,111 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X232 — "Fightin' Words" differential term audit (Monroe, Colaresi &
+# Quinn 2008): which words distinguish one corpus slice from another,
+# as Dirichlet-smoothed log-odds-ratio z-scores — the standard corpus-
+# comparison tool for data audits (did this month's crawl drift? what
+# does the quarantined slice over-represent?). All ln/sqrt arguments
+# are exact integers or integer rationals; the 6-dp round absorbs libm
+# ulps (q_char_entropy rule).
+# --------------------------------------------------------------------------
+@query(
+    "q_fightin_words",
+    oracle=r"""
+    WITH tokl AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+',
+                    ' ', 'g')), ' ')) AS w
+      FROM documents
+    ),
+    counts AS (
+      SELECT w,
+             CAST(SUM(is_t) AS BIGINT) AS c1,
+             CAST(SUM(1 - is_t) AS BIGINT) AS c2
+      FROM tokl GROUP BY w
+    ),
+    tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM counts
+    ),
+    scored AS (
+      SELECT w, c1, c2,
+             round((ln(CAST(c1 + 1 AS DOUBLE))
+                    - ln(CAST(n1 + v - c1 - 1 AS DOUBLE))
+                    - ln(CAST(c2 + 1 AS DOUBLE))
+                    + ln(CAST(n2 + v - c2 - 1 AS DOUBLE)))
+                   / sqrt(1.0 / (c1 + 1) + 1.0 / (c2 + 1)), 6) AS z
+      FROM counts, tot
+    )
+    SELECT w AS word, c1 AS c_target, c2 AS c_rest, z AS zscore,
+           CAST(row_number() OVER (ORDER BY z DESC, w) AS INT) AS rank
+    FROM scored ORDER BY rank
+    """,
+)
+def q_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X232 — Fightin' Words: per-word Dirichlet-smoothed (α=1)
+    log-odds-ratio z-scores between the English slice and the rest of
+    the corpus. Positive z = over-represented in the target slice; the
+    ranking IS the audit (the top words are what drifted). Next to
+    X106's PSI (distribution-level drift) this is the TERM-level
+    attribution, and next to X229 it is the diagnostic view of the
+    same target-vs-pool contrast DSIR scores on.
+
+    z_w = (ln(c1+1) − ln(N1+V−c1−1) − ln(c2+1) + ln(N2+V−c2−1))
+          / sqrt(1/(c1+1) + 1/(c2+1))
+
+    Exactness: every ln argument is an exact integer and the variance
+    an exact integer rational, so engine values agree to ulps; the 6-dp
+    round absorbs them and ranking runs on the ROUNDED z with word
+    tie-breaks. Scale shape: one scan → per-(word, slice) counts
+    (map-side partials, vocab-sized by Heaps' law); the scoring join
+    against the 1-row totals broadcasts; output is vocab-sized."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    flat = docs.select(
+        (F.col("lang") == "en").cast("int").alias("is_t"),
+        F.explode(toks).alias("w"),
+    )
+    counts = flat.groupBy("w").agg(
+        F.sum("is_t").cast("long").alias("c1"),
+        F.sum(1 - F.col("is_t")).cast("long").alias("c2"),
+    )
+    tot = counts.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    scored = counts.crossJoin(F.broadcast(tot)).select(
+        "w",
+        "c1",
+        "c2",
+        F.round(
+            (
+                F.log(F.expr("CAST(c1 + 1 AS DOUBLE)"))
+                - F.log(F.expr("CAST(n1 + v - c1 - 1 AS DOUBLE)"))
+                - F.log(F.expr("CAST(c2 + 1 AS DOUBLE)"))
+                + F.log(F.expr("CAST(n2 + v - c2 - 1 AS DOUBLE)"))
+            )
+            / F.sqrt(1.0 / (F.col("c1") + 1) + 1.0 / (F.col("c2") + 1)),
+            6,
+        ).alias("z"),
+    )
+    w_rank = Window.orderBy(F.col("z").desc(), "w")
+    return (
+        scored.select(
+            F.col("w").alias("word"),
+            F.col("c1").alias("c_target"),
+            F.col("c2").alias("c_rest"),
+            F.col("z").alias("zscore"),
+            F.row_number().over(w_rank).cast("int").alias("rank"),
+        )
+        .orderBy("rank")
+    )

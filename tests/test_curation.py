@@ -586,3 +586,26 @@ def test_ngram_novelty_semantics(spark, sf_dir):
         .count()
     )
     assert copy_novel == 0
+
+
+def test_fightin_words_attribution(spark, sf_dir):
+    """X232: the log-odds z-scores must attribute correctly — a word
+    that appears ONLY in the target slice gets a positive z, one that
+    appears only in the rest gets a negative z, and z respects the
+    contrast direction (more target-skewed count ratio → higher z among
+    words with comparable totals). Ranks are a permutation 1..V."""
+    from mysql_cdc_to_http_spark.queries.curation import q_fightin_words
+
+    rows = q_fightin_words(spark, sf_dir).collect()
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    only_t = [r for r in rows if r["c_rest"] == 0 and r["c_target"] > 0]
+    only_r = [r for r in rows if r["c_target"] == 0 and r["c_rest"] > 0]
+    for r in only_t:
+        assert r["zscore"] > 0, r
+    for r in only_r:
+        assert r["zscore"] < 0, r
+    # ordering consistent with the ranking column
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    zs = [r["zscore"] for r in by_rank]
+    assert zs == sorted(zs, reverse=True)
