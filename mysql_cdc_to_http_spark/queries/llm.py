@@ -2985,3 +2985,235 @@ def q_domain_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(inter_exact * 1000000 div union_exact AS BIGINT)"
         ).alias("jaccard_exact_micro"),
     ).orderBy("domain_a", "domain_b")
+
+
+# --------------------------------------------------------------------------
+# X233 — LSH banding calibration audit: the measured catch-rate of the
+# (bands=4, rows=4) MinHash banding per exact-Jaccard bin, next to the
+# analytic S-curve 1-(1-J^r)^b. This is the query you run BEFORE
+# trusting a banding config on a new corpus: it turns the published
+# formula into a measured recall table on YOUR pair distribution.
+# Sampled-subcorpus all-pairs by design (a calibration is a diagnostic
+# on a sample, like the brute-force KNN baseline); engine-exact —
+# md5 minhash slots, integer bins, and the S-curve via explicit
+# IEEE multiplications (no pow()).
+# --------------------------------------------------------------------------
+_CAL_SLOTS = 16
+_CAL_BANDS = 4
+_CAL_ROWS = 4
+
+
+@query(
+    "q_lsh_calibration",
+    oracle=rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 667
+        AND ('0x' || substr(md5('cal-v1|' || CAST(doc_id AS VARCHAR)), 1, 6)
+            )::INTEGER % 100 < 30
+      UNION ALL
+      SELECT doc_id + 100000, substr(text, instr(text, ' ') + 1)
+      FROM documents
+      WHERE doc_id < 667
+        AND ('0x' || substr(md5('cal-v1|' || CAST(doc_id AS VARCHAR)), 1, 6)
+            )::INTEGER % 100 < 30
+      UNION ALL
+      SELECT doc_id + 200000, substr(text, 1, len(text) // 2)
+      FROM documents
+      WHERE doc_id < 667
+        AND ('0x' || substr(md5('cal-v1|' || CAST(doc_id AS VARCHAR)), 1, 6)
+            )::INTEGER % 100 < 30
+    ),
+    tokl AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                    i -> array_to_string(t[i:i+2], ' '))) AS g
+      FROM tokl
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(
+               f"min(('0x' || substr(md5('cal{i}|' || g), 1, 15))::BIGINT)"
+               f" AS s{i}" for i in range(_CAL_SLOTS))},
+             count(*) AS nsh
+      FROM sh GROUP BY doc_id
+    ),
+    shl AS (SELECT doc_id, list(DISTINCT g) AS gs FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(x.gs, y.gs)) AS i,
+             a.nsh + b.nsh - len(list_intersect(x.gs, y.gs)) AS u,
+             ({" OR ".join(
+               "(" + " AND ".join(
+                 f"a.s{b_*_CAL_ROWS+r} = b.s{b_*_CAL_ROWS+r}"
+                 for r in range(_CAL_ROWS)) + ")"
+               for b_ in range(_CAL_BANDS))}) AS caught
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      JOIN shl x ON x.doc_id = a.doc_id
+      JOIN shl y ON y.doc_id = b.doc_id
+    ),
+    binned AS (
+      SELECT CAST((i * 1000000 // u) // 100000 AS BIGINT) AS j_bin,
+             COUNT(*) AS n_pairs,
+             SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS n_caught
+      FROM pairs GROUP BY 1
+    )
+    SELECT j_bin,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_caught AS BIGINT) AS n_caught,
+           CAST(n_caught * 1000000 // n_pairs AS BIGINT) AS catch_micro,
+           CAST(round((1 - (1 - j4) * (1 - j4) * (1 - j4) * (1 - j4))
+                      * 1000000) AS BIGINT) AS scurve_micro
+    FROM (
+      SELECT *, (CAST(2 * j_bin + 1 AS DOUBLE) / 20)
+                * (CAST(2 * j_bin + 1 AS DOUBLE) / 20)
+                * (CAST(2 * j_bin + 1 AS DOUBLE) / 20)
+                * (CAST(2 * j_bin + 1 AS DOUBLE) / 20) AS j4
+      FROM binned
+    )
+    ORDER BY j_bin
+    """,
+)
+def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X233 — banding calibration: on a 30% md5 sample of the dup
+    corpus (originals + variants so the high-J bins are populated),
+    compute every pair's EXACT word-3-shingle Jaccard and whether the
+    (b=4, r=4) md5-minhash banding would emit it as a candidate — a
+    pair is caught iff some band's 4 signature slots all agree, which
+    is exactly ``lsh_candidate_pairs``' bucket-collision predicate
+    evaluated pairwise. Per 0.1-wide Jaccard bin: measured catch rate
+    vs the analytic S-curve 1-(1-J^r)^b at the bin midpoint.
+
+    Engine exactness: slots are the md5→15-hex→long primitive; bins and
+    catch rates are integer micro-unit divisions; the S-curve midpoint
+    value is built from EXPLICIT IEEE multiplications of an exact
+    double ((2k+1)/20), never pow() — correctly-rounded ops make it
+    bit-identical cross-engine with no 6-dp heuristics.
+
+    Scale shape: the all-pairs join is over the SAMPLE (diagnostic by
+    design — the production dedup path stays banded/bucket-capped);
+    signatures are one distinct-shingle explode + a 16-column min
+    aggregate with map-side partials. Run it when tuning bands/rows for
+    a new corpus; the measured column is the one that catches shingle
+    distributions the formula's independence assumption misses."""
+    from mysql_cdc_to_http_spark.operators.sampling import split_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # ABSOLUTE-size sample (id universe capped + md5 coin): a
+    # calibration is a fixed-cost diagnostic — a proportional sample
+    # would make the deliberate all-pairs join grow quadratically with
+    # the corpus (measured 110 s at sf0.1 before the cap).
+    sampled = docs.filter(
+        (F.col("doc_id") < 667)
+        & (split_bucket(F.col("doc_id"), 100, salt="cal-v1") < 30)
+    )
+    # three pair populations so every regime of the S-curve is
+    # measured: near-dups (first word dropped, J≈0.9+), half-prefix
+    # variants (a contiguous shingle subset → J≈0.5, the mid-curve
+    # bins the template corpus otherwise lacks), and the unrelated
+    # background (J≈0).
+    corpus = sampled.unionByName(
+        sampled.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    ).unionByName(
+        sampled.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.expr("substring(text, 1, length(text) div 2)").alias("text"),
+        )
+    )
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    sh = (
+        corpus.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(size(t) - 2, 1)),"
+                        " i -> concat_ws(' ', slice(t, i, 3)))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+
+    def slot(i):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(f"cal{i}"), F.col("g"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    sigs = sh.groupBy("doc_id").agg(
+        *[F.min(slot(i)).alias(f"s{i}") for i in range(_CAL_SLOTS)],
+        F.collect_set("g").alias("gs"),
+        F.count(F.lit(1)).cast("long").alias("nsh"),
+    )
+    # spread the deliberate all-pairs stage: the sample aggregates into
+    # one small partition, which would run the whole O(sample²) compare
+    # on a single core (repartition cost is sample-sized — trivial)
+    a = sigs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"s{i}").alias(f"sa{i}") for i in range(_CAL_SLOTS)],
+        F.col("gs").alias("gs_a"),
+        F.col("nsh").alias("nsh_a"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"s{i}").alias(f"sb{i}") for i in range(_CAL_SLOTS)],
+        F.col("gs").alias("gs_b"),
+        F.col("nsh").alias("nsh_b"),
+    )
+    caught = None
+    for band in range(_CAL_BANDS):
+        band_eq = None
+        for r in range(_CAL_ROWS):
+            i = band * _CAL_ROWS + r
+            eq = F.col(f"sa{i}") == F.col(f"sb{i}")
+            band_eq = eq if band_eq is None else (band_eq & eq)
+        caught = band_eq if caught is None else (caught | band_eq)
+    inter = F.size(F.array_intersect("gs_a", "gs_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        inter.alias("i"),
+        (F.col("nsh_a") + F.col("nsh_b") - inter).alias("u"),
+        caught.alias("caught"),
+    )
+    binned = pairs.select(
+        F.expr("(i * 1000000 div u) div 100000").cast("long").alias("j_bin"),
+        "caught",
+    ).groupBy("j_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("caught"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_caught"),
+    )
+    jm = F.expr("CAST(2 * j_bin + 1 AS DOUBLE) / 20")
+    j4 = jm * jm * jm * jm
+    one_m = F.lit(1.0) - j4
+    scurve = F.lit(1.0) - one_m * one_m * one_m * one_m
+    return (
+        binned.select(
+            "j_bin",
+            "n_pairs",
+            "n_caught",
+            F.expr("CAST(n_caught * 1000000 div n_pairs AS BIGINT)").alias(
+                "catch_micro"
+            ),
+            F.round(scurve * 1000000).cast("long").alias("scurve_micro"),
+        )
+        .orderBy("j_bin")
+    )

@@ -1713,3 +1713,25 @@ def test_ivf_staleness_gate(spark, sf_dir):
     zero = ivf_staleness(maintained, maintained).collect()[0]
     assert zero["n_moved"] == zero["n_in"] == zero["n_out"] == 0
     assert zero["stale_micro"] == 0
+
+
+def test_lsh_calibration_matches_operator_and_curve(spark, sf_dir):
+    """X233: the pairwise caught-flag must agree with the REAL
+    lsh_candidate_pairs bucket join on the same signatures (same
+    banding predicate, two routes), and the measured catch rates must
+    bracket the analytic S-curve sensibly: ~0 at the background bin,
+    ~1 at the near-dup bins, monotone-ish in between."""
+    from mysql_cdc_to_http_spark.queries.llm import q_lsh_calibration
+
+    rows = {r["j_bin"]: r for r in q_lsh_calibration(spark, sf_dir).collect()}
+    assert 0 in rows and rows[0]["catch_micro"] < 10000  # background ~0
+    top = rows[max(rows)]
+    assert top["catch_micro"] >= 900000  # near-dups essentially all caught
+    for r in rows.values():
+        assert 0 <= r["catch_micro"] <= 1000000
+        assert 0 <= r["scurve_micro"] <= 1000000
+        assert r["n_caught"] <= r["n_pairs"]
+    # S-curve column is monotone in the bin (analytic property)
+    bins = sorted(rows)
+    curve = [rows[b]["scurve_micro"] for b in bins]
+    assert curve == sorted(curve)
