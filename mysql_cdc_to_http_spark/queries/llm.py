@@ -3217,3 +3217,105 @@ def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j_bin")
     )
+
+
+# --------------------------------------------------------------------------
+# X234 — length-bucketed batching audit: assign each document to its
+# power-of-two token-length bucket and report per-bucket padding waste
+# vs the pad-to-global-max baseline — the measurement behind dynamic
+# batching in every inference/training dataloader (bucketing trades a
+# few batch shapes for most of the padding back). Integer end to end:
+# the bucket cap comes from the BINARY LENGTH of the token count, not
+# log2 floats.
+# --------------------------------------------------------------------------
+@query(
+    "q_length_buckets",
+    oracle=r"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(regexp_replace(lower(text), '\s+',
+                  ' ', 'g')), ' ')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    capped AS (
+      SELECT doc_id, nt,
+             CAST(CASE WHEN nt = (1::BIGINT << (length(bin(nt)) - 1))
+                       THEN nt
+                       ELSE (1::BIGINT << length(bin(nt))) END
+                  AS BIGINT) AS cap
+      FROM sized
+    ),
+    gtot AS (
+      SELECT MAX(nt) AS m, CAST(SUM(nt) AS BIGINT) AS tok_total,
+             COUNT(*) AS n
+      FROM sized
+    )
+    SELECT cap AS bucket_cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS tokens,
+           CAST(COUNT(*) * cap AS BIGINT) AS padded,
+           CAST((COUNT(*) * cap - SUM(nt)) * 1000000 // (COUNT(*) * cap)
+                AS BIGINT) AS waste_micro,
+           CAST((g.n * g.m - g.tok_total) * 1000000 // (g.n * g.m)
+                AS BIGINT) AS global_waste_micro
+    FROM capped, gtot g
+    GROUP BY cap, g.n, g.m, g.tok_total
+    ORDER BY bucket_cap
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X234 — length-bucketed batching audit: each doc lands in the
+    smallest power-of-two bucket holding its token count; per bucket,
+    the padding waste ((cap − len) summed over members ÷ padded
+    volume) next to the pad-to-global-max baseline every row shares —
+    the before/after table that justifies dynamic batching in a
+    dataloader. The bucket cap is computed from the BINARY LENGTH of
+    the integer token count (bin-string length → shift), so there is
+    no log2 float anywhere and exact powers of two land in their own
+    size, both engines identically.
+
+    Scale shape: one scan → a codegen split-length projection (no
+    explode), one bucket-count aggregate with map-side partials, and a
+    broadcast 1-row global aggregate; output is O(log max_len) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    sized = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("nt")
+    )
+    capped = sized.select(
+        "doc_id",
+        "nt",
+        F.expr(
+            "CAST(CASE WHEN nt = shiftleft(1L, length(bin(nt)) - 1)"
+            " THEN nt ELSE shiftleft(1L, length(bin(nt))) END AS BIGINT)"
+        ).alias("cap"),
+    )
+    glob = sized.agg(
+        F.max("nt").alias("m"),
+        F.sum("nt").cast("long").alias("tok_total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        capped.groupBy("cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("tokens"),
+        )
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("cap").alias("bucket_cap"),
+            "n_docs",
+            "tokens",
+            (F.col("n_docs") * F.col("cap")).cast("long").alias("padded"),
+            F.expr(
+                "CAST((n_docs * cap - tokens) * 1000000"
+                " div (n_docs * cap) AS BIGINT)"
+            ).alias("waste_micro"),
+            F.expr(
+                "CAST((n * m - tok_total) * 1000000 div (n * m) AS BIGINT)"
+            ).alias("global_waste_micro"),
+        )
+        .orderBy("bucket_cap")
+    )

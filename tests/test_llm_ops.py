@@ -1735,3 +1735,38 @@ def test_lsh_calibration_matches_operator_and_curve(spark, sf_dir):
     bins = sorted(rows)
     curve = [rows[b]["scurve_micro"] for b in bins]
     assert curve == sorted(curve)
+
+
+def test_length_buckets_waste_accounting(spark, sf_dir):
+    """X234: bucket caps are powers of two and hold their members
+    (cap/2 < nt <= cap); exact powers land in their own size (planted
+    16-token doc → cap 16, 17-token doc → cap 32); bucketed waste is
+    strictly below the shared pad-to-max baseline in aggregate."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.queries.llm import q_length_buckets
+
+    rows = q_length_buckets(spark, sf_dir).collect()
+    for r in rows:
+        cap = r["bucket_cap"]
+        assert cap & (cap - 1) == 0  # power of two
+        assert r["padded"] == r["n_docs"] * cap
+        assert 0 <= r["waste_micro"] < 500000  # members are > cap/2
+    total_padded = sum(r["padded"] for r in rows)
+    total_tokens = sum(r["tokens"] for r in rows)
+    bucketed_waste = (total_padded - total_tokens) / total_padded
+    global_waste = rows[0]["global_waste_micro"] / 1e6
+    assert bucketed_waste < global_waste
+    # planted boundary cases through the same cap expression
+    df = spark.createDataFrame([(16,), (17,), (1,)], "nt long")
+    caps = {
+        r["nt"]: r["cap"]
+        for r in df.select(
+            "nt",
+            F.expr(
+                "CAST(CASE WHEN nt = shiftleft(1L, length(bin(nt)) - 1)"
+                " THEN nt ELSE shiftleft(1L, length(bin(nt))) END AS BIGINT)"
+            ).alias("cap"),
+        ).collect()
+    }
+    assert caps == {16: 16, 17: 32, 1: 1}
