@@ -701,3 +701,94 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl", "op")
     )
+
+
+# --------------------------------------------------------------------------
+# X235 — deterministic-sample maintenance under churn: because md5
+# sample membership is a pure function of the KEY, a sampled view is
+# incrementally maintainable by applying only the sample's slice of
+# the snapshot diff — the CDC x sampling bridge, next to X94 (joined
+# view) and X228 (ANN index). The oracle rebuilds the post-churn
+# sample from scratch; hash parity proves incremental == rebuild.
+# --------------------------------------------------------------------------
+@query(
+    "q_sample_maintenance",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS o_totalprice
+      FROM base WHERE o_orderkey % 97 != 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', o_totalprice
+      FROM base WHERE o_orderkey % 89 = 0
+    ),
+    sampled AS (
+      SELECT * FROM new
+      WHERE ('0x' || substr(md5('smv-v1|' || CAST(o_orderkey AS VARCHAR)),
+                            1, 6))::INTEGER % 100 < 20
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE),
+                 2) AS total
+    FROM sampled GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q_sample_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X235 — maintain a 20% md5 sample of orders as a VIEW under the
+    X87 churn (delete %97, update %11, insert %89 under key+10M)
+    WITHOUT rescanning the base table: membership is a pure function
+    of the key (operators/sampling.py:split_bucket), so the update
+    rule is exactly ``apply_diff`` over the SAMPLE-member slice of the
+    ``snapshot_diff`` change set — delta-sized work, like X94's joined
+    view and X228's ANN index. The oracle recomputes the post-churn
+    sample from scratch; hash parity proves the maintenance algebra
+    (and the per-status rollup surfaces every churn class: 'X' rows
+    are the updates that stayed sampled, 'N' rows the inserts that
+    drew into the sample, deletions leave by count).
+
+    A seeded-RNG sample could NOT be maintained this way — membership
+    of unchanged rows would depend on scan order/partitioning. Key-
+    hash membership is what makes the sample a maintainable view; the
+    row-exact incremental==rebuild identity is also property-tested.
+    Exact DECIMAL sums per q_agg_q1's cross-engine rule."""
+    from mysql_cdc_to_http_spark.operators.diff import (
+        apply_diff,
+        snapshot_diff,
+    )
+    from mysql_cdc_to_http_spark.operators.sampling import split_bucket
+
+    old, new = _diff_snapshots(spark, sf_dir)
+    in_sample = (
+        lambda col: split_bucket(col, 100, salt="smv-v1") < 20
+    )
+    sample_v1 = old.filter(in_sample(F.col("o_orderkey")))
+    changes = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    sample_changes = changes.filter(in_sample(F.col("o_orderkey")))
+    maintained = apply_diff(
+        sample_v1,
+        sample_changes,
+        ["o_orderkey"],
+        ["o_orderstatus", "o_totalprice"],
+    )
+    return (
+        maintained.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

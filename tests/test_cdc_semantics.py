@@ -324,3 +324,43 @@ def test_python_datasource_partitions_per_file(spark, sf_dir):
         F.max("line_no").alias("mx"), F.count(F.lit(1)).alias("n")
     )
     assert all(r.mx == r.n - 1 for r in mx.collect())
+
+
+def test_sample_maintenance_identity(spark, sf_dir):
+    """X235: the incrementally maintained md5 sample must equal the
+    from-scratch sample of the post-churn snapshot ROW-EXACTLY, and the
+    incremental path must touch only the sample's slice of the diff
+    (change-sized, not base-sized)."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.operators.diff import (
+        apply_diff,
+        snapshot_diff,
+    )
+    from mysql_cdc_to_http_spark.operators.sampling import split_bucket
+    from mysql_cdc_to_http_spark.queries.cdc import _diff_snapshots
+
+    old, new = _diff_snapshots(spark, sf_dir)
+    member = split_bucket(F.col("o_orderkey"), 100, salt="smv-v1") < 20
+    changes = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    maintained = apply_diff(
+        old.filter(member),
+        changes.filter(member),
+        ["o_orderkey"],
+        ["o_orderstatus", "o_totalprice"],
+    )
+    got = {
+        (r["o_orderkey"], r["o_orderstatus"], float(r["o_totalprice"]))
+        for r in maintained.collect()
+    }
+    want = {
+        (r["o_orderkey"], r["o_orderstatus"], float(r["o_totalprice"]))
+        for r in new.filter(member).collect()
+    }
+    assert got == want and got  # row-exact identity, non-empty
+    # delta-sized: the applied change slice is ~20% of the full diff
+    n_changes = changes.count()
+    n_slice = changes.filter(member).count()
+    assert 0 < n_slice < 0.3 * n_changes
