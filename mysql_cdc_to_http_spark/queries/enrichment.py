@@ -1494,3 +1494,76 @@ def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("qid").alias("s_suppkey"), "nn", "dist2"
     ).orderBy("s_suppkey")
+
+
+# --------------------------------------------------------------------------
+# X236 — k-anonymity audit (Sweeney 2002): equivalence-class size
+# distribution over a quasi-identifier tuple, and the re-identification
+# exposure it implies at k = 2/5/10 — the governance gate a dataset
+# passes BEFORE export, next to X63's PII redaction (redaction removes
+# direct identifiers; k-anonymity measures whether the remaining
+# quasi-identifiers still single people out). Exact integers end to
+# end.
+# --------------------------------------------------------------------------
+@query(
+    "q_k_anonymity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS sz
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(sz) AS BIGINT) AS k_anonymity,
+           CAST(SUM(CASE WHEN sz < 2 THEN sz ELSE 0 END) * 1000000
+                // SUM(sz) AS BIGINT) AS at_risk_k2_micro,
+           CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 1000000
+                // SUM(sz) AS BIGINT) AS at_risk_k5_micro,
+           CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) * 1000000
+                // SUM(sz) AS BIGINT) AS at_risk_k10_micro,
+           CAST(SUM(1000000 // sz) // COUNT(*) AS BIGINT)
+             AS mean_reid_prob_micro
+    FROM classes
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X236 — k-anonymity audit over the (nation, market-segment)
+    quasi-identifier tuple: the dataset's k (smallest equivalence
+    class), the fraction of rows living in classes below k = 2/5/10
+    (the rows an adversary joining on the quasi-identifiers could
+    narrow to fewer than k candidates), and the mean per-class
+    re-identification probability (average of 1/size — the prosecutor-
+    model risk). A release gate reads one row: publish iff
+    ``k_anonymity >= k_policy``.
+
+    Exactness: class sizes are exact counts; every ratio is a truncated
+    integer micro-unit division (1e6 div sz per class, then the
+    integer mean), so both engines hash identically. Scale shape: one
+    scan → quasi-identifier count aggregate with map-side partials →
+    a class-table (product of QI cardinalities, model-sized) rollup;
+    nothing fact-sized after the first aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return classes.agg(
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("sz").cast("long").alias("k_anonymity"),
+        F.expr(
+            "CAST(SUM(CASE WHEN sz < 2 THEN sz ELSE 0 END) * 1000000"
+            " div SUM(sz) AS BIGINT)"
+        ).alias("at_risk_k2_micro"),
+        F.expr(
+            "CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 1000000"
+            " div SUM(sz) AS BIGINT)"
+        ).alias("at_risk_k5_micro"),
+        F.expr(
+            "CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) * 1000000"
+            " div SUM(sz) AS BIGINT)"
+        ).alias("at_risk_k10_micro"),
+        F.expr(
+            "CAST(SUM(1000000 div sz) div COUNT(1) AS BIGINT)"
+        ).alias("mean_reid_prob_micro"),
+    )
