@@ -6,6 +6,8 @@ results stay correct."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mysql_cdc_to_http_spark.catalog import load_table
@@ -1161,3 +1163,31 @@ def test_winnow_pair_join_is_fingerprint_bucketed(spark, sf_dir):
     # the frequency cap is a filter on the aggregated fp counts (c <= 50)
     # feeding the join, not applied after pair formation
     assert "<= 50" in opt, opt
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_knn_ivf_incremental",
+        "q_dsir_select",
+        "q_temperature_mix",
+        "q_ngram_novelty",
+        "q_fightin_words",
+        "q_lsh_calibration",
+        "q_length_buckets",
+        "q_sample_maintenance",
+        "q_k_anonymity",
+    ],
+)
+def test_round11_queries_lint_clean(spark, sf_dir, name):
+    """Round-11 additions: no error-severity plan issues (no cartesian
+    products, no un-broadcast nested loops on fact-sized sides). The
+    one deliberate pairwise compare (q_lsh_calibration) runs as a
+    broadcast nested loop over an absolute-size sample — warn-level by
+    design, never an error."""
+    issues = [
+        i
+        for i in lint_plan(QUERIES[name](spark, sf_dir))
+        if i.severity == "error"
+    ]
+    assert issues == [], (name, issues)
