@@ -1701,3 +1701,117 @@ def q_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# X237 — incremental novelty under append (the streaming sibling of
+# X231): the per-gram first-occurrence store is MERGEABLE state (min
+# is associative), so a foreachBatch fold over arriving batches scores
+# each new batch against store + batch-internal order without ever
+# rescanning history. The oracle computes the one-shot answer for the
+# second epoch; hash parity proves fold == one-shot.
+# --------------------------------------------------------------------------
+@query(
+    "q_novelty_incremental",
+    oracle=rf"""
+    WITH half AS (SELECT MAX(doc_id) // 2 AS b FROM documents),
+    tokl AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(t) - 4, 1) + 1),
+                 i -> array_to_string(t[i:i+4], ' ')))) AS g
+        FROM tokl
+      )
+    ),
+    firsts AS (SELECT h, min(doc_id) AS first_doc FROM grams GROUP BY h)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_seen,
+           CAST((COUNT(*) - SUM(CASE WHEN f.first_doc < g.doc_id
+                                     THEN 1 ELSE 0 END)) * 1000000
+                // COUNT(*) AS BIGINT) AS novelty_micro
+    FROM grams g JOIN firsts f USING (h), half
+    WHERE g.doc_id >= half.b
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+)
+def q_novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X237 — novelty scoring of an ARRIVING batch against a maintained
+    first-occurrence store, without rescanning history: epoch 1 (docs
+    below the id midpoint) folds into a (gram-hash → first doc_id)
+    store; epoch 2 scores against store membership plus batch-internal
+    order only. Because every stored first precedes every epoch-2 doc,
+    "seen" = gram in store OR an earlier epoch-2 doc carries it — no
+    history rescan, and the store itself updates by an associative MIN
+    merge (the mergeable-state property that makes the fold a
+    foreachBatch body; X203's KMV discipline applied to X231).
+
+    The oracle computes the ONE-SHOT answer over the full corpus
+    restricted to epoch-2 docs — hash parity proves fold == one-shot,
+    the X94/X228/X235 identity rule. Store is gram-vocabulary-sized
+    (Heaps-sublinear); the scoring join shuffles fixed-width longs."""
+    from mysql_cdc_to_http_spark.operators.curation import (
+        tokenize,
+        word_ngrams_from_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    half = docs.agg(
+        F.expr("CAST(max(doc_id) div 2 AS BIGINT)").alias("b")
+    )
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams_from_tokens(F.col("t"), 5))
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).crossJoin(F.broadcast(half))
+    store = (
+        grams.filter(F.col("doc_id") < F.col("b"))
+        .groupBy("h")
+        .agg(F.lit(1).alias("in_store"))
+    )
+    batch2 = grams.filter(F.col("doc_id") >= F.col("b"))
+    internal = batch2.groupBy("h").agg(
+        F.min("doc_id").alias("batch_first")
+    )
+    scored = (
+        batch2.join(store, "h", "left")
+        .join(internal, "h")
+        .select(
+            "doc_id",
+            (
+                F.col("in_store").isNotNull()
+                | (F.col("batch_first") < F.col("doc_id"))
+            )
+            .cast("int")
+            .alias("seen"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("seen").cast("long").alias("n_seen"),
+            F.expr(
+                "CAST((count(1) - sum(seen)) * 1000000 div count(1)"
+                " AS BIGINT)"
+            ).alias("novelty_micro"),
+        )
+        .orderBy("doc_id")
+    )

@@ -609,3 +609,33 @@ def test_fightin_words_attribution(spark, sf_dir):
     by_rank = sorted(rows, key=lambda r: r["rank"])
     zs = [r["zscore"] for r in by_rank]
     assert zs == sorted(zs, reverse=True)
+
+
+def test_novelty_incremental_matches_oneshot(spark, sf_dir):
+    """X237 identity: the fold-scored epoch-2 novelty must equal the
+    one-shot q_ngram_novelty restricted to epoch-2 docs, row-exactly —
+    the mergeable-store property (min is associative) that makes the
+    fold a foreachBatch body."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.queries.curation import (
+        q_ngram_novelty,
+        q_novelty_incremental,
+    )
+
+    b = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.expr("max(doc_id) div 2"))
+        .collect()[0][0]
+    )
+    got = {
+        (r["doc_id"], r["n_grams"], r["n_seen"], r["novelty_micro"])
+        for r in q_novelty_incremental(spark, sf_dir).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_grams"], r["n_seen"], r["novelty_micro"])
+        for r in q_ngram_novelty(spark, sf_dir).collect()
+        if r["doc_id"] >= b
+    }
+    assert got == want and got
