@@ -3319,3 +3319,128 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_cap")
     )
+
+
+# --------------------------------------------------------------------------
+# X238 — fill-in-the-middle (FIM) transformation (Bavarian et al. 2022,
+# "Efficient Training of Language Models to Fill in the Middle"): for a
+# deterministic subset of documents, split the text into
+# (prefix, middle, suffix) at key-derived split points and re-emit as
+# <PRE> prefix <SUF> suffix <MID> middle — the PSM reordering that
+# teaches infilling at pretraining time. A pure projection; the md5 of
+# the transformed text certifies byte-exact reordering cross-engine.
+# --------------------------------------------------------------------------
+@query(
+    "q_fim_transform",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, len(text) AS n,
+             ('0x' || substr(md5('fim-a|' || CAST(doc_id AS VARCHAR)), 1, 6)
+             )::BIGINT % 100 AS ca,
+             ('0x' || substr(md5('fim-b|' || CAST(doc_id AS VARCHAR)), 1, 6)
+             )::BIGINT % 100 AS cb
+      FROM documents
+    ),
+    splitpts AS (
+      SELECT doc_id, text, n,
+             (ca < 50) AS fim,
+             1 + (n * least(ca, cb)) // 100 AS p1,
+             1 + (n * greatest(ca, cb)) // 100 AS p2
+      FROM base
+    ),
+    parts AS (
+      SELECT doc_id, fim, n,
+             substr(text, 1, p1 - 1) AS pre,
+             substr(text, p1, p2 - p1) AS mid,
+             substr(text, p2) AS suf,
+             text
+      FROM splitpts
+    )
+    SELECT doc_id,
+           CAST(fim AS BOOLEAN) AS fim_applied,
+           CAST(len(pre) AS BIGINT) AS n_prefix,
+           CAST(len(mid) AS BIGINT) AS n_middle,
+           CAST(len(suf) AS BIGINT) AS n_suffix,
+           md5(CASE WHEN fim
+                    THEN '<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid
+                    ELSE text END) AS out_md5
+    FROM parts ORDER BY doc_id
+    """,
+)
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X238 — PSM fill-in-the-middle: a 50% md5 coin selects documents;
+    two key-derived percent points (md5 'fim-a'/'fim-b', ordered) cut
+    the character range into prefix/middle/suffix, and the transformed
+    document is <PRE> prefix <SUF> suffix <MID> middle — the reordering
+    that trains infilling. Documents that miss the coin pass through
+    unchanged (the published 50/50 mix). Everything is a key-pure
+    projection — the transform applies identically on any partitioning
+    or replay, the FIM analog of the engine's deterministic-sampling
+    discipline — and the emitted md5 of the transformed text certifies
+    the reordering byte-exactly against the oracle (the q_c4_clean
+    rule: hash the payload, not just counts).
+
+    Scale shape: zero shuffles before the presentation orderBy; at
+    100 TB this runs as a mapPartitions-free, codegen'd projection
+    inside whatever pipeline stage writes training shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("fim-a"), F.col("doc_id"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).alias("ca"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("fim-b"), F.col("doc_id"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).alias("cb"),
+    )
+    pts = base.select(
+        "doc_id",
+        "text",
+        "n",
+        (F.col("ca") < 50).alias("fim"),
+        (F.lit(1) + F.expr("(n * least(ca, cb)) div 100")).alias("p1"),
+        (F.lit(1) + F.expr("(n * greatest(ca, cb)) div 100")).alias("p2"),
+    )
+    pre = F.expr("substring(text, 1, p1 - 1)")
+    mid = F.expr("substring(text, p1, p2 - p1)")
+    suf = F.expr("substring(text, p2)")
+    return pts.select(
+        "doc_id",
+        F.col("fim").alias("fim_applied"),
+        F.length(pre).cast("long").alias("n_prefix"),
+        F.length(mid).cast("long").alias("n_middle"),
+        F.length(suf).cast("long").alias("n_suffix"),
+        F.md5(
+            F.when(
+                F.col("fim"),
+                F.concat(
+                    F.lit("<PRE>"),
+                    pre,
+                    F.lit("<SUF>"),
+                    suf,
+                    F.lit("<MID>"),
+                    mid,
+                ),
+            ).otherwise(F.col("text"))
+        ).alias("out_md5"),
+    ).orderBy("doc_id")

@@ -1770,3 +1770,47 @@ def test_length_buckets_waste_accounting(spark, sf_dir):
         ).collect()
     }
     assert caps == {16: 16, 17: 32, 1: 1}
+
+
+def test_fim_transform_reconstruction(spark, sf_dir):
+    """X238: prefix+middle+suffix lengths must reconstruct the original
+    length for every doc; roughly half the corpus gets the transform;
+    a FIM'd doc's output hash differs from its passthrough hash (the
+    reordering actually happened) and equals the hand-built PSM string
+    on a spot-checked row."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.queries.llm import q_fim_transform
+
+    rows = q_fim_transform(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    n_fim = 0
+    for r in rows:
+        total = r["n_prefix"] + r["n_middle"] + r["n_suffix"]
+        assert total == len(docs[r["doc_id"]])
+        if r["fim_applied"]:
+            n_fim += 1
+        else:
+            assert (
+                r["out_md5"]
+                == hashlib.md5(docs[r["doc_id"]].encode()).hexdigest()
+            )
+    assert 0.4 < n_fim / len(rows) < 0.6  # the 50% coin
+    # spot-check one FIM'd row against a hand-built PSM string
+    r = next(r for r in rows if r["fim_applied"] and r["n_middle"] > 0)
+    t = docs[r["doc_id"]]
+    pre = t[: r["n_prefix"]]
+    mid = t[r["n_prefix"] : r["n_prefix"] + r["n_middle"]]
+    suf = t[r["n_prefix"] + r["n_middle"] :]
+    want = hashlib.md5(
+        f"<PRE>{pre}<SUF>{suf}<MID>{mid}".encode()
+    ).hexdigest()
+    assert r["out_md5"] == want
