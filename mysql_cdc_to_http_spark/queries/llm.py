@@ -3444,3 +3444,124 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("text"))
         ).alias("out_md5"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# X239 — preference-pair mining for alignment data: within each source,
+# rank documents by a deterministic quality proxy and pair the best
+# against the worst (rank i vs rank n+1-i) — the contrastive
+# (chosen, rejected) construction behind DPO/RLHF reward data. The
+# proxy here is type-token ratio in integer micro-units (pluggable —
+# any oracled score column drops in); everything is exact integers so
+# the pairing is engine-reproducible.
+# --------------------------------------------------------------------------
+_PREF_PAIRS_PER_SRC = 3
+
+
+@query(
+    "q_preference_pairs",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             (SELECT CAST(len(list_distinct(l)) * 1000000 // len(l)
+                          AS BIGINT)
+              FROM (SELECT string_split(trim(regexp_replace(lower(text),
+                           '\s+', ' ', 'g')), ' ') AS l) t
+             ) AS ttr_micro
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, ttr_micro,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY ttr_micro DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    )
+    SELECT t.source,
+           t.doc_id AS chosen_id,
+           b.doc_id AS rejected_id,
+           t.ttr_micro AS chosen_score,
+           b.ttr_micro AS rejected_score,
+           CAST(t.ttr_micro - b.ttr_micro AS BIGINT) AS gap_micro
+    FROM ranked t
+    JOIN ranked b
+      ON b.source = t.source AND b.rk = t.n + 1 - t.rk
+    WHERE t.rk <= {_PREF_PAIRS_PER_SRC} AND t.rk < b.rk
+    ORDER BY t.source, t.rk
+    """,
+)
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X239 — contrastive (chosen, rejected) pair construction: per
+    source, the top-{_PREF_PAIRS_PER_SRC} documents by quality pair
+    with the bottom ones (rank i ↔ rank n+1−i, the maximum-gap
+    matching), emitting the score gap — the mining step behind
+    DPO/reward-model data when only a scalar quality signal exists.
+    The proxy score is the type-token ratio as a truncated integer
+    micro-unit (exact — no FP anywhere), standing in for any oracled
+    per-doc score (X98 classifier, X102 perplexity, X229 DSIR all
+    emit one); ties break by doc_id so the ranking, and therefore the
+    PAIRING, hashes identically cross-engine.
+
+    Scale shape: one scan → per-doc codegen projection (split +
+    array_distinct sizes, no explode) → one per-source window (keyed
+    partition, never global) → a rank-equijoin of two |pairs|-sized
+    slices. The i↔n+1−i join is source+rank keyed — model-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    # materialize the token array FIRST (the tokenize rule), then score
+    scored = docs.select(
+        "doc_id", "source", toks.alias("l")
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(size(array_distinct(l)) * 1000000 div size(l) AS BIGINT)"
+        ).alias("ttr_micro"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("ttr_micro").desc(), "doc_id"
+    )
+    wn = Window.partitionBy("source")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "ttr_micro",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    top = ranked.filter(F.col("rk") <= _PREF_PAIRS_PER_SRC).select(
+        "source",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("ttr_micro").alias("chosen_score"),
+        "rk",
+        "n",
+    )
+    bot = ranked.select(
+        F.col("source").alias("b_source"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("ttr_micro").alias("rejected_score"),
+        F.col("rk").alias("b_rk"),
+    )
+    return (
+        top.join(
+            bot,
+            (F.col("b_source") == F.col("source"))
+            & (F.col("b_rk") == F.col("n") + 1 - F.col("rk"))
+            & (F.col("rk") < F.col("b_rk")),
+        )
+        .select(
+            "source",
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score"))
+            .cast("long")
+            .alias("gap_micro"),
+        )
+        .orderBy("source", F.col("gap_micro").desc(), "chosen_id")
+    )

@@ -1814,3 +1814,23 @@ def test_fim_transform_reconstruction(spark, sf_dir):
         f"<PRE>{pre}<SUF>{suf}<MID>{mid}".encode()
     ).hexdigest()
     assert r["out_md5"] == want
+
+
+def test_preference_pairs_construction(spark, sf_dir):
+    """X239: every pair's chosen score >= rejected score (gap >= 0);
+    per source exactly min(3, n/2) pairs with the max-gap matching
+    (rank 1 pairs with rank n, etc.); no doc appears on both sides of
+    the same source's pairs."""
+    from mysql_cdc_to_http_spark.queries.llm import q_preference_pairs
+
+    rows = q_preference_pairs(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        assert r["gap_micro"] == r["chosen_score"] - r["rejected_score"]
+        assert r["gap_micro"] >= 0
+        by_src.setdefault(r["source"], []).append(r)
+    for src, prs in by_src.items():
+        assert len(prs) == 3  # 25+ docs per source in every sf
+        chosen = {p["chosen_id"] for p in prs}
+        rejected = {p["rejected_id"] for p in prs}
+        assert not chosen & rejected
