@@ -1815,3 +1815,304 @@ def q_novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X243 — opt-out / blocklist URL filtering (the robots.txt-and-takedown
+# compliance gate every crawl-derived corpus runs before training):
+# domain rules block a registrable domain AND all its subdomains, path
+# rules block by case-folded path prefix. The scalable move is the
+# ancestor-expansion equi-join — each host explodes into its O(#labels)
+# DNS suffixes ("www.example3.com" -> [www.example3.com, example3.com,
+# com]) and the block list joins by EXACT key, so there is no
+# fact-sided LIKE scan for domain rules (the path-prefix class joins
+# via broadcast prefix test against the model-sized rule list). URLs
+# are the X129 deterministic fixtures; the winning rule per doc is
+# MIN(rule_id) — a deterministic priority contract.
+# --------------------------------------------------------------------------
+_OPTOUT_RULES = (
+    (1, "domain", "example3.com"),
+    (2, "domain", "example7.com"),
+    (3, "domain", "www.example15.com"),
+    (4, "path", "/path13"),
+    (5, "path", "/path4"),
+)
+_OPTOUT_VALUES_SQL = ", ".join(
+    f"({i}, '{k}', '{p}')" for i, k, p in _OPTOUT_RULES
+)
+
+
+@query(
+    "q_url_optout",
+    oracle=f"""
+    WITH rules AS (
+      SELECT * FROM (VALUES {_OPTOUT_VALUES_SQL})
+        AS r(rule_id, kind, pattern)
+    ),
+    raw AS (SELECT doc_id, {_URL_DUCK} AS url FROM documents),
+    parts AS (
+      SELECT doc_id,
+             regexp_replace(
+               lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]+)', 1)),
+               ':(443|80)$', '') AS host,
+             lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*([^?#]*)', 1)) AS path
+      FROM raw
+    ),
+    anc AS (
+      SELECT doc_id, host, unnest(
+               list_transform(range(1, len(string_split(host, '.')) + 1),
+                 i -> array_to_string(
+                        string_split(host, '.')[i:len(string_split(host,
+                                                                   '.'))],
+                        '.'))) AS a
+      FROM parts
+    ),
+    dhit AS (
+      SELECT anc.doc_id, r.rule_id
+      FROM anc JOIN rules r ON r.kind = 'domain' AND anc.a = r.pattern
+    ),
+    phit AS (
+      SELECT p.doc_id, r.rule_id
+      FROM parts p JOIN rules r
+        ON r.kind = 'path' AND starts_with(p.path, r.pattern)
+    ),
+    hits AS (
+      SELECT doc_id, CAST(min(rule_id) AS INT) AS rule_id
+      FROM (SELECT * FROM dhit UNION ALL SELECT * FROM phit)
+      GROUP BY doc_id
+    )
+    SELECT h.doc_id, p.host, h.rule_id, r.kind, r.pattern
+    FROM hits h
+    JOIN parts p ON p.doc_id = h.doc_id
+    JOIN rules r ON r.rule_id = h.rule_id
+    ORDER BY h.doc_id
+    """,
+)
+def q_url_optout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X243 — opt-out blocklist filter over the X129 URL fixtures:
+    blocked docs with the winning (MIN rule_id) rule attached.
+
+    Scale shape: host parsing is a codegen regex projection; domain
+    rules match via the exploded DNS-suffix equi-join (<= #labels rows
+    per doc, broadcast rule table — never a fact-sided LIKE), path
+    rules via a broadcast prefix test against the model-sized rule
+    list; the winner is a per-doc MIN aggregate and the detail join
+    back is broadcast. Determinism: fixtures and parsing are pure
+    per-row functions of doc_id; MIN(rule_id) is a total priority
+    order; every engine-side string op (lower/regexp/starts_with) has
+    an exact DuckDB mirror. Reference analog: none — main.go forwards
+    every row; allow/deny routing exists only at the table-name level
+    (main.go:206-210), which X3/X4's source filters already model.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rules = spark.createDataFrame(
+        list(_OPTOUT_RULES), "rule_id int, kind string, pattern string"
+    )
+    raw = docs.select("doc_id", F.expr(_URL_SPARK).alias("url"))
+    u = F.regexp_replace(F.col("url"), r"#.*$", "")
+    host = F.regexp_replace(
+        F.lower(
+            F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]+)", 1)
+        ),
+        r":(443|80)$",
+        "",
+    )
+    path = F.lower(
+        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*([^?#]*)", 1)
+    )
+    parts = raw.select("doc_id", host.alias("host"), path.alias("path"))
+    labels = F.split(F.col("host"), r"\.")
+    ancestors = F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(
+            F.slice(labels, i, F.size(labels) - i + 1), "."
+        ),
+    )
+    anc = parts.select(
+        "doc_id", F.explode(ancestors).alias("a")
+    )
+    dom_rules = F.broadcast(rules.filter(F.col("kind") == "domain"))
+    path_rules = F.broadcast(rules.filter(F.col("kind") == "path"))
+    dhit = anc.join(
+        dom_rules, anc["a"] == dom_rules["pattern"]
+    ).select("doc_id", "rule_id")
+    phit = parts.join(
+        path_rules, F.expr("startswith(path, pattern)")
+    ).select("doc_id", "rule_id")
+    hits = (
+        dhit.unionByName(phit)
+        .groupBy("doc_id")
+        .agg(F.min("rule_id").cast("int").alias("rule_id"))
+    )
+    return (
+        hits.join(parts, "doc_id")
+        .join(F.broadcast(rules), "rule_id")
+        .select("doc_id", "host", "rule_id", "kind", "pattern")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# X246 — inter-rater agreement (Cohen's kappa, 1960) between two
+# cheap quality gates: the curation diagnostic that tells you whether
+# your rule-based gate and your statistical gate are measuring the
+# same thing (kappa ~ 1), are independent (kappa ~ 0), or
+# systematically disagree (kappa < 0) — chance-corrected, unlike raw
+# percent agreement, so a 95%-keep corpus can't fake concordance.
+# Raters here: A = the two live Gopher-style rules on this corpus
+# (word count >= 50, >= 2 distinct stopword hits — the X223 subset
+# that actually discriminates on the synthetic text) and B = the
+# X239 type-token-ratio proxy at 0.45; both are pluggable one-line
+# boolean columns — any oracled gate (X98/X117/X229) drops in.
+# Kappa is computed as the EXACT rational
+#   (n·(n11+n00) − (r1·c1 + r0·c0)) / (n² − (r1·c1 + r0·c0))
+# in DECIMAL(38,0) cross-multiplied form, then presented in micro
+# units via the sign·(abs div) idiom (X216's rule: Spark div
+# truncates, DuckDB // floors — they agree only on non-negatives).
+# --------------------------------------------------------------------------
+_KAPPA_STOPS_SQL = "['the', 'a', 'data', 'spark', 'query', 'join']"
+
+
+@query(
+    "q_rater_kappa",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    rated AS (
+      SELECT doc_id,
+             (len(t) >= 50 AND
+              len(list_distinct(list_intersect(t, {_KAPPA_STOPS_SQL})))
+                >= 2) AS ra,
+             (CAST(len(list_distinct(t)) * 1000000 // len(t) AS BIGINT)
+                >= 450000) AS rb
+      FROM tok
+    ),
+    cont AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (ra AND rb) AS BIGINT) AS n11,
+             CAST(count(*) FILTER (ra AND NOT rb) AS BIGINT) AS n10,
+             CAST(count(*) FILTER (NOT ra AND rb) AS BIGINT) AS n01,
+             CAST(count(*) FILTER (NOT ra AND NOT rb) AS BIGINT) AS n00
+      FROM rated
+    ),
+    rat AS (
+      SELECT n, n11, n10, n01, n00,
+             CAST(n AS HUGEINT) * (n11 + n00)
+               - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                  + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) AS num,
+             CAST(n AS HUGEINT) * n
+               - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                  + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) AS den
+      FROM cont
+    )
+    SELECT n, n11, n10, n01, n00,
+           CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_micro,
+           CAST((CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                 + CAST(n01 + n00 AS HUGEINT) * (n10 + n00))
+                * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT)
+             AS pe_micro,
+           CAST(CASE WHEN den = 0 THEN NULL
+                     WHEN num >= 0 THEN (num * 1000000) // den
+                     ELSE -((-num * 1000000) // den) END AS BIGINT)
+             AS kappa_micro
+    FROM rat
+    """,
+)
+def q_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X246 — chance-corrected agreement between the rule gate and the
+    TTR gate: 2×2 contingency counts + exact-rational Cohen's kappa.
+
+    Determinism: both raters are integer/boolean projections; the
+    contingency table is one counting aggregate with map-side
+    partials; kappa's numerator/denominator are exact DECIMAL(38)
+    integers and the only divisions are the sign-corrected micro-unit
+    presentations (negative-safe via sign·(abs div); den=0 → NULL on
+    both engines). Scale shape: one scan → 1-row aggregate →
+    constant-size arithmetic; scan-bound at any corpus size.
+    Reference analog: none (main.go has no quality surface).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    rated = docs.select("doc_id", t.alias("t")).select(
+        "doc_id",
+        (
+            (F.size("t") >= 50)
+            & (
+                F.size(
+                    F.array_distinct(
+                        F.array_intersect(
+                            F.col("t"),
+                            F.expr(
+                                "array('the', 'a', 'data', 'spark',"
+                                " 'query', 'join')"
+                            ),
+                        )
+                    )
+                )
+                >= 2
+            )
+        ).alias("ra"),
+        (
+            F.expr(
+                "CAST(size(array_distinct(t)) * 1000000 div size(t)"
+                " AS BIGINT)"
+            )
+            >= 450_000
+        ).alias("rb"),
+    )
+    cont = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("ra") & F.col("rb")).cast("long"))
+        .cast("long")
+        .alias("n11"),
+        F.sum((F.col("ra") & ~F.col("rb")).cast("long"))
+        .cast("long")
+        .alias("n10"),
+        F.sum((~F.col("ra") & F.col("rb")).cast("long"))
+        .cast("long")
+        .alias("n01"),
+        F.sum((~F.col("ra") & ~F.col("rb")).cast("long"))
+        .cast("long")
+        .alias("n00"),
+    )
+    rat = cont.select(
+        "*",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * (n11 + n00)"
+            " - (CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+            "    + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00))"
+        ).alias("num"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * n"
+            " - (CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+            "    + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00))"
+        ).alias("den"),
+    )
+    return rat.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr("CAST((n11 + n00) * 1000000 div n AS BIGINT)").alias(
+            "po_micro"
+        ),
+        F.expr(
+            "CAST((CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+            "      + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00))"
+            " * 1000000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("pe_micro"),
+        F.expr(
+            "CAST(CASE WHEN den = 0 THEN NULL"
+            " WHEN num >= 0 THEN (num * 1000000) div den"
+            " ELSE -((-num * 1000000) div den) END AS BIGINT)"
+        ).alias("kappa_micro"),
+    )

@@ -1567,3 +1567,180 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(1000000 div sz) div COUNT(1) AS BIGINT)"
         ).alias("mean_reid_prob_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# X245 — chunk→stitch round-trip audit: the integrity contract of the
+# sliding-window chunker (X64). Every pair of consecutive chunks must
+# agree byte-for-byte on their overlap region, and re-assembling each
+# document from chunk 0 plus every later chunk's post-overlap suffix
+# must reproduce the normalized original EXACTLY (md5-certified, the
+# hash-the-payload rule) — the property RAG/pretraining pipelines
+# assume when they chunk once and stitch context windows later. Runs
+# the REAL chunker (operators/text.py:chunk_documents), not a copy of
+# its math, so a chunker regression fails this oracle, not just unit
+# tests.
+# --------------------------------------------------------------------------
+@query(
+    "q_chunk_stitch",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, t, len(t) AS n,
+             least(((greatest(len(t) - 32, 0) + 15) // 16) * 16 + 1,
+                   len(t)) AS last_start
+      FROM tok
+    ),
+    chunks AS (
+      SELECT doc_id, n,
+             (s - 1) // 16 AS chunk_id, s,
+             t[s:least(s + 31, n)] AS c
+      FROM (SELECT doc_id, t, n,
+                   unnest(range(1, last_start + 1, 16)) AS s
+            FROM dims)
+    ),
+    lagd AS (
+      SELECT doc_id, n, chunk_id, s, c,
+             lag(s + len(c) - 1) OVER w AS prev_end,
+             lag(c) OVER w AS prev_c
+      FROM chunks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_id)
+    ),
+    contrib AS (
+      SELECT doc_id, n, chunk_id,
+             CASE WHEN prev_end IS NULL THEN 0
+                  ELSE greatest(prev_end - s + 1, 0) END AS ov,
+             c, prev_c
+      FROM lagd
+    ),
+    checked AS (
+      SELECT doc_id, n, chunk_id,
+             (ov = 0 OR c[1:ov] = prev_c[len(prev_c)-ov+1:len(prev_c)])
+               AS boundary_ok,
+             array_to_string(c[ov+1:len(c)], ' ') AS piece
+      FROM contrib
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(max(n) AS BIGINT) AS n_tokens,
+             bool_and(boundary_ok) AS boundaries_ok,
+             md5(string_agg(piece, ' ' ORDER BY chunk_id)) AS stitched_md5
+      FROM checked GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_chunks, a.n_tokens, a.boundaries_ok,
+           (a.stitched_md5 = md5(array_to_string(tok.t, ' ')))
+             AS roundtrip_ok
+    FROM agg a JOIN tok USING (doc_id)
+    ORDER BY a.doc_id
+    """,
+)
+def q_chunk_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X245 — chunk→stitch integrity audit over the real chunker.
+
+    Per doc: overlap-region agreement across every consecutive chunk
+    pair (boundaries_ok) and md5(stitch) == md5(normalized original)
+    (roundtrip_ok). Determinism: chunk starts/lengths are integer
+    arithmetic; the overlap comparison and the stitch are pure array
+    slices; only md5s of the assembled bytes are compared. Scale
+    shape: the chunker is a no-shuffle explode projection; the audit
+    adds ONE doc-keyed window (lag) and ONE doc-keyed aggregate that
+    ride the same hash partitioning (single exchange), then a
+    doc-keyed join back to the original md5 — all keyed by doc_id,
+    never global. Reference analog: none (main.go has no text
+    surface).
+    """
+    from mysql_cdc_to_http_spark.operators.text import chunk_documents
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=32, stride=16
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "start_token",
+        F.split(F.col("chunk_text"), " ").alias("c"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("chunk_id")
+    lagd = chunks.select(
+        "doc_id",
+        "chunk_id",
+        "start_token",
+        "c",
+        F.lag(F.col("start_token") + F.size("c") - 1).over(w).alias(
+            "prev_end"
+        ),
+        F.lag("c").over(w).alias("prev_c"),
+    )
+    ov = F.when(F.col("prev_end").isNull(), F.lit(0)).otherwise(
+        F.greatest(F.col("prev_end") - F.col("start_token") + 1, F.lit(0))
+    )
+    checked = lagd.select(
+        "doc_id",
+        "chunk_id",
+        ov.alias("ov"),
+        "c",
+        "prev_c",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        (
+            (F.col("ov") == 0)
+            | (
+                F.slice(F.col("c"), 1, F.col("ov"))
+                == F.expr(
+                    "slice(prev_c, size(prev_c) - ov + 1, ov)"
+                )
+            )
+        ).alias("boundary_ok"),
+        F.expr("slice(c, ov + 1, size(c) - ov)").alias("piece"),
+    )
+    agg = checked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.min("boundary_ok").alias("boundaries_ok"),
+        F.md5(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("chunk_id", "piece")
+                            )
+                        ),
+                        lambda x: x["piece"],
+                    )
+                ),
+                " ",
+            )
+        ).alias("stitched_md5"),
+    )
+    orig = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+            " ",
+        ).alias("t"),
+    ).select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.md5(F.array_join(F.col("t"), " ")).alias("orig_md5"),
+    )
+    return (
+        agg.join(orig, "doc_id")
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_tokens",
+            "boundaries_ok",
+            (F.col("stitched_md5") == F.col("orig_md5")).alias(
+                "roundtrip_ok"
+            ),
+        )
+        .orderBy("doc_id")
+    )

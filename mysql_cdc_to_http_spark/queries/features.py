@@ -3570,3 +3570,132 @@ def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .orderBy("depth")
     )
+
+
+# --------------------------------------------------------------------------
+# X241 — Wilson score lower-bound leaderboard (Wilson 1927; the
+# "how not to sort by average rating" correction): rank users by the
+# z=2 lower confidence bound of their purchase-per-engagement rate, so
+# a 3/3 newcomer does NOT outrank a 95/100 veteran — the small-sample
+# guard every engagement/CTR leaderboard needs. z=2 (not 1.96) makes
+# z^2=4 and every term integer: with s successes, f failures, n=s+f,
+#   LB = (s + 2 - 2*sqrt(s*f/n + 1)) / (n + 4).
+# The sqrt argument is scaled to an EXACT integer A = (s*f*1e10 div n)
+# + 1e10 (DECIMAL product, truncated div on non-negatives — identical
+# both engines), and floor(sqrt(A)) is made exact-for-any-A by a
+# one-step integer correction (w±1 comparisons on w², no float after
+# the seed) — the X230 correctly-rounded-sqrt discipline hardened
+# against the half-ulp edge. Everything downstream is integer.
+# --------------------------------------------------------------------------
+_WILSON_MIN_TRIALS = 5
+
+
+@query(
+    "q_wilson_leaderboard",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS trials,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS successes
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY user_id
+      HAVING count(*) >= {_WILSON_MIN_TRIALS}
+    ),
+    arg AS (
+      SELECT user_id, trials, successes,
+             CAST((CAST(successes AS HUGEINT) * (trials - successes)
+                   * 10000000000) // trials + 10000000000 AS BIGINT) AS a
+      FROM base
+    ),
+    seed AS (
+      SELECT *, CAST(floor(sqrt(CAST(a AS DOUBLE))) AS BIGINT) AS w0
+      FROM arg
+    ),
+    isq AS (
+      SELECT user_id, trials, successes, a,
+             w0 + (CASE WHEN (w0 + 1) * (w0 + 1) <= a THEN 1
+                        WHEN w0 * w0 > a THEN -1 ELSE 0 END) AS w
+      FROM seed
+    ),
+    lb AS (
+      SELECT user_id, trials, successes,
+             CAST(successes * 1000000 // trials AS BIGINT) AS rate_micro,
+             CAST(((successes + 2) * 100000 - 2 * w) // (trials + 4)
+                  AS BIGINT) AS wilson_lb_e5
+      FROM isq
+    )
+    SELECT user_id, trials, successes, rate_micro, wilson_lb_e5,
+           CAST(row_number() OVER (ORDER BY wilson_lb_e5 DESC, user_id)
+                AS INT) AS rk
+    FROM lb
+    ORDER BY rk
+    """,
+)
+def q_wilson_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X241 — Wilson z=2 lower-bound ranking of per-user purchase
+    conversion over click+purchase events (min 5 trials).
+
+    Determinism: the only float is one sqrt SEED — floor(sqrt(A)) over
+    an exact integer A, then corrected by +/-1 via integer w²
+    comparisons, so w == isqrt(A) EXACTLY on both engines even when
+    the correctly-rounded double lands a half-ulp across the floor
+    boundary. A = s·f·1e10 div n + 1e10 <= (n/4+1)·1e10 stays
+    double-exact (< 2^53) for n <= 3.6e6 trials per key; the DECIMAL
+    product guards the multiply itself at any n. All divisions are
+    truncated integer divs of non-negatives (Spark div == DuckDB //).
+
+    Scale shape: one fact scan -> per-user counting aggregate with
+    map-side partials; everything after runs on the user-sized table;
+    the final rank is a single window over model-sized output (the
+    leaderboard IS globally ordered by contract). Reference analog:
+    none (main.go forwards rows; no analytics).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("trials"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).cast("long").alias("successes"),
+        )
+        .filter(F.col("trials") >= _WILSON_MIN_TRIALS)
+    )
+    arg = base.withColumn(
+        "a",
+        F.expr(
+            "CAST((CAST(successes AS DECIMAL(38,0)) * (trials - successes)"
+            " * 10000000000) div trials + 10000000000 AS BIGINT)"
+        ),
+    )
+    seed = arg.withColumn(
+        "w0", F.floor(F.sqrt(F.col("a").cast("double"))).cast("long")
+    )
+    isq = seed.withColumn(
+        "w",
+        F.expr(
+            "w0 + (CASE WHEN (w0 + 1) * (w0 + 1) <= a THEN 1"
+            " WHEN w0 * w0 > a THEN -1 ELSE 0 END)"
+        ),
+    )
+    lb = isq.select(
+        "user_id",
+        "trials",
+        "successes",
+        F.expr("CAST(successes * 1000000 div trials AS BIGINT)").alias(
+            "rate_micro"
+        ),
+        F.expr(
+            "CAST(((successes + 2) * 100000 - 2 * w) div (trials + 4)"
+            " AS BIGINT)"
+        ).alias("wilson_lb_e5"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("wilson_lb_e5").desc(), "user_id")
+    return lb.select(
+        "*", F.row_number().over(w).cast("int").alias("rk")
+    ).orderBy("rk")

@@ -3565,3 +3565,356 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", F.col("gap_micro").desc(), "chosen_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X240 — asymmetric containment near-dup (Broder 1997's C(A,B) next to
+# the symmetric Jaccard ladder): containment |A∩B| / min(|A|,|B|) finds
+# quote-inclusion and excerpt pairs that Jaccard structurally misses
+# when sizes differ (a doc fully embedded in one 10x its size has
+# J <= 0.1 but containment 1.0). Candidates ride doc-frequency-capped
+# shingle posting lists (the X224 stop-gram guard) so the pair join is
+# bucket-local; the verify intersects the FULL per-doc shingle-hash
+# sets exactly. Shingles travel as md5->15-hex->long keys end-to-end
+# (16 bytes shuffled, never text — the X110/X231 discipline), which
+# also makes every count hash-exact cross-engine by construction.
+# --------------------------------------------------------------------------
+_CONTAIN_DF_CAP = 50
+_CONTAIN_MIN_SHARED = 2
+_CONTAIN_THRESH_MICRO = 500_000
+_CONTAIN_MEMO: dict = register_memo({})
+
+
+@query(
+    "q_dedup_containment",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(unnest(
+                list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                               i -> array_to_string(t[i:i+2], ' ')))),
+                1, 15))::BIGINT AS h
+      FROM tok
+    ),
+    capped AS (
+      SELECT h FROM sh GROUP BY h HAVING count(*) <= {_CONTAIN_DF_CAP}
+    ),
+    post AS (SELECT s.doc_id, s.h FROM sh s JOIN capped USING (h)),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM post a JOIN post b ON a.h = b.h AND b.doc_id > a.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= {_CONTAIN_MIN_SHARED}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS shared
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(sa.sz AS BIGINT) AS size_a,
+           CAST(sb.sz AS BIGINT) AS size_b,
+           CAST(i.shared AS BIGINT) AS inter,
+           CAST(i.shared * 1000000 // least(sa.sz, sb.sz) AS BIGINT)
+             AS containment_micro
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.shared * 1000000 // least(sa.sz, sb.sz)
+          >= {_CONTAIN_THRESH_MICRO}
+    ORDER BY containment_micro DESC, id_a, id_b
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X240 — containment near-dup: pairs whose exact shingle-set
+    containment |A∩B| / min(|A|,|B|) >= 0.5, candidates from
+    doc-frequency-capped posting lists (df <= 50, shared >= 2).
+
+    Scale shape: one scan -> distinct word-3-shingle md5-longs per doc
+    (codegen HOF, no text past the scan); posting explode shuffles
+    (16-byte hash, doc_id) pairs; the df cap bounds every bucket so the
+    pair self-join is bucket-local (never corpus-quadratic — the same
+    guard as the MinHash bands and X224 winnowing); the exact verify
+    joins the candidate-sized pair list back to per-doc hash ARRAYS on
+    doc_id and intersects in one codegen projection. Containment is a
+    truncated integer micro-unit division of non-negatives (Spark div
+    == DuckDB //), so the gate and the output hash identically.
+    Reference analog: none — the reference (main.go) forwards rows
+    verbatim; the whole dedup ladder is north-star extension work.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from mysql_cdc_to_http_spark.operators.dedup import word_shingles
+
+    # Build the per-doc shingle-hash table ONCE and persist: it feeds
+    # three consumers (posting explode + both verify sides) and the
+    # tokenize→shingle→md5 chain is the dominant projection cost — the
+    # q_dedup_prefix lesson (commit "persist the tokenized corpus")
+    # applied at authoring time. word_shingles already emits DISTINCT
+    # string shingles; hashing preserves distinctness, so no second
+    # array_distinct pass over the (much longer) hash array.
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hashes = _CONTAIN_MEMO.get(key)
+    if hashes is None:
+        hashes = docs.select(
+            "doc_id",
+            F.transform(
+                word_shingles(F.col("text"), k=3),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            ).alias("hs"),
+        ).repartition(8)
+        _CONTAIN_MEMO[key] = hashes
+        register_cached(hashes.persist(), [hashes])
+    elif not hashes.is_cached:
+        register_cached(hashes.persist(), [hashes])
+    post = hashes.select(
+        "doc_id", F.explode("hs").alias("h")
+    )
+    capped = (
+        post.groupBy("h")
+        .count()
+        .filter(F.col("count") <= _CONTAIN_DF_CAP)
+        .select("h")
+    )
+    post_c = post.join(capped, "h")
+    a = post_c.select(F.col("doc_id").alias("id_a"), "h")
+    b = post_c.select(F.col("doc_id").alias("id_b"), "h")
+    cand = (
+        a.join(b, (a["h"] == b["h"]) & (b["id_b"] > a["id_a"]))
+        .groupBy("id_a", "id_b")
+        .count()
+        .filter(F.col("count") >= _CONTAIN_MIN_SHARED)
+        .select("id_a", "id_b")
+    )
+    ha = hashes.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("ha"))
+    hb = hashes.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hb"))
+    verified = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size("ha").cast("long").alias("size_a"),
+            F.size("hb").cast("long").alias("size_b"),
+            F.size(F.array_intersect("ha", "hb")).cast("long").alias("inter"),
+        )
+        .withColumn(
+            "containment_micro",
+            F.expr("inter * 1000000 div least(size_a, size_b)").cast("long"),
+        )
+        .filter(F.col("containment_micro") >= _CONTAIN_THRESH_MICRO)
+    )
+    return verified.orderBy(
+        F.col("containment_micro").desc(), "id_a", "id_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# X242 — SFT example assembly with loss masks: split each document
+# into (prompt = first 16 tokens, completion = rest), truncate to a
+# 64-token context with the KEEP-COMPLETION-TAIL policy every SFT
+# dataloader implements (completion is the supervision signal — under
+# pressure the prompt is cut from its FRONT first, then the completion
+# from its front), and emit the mask boundary (loss starts at
+# mask_start) plus an md5 of the assembled prompt<SEP>completion
+# string certifying the exact byte sequence (the q_c4_clean /
+# q_fim_transform hash-the-payload rule). Pure key-free projection:
+# identical on any partitioning, zero shuffles before presentation.
+# --------------------------------------------------------------------------
+_SFT_PROMPT_TOKENS = 16
+_SFT_MAX_LEN = 64
+
+
+@query(
+    "q_sft_masks",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+             least(len(t), {_SFT_PROMPT_TOKENS}) AS p_full
+      FROM tok
+    ),
+    keep AS (
+      SELECT doc_id, t, n, p_full,
+             CAST(n - p_full AS BIGINT) AS c_full,
+             least(n - p_full, {_SFT_MAX_LEN}) AS kept_c
+      FROM dims
+    ),
+    cut AS (
+      SELECT doc_id, t, n, p_full, c_full, kept_c,
+             least(p_full, {_SFT_MAX_LEN} - kept_c) AS kept_p
+      FROM keep
+    )
+    SELECT doc_id,
+           n AS n_tokens,
+           CAST(kept_p AS BIGINT) AS kept_prompt,
+           CAST(kept_c AS BIGINT) AS kept_completion,
+           CAST(kept_p AS BIGINT) AS mask_start,
+           md5(COALESCE(array_to_string(list_slice(t, p_full - kept_p + 1,
+                                                   p_full), ' '), '')
+               || '<SEP>'
+               || COALESCE(array_to_string(
+                     list_slice(t, p_full + c_full - kept_c + 1, n), ' '),
+                     ''))
+             AS out_md5
+    FROM cut
+    ORDER BY doc_id
+    """,
+)
+def q_sft_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X242 — SFT prompt/completion assembly: first-16-token prompt,
+    64-token budget, keep-completion-tail truncation, loss-mask
+    boundary, and a byte-exact md5 of the assembled sequence.
+
+    Determinism: tokenization is the house normalize-split rule; every
+    length is exact integer arithmetic (least/greatest on longs); the
+    assembled string is rebuilt identically in the oracle via
+    list_slice (DuckDB 1-based end-INCLUSIVE == Spark slice(start,
+    len) with len = end-start+1), and only its md5 travels. Key-free
+    projection: no shuffle at all before presentation — the plan is a
+    scan + one codegen project, embarrassingly parallel at any scale.
+    Reference analog: none (main.go:421-430 forwards payloads; no
+    token-level transforms).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    d = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id",
+        "t",
+        F.size("t").cast("long").alias("n"),
+        F.least(F.size("t"), F.lit(_SFT_PROMPT_TOKENS))
+        .cast("long")
+        .alias("p_full"),
+    )
+    d = d.select(
+        "doc_id",
+        "t",
+        "n",
+        "p_full",
+        (F.col("n") - F.col("p_full")).alias("c_full"),
+        F.least(F.col("n") - F.col("p_full"), F.lit(_SFT_MAX_LEN))
+        .cast("long")
+        .alias("kept_c"),
+    ).withColumn(
+        "kept_p",
+        F.least(F.col("p_full"), F.lit(_SFT_MAX_LEN) - F.col("kept_c"))
+        .cast("long"),
+    )
+    prompt_kept = F.expr(
+        "slice(t, CAST(p_full - kept_p + 1 AS INT), CAST(kept_p AS INT))"
+    )
+    compl_kept = F.expr(
+        "slice(t, CAST(p_full + c_full - kept_c + 1 AS INT),"
+        " CAST(kept_c AS INT))"
+    )
+    return d.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("kept_p").alias("kept_prompt"),
+        F.col("kept_c").alias("kept_completion"),
+        F.col("kept_p").alias("mask_start"),
+        F.md5(
+            F.concat(
+                F.concat_ws(" ", prompt_kept),
+                F.lit("<SEP>"),
+                F.concat_ws(" ", compl_kept),
+            )
+        ).alias("out_md5"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# X244 — deterministic epoch shuffle + batch assignment: the
+# reproducible global permutation every training run needs (order by
+# md5(epoch_seed ∥ doc_id)) materialized into fixed-size batches of
+# 32 with in-batch positions. Because the permutation key is a pure
+# function of (seed, key), the schedule is identical on any cluster
+# size, partitioning, or retry — the same discipline that makes the
+# X48 sampling and X235 sample-maintenance rungs replayable; epoch 2
+# is just seed 'ep2|'. The global rank itself is the two-level
+# grouped_ranks form (range-slice row_number + slice-prefix offsets,
+# parallelism independent of group count) — NOT a one-task global
+# window; the oracle states the same rank as one window at sf scale.
+# --------------------------------------------------------------------------
+_EPOCH_BATCH = 32
+
+
+@query(
+    "q_epoch_shuffle",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('ep1|' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS k
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY k, doc_id) - 1 AS r0
+      FROM k
+    )
+    SELECT doc_id,
+           CAST(r0 // {_EPOCH_BATCH} AS BIGINT) AS batch_id,
+           CAST(r0 % {_EPOCH_BATCH} AS BIGINT) AS pos_in_batch
+    FROM r ORDER BY doc_id
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X244 — seeded deterministic corpus shuffle into batches of 32.
+
+    Determinism: the order key md5('ep1|'∥doc_id) → 15-hex → long is a
+    pure key function (seeded-RNG shuffles depend on scan order — the
+    X235 lesson); ties are impossible below the doc_id tiebreak, so
+    the permutation is total. Scale shape: the rank is grouped_ranks
+    (operators/sampling.py:361) — range-slices rank locally, a
+    64-row count table supplies slice prefixes via bounded windows,
+    broadcast back; no single-task sort anywhere (the X141 parity test
+    covers the rank form itself). Batch id / position are integer
+    div/mod on non-negatives. Reference analog: none (main.go has no
+    ordering surface).
+    """
+    from mysql_cdc_to_http_spark.operators.sampling import grouped_ranks
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ep1|"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    ranked = grouped_ranks(keyed, [], [F.col("k"), F.col("doc_id")])
+    return ranked.select(
+        "doc_id",
+        F.expr(f"(__grank - 1) div {_EPOCH_BATCH}")
+        .cast("long")
+        .alias("batch_id"),
+        F.expr(f"(__grank - 1) % {_EPOCH_BATCH}")
+        .cast("long")
+        .alias("pos_in_batch"),
+    ).orderBy("doc_id")

@@ -1177,6 +1177,13 @@ def test_winnow_pair_join_is_fingerprint_bucketed(spark, sf_dir):
         "q_length_buckets",
         "q_sample_maintenance",
         "q_k_anonymity",
+        "q_dedup_containment",
+        "q_wilson_leaderboard",
+        "q_sft_masks",
+        "q_url_optout",
+        "q_epoch_shuffle",
+        "q_chunk_stitch",
+        "q_rater_kappa",
     ],
 )
 def test_round11_queries_lint_clean(spark, sf_dir, name):
