@@ -2116,3 +2116,117 @@ def q_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE -((-num * 1000000) div den) END AS BIGINT)"
         ).alias("kappa_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# X253 — containment decontamination: flag training docs that contain
+# >= 50% of some INDIVIDUAL benchmark item's shingles — the
+# quoted-benchmark alarm X50's aggregate overlap structurally dilutes
+# (a whole benchmark item pasted into a long training doc can sit
+# under a 5% whole-set overlap, yet its per-item containment is 1.0;
+# and X50 cannot say WHICH item leaked). Per-item containment
+# |sh(bench_i) ∩ sh(train)| / |sh(bench_i)| is X240's asymmetric
+# measure pointed across corpora, with the benchmark side BROADCAST —
+# benchmark sets are model-sized by definition, so the training
+# corpus explodes shingle hashes into a map-side broadcast join and
+# never shuffles for candidate generation.
+# --------------------------------------------------------------------------
+_DECON_CONTAIN_THRESH = 500_000
+
+
+@query(
+    "q_decontaminate_containment",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             ('0x' || substr(md5(unnest(
+                list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                               i -> array_to_string(t[i:i+2], ' ')))),
+                1, 15))::BIGINT AS h
+      FROM tok
+    ),
+    bench AS (SELECT doc_id AS bench_id, h FROM sh WHERE source = 'src0'),
+    bsz AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS bench_size
+            FROM bench GROUP BY bench_id),
+    train AS (SELECT doc_id AS train_id, h FROM sh
+              WHERE source != 'src0'),
+    hits AS (
+      SELECT t.train_id, b.bench_id, CAST(count(*) AS BIGINT) AS matched
+      FROM train t JOIN bench b USING (h)
+      GROUP BY t.train_id, b.bench_id
+    )
+    SELECT h.train_id, h.bench_id, s.bench_size, h.matched,
+           CAST(h.matched * 1000000 // s.bench_size AS BIGINT)
+             AS containment_micro
+    FROM hits h JOIN bsz s USING (bench_id)
+    WHERE h.matched * 1000000 // s.bench_size
+          >= {_DECON_CONTAIN_THRESH}
+    ORDER BY train_id, bench_id
+    """,
+)
+def q_decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X253 — per-benchmark-item containment >= 0.5 of training docs
+    against the 'src0' benchmark slice (X50's fixture convention).
+
+    Scale shape: benchmark postings (bench_id, shingle-hash) are
+    BROADCAST — the training side is one scan → shingle-hash explode →
+    map-side broadcast equi-join → per-(train, bench) counting
+    aggregate; the corpus never shuffles for candidates, and only
+    16-byte hashes travel (X240's discipline, asymmetric across
+    corpora). Determinism: md5→15-hex→long shingles end-to-end;
+    containment is a truncated integer micro-unit division of
+    non-negatives. Reference analog: none.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from mysql_cdc_to_http_spark.operators.dedup import word_shingles
+
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                word_shingles(F.col("text"), k=3),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            )
+        ).alias("h"),
+    )
+    bench = sh.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bench_id"), "h"
+    )
+    bsz = bench.groupBy("bench_id").agg(
+        F.count(F.lit(1)).cast("long").alias("bench_size")
+    )
+    train = sh.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_id"), "h"
+    )
+    hits = (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("matched"))
+    )
+    return (
+        hits.join(F.broadcast(bsz), "bench_id")
+        .withColumn(
+            "containment_micro",
+            F.expr(
+                "CAST(matched * 1000000 div bench_size AS BIGINT)"
+            ),
+        )
+        .filter(F.col("containment_micro") >= _DECON_CONTAIN_THRESH)
+        .select(
+            "train_id",
+            "bench_id",
+            "bench_size",
+            "matched",
+            "containment_micro",
+        )
+        .orderBy("train_id", "bench_id")
+    )

@@ -3590,9 +3590,7 @@ def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WILSON_MIN_TRIALS = 5
 
 
-@query(
-    "q_wilson_leaderboard",
-    oracle=f"""
+_WILSON_ORACLE_SQL = f"""
     WITH base AS (
       SELECT user_id,
              CAST(count(*) AS BIGINT) AS trials,
@@ -3631,7 +3629,12 @@ _WILSON_MIN_TRIALS = 5
                 AS INT) AS rk
     FROM lb
     ORDER BY rk
-    """,
+    """
+
+
+@query(
+    "q_wilson_leaderboard",
+    oracle=_WILSON_ORACLE_SQL,
 )
 def q_wilson_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X241 — Wilson z=2 lower-bound ranking of per-user purchase
@@ -3653,7 +3656,16 @@ def q_wilson_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     none (main.go forwards rows; no analytics).
     """
     ev = load_table(spark, sf_dir, "events")
-    base = (
+    base = _wilson_counts(ev).filter(
+        F.col("trials") >= _WILSON_MIN_TRIALS
+    )
+    return _wilson_present(base)
+
+
+def _wilson_counts(ev: DataFrame) -> DataFrame:
+    """Per-user (trials, successes) counters over click+purchase
+    events — plain sums, hence MERGEABLE state (shared X241/X247)."""
+    return (
         ev.filter(F.col("event_type").isin("click", "purchase"))
         .groupBy("user_id")
         .agg(
@@ -3662,8 +3674,13 @@ def q_wilson_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("event_type") == "purchase").cast("long")
             ).cast("long").alias("successes"),
         )
-        .filter(F.col("trials") >= _WILSON_MIN_TRIALS)
     )
+
+
+def _wilson_present(base: DataFrame) -> DataFrame:
+    """Wilson z=2 lower-bound presentation from exact (trials,
+    successes) counters (shared X241/X247): integer-scaled sqrt seed,
+    one-step isqrt correction, micro-unit divisions, ranked output."""
     arg = base.withColumn(
         "a",
         F.expr(
@@ -3699,3 +3716,67 @@ def q_wilson_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lb.select(
         "*", F.row_number().over(w).cast("int").alias("rk")
     ).orderBy("rk")
+
+
+# --------------------------------------------------------------------------
+# X247 — incremental Wilson leaderboard under event append: the
+# per-user (trials, successes) counters behind X241 are plain sums —
+# MERGEABLE state (min/sum associativity, the X203/X237 discipline) —
+# so the leaderboard maintains under arriving event batches by folding
+# delta counters into stored counters with one keyed outer-join merge:
+# delta-sized work, never a rescan of history. The oracle recomputes
+# the one-shot batch answer over ALL events; hash parity proves
+# fold == batch (the X94/X228/X235/X237 identity rule). The epoch
+# split below is an arbitrary partition of the stream — merge order
+# cannot matter, which is exactly the property under test.
+# --------------------------------------------------------------------------
+@query(
+    "q_wilson_incremental",
+    oracle=_WILSON_ORACLE_SQL,
+)
+def q_wilson_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X247 — X241's leaderboard maintained as two-epoch folded state:
+    counters over epoch 1 (event_id % 5 < 3), folded with epoch 2's
+    delta via a full-outer keyed merge (coalesce-sum), then the shared
+    Wilson presentation. Identity oracle: the one-shot X241 SQL — the
+    fold must reproduce it row-exactly.
+
+    Scale shape: each epoch is one counting aggregate with map-side
+    partials; the merge joins two user-sized counter tables on the
+    key; presentation is unchanged. At 100 TB the stored counter table
+    IS the state store (Delta MERGE in production; the same shape as
+    X33's latest-state fold but for additive aggregates). Reference
+    analog: none (main.go holds no aggregate state).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e1 = _wilson_counts(ev.filter(F.col("event_id") % 5 < 3))
+    e2 = _wilson_counts(ev.filter(F.col("event_id") % 5 >= 3))
+    merged = (
+        e1.select(
+            F.col("user_id"),
+            F.col("trials").alias("t1"),
+            F.col("successes").alias("s1"),
+        )
+        .join(
+            e2.select(
+                F.col("user_id"),
+                F.col("trials").alias("t2"),
+                F.col("successes").alias("s2"),
+            ),
+            "user_id",
+            "full_outer",
+        )
+        .select(
+            "user_id",
+            (
+                F.coalesce(F.col("t1"), F.lit(0))
+                + F.coalesce(F.col("t2"), F.lit(0))
+            ).cast("long").alias("trials"),
+            (
+                F.coalesce(F.col("s1"), F.lit(0))
+                + F.coalesce(F.col("s2"), F.lit(0))
+            ).cast("long").alias("successes"),
+        )
+        .filter(F.col("trials") >= _WILSON_MIN_TRIALS)
+    )
+    return _wilson_present(merged)

@@ -3918,3 +3918,745 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pos_in_batch"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# X248 — Matryoshka truncation audit (Kusupati et al. 2022): how much
+# of the full-dimension nearest-neighbor ranking survives when the
+# embedding is truncated to its first half (the MRL deployment move —
+# serve 32 of 64 dims for 2× memory/compute)? Per query: RBO_min@10
+# (X222's exact integer weights — shared _RBO machinery) between the
+# 64-dim and 32-dim cosine rankings, the top-10 overlap count, and
+# whether rank 1 survives. This is the measurement you run BEFORE
+# flipping an index to truncated vectors; the retrieval-eval ladder's
+# (X219) ranker-drift sibling. Both rankings use the house 6-dp
+# round + id tie-break so the ranking — and therefore the audit —
+# is engine-exact.
+# --------------------------------------------------------------------------
+_MRL_KEEP_DIMS = 32
+
+
+@query(
+    "q_mrl_audit",
+    oracle="""
+    WITH qe AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 10),
+    ce AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id >= 10),
+    full_r AS (
+      SELECT qid, cid, rnk AS ar FROM (
+        SELECT qe.qid, ce.cid,
+               row_number() OVER (PARTITION BY qe.qid
+                 ORDER BY round(list_cosine_similarity(qe.qv, ce.cv), 6)
+                   DESC, ce.cid) AS rnk
+        FROM qe, ce
+      ) WHERE rnk <= 10
+    ),
+    tr_r AS (
+      SELECT qid, cid, rnk AS br FROM (
+        SELECT qe.qid, ce.cid,
+               row_number() OVER (PARTITION BY qe.qid
+                 ORDER BY round(list_cosine_similarity(qe.qv[1:32],
+                                                       ce.cv[1:32]), 6)
+                   DESC, ce.cid) AS rnk
+        FROM qe, ce
+      ) WHERE rnk <= 10
+    ),
+    pairs AS (
+      SELECT f.qid, f.ar, t.br
+      FROM full_r f JOIN tr_r t ON t.qid = f.qid AND t.cid = f.cid
+    ),
+    w(depth, w) AS (VALUES (1, 2520000000000::BIGINT), (2, 1134000000000::BIGINT), (3, 680400000000::BIGINT), (4, 459270000000::BIGINT), (5, 330674400000::BIGINT), (6, 248005800000::BIGINT), (7, 191318760000::BIGINT), (8, 150663523500::BIGINT), (9, 120530818800::BIGINT), (10, 97629963228::BIGINT)),
+    spine AS (SELECT DISTINCT qid FROM qe),
+    od AS (
+      SELECT s.qid, w.depth, w.w,
+             CAST(COALESCE(sum(CASE WHEN p.ar <= w.depth
+                                     AND p.br <= w.depth THEN 1 END), 0)
+                  AS BIGINT) AS o
+      FROM spine s CROSS JOIN w
+      LEFT JOIN pairs p ON p.qid = s.qid
+      GROUP BY s.qid, w.depth, w.w
+    ),
+    agg AS (
+      SELECT qid,
+             CAST((sum(w * o)::HUGEINT * 1000000) // 25200000000000::HUGEINT
+                  AS BIGINT) AS rbo_micro,
+             CAST(max(CASE WHEN depth = 10 THEN o END) AS BIGINT)
+               AS overlap10
+      FROM od GROUP BY qid
+    ),
+    top1 AS (
+      SELECT f.qid, (f.cid = t.cid) AS top1_match
+      FROM full_r f
+      JOIN tr_r t ON t.qid = f.qid AND f.ar = 1 AND t.br = 1
+    )
+    SELECT agg.qid AS query_id, agg.rbo_micro, agg.overlap10,
+           top1.top1_match
+    FROM agg JOIN top1 ON top1.qid = agg.qid
+    ORDER BY query_id
+    """,
+)
+def q_mrl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X248 — per-query rank survival under 64→32-dim truncation:
+    RBO_min@10 (exact integer weights), top-10 overlap, top-1 match.
+
+    Scale shape: both rankings are cosine_topk_bruteforce (broadcast
+    query side, corpus never shuffles, per-query heap) — at corpus
+    scale the truncated arm swaps in the IVF/PQ path (X45/X113)
+    unchanged, since the audit only consumes (query, doc, rank)
+    lists; the metric layer touches ≤ 10×10 rows per query plus a
+    10-row weight dim. Determinism: 6-dp rounded cosines with id
+    tie-breaks on BOTH arms; RBO in exact integers over the common
+    denominator (X222); the LEFT JOIN spine survives zero-overlap
+    queries. Reference analog: none.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    trunc = F.slice(F.col("embedding"), 1, _MRL_KEEP_DIMS)
+    q_t = queries_df.select("vec_id", trunc.alias("embedding"))
+    c_t = corpus.select("vec_id", trunc.alias("embedding"))
+    full_r = cosine_topk_bruteforce(queries_df, corpus, k=10).select(
+        F.col("query_id").alias("qid"),
+        F.col("corpus_id").alias("cid"),
+        F.col("rank").alias("ar"),
+    )
+    tr_r = cosine_topk_bruteforce(q_t, c_t, k=10).select(
+        F.col("query_id").alias("qid"),
+        F.col("corpus_id").alias("cid"),
+        F.col("rank").alias("br"),
+    )
+    pairs = full_r.join(
+        tr_r.withColumnRenamed("qid", "t_qid").withColumnRenamed(
+            "cid", "t_cid"
+        ),
+        (F.col("t_qid") == F.col("qid")) & (F.col("t_cid") == F.col("cid")),
+    ).select("qid", "ar", "br")
+    from mysql_cdc_to_http_spark.queries.features import (
+        _RBO_DEN,
+        _RBO_WEIGHTS,
+    )
+
+    wdim = spark.createDataFrame(
+        list(_RBO_WEIGHTS.items()), "depth int, w long"
+    )
+    spine = queries_df.select(F.col("vec_id").alias("qid")).distinct()
+    od = (
+        spine.crossJoin(F.broadcast(wdim))
+        .join(pairs.withColumnRenamed("qid", "p_qid"),
+              F.col("p_qid") == F.col("qid"), "left")
+        .groupBy("qid", "depth", "w")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("ar") <= F.col("depth"))
+                        & (F.col("br") <= F.col("depth")),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("o")
+        )
+    )
+    agg = od.groupBy("qid").agg(
+        F.expr(
+            f"CAST((CAST(sum(w * o) AS DECIMAL(30,0)) * 1000000)"
+            f" div CAST({_RBO_DEN} AS DECIMAL(20,0)) AS BIGINT)"
+        ).alias("rbo_micro"),
+        F.max(F.when(F.col("depth") == 10, F.col("o")))
+        .cast("long")
+        .alias("overlap10"),
+    )
+    top1 = (
+        full_r.filter(F.col("ar") == 1)
+        .select("qid", F.col("cid").alias("full_top1"))
+        .join(
+            tr_r.filter(F.col("br") == 1).select(
+                F.col("qid").alias("t_qid"), F.col("cid").alias("tr_top1")
+            ),
+            F.col("t_qid") == F.col("qid"),
+        )
+        .select("qid", (F.col("full_top1") == F.col("tr_top1")).alias(
+            "top1_match"
+        ))
+    )
+    return (
+        agg.join(top1, "qid")
+        .select(F.col("qid").alias("query_id"), "rbo_micro", "overlap10",
+                "top1_match")
+        .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# X249 — prefix-cache locality scheduling audit: inference servers
+# (paged-KV engines) reuse the KV cache only when consecutive requests
+# share a prompt prefix, so batch ORDER is a throughput knob. Group
+# requests by their first-8-token prefix hash and schedule groups
+# contiguously; the audit compares cache-hit adjacency under that
+# schedule vs arrival (doc_id) order. The scheduled hit count needs NO
+# sort to compute — grouping prefixes contiguously makes hits =
+# n_docs − n_prefix_groups analytically — and the arrival-order
+# baseline is an id↔id+1 EQUI-join (never a global window): both
+# figures come from one scan + one prefix aggregate.
+# --------------------------------------------------------------------------
+_PREFIX_SCHED_TOKENS = 8
+
+
+@query(
+    "q_prefix_schedule",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                                                'g')), ' ')
+                 [1:{_PREFIX_SCHED_TOKENS}], ' ')) AS pfx
+      FROM documents
+    ),
+    groups AS (SELECT pfx, CAST(count(*) AS BIGINT) AS sz FROM tok
+               GROUP BY pfx),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS hits_arrival
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1 AND b.pfx = a.pfx
+    ),
+    stat AS (
+      SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_prefixes,
+             CAST(sum(sz) - count(*) AS BIGINT) AS hits_scheduled
+      FROM groups
+    )
+    SELECT s.n_docs, s.n_prefixes, s.hits_scheduled, b.hits_arrival,
+           CAST(s.hits_scheduled * 1000000 // s.n_docs AS BIGINT)
+             AS sched_rate_micro,
+           CAST(b.hits_arrival * 1000000 // s.n_docs AS BIGINT)
+             AS arrival_rate_micro
+    FROM stat s, base b
+    """,
+)
+def q_prefix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X249 — KV-cache prefix-locality audit: hit counts under
+    prefix-grouped scheduling vs arrival order, as one summary row.
+
+    Determinism: the prefix key is md5 of the first-8-token join (the
+    house normalize-split rule); every figure is an exact integer
+    count and the rates are truncated micro-unit divisions. Scale
+    shape: one scan → prefix-keyed counting aggregate with map-side
+    partials (hits_scheduled falls out of group sizes analytically —
+    no sort, no window anywhere); the arrival baseline is a doc_id ↔
+    doc_id+1 self equi-join carrying only (id, 32-byte prefix hash).
+    The actual reordering at serving time is a repartitionByRange on
+    the prefix hash — this query is the measurement that justifies
+    it. Reference analog: none.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    tok = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(toks, 1, _PREFIX_SCHED_TOKENS))
+        ).alias("pfx"),
+    )
+    groups = tok.groupBy("pfx").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    stat = groups.agg(
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+        (F.sum("sz") - F.count(F.lit(1))).cast("long").alias(
+            "hits_scheduled"
+        ),
+    )
+    a = tok.select(F.col("doc_id").alias("ida"), F.col("pfx").alias("pa"))
+    b = tok.select(F.col("doc_id").alias("idb"), F.col("pfx").alias("pb"))
+    base = (
+        a.join(b, (F.col("idb") == F.col("ida") + 1)
+               & (F.col("pb") == F.col("pa")))
+        .agg(F.count(F.lit(1)).cast("long").alias("hits_arrival"))
+    )
+    return stat.crossJoin(base).select(
+        "n_docs",
+        "n_prefixes",
+        "hits_scheduled",
+        "hits_arrival",
+        F.expr("CAST(hits_scheduled * 1000000 div n_docs AS BIGINT)").alias(
+            "sched_rate_micro"
+        ),
+        F.expr("CAST(hits_arrival * 1000000 div n_docs AS BIGINT)").alias(
+            "arrival_rate_micro"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# X251 — embedding-space drift audit: PSI between the IVF
+# bucket-occupancy histograms of two corpus snapshots (vec_id parity —
+# a stand-in for day-N vs day-N+1 embedding stores). Numeric-feature
+# drift has X106; this is its EMBEDDING sibling: assign both snapshots
+# to the SAME fixed centroids (X45's zero-shuffle argmax projection,
+# the oracled X228 pattern) and compare occupancy shares — the
+# monitoring query a production ANN index runs to decide when
+# `ivf_staleness` (X228) should trigger a retrain. Two snapshots
+# compare via two 8-row histograms, never by co-scanning vectors —
+# the X226 sketch-vs-co-scan argument at the index level.
+# --------------------------------------------------------------------------
+@query(
+    "q_embedding_drift",
+    oracle="""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id >= 10),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, cv
+      FROM c ORDER BY vec_id LIMIT 8
+    ),
+    bucketed AS (
+      SELECT c2.vec_id,
+             (SELECT cid FROM (
+                SELECT cid, list_cosine_similarity(c2.cv, cents.cv) AS s
+                FROM cents
+              ) ORDER BY s DESC, cid LIMIT 1) AS bin
+      FROM c c2
+    ),
+    a AS (SELECT bin, COUNT(*) AS cnt_a FROM bucketed
+          WHERE vec_id % 2 = 0 GROUP BY bin),
+    b AS (SELECT bin, COUNT(*) AS cnt_b FROM bucketed
+          WHERE vec_id % 2 = 1 GROUP BY bin),
+    h AS (
+      SELECT COALESCE(a.bin, b.bin) AS bin,
+             COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+      FROM a FULL OUTER JOIN b ON a.bin = b.bin
+    ),
+    t AS (
+      SELECT bin, cnt_a, cnt_b,
+             SUM(cnt_a) OVER () AS ta, SUM(cnt_b) OVER () AS tb
+      FROM h
+    ),
+    s AS (
+      SELECT bin, cnt_a, cnt_b,
+             (cnt_a + 0.5) / (ta + 4.0) AS p,
+             (cnt_b + 0.5) / (tb + 4.0) AS q
+      FROM t
+    )
+    SELECT bin, CAST(cnt_a AS BIGINT) AS cnt_a,
+           CAST(cnt_b AS BIGINT) AS cnt_b,
+           round(p, 6) AS p_a, round(q, 6) AS p_b,
+           round((p - q) * ln(p / q), 6) AS psi_bin,
+           round(SUM((p - q) * ln(p / q)) OVER (), 6) AS psi_total
+    FROM s ORDER BY bin
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X251 — PSI over IVF bucket occupancy between the even/odd
+    vec_id snapshots, assigned against 8 shared fixed centroids.
+
+    Determinism: the assignment is assign_buckets' dot-argmax over
+    unit centroids (ranks identically to cosine; ties -> lowest
+    centroid id = the oracle's ORDER BY s DESC, cid — the validated
+    X45/X228 pattern, margins dwarf float ulps on this corpus);
+    occupancy counts are integers; PSI shares/contributions are
+    identical-input double ops with ln ulps absorbed by the 6-dp
+    round (X106's argument). Scale shape: assignment is a per-row
+    codegen projection (no join/shuffle); each snapshot reduces to an
+    8-row histogram via two-phase aggregate; PSI runs on the 8-row
+    frame. Reference analog: none.
+    """
+    from mysql_cdc_to_http_spark.operators.features import psi_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    centroids = sample_centroids(corpus, n_centroids=8)
+    bucketed = assign_buckets(corpus, centroids).select(
+        "vec_id", F.col("bucket").alias("bin_src")
+    )
+    side_a = bucketed.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("bin_src").alias("bucket")
+    )
+    side_b = bucketed.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("bin_src").alias("bucket")
+    )
+    return psi_drift(
+        side_a, side_b, "bucket", lo=0.0, hi=8.0, n_bins=8, smooth=0.5
+    ).orderBy("bin")
+
+
+# --------------------------------------------------------------------------
+# X254 — bottom-k sketch containment estimate (the Mash-screen move:
+# estimate C(A,B) as the fraction of A's k smallest shingle hashes
+# present in B) — the SCREEN rung that makes X240/X253's exact
+# containment affordable at corpus scale: 16 longs per doc decide
+# which pairs deserve the exact verify, the same estimate-then-verify
+# cascade as MinHash-LSH's signature prune. Because the sketch is the
+# k smallest md5-longs (a pure set function — order-free, mergeable
+# by min-merge), the estimator itself is deterministic and
+# hash-oracles exactly; the audit emits estimate vs exact side by
+# side on the q_dedup_ngram consecutive-id pair convention (the
+# isolated-verify grain X233 also uses for its calibration).
+# --------------------------------------------------------------------------
+_BOTTOMK_K = 16
+_SKETCH_MEMO: dict = register_memo({})
+
+
+@query(
+    "q_containment_sketch",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(
+                 list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                i -> array_to_string(t[i:i+2], ' ')),
+                 g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS h
+      FROM tok
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.h[1:{_BOTTOMK_K}] AS sk_a, a.h AS ha, b.h AS hb
+      FROM hs a JOIN hs b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sk_a, hb)) * 1000000
+                // least(len(sk_a), {_BOTTOMK_K}) AS BIGINT) AS est_micro,
+           CAST(len(list_intersect(ha, hb)) * 1000000 // len(ha)
+                AS BIGINT) AS exact_micro,
+           CAST(abs(len(list_intersect(sk_a, hb)) * 1000000
+                    // least(len(sk_a), {_BOTTOMK_K})
+                    - len(list_intersect(ha, hb)) * 1000000 // len(ha))
+                AS BIGINT) AS abs_err_micro
+    FROM pairs ORDER BY id_a
+    """,
+)
+def q_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X254 — bottom-16 containment estimate vs exact, per
+    consecutive-id pair: est = |bottom16(A) ∩ B| / 16 estimates
+    C(A→B) = |A∩B| / |A| from 16 longs of A.
+
+    Determinism: the sketch is the k smallest md5-longs of the
+    distinct shingle set (array_sort + slice — a pure set function,
+    no RNG, mergeable by min-merge so map-side partials build it at
+    scale); every division is a truncated integer micro-unit of
+    non-negatives. Scale shape: sketches are one codegen projection;
+    at screen time only (doc_id, 16 longs) shuffle and the screen
+    join is the same bucket-capped posting join as X240 — the exact
+    verify (full array intersect) runs ONLY on screen survivors. The
+    audit grain here is the isolated consecutive-id pair (X233's
+    calibration discipline). Reference analog: none.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+    from mysql_cdc_to_http_spark.operators.dedup import word_shingles
+
+    # one compute for both pair sides (the X240 persist lesson): the
+    # tokenize->shingle->md5->sort chain dominates, and the self-join
+    # would otherwise evaluate it twice
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hs = _SKETCH_MEMO.get(key)
+    if hs is None:
+        hs = docs.select(
+            "doc_id",
+            F.array_sort(
+                F.transform(
+                    word_shingles(F.col("text"), k=3),
+                    lambda s: F.conv(
+                        F.substring(F.md5(s), 1, 15), 16, 10
+                    ).cast("long"),
+                )
+            ).alias("h"),
+        ).repartition(8)
+        _SKETCH_MEMO[key] = hs
+        register_cached(hs.persist(), [hs])
+    elif not hs.is_cached:
+        register_cached(hs.persist(), [hs])
+    a = hs.select(
+        F.col("doc_id").alias("id_a"),
+        F.slice(F.col("h"), 1, _BOTTOMK_K).alias("sk_a"),
+        F.col("h").alias("ha"),
+    )
+    b = hs.select(F.col("doc_id").alias("id_b"), F.col("h").alias("hb"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    est = F.expr(
+        f"size(array_intersect(sk_a, hb)) * 1000000"
+        f" div least(size(sk_a), {_BOTTOMK_K})"
+    ).cast("long")
+    exact = F.expr(
+        "size(array_intersect(ha, hb)) * 1000000 div size(ha)"
+    ).cast("long")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        est.alias("est_micro"),
+        exact.alias("exact_micro"),
+        F.abs(est - exact).cast("long").alias("abs_err_micro"),
+    ).orderBy("id_a")
+
+
+# --------------------------------------------------------------------------
+# X255 — hard-negative mining for contrastive/retrieval training (the
+# DPR recipe): for each query, the top-scoring corpus vectors whose
+# LABEL differs — the negatives nearest the decision boundary, which
+# train embedding models far better than X160's random draws (random
+# negatives are trivially separable; hard ones carry the gradient).
+# Mining rides the oracled brute-force ranking (X38); at corpus scale
+# the ANN arm (X45/X113) substitutes as the scorer unchanged since
+# the miner only consumes (query, doc, score) lists.
+# --------------------------------------------------------------------------
+@query(
+    "q_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neg_id, label AS neg_label,
+                 CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id >= 10),
+    scored AS (
+      SELECT q.query_id, c.neg_id, c.neg_label,
+             round(list_cosine_similarity(q.qv, c.cv), 6) AS cos_sim
+      FROM q JOIN c ON c.neg_label != q.qlabel
+    ),
+    ranked AS (
+      SELECT query_id, neg_id, neg_label, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neg_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neg_id, neg_label, cos_sim, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X255 — top-3 label-mismatched nearest neighbors per query: the
+    hard negatives for contrastive training.
+
+    Determinism: the X38 ranking rule (6-dp rounded cosine, id
+    tie-breaks) restricted to label-mismatch pairs. Scale shape:
+    broadcast(queries+labels) × corpus with the label filter fused
+    into the join condition — the corpus never shuffles, per-query
+    top-k via keyed window, exactly cosine_topk_bruteforce's plan
+    plus one pushed predicate. Reference analog: none.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    from mysql_cdc_to_http_spark.operators.similarity import cosine
+
+    scored = c.join(
+        F.broadcast(q), F.col("neg_label") != F.col("qlabel")
+    ).select(
+        "query_id",
+        "neg_id",
+        "neg_label",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neg_id"
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("int")
+        )
+        .filter(F.col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# X256 — RAG context assembly: the step between retrieval and the
+# prompt — take the BM25 top-3 (X88's shared scorer), pack them into
+# a 128-token context in rank order with greedy budget fill (the
+# boundary doc truncates, later docs drop), and emit each included
+# doc's token offset/length inside the context plus an md5 of the
+# assembled context bytes (the hash-the-payload rule). Completes the
+# retrieval ladder: score (X88/X38) → fuse (X218) → measure (X219) →
+# ASSEMBLE (here). Greedy fill has the closed form
+#   used_i = clamp(len_i, B − min(cum_len_prev, B)),
+#   offset_i = min(cum_len_prev, B)
+# so the whole assembly is integer arithmetic over a 3-row frame.
+# --------------------------------------------------------------------------
+_RAG_BUDGET = 128
+
+
+@query(
+    "q_rag_context",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+    ft AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM terms WHERE term IN ('spark', 'query', 'join')
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM terms WHERE term IN ('spark', 'query', 'join')
+            GROUP BY term),
+    idf AS (
+      SELECT term, ln((s.n - df + 0.5) / (df + 0.5) + 1.0) AS idf, s.avgdl
+      FROM dfq, stats s
+    ),
+    contrib AS (
+      SELECT ft.doc_id,
+             idf.idf * (ft.tf * 2.2)
+             / (ft.tf + 1.2 * (0.25 + 0.75 * dl.dl / idf.avgdl)) AS c
+      FROM ft JOIN idf USING (term) JOIN dl ON ft.doc_id = dl.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, rnk FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY round(SUM(c), 6) DESC, doc_id)
+                 AS rnk
+        FROM contrib GROUP BY doc_id
+      ) WHERE rnk <= 3
+    ),
+    fill AS (
+      SELECT l.rnk, l.doc_id, t.toks, len(t.toks) AS ln,
+             COALESCE(sum(len(t2.toks)) FILTER (l2.rnk < l.rnk), 0)
+               AS cum_prev
+      FROM lex l JOIN toks t USING (doc_id)
+      LEFT JOIN lex l2 ON l2.rnk < l.rnk
+      LEFT JOIN toks t2 ON t2.doc_id = l2.doc_id
+      GROUP BY l.rnk, l.doc_id, t.toks
+    ),
+    used AS (
+      SELECT rnk, doc_id, toks, ln,
+             least(cum_prev, {_RAG_BUDGET}) AS off,
+             greatest(least(ln, {_RAG_BUDGET}
+                            - least(cum_prev, {_RAG_BUDGET})), 0) AS u
+      FROM fill
+    ),
+    inc AS (
+      SELECT rnk, doc_id, off, u, (u < ln) AS truncated,
+             array_to_string(toks[1:u], ' ') AS piece
+      FROM used WHERE u > 0
+    ),
+    ctx AS (
+      SELECT md5(string_agg(piece, ' ' ORDER BY rnk)) AS context_md5
+      FROM inc
+    )
+    SELECT CAST(inc.rnk AS INT) AS rank, inc.doc_id,
+           CAST(inc.off AS BIGINT) AS start_offset,
+           CAST(inc.u AS BIGINT) AS tokens_used,
+           inc.truncated, ctx.context_md5
+    FROM inc, ctx ORDER BY rank
+    """,
+)
+def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X256 — greedy 128-token context packing of the BM25 top-3, with
+    per-doc offsets and an md5 of the assembled context.
+
+    Determinism: the ranking is the shared 6-dp-rounded BM25
+    (X88/X218/X222); the fill is the integer closed form above (no
+    iteration — truncate-at-boundary falls out of min/clamp); only
+    the context's md5 travels. Scale shape: everything after the
+    scorer runs on a 3-row frame (windows partitioned by a pmod
+    constant to keep the deliberate tiny frame out of WindowExec's
+    no-partition path); the scorer's plan is X88's. Reference analog:
+    none.
+    """
+    from pyspark.sql import Window
+
+    top = _bm25_topn(spark, sf_dir, 3)
+    wr = Window.partitionBy(F.pmod(F.lit(0), F.lit(1))).orderBy(
+        F.col("bm25").desc(), "doc_id"
+    )
+    ranked = top.select(
+        "doc_id", F.row_number().over(wr).alias("rank")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+            " ",
+        ).alias("toks"),
+    )
+    joined = ranked.join(toks, "doc_id").select(
+        "rank", "doc_id", "toks", F.size("toks").alias("ln")
+    )
+    wc = Window.partitionBy(F.pmod(F.col("rank"), F.lit(1))).orderBy(
+        "rank"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    filled = joined.select(
+        "rank",
+        "doc_id",
+        "toks",
+        "ln",
+        F.coalesce(F.sum("ln").over(wc), F.lit(0)).alias("cum_prev"),
+    )
+    used = filled.select(
+        "rank",
+        "doc_id",
+        "toks",
+        "ln",
+        F.least(F.col("cum_prev"), F.lit(_RAG_BUDGET)).alias("off"),
+        F.greatest(
+            F.least(
+                F.col("ln"),
+                F.lit(_RAG_BUDGET)
+                - F.least(F.col("cum_prev"), F.lit(_RAG_BUDGET)),
+            ),
+            F.lit(0),
+        ).alias("u"),
+    ).filter(F.col("u") > 0)
+    inc = used.select(
+        "rank",
+        "doc_id",
+        "off",
+        "u",
+        (F.col("u") < F.col("ln")).alias("truncated"),
+        F.expr("slice(toks, 1, CAST(u AS INT))").alias("piece_toks"),
+    )
+    ctx = inc.agg(
+        F.md5(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("rank", "piece_toks")
+                            )
+                        ),
+                        lambda x: x["piece_toks"],
+                    )
+                ),
+                " ",
+            )
+        ).alias("context_md5")
+    )
+    return (
+        inc.crossJoin(F.broadcast(ctx))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.col("off").cast("long").alias("start_offset"),
+            F.col("u").cast("long").alias("tokens_used"),
+            "truncated",
+            "context_md5",
+        )
+        .orderBy("rank")
+    )

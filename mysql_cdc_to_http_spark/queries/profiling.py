@@ -395,3 +395,177 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return shard_manifest(docs, "doc_id", n_shards=16)
+
+
+# --------------------------------------------------------------------------
+# X250 — snapshot profile drift: diff the column profiles of two table
+# snapshots (the X87 churn fixture) into one (column, metric,
+# old/new/changed) report — the data-contract alarm that catches a
+# NEW enum value, a shifted key range, or a changed row count BEFORE a
+# downstream job does. The string-domain fingerprint (md5 of the
+# sorted distinct values) detects domain drift at constant output
+# width however large the domain — the profile analog of X226's
+# sketch-vs-co-scan argument. All values render as deterministic
+# strings (integers, cents, md5) so the diff itself is hash-exact.
+# --------------------------------------------------------------------------
+@query(
+    "q_profile_drift",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS o_totalprice
+      FROM old WHERE o_orderkey % 97 != 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', o_totalprice
+      FROM old WHERE o_orderkey % 89 = 0
+    ),
+    po AS (
+      SELECT CAST(count(*) AS VARCHAR) AS m_rows,
+             CAST(count(DISTINCT o_orderkey) AS VARCHAR) AS m_key_distinct,
+             CAST(min(o_orderkey) AS VARCHAR) AS m_key_min,
+             CAST(max(o_orderkey) AS VARCHAR) AS m_key_max,
+             CAST(count(DISTINCT o_orderstatus) AS VARCHAR)
+               AS m_status_distinct,
+             md5(string_agg(DISTINCT o_orderstatus, '|' ORDER BY
+                            o_orderstatus)) AS m_status_domain,
+             CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS VARCHAR) AS m_price_min_cents,
+             CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS VARCHAR) AS m_price_max_cents,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS VARCHAR) AS m_price_sum_cents
+      FROM old
+    ),
+    pn AS (
+      SELECT CAST(count(*) AS VARCHAR) AS m_rows,
+             CAST(count(DISTINCT o_orderkey) AS VARCHAR) AS m_key_distinct,
+             CAST(min(o_orderkey) AS VARCHAR) AS m_key_min,
+             CAST(max(o_orderkey) AS VARCHAR) AS m_key_max,
+             CAST(count(DISTINCT o_orderstatus) AS VARCHAR)
+               AS m_status_distinct,
+             md5(string_agg(DISTINCT o_orderstatus, '|' ORDER BY
+                            o_orderstatus)) AS m_status_domain,
+             CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS VARCHAR) AS m_price_min_cents,
+             CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS VARCHAR) AS m_price_max_cents,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS VARCHAR) AS m_price_sum_cents
+      FROM new
+    ),
+    uo AS (
+      SELECT k.metric, CASE k.metric
+        WHEN 'rows' THEN po.m_rows
+        WHEN 'key_distinct' THEN po.m_key_distinct
+        WHEN 'key_min' THEN po.m_key_min
+        WHEN 'key_max' THEN po.m_key_max
+        WHEN 'status_distinct' THEN po.m_status_distinct
+        WHEN 'status_domain' THEN po.m_status_domain
+        WHEN 'price_min_cents' THEN po.m_price_min_cents
+        WHEN 'price_max_cents' THEN po.m_price_max_cents
+        WHEN 'price_sum_cents' THEN po.m_price_sum_cents END AS old_value,
+        CASE k.metric
+        WHEN 'rows' THEN pn.m_rows
+        WHEN 'key_distinct' THEN pn.m_key_distinct
+        WHEN 'key_min' THEN pn.m_key_min
+        WHEN 'key_max' THEN pn.m_key_max
+        WHEN 'status_distinct' THEN pn.m_status_distinct
+        WHEN 'status_domain' THEN pn.m_status_domain
+        WHEN 'price_min_cents' THEN pn.m_price_min_cents
+        WHEN 'price_max_cents' THEN pn.m_price_max_cents
+        WHEN 'price_sum_cents' THEN pn.m_price_sum_cents END AS new_value
+      FROM (VALUES ('rows'), ('key_distinct'), ('key_min'), ('key_max'),
+                   ('status_distinct'), ('status_domain'),
+                   ('price_min_cents'), ('price_max_cents'),
+                   ('price_sum_cents')) AS k(metric),
+           po, pn
+    )
+    SELECT metric, old_value, new_value,
+           (old_value != new_value) AS changed
+    FROM uo ORDER BY metric
+    """,
+)
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X250 — column-profile diff between the pre- and post-churn
+    orders snapshots: rows, key cardinality/range, status domain
+    (md5 fingerprint of the sorted distinct set), price range/sum in
+    exact cents — one (metric, old, new, changed) row each.
+
+    Determinism: every metric is an integer count/extreme or an md5
+    of a sorted '|'-joined domain (ORDER BY inside string_agg /
+    sorted collect_set — both engines state the order explicitly);
+    prices go through the house cents cast before aggregation. Scale
+    shape: each snapshot reduces in ONE two-phase aggregate (the
+    distinct counts ride Spark's expand, still map-side partial);
+    everything after runs on two 1-row profiles unpivoted to 9 rows.
+    The churn rules mirror _diff_snapshots (queries/cdc.py:459) so
+    the fixture is SQL-stated in both engines. Reference analog:
+    main.go has no profiling surface; table metadata stops at column
+    names (main.go:249-255).
+    """
+    from mysql_cdc_to_http_spark.queries.cdc import _diff_snapshots
+
+    old, new = _diff_snapshots(spark, sf_dir)
+
+    def profile(df: DataFrame) -> DataFrame:
+        cents = F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT)"
+        )
+        return df.agg(
+            F.count(F.lit(1)).cast("string").alias("rows"),
+            F.countDistinct("o_orderkey").cast("string").alias(
+                "key_distinct"
+            ),
+            F.min("o_orderkey").cast("string").alias("key_min"),
+            F.max("o_orderkey").cast("string").alias("key_max"),
+            F.countDistinct("o_orderstatus").cast("string").alias(
+                "status_distinct"
+            ),
+            F.md5(
+                F.concat_ws(
+                    "|", F.array_sort(F.collect_set("o_orderstatus"))
+                )
+            ).alias("status_domain"),
+            F.min(cents).cast("string").alias("price_min_cents"),
+            F.max(cents).cast("string").alias("price_max_cents"),
+            F.sum(cents).cast("string").alias("price_sum_cents"),
+        )
+
+    metrics = (
+        "rows",
+        "key_distinct",
+        "key_min",
+        "key_max",
+        "status_distinct",
+        "status_domain",
+        "price_min_cents",
+        "price_max_cents",
+        "price_sum_cents",
+    )
+    stack = ", ".join(f"'{m}', {m}" for m in metrics)
+    po = profile(old).select(
+        F.expr(f"stack({len(metrics)}, {stack})").alias(
+            "metric", "old_value"
+        )
+    )
+    pn = profile(new).select(
+        F.expr(f"stack({len(metrics)}, {stack})").alias(
+            "metric", "new_value"
+        )
+    )
+    return (
+        po.join(pn, "metric")
+        .select(
+            "metric",
+            "old_value",
+            "new_value",
+            (F.col("old_value") != F.col("new_value")).alias("changed"),
+        )
+        .orderBy("metric")
+    )

@@ -2123,3 +2123,86 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc_nulls_first("pri"))
     )
+
+
+# --------------------------------------------------------------------------
+# X252 — ORC source round-trip (completes the batch-format matrix:
+# parquet X1, CSV/JSON X2, ORC here — Spark's native ORC reader is
+# the other columnar production format, with the same
+# pushdown/pruning contract as parquet). lineitem is materialized to
+# ORC once per sf_dir (staged _done-marker write, the
+# _text_format_cache discipline), then a Q6-shaped filter+aggregate
+# runs AGAINST THE ORC COPY while the oracle reads the parquet
+# source of truth — parity certifies the round-trip is lossless
+# (timestamps, decimals-as-doubles, every predicate cell included),
+# not just that ORC parses. Predicate pushdown into the ORC scan is
+# pinned in tests/test_plans.py.
+# --------------------------------------------------------------------------
+def _orc_cache(spark: SparkSession, sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_orcfmt", tag)
+    orc_dir = os.path.join(out, "lineitem_orc")
+    if not os.path.exists(os.path.join(out, "_done")):
+        load_table(spark, sf_dir, "lineitem").write.mode(
+            "overwrite"
+        ).orc(orc_dir)
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "_done"), "w") as fh:
+            fh.write("ok")
+    return orc_dir
+
+
+@query(
+    "q_scan_orc",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(l_linenumber) AS BIGINT) AS chk
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X252 — Q6 over the ORC copy of lineitem: the oracle reads the
+    parquet source of truth, so hash parity certifies a lossless
+    parquet→ORC→engine round-trip of every cell the query touches.
+
+    Scale shape: identical to q_agg_q6 — scan with pushed predicates
+    (ORC supports the same PushedFilters/ReadSchema contract,
+    plan-pinned), 4 columns read, map-side partial agg, one scalar
+    per partition shuffled. The revenue sum is the exact DECIMAL
+    product (bit-identical in any engine/partition order — Q6's
+    argument). Reference analog: none (main.go reads only its binlog
+    feed; no batch formats).
+    """
+    orc_dir = _orc_cache(spark, sf_dir)
+    li = spark.read.orc(orc_dir)
+    return (
+        li.filter(
+            (
+                F.col("l_shipdate")
+                >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+            )
+            & (
+                F.col("l_shipdate")
+                < F.lit("1997-01-01 00:00:00").cast("timestamp")
+            )
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("l_linenumber").cast("long").alias("chk"),
+        )
+    )

@@ -1184,6 +1184,16 @@ def test_winnow_pair_join_is_fingerprint_bucketed(spark, sf_dir):
         "q_epoch_shuffle",
         "q_chunk_stitch",
         "q_rater_kappa",
+        "q_wilson_incremental",
+        "q_mrl_audit",
+        "q_prefix_schedule",
+        "q_profile_drift",
+        "q_embedding_drift",
+        "q_scan_orc",
+        "q_decontaminate_containment",
+        "q_containment_sketch",
+        "q_hard_negatives",
+        "q_rag_context",
     ],
 )
 def test_round11_queries_lint_clean(spark, sf_dir, name):
@@ -1198,3 +1208,21 @@ def test_round11_queries_lint_clean(spark, sf_dir, name):
         if i.severity == "error"
     ]
     assert issues == [], (name, issues)
+
+
+def test_orc_scan_pushes_predicates_and_prunes(spark, sf_dir):
+    """The ORC copy must honor the same scan contract as parquet:
+    filters reach PushedFilters and only the referenced columns reach
+    ReadSchema — the X252 round-trip is not allowed to cost a full
+    scan."""
+    from mysql_cdc_to_http_spark.queries.relational import _orc_cache
+
+    orc_dir = _orc_cache(spark, sf_dir)
+    df = (
+        spark.read.orc(orc_dir)
+        .filter(F.col("l_quantity") < 24)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "l_quantity" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
