@@ -26,7 +26,9 @@ verify-ext:
 	SPARK_GRAFT_SF_DIR=$(SF) $(PY) scripts/verify_sweep.py ext
 
 verify-bench:
-	@out=$$(SPARK_GRAFT_SF_DIR=$(SF) SPARK_GRAFT_STREAM=0 $(PY) bench.py 2>/dev/null); \
+	@SPARK_GRAFT_SF_DIR=$(SF) SPARK_GRAFT_STREAM=0 $(PY) bench.py >/tmp/bench_combined.out 2>&1; \
+	$(PY) -c "import sys; tail=open('/tmp/bench_combined.out','rb').read()[-2000:].decode('utf-8','replace'); bad=[m for m in ('Traceback','at py4j','py4j.protocol','ERROR ') if m in tail]; assert tail.rstrip().endswith('}'), 'JSON line is not the LAST thing in the tail window'; sys.exit(('driver tail window polluted: %s' % bad) if bad else 0)" || exit 1; \
+	out=$$(grep -o '{"metric".*' /tmp/bench_combined.out); \
 	n=$$(printf '%s\n' "$$out" | grep -c '^{'); \
 	if [ "$$n" != "1" ]; then \
 	  echo "bench.py must print exactly ONE JSON line (got $$n)"; exit 1; \

@@ -852,7 +852,11 @@ def bench_http_delivery_batched(
         "rows_routed": rows_total,
         "rows_delivered_2xx": delivered_rows,
         "requests_2xx": counters["ok_reqs"],
-        "rows_rejected_5xx": counters["err"],
+        # counters["err"] counts REJECTED REQUESTS (one per batch
+        # attempt, retries included), not rows — named accordingly so it
+        # reads correctly next to the row-denominated fields (r11
+        # ADVICE).
+        "requests_rejected_5xx": counters["err"],
         "dlq_rows": dlq_rows,
         "wall_sec": round(wall, 3),
         "rows_per_sec": round(rows_total / wall, 1) if wall > 0 else None,

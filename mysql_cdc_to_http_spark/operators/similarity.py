@@ -619,11 +619,16 @@ def ivf_staleness(
         F.sum(F.when(F.col("nb").isNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_out"),
+        # Empty new index (all vectors deleted) → staleness is
+        # undefined, surfaced as an explicit NULL rather than a silent
+        # div-by-zero NULL (default mode) / exception (ANSI) —
+        # r11 ADVICE.
         F.expr(
-            "CAST((sum(CASE WHEN ob IS NOT NULL AND nb IS NOT NULL"
+            "CAST(CASE WHEN count(nb) = 0 THEN NULL ELSE"
+            " (sum(CASE WHEN ob IS NOT NULL AND nb IS NOT NULL"
             " AND ob != nb THEN 1 ELSE 0 END)"
             " + sum(CASE WHEN ob IS NULL THEN 1 ELSE 0 END)"
             " + sum(CASE WHEN nb IS NULL THEN 1 ELSE 0 END)) * 1000000"
-            " div count(nb) AS BIGINT)"
+            " div count(nb) END AS BIGINT)"
         ).alias("stale_micro"),
     )

@@ -180,23 +180,35 @@ def cms_partials(
     depth: int = 4,
     width: int = 512,
     salt: str = "cms-v1",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One CMS per segment as (segment, row_i, bucket, cnt) rows.
 
     The explode(depth) blow-up never reaches the shuffle: partial
     aggregation collapses each map task to at most
-    segments x depth x width rows before the exchange."""
+    segments x depth x width rows before the exchange.
+
+    ``weight_col``: when the input is already a (segment, value, count)
+    pre-aggregate, sum that count instead of counting rows — the sketch
+    is identical by associativity of SUM, and the explode runs over the
+    (much smaller) aggregate instead of the fact table."""
     seg = segment_col if isinstance(segment_col, Column) else F.col(segment_col)
-    rows = df.select(
+    cols = [
         seg.alias("segment"),
         F.col(value_col).alias("__v"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row_i"),
-    )
+    ]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).alias("__w"))
+    rows = df.select(*cols)
+    agg = (
+        F.count(F.lit(1)) if weight_col is None else F.sum("__w")
+    ).alias("cnt")
     return rows.groupBy(
         "segment",
         "row_i",
         cms_bucket(F.col("__v"), F.col("row_i"), width, salt).alias("bucket"),
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ).agg(agg)
 
 
 def cms_merge(partials: DataFrame) -> DataFrame:

@@ -574,15 +574,31 @@ def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_partials,
     )
 
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
     li = load_table(spark, sf_dir, "lineitem")
+    # ONE fact scan (r11 verdict #5 — this was the suite's #3 query at
+    # 4.4 s with two full lineitem passes): pre-aggregate to
+    # (ship-month, suppkey, count) — ~months x |suppkey| rows — persist
+    # that, and derive BOTH the sketch partials (weighted, identical by
+    # SUM associativity) and the exact probe side from it.
+    base = (
+        li.groupBy(
+            F.month("l_shipdate").alias("seg"), F.col("l_suppkey")
+        )
+        .agg(F.count(F.lit(1)).alias("base_cnt"))
+        .persist()
+    )
     partials = cms_partials(
-        li, F.month("l_shipdate"), "l_suppkey", depth=4, width=512
+        base, "seg", "l_suppkey", depth=4, width=512, weight_col="base_cnt"
     )
     merged = cms_merge(partials)
-    exact = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    exact = base.groupBy("l_suppkey").agg(
+        F.sum("base_cnt").cast("long").alias("exact_cnt")
+    )
     top = exact.orderBy(F.desc("exact_cnt"), F.asc("l_suppkey")).limit(10)
     est = cms_estimate(merged, top, "l_suppkey", depth=4, width=512)
-    return (
+    result = (
         top.join(est, "l_suppkey")
         .select(
             "l_suppkey",
@@ -592,6 +608,7 @@ def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), F.asc("l_suppkey"))
     )
+    return register_cached(result, [base])
 
 
 @query(

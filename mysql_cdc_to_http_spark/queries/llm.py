@@ -2648,13 +2648,23 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rel"),
         )
     )
+    # n_rel depends only on the query's LABEL, so one label-sized
+    # aggregate over the corpus replaces the r11 qlab×clab cross join
+    # that rescanned the corpus once per query (r11 verdict #3): count
+    # per corpus label once, broadcast-join to the 10-row query side.
+    # A query label absent from the corpus has zero relevant docs.
+    label_counts = clab.groupBy("clabel").agg(
+        F.count(F.lit(1)).cast("long").alias("label_n")
+    )
     nrel = (
-        qlab.crossJoin(clab)
-        .groupBy("query_id")
-        .agg(
-            F.sum(F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_rel")
+        qlab.join(
+            F.broadcast(label_counts),
+            qlab["qlabel"] == label_counts["clabel"],
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce(F.col("label_n"), F.lit(0)).cast("long").alias("n_rel"),
         )
     )
     h = F.sum("rel").over(W.partitionBy("query_id").orderBy("rnk"))
@@ -3059,7 +3069,7 @@ _CAL_ROWS = 4
       JOIN shl y ON y.doc_id = b.doc_id
     ),
     binned AS (
-      SELECT CAST((i * 1000000 // u) // 100000 AS BIGINT) AS j_bin,
+      SELECT CAST(least((i * 1000000 // u) // 100000, 9) AS BIGINT) AS j_bin,
              COUNT(*) AS n_pairs,
              SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS n_caught
       FROM pairs GROUP BY 1
@@ -3193,7 +3203,13 @@ def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         caught.alias("caught"),
     )
     binned = pairs.select(
-        F.expr("(i * 1000000 div u) div 100000").cast("long").alias("j_bin"),
+        # Clamp to bin 9: exact-duplicate pairs (Jaccard exactly 1.0)
+        # would otherwise land in a bin 10 whose midpoint 1.05 > 1 makes
+        # the analytic S-curve meaningless (r11 ADVICE); folding them
+        # into the top bin keeps every midpoint a valid probability.
+        F.expr("least((i * 1000000 div u) div 100000, 9)")
+        .cast("long")
+        .alias("j_bin"),
         "caught",
     ).groupBy("j_bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),

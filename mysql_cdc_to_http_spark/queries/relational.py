@@ -2139,16 +2139,33 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pinned in tests/test_plans.py.
 # --------------------------------------------------------------------------
 def _orc_cache(spark: SparkSession, sf_dir: str) -> str:
+    # Stage-then-atomic-rename (r11 ADVICE): the r11 form wrote the ORC
+    # copy straight into the final dir, so two concurrent sessions (or a
+    # crash between write and _done with a concurrent reader) raced on
+    # the same path. Same discipline as _schema_evolution_cache: build
+    # into a private mkdtemp, publish with one os.rename, verify on a
+    # lost race via the write's own _SUCCESS marker.
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(tempfile.gettempdir(), "spark_graft_orcfmt", tag)
     orc_dir = os.path.join(out, "lineitem_orc")
-    if not os.path.exists(os.path.join(out, "_done")):
+    done = os.path.join(orc_dir, "_SUCCESS")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        stage = tempfile.mkdtemp(prefix="_stage_", dir=out)
+        staged = os.path.join(stage, "lineitem_orc")
         load_table(spark, sf_dir, "lineitem").write.mode(
             "overwrite"
-        ).orc(orc_dir)
-        os.makedirs(out, exist_ok=True)
-        with open(os.path.join(out, "_done"), "w") as fh:
-            fh.write("ok")
+        ).orc(staged)
+        try:
+            os.rename(staged, orc_dir)
+            shutil.rmtree(stage, ignore_errors=True)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+            if not os.path.exists(done):
+                # Lost the race to an INCOMPLETE tree (or rename failed
+                # outright) — surface it rather than return a path a
+                # reader may see half-written.
+                raise
     return orc_dir
 
 

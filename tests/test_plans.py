@@ -1226,3 +1226,14 @@ def test_orc_scan_pushes_predicates_and_prunes(spark, sf_dir):
     plan = plan_of(df)
     assert "PushedFilters" in plan and "l_quantity" in plan
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_retrieval_eval_nrel_is_label_agg_not_cross_join(spark, sf_dir):
+    """X219 (r11 verdict #3): the n_rel side must be a label-sized
+    corpus aggregate broadcast-joined to the query rows — never a
+    queries×corpus cartesian on the metric path. The only nested-loop
+    allowed in the whole plan is the audited broadcast scorer inside
+    cosine_topk_bruteforce (queries broadcast, corpus streamed), so a
+    CartesianProduct anywhere is a regression."""
+    plan = plan_of(QUERIES["q_retrieval_eval"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
