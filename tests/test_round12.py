@@ -1,0 +1,243 @@
+"""Round-12: the X254 sketch screen composed in front of the X240/X253
+exact containment verifies (r11 verdict #2).
+
+The DuckDB oracles for both queries stay the UNSCREENED exact SQL, so
+driver hash parity already proves the screen loses nothing on the
+gated corpora. These tests pin the two claims parity can't state:
+
+1. the MARGIN is safe by a wide gap, measured with an independent
+   re-derivation of the estimator (not the query's own code): every
+   exact-qualifying pair's screen estimate clears the keep-cut by
+   >= 2x, at the corpus the suite gates on;
+2. the PLAN actually screens — the full-array verify consumes the
+   screen filter's survivors (X240), and the pass-2 exact join runs
+   behind a semi-join prune (X253).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysql_cdc_to_http_spark.plans import explain_formatted as plan_of
+from mysql_cdc_to_http_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _shingle_arrays(spark, sf_dir):
+    """Independent re-derivation: per-doc distinct word-3-shingle
+    md5-longs, NOT via the engine's shared builder."""
+    from mysql_cdc_to_http_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    sh = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(size(t) - 2, 1)),"
+            " i -> concat_ws(' ', slice(t, i, 3)))"
+        )
+    )
+    return (
+        docs.select("doc_id", "source", toks.alias("t"))
+        .select(
+            "doc_id",
+            "source",
+            F.transform(
+                sh,
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            ).alias("hs"),
+        )
+    )
+
+
+def test_contain_screen_margin_gap_x240(spark):
+    """Every pair with exact min-containment >= 0.5 must carry a
+    screen estimate >= 2x the keep-cut (0.2) — i.e. the margin that
+    gates the exact verify is not riding the edge on the corpus the
+    driver hashes. Estimator re-derived independently here."""
+    from mysql_cdc_to_http_spark.queries.llm import (
+        _CONTAIN_DF_CAP,
+        _CONTAIN_MIN_SHARED,
+        _CONTAIN_SCREEN_K,
+    )
+
+    hashes = _shingle_arrays(spark, SF).select("doc_id", "hs")
+    post = hashes.select("doc_id", F.explode("hs").alias("h"))
+    capped = (
+        post.groupBy("h")
+        .count()
+        .filter(F.col("count") <= _CONTAIN_DF_CAP)
+        .select("h")
+    )
+    post_c = post.join(capped, "h")
+    a = post_c.select(F.col("doc_id").alias("id_a"), "h")
+    b = post_c.select(F.col("doc_id").alias("id_b"), "h")
+    cand = (
+        a.join(b, (a["h"] == b["h"]) & (b["id_b"] > a["id_a"]))
+        .groupBy("id_a", "id_b")
+        .count()
+        .filter(F.col("count") >= _CONTAIN_MIN_SHARED)
+        .select("id_a", "id_b")
+    )
+    sk = hashes.select(
+        "doc_id",
+        F.size("hs").alias("sz"),
+        F.slice(F.array_sort("hs"), 1, _CONTAIN_SCREEN_K).alias("sk"),
+        F.col("hs"),
+    )
+    j = (
+        cand.join(
+            sk.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("sz").alias("sza"),
+                F.col("sk").alias("ska"),
+                F.col("hs").alias("ha"),
+            ),
+            "id_a",
+        )
+        .join(
+            sk.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("sz").alias("szb"),
+                F.col("sk").alias("skb"),
+                F.col("hs").alias("hb"),
+            ),
+            "id_b",
+        )
+        .select(
+            F.expr(
+                f"size(array_intersect(slice(array_sort("
+                f"array_union(ska, skb)), 1, {_CONTAIN_SCREEN_K}),"
+                f" array_intersect(ska, skb)))"
+            ).alias("m"),
+            F.expr(
+                f"least(size(array_union(ska, skb)), {_CONTAIN_SCREEN_K})"
+            ).alias("kk"),
+            F.col("sza"),
+            F.col("szb"),
+            F.expr(
+                "size(array_intersect(ha, hb)) / least(size(ha), size(hb))"
+            ).alias("cexact"),
+        )
+        .withColumn(
+            "cest",
+            F.expr("m * (sza + szb) / ((kk + m) * least(sza, szb))"),
+        )
+    )
+    true_pairs = j.filter(F.col("cexact") >= 0.5)
+    n_true = true_pairs.count()
+    assert n_true > 0, "fixture corpus lost its planted near-dups"
+    min_est = true_pairs.agg(F.min("cest")).first()[0]
+    # keep-cut is 0.2; demand a 2x safety factor on the gated corpus
+    assert min_est >= 0.4, (
+        f"screen margin too tight: worst true-pair estimate {min_est:.3f}"
+        f" vs keep-cut 0.2 — a false negative would fail the driver hash"
+    )
+
+
+def test_decon_screen_margin_gap_x253(spark):
+    """Same audit for the decontamination screen: every train doc with
+    an exact-qualifying containment pair must clear the pass-1 keep
+    gate (est >= 0.2) by >= 2x."""
+    from mysql_cdc_to_http_spark.queries.curation import _DECON_SCREEN_K
+
+    sh = _shingle_arrays(spark, SF).select(
+        "doc_id", "source", F.explode("hs").alias("h")
+    )
+    bench = sh.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bench_id"), "h"
+    )
+    bsz = bench.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("bench_size")
+    )
+    sk = (
+        bench.groupBy("bench_id")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, _DECON_SCREEN_K)
+            .alias("sk"),
+            F.count(F.lit(1)).alias("bench_size"),
+        )
+        .select("bench_id", "bench_size", F.explode("sk").alias("h"))
+    )
+    train = sh.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_id"), "h"
+    )
+    est = (
+        train.join(F.broadcast(sk), "h")
+        .groupBy("train_id", "bench_id", "bench_size")
+        .agg(F.count(F.lit(1)).alias("msk"))
+        .withColumn(
+            "est",
+            F.col("msk") / F.least(F.lit(_DECON_SCREEN_K), F.col("bench_size")),
+        )
+        .select("train_id", "bench_id", "est")
+    )
+    exact = (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("matched"))
+        .join(F.broadcast(bsz), "bench_id")
+        .filter(F.col("matched") / F.col("bench_size") >= 0.5)
+    )
+    joined = exact.join(est, ["train_id", "bench_id"], "left")
+    n_true = joined.count()
+    assert n_true > 0, "fixture corpus lost its planted contamination"
+    assert joined.filter(F.col("est").isNull()).count() == 0, (
+        "an exact-qualifying pair produced NO sketch hits at all"
+    )
+    min_est = joined.agg(F.min("est")).first()[0]
+    assert min_est >= 0.4, (
+        f"decon screen margin too tight: worst true-pair estimate"
+        f" {min_est:.3f} vs keep-cut 0.2"
+    )
+
+
+def test_dedup_containment_verify_is_screen_filtered(spark):
+    """X240 plan: the screen stage (scr_* sketch columns + the
+    cross-multiplied keep filter) must sit between candidate
+    generation and the full-array exact verify."""
+    plan = plan_of(QUERIES["q_dedup_containment"](spark, SF))
+    # Catalyst inlines the keep filter into the screen join's
+    # condition (the best shape — survivors never materialize), so the
+    # screen shows up as the sketch columns + the union-slice
+    # intersect inside a Join condition.
+    assert "scr_ska" in plan and "scr_skb" in plan, "screen stage missing"
+    assert (
+        "array_intersect(slice(array_sort(array_union(scr_ska" in plan
+    ), "screen estimator not gating the verify join"
+    assert "array_intersect" in plan, "exact verify missing"
+
+
+def test_decontaminate_containment_pass2_is_semi_pruned(spark):
+    """X253 plan: the exact posting join must run behind the pass-1
+    survivor semi-join (whole documents pruned before the explode)."""
+    plan = plan_of(QUERIES["q_decontaminate_containment"](spark, SF))
+    assert "LeftSemi" in plan, "pass-2 semi-join prune missing"
+    assert "scr_msk" in plan, "pass-1 sketch screen missing"
+
+
+def test_containment_trio_shares_one_shingle_corpus(spark):
+    """X240/X253/X254 must all consume llm._shingle_hash_corpus — one
+    persisted md5-shingle table (the materialize-once production
+    shape), not three private hash passes. InMemoryTableScan in each
+    plan proves the persist is actually hit."""
+    import mysql_cdc_to_http_spark.queries.llm as llm
+
+    key_hits = []
+    for name in (
+        "q_dedup_containment",
+        "q_containment_sketch",
+        "q_decontaminate_containment",
+    ):
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert "InMemoryTableScan" in plan, f"{name} not reading the cache"
+        key_hits.append(
+            any(sf == SF for (_, sf) in llm._CONTAIN_MEMO.keys())
+        )
+    assert all(key_hits)
+    # exactly ONE memo entry for this sf_dir — three queries, one table
+    assert sum(1 for (_, sf) in llm._CONTAIN_MEMO.keys() if sf == SF) == 1
