@@ -742,7 +742,15 @@ def bench_http_delivery_batched(
     per-row lane; the speedup comes from amortizing the request round
     trip across batch members. Poisoned batches dead-letter their
     member rows individually and one healed replay_dlq cycle must
-    drain the DLQ — identical convergence semantics to per-row."""
+    drain the DLQ — identical convergence semantics to per-row.
+
+    Phase 2 (r11 verdict #7): the same replay-racing-live-ingestion
+    soak the per-row lane runs — fresh DLQ, poison on, background
+    replay cycles against the tree the batched poster is still
+    writing, heal mid-soak, bounded final convergence. Coverage is
+    asserted on ROW idempotency keys reconstructed from the NDJSON
+    payloads (table:offset), since batch requests carry only the
+    deterministic per-batch header key."""
     import http.server
     import threading
 
@@ -762,6 +770,30 @@ def bench_http_delivery_batched(
     counters = {"ok_rows": 0, "ok_reqs": 0, "err": 0}
     lock = threading.Lock()
     healed = threading.Event()
+    # phase-2 key tracking (r11 verdict #7 — same contract as the
+    # per-row lane): when a set is pushed here, the echo server records
+    # each delivered ROW's idempotency key. Batched requests carry a
+    # per-BATCH header key, so row keys are reconstructed from the
+    # NDJSON payload itself (idem_key = "{source.table}:{offset}" —
+    # engine.build_delivery_frame), which also holds for the per-row
+    # replay deliveries.
+    track_keys: list[set] = []
+
+    def _body_keys(body: bytes) -> list[str]:
+        import json as _json
+
+        keys = []
+        for line in body.split(b"\n"):
+            if not line.strip():
+                continue
+            try:
+                d = _json.loads(line)
+                keys.append(
+                    f"{d['source']['table']}:{d['offset']}"
+                )
+            except Exception:  # noqa: BLE001 — malformed line = no key
+                pass
+        return keys
 
     class _Echo(http.server.BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -781,6 +813,8 @@ def bench_http_delivery_batched(
             with lock:
                 counters["ok_reqs"] += 1
                 counters["ok_rows"] += body.count(b"\n") + 1 if body else 0
+                if track_keys:
+                    track_keys[0].update(_body_keys(body))
             out = b"{}"
             self.send_response(200)
             self.send_header("Content-Length", str(len(out)))
@@ -843,8 +877,87 @@ def bench_http_delivery_batched(
     dlq_drained = still_failing == 0 and _glob.glob(f"{dlq}/epoch=*") == []
     replayed_rows = counters["ok_rows"] - delivered_rows
 
+    # ---- phase 2 (r11 verdict #7): replay RACING live ingestion,
+    # batched lane — the same matrix the per-row lane runs. Fresh DLQ
+    # tree, poison back on; a background thread fires replay_dlq
+    # cycles against the tree the batched poster is still writing; the
+    # endpoint heals after 3 cycles. Convergence: DLQ empty and every
+    # routed ROW key delivered at least once (keys reconstructed from
+    # the NDJSON payloads — the per-batch header key is a transport
+    # detail, the row key is the delivery contract).
+    healed.clear()
+    work2 = tempfile.mkdtemp(prefix="graft_http_bench_nd2_")
+    dlq2 = os.path.join(work2, "dlq")
+    ckpt2 = os.path.join(work2, "ckpt")
+    seen_keys: set[str] = set()
+    track_keys.append(seen_keys)
+    poster2 = http_batch_poster_with_dlq(
+        base, dlq2, retries=1, backoff_s=0.01, timeout_s=5.0,
+        parallelism=16, batch_size=batch_size,
+    )
+    replay_cycles = {"n": 0}
+    stop_replaying = threading.Event()
+
+    def _replay_loop():
+        while not stop_replaying.is_set():
+            time.sleep(0.25)
+            try:
+                replay_dlq(spark, dlq2, base, retries=0)
+                replay_cycles["n"] += 1
+            except Exception:  # noqa: BLE001 — racing cycles may collide
+                pass
+            if replay_cycles["n"] == 3:
+                healed.set()  # heal mid-soak, while batches still post
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    replayer = threading.Thread(target=_replay_loop, daemon=True)
+    try:
+        t2 = time.perf_counter()
+        q2 = (
+            _frame(stream_change_events(spark, events_dir))
+            .writeStream.foreachBatch(poster2)
+            .option("checkpointLocation", ckpt2)
+            .outputMode("append")
+            .start()
+        )
+        replayer.start()
+        q2.processAllAvailable()
+        q2.stop()
+        healed.set()  # in case fewer than 3 cycles ran before drain
+        soak_wall = time.perf_counter() - t2
+        # JOIN the background replayer before the convergence loop —
+        # two replay cycles racing the same epoch dirs can collide on
+        # os.replace/rmtree (round-9 advice on the per-row lane).
+        stop_replaying.set()
+        replayer.join(timeout=10)
+        for _ in range(5):
+            try:
+                if replay_dlq(spark, dlq2, base, retries=0) == 0:
+                    break
+            except Exception:  # noqa: BLE001 — same guard as the thread
+                pass
+    finally:
+        stop_replaying.set()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        track_keys.clear()
+
+    from mysql_cdc_to_http_spark.sources.cdc import read_change_events
+
+    expected_keys = {
+        r["idem_key"]
+        for r in _frame(read_change_events(spark, events_dir))
+        .select("idem_key")
+        .collect()
+    }
+    concurrent_converged = bool(
+        _glob.glob(f"{dlq2}/epoch=*") == []
+        and expected_keys <= seen_keys
+    )
+
     srv.shutdown()
     shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(work2, ignore_errors=True)
 
     rows_total = delivered_rows + dlq_rows
     return {
@@ -864,6 +977,11 @@ def bench_http_delivery_batched(
         "replay_delivered_rows": replayed_rows,
         "dlq_drained_after_replay": bool(dlq_drained),
         "delivery_complete": bool(dlq_drained and replayed_rows == dlq_rows),
+        "concurrent_replay_wall_sec": round(soak_wall, 3),
+        "concurrent_replay_cycles": replay_cycles["n"],
+        "concurrent_keys_expected": len(expected_keys),
+        "concurrent_keys_delivered": len(seen_keys),
+        "concurrent_replay_converged": concurrent_converged,
     }
 
 
@@ -948,6 +1066,12 @@ def run(spark, sf_dir: str, n_files: int = 16) -> dict:
             ),
             "http_batched_complete": httpb.get("delivery_complete", False),
             "http_batched_amortized_8x": batched_ok,
+            # r11 verdict #7: the batched lane runs the SAME
+            # poison-endpoint convergence matrix as per-row — replay
+            # racing live ingestion, heal mid-soak, row-key coverage.
+            "http_batched_concurrent_replay_converged": httpb.get(
+                "concurrent_replay_converged", False
+            ),
         },
     }
 
