@@ -2278,3 +2278,216 @@ def q_decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_id", "bench_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X260 — curriculum schedule: order documents by a difficulty score
+# (lexical diversity — type/token ratio in micro-units) and deal them
+# into 8 equal-count stages; audit that stage boundaries are monotone
+# (no stage contains a document easier than the previous stage's
+# hardest). This is the deterministic schedule builder behind
+# curriculum pretraining (easy→hard ordering with reproducible stage
+# membership).
+# --------------------------------------------------------------------------
+_CURRICULUM_STAGES = 8
+
+
+@query(
+    "q_curriculum_schedule",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split(trim(regexp_replace(
+                    lower(text), '\s+', ' ', 'g')), ' '))) * 1000000
+                  // len(string_split(trim(regexp_replace(
+                    lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT)
+               AS difficulty_micro,
+             CAST(len(string_split(trim(regexp_replace(lower(text), '\s+',
+                  ' ', 'g')), ' ')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    staged AS (
+      SELECT doc_id, difficulty_micro, nt,
+             CAST(ntile({_CURRICULUM_STAGES}) OVER (
+               ORDER BY difficulty_micro, doc_id) AS BIGINT) AS stage
+      FROM scored
+    ),
+    agg AS (
+      SELECT stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS tokens,
+             CAST(MIN(difficulty_micro) AS BIGINT) AS min_difficulty,
+             CAST(MAX(difficulty_micro) AS BIGINT) AS max_difficulty
+      FROM staged GROUP BY stage
+    )
+    SELECT stage, n_docs, tokens, min_difficulty, max_difficulty,
+           COALESCE(min_difficulty >= lag(max_difficulty)
+                      OVER (ORDER BY stage), TRUE) AS boundary_ok
+    FROM agg ORDER BY stage
+    """,
+)
+def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X260 — TTR-difficulty curriculum: 8 equal-count stages via
+    ntile over (difficulty_micro, doc_id) — a total order, so stage
+    membership is engine-reproducible — plus the per-stage boundary
+    monotonicity audit (>= because equal difficulties legally straddle
+    an ntile cut).
+
+    Scale shape: the rank behind ntile is the one global sort in the
+    operator — at fleet scale it runs as the grouped_ranks
+    range-partitioned form (X244); here the built-in window keeps the
+    plan identical to the oracle's. Aggregates are 8-group counting
+    partials; the audit is a lag over 8 rows. Reference analog:
+    none."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    scored = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(array_distinct(split(trim(regexp_replace("
+            "lower(text), '\\\\s+', ' ')), ' '))) * 1000000"
+            " div size(split(trim(regexp_replace(lower(text), '\\\\s+',"
+            " ' ')), ' ')) AS BIGINT)"
+        ).alias("difficulty_micro"),
+        F.size(t).cast("long").alias("nt"),
+    )
+    staged = scored.withColumn(
+        "stage",
+        F.ntile(_CURRICULUM_STAGES)
+        .over(W.orderBy("difficulty_micro", "doc_id"))
+        .cast("long"),
+    )
+    agg = staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("tokens"),
+        F.min("difficulty_micro").cast("long").alias("min_difficulty"),
+        F.max("difficulty_micro").cast("long").alias("max_difficulty"),
+    )
+    return agg.select(
+        "stage",
+        "n_docs",
+        "tokens",
+        "min_difficulty",
+        "max_difficulty",
+        F.coalesce(
+            F.col("min_difficulty")
+            >= F.lag("max_difficulty").over(W.orderBy("stage")),
+            F.lit(True),
+        ).alias("boundary_ok"),
+    ).orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# X262 — Krippendorff's alpha (nominal, binary, 3 raters, complete
+# data): the generalization of X246's Cohen kappa to >2 raters — THE
+# reliability statistic data-annotation pipelines report. Raters are
+# three deterministic quality gates (X246's rule + TTR raters plus a
+# length gate), so the coincidence arithmetic is exact integers
+# end-to-end: alpha = 1 − A(3N−1)/(2B) with A = 2·Σ_u n1u(3−n1u)
+# (within-unit disagreement pairs) and B = 2·nT(T−nT) over the pooled
+# margin (T = 3N).
+# --------------------------------------------------------------------------
+@query(
+    "q_krippendorff",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    rated AS (
+      SELECT doc_id,
+             CAST(len(t) >= 50 AND
+              len(list_distinct(list_intersect(t, {_KAPPA_STOPS_SQL})))
+                >= 2 AS INT)
+             + CAST(CAST(len(list_distinct(t)) * 1000000 // len(t) AS BIGINT)
+                >= 450000 AS INT)
+             + CAST(len(t) >= 60 AS INT) AS n1
+      FROM tok
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(SUM(n1) AS HUGEINT) AS nt,
+             CAST(2 * SUM(n1 * (3 - n1)) AS HUGEINT) AS a
+      FROM rated
+    )
+    SELECT CAST(n AS BIGINT) AS n_units,
+           CAST(nt AS BIGINT) AS n_true_ratings,
+           CAST(a AS BIGINT) AS disagreement_pairs,
+           CAST(a * 1000000 // (n * 6) AS BIGINT) AS do_micro,
+           CAST(2 * nt * (3 * n - nt) * 1000000
+                // ((3 * n) * (3 * n - 1)) AS BIGINT) AS de_micro,
+           CAST(CASE WHEN nt = 0 OR nt = 3 * n THEN NULL
+                ELSE 1000000 - (a * (3 * n - 1) * 1000000)
+                               // (2 * nt * (3 * n - nt)) END
+                AS BIGINT) AS alpha_micro
+    FROM agg
+    """,
+)
+def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X262 — Krippendorff's nominal alpha for the 3-gate rater panel.
+
+    Exactness: n1 per unit is an integer projection; A and the margin
+    total are integer sums (map-side partials); alpha's one division
+    is the final truncated micro-unit presentation over DECIMAL(38)
+    intermediates (both engines' 128-bit integer paths), NULL when the
+    margin is degenerate (all ratings one category → De = 0).
+    Scale shape: one scan → 1-row aggregate → constant arithmetic.
+    Reference analog: none."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    stops = F.expr(
+        "array('the', 'a', 'data', 'spark', 'stream', 'query')"
+    )
+    rated = docs.select(t.alias("t")).select(
+        (
+            (
+                (F.size("t") >= 50)
+                & (
+                    F.size(
+                        F.array_distinct(F.array_intersect(F.col("t"), stops))
+                    )
+                    >= 2
+                )
+            ).cast("int")
+            + (
+                F.expr(
+                    "CAST(size(array_distinct(t)) * 1000000 div size(t)"
+                    " AS BIGINT)"
+                )
+                >= 450000
+            ).cast("int")
+            + (F.size("t") >= 60).cast("int")
+        ).alias("n1")
+    )
+    agg = rated.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("n1").cast("decimal(38,0)").alias("nt"),
+        (F.lit(2) * F.sum(F.col("n1") * (F.lit(3) - F.col("n1"))))
+        .cast("decimal(38,0)")
+        .alias("a"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_units"),
+        F.col("nt").cast("long").alias("n_true_ratings"),
+        F.col("a").cast("long").alias("disagreement_pairs"),
+        F.expr("CAST((a * 1000000) div (n * 6) AS BIGINT)").alias(
+            "do_micro"
+        ),
+        F.expr(
+            "CAST((2 * nt * (3 * n - nt) * 1000000)"
+            " div ((3 * n) * (3 * n - 1)) AS BIGINT)"
+        ).alias("de_micro"),
+        F.expr(
+            "CAST(CASE WHEN nt = 0 OR nt = 3 * n THEN NULL"
+            " ELSE 1000000 - (a * (3 * n - 1) * 1000000)"
+            " div (2 * nt * (3 * n - nt)) END AS BIGINT)"
+        ).alias("alpha_micro"),
+    )

@@ -4740,3 +4740,598 @@ def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# X257 — margin-criterion bitext mining (Artetxe & Schwenk 2019): pair
+# each "source-side" vector with the "target-side" vector whose RATIO
+# margin — cosine divided by the mean of both ends' k-NN cosines — is
+# highest, keeping pairs whose margin clears 1.0. The margin denominator
+# is what makes mined bitext usable: raw cosine picks hubs (vectors
+# close to everything); the margin normalizes each end by how similar
+# it is to its neighborhood, so only pairs that stand OUT of both
+# neighborhoods survive. This is the standard parallel-corpus miner
+# (CCMatrix / LASER pipelines) an LLM data stack runs to build
+# translation training pairs.
+# --------------------------------------------------------------------------
+_BITEXT_CAP = 1000  # absolute-size sample (X233 discipline)
+_BITEXT_K = 4
+
+
+@query(
+    "q_bitext_mine",
+    oracle=f"""
+    WITH src AS (
+      SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS sv
+      FROM embeddings WHERE vec_id < {_BITEXT_CAP} AND vec_id % 2 = 0
+    ),
+    tgt AS (
+      SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS tv
+      FROM embeddings WHERE vec_id < {_BITEXT_CAP} AND vec_id % 2 = 1
+    ),
+    scored AS (
+      SELECT src_id, tgt_id,
+             CAST(round(round(list_cosine_similarity(sv, tv), 6) * 1000000)
+                  AS BIGINT) AS cm
+      FROM src CROSS JOIN tgt
+    ),
+    nns AS (
+      SELECT src_id, CAST(SUM(cm) AS BIGINT) AS nn_sum_src
+      FROM (
+        SELECT src_id, cm,
+               row_number() OVER (PARTITION BY src_id
+                                  ORDER BY cm DESC, tgt_id) AS r
+        FROM scored
+      ) WHERE r <= {_BITEXT_K} GROUP BY src_id
+    ),
+    nnt AS (
+      SELECT tgt_id, CAST(SUM(cm) AS BIGINT) AS nn_sum_tgt
+      FROM (
+        SELECT tgt_id, cm,
+               row_number() OVER (PARTITION BY tgt_id
+                                  ORDER BY cm DESC, src_id) AS r
+        FROM scored
+      ) WHERE r <= {_BITEXT_K} GROUP BY tgt_id
+    ),
+    margined AS (
+      SELECT s.src_id, s.tgt_id, s.cm,
+             CAST(CASE WHEN nn_sum_src + nn_sum_tgt <= 0 THEN NULL
+                  ELSE (s.cm * {2 * _BITEXT_K} * 1000000)
+                       // (nn_sum_src + nn_sum_tgt) END AS BIGINT)
+               AS margin_micro
+      FROM scored s JOIN nns USING (src_id) JOIN nnt USING (tgt_id)
+    ),
+    best AS (
+      SELECT src_id, tgt_id, cm AS cos_micro, margin_micro,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY margin_micro DESC, tgt_id) AS r
+      FROM margined WHERE margin_micro IS NOT NULL
+    )
+    SELECT src_id, tgt_id, cos_micro, margin_micro
+    FROM best WHERE r = 1 AND margin_micro >= 1000000
+    ORDER BY src_id
+    """,
+)
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X257 — ratio-margin bitext mining over the embedding table
+    (even ids = source side, odd ids = target side, both capped at an
+    ABSOLUTE size so the deliberate all-pairs scorer has fixed cost at
+    any corpus scale — the X233/X221 sample discipline).
+
+    Determinism: cosines are 6-dp rounded then lifted to exact micro
+    integers, so the k-NN sums (the margin denominators) are
+    order-independent integer aggregates, the margin is a truncated
+    integer division, and the per-source argmax orders on
+    (margin_micro desc, tgt_id) — no float ever decides a rank.
+
+    Scale shape: the scored pair table is built once (broadcast of the
+    capped source side — the audited q_knn_cosine plan) and persisted
+    for its three consumers (source-side k-NN sums, target-side k-NN
+    sums, argmax); at real corpus scale the brute scorer swaps for the
+    IVF arm (X45/X228) unchanged, since the miner only consumes
+    (src, tgt, cos) triples. Reference analog: none — north-star
+    extension work (multilingual pair curation)."""
+    from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+    from mysql_cdc_to_http_spark.operators.similarity import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _BITEXT_CAP
+    )
+    src = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"), as_double("embedding").alias("sv")
+    )
+    tgt = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), as_double("embedding").alias("tv")
+    )
+    scored = (
+        tgt.crossJoin(F.broadcast(src))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(F.round(cosine(F.col("sv"), F.col("tv")), 6) * 1000000)
+            .cast("long")
+            .alias("cm"),
+        )
+        .persist()
+    )
+    w_s = W.partitionBy("src_id").orderBy(F.desc("cm"), F.asc("tgt_id"))
+    nn_src = (
+        scored.withColumn("r", F.row_number().over(w_s))
+        .filter(F.col("r") <= _BITEXT_K)
+        .groupBy("src_id")
+        .agg(F.sum("cm").cast("long").alias("nn_sum_src"))
+    )
+    w_t = W.partitionBy("tgt_id").orderBy(F.desc("cm"), F.asc("src_id"))
+    nn_tgt = (
+        scored.withColumn("r", F.row_number().over(w_t))
+        .filter(F.col("r") <= _BITEXT_K)
+        .groupBy("tgt_id")
+        .agg(F.sum("cm").cast("long").alias("nn_sum_tgt"))
+    )
+    margined = (
+        scored.join(F.broadcast(nn_src), "src_id")
+        .join(F.broadcast(nn_tgt), "tgt_id")
+        .withColumn(
+            "margin_micro",
+            F.expr(
+                f"CAST(CASE WHEN nn_sum_src + nn_sum_tgt <= 0 THEN NULL"
+                f" ELSE (cm * {2 * _BITEXT_K} * 1000000)"
+                f" div (nn_sum_src + nn_sum_tgt) END AS BIGINT)"
+            ),
+        )
+        .filter(F.col("margin_micro").isNotNull())
+    )
+    w_best = W.partitionBy("src_id").orderBy(
+        F.desc("margin_micro"), F.asc("tgt_id")
+    )
+    result = (
+        margined.withColumn("r", F.row_number().over(w_best))
+        .filter((F.col("r") == 1) & (F.col("margin_micro") >= 1000000))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.col("cm").alias("cos_micro"),
+            "margin_micro",
+        )
+        .orderBy("src_id")
+    )
+    return register_cached(result, [scored])
+
+
+# --------------------------------------------------------------------------
+# X264 — soft-dedup sampling weights (RefinedWeb / SlimPajama
+# discipline): instead of DROPPING near-duplicates, give every member
+# of a duplicate cluster weight 1/cluster_size so the cluster
+# contributes ONE document's worth of probability mass to the training
+# mix — the gentler dedup used when near-dups carry distribution
+# signal the hard drop would erase. Rides the X46 cluster fixture
+# (chained word-drop variants), so the oracle derives membership
+# analytically from the same two edge tests.
+# --------------------------------------------------------------------------
+@query(
+    "q_soft_dedup_weights",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, substring(lower(text), instr(lower(text), ' ') + 1) AS text
+      FROM documents
+    ),
+    v2 AS (
+      SELECT doc_id, substring(text, instr(text, ' ') + 1) AS text FROM v1
+    ),
+    t0 AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS t
+           FROM documents),
+    t1 AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM v1),
+    t2 AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM v2),
+    e AS (
+      SELECT t0.doc_id,
+             (CAST(len(list_intersect(t0.t, t1.t)) AS DOUBLE)
+               / len(list_distinct(t0.t || t1.t))) >= 0.5 AS e1,
+             (CAST(len(list_intersect(t1.t, t2.t)) AS DOUBLE)
+               / len(list_distinct(t1.t || t2.t))) >= 0.5 AS e2
+      FROM t0 JOIN t1 USING (doc_id) JOIN t2 USING (doc_id)
+    ),
+    members AS (
+      SELECT doc_id, CAST(doc_id AS BIGINT) AS cluster_id FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             CAST(CASE WHEN e1 THEN doc_id ELSE doc_id + 100000 END AS BIGINT)
+      FROM e
+      UNION ALL
+      SELECT doc_id + 200000,
+             CAST(CASE WHEN e2 AND e1 THEN doc_id
+                       WHEN e2 THEN doc_id + 100000
+                       ELSE doc_id + 200000 END AS BIGINT)
+      FROM e
+    ),
+    sized AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM members GROUP BY cluster_id
+    )
+    SELECT m.doc_id, m.cluster_id, s.cluster_size,
+           CAST(1000000 // s.cluster_size AS BIGINT) AS weight_micro
+    FROM members m JOIN sized s USING (cluster_id)
+    ORDER BY m.doc_id
+    """,
+)
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X264 — per-document soft-dedup weight 1e6/cluster_size over the
+    X46 connected-components clusters: the distributed min-label
+    propagation resolves membership; one cluster-sized aggregate sizes
+    each component; the weight is a truncated integer micro-unit.
+
+    Scale shape: identical to X46 (label propagation over
+    banding-bounded edges) plus one (cluster_id) aggregate and a
+    cluster-keyed equi-join — nothing new shuffles the corpus. At mix
+    time these weights multiply straight into the X52/X230 samplers.
+    Reference analog: none."""
+    from mysql_cdc_to_http_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(lower(text), instr(lower(text), ' ') + 1)").alias(
+            "text"
+        ),
+    )
+    v2 = v1.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    corpus = docs.select("doc_id", F.lower("text").alias("text")).unionByName(
+        v1
+    ).unionByName(v2)
+    toks = corpus.select(
+        "doc_id", F.array_distinct(F.split("text", r"\s+")).alias("t")
+    )
+    a = toks.select(F.col("doc_id").alias("src"), F.col("t").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("dst"), F.col("t").alias("tb"))
+    cand = a.join(
+        b, (F.col("dst") == F.col("src") + 100000) & (F.col("src") < 200000)
+    )
+    jacc = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    edges = cand.filter(jacc >= 0.5).select("src", "dst")
+    comp = connected_components(edges, corpus, id_col="doc_id")
+    sized = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        comp.join(sized, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            F.expr("CAST(1000000 div cluster_size AS BIGINT)").alias(
+                "weight_micro"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# X258 — quality-aware canonical selection + dedup savings ledger: per
+# duplicate cluster (the X46 fixture), keep the member with the MOST
+# distinct tokens (tie → lowest id) and account exactly what dropping
+# the rest saves — member count, whitespace tokens, bytes. This is the
+# report a dedup run ships to the training-mix owner: X46 answers
+# "which docs are duplicates", this answers "what do we keep and what
+# does it buy us".
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_canonical",
+    oracle="""
+    WITH v0 AS (SELECT doc_id, lower(text) AS text FROM documents),
+    v1 AS (SELECT doc_id + 100000 AS doc_id,
+                  substring(text, instr(text, ' ') + 1) AS text FROM v0),
+    v2 AS (SELECT doc_id + 100000 AS doc_id,
+                  substring(text, instr(text, ' ') + 1) AS text FROM v1),
+    corpus AS (
+      SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(strlen(text) AS BIGINT) AS n_bytes
+      FROM corpus
+    ),
+    e AS (
+      SELECT v0.doc_id,
+             (CAST(len(list_intersect(
+                    list_distinct(string_split(v0.text, ' ')),
+                    list_distinct(string_split(v1.text, ' ')))) AS DOUBLE)
+               / len(list_distinct(string_split(v0.text, ' ')
+                                   || string_split(v1.text, ' ')))) >= 0.5
+               AS e1,
+             (CAST(len(list_intersect(
+                    list_distinct(string_split(v1.text, ' ')),
+                    list_distinct(string_split(v2.text, ' ')))) AS DOUBLE)
+               / len(list_distinct(string_split(v1.text, ' ')
+                                   || string_split(v2.text, ' ')))) >= 0.5
+               AS e2
+      FROM v0 JOIN v1 ON v1.doc_id = v0.doc_id + 100000
+              JOIN v2 ON v2.doc_id = v0.doc_id + 200000
+    ),
+    members AS (
+      SELECT doc_id, CAST(doc_id AS BIGINT) AS cluster_id FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             CAST(CASE WHEN e1 THEN doc_id ELSE doc_id + 100000 END AS BIGINT)
+      FROM e
+      UNION ALL
+      SELECT doc_id + 200000,
+             CAST(CASE WHEN e2 AND e1 THEN doc_id
+                       WHEN e2 THEN doc_id + 100000
+                       ELSE doc_id + 200000 END AS BIGINT)
+      FROM e
+    ),
+    ranked AS (
+      SELECT m.cluster_id, m.doc_id, s.n_distinct, s.n_tokens, s.n_bytes,
+             row_number() OVER (PARTITION BY m.cluster_id
+                                ORDER BY s.n_distinct DESC, m.doc_id) AS r
+      FROM members m JOIN stats s USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(MAX(CASE WHEN r = 1 THEN doc_id END) AS BIGINT)
+             AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN r > 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS dropped_tokens,
+           CAST(SUM(CASE WHEN r > 1 THEN n_bytes ELSE 0 END) AS BIGINT)
+             AS dropped_bytes
+    FROM ranked
+    GROUP BY cluster_id
+    HAVING count(*) > 1
+    ORDER BY cluster_id
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X258 — per-cluster canonical pick (most distinct tokens, id
+    tie-break) + the exact savings ledger for multi-member clusters.
+
+    Scale shape: X46's label propagation resolves clusters; the pick
+    is one per-cluster window over member-count-bounded groups (the
+    cluster fixture caps member count at 3; production clusters are
+    banding-bounded); the ledger is a counting aggregate. Integer
+    end-to-end. Reference analog: none."""
+    from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v0 = docs.select("doc_id", F.lower("text").alias("text"))
+    v1 = v0.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    v2 = v1.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    corpus = v0.unionByName(v1).unionByName(v2)
+    stats = corpus.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("n_distinct"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    toks = corpus.select(
+        "doc_id", F.array_distinct(F.split("text", r"\s+")).alias("t")
+    )
+    a = toks.select(F.col("doc_id").alias("src"), F.col("t").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("dst"), F.col("t").alias("tb"))
+    cand = a.join(
+        b, (F.col("dst") == F.col("src") + 100000) & (F.col("src") < 200000)
+    )
+    jacc = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    edges = cand.filter(jacc >= 0.5).select("src", "dst")
+    comp = connected_components(edges, corpus, id_col="doc_id")
+    ranked = comp.join(stats, "doc_id").withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("cluster_id").orderBy(
+                F.desc("n_distinct"), F.asc("doc_id")
+            )
+        ),
+    )
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("r") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("canonical_id"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.when(F.col("r") > 1, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("dropped_tokens"),
+            F.sum(F.when(F.col("r") > 1, F.col("n_bytes")).otherwise(0))
+            .cast("long")
+            .alias("dropped_bytes"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("cluster_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# X259 — tokenizer fertility audit per language: subword-tokens-per-
+# word and bytes-per-token, the two numbers that decide how much a
+# tokenizer "taxes" each language (high fertility = more compute per
+# word, fewer effective context words — the standard multilingual
+# tokenizer-fairness measurement). Uses the engine's BPE-ish regex
+# tokenizer (X39's convention) against whitespace words.
+# --------------------------------------------------------------------------
+@query(
+    "q_tokenizer_fertility",
+    oracle=r"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(string_split(trim(regexp_replace(lower(text), '\s+',
+                  ' ', 'g')), ' ')) AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(lower(text),
+                  '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS toks,
+             CAST(strlen(text) AS BIGINT) AS bytes
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS words,
+           CAST(SUM(toks) AS BIGINT) AS toks,
+           CAST(SUM(toks) * 1000000 // SUM(words) AS BIGINT)
+             AS fertility_micro,
+           CAST(SUM(bytes) * 1000000 // SUM(toks) AS BIGINT)
+             AS bytes_per_token_micro
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X259 — per-language fertility (regex-subword tokens per
+    whitespace word) and bytes per token, in truncated integer
+    micro-units over exact integer sums.
+
+    Scale shape: one scan → two codegen token counts per row →
+    lang-keyed counting aggregate (map-side partials, 5 groups).
+    Scan-bound at any corpus size. Reference analog: none."""
+    from mysql_cdc_to_http_spark.operators import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        )
+    ).cast("long")
+    # X39's shared regex tokenizer (operators/text.py:TOKEN_RE via a
+    # Column literal — an F.expr SQL string would eat the \s escape)
+    toks = tx.token_count_re(F.col("text")).cast("long")
+    return (
+        docs.select(
+            "lang",
+            words.alias("words"),
+            toks.alias("toks"),
+            F.octet_length("text").cast("long").alias("bytes"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("words").cast("long").alias("words"),
+            F.sum("toks").cast("long").alias("toks"),
+        )
+        .join(
+            docs.select(
+                "lang", F.octet_length("text").cast("long").alias("b")
+            )
+            .groupBy("lang")
+            .agg(F.sum("b").cast("long").alias("bytes")),
+            "lang",
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "words",
+            "toks",
+            F.expr("CAST(toks * 1000000 div words AS BIGINT)").alias(
+                "fertility_micro"
+            ),
+            F.expr("CAST(bytes * 1000000 div toks AS BIGINT)").alias(
+                "bytes_per_token_micro"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# X261 — balanced shard packing (longest-first striping): sort
+# sequences by token count descending and deal them round-robin into
+# 64 shards — the classic LPT-flavored load balancer for length-skewed
+# batches (every shard gets one of the longest docs before any gets a
+# second). The audit output is the per-shard fill vs the ideal equal
+# split — the number that predicts stragglers in a data-parallel
+# training step.
+# --------------------------------------------------------------------------
+_PACK_SHARDS = 64
+
+
+@query(
+    "q_pack_balanced",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, nt,
+             row_number() OVER (ORDER BY nt DESC, doc_id) AS rn
+      FROM sized
+    ),
+    assigned AS (
+      SELECT doc_id, nt, CAST((rn - 1) % {_PACK_SHARDS} AS BIGINT) AS shard
+      FROM ranked
+    ),
+    tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS total FROM sized)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(SUM(nt) AS BIGINT) AS tokens,
+           CAST(SUM(nt) * {_PACK_SHARDS} * 1000000 // tot.total AS BIGINT)
+             AS fill_vs_ideal_micro
+    FROM assigned, tot
+    GROUP BY shard, tot.total
+    ORDER BY shard
+    """,
+)
+def q_pack_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X261 — longest-first round-robin shard packing + per-shard fill
+    audit (1e6 = perfectly equal share).
+
+    Scale shape: the global descending rank uses grouped_ranks'
+    range-partitioned two-level form (X244's mechanism — parallelism
+    independent of group count, no single-task global sort); shard
+    assignment is a modulo projection; the audit is one 64-group
+    aggregate joined to a broadcast scalar total. Reference analog:
+    none."""
+    from mysql_cdc_to_http_spark.operators.sampling import grouped_ranks
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("nt"),
+    ).withColumn("neg_nt", -F.col("nt")).withColumn("g", F.lit(0))
+    ranked = grouped_ranks(
+        sized, ["g"], [F.col("neg_nt"), F.col("doc_id")]
+    )
+    assigned = ranked.select(
+        "doc_id",
+        "nt",
+        ((F.col("__grank") - 1) % _PACK_SHARDS).cast("long").alias("shard"),
+    )
+    total = sized.agg(F.sum("nt").cast("long").alias("total"))
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.sum("nt").cast("long").alias("tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "n_seqs",
+            "tokens",
+            F.expr(
+                f"CAST(tokens * {_PACK_SHARDS} * 1000000 div total"
+                f" AS BIGINT)"
+            ).alias("fill_vs_ideal_micro"),
+        )
+        .orderBy("shard")
+    )
