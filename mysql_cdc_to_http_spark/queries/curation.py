@@ -2491,3 +2491,178 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * nt * (3 * n - nt)) END AS BIGINT)"
         ).alias("alpha_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# X263 — char-trigram language identification (Cavnar & Trenkle 1994
+# rank-distance, the n-gram-profile method production lang-ID models
+# descend from), trained ON THE CORPUS ITSELF: per-language top-100
+# trigram profiles from the 80% train split (doc_id % 5 != 1), test
+# docs (doc_id % 5 == 1) classified by out-of-place rank distance.
+# Unlike the fixed-wordlist heuristic (X49, rows-only by design), this
+# arm is fully deterministic integer arithmetic — the whole
+# train→profile→classify→confusion pipeline hash-matches the oracle,
+# closing lang-ID's oracle gap with a real published algorithm.
+# --------------------------------------------------------------------------
+_LID_PROFILE = 100  # language profile depth
+_LID_DOC_TOP = 20  # per-doc profile depth
+_LID_PENALTY = 100  # out-of-place penalty for unseen grams
+
+
+@query(
+    "q_char_lid",
+    oracle=rf"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, greatest(len(s) - 2, 0) + 1),
+                                   i -> substr(s, CAST(i AS INT), 3))) AS g
+      FROM norm
+    ),
+    lang_prof AS (
+      SELECT lang, g,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, g) AS lrank
+      FROM (
+        SELECT lang, g, count(*) AS cnt
+        FROM grams WHERE doc_id % 5 != 1
+        GROUP BY lang, g
+      ) QUALIFY lrank <= {_LID_PROFILE}
+    ),
+    doc_prof AS (
+      SELECT doc_id, lang AS true_lang, g,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, g) AS drank
+      FROM (
+        SELECT doc_id, lang, g, count(*) AS cnt
+        FROM grams WHERE doc_id % 5 = 1
+        GROUP BY doc_id, lang, g
+      ) QUALIFY drank <= {_LID_DOC_TOP}
+    ),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    dist AS (
+      SELECT d.doc_id, d.true_lang, l.lang AS cand,
+             CAST(SUM(CASE WHEN p.lrank IS NULL THEN {_LID_PENALTY}
+                      ELSE abs(d.drank - p.lrank) END) AS BIGINT) AS rd
+      FROM doc_prof d
+      CROSS JOIN langs l
+      LEFT JOIN lang_prof p ON p.lang = l.lang AND p.g = d.g
+      GROUP BY d.doc_id, d.true_lang, l.lang
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, cand AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY rd, cand) AS r
+      FROM dist
+    )
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE r = 1
+    GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang
+    """,
+)
+def q_char_lid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X263 — Cavnar-Trenkle rank-distance lang-ID, self-trained:
+    confusion-matrix counts over the held-out split.
+
+    Determinism: profile and doc ranks order on (count desc, gram asc)
+    — total orders — and the rank distance is an integer sum with an
+    integer out-of-place penalty; argmin breaks ties on language code.
+
+    Scale shape: the gram explode is scan-shaped (fixed width per
+    char); the language profile is a (lang x gram) aggregate cut to
+    100 rows/lang — BROADCAST to the doc side, so classification is a
+    map-side join over each doc's 20-row profile and a (doc x 5)-row
+    argmin. Nothing pairwise, nothing corpus-quadratic; the train
+    aggregate is the only fact-sized shuffle. Reference analog: none
+    (X49's wordlist heuristic was the rows-only stand-in; this is the
+    oracled arm)."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        "lang",
+        F.trim(
+            F.regexp_replace(F.lower("text"), r"\s+", " ")
+        ).alias("s"),
+    )
+    # DuckDB range(1, n+1) emits 1..n (exclusive end) where Spark's
+    # sequence is inclusive — mirror with sequence(1, len-2) and an
+    # explicit empty-array guard for sub-trigram docs.
+    grams = norm.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN char_length(s) >= 3 THEN"
+                " transform(sequence(1, char_length(s) - 2),"
+                "           i -> substring(s, i, 3))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    lang_prof = (
+        grams.filter(F.col("doc_id") % 5 != 1)
+        .groupBy("lang", "g")
+        .count()
+        .withColumn(
+            "lrank",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.desc("count"), F.asc("g"))
+            ),
+        )
+        .filter(F.col("lrank") <= _LID_PROFILE)
+        .select(F.col("lang").alias("plang"), "g", "lrank")
+    )
+    doc_prof = (
+        grams.filter(F.col("doc_id") % 5 == 1)
+        .groupBy("doc_id", "lang", "g")
+        .count()
+        .withColumn(
+            "drank",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.desc("count"), F.asc("g"))
+            ),
+        )
+        .filter(F.col("drank") <= _LID_DOC_TOP)
+        .select("doc_id", F.col("lang").alias("true_lang"), "g", "drank")
+    )
+    langs = docs.select("lang").distinct().select(
+        F.col("lang").alias("cand")
+    )
+    dist = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(lang_prof),
+            (F.col("plang") == F.col("cand")) & (lang_prof["g"] == doc_prof["g"]),
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("lrank").isNull(), F.lit(_LID_PENALTY)
+                ).otherwise(F.abs(F.col("drank") - F.col("lrank")))
+            )
+            .cast("long")
+            .alias("rd")
+        )
+    )
+    pred = dist.withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.asc("rd"), F.asc("cand"))
+        ),
+    ).filter(F.col("r") == 1)
+    return (
+        pred.groupBy(
+            F.col("true_lang"), F.col("cand").alias("pred_lang")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )

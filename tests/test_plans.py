@@ -1237,3 +1237,29 @@ def test_retrieval_eval_nrel_is_label_agg_not_cross_join(spark, sf_dir):
     CartesianProduct anywhere is a regression."""
     plan = plan_of(QUERIES["q_retrieval_eval"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_bitext_mine",
+        "q_dedup_canonical",
+        "q_tokenizer_fertility",
+        "q_curriculum_schedule",
+        "q_pack_balanced",
+        "q_krippendorff",
+        "q_char_lid",
+        "q_soft_dedup_weights",
+    ],
+)
+def test_round12_queries_lint_clean(spark, sf_dir, name):
+    """Round-12 additions: no error-severity plan issues. The one
+    deliberate pairwise stage (q_bitext_mine's margin scorer) runs as
+    a broadcast nested loop over an ABSOLUTE-size sample — warn-level
+    by design, same adjudication as q_lsh_calibration."""
+    issues = [
+        i
+        for i in lint_plan(QUERIES[name](spark, sf_dir))
+        if i.severity == "error"
+    ]
+    assert issues == [], (name, issues)

@@ -241,3 +241,216 @@ def test_containment_trio_shares_one_shingle_corpus(spark):
     assert all(key_hits)
     # exactly ONE memo entry for this sf_dir — three queries, one table
     assert sum(1 for (_, sf) in llm._CONTAIN_MEMO.keys() if sf == SF) == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-12 operator semantics (X257-X264): each test pins the claim the
+# DuckDB oracle can't state — the margin rejects hubs, the canonical
+# pick keeps the richest member, fertility taxes char-segmented text,
+# stages are monotone, striping balances, perfect agreement scores 1,
+# the trigram classifier separates real char distributions, and soft
+# weights conserve cluster mass.
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, t, lang, "src", len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, v, lab in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_bitext_margin_rejects_hub(spark, tmp_path):
+    """X257: a hub vector (high cosine to EVERYTHING) must not win
+    pairs — the ratio margin normalizes by neighborhood similarity, so
+    the distinctive partner beats the hub even at lower raw cosine."""
+    import math
+
+    rows = [
+        # src side (even ids): two orthogonal directions
+        (0, [1.0, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.0, 1.0], 2),
+        # tgt side (odd ids): true partners slightly off-axis...
+        (1, [0.98, 0.02, 0.0], 0),
+        (3, [0.02, 0.98, 0.0], 1),
+        # ...and a HUB equally close to both axes (cos ~0.7 to each)
+        (5, [1.0, 1.0, 0.7], 9),
+    ]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    got = {
+        r["src_id"]: r["tgt_id"]
+        for r in QUERIES["q_bitext_mine"](spark, sf).collect()
+    }
+    assert got.get(0) == 1 and got.get(2) == 3, got
+    # the hub may only ever win a source with no distinctive partner
+    assert got.get(4) in (None, 5)
+
+
+def test_dedup_canonical_keeps_richest_and_balances_ledger(spark, tmp_path):
+    """X258: canonical = the member with the most distinct tokens (the
+    base doc — variants drop words), and the ledger accounts exactly
+    the dropped members' tokens and bytes."""
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    sf = _write_docs(spark, tmp_path, [(7, text, "en")])
+    rows = QUERIES["q_dedup_canonical"](spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["cluster_id"] == 7 and r["canonical_id"] == 7
+    assert r["n_members"] == 3
+    v1 = text.split(" ", 1)[1]
+    v2 = v1.split(" ", 1)[1]
+    assert r["dropped_tokens"] == len(v1.split()) + len(v2.split())
+    assert r["dropped_bytes"] == len(v1) + len(v2)
+
+
+def test_tokenizer_fertility_taxes_char_segmented_text(spark, tmp_path):
+    """X259: a 'language' whose words are non-Latin char runs pays
+    ~word-length fertility (one token per CHAR) while plain-ascii text
+    pays ~1 — the tokenizer-fairness gap the audit exists to expose."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "plain ascii words stay cheap here", "en"),
+            (2, "中文分词 模型训练", "zh"),
+        ],
+    )
+    rows = {
+        r["lang"]: r
+        for r in QUERIES["q_tokenizer_fertility"](spark, sf).collect()
+    }
+    assert rows["en"]["fertility_micro"] == 1_000_000  # 1 token per word
+    assert rows["zh"]["fertility_micro"] >= 3_000_000  # chars per word
+    assert rows["zh"]["bytes_per_token_micro"] >= 2_000_000  # multibyte
+
+
+def test_curriculum_stages_are_monotone_and_balanced(spark, sf_dir):
+    """X260: every stage boundary is monotone and ntile keeps stage
+    sizes within one document of each other."""
+    rows = QUERIES["q_curriculum_schedule"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    assert all(r["boundary_ok"] for r in rows)
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert rows[0]["min_difficulty"] <= rows[-1]["max_difficulty"]
+
+
+def test_pack_balanced_beats_contiguous_split(spark, sf_dir):
+    """X261: longest-first striping's fill spread must beat the naive
+    contiguous split of the SAME sorted order (which piles the longest
+    docs into the first shard)."""
+    from pyspark.sql.window import Window as W
+
+    rows = QUERIES["q_pack_balanced"](spark, sf_dir).collect()
+    fills = [r["fill_vs_ideal_micro"] for r in rows]
+    striped_spread = max(fills) - min(fills)
+    # independent naive split: sort desc, first N/64 docs -> shard 0...
+    from mysql_cdc_to_http_spark.catalog import load_table
+
+    sized = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split(F.lower("text"), " ")).cast("long").alias("nt"),
+        )
+    )
+    ranked = sized.withColumn(
+        "rn", F.row_number().over(W.orderBy(F.desc("nt"), F.asc("doc_id")))
+    )
+    n = sized.count()
+    per = (n + 63) // 64
+    naive = (
+        ranked.withColumn("shard", ((F.col("rn") - 1) / per).cast("long"))
+        .groupBy("shard")
+        .agg(F.sum("nt").alias("tokens"))
+        .collect()
+    )
+    tot = sum(r["tokens"] for r in naive)
+    nf = [r["tokens"] * 64 * 1_000_000 // tot for r in naive]
+    naive_spread = max(nf) - min(nf)
+    assert striped_spread < naive_spread, (striped_spread, naive_spread)
+    # and striping lands within 25% of perfectly equal shares
+    assert striped_spread <= 250_000, striped_spread
+
+
+def test_krippendorff_perfect_agreement_is_one(spark, tmp_path):
+    """X262: units where all three gates agree (half all-true, half
+    all-false so the margin is non-degenerate) score alpha = 1.0."""
+    rich = " ".join(
+        ["the", "a", "data", "spark"]
+        + [f"tok{i}" for i in range(80)]
+    )  # >=60 tokens, >=2 stopwords, high TTR -> all three raters TRUE
+    poor = "doc doc doc"  # short, 2+ repeats: TTR < 0.45 -> all FALSE
+    sf = _write_docs(
+        spark, tmp_path, [(1, rich, "en"), (2, poor, "en")]
+    )
+    r = QUERIES["q_krippendorff"](spark, sf).collect()[0]
+    assert r["disagreement_pairs"] == 0
+    assert r["alpha_micro"] == 1_000_000
+
+
+def test_char_lid_separates_real_char_distributions(spark, tmp_path):
+    """X263: on a corpus whose languages genuinely differ in character
+    distribution (unlike the shared-template synthetic tables, where
+    any classifier is at chance), the trigram profiles classify the
+    held-out split perfectly."""
+    import random
+
+    rng = random.Random(7)
+
+    def make(alpha, n_words):
+        return " ".join(
+            "".join(rng.choice(alpha) for _ in range(rng.randint(3, 8)))
+            for _ in range(n_words)
+        )
+
+    rows = []
+    i = 0
+    for lang, alpha in (
+        ("aa", "abcde"),
+        ("bb", "nopqr"),
+        ("cc", "vwxyz"),
+    ):
+        for _ in range(10):
+            rows.append((i, make(alpha, 40), lang))
+            i += 1
+    sf = _write_docs(spark, tmp_path, rows)
+    out = QUERIES["q_char_lid"](spark, sf).collect()
+    assert all(r["true_lang"] == r["pred_lang"] for r in out), out
+    assert sum(r["n_docs"] for r in out) == sum(
+        1 for j in range(i) if j % 5 == 1
+    )
+
+
+def test_soft_dedup_weights_conserve_cluster_mass(spark, sf_dir):
+    """X264: each cluster's weights sum back to ~1 document of mass
+    (exact up to the per-member truncation), singletons exactly 1."""
+    rows = QUERIES["q_soft_dedup_weights"](spark, sf_dir).collect()
+    from collections import defaultdict
+
+    mass = defaultdict(int)
+    size = {}
+    for r in rows:
+        mass[r["cluster_id"]] += r["weight_micro"]
+        size[r["cluster_id"]] = r["cluster_size"]
+    for cid, m in mass.items():
+        s = size[cid]
+        assert 1_000_000 - s < m <= 1_000_000, (cid, s, m)
+        if s == 1:
+            assert m == 1_000_000
