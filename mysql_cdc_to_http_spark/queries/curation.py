@@ -2666,3 +2666,80 @@ def q_char_lid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# --------------------------------------------------------------------------
+# X266 — dataset card rollup: the per-source datasheet a curated
+# release ships with — document/token volumes, language spread,
+# length and lexical-diversity profiles, and the long-doc share. One
+# scan, one grouped aggregate; every ratio a truncated integer
+# micro-unit over exact sums.
+# --------------------------------------------------------------------------
+@query(
+    "q_dataset_card",
+    oracle=r"""
+    WITH per_doc AS (
+      SELECT source, lang,
+             CAST(len(string_split(trim(regexp_replace(lower(text), '\s+',
+                  ' ', 'g')), ' ')) AS BIGINT) AS nt,
+             CAST(len(list_distinct(string_split(trim(regexp_replace(
+                  lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT) AS nd,
+             CAST(strlen(text) AS BIGINT) AS nb
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           CAST(SUM(nb) AS BIGINT) AS total_bytes,
+           CAST(SUM(nt) * 1000000 // count(*) AS BIGINT)
+             AS mean_tokens_micro,
+           CAST(SUM(nd * 1000000 // nt) // count(*) AS BIGINT)
+             AS mean_ttr_micro,
+           CAST(SUM(CASE WHEN nt >= 100 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS long_doc_share_micro
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X266 — per-source dataset card: volumes, language spread,
+    mean length, mean per-doc type/token ratio, long-doc share.
+
+    Scale shape: one scan → per-doc integer projections → one
+    source-keyed counting aggregate (20 groups, map-side partials).
+    Every division is a truncated integer micro-unit over exact
+    BIGINT sums, so the card hash-matches at any partitioning.
+    Reference analog: none (main.go has no profiling surface)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.size(t).cast("long").alias("nt"),
+        F.size(F.array_distinct(t)).cast("long").alias("nd"),
+        F.octet_length("text").cast("long").alias("nb"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+            F.sum("nb").cast("long").alias("total_bytes"),
+            F.expr(
+                "CAST(SUM(nt) * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("mean_tokens_micro"),
+            F.expr(
+                "CAST(SUM(nd * 1000000 div nt) div COUNT(*) AS BIGINT)"
+            ).alias("mean_ttr_micro"),
+            F.expr(
+                "CAST(SUM(CASE WHEN nt >= 100 THEN 1 ELSE 0 END)"
+                " * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("long_doc_share_micro"),
+        )
+        .orderBy("source")
+    )

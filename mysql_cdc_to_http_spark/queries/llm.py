@@ -5335,3 +5335,207 @@ def q_pack_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# X265 — int8 embedding quantization audit (absmax scalar quantization,
+# the vector-DB / faiss SQ8 storage format): per dimension, the absmax
+# scale, the quantization codes, and the exact reconstruction-error
+# profile. All arithmetic is EXACT integers after the one 6-dp lift:
+# codes are symmetric round-half-away integer division, reconstruction
+# is truncated integer division — so the audit (the thing you check
+# before switching a 100 TB index to int8) hash-matches bit-for-bit.
+# --------------------------------------------------------------------------
+@query(
+    "q_embedding_int8",
+    oracle="""
+    WITH vals AS (
+      SELECT u.dim, CAST(round(round(u.x, 6) * 1000000) AS BIGINT) AS xm
+      FROM embeddings,
+           LATERAL (
+             SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+                    CAST(unnest(embedding) AS DOUBLE) AS x
+           ) u
+    ),
+    scaled AS (
+      SELECT dim, xm, MAX(abs(xm)) OVER (PARTITION BY dim) AS am
+      FROM vals
+    ),
+    coded AS (
+      SELECT dim, xm, am,
+             CASE WHEN am = 0 THEN 0 ELSE
+               CASE WHEN xm >= 0
+                    THEN (2 * xm * 127 + am) // (2 * am)
+                    ELSE -((2 * (-xm) * 127 + am) // (2 * am)) END
+             END AS code
+      FROM scaled
+    ),
+    recon AS (
+      SELECT dim, am, code,
+             abs(xm - CASE WHEN code >= 0 THEN (code * am) // 127
+                           ELSE -(((-code) * am) // 127) END) AS err
+      FROM coded
+    )
+    SELECT dim,
+           CAST(MAX(am) AS BIGINT) AS absmax_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(MIN(code) AS BIGINT) AS min_code,
+           CAST(MAX(code) AS BIGINT) AS max_code,
+           CAST(SUM(err) AS BIGINT) AS sum_abs_err_micro,
+           CAST(MAX(err) AS BIGINT) AS max_abs_err_micro
+    FROM recon
+    GROUP BY dim
+    ORDER BY dim
+    """,
+)
+def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X265 — per-dimension absmax int8 quantization audit: codes in
+    [-127, 127], exact integer reconstruction-error sums.
+
+    Determinism: each float is 6-dp-rounded then lifted to an exact
+    micro integer; the code is the symmetric round-half-away integer
+    form (2|x|·127 + am) div (2am) with the sign reattached, and the
+    reconstruction error is a truncated integer division — no float
+    survives past the lift, so MIN/MAX/SUM are order-independent.
+
+    Scale shape: one scan → posexplode (64 values/row) → per-dim
+    max + per-dim error aggregate: two fixed-width shuffles keyed on
+    the 64 dims (map-side partials collapse to 64 rows each). The
+    window-over-dim in the oracle is a broadcastable 64-row aggregate
+    in the engine form. Reference analog: none."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "x"
+        )
+    ).select(
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.expr("CAST(round(round(x, 6) * 1000000) AS BIGINT)").alias("xm"),
+    )
+    am = vals.groupBy("dim").agg(
+        F.max(F.abs(F.col("xm"))).cast("long").alias("am")
+    )
+    coded = vals.join(F.broadcast(am), "dim").withColumn(
+        "code",
+        F.expr(
+            "CASE WHEN am = 0 THEN 0 ELSE"
+            " CASE WHEN xm >= 0 THEN (2 * xm * 127 + am) div (2 * am)"
+            " ELSE -((2 * (-xm) * 127 + am) div (2 * am)) END END"
+        ),
+    )
+    recon = coded.withColumn(
+        "err",
+        F.expr(
+            "abs(xm - CASE WHEN code >= 0 THEN (code * am) div 127"
+            " ELSE -(((-code) * am) div 127) END)"
+        ),
+    )
+    return (
+        recon.groupBy("dim")
+        .agg(
+            F.max("am").cast("long").alias("absmax_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.min("code").cast("long").alias("min_code"),
+            F.max("code").cast("long").alias("max_code"),
+            F.sum("err").cast("long").alias("sum_abs_err_micro"),
+            F.max("err").cast("long").alias("max_abs_err_micro"),
+        )
+        .orderBy("dim")
+    )
+
+
+# --------------------------------------------------------------------------
+# X268 — co-document contrastive pair generation (inverse-cloze /
+# contriever recipe): anchor = first half of each document, positive =
+# second half of the SAME document, hard-ish negative = the second
+# half of the next document within the same source (lead() — a
+# same-distribution negative, harder than a random draw). Emitted as
+# byte-exact md5 fingerprints + token counts, the manifest a
+# contrastive-pretraining dataloader consumes.
+# --------------------------------------------------------------------------
+@query(
+    "q_contrastive_pairs",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    halves AS (
+      SELECT doc_id, source,
+             CAST(len(t) AS BIGINT) AS nt,
+             array_to_string(t[1 : len(t) // 2], ' ') AS anchor,
+             array_to_string(t[len(t) // 2 + 1 : len(t)], ' ') AS positive
+      FROM tok WHERE len(t) >= 4
+    ),
+    withneg AS (
+      SELECT doc_id, source, nt, anchor, positive,
+             lead(positive) OVER (PARTITION BY source ORDER BY doc_id)
+               AS negative
+      FROM halves
+    )
+    SELECT doc_id, source,
+           CAST(nt // 2 AS BIGINT) AS anchor_tokens,
+           CAST(nt - nt // 2 AS BIGINT) AS positive_tokens,
+           md5(anchor) AS anchor_md5,
+           md5(positive) AS positive_md5,
+           md5(negative) AS negative_md5
+    FROM withneg WHERE negative IS NOT NULL
+    ORDER BY doc_id
+    """,
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X268 — (anchor, positive, negative) triple manifest: halves of
+    the same doc as the positive pair, the next same-source doc's
+    second half as the negative, all certified byte-exact by md5 (the
+    q_c4_clean hash-the-payload rule).
+
+    Determinism: the half split is an integer floor on the token
+    count; lead() orders on (source, doc_id) — a total order.
+    Scale shape: one scan → projection → one lead window partitioned
+    by source (20 partitions here; at fleet scale the same window
+    range-partitions like X244). Reference analog: none."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    halves = (
+        docs.select("doc_id", "source", t.alias("t"))
+        .filter(F.size("t") >= 4)
+        .select(
+            "doc_id",
+            "source",
+            F.size("t").cast("long").alias("nt"),
+            F.expr(
+                "concat_ws(' ', slice(t, 1, size(t) div 2))"
+            ).alias("anchor"),
+            F.expr(
+                "concat_ws(' ', slice(t, size(t) div 2 + 1,"
+                " size(t) - size(t) div 2))"
+            ).alias("positive"),
+        )
+    )
+    withneg = halves.withColumn(
+        "negative",
+        F.lead("positive").over(
+            W.partitionBy("source").orderBy("doc_id")
+        ),
+    )
+    return (
+        withneg.filter(F.col("negative").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.expr("CAST(nt div 2 AS BIGINT)").alias("anchor_tokens"),
+            F.expr("CAST(nt - nt div 2 AS BIGINT)").alias(
+                "positive_tokens"
+            ),
+            F.md5("anchor").alias("anchor_md5"),
+            F.md5("positive").alias("positive_md5"),
+            F.md5("negative").alias("negative_md5"),
+        )
+        .orderBy("doc_id")
+    )

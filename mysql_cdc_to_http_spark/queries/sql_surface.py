@@ -178,3 +178,46 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM series
         """
     )
+
+
+@query(
+    "q_lateral_topk",
+    oracle="""
+    SELECT r.r_name, l.c_name,
+           CAST(l.c_acctbal AS DOUBLE) AS c_acctbal
+    FROM region r, LATERAL (
+      SELECT c_name, c_acctbal
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) l
+    ORDER BY r.r_name, l.c_acctbal DESC, l.c_name
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X267 — correlated LATERAL subquery (top-2 customers per region
+    by account balance): the SQL-2016 lateral-derived-table surface a
+    reference user's analytic SQL leans on. Catalyst decorrelates the
+    lateral into a ranked join — no per-outer-row re-execution — which
+    is exactly the plan the window form produces; the point of the
+    entry is that the LATERAL spelling itself moves over unchanged.
+    Determinism: ORDER BY (c_acctbal DESC, c_name) is a total order
+    within each region (names unique); both engines cut the same 2.
+    Scale shape: 5-row outer side, decorrelated ranked join on the
+    broadcast nation dim — fact scan + one rank, nothing quadratic."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT r.r_name, l.c_name,
+               CAST(l.c_acctbal AS DOUBLE) AS c_acctbal
+        FROM region r, LATERAL (
+          SELECT c_name, c_acctbal
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) l
+        ORDER BY r.r_name, l.c_acctbal DESC, l.c_name
+        """,
+        tables=("region", "nation", "customer"),
+    )

@@ -1250,6 +1250,10 @@ def test_retrieval_eval_nrel_is_label_agg_not_cross_join(spark, sf_dir):
         "q_krippendorff",
         "q_char_lid",
         "q_soft_dedup_weights",
+        "q_embedding_int8",
+        "q_dataset_card",
+        "q_lateral_topk",
+        "q_contrastive_pairs",
     ],
 )
 def test_round12_queries_lint_clean(spark, sf_dir, name):

@@ -454,3 +454,93 @@ def test_soft_dedup_weights_conserve_cluster_mass(spark, sf_dir):
         assert 1_000_000 - s < m <= 1_000_000, (cid, s, m)
         if s == 1:
             assert m == 1_000_000
+
+
+def test_embedding_int8_codes_bounded_and_error_within_step(spark, sf_dir):
+    """X265: codes live in [-127,127]; every dimension's max
+    reconstruction error is within half a quantization step (+1 for
+    the truncated reconstruction division)."""
+    rows = QUERIES["q_embedding_int8"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert -127 <= r["min_code"] and r["max_code"] <= 127
+        step_half = r["absmax_micro"] // 254 + 1
+        assert r["max_abs_err_micro"] <= step_half + 1, dict(r.asDict())
+    # the absmax value itself quantizes to a saturated code somewhere
+    assert any(r["max_code"] == 127 or r["min_code"] == -127 for r in rows)
+
+
+def test_dataset_card_conserves_totals(spark, sf_dir):
+    """X266: the card's volumes add back up to the corpus."""
+    from mysql_cdc_to_http_spark.catalog import load_table
+
+    rows = QUERIES["q_dataset_card"](spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n
+    for r in rows:
+        assert 0 <= r["long_doc_share_micro"] <= 1_000_000
+        assert 0 < r["mean_ttr_micro"] <= 1_000_000
+
+
+def test_lateral_topk_matches_window_form(spark, sf_dir):
+    """X267: the LATERAL spelling returns exactly the window-rank
+    top-2 per region (independent re-derivation)."""
+    from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.catalog import load_table
+
+    got = [
+        (r["r_name"], r["c_name"])
+        for r in QUERIES["q_lateral_topk"](spark, sf_dir).collect()
+    ]
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    ranked = (
+        cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"])
+        .join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("r_name").orderBy(
+                    F.desc("c_acctbal"), F.asc("c_name")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 2)
+        .orderBy("r_name", F.desc("c_acctbal"), "c_name")
+    )
+    want = [(r["r_name"], r["c_name"]) for r in ranked.collect()]
+    assert got == want
+
+
+def test_contrastive_pairs_chain_and_hashes(spark, sf_dir):
+    """X268: each triple's negative IS the next same-source doc's
+    positive, and the anchor md5 recomputes from the raw text."""
+    import hashlib
+    import re as _re
+
+    from mysql_cdc_to_http_spark.catalog import load_table
+
+    rows = QUERIES["q_contrastive_pairs"](spark, sf_dir).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    # chain property: negative(d) == positive(next doc in source)
+    import collections
+
+    by_src = collections.defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    checked = 0
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["negative_md5"] == b["positive_md5"]
+            checked += 1
+    assert checked > 0
+    # byte-exactness: recompute one anchor md5 from the raw document
+    doc = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") == rows[0]["doc_id"]
+    ).collect()[0]
+    toks = _re.sub(r"\s+", " ", doc["text"].lower()).strip().split(" ")
+    anchor = " ".join(toks[: len(toks) // 2])
+    assert hashlib.md5(anchor.encode()).hexdigest() == rows[0]["anchor_md5"]
