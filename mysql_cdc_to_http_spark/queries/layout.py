@@ -420,3 +420,82 @@ def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scheme")
     )
+
+
+# --------------------------------------------------------------------------
+# X270 — skew salt planner: from the per-key histogram, compute which
+# keys exceed the per-task row cap, the salt factor each needs
+# (ceil(count/cap)), and the projected max task load before and after
+# salting — the plan a shuffle-skew mitigation actually executes
+# (X60's q_agg_salted/q_join_salted apply a fixed salt; this derives
+# the per-key factor FROM the data, which is how production salting
+# is sized). Cap = ceil(avg_key_count * 4): "no key more than 4x the
+# average", a relative rule that scales with the corpus instead of
+# hardcoding a row count.
+# --------------------------------------------------------------------------
+@query(
+    "q_salt_plan",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    cap_t AS (
+      SELECT CAST((SUM(cnt) + COUNT(*) - 1) // COUNT(*) * 5 // 4 AS BIGINT)
+               AS cap,
+             CAST(MAX(cnt) AS BIGINT) AS max_before
+      FROM hist
+    )
+    SELECT h.user_id,
+           h.cnt,
+           c.cap,
+           CAST((h.cnt + c.cap - 1) // c.cap AS BIGINT) AS salt_factor,
+           CAST((h.cnt + ((h.cnt + c.cap - 1) // c.cap) - 1)
+                // ((h.cnt + c.cap - 1) // c.cap) AS BIGINT)
+             AS max_after_split,
+           c.max_before
+    FROM hist h, cap_t c
+    WHERE h.cnt > c.cap
+    ORDER BY h.cnt DESC, h.user_id
+    """,
+)
+def q_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X270 — data-derived salting plan: hot keys (count > 1.25x the
+    average), each key's ceil-division salt factor, and the projected
+    per-salt load after splitting.
+
+    Determinism: the histogram, cap, factors, and projections are all
+    exact integer ceil divisions ((a + b - 1) div b). Scale shape:
+    one key-grouped counting aggregate (map-side partials) + a 1-row
+    broadcast cap — the planner costs one pass over the keys, and its
+    output is exactly the broadcast map a salted repartition consumes.
+    Reference analog: none (main.go has no shuffle to salt)."""
+    events = load_table(spark, sf_dir, "events")
+    hist = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cap_t = hist.agg(
+        F.expr(
+            "CAST((SUM(cnt) + COUNT(*) - 1) div COUNT(*) * 5 div 4"
+            " AS BIGINT)"
+        ).alias("cap"),
+        F.max("cnt").cast("long").alias("max_before"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(cap_t))
+        .filter(F.col("cnt") > F.col("cap"))
+        .select(
+            "user_id",
+            "cnt",
+            "cap",
+            F.expr("CAST((cnt + cap - 1) div cap AS BIGINT)").alias(
+                "salt_factor"
+            ),
+            F.expr(
+                "CAST((cnt + ((cnt + cap - 1) div cap) - 1)"
+                " div ((cnt + cap - 1) div cap) AS BIGINT)"
+            ).alias("max_after_split"),
+            "max_before",
+        )
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+    )

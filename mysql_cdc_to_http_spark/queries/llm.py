@@ -5539,3 +5539,112 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X269 — late-interaction retrieval (ColBERT MaxSim): multi-vector
+# documents scored as Σ over query token-vectors of the MAX cosine
+# against any document token-vector. The embedding table models
+# token-level vectors by grouping 4 consecutive vec_ids into one
+# logical document (queries = the first 2 groups), so the operator
+# exercises the real MaxSim dataflow: token-pair scoring → per-query-
+# token max → per-document sum → top-k. Late interaction is what
+# multi-vector retrievers run instead of single-vector cosine when
+# token-level matching matters.
+# --------------------------------------------------------------------------
+_MAXSIM_GROUP = 4
+_MAXSIM_TOPK = 3
+
+
+@query(
+    "q_maxsim_colbert",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id // {_MAXSIM_GROUP} AS qid, vec_id AS qtok,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {2 * _MAXSIM_GROUP}
+    ),
+    d AS (
+      SELECT vec_id // {_MAXSIM_GROUP} AS did, vec_id AS dtok,
+             CAST(embedding AS DOUBLE[]) AS dv
+      FROM embeddings WHERE vec_id >= {2 * _MAXSIM_GROUP}
+    ),
+    tokmax AS (
+      SELECT q.qid, d.did, q.qtok,
+             MAX(CAST(round(round(list_cosine_similarity(q.qv, d.dv), 6)
+                            * 1000000) AS BIGINT)) AS best
+      FROM q CROSS JOIN d
+      GROUP BY q.qid, d.did, q.qtok
+    ),
+    scored AS (
+      SELECT qid, did, CAST(SUM(best) AS BIGINT) AS maxsim_micro
+      FROM tokmax GROUP BY qid, did
+    ),
+    ranked AS (
+      SELECT qid, did, maxsim_micro,
+             CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY maxsim_micro DESC, did) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(did AS BIGINT) AS did,
+           maxsim_micro, rank
+    FROM ranked WHERE rank <= {_MAXSIM_TOPK}
+    ORDER BY qid, rank
+    """,
+)
+def q_maxsim_colbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X269 — MaxSim late interaction: per (query, doc, query-token)
+    the max 6-dp-rounded micro-integer cosine over the doc's token
+    vectors, summed per document, top-3 per query.
+
+    Determinism: cosines are lifted to exact micro integers BEFORE
+    the max/sum, so both aggregates are order-independent; ranking
+    breaks ties on doc id. Scale shape: the 8-row query token side is
+    BROADCAST against the corpus token scan (the audited X38 plan);
+    the two aggregates collapse map-side to (queries x docs x
+    q_tokens) then (queries x docs) rows — never more than the
+    candidate surface. At fleet scale the token-pair scorer sits
+    behind the IVF bucketer (X45) exactly like single-vector knn.
+    Reference analog: none."""
+    from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.operators.similarity import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2 * _MAXSIM_GROUP).select(
+        F.floor(F.col("vec_id") / _MAXSIM_GROUP).cast("long").alias("qid"),
+        F.col("vec_id").alias("qtok"),
+        as_double("embedding").alias("qv"),
+    )
+    d = emb.filter(F.col("vec_id") >= 2 * _MAXSIM_GROUP).select(
+        F.floor(F.col("vec_id") / _MAXSIM_GROUP).cast("long").alias("did"),
+        F.col("vec_id").alias("dtok"),
+        as_double("embedding").alias("dv"),
+    )
+    tokmax = (
+        d.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "did",
+            "qtok",
+            F.round(F.round(cosine(F.col("qv"), F.col("dv")), 6) * 1000000)
+            .cast("long")
+            .alias("cm"),
+        )
+        .groupBy("qid", "did", "qtok")
+        .agg(F.max("cm").alias("best"))
+    )
+    scored = tokmax.groupBy("qid", "did").agg(
+        F.sum("best").cast("long").alias("maxsim_micro")
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("maxsim_micro"), F.asc("did")))
+        .cast("long"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= _MAXSIM_TOPK)
+        .select("qid", "did", "maxsim_micro", "rank")
+        .orderBy("qid", "rank")
+    )

