@@ -5648,3 +5648,221 @@ def q_maxsim_colbert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "did", "maxsim_micro", "rank")
         .orderBy("qid", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# X271 — n-gram speculative-draft acceptance audit: if a 1-token draft
+# model proposes, at every position, the corpus-wide most-frequent
+# successor of the current token, what fraction of next-tokens does it
+# get right? This is the acceptance-rate measurement behind n-gram /
+# lookup speculative decoding (the draft table IS this bigram argmax),
+# computed per language — the number that decides whether cheap
+# drafting pays for a given corpus.
+# --------------------------------------------------------------------------
+@query(
+    "q_ngram_acceptance",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, lang, u.tokn AS tok, CAST(u.p AS BIGINT) AS p
+      FROM tok, LATERAL (
+        SELECT unnest(t) AS tokn, generate_subscripts(t, 1) AS p
+      ) u
+    ),
+    pairs AS (
+      SELECT a.lang, a.tok AS cur, b.tok AS nxt
+      FROM pos a JOIN pos b
+        ON b.doc_id = a.doc_id AND b.p = a.p + 1
+    ),
+    bigram AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY cur, nxt
+    ),
+    draft AS (
+      SELECT cur, nxt AS guess
+      FROM (
+        SELECT cur, nxt,
+               row_number() OVER (PARTITION BY cur
+                                  ORDER BY cnt DESC, nxt) AS r
+        FROM bigram
+      ) WHERE r = 1
+    )
+    SELECT p.lang,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN p.nxt = d.guess THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_accepted,
+           CAST(SUM(CASE WHEN p.nxt = d.guess THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS acceptance_micro
+    FROM pairs p JOIN draft d ON d.cur = p.cur
+    GROUP BY p.lang
+    ORDER BY p.lang
+    """,
+)
+def q_ngram_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X271 — per-language acceptance rate of the bigram-argmax draft
+    (greedy successor table) against the actual next token.
+
+    Determinism: the draft table orders on (count desc, successor
+    asc) — a total order — and the acceptance ratio is a truncated
+    integer micro-unit. Scale shape: adjacent pairs come from one
+    lead() window per document (posexplode → lead, no self-join in
+    the engine form — the oracle's positional join is the same
+    relation); the bigram aggregate is the one fact-sized shuffle;
+    the draft table is vocab²-bounded and cut to vocab rows, then
+    BROADCAST for the scoring join. Reference analog: none."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    pos = docs.select(
+        "doc_id", "lang", F.posexplode(t).alias("p", "tok")
+    )
+    pairs = pos.select(
+        "lang",
+        F.col("tok").alias("cur"),
+        F.lead("tok").over(
+            W.partitionBy("doc_id").orderBy("p")
+        ).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    bigram = pairs.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    draft = (
+        bigram.withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("cur").orderBy(F.desc("cnt"), F.asc("nxt"))
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select("cur", F.col("nxt").alias("guess"))
+    )
+    return (
+        pairs.join(F.broadcast(draft), "cur")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("nxt") == F.col("guess"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_accepted"),
+        )
+        .select(
+            "lang",
+            "n_pairs",
+            "n_accepted",
+            F.expr(
+                "CAST(n_accepted * 1000000 div n_pairs AS BIGINT)"
+            ).alias("acceptance_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# X272 — chat-template rendering + loss-mask spans: cut each document
+# into alternating user/assistant turns of 12 tokens (role markers
+# <|user|> / <|assistant|>), emit the per-doc turn counts, the
+# assistant-token total (the supervised span a loss mask keeps), and
+# an md5 of the fully rendered byte sequence — the deterministic
+# renderer an SFT dataloader runs, certified byte-exact the same way
+# as X242's single-turn masks.
+# --------------------------------------------------------------------------
+_CHAT_TURN_TOKENS = 12
+
+
+@query(
+    "q_chat_template",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+             CAST((len(t) + {_CHAT_TURN_TOKENS} - 1)
+                  // {_CHAT_TURN_TOKENS} AS BIGINT) AS n_turns
+      FROM tok
+    ),
+    turns AS (
+      SELECT doc_id, n, n_turns, CAST(i AS BIGINT) AS i,
+             array_to_string(
+               t[(i - 1) * {_CHAT_TURN_TOKENS} + 1 :
+                 least(i * {_CHAT_TURN_TOKENS}, n)], ' ') AS seg,
+             least(CAST(i * {_CHAT_TURN_TOKENS} AS BIGINT), n)
+               - (i - 1) * {_CHAT_TURN_TOKENS} AS seg_tokens
+      FROM dims, LATERAL (SELECT unnest(range(1, n_turns + 1)) AS i)
+    ),
+    rendered AS (
+      SELECT doc_id, n, n_turns,
+             string_agg(CASE WHEN i % 2 = 1 THEN '<|user|>' || seg
+                             ELSE '<|assistant|>' || seg END, ''
+                        ORDER BY i) AS full_text,
+             SUM(CASE WHEN i % 2 = 0 THEN seg_tokens ELSE 0 END)
+               AS assistant_tokens
+      FROM turns GROUP BY doc_id, n, n_turns
+    )
+    SELECT doc_id, n AS n_tokens, n_turns,
+           CAST(assistant_tokens AS BIGINT) AS assistant_tokens,
+           md5(full_text) AS rendered_md5
+    FROM rendered
+    ORDER BY doc_id
+    """,
+)
+def q_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X272 — alternating-role chat template: 12-token turns, user
+    first, assistant turns are the loss-kept spans; the rendered byte
+    sequence is certified by md5 (the X242 hash-the-payload rule).
+
+    Determinism: turn boundaries are integer arithmetic on the token
+    count; the render is an ordered concat over the per-doc turn
+    index. Scale shape: one scan → per-doc HOF (the turn split and
+    render happen INSIDE one codegen projection via transform +
+    concat — no explode, no shuffle before presentation).
+    Reference analog: none."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = _CHAT_TURN_TOKENS
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    dims = docs.select(
+        "doc_id",
+        t.alias("t"),
+        F.size(t).cast("long").alias("n"),
+        F.expr(
+            f"CAST((size(split(trim(regexp_replace(lower(text),"
+            f" '\\\\s+', ' ')), ' ')) + {k} - 1) div {k} AS BIGINT)"
+        ).alias("n_turns"),
+    )
+    rendered = dims.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "n_turns",
+        F.expr(
+            f"CAST(aggregate(sequence(1, CAST(n_turns AS INT)),"
+            f" CAST(0 AS BIGINT), (acc, i) -> acc +"
+            f" CASE WHEN i % 2 = 0 THEN"
+            f"  least(CAST(i * {k} AS BIGINT), n) - (i - 1) * {k}"
+            f" ELSE CAST(0 AS BIGINT) END) AS BIGINT)"
+        ).alias("assistant_tokens"),
+        F.md5(
+            F.expr(
+                f"aggregate(sequence(1, CAST(n_turns AS INT)), '',"
+                f" (acc, i) -> concat(acc,"
+                f" CASE WHEN i % 2 = 1 THEN '<|user|>'"
+                f"      ELSE '<|assistant|>' END,"
+                f" concat_ws(' ', slice(t, (i - 1) * {k} + 1,"
+                f"   CAST(least(CAST(i * {k} AS BIGINT), n)"
+                f"        - (i - 1) * {k} AS INT)))))"
+            )
+        ).alias("rendered_md5"),
+    )
+    return rendered.orderBy("doc_id")

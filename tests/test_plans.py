@@ -1256,6 +1256,8 @@ def test_retrieval_eval_nrel_is_label_agg_not_cross_join(spark, sf_dir):
         "q_contrastive_pairs",
         "q_maxsim_colbert",
         "q_salt_plan",
+        "q_ngram_acceptance",
+        "q_chat_template",
     ],
 )
 def test_round12_queries_lint_clean(spark, sf_dir, name):

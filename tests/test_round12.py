@@ -595,3 +595,56 @@ def test_salt_plan_splits_planted_monster_key(spark, tmp_path):
     assert r["max_after_split"] == 125  # 1000/8 exactly
     assert r["max_after_split"] <= r["cap"]
     assert r["max_before"] == 1000
+
+
+def test_ngram_acceptance_perfect_on_deterministic_chain(spark, tmp_path):
+    """X271: a corpus whose every token deterministically fixes its
+    successor (a pure cycle) is 100% draftable; acceptance = 1.0."""
+    chain = " ".join(["aa bb cc dd"] * 10)
+    sf = _write_docs(spark, tmp_path, [(1, chain, "en"), (2, chain, "en")])
+    rows = QUERIES["q_ngram_acceptance"](spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0]["acceptance_micro"] == 1_000_000
+    assert rows[0]["n_accepted"] == rows[0]["n_pairs"]
+
+
+def test_chat_template_render_recomputes(spark, sf_dir):
+    """X272: turn accounting is exact (user+assistant tokens == doc
+    tokens; assistant gets the even turns) and the rendered md5
+    recomputes from the raw text in plain Python."""
+    import hashlib
+    import re as _re
+
+    from mysql_cdc_to_http_spark.catalog import load_table
+
+    rows = QUERIES["q_chat_template"](spark, sf_dir).collect()
+    doc_rows = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    import random
+
+    for r in random.Random(3).sample(rows, 5):
+        toks = (
+            _re.sub(r"\s+", " ", doc_rows[r["doc_id"]].lower())
+            .strip()
+            .split(" ")
+        )
+        k = 12
+        n = len(toks)
+        assert r["n_tokens"] == n
+        assert r["n_turns"] == (n + k - 1) // k
+        rendered = ""
+        assistant = 0
+        for i in range(1, r["n_turns"] + 1):
+            seg = toks[(i - 1) * k : min(i * k, n)]
+            role = "<|user|>" if i % 2 == 1 else "<|assistant|>"
+            rendered += role + " ".join(seg)
+            if i % 2 == 0:
+                assistant += len(seg)
+        assert r["assistant_tokens"] == assistant
+        assert (
+            hashlib.md5(rendered.encode()).hexdigest() == r["rendered_md5"]
+        )
