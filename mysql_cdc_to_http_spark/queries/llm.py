@@ -5866,3 +5866,268 @@ def q_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rendered_md5"),
     )
     return rendered.orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# X273 — T5/UL2 span corruption: mask 3-token spans on a fixed
+# positional schedule (every 20 tokens → 15% corruption), replacing
+# each span with a numbered sentinel in the INPUT and emitting the
+# complementary TARGET sequence (sentinel + the masked tokens) — the
+# standard denoising-pretraining transform, certified byte-exact by
+# md5 of both sides (the X242/X272 hash-the-payload rule).
+# --------------------------------------------------------------------------
+_SPAN_PERIOD = 20
+_SPAN_LEN = 3
+
+
+@query(
+    "q_span_corruption",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n,
+             array_to_string(list_filter(list_transform(
+               range(1, len(t) + 1), p ->
+                 CASE WHEN (p - 1) % {_SPAN_PERIOD} = 0
+                      THEN '<extra_id_' || CAST((p - 1) // {_SPAN_PERIOD}
+                                               AS VARCHAR) || '>'
+                      WHEN (p - 1) % {_SPAN_PERIOD} < {_SPAN_LEN} THEN ''
+                      ELSE t[CAST(p AS INT)] END),
+               x -> x != ''), ' ') AS corrupted,
+             array_to_string(list_filter(list_transform(
+               range(1, len(t) + 1), p ->
+                 CASE WHEN (p - 1) % {_SPAN_PERIOD} = 0
+                      THEN '<extra_id_' || CAST((p - 1) // {_SPAN_PERIOD}
+                                               AS VARCHAR) || '> '
+                           || t[CAST(p AS INT)]
+                      WHEN (p - 1) % {_SPAN_PERIOD} < {_SPAN_LEN}
+                      THEN t[CAST(p AS INT)]
+                      ELSE '' END),
+               x -> x != ''), ' ') AS targets,
+             CAST(len(list_filter(range(1, len(t) + 1),
+                  p -> (p - 1) % {_SPAN_PERIOD} < {_SPAN_LEN})) AS BIGINT)
+               AS n_masked,
+             CAST(len(list_filter(range(1, len(t) + 1),
+                  p -> (p - 1) % {_SPAN_PERIOD} = 0)) AS BIGINT)
+               AS n_sentinels
+      FROM tok
+    )
+    SELECT doc_id, n AS n_tokens, n_masked, n_sentinels,
+           md5(corrupted) AS corrupted_md5,
+           md5(targets) AS targets_md5
+    FROM parts
+    ORDER BY doc_id
+    """,
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X273 — positional-schedule span corruption (period 20, span 3
+    → 15% masked): numbered sentinels in the input, sentinel+span in
+    the target, both md5-certified.
+
+    Determinism: the schedule is pure positional arithmetic — no RNG,
+    no hash coin — so input/target pairs are identical on any engine
+    and any partitioning. Scale shape: one scan → one codegen HOF
+    projection per side (transform + filter + concat inside the row —
+    no explode, no shuffle before presentation). Reference analog:
+    none."""
+    docs = load_table(spark, sf_dir, "documents")
+    P, L = _SPAN_PERIOD, _SPAN_LEN
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    base = docs.select("doc_id", t.alias("t")).withColumn(
+        "n", F.size("t").cast("long")
+    )
+    corrupted = F.expr(
+        f"concat_ws(' ', filter(transform(sequence(1, CAST(n AS INT)),"
+        f" p -> CASE WHEN (p - 1) % {P} = 0"
+        f"   THEN concat('<extra_id_', CAST((p - 1) div {P} AS STRING), '>')"
+        f"   WHEN (p - 1) % {P} < {L} THEN ''"
+        f"   ELSE element_at(t, p) END), x -> x != ''))"
+    )
+    targets = F.expr(
+        f"concat_ws(' ', filter(transform(sequence(1, CAST(n AS INT)),"
+        f" p -> CASE WHEN (p - 1) % {P} = 0"
+        f"   THEN concat('<extra_id_', CAST((p - 1) div {P} AS STRING),"
+        f"               '> ', element_at(t, p))"
+        f"   WHEN (p - 1) % {P} < {L} THEN element_at(t, p)"
+        f"   ELSE '' END), x -> x != ''))"
+    )
+    return (
+        base.select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.expr(
+                f"CAST(size(filter(sequence(1, CAST(n AS INT)),"
+                f" p -> (p - 1) % {P} < {L})) AS BIGINT)"
+            ).alias("n_masked"),
+            F.expr(
+                f"CAST(size(filter(sequence(1, CAST(n AS INT)),"
+                f" p -> (p - 1) % {P} = 0)) AS BIGINT)"
+            ).alias("n_sentinels"),
+            F.md5(corrupted).alias("corrupted_md5"),
+            F.md5(targets).alias("targets_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# X274 — binary-quantized kNN (sign-bit codes + Hamming prescreen +
+# exact rerank): the 32x-compression rung of the quantization ladder
+# (X265 is int8 = 4x). Each 64-dim vector becomes two 32-bit sign
+# words; candidate generation is integer Hamming distance (xor +
+# bit_count) over the codes; the top-10 Hamming candidates are
+# reranked by exact 6-dp cosine for the final top-3 — the standard
+# binary-quantization retrieval pipeline (prescreen cheap, rerank
+# exact).
+# --------------------------------------------------------------------------
+_BINARY_PRESCREEN = 10
+_BINARY_TOPK = 3
+
+
+def _sign_words_sql(arr: str) -> str:
+    """DuckDB: two 32-bit sign words from a 64-dim DOUBLE[]."""
+    w = []
+    for lo in (0, 32):
+        w.append(
+            f"list_aggregate(list_transform(range(1, 33), i -> CASE WHEN"
+            f" round({arr}[CAST(i + {lo} AS INT)], 6) > 0"
+            f" THEN (1::BIGINT << (i - 1)) ELSE 0 END), 'sum')"
+        )
+    return ", ".join(
+        f"{expr} AS w{n}" for n, expr in enumerate(w, start=1)
+    )
+
+
+@query(
+    "q_knn_binary",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id >= 10
+    ),
+    qw AS (SELECT query_id, qv, {_sign_words_sql('qv')} FROM q),
+    cw AS (SELECT corpus_id, cv, {_sign_words_sql('cv')} FROM c),
+    ham AS (
+      SELECT qw.query_id, cw.corpus_id, qw.qv, cw.cv,
+             CAST(bit_count(xor(qw.w1, cw.w1))
+                  + bit_count(xor(qw.w2, cw.w2)) AS BIGINT) AS hamming
+      FROM qw CROSS JOIN cw
+    ),
+    pre AS (
+      SELECT query_id, corpus_id, qv, cv, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, corpus_id) AS pr
+      FROM ham
+    ),
+    rr AS (
+      SELECT query_id, corpus_id, hamming,
+             CAST(round(round(list_cosine_similarity(qv, cv), 6) * 1000000)
+                  AS BIGINT) AS cos_micro
+      FROM pre WHERE pr <= {_BINARY_PRESCREEN}
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, hamming, cos_micro,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_micro DESC, corpus_id) AS BIGINT) AS rank
+      FROM rr
+    )
+    SELECT query_id, corpus_id, hamming, cos_micro, rank
+    FROM ranked WHERE rank <= {_BINARY_TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def q_knn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X274 — sign-bit binary quantization retrieval: Hamming prescreen
+    (top-10 on xor+bit_count over two 32-bit words — the 62-bit-word
+    rule keeps every shift engine-legal) then exact cosine rerank
+    (top-3, 6-dp micro integers, id tie-breaks at both stages).
+
+    Scale shape: codes are one codegen projection (16 bytes/vector —
+    the 32x-compressed index that fits in memory at 100 TB); the
+    prescreen join broadcasts the 10-row query code side and touches
+    only integers; the exact rerank re-reads full vectors for just
+    prescreen x queries rows. Recall vs the exact X38 ranking is the
+    quantization trade, measured in tests, not hidden.
+    Reference analog: none."""
+    from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.operators.similarity import as_double, cosine
+
+    def words(col):
+        return [
+            F.expr(
+                f"aggregate(sequence(1, 32), CAST(0 AS BIGINT),"
+                f" (acc, i) -> acc + CASE WHEN"
+                f" round(element_at({col}, i + {lo}), 6) > 0"
+                f" THEN shiftleft(CAST(1 AS BIGINT), i - 1)"
+                f" ELSE CAST(0 AS BIGINT) END)"
+            ).alias(f"w{n}")
+            for n, lo in ((1, 0), (2, 32))
+        ]
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        as_double("embedding").alias("qv"),
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"),
+        as_double("embedding").alias("cv"),
+    )
+    qw = q.select("query_id", "qv", *words("qv")).select(
+        "query_id",
+        "qv",
+        F.col("w1").alias("qw1"),
+        F.col("w2").alias("qw2"),
+    )
+    cw = c.select("corpus_id", "cv", *words("cv"))
+    ham = cw.crossJoin(F.broadcast(qw)).select(
+        "query_id",
+        "corpus_id",
+        "qv",
+        "cv",
+        F.expr(
+            "CAST(bit_count(qw1 ^ w1) + bit_count(qw2 ^ w2) AS BIGINT)"
+        ).alias("hamming"),
+    )
+    pre = ham.withColumn(
+        "pr",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(
+                F.asc("hamming"), F.asc("corpus_id")
+            )
+        ),
+    ).filter(F.col("pr") <= _BINARY_PRESCREEN)
+    rr = pre.select(
+        "query_id",
+        "corpus_id",
+        "hamming",
+        F.round(F.round(cosine(F.col("qv"), F.col("cv")), 6) * 1000000)
+        .cast("long")
+        .alias("cos_micro"),
+    )
+    return (
+        rr.withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                W.partitionBy("query_id").orderBy(
+                    F.desc("cos_micro"), F.asc("corpus_id")
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= _BINARY_TOPK)
+        .orderBy("query_id", "rank")
+    )

@@ -1258,6 +1258,8 @@ def test_retrieval_eval_nrel_is_label_agg_not_cross_join(spark, sf_dir):
         "q_salt_plan",
         "q_ngram_acceptance",
         "q_chat_template",
+        "q_span_corruption",
+        "q_knn_binary",
     ],
 )
 def test_round12_queries_lint_clean(spark, sf_dir, name):

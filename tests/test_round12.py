@@ -648,3 +648,80 @@ def test_chat_template_render_recomputes(spark, sf_dir):
         assert (
             hashlib.md5(rendered.encode()).hexdigest() == r["rendered_md5"]
         )
+
+
+def test_span_corruption_recomputes_byte_exact(spark, sf_dir):
+    """X273: input/target md5s recompute from raw text in plain
+    Python, and the mask accounting matches the positional schedule."""
+    import hashlib
+    import re as _re
+
+    from mysql_cdc_to_http_spark.catalog import load_table
+
+    rows = QUERIES["q_span_corruption"](spark, sf_dir).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    import random
+
+    for r in random.Random(5).sample(rows, 5):
+        toks = (
+            _re.sub(r"\s+", " ", texts[r["doc_id"]].lower()).strip().split(" ")
+        )
+        corrupted, targets, n_masked, n_sent = [], [], 0, 0
+        for p, tok in enumerate(toks):
+            if p % 20 == 0:
+                k = p // 20
+                corrupted.append(f"<extra_id_{k}>")
+                targets.append(f"<extra_id_{k}> {tok}")
+                n_masked += 1
+                n_sent += 1
+            elif p % 20 < 3:
+                targets.append(tok)
+                n_masked += 1
+            else:
+                corrupted.append(tok)
+        assert r["n_masked"] == n_masked and r["n_sentinels"] == n_sent
+        assert (
+            hashlib.md5(" ".join(corrupted).encode()).hexdigest()
+            == r["corrupted_md5"]
+        )
+        assert (
+            hashlib.md5(" ".join(targets).encode()).hexdigest()
+            == r["targets_md5"]
+        )
+
+
+def test_knn_binary_perfect_on_separated_corners(spark, tmp_path):
+    """X274: on well-separated sign corners the 1-bit codes retrieve
+    exactly the same-corner vectors (hamming 0 beats the other
+    corners' 32/64), and the exact rerank orders them by true
+    cosine."""
+    corner_a = [1.0] * 32 + [-1.0] * 32
+    corner_b = [-1.0] * 32 + [1.0] * 32
+    corner_c = [(1.0 if i % 2 == 0 else -1.0) for i in range(64)]
+    rows = []
+    for qid, corner in ((0, corner_a), (1, corner_b), (2, corner_c)):
+        rows.append((qid, corner, qid))
+    cid = 10
+    expect = {}
+    for qid, corner in ((0, corner_a), (1, corner_b), (2, corner_c)):
+        ids = []
+        for j in range(3):
+            # same sign pattern, different magnitudes -> same code,
+            # slightly different cosine to the query
+            vec = [x * (1.0 + 0.1 * j) for x in corner]
+            rows.append((cid, vec, qid))
+            ids.append(cid)
+            cid += 1
+        expect[qid] = set(ids)
+    sf = _write_embeddings(spark, tmp_path, rows)
+    got = QUERIES["q_knn_binary"](spark, sf).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["corpus_id"])
+        assert r["hamming"] == 0  # same corner == identical code
+    assert by_q == expect
