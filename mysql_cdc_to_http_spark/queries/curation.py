@@ -2743,3 +2743,134 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# X275 — classifier calibration audit (reliability diagram + ECE): bin
+# the X98 linear quality score into 10 confidence buckets and compare
+# each bucket's mean confidence against its empirical positive rate
+# (truth = the TTR >= 0.45 gate, X246's rb rater) — the standard check
+# before a score is used as a sampling WEIGHT rather than a hard
+# filter (an uncalibrated score over/under-samples silently). Every
+# number is an exact integer after the one micro lift: bin membership,
+# per-bin confidence and accuracy means, and the expected calibration
+# error Σ n_b·|acc_b − conf_b| / N.
+# --------------------------------------------------------------------------
+@query(
+    "q_calibration",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(round(
+               (list_aggregate(list_transform(t, tk ->
+                  ((('0x' || substr(md5('qc-w1|' || CAST(
+                      ('0x' || substr(md5('qc-v1|' || tk), 1, 6))::INTEGER
+                      % 1024 AS VARCHAR)), 1, 6))::INTEGER % 2049) - 1024)
+                  / 1024.0), 'sum')
+                / len(t)) * 1000000) AS BIGINT) AS score_micro,
+             CAST(len(list_distinct(t)) * 1000000 // len(t) AS BIGINT)
+               >= 450000 AS label
+      FROM tok
+    ),
+    binned AS (
+      SELECT least(greatest((score_micro + 1000000) // 200000, 0), 9)
+               AS bin,
+             (score_micro + 1000000) // 2 AS conf_micro,
+             CASE WHEN label THEN 1 ELSE 0 END AS pos
+      FROM scored
+    ),
+    agg AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(conf_micro) // count(*) AS BIGINT) AS mean_conf_micro,
+             CAST(SUM(pos) * 1000000 // count(*) AS BIGINT) AS acc_micro
+      FROM binned GROUP BY bin
+    ),
+    ece AS (
+      SELECT CAST(SUM(n_docs * abs(acc_micro - mean_conf_micro))
+                  // SUM(n_docs) AS BIGINT) AS ece_micro
+      FROM agg
+    )
+    SELECT agg.bin, agg.n_docs, agg.mean_conf_micro, agg.acc_micro,
+           CAST(abs(agg.acc_micro - agg.mean_conf_micro) AS BIGINT)
+             AS gap_micro,
+           ece.ece_micro
+    FROM agg, ece
+    ORDER BY agg.bin
+    """,
+)
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X275 — reliability diagram of the hashed-BoW quality score
+    against the TTR gate, plus ECE.
+
+    Determinism: the classifier's dyadic weights make the per-doc
+    score exact in any addition order (X98's argument); the micro
+    lift rounds once; everything downstream — bins, per-bin means,
+    |gaps|, ECE — is truncated integer arithmetic. Scale shape: one
+    scan → codegen score projection → 10-group aggregate → 1-row ECE
+    broadcast back onto the bins. Reference analog: none."""
+    from mysql_cdc_to_http_spark.operators.classifier import score_tokens
+    from mysql_cdc_to_http_spark.operators.curation import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    scored = docs.select(
+        "doc_id",
+        tokenize(F.col("text")).alias("__toks"),
+        t.alias("t"),
+    ).select(
+        F.round(score_tokens(F.col("__toks")) * 1000000)
+        .cast("long")
+        .alias("score_micro"),
+        (
+            F.expr(
+                "CAST(size(array_distinct(t)) * 1000000 div size(t)"
+                " AS BIGINT)"
+            )
+            >= 450000
+        ).alias("label"),
+    )
+    binned = scored.select(
+        F.expr(
+            "least(greatest((score_micro + 1000000) div 200000, 0), 9)"
+        ).alias("bin"),
+        F.expr("(score_micro + 1000000) div 2").alias("conf_micro"),
+        F.when(F.col("label"), 1).otherwise(0).alias("pos"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(SUM(conf_micro) div COUNT(*) AS BIGINT)"
+        ).alias("mean_conf_micro"),
+        F.expr(
+            "CAST(SUM(pos) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("acc_micro"),
+    )
+    ece = agg.agg(
+        F.expr(
+            "CAST(SUM(n_docs * abs(acc_micro - mean_conf_micro))"
+            " div SUM(n_docs) AS BIGINT)"
+        ).alias("ece_micro")
+    )
+    return (
+        agg.crossJoin(F.broadcast(ece))
+        .select(
+            "bin",
+            "n_docs",
+            "mean_conf_micro",
+            "acc_micro",
+            F.abs(F.col("acc_micro") - F.col("mean_conf_micro"))
+            .cast("long")
+            .alias("gap_micro"),
+            "ece_micro",
+        )
+        .orderBy("bin")
+    )

@@ -6131,3 +6131,125 @@ def q_knn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BINARY_TOPK)
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# X276 — preference-pair length-bias audit: over the X239 pairing,
+# what fraction of (chosen, rejected) pairs has the CHOSEN side
+# longer, and by how much on average? Length bias is the
+# best-documented failure mode of preference data (reward models
+# learn "longer = better"); this is the per-source report an RLHF
+# data pipeline gates on before training.
+# --------------------------------------------------------------------------
+@query(
+    "q_length_bias",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             (SELECT CAST(len(list_distinct(l)) * 1000000 // len(l)
+                          AS BIGINT)
+              FROM (SELECT string_split(trim(regexp_replace(lower(text),
+                           '\s+', ' ', 'g')), ' ') AS l) t
+             ) AS ttr_micro,
+             (SELECT CAST(len(l) AS BIGINT)
+              FROM (SELECT string_split(trim(regexp_replace(lower(text),
+                           '\s+', ' ', 'g')), ' ') AS l) t
+             ) AS nt
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, ttr_micro, nt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY ttr_micro DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    ),
+    pairs AS (
+      SELECT t.source, t.nt AS chosen_len, b.nt AS rejected_len
+      FROM ranked t
+      JOIN ranked b
+        ON b.source = t.source AND b.rk = t.n + 1 - t.rk
+      WHERE t.rk <= {_PREF_PAIRS_PER_SRC} AND t.rk < b.rk
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN chosen_len > rejected_len THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_chosen_longer,
+           CAST(SUM(CASE WHEN chosen_len > rejected_len THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS chosen_longer_micro,
+           CAST(SUM(chosen_len - rejected_len) AS BIGINT)
+             AS total_len_delta
+    FROM pairs
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X276 — per-source length bias of the X239 preference pairing:
+    chosen-longer share and the signed total length delta.
+
+    Determinism: the pairing is X239's exact construction (total-order
+    ranking, i↔n+1−i rank equijoin); lengths and shares are integer.
+    Scale shape: X239's plan plus one source-keyed counting aggregate.
+    Reference analog: none."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    scored = docs.select("doc_id", "source", toks.alias("l")).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(size(array_distinct(l)) * 1000000 div size(l) AS BIGINT)"
+        ).alias("ttr_micro"),
+        F.size("l").cast("long").alias("nt"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("ttr_micro").desc(), "doc_id"
+    )
+    wn = Window.partitionBy("source")
+    ranked = scored.select(
+        "source",
+        "nt",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    top = ranked.filter(F.col("rk") <= _PREF_PAIRS_PER_SRC).select(
+        "source",
+        F.col("nt").alias("chosen_len"),
+        F.col("rk").alias("trk"),
+        F.col("n"),
+    )
+    bot = ranked.select(
+        F.col("source").alias("bsource"),
+        F.col("nt").alias("rejected_len"),
+        F.col("rk").alias("brk"),
+    )
+    pairs = top.join(
+        bot,
+        (F.col("bsource") == F.col("source"))
+        & (F.col("brk") == F.col("n") + 1 - F.col("trk"))
+        & (F.col("trk") < F.col("brk")),
+    )
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("chosen_len") > F.col("rejected_len"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_chosen_longer"),
+            F.expr(
+                "CAST(SUM(CASE WHEN chosen_len > rejected_len THEN 1"
+                " ELSE 0 END) * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("chosen_longer_micro"),
+            F.sum(F.col("chosen_len") - F.col("rejected_len"))
+            .cast("long")
+            .alias("total_len_delta"),
+        )
+        .orderBy("source")
+    )

@@ -1260,6 +1260,8 @@ def test_retrieval_eval_nrel_is_label_agg_not_cross_join(spark, sf_dir):
         "q_chat_template",
         "q_span_corruption",
         "q_knn_binary",
+        "q_calibration",
+        "q_length_bias",
     ],
 )
 def test_round12_queries_lint_clean(spark, sf_dir, name):

@@ -725,3 +725,37 @@ def test_knn_binary_perfect_on_separated_corners(spark, tmp_path):
         by_q.setdefault(r["query_id"], set()).add(r["corpus_id"])
         assert r["hamming"] == 0  # same corner == identical code
     assert by_q == expect
+
+
+def test_calibration_ece_is_weighted_gap_mean(spark, sf_dir):
+    """X275: ECE recomputes from the per-bin rows (Σ n·gap / N), bins
+    partition the corpus, confidences are monotone in bin index."""
+    rows = QUERIES["q_calibration"](spark, sf_dir).collect()
+    n = sum(r["n_docs"] for r in rows)
+    ece = sum(r["n_docs"] * r["gap_micro"] for r in rows) // n
+    assert all(r["ece_micro"] == ece for r in rows)
+    confs = [r["mean_conf_micro"] for r in sorted(rows, key=lambda r: r["bin"])]
+    assert confs == sorted(confs)
+    from mysql_cdc_to_http_spark.catalog import load_table
+
+    assert n == load_table(spark, sf_dir, "documents").count()
+
+
+def test_length_bias_flags_planted_long_chosen(spark, tmp_path):
+    """X276: a corpus where high-TTR (chosen) docs are systematically
+    LONGER reports 100% chosen-longer and a positive delta."""
+    rows = []
+    for i in range(8):
+        # high quality: long, all-distinct tokens
+        rows.append((i, " ".join(f"u{i}w{j}" for j in range(40)), "en"))
+    for i in range(8, 16):
+        # low quality: short, repetitive
+        rows.append((i, "dup dup dup dup", "en"))
+    sf = _write_docs(spark, tmp_path, rows)
+    out = QUERIES["q_length_bias"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_pairs"] == 3  # _PREF_PAIRS_PER_SRC
+    assert r["n_chosen_longer"] == 3
+    assert r["chosen_longer_micro"] == 1_000_000
+    assert r["total_len_delta"] == 3 * (40 - 4)
