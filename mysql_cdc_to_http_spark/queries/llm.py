@@ -6253,3 +6253,137 @@ def q_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# X277 — attention-cost audit of the packing layout: the quadratic
+# attention term for the SAME corpus under three batching regimes —
+# (a) pad every document to the corpus max length, (b) X47's
+# concat-then-chunk packing with a block-diagonal mask (cost = Σ seg²
+# over each document's in-bin segments), (c) the same packing with
+# dense (mask-free) attention (cost = 512² per bin, the
+# cross-contamination-accepting shortcut). This is the measurement
+# that justifies sequence packing: the audit emits exact token² units
+# and each regime's ratio to the padded baseline.
+# --------------------------------------------------------------------------
+@query(
+    "q_attention_flops",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, nt,
+             CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+      FROM n
+    ),
+    segs AS (
+      SELECT doc_id, nt,
+             least(512 - (cb % 512), nt) AS first_seg,
+             (nt - least(512 - (cb % 512), nt)) // 512 AS full_bins,
+             (nt - least(512 - (cb % 512), nt)) % 512 AS last_seg
+      FROM c
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MAX(nt) AS BIGINT) AS lmax,
+             CAST(SUM(nt) AS BIGINT) AS n_tok,
+             CAST(SUM(first_seg * first_seg + full_bins * 512 * 512
+                      + last_seg * last_seg) AS BIGINT) AS packed_masked,
+             CAST(((SUM(nt) + 511) // 512) * 512 * 512 AS BIGINT)
+               AS packed_dense
+      FROM segs
+    )
+    SELECT regime, flops_units,
+           CAST(flops_units * 1000000 // (n_docs * lmax * lmax) AS BIGINT)
+             AS vs_padded_micro
+    FROM (
+      SELECT 'padded' AS regime, n_docs * lmax * lmax AS flops_units,
+             n_docs, lmax FROM tot
+      UNION ALL
+      SELECT 'packed_masked', packed_masked, n_docs, lmax FROM tot
+      UNION ALL
+      SELECT 'packed_dense', packed_dense, n_docs, lmax FROM tot
+    )
+    ORDER BY regime
+    """,
+)
+def q_attention_flops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X277 — exact token² attention-cost comparison: padded-per-doc
+    vs X47 packing with a block-diagonal mask vs dense-packed.
+
+    Determinism: segment lengths derive from the X47 prefix sums
+    (distributed two-level form — the oracle's naive cumsum proves the
+    decomposition) and everything is integer arithmetic; the ratios
+    are truncated micro-units. Scale shape: the prefix sum is X47's
+    audited plan; the rest is one 1-row aggregate and a 3-row
+    presentation union. Reference analog: none."""
+    from mysql_cdc_to_http_spark.operators.sampling import global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    from mysql_cdc_to_http_spark.operators import text as tx
+
+    n = docs.select(
+        "doc_id", tx.token_count_ws(F.col("text")).cast("long").alias("nt")
+    )
+    c = global_prefix_sum(
+        n, order_col="doc_id", value_col="nt", out_col="cb"
+    ).select("doc_id", "nt", F.col("cb").cast("long").alias("cb"))
+    segs = c.select(
+        "nt",
+        F.expr("least(512 - (cb % 512), nt)").alias("first_seg"),
+        F.expr(
+            "(nt - least(512 - (cb % 512), nt)) div 512"
+        ).alias("full_bins"),
+        F.expr(
+            "(nt - least(512 - (cb % 512), nt)) % 512"
+        ).alias("last_seg"),
+    )
+    tot = segs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("nt").cast("long").alias("lmax"),
+        F.sum("nt").cast("long").alias("n_tok"),
+        F.sum(
+            F.expr(
+                "first_seg * first_seg + full_bins * 512 * 512"
+                " + last_seg * last_seg"
+            )
+        )
+        .cast("long")
+        .alias("packed_masked"),
+        F.expr(
+            "CAST(((SUM(nt) + 511) div 512) * 512 * 512 AS BIGINT)"
+        ).alias("packed_dense"),
+    )
+    regimes = tot.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("padded").alias("regime"),
+                    (F.col("n_docs") * F.col("lmax") * F.col("lmax"))
+                    .cast("long")
+                    .alias("flops_units"),
+                ),
+                F.struct(
+                    F.lit("packed_masked").alias("regime"),
+                    F.col("packed_masked").alias("flops_units"),
+                ),
+                F.struct(
+                    F.lit("packed_dense").alias("regime"),
+                    F.col("packed_dense").alias("flops_units"),
+                ),
+            )
+        ).alias("r"),
+        (F.col("n_docs") * F.col("lmax") * F.col("lmax")).alias("base"),
+    )
+    return regimes.select(
+        F.col("r.regime").alias("regime"),
+        F.col("r.flops_units").alias("flops_units"),
+        F.expr(
+            "CAST(r.flops_units * 1000000 div base AS BIGINT)"
+        ).alias("vs_padded_micro"),
+    ).orderBy("regime")

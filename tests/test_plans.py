@@ -1262,6 +1262,7 @@ def test_retrieval_eval_nrel_is_label_agg_not_cross_join(spark, sf_dir):
         "q_knn_binary",
         "q_calibration",
         "q_length_bias",
+        "q_attention_flops",
     ],
 )
 def test_round12_queries_lint_clean(spark, sf_dir, name):

@@ -759,3 +759,31 @@ def test_length_bias_flags_planted_long_chosen(spark, tmp_path):
     assert r["n_chosen_longer"] == 3
     assert r["chosen_longer_micro"] == 1_000_000
     assert r["total_len_delta"] == 3 * (40 - 4)
+
+
+def test_attention_flops_ordering_and_identities(spark, sf_dir):
+    """X277: packed_masked <= packed_dense (the mask only removes
+    work), packed_masked <= padded on any corpus with length variance,
+    and the dense cost is exactly ceil(total/512) * 512^2."""
+    from mysql_cdc_to_http_spark.catalog import load_table
+    from mysql_cdc_to_http_spark.operators import text as tx
+
+    rows = {r["regime"]: r for r in
+            QUERIES["q_attention_flops"](spark, sf_dir).collect()}
+    assert set(rows) == {"padded", "packed_masked", "packed_dense"}
+    assert rows["packed_masked"]["flops_units"] <= rows["packed_dense"][
+        "flops_units"
+    ]
+    assert rows["packed_masked"]["flops_units"] <= rows["padded"][
+        "flops_units"
+    ]
+    assert rows["padded"]["vs_padded_micro"] == 1_000_000
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .select(tx.token_count_ws(F.col("text")).cast("long").alias("nt"))
+        .agg(F.sum("nt"))
+        .first()[0]
+    )
+    assert rows["packed_dense"]["flops_units"] == (
+        (total + 511) // 512
+    ) * 512 * 512
