@@ -6387,3 +6387,216 @@ def q_attention_flops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(r.flops_units * 1000000 div base AS BIGINT)"
         ).alias("vs_padded_micro"),
     ).orderBy("regime")
+
+
+# --------------------------------------------------------------------------
+# X278 — vocabulary growth curve (Heaps' law measurement): distinct
+# vocabulary seen after each tenth of the token stream, in doc_id
+# order — the curve that sizes tokenizer vocabularies, predicts
+# distinct-gram table growth (the X231 novelty store), and shows
+# dedup working (a deduplicated corpus grows vocabulary FASTER per
+# token). Exact, not sampled: every token's global stream index comes
+# from the X47 distributed prefix sums; a token's first occurrence is
+# a min over its postings; each checkpoint counts firsts at or below
+# it.
+# --------------------------------------------------------------------------
+_VOCAB_CHECKPOINTS = 10
+
+
+@query(
+    "q_vocab_growth",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, t,
+             CAST(COALESCE(SUM(len(t)) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS doc_off
+      FROM tok
+    ),
+    pos AS (
+      SELECT u.tokn AS tok, doc_off + CAST(u.p AS BIGINT) AS gidx
+      FROM offs, LATERAL (
+        SELECT unnest(t) AS tokn, generate_subscripts(t, 1) AS p
+      ) u
+    ),
+    firsts AS (
+      SELECT tok, CAST(MIN(gidx) AS BIGINT) AS first_idx FROM pos
+      GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n FROM tok),
+    cps AS (
+      SELECT CAST(i AS BIGINT) AS cp,
+             CAST((tot.n * i) // {_VOCAB_CHECKPOINTS} AS BIGINT)
+               AS checkpoint_tokens
+      FROM tot, LATERAL (
+        SELECT unnest(range(1, {_VOCAB_CHECKPOINTS} + 1)) AS i
+      )
+    )
+    SELECT cp, checkpoint_tokens,
+           CAST((SELECT count(*) FROM firsts
+                 WHERE first_idx <= checkpoint_tokens) AS BIGINT)
+             AS vocab_size,
+           CAST((SELECT count(*) FROM firsts
+                 WHERE first_idx <= checkpoint_tokens) * 1000000
+                // checkpoint_tokens AS BIGINT) AS ttr_micro
+    FROM cps
+    ORDER BY cp
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X278 — exact Heaps curve at 10 checkpoints of the doc_id-ordered
+    token stream.
+
+    Determinism: global token indexes are exact integers from the
+    distributed prefix sum (doc offsets) plus in-doc positions; first
+    occurrences are integer mins; checkpoints are integer floor
+    divisions of the total. Scale shape: the prefix sum is X47's
+    audited two-level plan; the first-occurrence table is one
+    vocab-keyed aggregate (the only fact-sized shuffle); checkpoint
+    counting joins 10 broadcast thresholds against the vocab-sized
+    firsts table — a 10-group range-count, never a re-scan.
+    Reference analog: none."""
+    from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.operators.sampling import global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    tok = docs.select("doc_id", t.alias("t")).withColumn(
+        "nt", F.size("t").cast("long")
+    )
+    offs = global_prefix_sum(
+        tok, order_col="doc_id", value_col="nt", out_col="doc_off"
+    )
+    pos = offs.select(
+        F.col("doc_off").cast("long").alias("doc_off"),
+        F.posexplode("t").alias("p", "tok"),
+    ).select(
+        "tok", (F.col("doc_off") + F.col("p") + 1).alias("gidx")
+    )
+    firsts = pos.groupBy("tok").agg(
+        F.min("gidx").cast("long").alias("first_idx")
+    )
+    tot = tok.agg(F.sum("nt").cast("long").alias("n"))
+    cps = tot.select(
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_VOCAB_CHECKPOINTS))
+        ).alias("cp"),
+        F.col("n"),
+    ).select(
+        F.col("cp").cast("long").alias("cp"),
+        F.expr(
+            f"CAST((n * cp) div {_VOCAB_CHECKPOINTS} AS BIGINT)"
+        ).alias("checkpoint_tokens"),
+    )
+    counted = (
+        firsts.crossJoin(F.broadcast(cps))
+        .filter(F.col("first_idx") <= F.col("checkpoint_tokens"))
+        .groupBy("cp", "checkpoint_tokens")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    )
+    return (
+        counted.select(
+            "cp",
+            "checkpoint_tokens",
+            "vocab_size",
+            F.expr(
+                "CAST(vocab_size * 1000000 div checkpoint_tokens"
+                " AS BIGINT)"
+            ).alias("ttr_micro"),
+        )
+        .orderBy("cp")
+    )
+
+
+# --------------------------------------------------------------------------
+# X279 — term burstiness (collection frequency vs document frequency):
+# for the 20 highest-CF terms, how many times does the term occur per
+# document that contains it (cf/df, micro units)? Burstiness separates
+# topical/content terms (high — they repeat where they appear) from
+# function words (low — spread thin everywhere); it is the dispersion
+# statistic behind stopword induction, keyword extraction, and the
+# repetition-quality gates (a term with pathological burstiness is a
+# boilerplate signature).
+# --------------------------------------------------------------------------
+_BURST_TOPK = 20
+
+
+@query(
+    "q_term_burstiness",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+',
+                    ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS cf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY term
+    ),
+    ranked AS (
+      SELECT term, cf, df,
+             row_number() OVER (ORDER BY cf DESC, term) AS rk
+      FROM stats
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, term, cf, df,
+           CAST(cf * 1000000 // df AS BIGINT) AS burstiness_micro
+    FROM ranked WHERE rk <= {_BURST_TOPK}
+    ORDER BY rk
+    """,
+)
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X279 — cf/df for the top-20 terms by collection frequency.
+
+    Determinism: integer counts, (cf desc, term) total-order ranking,
+    truncated micro division. Scale shape: one scan → token explode →
+    a single (term)-keyed aggregate computing cf and df together
+    (count + count distinct doc in one pass — distinct handled by
+    Spark's partial-aggregate expansion, still one shuffle family) →
+    a vocab-sized top-k. Reference analog: none."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                " ",
+            )
+        ).alias("term"),
+    )
+    stats = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    return (
+        stats.withColumn(
+            "rk",
+            F.row_number()
+            .over(W.orderBy(F.desc("cf"), F.asc("term")))
+            .cast("long"),
+        )
+        .filter(F.col("rk") <= _BURST_TOPK)
+        .select(
+            "rk",
+            "term",
+            "cf",
+            "df",
+            F.expr("CAST(cf * 1000000 div df AS BIGINT)").alias(
+                "burstiness_micro"
+            ),
+        )
+        .orderBy("rk")
+    )

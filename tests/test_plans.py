@@ -1263,6 +1263,8 @@ def test_retrieval_eval_nrel_is_label_agg_not_cross_join(spark, sf_dir):
         "q_calibration",
         "q_length_bias",
         "q_attention_flops",
+        "q_vocab_growth",
+        "q_term_burstiness",
     ],
 )
 def test_round12_queries_lint_clean(spark, sf_dir, name):

@@ -787,3 +787,51 @@ def test_attention_flops_ordering_and_identities(spark, sf_dir):
     assert rows["packed_dense"]["flops_units"] == (
         (total + 511) // 512
     ) * 512 * 512
+
+
+def test_vocab_growth_monotone_and_final_exact(spark, sf_dir):
+    """X278: vocabulary is nondecreasing in the checkpoint index, TTR
+    is nonincreasing (Heaps), and the final checkpoint equals the true
+    corpus-wide distinct-token count."""
+    from mysql_cdc_to_http_spark.catalog import load_table
+
+    rows = sorted(
+        QUERIES["q_vocab_growth"](spark, sf_dir).collect(),
+        key=lambda r: r["cp"],
+    )
+    vocab = [r["vocab_size"] for r in rows]
+    assert vocab == sorted(vocab)
+    ttr = [r["ttr_micro"] for r in rows]
+    assert ttr == sorted(ttr, reverse=True)
+    docs = load_table(spark, sf_dir, "documents")
+    truth = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower("text"), r"\s+", " ")
+                    ),
+                    " ",
+                )
+            ).alias("t")
+        )
+        .agg(F.countDistinct("t"))
+        .first()[0]
+    )
+    assert vocab[-1] == truth
+
+
+def test_term_burstiness_flags_planted_boilerplate(spark, tmp_path):
+    """X279: a term that repeats 50x inside ONE document out-bursts
+    the uniform background vocabulary."""
+    rows = [(0, " ".join(["boiler"] * 50), "en")]
+    for i in range(1, 11):
+        rows.append((i, " ".join(f"w{i}x{j}" for j in range(5)), "en"))
+    sf = _write_docs(spark, tmp_path, rows)
+    out = QUERIES["q_term_burstiness"](spark, sf).collect()
+    top = out[0]
+    assert top["term"] == "boiler"
+    assert top["df"] == 1 and top["cf"] == 50
+    assert top["burstiness_micro"] == 50_000_000
+    others = [r for r in out if r["term"] != "boiler"]
+    assert all(r["burstiness_micro"] == 1_000_000 for r in others)
