@@ -6600,3 +6600,107 @@ def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# X280 — stopword induction: terms that are BOTH ubiquitous (document
+# frequency >= half the corpus) and evenly spread (burstiness cf/df
+# below the candidate median) — the classic corpus-driven stopword
+# derivation (ubiquity alone also catches topical boilerplate; the
+# dispersion cut removes it). The induced list is what the quality
+# gates (X39's stopword-ratio feature, X246's rule rater) consume
+# when a hand list doesn't exist for the language.
+# --------------------------------------------------------------------------
+@query(
+    "q_stopword_induction",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+',
+                    ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok),
+    stats AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS cf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY term
+    ),
+    cands AS (
+      SELECT term, cf, df,
+             CAST(cf * 1000000 // df AS BIGINT) AS burst_micro
+      FROM stats, nd WHERE df * 2 >= nd.n_docs
+    ),
+    med AS (
+      SELECT CAST(MIN(burst_micro) AS BIGINT) AS median_burst
+      FROM (
+        SELECT burst_micro,
+               row_number() OVER (ORDER BY burst_micro, term) AS r,
+               COUNT(*) OVER () AS n
+        FROM cands
+      ) WHERE 2 * r >= n + 1
+    )
+    SELECT c.term, c.cf, c.df, c.burst_micro, m.median_burst
+    FROM cands c, med m
+    WHERE c.burst_micro <= m.median_burst
+    ORDER BY c.df DESC, c.term
+    """,
+)
+def q_stopword_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X280 — induced stopwords: df >= n_docs/2 AND burstiness at or
+    below the candidate median (the exact lower-median element, picked
+    by a total-order rank — no float interpolation).
+
+    Scale shape: one term-keyed aggregate (cf+df in one pass, the one
+    fact shuffle); candidates are vocab-bounded; the median is a rank
+    over the candidate set (tiny); the final filter broadcasts one
+    scalar. Reference analog: none."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                " ",
+            )
+        ).alias("term"),
+    )
+    nd = tok.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    stats = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    cands = (
+        stats.crossJoin(F.broadcast(nd))
+        .filter(F.col("df") * 2 >= F.col("n_docs"))
+        .select(
+            "term",
+            "cf",
+            "df",
+            F.expr("CAST(cf * 1000000 div df AS BIGINT)").alias(
+                "burst_micro"
+            ),
+        )
+    )
+    ranked = cands.select(
+        "burst_micro",
+        F.row_number()
+        .over(W.orderBy(F.asc("burst_micro"), F.asc("term")))
+        .alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    med = (
+        ranked.filter(2 * F.col("r") >= F.col("n") + 1)
+        .agg(F.min("burst_micro").cast("long").alias("median_burst"))
+    )
+    return (
+        cands.crossJoin(F.broadcast(med))
+        .filter(F.col("burst_micro") <= F.col("median_burst"))
+        .select("term", "cf", "df", "burst_micro", "median_burst")
+        .orderBy(F.desc("df"), F.asc("term"))
+    )

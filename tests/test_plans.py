@@ -1265,6 +1265,7 @@ def test_retrieval_eval_nrel_is_label_agg_not_cross_join(spark, sf_dir):
         "q_attention_flops",
         "q_vocab_growth",
         "q_term_burstiness",
+        "q_stopword_induction",
     ],
 )
 def test_round12_queries_lint_clean(spark, sf_dir, name):

@@ -835,3 +835,26 @@ def test_term_burstiness_flags_planted_boilerplate(spark, tmp_path):
     assert top["burstiness_micro"] == 50_000_000
     others = [r for r in out if r["term"] != "boiler"]
     assert all(r["burstiness_micro"] == 1_000_000 for r in others)
+
+
+def test_stopword_induction_separates_function_from_boilerplate(
+    spark, tmp_path
+):
+    """X280: a ubiquitous evenly-spread word is induced; an equally
+    ubiquitous but BURSTY boilerplate phrase word (repeating many
+    times wherever it appears) is rejected by the dispersion cut."""
+    rows = []
+    for i in range(10):
+        # 'the'/'a' once per doc (function-like); 'promo' 10x per doc
+        # (boilerplate); plus unique filler. Three candidates so the
+        # lower median sits on the even-spread pair, not the burst.
+        text = "the a " + ("promo " * 10) + " ".join(
+            f"w{i}x{j}" for j in range(5)
+        )
+        rows.append((i, text, "en"))
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["term"]: r for r in
+           QUERIES["q_stopword_induction"](spark, sf).collect()}
+    assert "the" in out
+    assert out["the"]["burst_micro"] == 1_000_000
+    assert "promo" not in out  # df=10 but burstiness 10.0 > median
