@@ -876,6 +876,12 @@ def bench_http_delivery_batched(
     still_failing = replay_dlq(spark, dlq, base, retries=0)
     dlq_drained = still_failing == 0 and _glob.glob(f"{dlq}/epoch=*") == []
     replayed_rows = counters["ok_rows"] - delivered_rows
+    # Snapshot the request counters BEFORE phase 2 reuses the same echo
+    # server: requests_2xx feeds the http_batched_amortized_8x gate
+    # against the phase-1 row counts, so folding phase-2 traffic in
+    # roughly doubles it and spuriously fails the gate (r12 ADVICE).
+    phase1_ok_reqs = counters["ok_reqs"]
+    phase1_err_reqs = counters["err"]
 
     # ---- phase 2 (r11 verdict #7): replay RACING live ingestion,
     # batched lane — the same matrix the per-row lane runs. Fresh DLQ
@@ -964,12 +970,13 @@ def bench_http_delivery_batched(
         "batch_size": batch_size,
         "rows_routed": rows_total,
         "rows_delivered_2xx": delivered_rows,
-        "requests_2xx": counters["ok_reqs"],
+        "requests_2xx": phase1_ok_reqs,
         # counters["err"] counts REJECTED REQUESTS (one per batch
         # attempt, retries included), not rows — named accordingly so it
         # reads correctly next to the row-denominated fields (r11
-        # ADVICE).
-        "requests_rejected_5xx": counters["err"],
+        # ADVICE). Phase-1 snapshots: rows_delivered_2xx/dlq_rows are
+        # phase-1 numbers, so the request counters must be too.
+        "requests_rejected_5xx": phase1_err_reqs,
         "dlq_rows": dlq_rows,
         "wall_sec": round(wall, 3),
         "rows_per_sec": round(rows_total / wall, 1) if wall > 0 else None,

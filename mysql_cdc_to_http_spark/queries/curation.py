@@ -2424,7 +2424,7 @@ def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // ((3 * n) * (3 * n - 1)) AS BIGINT) AS de_micro,
            CAST(CASE WHEN nt = 0 OR nt = 3 * n THEN NULL
                 ELSE 1000000 - (a * (3 * n - 1) * 1000000)
-                               // (2 * nt * (3 * n - nt)) END
+                               // (4 * nt * (3 * n - nt)) END
                 AS BIGINT) AS alpha_micro
     FROM agg
     """,
@@ -2488,7 +2488,7 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(CASE WHEN nt = 0 OR nt = 3 * n THEN NULL"
             " ELSE 1000000 - (a * (3 * n - 1) * 1000000)"
-            " div (2 * nt * (3 * n - nt)) END AS BIGINT)"
+            " div (4 * nt * (3 * n - nt)) END AS BIGINT)"
         ).alias("alpha_micro"),
     )
 

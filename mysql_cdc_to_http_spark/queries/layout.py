@@ -429,9 +429,9 @@ def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # salting — the plan a shuffle-skew mitigation actually executes
 # (X60's q_agg_salted/q_join_salted apply a fixed salt; this derives
 # the per-key factor FROM the data, which is how production salting
-# is sized). Cap = ceil(avg_key_count * 4): "no key more than 4x the
-# average", a relative rule that scales with the corpus instead of
-# hardcoding a row count.
+# is sized). Cap = ceil(avg_key_count) * 5 // 4: "no key more than
+# 1.25x the average", a relative rule that scales with the corpus
+# instead of hardcoding a row count.
 # --------------------------------------------------------------------------
 @query(
     "q_salt_plan",
