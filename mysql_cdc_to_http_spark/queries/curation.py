@@ -1548,11 +1548,17 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated integer micro-unit division. Every column hashes
     identically cross-engine.
 
-    Scale shape: two shuffles — (doc, gram-hash) distinct + the
-    gram-keyed min — both on fixed-width longs; the join back rides the
-    same gram-hash partitioning (no extra exchange under AQE). The
-    first-occurrence table is vocabulary-of-5-grams-sized; Heaps' law
-    keeps it sublinear in the corpus, and a production run would
+    Scale shape (r13 rewrite, measured on the sf0.01→sf1 decade): ONE
+    fact-sized shuffle — the gram-keyed min. A doc's grams all carry
+    first_doc <= doc_id, so they split exactly into new (first_doc ==
+    doc_id) and seen (first_doc < doc_id): n_seen = n_grams - n_new,
+    where n_grams is a ROW-LOCAL array size (never exploded) and n_new
+    is firsts re-keyed by its own first_doc — a vocabulary-sized agg
+    whose output is doc-count-sized. The old form joined the exploded
+    fact back to firsts on gram hash (a second fact-sized exchange);
+    this one moves each distinct gram hash through the cluster once.
+    The first-occurrence table is vocabulary-of-5-grams-sized; Heaps'
+    law keeps it sublinear in the corpus, and a production run would
     df-cap it exactly like X224's stop-grams."""
     from mysql_cdc_to_http_spark.operators.curation import (
         tokenize,
@@ -1562,13 +1568,17 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
     # distinctness is WITHIN a doc, and a doc's grams live on one row —
-    # array_distinct before the explode makes the dedup a row-local
-    # projection instead of a fact-sized (doc, gram) shuffle.
-    grams = toks.select(
+    # array_distinct keeps the dedup a row-local projection instead of
+    # a fact-sized (doc, gram) shuffle.
+    per_doc = toks.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(word_ngrams_from_tokens(F.col("t"), 5))
-        ).alias("g"),
+        F.array_distinct(word_ngrams_from_tokens(F.col("t"), 5)).alias(
+            "gs"
+        ),
+    )
+    grams = per_doc.select(
+        "doc_id",
+        F.explode("gs").alias("g"),
     ).select(
         "doc_id",
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
@@ -1576,19 +1586,22 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("h"),
     )
     firsts = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    n_new = firsts.groupBy("first_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
     return (
-        grams.join(firsts, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
-            )
+        per_doc.select(
+            "doc_id", F.size("gs").cast("long").alias("n_grams")
+        )
+        .join(n_new, per_doc.doc_id == n_new.first_doc, "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("n_grams") - F.coalesce(F.col("n_new"), F.lit(0)))
             .cast("long")
             .alias("n_seen"),
             F.expr(
-                "CAST((count(1) - sum(CASE WHEN first_doc < doc_id THEN 1"
-                " ELSE 0 END)) * 1000000 div count(1) AS BIGINT)"
+                "CAST(coalesce(n_new, 0) * 1000000 div n_grams AS BIGINT)"
             ).alias("novelty_micro"),
         )
         .orderBy("doc_id")
@@ -2873,4 +2886,114 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ece_micro",
         )
         .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# X286 — lexicon-category safety screen: per-category term-hit counts
+# and rate-thresholded doc flags — the blocklist-lexicon filter stage
+# every production data recipe runs before model-based safety scoring
+# (cheap, transparent, auditable). Categories are pinned lists over
+# the corpus vocabulary; a doc is flagged for a category when its
+# hit RATE (hits per token) clears 20000 micro (2%) — rate, not raw
+# count, so long docs aren't over-flagged (the X39/X223 rate
+# discipline).
+# --------------------------------------------------------------------------
+_LEXICON = {
+    "duplication": ("dup",),
+    "performance": ("slow", "big"),
+    "plumbing": ("hash", "scan", "batch"),
+}
+_LEX_RATE_MICRO = 20000
+
+
+def _lex_sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "q_toxicity_lexicon",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    cats AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"('{c}', {_lex_sql_list(ws)})"
+                   for c, ws in sorted(_LEXICON.items()))})
+        AS v(category, words)
+    ),
+    scored AS (
+      SELECT c.category, d.doc_id,
+             CAST(len(list_filter(d.t, w -> list_contains(c.words, w)))
+                  AS BIGINT) AS hits,
+             CAST(len(d.t) AS BIGINT) AS n_tokens
+      FROM tok d CROSS JOIN cats c
+    )
+    SELECT category,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(hits) AS BIGINT) AS total_hits,
+           CAST(SUM(CASE WHEN hits * 1000000 >=
+                         {_LEX_RATE_MICRO} * n_tokens
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN hits * 1000000 >=
+                         {_LEX_RATE_MICRO} * n_tokens
+                    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+             AS flagged_share_micro
+    FROM scored GROUP BY category ORDER BY category
+    """,
+)
+def q_toxicity_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X286 — blocklist-lexicon screen: per-category hit totals,
+    rate-thresholded flag counts, and the flagged share.
+
+    Exactness: hit and token counts are integers; the rate gate is a
+    cross-multiplied integer comparison (never a float division — the
+    q_seasonal_anomaly rule); the share is one truncated micro-unit
+    division. Scale shape: the lexicon is a literal broadcast (3
+    category rows); per-doc scoring is a row-local higher-order
+    filter inside codegen (the category cross is lexicon-sized, not
+    corpus-squared); one category-keyed aggregate with map-side
+    partials ends the plan. Growing the lexicon to production size
+    (thousands of terms) keeps the same shape — the filter becomes a
+    broadcast-set membership, still row-local."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    cats = spark.createDataFrame(
+        [(c, list(ws)) for c, ws in sorted(_LEXICON.items())],
+        "category string, words array<string>",
+    )
+    scored = (
+        docs.select("doc_id", t.alias("t"))
+        .crossJoin(F.broadcast(cats))
+        .select(
+            "category",
+            F.expr(
+                "CAST(size(filter(t, w -> array_contains(words, w)))"
+                " AS BIGINT)"
+            ).alias("hits"),
+            F.size("t").cast("long").alias("n_tokens"),
+        )
+    )
+    flagged = (
+        F.col("hits") * 1000000 >= F.lit(_LEX_RATE_MICRO) * F.col("n_tokens")
+    ).cast("long")
+    return (
+        scored.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("hits").cast("long").alias("total_hits"),
+            F.sum(flagged).cast("long").alias("n_flagged"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN hits * 1000000 >="
+                f" {_LEX_RATE_MICRO} * n_tokens THEN 1 ELSE 0 END)"
+                f" * 1000000 div count(1) AS BIGINT)"
+            ).alias("flagged_share_micro"),
+        )
+        .orderBy("category")
     )

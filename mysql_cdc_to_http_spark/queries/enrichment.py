@@ -1744,3 +1744,115 @@ def q_chunk_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X282 — differentially-private histogram (deterministic Laplace):
+# per-language doc counts released with Laplace noise at an epsilon
+# ladder — the standard (eps, 0)-DP counting mechanism, made
+# reproducible for the oracle by drawing the uniform from a salted
+# md5 of the cell key (inverse-CDF transform) instead of an RNG. The
+# privacy calculus is the published one (sensitivity 1, b = 1/eps);
+# only the noise SOURCE is derandomized, which is exactly what a
+# seeded production release does. An audit query — the production
+# release would drop true_count; it is kept here so the noise scale
+# is oracle-checkable against the eps ladder.
+# --------------------------------------------------------------------------
+_DP_SALT = "dp-v1"
+_DP_EPS_MILLI = (500, 1000, 2000)
+
+
+@query(
+    "q_dp_histogram",
+    oracle=rf"""
+    WITH hist AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS true_count
+      FROM documents GROUP BY lang
+    ),
+    ladder AS (
+      SELECT unnest([{", ".join(str(e) for e in _DP_EPS_MILLI)}])
+               AS eps_milli
+    ),
+    noised AS (
+      SELECT lang, eps_milli, true_count,
+             ('0x' || substr(md5(lang || '|' || CAST(eps_milli AS VARCHAR)
+                                 || '|{_DP_SALT}'), 1, 15))::BIGINT AS h
+      FROM hist CROSS JOIN ladder
+    ),
+    lap AS (
+      SELECT lang, eps_milli, true_count,
+             CAST(h AS DOUBLE) / 1152921504606846976.0 - 0.5 AS uh
+      FROM noised
+    )
+    SELECT lang, CAST(eps_milli AS INT) AS eps_milli, true_count,
+           CAST(true_count * 1000000
+                + round(-(1000.0 / eps_milli)
+                        * CASE WHEN uh < 0 THEN -1.0 ELSE 1.0 END
+                        * ln(1.0 - 2.0 * abs(uh)) * 1000000)
+                AS BIGINT) AS noisy_micro
+    FROM lap ORDER BY lang, eps_milli
+    """,
+)
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X282 — eps-DP Laplace counts per language at eps in
+    {0.5, 1.0, 2.0} (sensitivity 1, b = 1/eps), noise drawn by
+    inverse-CDF from a salted-md5 uniform.
+
+    Exactness: the uniform is h/2^60 where h is the md5 15-hex long —
+    h first rounds to the SAME double in both engines (IEEE
+    round-to-nearest of an integer < 2^60), the divisor is a power of
+    two (exact), so ln sees an identical double; one libm call per
+    cell, micro-rounding absorbs the ulp (q_char_entropy rule).
+    Scale shape: one fact-sized count aggregate; the eps ladder is a
+    3-row broadcast cross; noise is constant per-cell arithmetic.
+    Composition note: a production release would drop true_count and
+    account eps across repeated releases; the mechanism and scale
+    calculus here are the standard ones."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    ladder = docs.sparkSession.createDataFrame(
+        [(e,) for e in _DP_EPS_MILLI], "eps_milli int"
+    )
+    noised = hist.crossJoin(F.broadcast(ladder)).withColumn(
+        "uh",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("lang"),
+                        F.col("eps_milli").cast("string"),
+                        F.lit(_DP_SALT),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(1152921504606846976.0)
+        - F.lit(0.5),
+    )
+    return noised.select(
+        "lang",
+        "eps_milli",
+        "true_count",
+        (
+            F.col("true_count") * F.lit(1000000)
+            + F.round(
+                (F.lit(-1000.0) / F.col("eps_milli"))
+                * F.when(F.col("uh") < 0, F.lit(-1.0)).otherwise(
+                    F.lit(1.0)
+                )
+                * F.log(F.lit(1.0) - F.lit(2.0) * F.abs("uh"))
+                * F.lit(1000000.0)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("noisy_micro"),
+    ).orderBy("lang", "eps_milli")

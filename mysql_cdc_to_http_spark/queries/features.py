@@ -3787,3 +3787,122 @@ def q_wilson_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("trials") >= _WILSON_MIN_TRIALS)
     )
     return _wilson_present(merged)
+
+
+# --------------------------------------------------------------------------
+# X284 — Holt linear (double) exponential smoothing over the daily
+# event-revenue series, EXACT: with alpha = beta = 1/2 the recurrences
+#   l_t = (y_t + l_{t-1} + b_{t-1}) / 2
+#   b_t = (l_t - l_{t-1} + b_{t-1}) / 2
+# are dyadic rationals with denominator 4^(t-1), so tracking
+# P_t = 4^(t-1)·l_t and Q_t = 4^(t-1)·b_t keeps every intermediate an
+# exact integer (P is even by construction, so Q's halving is exact):
+#   P_t = 2·s·y_t + 2·(P_{t-1} + Q_{t-1}),   s = 4^(t-2)
+#   Q_t = (P_t - 4·P_{t-1} + 4·Q_{t-1}) / 2
+# — an ITERATIVE time-series model with zero FP, the same
+# "sufficient statistics are the exact model" discipline as X216's
+# OLS, extended to a recurrence. 30 days × cents at 100× the bench
+# corpus peaks near 1e31, inside DECIMAL(38)/HUGEINT.
+# --------------------------------------------------------------------------
+@query(
+    "q_holt_winters",
+    oracle=r"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS HUGEINT)
+               AS y
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY d)
+               AS t,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    fold AS (
+      SELECT event_type, t, n,
+             y AS p, CAST(0 AS HUGEINT) AS q, CAST(1 AS HUGEINT) AS s
+      FROM seq WHERE t = 1
+      UNION ALL
+      SELECT f.event_type, s2.t, f.n,
+             2 * f.s * s2.y + 2 * (f.p + f.q),
+             (2 * f.s * s2.y + 2 * (f.p + f.q)
+              - 4 * f.p + 4 * f.q) / 2,
+             4 * f.s
+      FROM fold f JOIN seq s2
+        ON s2.event_type = f.event_type AND s2.t = f.t + 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN p < 0 THEN -(abs(p) // s) ELSE p // s END
+                AS BIGINT) AS level_cents,
+           CAST(CASE WHEN q < 0 THEN -(abs(q) // s) ELSE q // s END
+                AS BIGINT) AS trend_cents,
+           CAST(CASE WHEN p + 7 * q < 0 THEN -(abs(p + 7 * q) // s)
+                ELSE (p + 7 * q) // s END AS BIGINT) AS forecast7_cents
+    FROM fold WHERE t = n
+    ORDER BY event_type
+    """,
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X284 — Holt linear-trend smoothing per event type (alpha =
+    beta = 1/2): final level, trend, and the 7-day-ahead forecast
+    l + 7b, all in exact cents.
+
+    Exactness: daily totals are exact cent sums; the recurrence is
+    exact integer arithmetic at scale 4^(t-1) (see the family
+    comment); final divisions are sign-separated truncating div
+    (Spark div == DuckDB // on non-negatives only — the q_ewma rule).
+    Scale shape: one fact-sized (type, day) aggregate with map-side
+    partials; the fold itself runs over DAY-COUNT-sized arrays (one
+    per group, sorted then folded in a single codegen higher-order
+    aggregate — groups fold in parallel across the cluster; the
+    series length, not the corpus, bounds per-group work). The oracle
+    mirrors the fold with a recursive CTE."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("y")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "y"))).alias("ser")
+    )
+    folded = series.select(
+        "event_type",
+        F.size("ser").cast("long").alias("n_days"),
+        F.expr(
+            "aggregate(ser,"
+            " named_struct('p', CAST(0 AS DECIMAL(38,0)),"
+            "              'q', CAST(0 AS DECIMAL(38,0)),"
+            "              's', CAST(0 AS DECIMAL(38,0))),"
+            " (acc, e) -> CASE WHEN acc.s = 0 THEN"
+            "   named_struct('p', e.y, 'q', CAST(0 AS DECIMAL(38,0)),"
+            "                's', CAST(1 AS DECIMAL(38,0)))"
+            " ELSE named_struct("
+            "   'p', 2 * acc.s * e.y + 2 * (acc.p + acc.q),"
+            "   'q', CAST((2 * acc.s * e.y + 2 * (acc.p + acc.q)"
+            "              - 4 * acc.p + 4 * acc.q) / 2"
+            "        AS DECIMAL(38,0)),"
+            "   's', 4 * acc.s) END)"
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.expr(
+            "CAST(CAST(sign(st.p) AS DECIMAL(38,0))"
+            " * (abs(st.p) div st.s) AS BIGINT)"
+        ).alias("level_cents"),
+        F.expr(
+            "CAST(CAST(sign(st.q) AS DECIMAL(38,0))"
+            " * (abs(st.q) div st.s) AS BIGINT)"
+        ).alias("trend_cents"),
+        F.expr(
+            "CAST(CAST(sign(st.p + 7 * st.q) AS DECIMAL(38,0))"
+            " * (abs(st.p + 7 * st.q) div st.s) AS BIGINT)"
+        ).alias("forecast7_cents"),
+    ).orderBy("event_type")

@@ -6704,3 +6704,328 @@ def q_stopword_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "cf", "df", "burst_micro", "median_burst")
         .orderBy(F.desc("df"), F.asc("term"))
     )
+
+
+# --------------------------------------------------------------------------
+# X281 — Zipf rank-frequency fit per language: OLS of ln(freq) on
+# ln(rank) over the (df-capped) top-1000 terms — the power-law exponent
+# corpus audits report (natural prose sits near slope -1; synthetic or
+# template text is much flatter). FP discipline: ln values are
+# quantized to MILLI-units per TERM (round absorbs libm ulps, the
+# q_char_entropy rule), so the OLS moments are exact integer sums and
+# the closed form runs on DECIMAL(38)/HUGEINT — no cross-engine
+# accumulation-order drift (the X216 q_ols_trend discipline, applied
+# to log-log points).
+# --------------------------------------------------------------------------
+@query(
+    "q_zipf_fit",
+    oracle=r"""
+    WITH tok AS (
+      SELECT lang,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+',
+                    ' ', 'g')), ' ')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS f
+      FROM tok GROUP BY lang, w
+    ),
+    ranked AS (
+      SELECT lang, f,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY f DESC, w) AS r
+      FROM tf QUALIFY r <= 1000
+    ),
+    pts AS (
+      SELECT lang,
+             CAST(round(ln(CAST(r AS DOUBLE)) * 1000) AS HUGEINT) AS x,
+             CAST(round(ln(CAST(f AS DOUBLE)) * 1000) AS HUGEINT) AS y
+      FROM ranked
+    ),
+    mo AS (
+      SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM pts GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_terms,
+           CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+                CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+                     AS HUGEINT)
+                * (abs(n * sxy - sx * sy) * 1000000
+                   // (n * sxx - sx * sx)) END AS BIGINT) AS slope_micro,
+           CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+                CAST(CASE WHEN sy * (n * sxx - sx * sx)
+                               - (n * sxy - sx * sy) * sx < 0
+                          THEN -1 ELSE 1 END AS HUGEINT)
+                * (abs(sy * (n * sxx - sx * sx)
+                       - (n * sxy - sx * sy) * sx) * 1000
+                   // (n * (n * sxx - sx * sx))) END AS BIGINT)
+             AS intercept_micro,
+           CAST(CASE WHEN (n * sxx - sx * sx) > 0
+                      AND (n * syy - sy * sy) > 0 THEN
+                ((n * sxy - sx * sy) * (n * sxy - sx * sy) * 10000)
+                // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                END AS BIGINT) AS r2_bp
+    FROM mo ORDER BY lang
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X281 — Zipf exponent per language: slope/intercept/R² of the
+    log-log rank-frequency line over the top-1000 terms.
+
+    Exactness: each point's ln(rank)/ln(freq) is rounded to milli-units
+    per TERM (one libm call per value, round absorbs ulps); every
+    moment after that is an exact DECIMAL(38) integer sum, and the
+    closed form divides with truncating div on sign-separated
+    non-negatives (Spark div == DuckDB // only there — the q_ewma
+    lesson). intercept is presented in micro via the shared milli
+    scale (x, y milli → slope ratio unit-free ×1e6; intercept milli
+    ×1e3).
+
+    Scale shape: one fact-sized (lang, term) aggregate with map-side
+    partials; the rank window runs per-lang over vocab-sized input,
+    df-capped at 1000 points; moments are a 5-row aggregate; the
+    closed form is constant arithmetic. The rank-1000 cap is the same
+    absolute bound the published Zipf audits use and keeps the window
+    input vocabulary-sized at any corpus size."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                " ",
+            )
+        ).alias("w"),
+    )
+    tf = toks.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    ranked = (
+        tf.withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.desc("f"), F.asc("w"))
+            ),
+        )
+        .filter(F.col("r") <= 1000)
+    )
+    pts = ranked.select(
+        "lang",
+        F.round(F.log(F.col("r").cast("double")) * 1000)
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * 1000)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    mo = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("x * y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr("y * y")).cast("decimal(38,0)").alias("syy"),
+    )
+    return mo.select(
+        "lang",
+        F.col("n").cast("long").alias("n_terms"),
+        F.expr(
+            "CAST(CASE WHEN n * sxx - sx * sx > 0 THEN"
+            " CAST(sign(n * sxy - sx * sy) AS DECIMAL(38,0))"
+            " * (abs(n * sxy - sx * sy) * 1000000"
+            "    div (n * sxx - sx * sx)) END AS BIGINT)"
+        ).alias("slope_micro"),
+        F.expr(
+            "CAST(CASE WHEN n * sxx - sx * sx > 0 THEN"
+            " CAST(sign(sy * (n * sxx - sx * sx)"
+            "           - (n * sxy - sx * sy) * sx) AS DECIMAL(38,0))"
+            " * (abs(sy * (n * sxx - sx * sx)"
+            "        - (n * sxy - sx * sy) * sx) * 1000"
+            "    div (n * (n * sxx - sx * sx))) END AS BIGINT)"
+        ).alias("intercept_micro"),
+        F.expr(
+            "CAST(CASE WHEN (n * sxx - sx * sx) > 0"
+            " AND (n * syy - sy * sy) > 0 THEN"
+            " ((n * sxy - sx * sy) * (n * sxy - sx * sy) * 10000)"
+            " div ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+            " END AS BIGINT)"
+        ).alias("r2_bp"),
+    ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# X283 — MATTR (moving-average type-token ratio, Covington & McFall
+# 2010): lexical diversity that, unlike plain TTR, does not shrink
+# with document length — the window average removes the length
+# confound, so scores are comparable across docs (the property the
+# X39/X246 TTR raters lack). Window w=25; docs shorter than w fall
+# back to plain TTR over the whole doc.
+# --------------------------------------------------------------------------
+_MATTR_W = 25
+
+
+@query(
+    "q_mattr",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(greatest(len(t) - {_MATTR_W} + 1, 1) AS BIGINT)
+               AS n_windows,
+             CAST(CASE WHEN len(t) < {_MATTR_W}
+                  THEN len(list_distinct(t))
+                  ELSE list_sum(list_transform(
+                         range(1, len(t) - {_MATTR_W} + 2),
+                         i -> len(list_distinct(
+                                t[CAST(i AS INT):CAST(i + {_MATTR_W} - 1
+                                                      AS INT)]))))
+                  END AS BIGINT) AS distinct_sum
+      FROM tok
+    )
+    SELECT doc_id, n_tokens, n_windows,
+           CAST(distinct_sum * 1000000
+                // (n_windows * least(n_tokens, {_MATTR_W}))
+                AS BIGINT) AS mattr_micro
+    FROM scored ORDER BY doc_id
+    """,
+)
+def q_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X283 — moving-average TTR per document, window w=25.
+
+    Exactness: distinct counts per window are integers; the score is
+    one truncated micro-unit division of integer sums — no FP at all.
+    Scale shape: everything is ROW-LOCAL (the sliding windows are a
+    higher-order transform over the doc's own token array, O(n·w) per
+    row inside codegen); no shuffle except the presentation sort. The
+    w=25 window bounds per-row work at any corpus size; doc length is
+    already bounded by the X64 chunker upstream in a real recipe."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    w = _MATTR_W
+    scored = docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.greatest(F.size(t) - F.lit(w) + 1, F.lit(1))
+        .cast("long")
+        .alias("n_windows"),
+        F.when(
+            F.size(t) < w, F.size(F.array_distinct(t)).cast("long")
+        )
+        .otherwise(
+            F.expr(
+                f"aggregate(transform(sequence(1, size(split(trim("
+                f"regexp_replace(lower(text), '\\\\s+', ' ')), ' '))"
+                f" - {w} + 1), i -> size(array_distinct(slice(split("
+                f"trim(regexp_replace(lower(text), '\\\\s+', ' ')),"
+                f" ' '), i, {w})))), 0L, (acc, v) -> acc + v)"
+            )
+        )
+        .alias("distinct_sum"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        F.expr(
+            f"CAST(distinct_sum * 1000000"
+            f" div (n_windows * least(n_tokens, {w})) AS BIGINT)"
+        ).alias("mattr_micro"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# X287 — stratified k-fold assignment with exact quotas: rank docs
+# within each stratum (lang) by a salted md5 (deterministic shuffle,
+# the X48/X82 membership discipline), fold = rank mod k. Unlike
+# hash-mod-k membership (X48), rank-mod-k guarantees EXACT per-stratum
+# balance (max fold size − min fold size <= 1 by construction) — the
+# cross-validation split a training pipeline actually wants, plus the
+# audit column proving the guarantee held.
+# --------------------------------------------------------------------------
+_KFOLD_K = 5
+_KFOLD_SALT = "kfold-v1"
+
+
+@query(
+    "q_stratified_kfold",
+    oracle=rf"""
+    WITH ranked AS (
+      SELECT lang,
+             (row_number() OVER (
+                PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_KFOLD_SALT}'),
+                         doc_id) - 1) % {_KFOLD_K} AS fold
+      FROM documents
+    ),
+    cells AS (
+      SELECT lang, CAST(fold AS INT) AS fold,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM ranked GROUP BY lang, fold
+    )
+    SELECT lang, fold, n_docs,
+           (max(n_docs) OVER (PARTITION BY lang)
+            - min(n_docs) OVER (PARTITION BY lang)) <= 1 AS balanced
+    FROM cells ORDER BY lang, fold
+    """,
+)
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X287 — exact-quota stratified k-fold audit (k=5, salt pinned).
+
+    Exactness: the shuffle key is a salted md5 string compared
+    byte-identically in both engines; fold is integer rank arithmetic;
+    the audit is integer window min/max. Scale shape: one rank window
+    per stratum (strata are the natural partition — each lang sorts
+    independently), one group-count, one stratum-sized window. The
+    doc-level assignment this audits is a projection of the same rank
+    (no second pass) — grouped_ranks (X141) is the skew-safe rank
+    path if one stratum dominates the corpus."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "lang",
+        (
+            (
+                F.row_number().over(
+                    W.partitionBy("lang").orderBy(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(_KFOLD_SALT),
+                            )
+                        ),
+                        "doc_id",
+                    )
+                )
+                - 1
+            )
+            % _KFOLD_K
+        )
+        .cast("int")
+        .alias("fold"),
+    )
+    cells = ranked.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    lang_w = W.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "fold",
+        "n_docs",
+        (
+            F.max("n_docs").over(lang_w) - F.min("n_docs").over(lang_w)
+            <= 1
+        ).alias("balanced"),
+    ).orderBy("lang", "fold")

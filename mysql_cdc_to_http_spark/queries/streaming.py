@@ -513,6 +513,38 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "n_events")
 
 
+def _activate_pbshim(spark: SparkSession) -> None:
+    """Self-activate vendor/pbshim for THIS session (r12 verdict #6).
+
+    The TWS python runner imports ``google.protobuf`` (its state-server
+    protocol); the sandbox has no protobuf runtime. The shim was wired
+    via conftest PYTHONPATH, which a fresh harness process lacks — so
+    activate at query time instead: exec the shim in the driver, and
+    prepend its directory to ``sc.environment["PYTHONPATH"]``, which
+    pyspark snapshots into each python function's envVars at WRAP time
+    (core/rdd.py _prepare_for_python_RDD) — forked workers then import
+    it as ``sitecustomize`` at interpreter startup. Both steps no-op
+    when a real google.protobuf is importable."""
+    import os
+    import runpy
+
+    vend = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "vendor",
+        "pbshim",
+    )
+    # Run unconditionally: the shim returns untouched when a real
+    # runtime (module with __file__) is importable, and a find_spec
+    # pre-check is unreliable here (spark jars on sys.path satisfy
+    # google.protobuf as an empty namespace package).
+    runpy.run_path(os.path.join(vend, "sitecustomize.py"))
+    env = spark.sparkContext.environment
+    prev = env.get("PYTHONPATH")
+    if vend not in (prev or ""):
+        env["PYTHONPATH"] = vend + ((":" + prev) if prev else "")
+
+
+@query("q_stream_stateful_tws")
 def q_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same running totals on Spark 4's ``transformWithStateInPandas`` —
     the successor arbitrary-stateful API (typed state handles, timers,
@@ -521,15 +553,18 @@ def q_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     living on the JVM heap. Provider conf is pinned for the run and
     restored (it is locked in at stream start, like shuffle partitions).
 
-    NOT in the query registry: the TWS python runner needs
-    ``google.protobuf`` (its state-server protocol), which this sandbox
-    lacks — tests/test_stateful.py runs it when the dependency exists
-    (skip otherwise), the same honest env-gating as the Kafka/JDBC
-    transports."""
+    Registered rows-only (r12 verdict #6): emission timing is
+    batch-boundary-dependent under TWS's update mode, and the protobuf
+    dependency is satisfied at query time by ``_activate_pbshim`` —
+    self-contained, no sitecustomize wiring needed in the harness.
+    The oracled twin is ``q_stream_stateful`` (identical totals on the
+    GroupState API); tests/test_stateful.py pins TWS==GroupState
+    equivalence when the shim's runtime is present."""
     from mysql_cdc_to_http_spark.streaming.stateful import (
         running_user_totals_tws,
     )
 
+    _activate_pbshim(spark)
     ev = _stream_events(spark, sf_dir).select("user_id", "value")
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
@@ -1381,3 +1416,55 @@ def q_stream_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "mem_ss_join_full", "append", state_partitions=4).orderBy(
         F.col("left_id").asc_nulls_last(), F.col("right_id").asc_nulls_first()
     )
+
+
+# --------------------------------------------------------------------------
+# X288 — streaming fixed-bin value histogram: per (1-hour tumbling
+# window, value bin of width 50) event counts — the windowed
+# latency/value-distribution monitor a streaming deployment runs
+# (X177's batch latency histogram, lifted onto the stream). Complete
+# mode == batch semantics, so the DuckDB oracle applies directly; bin
+# assignment goes through explicit floor() on BOTH engines (DuckDB
+# CAST(double AS BIGINT) rounds while Spark truncates — the
+# q_mutual_info lesson).
+# --------------------------------------------------------------------------
+@query(
+    "q_stream_histogram",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           CAST(floor(value / 50.0) AS BIGINT) * 50 AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2, 3 ORDER BY win_start, bin
+    """,
+)
+def q_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X288 — windowed value histogram on the replayed stream.
+
+    Exactness: bin = floor(value/50) is the same double→floor on both
+    engines (value is 2-dp, never landing on a bin boundary ulp);
+    counts are integers. Scale shape: streaming state is one counter
+    per (window, bin) — bins are value-range-bounded and windows are
+    time-bounded, so state is O(windows × bins) regardless of event
+    volume; with a watermark the windows close and state stays flat
+    (the complete-mode form here keeps the oracle exact). The
+    aggregation is the same two-phase partial count as any streaming
+    groupBy."""
+    ev = _stream_events(spark, sf_dir)
+    bin_col = F.floor(F.col("value") / F.lit(50.0)).cast("long")
+    agg = (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            bin_col.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "bin",
+            (F.col("bin") * 50).cast("long").alias("bin_lo"),
+            "n",
+        )
+    )
+    out = _run_to_memory(agg, "mem_stream_hist", "complete")
+    return out.orderBy("win_start", "bin")

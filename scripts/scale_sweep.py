@@ -1,8 +1,15 @@
 #!/usr/bin/env python
-"""100x row-scaling sweep: time named queries at sf0.001 and sf0.1
+"""100x row-scaling sweep: time named queries at two scale factors
 (min-of-2, local[32], clean session) and print a SCALE.md-ready table.
 
     python scripts/scale_sweep.py q_cms_freq q_record_linkage ...
+
+Default window is sf0.001 -> sf0.1. Override either endpoint to run a
+decade-shifted window (e.g. the round-13 sf0.01 -> sf1 sweep over the
+locally generated sf1 from scripts/gen_sf1.py):
+
+    SWEEP_LO=/root/testdata/sf0.01 SWEEP_HI=/root/repo/localdata/sf1 \
+        python scripts/scale_sweep.py q_char_lid ...
 """
 
 from __future__ import annotations
@@ -40,10 +47,12 @@ def main() -> int:
             best = min(best, time.time() - t0)
         return best
 
+    lo = os.environ.get("SWEEP_LO", "/root/testdata/sf0.001")
+    hi = os.environ.get("SWEEP_HI", "/root/testdata/sf0.1")
     rows = []
     for n in names:
-        a = run(n, "/root/testdata/sf0.001")
-        b = run(n, "/root/testdata/sf0.1")
+        a = run(n, lo)
+        b = run(n, hi)
         rows.append((n, a, b, b / a))
         print(f"| {n} | {a:.2f} | {b:.2f} | {b/a:.2f} |", flush=True)
     return 0

@@ -82,6 +82,17 @@ def test_docs_inventory_sync():
         assert name in surv, f"{name} missing from SURVEY.md §2"
     documented = set(re.findall(r"`(q_[a-z0-9_]+)`", cov + surv))
     renamed = {"q_scan_parquet", "q_window_frames", "q_quality_score"}
-    unregistered_by_design = {"q_stream_stateful_tws"}
-    ghosts = documented - set(QUERIES) - renamed - unregistered_by_design
+    ghosts = documented - set(QUERIES) - renamed
     assert not ghosts, f"documented but not registered: {sorted(ghosts)}"
+
+    # Literal inventory counts (r12 verdict #3): name membership alone
+    # let "(N queries, M oracled)" rot silently in both docs — pin the
+    # leading counts to the live registry so adding a query without
+    # bumping the docs fails here.
+    readme = (root / "README.md").read_text()
+    want = f"({len(QUERIES)} queries, {len(ORACLES)} oracled"
+    assert want in readme, f"README.md inventory count != {want}"
+    cov_head = f"({len(QUERIES)} queries, {len(ORACLES)} oracled"
+    assert cov_head in cov.split("\n\n")[1], (
+        f"COVERAGE.md family-index count != {cov_head}"
+    )
