@@ -7029,3 +7029,185 @@ def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 1
         ).alias("balanced"),
     ).orderBy("lang", "fold")
+
+
+# --------------------------------------------------------------------------
+# X285 — IVF probe sweep: recall@3 vs scan cost at nprobe ∈ {1, 2, 4}
+# against the exact brute-force truth — the tuning curve an ANN
+# deployment reads to pick its operating point (X233 calibrates LSH
+# bands the same way; this is the IVF side). Probe selection, bucket
+# assignment, and candidate ranking reuse the X45 oracle-certified
+# formulas (round-6 cosine, centroid-id tie-breaks), so the whole
+# curve — probe sets, scanned-row counts, recall — hash-matches.
+# --------------------------------------------------------------------------
+_IVF_SWEEP_NPROBES = (1, 2, 4)
+
+
+def _ivf_sweep_oracle() -> str:
+    base = """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id >= 10),
+    nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY corpus_id) - 1 AS cid, cv
+      FROM c ORDER BY corpus_id LIMIT 16
+    ),
+    bucketed AS (
+      SELECT c2.corpus_id, c2.cv,
+             (SELECT cid FROM (
+                SELECT cid, list_cosine_similarity(c2.cv, cents.cv) AS s
+                FROM cents
+              ) ORDER BY s DESC, cid LIMIT 1) AS bucket
+      FROM c c2
+    ),
+    bsize AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n
+      FROM bucketed GROUP BY bucket
+    ),
+    truth AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT q.query_id, c.corpus_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6)
+                          DESC, c.corpus_id) AS rank
+        FROM q CROSS JOIN c
+      ) WHERE rank <= 3
+    ),
+    prank AS (
+      SELECT q.query_id, cents.cid AS bucket,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(q.qv, cents.cv), 6)
+                        DESC, cents.cid) AS pr
+      FROM q CROSS JOIN cents
+    )"""
+    blocks = []
+    selects = []
+    for np_ in _IVF_SWEEP_NPROBES:
+        blocks.append(f"""
+    ranked_{np_} AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT p.query_id, b.corpus_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, b.cv), 6)
+                          DESC, b.corpus_id) AS rank
+        FROM prank p
+        JOIN bucketed b ON b.bucket = p.bucket AND p.pr <= {np_}
+        JOIN q USING (query_id)
+      ) WHERE rank <= 3
+    ),
+    agg_{np_} AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM ranked_{np_} r
+         JOIN truth t ON t.query_id = r.query_id
+                     AND t.corpus_id = r.corpus_id) AS hits,
+        (SELECT CAST(SUM(b.n) AS BIGINT) FROM prank p
+         JOIN bsize b ON b.bucket = p.bucket
+         WHERE p.pr <= {np_}) AS scanned_rows
+    )""")
+        selects.append(
+            f"SELECT {np_} AS nprobe, nq.n AS n_queries, a.hits,"
+            f" CAST(a.hits * 1000000 // (nq.n * 3) AS BIGINT)"
+            f" AS recall_micro, a.scanned_rows"
+            f" FROM agg_{np_} a, nq"
+        )
+    return (
+        base
+        + ","
+        + ",".join(blocks)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY nprobe"
+    )
+
+
+@query("q_ivf_probe_sweep", oracle=_ivf_sweep_oracle())
+def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X285 — IVF operating-point curve: per nprobe, exact hits
+    against brute-force truth, mean recall@3 in micro-units, and the
+    total candidate rows the probe set scans.
+
+    Exactness: probe sets and rankings use the X45-certified rounded
+    cosine + id tie-breaks; hits/scanned are integer joins/sums; the
+    recall is one truncated micro division. Scale shape: truth is the
+    X38 broadcast scorer (queries broadcast, corpus streamed — the
+    audit's cost, not the production path's); each sweep point is a
+    probe-pruned scan exactly like X45, and the per-point aggregates
+    are 1-row frames crossed and unioned (3 points — sweep size is a
+    constant, never data-sized). The scanned_rows column IS the cost
+    model: at production scale you read this table to pick nprobe,
+    not rerun the sweep."""
+    from mysql_cdc_to_http_spark.operators.similarity import (
+        as_double,
+        cosine,
+    )
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    centroids = sample_centroids(corpus, n_centroids=16)
+    bucketed = assign_buckets(corpus, centroids)
+    truth = cosine_topk_bruteforce(queries, corpus, k=3).select(
+        "query_id", "corpus_id"
+    )
+    bsize = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cents_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(centroids)],
+        "cid int, cv array<double>",
+    )
+    qd = queries.select(
+        F.col("vec_id").alias("query_id"),
+        as_double("embedding").alias("qv"),
+    )
+    nq = qd.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    prank = (
+        qd.crossJoin(F.broadcast(cents_df))
+        .select(
+            "query_id",
+            F.col("cid").alias("bucket"),
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("s"),
+        )
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.desc("s"), F.asc("bucket")
+                )
+            ),
+        )
+    )
+    out = None
+    for np_ in _IVF_SWEEP_NPROBES:
+        ivf = ivf_topk(
+            queries, bucketed, centroids, k=3, nprobe=np_
+        ).select("query_id", "corpus_id")
+        hits = ivf.join(truth, ["query_id", "corpus_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("hits")
+        )
+        scanned = (
+            prank.filter(F.col("pr") <= np_)
+            .join(bsize, "bucket")
+            .agg(F.sum("n").cast("long").alias("scanned_rows"))
+        )
+        point = (
+            hits.crossJoin(scanned)
+            .crossJoin(nq)
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "n_queries",
+                "hits",
+                F.expr(
+                    "CAST(hits * 1000000 div (n_queries * 3) AS BIGINT)"
+                ).alias("recall_micro"),
+                "scanned_rows",
+            )
+        )
+        out = point if out is None else out.unionByName(point)
+    return out.orderBy("nprobe")
