@@ -1548,18 +1548,18 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated integer micro-unit division. Every column hashes
     identically cross-engine.
 
-    Scale shape (r13 rewrite, measured on the sf0.01→sf1 decade): ONE
-    fact-sized shuffle — the gram-keyed min. A doc's grams all carry
-    first_doc <= doc_id, so they split exactly into new (first_doc ==
-    doc_id) and seen (first_doc < doc_id): n_seen = n_grams - n_new,
-    where n_grams is a ROW-LOCAL array size (never exploded) and n_new
-    is firsts re-keyed by its own first_doc — a vocabulary-sized agg
-    whose output is doc-count-sized. The old form joined the exploded
-    fact back to firsts on gram hash (a second fact-sized exchange);
-    this one moves each distinct gram hash through the cluster once.
-    The first-occurrence table is vocabulary-of-5-grams-sized; Heaps'
-    law keeps it sublinear in the corpus, and a production run would
-    df-cap it exactly like X224's stop-grams."""
+    Scale shape: two shuffles — (doc, gram-hash) distinct + the
+    gram-keyed min — both on fixed-width longs; the join back rides the
+    same gram-hash partitioning. A round-13 decade measurement
+    (sf0.01→sf1) pinned this FORM as the fast one: an attempted
+    rewrite that split n_seen into n_grams − n_new (counting firsts
+    re-keyed by first_doc, to "save" the join-back) ran 2× slower at
+    sf1 — it added a vocabulary-sized re-shuffle and a second gram
+    build for the row-local count branch, while this form's join
+    consumes the already-built gram stream. The first-occurrence
+    table is vocabulary-of-5-grams-sized; Heaps' law keeps it
+    sublinear in the corpus, and a production run would df-cap it
+    exactly like X224's stop-grams."""
     from mysql_cdc_to_http_spark.operators.curation import (
         tokenize,
         word_ngrams_from_tokens,
@@ -1568,17 +1568,13 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
     # distinctness is WITHIN a doc, and a doc's grams live on one row —
-    # array_distinct keeps the dedup a row-local projection instead of
-    # a fact-sized (doc, gram) shuffle.
-    per_doc = toks.select(
+    # array_distinct before the explode makes the dedup a row-local
+    # projection instead of a fact-sized (doc, gram) shuffle.
+    grams = toks.select(
         "doc_id",
-        F.array_distinct(word_ngrams_from_tokens(F.col("t"), 5)).alias(
-            "gs"
-        ),
-    )
-    grams = per_doc.select(
-        "doc_id",
-        F.explode("gs").alias("g"),
+        F.explode(
+            F.array_distinct(word_ngrams_from_tokens(F.col("t"), 5))
+        ).alias("g"),
     ).select(
         "doc_id",
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
@@ -1586,22 +1582,19 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("h"),
     )
     firsts = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
-    n_new = firsts.groupBy("first_doc").agg(
-        F.count(F.lit(1)).cast("long").alias("n_new")
-    )
     return (
-        per_doc.select(
-            "doc_id", F.size("gs").cast("long").alias("n_grams")
-        )
-        .join(n_new, per_doc.doc_id == n_new.first_doc, "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            (F.col("n_grams") - F.coalesce(F.col("n_new"), F.lit(0)))
+        grams.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+            )
             .cast("long")
             .alias("n_seen"),
             F.expr(
-                "CAST(coalesce(n_new, 0) * 1000000 div n_grams AS BIGINT)"
+                "CAST((count(1) - sum(CASE WHEN first_doc < doc_id THEN 1"
+                " ELSE 0 END)) * 1000000 div count(1) AS BIGINT)"
             ).alias("novelty_micro"),
         )
         .orderBy("doc_id")
