@@ -173,7 +173,7 @@ def q_update_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "offset_id",
         F.col("before_price").alias("before_price"),
         F.col("after_price").alias("after_price"),
-    ).orderBy("offset_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -230,7 +230,7 @@ def q_type_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return coerced.withColumn(
         "dec_compat", coercion.decimal_value(F.col("dec_compat"), compat=True)
-    ).orderBy("probe_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -257,7 +257,7 @@ def q_base64_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         coercion.decode_base64_text(
             F.base64(F.col("c_mktsegment").cast("binary"))
         ).alias("seg_rt"),
-    ).orderBy("c_custkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -321,7 +321,7 @@ def q_scalar_coercions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("dec_exact"),
         coercion.decimal_value(dec, compat=True).alias("dec_compat"),
-    ).orderBy("o_orderkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -349,7 +349,7 @@ def q_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("before.o_totalprice").alias("before_price"),
         F.col("after.o_totalprice").alias("after_price"),
         "ts_ms",
-    ).orderBy("offset_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -417,7 +417,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j.source.table").alias("tbl_j"),
         F.col("j.after.o_totalprice").alias("after_price_j"),
         extract_table_name(F.col("p_maybe_broken")).alias("tbl_extracted"),
-    ).orderBy("offset_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -533,7 +533,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old, new = _diff_snapshots(spark, sf_dir)
     return snapshot_diff(
         old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
-    ).orderBy("o_orderkey")
+    )
 
 
 # --------------------------------------------------------------------------

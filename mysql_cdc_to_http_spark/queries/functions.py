@@ -51,7 +51,7 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
         F.regexp_replace("p_name", " ", "_").alias("name_snake"),
         F.split("p_name", " ").getItem(0).alias("word0"),
-    ).orderBy("p_partkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -82,7 +82,7 @@ def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("p_name", " ").alias("space_pos"),
         F.substring("p_name", 1, 3).alias("name_l3"),
         F.col("p_name").substr(F.length("p_name") - 2, F.lit(3)).alias("name_r3"),
-    ).orderBy("p_partkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -123,7 +123,7 @@ def q_fn_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.bitwiseXOR(F.lit(12345)).alias("key_xor"),
         F.shiftleft(k, 2).alias("key_shl"),
         F.shiftright(k, 3).alias("key_shr"),
-    ).orderBy("o_orderkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -160,7 +160,7 @@ def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "o_orderdate").alias("order_month"),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
         F.to_date("o_orderdate").alias("order_date"),
-    ).orderBy("o_orderkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -189,7 +189,7 @@ def q_fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day("o_orderdate").alias("month_end"),
         F.add_months("o_orderdate", 3).alias("plus3mo"),
         F.date_sub(F.to_date("o_orderdate"), 90).alias("minus90d"),
-    ).orderBy("o_orderkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -229,7 +229,7 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("price_ln"),
         F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_pmod"),
         F.signum(F.col("l_quantity") - 25.0).alias("qty_sign"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -354,7 +354,7 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("bigint").alias("k_long"),
         F.array_join(F.array_sort(F.map_keys(props_map)), ",").alias("keys_csv"),
         F.size(F.map_keys(props_map)).alias("n_keys"),
-    ).orderBy("event_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -536,7 +536,7 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CASE WHEN event_id % 4 < 2 THEN CAST(event_id % 4 AS INT) + 1"
             " ELSE 99 END)"
         ).alias("elem_soft"),
-    ).orderBy("event_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -596,7 +596,7 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority"),
         ).alias("packed"),
         F.size(merged).alias("n_merged"),
-    ).orderBy("o_orderkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -650,5 +650,5 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("o_orderkey", key).alias("priciest_order"),
             F.min(key).getField("o_totalprice").alias("min_price"),
         )
-        .orderBy("o_custkey")
+        
     )

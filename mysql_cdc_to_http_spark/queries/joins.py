@@ -203,7 +203,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         "event_id", F.col("click_ts").alias("last_click_ts")
-    ).orderBy("event_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -264,7 +264,7 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         "event_id", F.col("click_ts").alias("last_click_ts")
-    ).orderBy("event_id")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -550,9 +550,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_stream_* discipline; at real scale keep AQE on and size the
     # width to the signature volume instead — this is the toy-scale
     # end of the same knob, set per-fold batch not per-cluster).
+    # r13 profile (verdict #7): fold1 ~2.2 s + fold2 ~3.2 s of real
+    # single-execution work (banding join, verify, state swap write);
+    # the conf toggle itself costs ~0.1 s, NOT the suspected >=1 s.
+    # Width swept 8/4/2/1 at sf0.1: 2 is the floor (~3.9-4.2 s total;
+    # 1 serializes the verify, 8 pays empty-task scheduling).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         out1 = incremental_dedup(

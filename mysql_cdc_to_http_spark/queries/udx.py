@@ -108,7 +108,6 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT s.p_partkey, s.pos, s.word
         FROM part_v, LATERAL word_split(p_partkey, p_name) s
-        ORDER BY s.p_partkey, s.pos
         """
     )
 

@@ -94,7 +94,7 @@ def q_window_lag_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(running), 2).alias("running_sum"),
         F.round(F.avg("value").over(moving), 4).alias("moving_avg"),
         F.count(F.lit(1)).over(moving).alias("frame_n"),
-    ).orderBy("event_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -138,6 +138,5 @@ def q_window_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
                                AND CURRENT ROW)
-        ORDER BY event_id
         """
     )

@@ -1279,3 +1279,26 @@ def test_round12_queries_lint_clean(spark, sf_dir, name):
         if i.severity == "error"
     ]
     assert issues == [], (name, issues)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_zipf_fit",
+        "q_dp_histogram",
+        "q_mattr",
+        "q_holt_winters",
+        "q_ivf_probe_sweep",
+        "q_toxicity_lexicon",
+        "q_stratified_kfold",
+        "q_stream_histogram",
+    ],
+)
+def test_round13_queries_lint_clean(spark, sf_dir, name):
+    """Round-13 additions: no error-severity plan issues."""
+    issues = [
+        i
+        for i in lint_plan(QUERIES[name](spark, sf_dir))
+        if i.severity == "error"
+    ]
+    assert issues == [], (name, issues)

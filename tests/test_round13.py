@@ -90,3 +90,204 @@ def test_krippendorff_advisor_example(spark, tmp_path):
     assert r["disagreement_pairs"] == 8
     # -1/9 in micro-units, truncated division: 1e6 - 40e6//36
     assert r["alpha_micro"] == 1_000_000 - (8 * 5 * 1_000_000) // 36
+
+
+# ---------------------------------------------------------------------------
+# Round-13 operator semantics (X281-X288): planted fixtures pin the
+# claims the DuckDB oracles can't state (the oracle mirrors the
+# formula; these pin that the formula measures what it says).
+# ---------------------------------------------------------------------------
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value)"""
+    df = spark.createDataFrame(
+        [(i, ts, u, et, v, "{}") for i, ts, u, et, v in rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", __import__("pyspark").sql.functions.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_zipf_slope_separates_power_law_from_uniform(spark, tmp_path):
+    """X281: a corpus with freq(word_i) ~ 1/i fits slope near -1 (in
+    micro-units) with high R2; a perfectly uniform corpus fits slope
+    ~0. The slope column is the power-law detector it claims to be."""
+    zipf_words = []
+    for i in range(1, 21):
+        zipf_words += [f"w{i:02d}"] * (240 // i)
+    uni_words = [f"u{i:02d}" for i in range(1, 21)] * 12
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, " ".join(zipf_words), "zz"), (2, " ".join(uni_words), "uu")],
+    )
+    rows = {
+        r["lang"]: r for r in QUERIES["q_zipf_fit"](spark, sf).collect()
+    }
+    z, u = rows["zz"], rows["uu"]
+    assert -1_300_000 < z["slope_micro"] < -700_000, z
+    assert z["r2_bp"] > 9500, z
+    assert u["slope_micro"] == 0, u
+
+
+def test_dp_histogram_noise_matches_mechanism(spark, tmp_path):
+    """X282: the per-cell noise equals the inverse-CDF Laplace draw
+    recomputed independently in Python from the same salted md5 —
+    the release is the published mechanism, derandomized."""
+    import hashlib
+    import math
+
+    sf = _write_docs(
+        spark, tmp_path, [(i, "hello world", "en") for i in range(10)]
+    )
+    rows = QUERIES["q_dp_histogram"](spark, sf).collect()
+    assert {r["eps_milli"] for r in rows} == {500, 1000, 2000}
+    for r in rows:
+        assert r["true_count"] == 10
+        h = int(
+            hashlib.md5(
+                f"en|{r['eps_milli']}|dp-v1".encode()
+            ).hexdigest()[:15],
+            16,
+        )
+        uh = float(h) / 1152921504606846976.0 - 0.5
+        lap = (
+            -(1000.0 / r["eps_milli"])
+            * (1.0 if uh >= 0 else -1.0)
+            * math.log(1.0 - 2.0 * abs(uh))
+        )
+        assert r["noisy_micro"] == 10 * 1_000_000 + round(lap * 1_000_000)
+
+
+def test_mattr_is_length_invariant(spark, tmp_path):
+    """X283: a 10-word cycle has exactly 10 distinct types in every
+    25-token window, so MATTR = 0.4 at ANY length — while plain TTR
+    would shrink from 10/50 to 10/200. The length confound is gone."""
+    cycle = [f"c{i}" for i in range(10)]
+    short = " ".join(cycle * 5)  # 50 tokens
+    long = " ".join(cycle * 20)  # 200 tokens
+    sf = _write_docs(
+        spark, tmp_path, [(1, short, "en"), (2, long, "en")]
+    )
+    rows = {
+        r["doc_id"]: r for r in QUERIES["q_mattr"](spark, sf).collect()
+    }
+    assert rows[1]["mattr_micro"] == 400_000
+    assert rows[2]["mattr_micro"] == 400_000
+    assert rows[2]["n_windows"] == 176
+
+
+def test_holt_winters_matches_fraction_fold(spark, tmp_path):
+    """X284: the engine's dyadic integer recurrence equals an
+    independent exact Fraction fold of the textbook Holt equations."""
+    from fractions import Fraction
+
+    vals = [100.00, 180.00, 290.00, 370.00, 520.00]
+    rows = [
+        (i, f"2024-01-0{i + 1} 12:00:00", 1, "click", vals[i])
+        for i in range(5)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = QUERIES["q_holt_winters"](spark, sf).collect()
+    assert len(r) == 1 and r[0]["n_days"] == 5
+    cents = [round(v * 100) for v in vals]
+    l, b = Fraction(cents[0]), Fraction(0)
+    for y in cents[1:]:
+        l_new = (y + l + b) / 2
+        b = (l_new - l + b) / 2
+        l = l_new
+    def trunc(fr):
+        return int(fr) if fr >= 0 else -int(-fr)
+    assert r[0]["level_cents"] == trunc(l)
+    assert r[0]["trend_cents"] == trunc(b)
+    assert r[0]["forecast7_cents"] == trunc(l + 7 * b)
+
+
+def test_stratified_kfold_exact_balance(spark, tmp_path):
+    """X287: lang with 7 docs splits 2/2/1/1/1 across 5 folds; lang
+    with 5 docs splits 1/1/1/1/1 — and the audit column says so."""
+    docs = [(i, f"text {i}", "aa") for i in range(7)]
+    docs += [(100 + i, f"text {i}", "bb") for i in range(5)]
+    sf = _write_docs(spark, tmp_path, docs)
+    rows = QUERIES["q_stratified_kfold"](spark, sf).collect()
+    aa = sorted(r["n_docs"] for r in rows if r["lang"] == "aa")
+    bb = sorted(r["n_docs"] for r in rows if r["lang"] == "bb")
+    assert aa == [1, 1, 1, 2, 2]
+    assert bb == [1, 1, 1, 1, 1]
+    assert all(r["balanced"] for r in rows)
+
+
+def test_toxicity_lexicon_gates_on_rate_not_count(spark, tmp_path):
+    """X286: one 'dup' in 10 tokens (10%) flags; one 'dup' in 100
+    tokens (1%) does not — the gate is a rate, so long docs are not
+    over-flagged."""
+    short = "dup " + " ".join(f"x{i}" for i in range(9))
+    long = "dup " + " ".join(f"y{i}" for i in range(99))
+    sf = _write_docs(
+        spark, tmp_path, [(1, short, "en"), (2, long, "en")]
+    )
+    rows = {
+        r["category"]: r
+        for r in QUERIES["q_toxicity_lexicon"](spark, sf).collect()
+    }
+    dup = rows["duplication"]
+    assert dup["total_hits"] == 2
+    assert dup["n_flagged"] == 1
+    assert dup["flagged_share_micro"] == 500_000
+
+
+def test_ivf_probe_sweep_monotone_and_exhaustive_floor(spark):
+    """X285: recall and scanned rows are nondecreasing in nprobe, and
+    every sweep point scans at most the whole corpus (the brute-force
+    ceiling the curve is measured against)."""
+    rows = QUERIES["q_ivf_probe_sweep"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_np = {r["nprobe"]: r for r in rows}
+    assert list(by_np) == [1, 2, 4]
+    corpus_n = 500 - 10
+    prev_recall, prev_scanned = -1, -1
+    for np_ in (1, 2, 4):
+        r = by_np[np_]
+        assert r["recall_micro"] >= prev_recall
+        assert r["scanned_rows"] >= prev_scanned
+        assert r["scanned_rows"] <= r["n_queries"] * corpus_n
+        prev_recall, prev_scanned = r["recall_micro"], r["scanned_rows"]
+
+
+def test_stream_histogram_equals_batch(spark):
+    """X288: complete-mode streaming histogram == the same batch
+    aggregate (stream==batch, asserted Spark-vs-Spark locally on top
+    of the DuckDB oracle parity)."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_to_http_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["win_start"], r["bin"], r["bin_lo"], r["n"])
+        for r in QUERIES["q_stream_histogram"](spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    want = {
+        (r["win_start"], r["bin"], r["bin_lo"], r["n"])
+        for r in ev.groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            F.floor(F.col("value") / F.lit(50.0))
+            .cast("long")
+            .alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "bin",
+            (F.col("bin") * 50).cast("long").alias("bin_lo"),
+            "n",
+        )
+        .collect()
+    }
+    assert got == want
