@@ -3906,3 +3906,224 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (abs(st.p + 7 * st.q) div st.s) AS BIGINT)"
         ).alias("forecast7_cents"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# X290 — Hill tail-index estimator: alpha-hat = k / Σ_{i<=k} (ln x_(i)
+# − ln x_(k+1)) over the top-k order statistics per event type — THE
+# standard heavy-tail exponent estimate (is this value distribution
+# power-law? how heavy?), the value-domain twin of X281's Zipf slope.
+# ln values quantized to micro per ORDER STATISTIC (one libm call
+# each, round absorbs ulps), so the estimator is exact integer
+# arithmetic after that.
+# --------------------------------------------------------------------------
+_HILL_K = 100
+
+
+@query(
+    "q_hill_tail",
+    oracle=rf"""
+    WITH pos AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS r
+      FROM events WHERE value > 0
+    ),
+    top AS (
+      SELECT event_type,
+             CAST(round(ln(value) * 1000000) AS BIGINT) AS l, r
+      FROM pos WHERE r <= {_HILL_K} + 1
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN r <= {_HILL_K} THEN l ELSE 0 END)
+                  AS BIGINT) AS sum_l,
+             CAST(MAX(CASE WHEN r = {_HILL_K} + 1 THEN l END)
+                  AS BIGINT) AS l_k1,
+             CAST(COUNT(*) AS BIGINT) AS n_top
+      FROM top GROUP BY event_type
+    )
+    SELECT event_type, n_top, l_k1 AS ln_xk1_micro,
+           CAST((sum_l - {_HILL_K} * l_k1) // {_HILL_K} AS BIGINT)
+             AS alpha_inv_micro,
+           CAST(CASE WHEN sum_l - {_HILL_K} * l_k1 > 0 THEN
+                ({_HILL_K} * 1000000000000)
+                // (sum_l - {_HILL_K} * l_k1) END AS BIGINT)
+             AS alpha_micro
+    FROM agg WHERE n_top = {_HILL_K} + 1
+    ORDER BY event_type
+    """,
+)
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X290 — Hill heavy-tail exponent per event type (k=100).
+
+    Exactness: order statistics rank on (value desc, event_id) — a
+    total order identical cross-engine; each ln is quantized to micro
+    per value; the estimator is integer sums and two truncated
+    divisions (operands non-negative: x_(i) >= x_(k+1) implies
+    l_i >= l_k1 after identical rounding). Groups lacking k+1
+    positive values are dropped (estimator undefined). Scale shape:
+    the rank window is the X20-class per-group top-k (heap semantics,
+    never a global sort — plan-linted); everything after touches
+    k+1 rows per group. k is an absolute constant — the published
+    estimator's knob — so per-group work is flat at any corpus
+    size."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    k = _HILL_K
+    pos = ev.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(
+            W.partitionBy("event_type").orderBy(
+                F.desc("value"), F.asc("event_id")
+            )
+        )
+        .alias("r"),
+    ).filter(F.col("r") <= k + 1)
+    top = pos.select(
+        "event_type",
+        F.round(F.log("value") * 1000000).cast("long").alias("l"),
+        "r",
+    )
+    agg = top.groupBy("event_type").agg(
+        F.sum(F.when(F.col("r") <= k, F.col("l")).otherwise(0))
+        .cast("long")
+        .alias("sum_l"),
+        F.max(F.when(F.col("r") == k + 1, F.col("l")))
+        .cast("long")
+        .alias("l_k1"),
+        F.count(F.lit(1)).cast("long").alias("n_top"),
+    )
+    return (
+        agg.filter(F.col("n_top") == k + 1)
+        .select(
+            "event_type",
+            "n_top",
+            F.col("l_k1").alias("ln_xk1_micro"),
+            F.expr(
+                f"CAST((sum_l - {k} * l_k1) div {k} AS BIGINT)"
+            ).alias("alpha_inv_micro"),
+            F.expr(
+                f"CAST(CASE WHEN sum_l - {k} * l_k1 > 0 THEN"
+                f" ({k} * 1000000000000) div (sum_l - {k} * l_k1)"
+                f" END AS BIGINT)"
+            ).alias("alpha_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# X291 — exact two-sample Kolmogorov-Smirnov test: D = max |F1 − F2|
+# over the pooled distinct values, computed entirely in
+# cross-multiplied integers (|c1·n2 − c2·n1|, never a float CDF) —
+# the distribution-drift test that needs no binning choice, next to
+# X106's binned PSI. The 95% significance gate is the classic
+# c(0.05) = 1.358 threshold, compared with both sides squared so the
+# sqrt never materializes.
+# --------------------------------------------------------------------------
+@query(
+    "q_ks_test",
+    oracle="""
+    WITH a AS (SELECT value FROM events WHERE event_type = 'click'),
+    b AS (SELECT value FROM events WHERE event_type = 'error'),
+    n AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n1,
+             (SELECT CAST(count(*) AS BIGINT) FROM b) AS n2
+    ),
+    pooled AS (
+      SELECT value,
+             CAST(SUM(c1) AS BIGINT) AS c1, CAST(SUM(c2) AS BIGINT) AS c2
+      FROM (
+        SELECT value, 1 AS c1, 0 AS c2 FROM a
+        UNION ALL
+        SELECT value, 0 AS c1, 1 AS c2 FROM b
+      ) GROUP BY value
+    ),
+    cum AS (
+      SELECT SUM(c1) OVER (ORDER BY value) AS f1,
+             SUM(c2) OVER (ORDER BY value) AS f2
+      FROM pooled
+    ),
+    d AS (
+      SELECT CAST(MAX(abs(f1 * n.n2 - f2 * n.n1)) AS HUGEINT) AS d_num
+      FROM cum, n
+    )
+    SELECT n.n1, n.n2, CAST(d.d_num AS BIGINT) AS d_num,
+           CAST(d.d_num * 1000000
+                // (CAST(n.n1 AS HUGEINT) * n.n2) AS BIGINT)
+             AS ks_micro,
+           d.d_num * d.d_num * 1000000 >
+             CAST(1844164 AS HUGEINT) * (n.n1 + n.n2) * n.n1 * n.n2
+             AS reject_95
+    FROM d, n
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X291 — exact two-sample KS (click vs error value samples).
+
+    Exactness: the empirical CDFs never become floats — the gap is
+    |f1·n2 − f2·n1| over cumulative integer counts at each pooled
+    distinct value, and the 95% gate squares both sides of
+    D > 1.358·sqrt((n1+n2)/(n1·n2)) into pure integers (HUGEINT /
+    DECIMAL(38) — peaks ~1e23 at 100× this corpus). Scale shape: one
+    value-keyed aggregate (map-side partials collapse duplicates),
+    then a cumulative window over DISTINCT values — bounded by value
+    cardinality (2-dp readings here; at true continuous scale,
+    pre-round values to measurement precision and the window input
+    stays quantization-bounded, the X177 histogram discipline), then
+    a 1-row max."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("value")
+    b = ev.filter(F.col("event_type") == "error").select("value")
+    pooled = (
+        a.select("value", F.lit(1).alias("c1"), F.lit(0).alias("c2"))
+        .unionAll(
+            b.select(
+                "value", F.lit(0).alias("c1"), F.lit(1).alias("c2")
+            )
+        )
+        .groupBy("value")
+        .agg(
+            F.sum("c1").cast("long").alias("c1"),
+            F.sum("c2").cast("long").alias("c2"),
+        )
+    )
+    cum = pooled.select(
+        F.sum("c1").over(W.orderBy("value")).alias("f1"),
+        F.sum("c2").over(W.orderBy("value")).alias("f2"),
+    )
+    n = (
+        pooled.agg(
+            F.sum("c1").cast("long").alias("n1"),
+            F.sum("c2").cast("long").alias("n2"),
+        )
+    )
+    d = cum.crossJoin(F.broadcast(n)).agg(
+        F.max(
+            F.abs(
+                F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("d_num")
+    )
+    return d.crossJoin(F.broadcast(n)).select(
+        "n1",
+        "n2",
+        F.col("d_num").cast("long").alias("d_num"),
+        F.expr(
+            "CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000"
+            " div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+        ).alias("ks_micro"),
+        F.expr(
+            "CAST(d_num AS DECIMAL(38,0)) * CAST(d_num AS DECIMAL(38,0))"
+            " * 1000000 > CAST(1844164 AS DECIMAL(38,0))"
+            " * (CAST(n1 AS DECIMAL(38,0)) + n2) * n1 * n2"
+        ).alias("reject_95"),
+    )

@@ -7216,3 +7216,143 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = point if out is None else out.unionByName(point)
     return out.orderBy("nprobe")
+
+
+# --------------------------------------------------------------------------
+# X289 — nDCG@20: the graded-discount ranking metric X219's
+# recall/AP/MRR row lacks — THE number retrieval papers lead with.
+# Binary relevance (label agreement), discount 1/log2(rank+1)
+# quantized to an integer micro-gain PER POSITION (one log2 call per
+# rank, round absorbs libm ulps — the zipf/char-entropy rule), so
+# DCG and the ideal DCG are exact integer sums and nDCG is one
+# truncated micro division.
+# --------------------------------------------------------------------------
+@query(
+    "q_ndcg_eval",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label
+      FROM embeddings WHERE vec_id < 10
+    ),
+    ranked AS (
+      SELECT query_id, rnk, rel FROM (
+        SELECT q.query_id, c.vec_id AS corpus_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv,
+                            CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                          c.vec_id) AS rnk,
+               CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel
+        FROM embeddings c, q WHERE c.vec_id >= 10
+      ) WHERE rnk <= 20
+    ),
+    nrel AS (
+      SELECT q.query_id,
+             CAST(count(*) FILTER (c.label = q.label) AS BIGINT) AS n_rel
+      FROM q, embeddings c WHERE c.vec_id >= 10 GROUP BY q.query_id
+    ),
+    dcg AS (
+      SELECT query_id,
+             CAST(SUM(CASE WHEN rel = 1 THEN
+               CAST(round(1000000 / log2(rnk + 1)) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS dcg_micro
+      FROM ranked GROUP BY query_id
+    )
+    SELECT d.query_id, n.n_rel, d.dcg_micro,
+           CAST(CASE WHEN n.n_rel > 0 THEN
+             list_sum(list_transform(
+               range(1, CAST(least(n.n_rel, 20) AS INT) + 1),
+               i -> CAST(round(1000000 / log2(i + 1)) AS BIGINT)))
+             END AS BIGINT) AS idcg_micro,
+           CAST(CASE WHEN n.n_rel > 0 THEN
+             d.dcg_micro * 1000000 //
+             list_sum(list_transform(
+               range(1, CAST(least(n.n_rel, 20) AS INT) + 1),
+               i -> CAST(round(1000000 / log2(i + 1)) AS BIGINT)))
+             END AS BIGINT) AS ndcg_micro
+    FROM dcg d JOIN nrel n USING (query_id)
+    ORDER BY query_id
+    """,
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X289 — nDCG@20 per query over the X38 dense ranking.
+
+    Exactness: the ranking is the certified rounded-cosine order; the
+    per-position discount round(1e6/log2(rank+1)) is one libm call on
+    a small-integer argument, identical after rounding in both
+    engines; DCG/IDCG are integer sums and nDCG one truncated micro
+    division. Scale shape: the scorer is the audited broadcast plan;
+    the metric layer touches k rows per query, the ideal-DCG is a
+    row-local fold over a ≤20-element sequence, and n_rel is the same
+    label-sized aggregate X219 broadcasts."""
+    from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    qlab = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    clab = corpus.select(
+        F.col("vec_id").alias("corpus_id"), F.col("label").alias("clabel")
+    )
+    ranked = (
+        cosine_topk_bruteforce(queries, corpus, k=20)
+        .join(F.broadcast(qlab), "query_id")
+        .join(clab, "corpus_id")
+        .select(
+            "query_id",
+            F.col("rank").alias("rnk"),
+            F.when(F.col("clabel") == F.col("qlabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    dcg = ranked.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.round(F.lit(1000000) / F.log2(F.col("rnk") + 1)).cast(
+                    "long"
+                ),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("dcg_micro")
+    )
+    nrel = (
+        corpus.select(F.col("label").alias("clabel"))
+        .groupBy("clabel")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lab"))
+    )
+    nrel_q = qlab.join(
+        F.broadcast(nrel), qlab.qlabel == nrel.clabel, "left"
+    ).select(
+        "query_id", F.coalesce("n_lab", F.lit(0)).alias("n_rel")
+    )
+    idcg = F.expr(
+        "aggregate(sequence(1, CAST(least(n_rel, 20) AS INT)), 0L,"
+        " (a, i) -> a + CAST(round(1000000 / log2(i + 1)) AS BIGINT))"
+    )
+    return (
+        dcg.join(nrel_q, "query_id")
+        .select(
+            "query_id",
+            "n_rel",
+            "dcg_micro",
+            F.when(F.col("n_rel") > 0, idcg)
+            .cast("long")
+            .alias("idcg_micro"),
+            F.expr(
+                "CAST(CASE WHEN n_rel > 0 THEN dcg_micro * 1000000 div"
+                " aggregate(sequence(1, CAST(least(n_rel, 20) AS INT)),"
+                " 0L, (a, i) -> a + CAST(round(1000000 / log2(i + 1))"
+                " AS BIGINT)) END AS BIGINT)"
+            ).alias("ndcg_micro"),
+        )
+        .orderBy("query_id")
+    )

@@ -1292,6 +1292,9 @@ def test_round12_queries_lint_clean(spark, sf_dir, name):
         "q_toxicity_lexicon",
         "q_stratified_kfold",
         "q_stream_histogram",
+        "q_ndcg_eval",
+        "q_hill_tail",
+        "q_ks_test",
     ],
 )
 def test_round13_queries_lint_clean(spark, sf_dir, name):

@@ -291,3 +291,83 @@ def test_stream_histogram_equals_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_ndcg_perfect_vs_degraded_ranking(spark, tmp_path):
+    """X289: a query whose label dominates the corpus top ranks gets
+    ndcg 1.0; nDCG decreases as relevant docs sit lower. Pinned with
+    a constructed embedding space where cosine order is forced."""
+    import math
+
+    # query 0 = axis e0, label 7. Corpus: 3 docs near e0 with label 7
+    # (ranks 1-3, all relevant -> dcg == idcg), plus 20 orthogonal-ish
+    # fillers with label 1.
+    rows = [(0, [1.0] + [0.0] * 63, 7)]
+    for j in range(3):
+        v = [1.0] + [0.0] * 63
+        v[1 + j] = 0.1 * (j + 1)  # slightly different, still closest
+        rows.append((10 + j, v, 7))
+    for j in range(20):
+        v = [0.0] * 64
+        v[10 + (j % 50)] = 1.0
+        v[0] = 0.001
+        rows.append((40 + j, v, 1))
+    sf = _write_embeddings(spark, tmp_path, rows)
+    r = {x["query_id"]: x for x in QUERIES["q_ndcg_eval"](spark, sf).collect()}
+    row = r[0]
+    assert row["n_rel"] == 3
+    # all 3 relevant docs rank 1-3 => DCG == IDCG exactly
+    assert row["dcg_micro"] == row["idcg_micro"]
+    assert row["ndcg_micro"] == 1_000_000
+    g = lambda i: round(1_000_000 / math.log2(i + 1))
+    assert row["idcg_micro"] == g(1) + g(2) + g(3)
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, v, lab in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_hill_recovers_known_pareto_exponent(spark, tmp_path):
+    """X290: on an exact Pareto(alpha=2) quantile grid x_i = u^(-1/2),
+    the Hill estimate lands within 10% of alpha = 2."""
+    rows = []
+    for i in range(500):
+        u = (i + 1) / 501.0
+        x = round(u ** (-1.0 / 2.0), 2)
+        rows.append((i, "2024-01-01 00:00:00", 1, "click", x))
+    sf = _write_events(spark, tmp_path, rows)
+    r = QUERIES["q_hill_tail"](spark, sf).collect()
+    assert len(r) == 1
+    alpha = r[0]["alpha_micro"] / 1e6
+    assert 1.8 < alpha < 2.2, alpha
+
+
+def test_ks_detects_shift_and_accepts_identical(spark, tmp_path):
+    """X291: identical samples give D = 0 (not rejected); a hard
+    location shift gives D = 1 (rejected at 95%)."""
+    rows = []
+    for i in range(200):
+        rows.append((i, "2024-01-01 00:00:00", 1, "click", 10.0 + i % 7))
+        rows.append(
+            (1000 + i, "2024-01-01 00:00:00", 1, "error", 10.0 + i % 7)
+        )
+    sf = _write_events(spark, tmp_path, rows)
+    r = QUERIES["q_ks_test"](spark, sf).collect()[0]
+    assert r["d_num"] == 0 and not r["reject_95"]
+
+    rows2 = []
+    for i in range(200):
+        rows2.append((i, "2024-01-01 00:00:00", 1, "click", 10.0 + i % 7))
+        rows2.append(
+            (1000 + i, "2024-01-01 00:00:00", 1, "error", 900.0 + i % 7)
+        )
+    sf2 = _write_events(spark, tmp_path / "b", rows2)
+    r2 = QUERIES["q_ks_test"](spark, sf2).collect()[0]
+    assert r2["ks_micro"] == 1_000_000 and r2["reject_95"]
