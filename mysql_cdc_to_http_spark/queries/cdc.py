@@ -390,16 +390,16 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     no_source = serialize(F.struct("op", "offset"))
     maybe_broken = F.when(F.col("offset") % 50 == 0, no_source).otherwise(full)
-    # Range-repartition the narrow (offset, payload) projection BEFORE
-    # the parse: a small parquet file scans as one split, which would
-    # serialize all JSON work on one core, and the range partitioning
-    # already satisfies the final orderBy's required distribution so the
-    # sort stays partition-local — one shuffle total, same as before.
+    # Repartition the narrow (offset, payload) projection BEFORE the
+    # parse: a small parquet file scans as one split, which would
+    # serialize all JSON work on one core. Hash, not range (r13): the
+    # presentation orderBy this range exchange used to pre-satisfy is
+    # gone, so a range exchange would only add a sampling pass.
     with_payload = ev.select(
         F.col("offset").alias("offset_id"),
         full.alias("p"),
         maybe_broken.alias("p_maybe_broken"),
-    ).repartitionByRange(
+    ).repartition(
         spark.sparkContext.defaultParallelism, "offset_id"
     )
     parsed_schema = (

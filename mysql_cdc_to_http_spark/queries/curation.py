@@ -80,7 +80,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ngrams_matched").cast("long").alias("ngrams_matched"),
         "overlap",
         "is_contaminated",
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -115,7 +115,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ngrams_total").cast("long").alias("ngrams_total"),
         F.col("ngrams_distinct").cast("long").alias("ngrams_distinct"),
         "repetition",
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -294,7 +294,7 @@ def q_pipeline_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return register_cached(
         packed.join(mixed.select("doc_id", "source"), "doc_id")
         .select("doc_id", "source", "n_tokens", "bin_id", "offset_in_bin")
-        .orderBy("doc_id"),
+        ,
         [quality],
     )
 
@@ -397,7 +397,7 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     lines = _line_corpus(docs)
     kept = remove_frequent_lines(lines, max_doc_freq=_LINE_MAX_DF)
-    return reassemble_lines(kept, docs).orderBy("doc_id")
+    return reassemble_lines(kept, docs)
 
 
 @query(
@@ -457,7 +457,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "quality_score",
         (F.col("quality_score") >= 0).alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -513,7 +513,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     uni, bi, vocab = train_bigram_lm(docs)
-    return score_perplexity(docs, uni, bi, vocab).orderBy("doc_id")
+    return score_perplexity(docs, uni, bi, vocab)
 
 
 # --------------------------------------------------------------------------
@@ -596,7 +596,7 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_kept.alias("n_kept"),
         dropped.alias("page_dropped"),
         F.md5(clean).alias("clean_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -984,7 +984,7 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("stop_hits") >= 2)
             & (F.col("symbol_ratio_micro") <= 100000),
         )
-        .orderBy("doc_id")
+        
     )
 
 
@@ -1118,7 +1118,6 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
         )
         .select("doc_a", "doc_b", "shared_fps", "n_fp_a", "n_fp_b")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -1359,7 +1358,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dsir_scores(
         docs, F.col("lang") == "en", n_buckets=_DSIR_B
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1597,7 +1596,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ELSE 0 END)) * 1000000 div count(1) AS BIGINT)"
             ).alias("novelty_micro"),
         )
-        .orderBy("doc_id")
+        
     )
 
 
@@ -1819,7 +1818,7 @@ def q_novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS BIGINT)"
             ).alias("novelty_micro"),
         )
-        .orderBy("doc_id")
+        
     )
 
 
@@ -1956,7 +1955,7 @@ def q_url_optout(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.join(parts, "doc_id")
         .join(F.broadcast(rules), "rule_id")
         .select("doc_id", "host", "rule_id", "kind", "pattern")
-        .orderBy("doc_id")
+        
     )
 
 

@@ -80,7 +80,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *pii_counts(F.col("t")),
         F.md5(redact_pii(F.col("t"))).alias("redacted_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -126,7 +126,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_token").cast("long").alias("start_token"),
         "n_tokens",
         "chunk_text",
-    ).orderBy("doc_id", "chunk_id")
+    )
 
 
 @query(
@@ -328,7 +328,7 @@ def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
             F.concat_ws(",", F.col(REASONS_COL)).alias("reasons"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        
     )
 
 
@@ -501,7 +501,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = kmeans(emb, k=4, iters=2)
-    return out.select("vec_id", "cluster").orderBy("vec_id")
+    return out.select("vec_id", "cluster")
 
 
 @query(
@@ -811,7 +811,7 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fuzzy_match(pairs, "c_name_a", "c_name_b", max_dist=1)
         .select("id_a", "id_b", "dist")
-        .orderBy("id_a", "id_b")
+        
     )
 
 
@@ -891,7 +891,7 @@ def q_record_linkage_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fuzzy_match(pairs, "c_name_a", "c_name_b", max_dist=1)
         .select("id_a", "id_b", "dist")
-        .orderBy("id_a", "id_b")
+        
     )
 
 
@@ -966,9 +966,7 @@ def q_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_cdc_to_http_spark.operators.timeseries import time_decay_agg
 
     ev = load_table(spark, sf_dir, "events")
-    return time_decay_agg(ev, "user_id", "ts", "value", 86400.0).orderBy(
-        "user_id"
-    )
+    return time_decay_agg(ev, "user_id", "ts", "value", 86400.0)
 
 
 # --------------------------------------------------------------------------
@@ -1095,7 +1093,7 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_cdc_to_http_spark.operators.clustering import product_quantize
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return product_quantize(emb, m=4, k=4, iters=2).orderBy("vec_id")
+    return product_quantize(emb, m=4, k=4, iters=2)
 
 
 @query("q_knn_pq", oracle=_pq_oracle(adc_k=10))
@@ -1205,7 +1203,7 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pca_power_scores(emb, iters=3).orderBy("vec_id")
+    return pca_power_scores(emb, iters=3)
 
 
 # --------------------------------------------------------------------------
@@ -1742,7 +1740,7 @@ def q_chunk_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "roundtrip_ok"
             ),
         )
-        .orderBy("doc_id")
+        
     )
 
 

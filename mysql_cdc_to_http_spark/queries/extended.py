@@ -56,7 +56,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         values=["retailprice", "size"],
         variableColumnName="metric",
         valueColumnName="value",
-    ).orderBy("p_partkey", "metric")
+    )
 
 
 @query(
@@ -231,9 +231,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_cdc_to_http_spark.streaming.windows import sessionize_batch
 
     events = load_table(spark, sf_dir, "events")
-    return sessionize_batch(events, gap_minutes=30).orderBy(
-        "user_id", "sess_id"
-    )
+    return sessionize_batch(events, gap_minutes=30)
 
 
 @query(
@@ -1292,7 +1290,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         lv.groupBy(F.col("n").alias("part"))
         .agg(F.min("d").cast("bigint").alias("hops"))
         .select("part", "hops")
-        .orderBy("hops", "part")
+        
     )
 
 
@@ -1742,7 +1740,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("bigint").alias("n_events"),
         F.col("n_risk").cast("bigint").alias("n_risk"),
         s.cast("decimal(18,6)").cast("double").alias("survival"),
-    ).orderBy("t_sec")
+    )
 
 
 # --------------------------------------------------------------------------

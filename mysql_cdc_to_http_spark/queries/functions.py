@@ -270,7 +270,7 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first3_sum"),
         F.size(F.filter("embedding", lambda x: x > 1.0)).alias("n_gt1"),
         F.element_at(F.sort_array("embedding"), 1).alias("sorted_head"),
-    ).orderBy("vec_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -325,7 +325,7 @@ def q_fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.slice("embedding", 1, 2), F.slice("embedding", 63, 2)),
             "ends_sum",
         ),
-    ).orderBy("vec_id")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -415,5 +415,5 @@ def q_join_interval_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_overlaps"),
             F.sum(ov).cast("bigint").alias("overlap_us"),
         )
-        .orderBy("user_id")
+        
     )

@@ -106,7 +106,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
         tx.fingerprint_md5(F.col("text")).alias("fp_md5"),
         tx.fingerprint_sha2(F.col("text")).alias("fp_sha256"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -462,7 +462,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_dedup_pairs(
         corpus, bands=16, threshold=0.6, shingle_mode="word", shingle_k=3
     )
-    return pairs.orderBy("id_a", "id_b")
+    return pairs
 
 
 @query(
@@ -587,7 +587,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out1.select("doc_id").withColumn("batch", F.lit(1))
         .unionByName(out2.select("doc_id").withColumn("batch", F.lit(2)))
-        .orderBy("doc_id")
+        
     )
 
 
@@ -677,13 +677,13 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
     )
     corpus = docs.unionByName(variants)
-    return prefix_filter_pairs(corpus, 19, 20).orderBy("id_a", "id_b")
+    return prefix_filter_pairs(corpus, 19, 20)
 
 
 @query("q_dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir)
-    return simhash_pairs(corpus, max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_pairs(corpus, max_hamming=3)
 
 
 @query(
@@ -739,7 +739,7 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_pairs(
             corpus, max_hamming=3, max_bucket_size=None, hash_fn="md5"
         )
-        .orderBy("id_a", "id_b")
+        
     )
 
 
@@ -775,7 +775,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = F.size(F.array_union("ta", "tb"))
     return pairs.select(
         "id_a", "id_b", (inter / union).alias("jaccard")
-    ).orderBy("id_a")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1136,7 +1136,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = cand.filter(jacc >= 0.5).select("src", "dst")
     comp = connected_components(edges, corpus, id_col="doc_id")
-    return canonicalize_clusters(comp, "doc_id").orderBy("doc_id")
+    return canonicalize_clusters(comp, "doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -1179,7 +1179,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pack_sequences(
         with_counts, id_col="doc_id", token_count_col="n_tokens", budget=512
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1205,7 +1205,7 @@ def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.filter(md5_sample(F.col("doc_id"), p_sixteenths=4))
         .select("doc_id", "lang", "n_chars")
-        .orderBy("doc_id")
+        
     )
 
 
@@ -1317,7 +1317,7 @@ def q_sample_stratified_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return attach_media(docs).drop("content").orderBy("asset_id")
+    return attach_media(docs).drop("content")
 
 
 @query(
@@ -1406,7 +1406,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_cdc_to_http_spark.operators.dedup import semantic_dedup
 
     vecs = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(vecs, k=4, iters=2, tau=0.45).orderBy("vec_id")
+    return semantic_dedup(vecs, k=4, iters=2, tau=0.45)
 
 
 # --------------------------------------------------------------------------
@@ -1468,7 +1468,7 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_dup_tokens",
         F.md5("clean_text").alias("clean_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1568,7 +1568,7 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("j").cast("bigint").alias("j"), "neg_id",
             "neg_chars",
         )
-        .orderBy("doc_id", "j")
+        
     )
 
 
@@ -1861,7 +1861,7 @@ def q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("sec_since_click"),
         )
-        .orderBy("event_id")
+        
     )
 
 
@@ -2048,7 +2048,7 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return docs.mapInPandas(_roundtrip, schema=schema).orderBy("doc_id")
+    return docs.mapInPandas(_roundtrip, schema=schema)
 
 
 # --------------------------------------------------------------------------
@@ -2239,7 +2239,7 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashes.withColumn(
         "n_same_hash",
         F.count(F.lit(1)).over(W.partitionBy("dhash")).cast("bigint"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -3464,7 +3464,7 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.col("text"))
         ).alias("out_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -3942,7 +3942,7 @@ def q_sft_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat_ws(" ", compl_kept),
             )
         ).alias("out_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -4021,7 +4021,7 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(__grank - 1) % {_EPOCH_BATCH}")
         .cast("long")
         .alias("pos_in_batch"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -4482,7 +4482,7 @@ def q_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("est_micro"),
         exact.alias("exact_micro"),
         F.abs(est - exact).cast("long").alias("abs_err_micro"),
-    ).orderBy("id_a")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -5013,7 +5013,7 @@ def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "weight_micro"
             ),
         )
-        .orderBy("doc_id")
+        
     )
 
 
@@ -5163,7 +5163,7 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dropped_bytes"),
         )
         .filter(F.col("n_members") > 1)
-        .orderBy("cluster_id")
+        
     )
 
 
@@ -5542,7 +5542,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("positive").alias("positive_md5"),
             F.md5("negative").alias("negative_md5"),
         )
-        .orderBy("doc_id")
+        
     )
 
 
@@ -5870,7 +5870,7 @@ def q_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rendered_md5"),
     )
-    return rendered.orderBy("doc_id")
+    return rendered
 
 
 # --------------------------------------------------------------------------
@@ -5978,7 +5978,7 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(corrupted).alias("corrupted_md5"),
             F.md5(targets).alias("targets_md5"),
         )
-        .orderBy("doc_id")
+        
     )
 
 
@@ -6947,7 +6947,7 @@ def q_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(distinct_sum * 1000000"
             f" div (n_windows * least(n_tokens, {w})) AS BIGINT)"
         ).alias("mattr_micro"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------

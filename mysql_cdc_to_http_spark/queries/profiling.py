@@ -360,7 +360,7 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(stats), "user_id")
         .filter(F.abs(z) > 3.0)
         .select("event_id", "user_id", F.round(z, 4).alias("z"))
-        .orderBy("event_id")
+        
     )
 
 

@@ -590,7 +590,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.groupBy("text")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
         .select("keep_id", "dup_count")
-        .orderBy("keep_id")
+        
     )
 
 

@@ -55,7 +55,6 @@ def q_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND c_custkey NOT IN (SELECT o_custkey FROM orders
                                 WHERE o_orderstatus = 'F'
                                   AND o_totalprice > 450000)
-        ORDER BY c_custkey
         """,
     )
 
@@ -142,7 +141,6 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY c_nationkey
                      ORDER BY c_acctbal DESC, c_custkey),
                p AS (PARTITION BY c_nationkey)
-        ORDER BY c_nationkey, c_custkey
         """,
         tables=("customer",),
     )

@@ -510,7 +510,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _run_to_memory(totals, "mem_stateful", "update")
     return out.select(
         "user_id", "n_events", F.round("total_value", 6).alias("total_value")
-    ).orderBy("user_id", "n_events")
+    )
 
 
 def _activate_pbshim(spark: SparkSession) -> None:
@@ -660,7 +660,7 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = scd2_history(ev, ["tbl", "pk"], offset_col="offset")
     return hist.select(
         "tbl", "pk", "op", "price", "valid_from", "valid_to", "is_current"
-    ).orderBy("tbl", "pk", "valid_from")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1070,7 +1070,7 @@ def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.start").alias("win_start"),
         F.col("w.end").alias("win_end"),
         "n",
-    ).orderBy("user_id", "win_start")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1152,9 +1152,7 @@ def q_stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "left_outer",
     ).select("left_id", "right_id", "user_id", "left_ts", "right_ts")
-    return _run_to_memory(joined, "mem_ss_join_outer", "append", state_partitions=4).orderBy(
-        "left_id", F.col("right_id").asc_nulls_first()
-    )
+    return _run_to_memory(joined, "mem_ss_join_outer", "append", state_partitions=4)
 
 
 # --------------------------------------------------------------------------
@@ -1188,9 +1186,7 @@ def q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id")
     )
-    return _run_to_memory(deduped, "mem_dedup_ttl", "append").orderBy(
-        "event_id"
-    )
+    return _run_to_memory(deduped, "mem_dedup_ttl", "append")
 
 
 # --------------------------------------------------------------------------
@@ -1413,9 +1409,7 @@ def q_stream_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_ts",
         "right_ts",
     )
-    return _run_to_memory(joined, "mem_ss_join_full", "append", state_partitions=4).orderBy(
-        F.col("left_id").asc_nulls_last(), F.col("right_id").asc_nulls_first()
-    )
+    return _run_to_memory(joined, "mem_ss_join_full", "append", state_partitions=4)
 
 
 # --------------------------------------------------------------------------

@@ -42,7 +42,7 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         _doc_weight(F.col("n_chars"), n_tokens).alias("doc_weight"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -76,7 +76,7 @@ def q_udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = docs.groupBy("lang").applyInPandas(
         _zscore, schema="doc_id long, lang string, z double"
     )
-    return out.orderBy("doc_id")
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -1305,3 +1305,98 @@ def test_round13_queries_lint_clean(spark, sf_dir, name):
         if i.severity == "error"
     ]
     assert issues == [], (name, issues)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 (r12 verdict #2): the q_feature_scale presentation-sort bug
+# class, made structural. A global Sort (rangepartitioning exchange)
+# over a ROW-SCALING output is a full extra shuffle of the result that
+# the order-insensitive driver compare never needs — 91 such sorts
+# were found by a registry-wide audit (plan scan + result-count
+# scaling at sf0.001→sf0.01→sf0.1) and removed this round, every one
+# hash-parity green after. The allowlist below is every query still
+# carrying a global sort, each in one of two audited classes:
+#
+#   (a) BOUNDED presentation — the sorted output is group/model/
+#       k-sized (audited: grows <4× per 10× data or stays ≤1000 rows
+#       at sf0.01), so the sort costs O(result), flat at any corpus
+#       size. This is the bulk of the list: post-aggregate tables
+#       mirroring their oracles' ORDER BY.
+#   (b) ORDERING CONTRACT — the rank/order IS the semantics:
+#       q_wilson_leaderboard / q_wilson_incremental (a leaderboard is
+#       globally ranked by definition), q_epoch_shuffle +
+#       q_pack_balanced (grouped_ranks' internal two-level range
+#       slice — the designed skew-safe alternative to a single-task
+#       sort), q_zorder_layout / q_rendezvous_shards / q_salt_plan /
+#       q_shard_manifest (physical-layout planners whose output IS a
+#       placement order), q_stream_topk (ranked emission).
+#
+# A NEW query that plans a global sort must be added here consciously
+# (with its class) or lose the sort — this test fails otherwise.
+# ---------------------------------------------------------------------------
+GLOBAL_SORT_ALLOWED = frozenset(
+    """q_ab_test q_abc_analysis q_action_filter q_agg_approx_distinct
+    q_agg_conditional q_agg_cube q_agg_q1 q_agg_q11 q_agg_q12 q_agg_q13
+    q_agg_q14 q_agg_q15 q_agg_q16 q_agg_q17 q_agg_q20 q_agg_q22 q_agg_q4
+    q_agg_q5 q_agg_q7 q_agg_q8 q_agg_q9 q_agg_rollup q_agg_salted
+    q_agg_stats q_allocate_budget q_attention_flops q_attribution
+    q_audience_overlap q_backtest_mape q_basket_lift q_benford
+    q_bitext_mine q_calibration q_cdc_latest_state q_cdc_source_roundtrip
+    q_changepoint q_char_lid q_churn q_cluster_terms q_cms_freq
+    q_cohort_ltv q_conformal_ols q_control_chart q_dataset_card
+    q_decontaminate_containment q_decontaminate_fuzzy q_dedup_containment
+    q_dedup_embedding q_domain_minhash q_domain_mix q_dp_histogram
+    q_embedding_audit q_embedding_drift q_embedding_int8 q_embedding_pool
+    q_epoch_shuffle q_equidepth_bins q_event_transitions q_ewma
+    q_exposure_response q_fightin_words q_forget_audit q_funnel q_gini
+    q_group_filter q_group_routing q_group_split q_grouping_sets
+    q_growth_curve q_hard_negatives q_hill_tail q_hll_intersect
+    q_hll_rollup q_holt_winters q_http_sink q_incremental_agg
+    q_incremental_join q_ivf_probe_sweep q_join_bloom q_join_cross
+    q_join_inner q_join_outer q_join_range q_join_salted q_join_semi_anti
+    q_join_spatial_grid q_kcenter q_kmv_sample q_knn_binary q_knn_cosine
+    q_knn_ivf q_knn_ivf_incremental q_lang_id q_lang_id_sql
+    q_latency_histogram q_lateral_topk q_lead_lag_corr q_length_bias
+    q_length_buckets q_length_histogram q_lsh_calibration q_maxsim_colbert
+    q_mrl_audit q_multimodal_features q_mutual_info q_ndcg_eval
+    q_nested_orders q_ngram_acceptance q_ohlc_bars q_ols_trend
+    q_outliers_mad q_pack_balanced q_pareto_frontier q_percentiles
+    q_percentiles_approx q_phrase_search q_pivot q_preference_pairs
+    q_profile_drift q_psi_drift q_purchase_cadence q_python_datasource
+    q_quantile_match q_quantile_sketch q_queue_worker q_rag_context q_rbo
+    q_referential_integrity q_rendezvous_shards q_resample_gapfill
+    q_retention_cohorts q_retrieval_eval q_rfm q_rolling_corr
+    q_rolling_distinct q_salt_plan q_sample_exact_quota
+    q_sample_maintenance q_sample_quantiles q_sample_stratified
+    q_sample_stratified_md5 q_sample_weighted q_sample_weighted_grouped
+    q_scan_sources q_schema_evolution q_seasonal_anomaly q_session_pattern
+    q_set_ops q_shard_manifest q_stopword_induction q_stratified_kfold
+    q_stream_histogram q_stream_kmv q_stream_static_join q_stream_topk
+    q_table_profile q_temperature_mix q_term_burstiness q_text_stats
+    q_time_to_convert q_time_travel q_tokenizer_fertility
+    q_toxicity_lexicon q_train_test_split q_udaf q_unimax_budget
+    q_url_canonical q_variant q_vocab_coverage q_vocab_growth
+    q_weighted_median q_wilson_incremental q_wilson_leaderboard
+    q_window_rank q_winsorize q_zipf_fit q_zorder_layout""".split()
+)
+
+
+def test_global_sort_allowlist(spark, sf_dir):
+    """Every registry query's plan: a global sort (rangepartitioning
+    exchange / Sort global=true) is allowed ONLY for the audited
+    allowlist above. ~6 min: plans all ~310 queries."""
+    import re as _re
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        plan = plan_of(fn(spark, sf_dir))
+        has = bool(
+            _re.search(r"rangepartitioning\(", plan)
+            or _re.search(r"Arguments: \[[^\n]*\], true, 0", plan)
+        )
+        if has and name not in GLOBAL_SORT_ALLOWED:
+            offenders.append(name)
+    assert offenders == [], (
+        "global sort on a query outside the audited allowlist — drop the "
+        f"presentation sort or allowlist it with its class: {offenders}"
+    )
