@@ -2989,3 +2989,275 @@ def q_toxicity_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+# --------------------------------------------------------------------------
+# X293 — classifier operating-point sweep: precision/recall/F1 at a
+# fixed threshold grid over a quality score, with the F1-argmax row
+# flagged — how a production filter picks its cutoff (X275's
+# calibration ECE says whether scores are honest; this says where to
+# cut). Score = TTR in micro (the X39 quality feature), labels =
+# lang='en' (the corpus's dominant class, a deterministic stand-in
+# for human labels). The grid is a constant 10-point ladder, so the
+# sweep is a broadcast cross, never data-sized.
+# --------------------------------------------------------------------------
+@query(
+    "q_threshold_sweep",
+    oracle=r"""
+    WITH scored AS (
+      SELECT CAST(len(list_distinct(t)) * 1000000 // len(t) AS BIGINT)
+               AS score,
+             CAST(lang = 'en' AS INT) AS y
+      FROM (
+        SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                            'g')), ' ') AS t, lang
+        FROM documents
+      )
+    ),
+    grid AS (SELECT unnest([0, 100000, 200000, 300000, 400000, 500000,
+                            600000, 700000, 800000, 900000]) AS thr),
+    cells AS (
+      SELECT g.thr,
+             CAST(SUM(CASE WHEN s.score >= g.thr AND s.y = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN s.score >= g.thr AND s.y = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN s.score < g.thr AND s.y = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM scored s CROSS JOIN grid g GROUP BY g.thr
+    ),
+    m AS (
+      SELECT CAST(thr AS BIGINT) AS threshold_micro, tp, fp, fn,
+             CASE WHEN tp + fp > 0
+                  THEN tp * 1000000 // (tp + fp) END AS precision_micro,
+             CASE WHEN tp + fn > 0
+                  THEN tp * 1000000 // (tp + fn) END AS recall_micro,
+             CASE WHEN 2 * tp + fp + fn > 0
+                  THEN 2 * tp * 1000000 // (2 * tp + fp + fn)
+                  END AS f1_micro
+      FROM cells
+    ),
+    withmax AS (
+      SELECT *, max(f1_micro) OVER () AS best_f1 FROM m
+    ),
+    withbest AS (
+      SELECT *,
+             min(CASE WHEN f1_micro = best_f1 THEN threshold_micro END)
+               OVER () AS best_thr
+      FROM withmax
+    )
+    SELECT threshold_micro, tp, fp, fn, precision_micro, recall_micro,
+           f1_micro,
+           f1_micro = best_f1 AND threshold_micro = best_thr AS is_best
+    FROM withbest ORDER BY threshold_micro
+    """,
+)
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X293 — P/R/F1 at a constant 10-threshold grid + F1-argmax flag
+    (ties broken toward the lowest threshold).
+
+    Exactness: all counts are integers; every ratio a truncated micro
+    division; argmax is integer comparison with an explicit
+    tie-break. Scale shape: one fact scan scored row-locally, a
+    10-row broadcast cross, one threshold-keyed aggregate with
+    map-side partials, then window math on 10 rows."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    scored = docs.select(
+        F.expr(
+            "CAST(size(array_distinct(split(trim(regexp_replace("
+            "lower(text), '\\\\s+', ' ')), ' '))) * 1000000"
+            " div size(split(trim(regexp_replace(lower(text), '\\\\s+',"
+            " ' ')), ' ')) AS BIGINT)"
+        ).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    grid = spark.createDataFrame(
+        [(i * 100000,) for i in range(10)], "thr long"
+    )
+    cells = (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("score") >= F.col("thr")) & (F.col("y") == 1),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("score") >= F.col("thr")) & (F.col("y") == 0),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("score") < F.col("thr")) & (F.col("y") == 1),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    m = cells.select(
+        F.col("thr").alias("threshold_micro"),
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 div (tp + fp)"
+            " END AS BIGINT)"
+        ).alias("precision_micro"),
+        F.expr(
+            "CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 div (tp + fn)"
+            " END AS BIGINT)"
+        ).alias("recall_micro"),
+        F.expr(
+            "CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN"
+            " 2 * tp * 1000000 div (2 * tp + fp + fn) END AS BIGINT)"
+        ).alias("f1_micro"),
+    )
+    wall = W.partitionBy()
+    best_f1 = F.max("f1_micro").over(wall)
+    best_thr = F.min(
+        F.when(F.col("f1_micro") == best_f1, F.col("threshold_micro"))
+    ).over(wall)
+    return m.select(
+        "*",
+        (
+            (F.col("f1_micro") == best_f1)
+            & (F.col("threshold_micro") == best_thr)
+        ).alias("is_best"),
+    ).orderBy("threshold_micro")
+
+
+# --------------------------------------------------------------------------
+# X294 — lift / gains table by score decile: rank docs by the quality
+# score, cut into 10 equal-count bins, report per-decile and
+# cumulative positive capture vs the random baseline — the targeting
+# curve ("the top 20% of the corpus by score holds X% of the en
+# docs") that data-selection recipes read before fixing a budget
+# (X229's DSIR picks BY distribution; this audits any scalar score).
+# Deciles use ntile over (score desc, doc_id) — a total order, so the
+# binning is engine-exact.
+# --------------------------------------------------------------------------
+@query(
+    "q_lift_table",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(t)) * 1000000 // len(t) AS BIGINT)
+               AS score,
+             CAST(lang = 'en' AS INT) AS y
+      FROM (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                            'g')), ' ') AS t
+        FROM documents
+      )
+    ),
+    binned AS (
+      SELECT y, ntile(10) OVER (ORDER BY score DESC, doc_id) AS decile
+      FROM scored
+    ),
+    cells AS (
+      SELECT CAST(decile AS INT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM binned GROUP BY decile
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+             CAST(SUM(n_pos) AS BIGINT) AS pos_total
+      FROM cells
+    ),
+    cum AS (
+      SELECT decile, n_docs, n_pos,
+             SUM(n_docs) OVER (ORDER BY decile) AS cum_n,
+             SUM(n_pos) OVER (ORDER BY decile) AS cum_pos
+      FROM cells
+    )
+    SELECT c.decile, c.n_docs, c.n_pos,
+           CAST(c.cum_pos AS BIGINT) AS cum_pos,
+           CAST(c.cum_pos * 1000000 // t.pos_total AS BIGINT)
+             AS capture_micro,
+           CAST(c.cum_pos * t.n_total * 1000000
+                // (c.cum_n * t.pos_total) AS BIGINT) AS lift_micro
+    FROM cum c, tot t
+    ORDER BY c.decile
+    """,
+)
+def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X294 — gains/lift by score decile (positives = lang='en').
+
+    Exactness: the decile cut is ntile over a total order; counts are
+    integers, capture and lift truncated micro divisions (lift's
+    numerator c.cum_pos·n_total·1e6 stays far inside DECIMAL(38)).
+    Scale shape: scoring is row-local; ntile is the X141 rank class
+    (at production scale swap for grouped_ranks' two-level slice —
+    same output, no single-task sort); then a 10-row cumulative
+    window and a broadcast 1-row total."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(array_distinct(split(trim(regexp_replace("
+            "lower(text), '\\\\s+', ' ')), ' '))) * 1000000"
+            " div size(split(trim(regexp_replace(lower(text), '\\\\s+',"
+            " ' ')), ' ')) AS BIGINT)"
+        ).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    binned = scored.select(
+        "y",
+        F.ntile(10)
+        .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("int")
+        .alias("decile"),
+    )
+    cells = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    tot = cells.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.sum("n_pos").cast("long").alias("pos_total"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = cells.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        F.sum("n_docs").over(wc).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_docs",
+            "n_pos",
+            "cum_pos",
+            F.expr(
+                "CAST(cum_pos * 1000000 div pos_total AS BIGINT)"
+            ).alias("capture_micro"),
+            F.expr(
+                "CAST(CAST(cum_pos AS DECIMAL(38,0)) * n_total * 1000000"
+                " div (CAST(cum_n AS DECIMAL(38,0)) * pos_total)"
+                " AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+        .orderBy("decile")
+    )

@@ -4127,3 +4127,132 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (CAST(n1 AS DECIMAL(38,0)) + n2) * n1 * n2"
         ).alias("reject_95"),
     )
+
+
+# --------------------------------------------------------------------------
+# X292 — Mann-Whitney U (rank-sum) test, tie-exact: the rank-based
+# two-sample location test (click vs error values — the nonparametric
+# sibling of X127's t-test A/B and X291's KS). Ties are handled with
+# the DOUBLE-RANK trick: for a tied value spanning ranks
+# F_prev+1..F_prev+c the average rank is F_prev+(c+1)/2, so TWICE the
+# average rank (2·F_prev + c + 1) is an integer and R1, U stay exact
+# integers throughout; the tie-corrected variance enters only the
+# final z (one sqrt on a double built from exact integers, micro
+# round absorbs the ulp).
+# --------------------------------------------------------------------------
+@query(
+    "q_mannwhitney",
+    oracle="""
+    WITH pooled AS (
+      SELECT value,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS c1,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS c2
+      FROM events WHERE event_type IN ('click', 'error')
+      GROUP BY value
+    ),
+    cum AS (
+      SELECT c1, c2, c1 + c2 AS c,
+             COALESCE(SUM(c1 + c2) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS f_prev
+      FROM pooled
+    ),
+    agg AS (
+      SELECT CAST(SUM(c1) AS HUGEINT) AS n1,
+             CAST(SUM(c2) AS HUGEINT) AS n2,
+             CAST(SUM(c1 * (2 * f_prev + c + 1)) AS HUGEINT)
+               AS r1_double,
+             CAST(SUM(c * c * c - c) AS HUGEINT) AS tie_t
+      FROM cum
+    ),
+    stat AS (
+      SELECT n1, n2, r1_double - n1 * (n1 + 1) AS u1_double, tie_t,
+             n1 + n2 AS n
+      FROM agg
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(u1_double AS BIGINT) AS u1_double,
+           CAST(tie_t AS BIGINT) AS tie_correction,
+           CAST(round(
+             (CAST(u1_double AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
+             / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE)
+                           * CAST(n * n * n - n - tie_t AS DOUBLE)
+                           / (12.0 * CAST(n AS DOUBLE)
+                              * CAST(n - 1 AS DOUBLE))))
+             * 1000000) AS BIGINT) AS z_micro
+    FROM stat
+    """,
+)
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X292 — tie-exact Mann-Whitney U for click-vs-error values.
+
+    Exactness: counts, double-ranks, U and the tie term are exact
+    integers (DECIMAL(38)/HUGEINT); only the final z divides doubles
+    BUILT from those integers (both engines round the same integers
+    to the same doubles; one sqrt, micro round absorbs the ulp).
+    Scale shape: one value-keyed aggregate with map-side partials, a
+    cumulative window over DISTINCT values (quantization-bounded, the
+    X291 argument), then a 1-row statistic. The z normal
+    approximation is the standard large-n form — exactly the regime
+    a big corpus is in."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    pooled = ev.groupBy("value").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("c1"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("c2"),
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    cum = pooled.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        F.coalesce(
+            F.sum(F.col("c1") + F.col("c2")).over(w),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("f_prev"),
+    )
+    agg = cum.agg(
+        F.sum("c1").cast("decimal(38,0)").alias("n1"),
+        F.sum("c2").cast("decimal(38,0)").alias("n2"),
+        F.sum(
+            F.col("c1") * (F.lit(2) * F.col("f_prev") + F.col("c") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("r1_double"),
+        F.sum(F.expr("c * c * c - c"))
+        .cast("decimal(38,0)")
+        .alias("tie_t"),
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.expr("CAST(r1_double - n1 * (n1 + 1) AS BIGINT)").alias(
+            "u1_double"
+        ),
+        F.col("tie_t").cast("long").alias("tie_correction"),
+        F.expr(
+            "CAST(round("
+            " (CAST(r1_double - n1 * (n1 + 1) AS DOUBLE)"
+            "  - CAST(n1 * n2 AS DOUBLE))"
+            " / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE)"
+            "     * CAST((n1 + n2) * (n1 + n2) * (n1 + n2)"
+            "            - (n1 + n2) - tie_t AS DOUBLE)"
+            "     / (12.0 * CAST(n1 + n2 AS DOUBLE)"
+            "        * CAST(n1 + n2 - 1 AS DOUBLE))))"
+            " * 1000000) AS BIGINT)"
+        ).alias("z_micro"),
+    )

@@ -1295,6 +1295,9 @@ def test_round12_queries_lint_clean(spark, sf_dir, name):
         "q_ndcg_eval",
         "q_hill_tail",
         "q_ks_test",
+        "q_mannwhitney",
+        "q_threshold_sweep",
+        "q_lift_table",
     ],
 )
 def test_round13_queries_lint_clean(spark, sf_dir, name):
@@ -1372,7 +1375,7 @@ GLOBAL_SORT_ALLOWED = frozenset(
     q_scan_sources q_schema_evolution q_seasonal_anomaly q_session_pattern
     q_set_ops q_shard_manifest q_stopword_induction q_stratified_kfold
     q_stream_histogram q_stream_kmv q_stream_static_join q_stream_topk
-    q_table_profile q_temperature_mix q_term_burstiness q_text_stats
+    q_table_profile q_temperature_mix q_term_burstiness q_text_stats q_threshold_sweep
     q_time_to_convert q_time_travel q_tokenizer_fertility
     q_toxicity_lexicon q_train_test_split q_udaf q_unimax_budget
     q_url_canonical q_variant q_vocab_coverage q_vocab_growth

@@ -371,3 +371,76 @@ def test_ks_detects_shift_and_accepts_identical(spark, tmp_path):
     sf2 = _write_events(spark, tmp_path / "b", rows2)
     r2 = QUERIES["q_ks_test"](spark, sf2).collect()[0]
     assert r2["ks_micro"] == 1_000_000 and r2["reject_95"]
+
+
+def test_mannwhitney_matches_scipy_formula(spark, tmp_path):
+    """X292: U and tie-corrected z equal an independent pure-Python
+    computation on a small tied sample."""
+    import math
+
+    a = [10.0, 12.0, 12.0, 15.0, 18.0]
+    b = [11.0, 12.0, 19.0, 20.0, 22.0]
+    rows = [(i, "2024-01-01 00:00:00", 1, "click", v) for i, v in enumerate(a)]
+    rows += [
+        (100 + i, "2024-01-01 00:00:00", 1, "error", v)
+        for i, v in enumerate(b)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = QUERIES["q_mannwhitney"](spark, sf).collect()[0]
+    pooled = sorted(a + b)
+    # average ranks with ties
+    ranks = {}
+    i = 0
+    t_term = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j] == pooled[i]:
+            j += 1
+        c = j - i
+        ranks[pooled[i]] = (i + 1 + j) / 2.0
+        t_term += c**3 - c
+        i = j
+    r1 = sum(ranks[v] for v in a)
+    n1, n2 = len(a), len(b)
+    n = n1 + n2
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    assert r["u1_double"] == int(2 * u1)
+    assert r["tie_correction"] == t_term
+    sigma = math.sqrt(n1 * n2 * (n**3 - n - t_term) / (12.0 * n * (n - 1)))
+    z = (u1 - n1 * n2 / 2.0) / sigma
+    assert abs(r["z_micro"] - round(z * 1e6)) <= 2
+
+
+def test_threshold_sweep_best_is_argmax(spark, tmp_path):
+    """X293: the flagged row carries the max F1, and ties flag the
+    LOWEST threshold."""
+    docs = [(i, " ".join(f"w{j}" for j in range(20)), "en") for i in range(6)]
+    docs += [(10 + i, "x x x x x", "de") for i in range(4)]
+    sf = _write_docs(spark, tmp_path, docs)
+    rows = QUERIES["q_threshold_sweep"](spark, sf).collect()
+    best = [r for r in rows if r["is_best"]]
+    assert len(best) == 1
+    mx = max(r["f1_micro"] for r in rows if r["f1_micro"] is not None)
+    assert best[0]["f1_micro"] == mx
+    ties = [
+        r["threshold_micro"] for r in rows if r["f1_micro"] == mx
+    ]
+    assert best[0]["threshold_micro"] == min(ties)
+
+
+def test_lift_table_top_decile_concentrates(spark, tmp_path):
+    """X294: when all positives score highest, decile 1 captures
+    them all (lift = 10x at 10% depth), and the last decile's
+    cumulative lift is exactly 1.0."""
+    docs = [
+        (i, " ".join(f"w{j}" for j in range(30)), "en") for i in range(5)
+    ]  # distinct-heavy -> TTR 1.0, positives
+    docs += [
+        (100 + i, "x x x x x x", "de") for i in range(45)
+    ]  # low TTR negatives
+    sf = _write_docs(spark, tmp_path, docs)
+    rows = {r["decile"]: r for r in QUERIES["q_lift_table"](spark, sf).collect()}
+    assert rows[1]["n_pos"] == 5 and rows[1]["cum_pos"] == 5
+    assert rows[1]["capture_micro"] == 1_000_000
+    assert rows[1]["lift_micro"] == 10_000_000
+    assert rows[10]["lift_micro"] == 1_000_000
