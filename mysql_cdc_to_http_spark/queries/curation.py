@@ -3261,3 +3261,225 @@ def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# X295 — exact ROC AUC via the rank-sum identity AUC = U/(n1·n2):
+# ties contribute 1/2 through average ranks, so the X292 double-rank
+# machinery gives an EXACT integer AUC with zero FP — the standard
+# scalar next to X293's operating points and X275's calibration.
+# Score = TTR micro, positives = lang='en' (same fixture as X293/294
+# so the three eval tables read together).
+# --------------------------------------------------------------------------
+@query(
+    "q_auc_roc",
+    oracle=r"""
+    WITH scored AS (
+      SELECT CAST(len(list_distinct(t)) * 1000000 // len(t) AS BIGINT)
+               AS score,
+             CAST(lang = 'en' AS INT) AS y
+      FROM (
+        SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                            'g')), ' ') AS t, lang
+        FROM documents
+      )
+    ),
+    pooled AS (
+      SELECT score,
+             CAST(SUM(y) AS HUGEINT) AS c1,
+             CAST(SUM(1 - y) AS HUGEINT) AS c0
+      FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT c1, c0, c1 + c0 AS c,
+             COALESCE(SUM(c1 + c0) OVER (
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS f_prev
+      FROM pooled
+    ),
+    agg AS (
+      SELECT CAST(SUM(c1) AS HUGEINT) AS n1,
+             CAST(SUM(c0) AS HUGEINT) AS n0,
+             CAST(SUM(c1 * (2 * f_prev + c + 1)) AS HUGEINT)
+               AS r1_double
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           CAST((r1_double - n1 * (n1 + 1)) AS BIGINT) AS u_double,
+           CAST((r1_double - n1 * (n1 + 1)) * 1000000 // (2 * n1 * n0)
+                AS BIGINT) AS auc_micro
+    FROM agg
+    """,
+)
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X295 — exact AUC (rank-sum identity, tie-aware).
+
+    Exactness: double-ranks make tied scores contribute exactly 1/2
+    per positive-negative tie pair; AUC is one truncated micro
+    division of exact integers — no trapezoid floats, no sampling.
+    Scale shape: one score-keyed aggregate with map-side partials, a
+    cumulative window over DISTINCT scores (quantization-bounded —
+    TTR micro has ≤1e6 cells), a 1-row statistic."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.expr(
+            "CAST(size(array_distinct(split(trim(regexp_replace("
+            "lower(text), '\\\\s+', ' ')), ' '))) * 1000000"
+            " div size(split(trim(regexp_replace(lower(text), '\\\\s+',"
+            " ' ')), ' ')) AS BIGINT)"
+        ).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    pooled = scored.groupBy("score").agg(
+        F.sum("y").cast("decimal(38,0)").alias("c1"),
+        F.sum(F.lit(1) - F.col("y")).cast("decimal(38,0)").alias("c0"),
+    )
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    cum = pooled.select(
+        "c1",
+        "c0",
+        (F.col("c1") + F.col("c0")).alias("c"),
+        F.coalesce(
+            F.sum(F.col("c1") + F.col("c0")).over(w),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("f_prev"),
+    )
+    agg = cum.agg(
+        F.sum("c1").cast("decimal(38,0)").alias("n1"),
+        F.sum("c0").cast("decimal(38,0)").alias("n0"),
+        F.sum(
+            F.col("c1") * (F.lit(2) * F.col("f_prev") + F.col("c") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("r1_double"),
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        F.expr("CAST(r1_double - n1 * (n1 + 1) AS BIGINT)").alias(
+            "u_double"
+        ),
+        F.expr(
+            "CAST((r1_double - n1 * (n1 + 1)) * 1000000"
+            " div (2 * n1 * n0) AS BIGINT)"
+        ).alias("auc_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X296 — selection-rate fairness audit (the four-fifths rule): after a
+# quality gate (the X293 fixture's TTR >= 0.45 cut), per-group (lang)
+# selection rates and each group's disparate-impact ratio against the
+# highest-rate group — the governance table a data-selection recipe
+# files next to its dataset card (X266). Cross-multiplied integers;
+# the 80% flag never divides.
+# --------------------------------------------------------------------------
+@query(
+    "q_fairness_audit",
+    oracle=r"""
+    WITH scored AS (
+      SELECT lang,
+             CAST(CAST(len(list_distinct(t)) * 1000000 // len(t)
+                       AS BIGINT) >= 450000 AS INT) AS sel
+      FROM (
+        SELECT lang,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                            'g')), ' ') AS t
+        FROM documents
+      )
+    ),
+    cells AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(sel) AS BIGINT) AS n_selected
+      FROM scored GROUP BY lang
+    ),
+    rated AS (
+      SELECT *, n_selected * 1000000 // n_docs AS rate_micro
+      FROM cells
+    ),
+    mx AS (
+      SELECT lang AS ref_lang, n_selected AS ref_sel, n_docs AS ref_n
+      FROM rated ORDER BY rate_micro DESC, lang LIMIT 1
+    )
+    SELECT r.lang, r.n_docs, r.n_selected,
+           CAST(r.rate_micro AS BIGINT) AS rate_micro,
+           m.ref_lang,
+           CAST(CASE WHEN m.ref_sel > 0 THEN
+                CAST(r.n_selected AS HUGEINT) * m.ref_n * 1000000
+                // (CAST(r.n_docs AS HUGEINT) * m.ref_sel)
+                END AS BIGINT) AS impact_ratio_micro,
+           CAST(r.n_selected AS HUGEINT) * m.ref_n * 5 >=
+             CAST(r.n_docs AS HUGEINT) * m.ref_sel * 4
+             AS passes_four_fifths
+    FROM rated r, mx m
+    ORDER BY r.lang
+    """,
+)
+def q_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X296 — per-group selection rate + disparate impact vs the
+    highest-rate group, with the four-fifths flag.
+
+    Exactness: rates and impact ratios are truncated micro divisions
+    of integer counts; the 4/5 gate is a cross-multiplied integer
+    comparison (never a float ratio). Scale shape: one fact scan
+    scored row-locally, one group-count aggregate, a 1-row
+    highest-rate reference broadcast back — group-table-sized
+    end-to-end after the scan."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        (
+            F.expr(
+                "CAST(size(array_distinct(split(trim(regexp_replace("
+                "lower(text), '\\\\s+', ' ')), ' '))) * 1000000"
+                " div size(split(trim(regexp_replace(lower(text),"
+                " '\\\\s+', ' ')), ' ')) AS BIGINT)"
+            )
+            >= 450000
+        )
+        .cast("int")
+        .alias("sel"),
+    )
+    cells = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("sel").cast("long").alias("n_selected"),
+    )
+    rated = cells.withColumn(
+        "rate_micro",
+        F.expr("CAST(n_selected * 1000000 div n_docs AS BIGINT)"),
+    )
+    mx = (
+        rated.orderBy(F.desc("rate_micro"), F.asc("lang"))
+        .limit(1)
+        .select(
+            F.col("lang").alias("ref_lang"),
+            F.col("n_selected").alias("ref_sel"),
+            F.col("n_docs").alias("ref_n"),
+        )
+    )
+    return (
+        rated.crossJoin(F.broadcast(mx))
+        .select(
+            "lang",
+            "n_docs",
+            "n_selected",
+            "rate_micro",
+            "ref_lang",
+            F.expr(
+                "CAST(CASE WHEN ref_sel > 0 THEN"
+                " CAST(n_selected AS DECIMAL(38,0)) * ref_n * 1000000"
+                " div (CAST(n_docs AS DECIMAL(38,0)) * ref_sel)"
+                " END AS BIGINT)"
+            ).alias("impact_ratio_micro"),
+            F.expr(
+                "CAST(n_selected AS DECIMAL(38,0)) * ref_n * 5 >="
+                " CAST(n_docs AS DECIMAL(38,0)) * ref_sel * 4"
+            ).alias("passes_four_fifths"),
+        )
+        .orderBy("lang")
+    )

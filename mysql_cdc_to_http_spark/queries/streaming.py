@@ -1462,3 +1462,84 @@ def q_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(agg, "mem_stream_hist", "complete")
     return out.orderBy("win_start", "bin")
+
+
+# --------------------------------------------------------------------------
+# X297 — streaming rate alert: per (event_type, 1-hour window) count
+# compared against the trailing 3-window average; alert when the
+# current window runs >= 2x the trailing mean — the volume-anomaly
+# monitor a CDC/ingest deployment pages on. Complete mode == batch
+# semantics, so the lag arithmetic is oracle-exact; the 2x gate is a
+# cross-multiplied integer comparison.
+# --------------------------------------------------------------------------
+@query(
+    "q_stream_rate_alert",
+    oracle="""
+    WITH wins AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', ts) AS win_start,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    trail AS (
+      SELECT event_type, win_start, n,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY win_start
+                               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS trail_sum,
+             CAST(COUNT(n) OVER (PARTITION BY event_type ORDER BY win_start
+                                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS trail_n
+      FROM wins
+    )
+    SELECT event_type, win_start, n, trail_sum, trail_n,
+           COALESCE(trail_n >= 3 AND n * trail_n >= 2 * trail_sum, FALSE)
+             AS alert
+    FROM trail ORDER BY event_type, win_start
+    """,
+)
+def q_stream_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X297 — windowed volume-anomaly alert on the replayed stream.
+
+    Exactness: window counts are integers; the alert gate cross-
+    multiplies (n·trail_n >= 2·trail_sum) so no rate ever becomes a
+    float; windows with under 3 trailing observations never alert
+    (COALESCE false). Scale shape: the streaming aggregate holds one
+    counter per (type, window); the trailing comparison runs as a
+    BATCH window over the (types × windows)-sized result after the
+    sink — at production scale that post-pass is a metrics-table
+    query, not a stream operator, which is exactly how volume
+    monitors are deployed (aggregate in-stream, alert over the
+    metrics table)."""
+    from pyspark.sql.window import Window as W
+
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "event_type", F.col("win.start").alias("win_start"), "n"
+        )
+    )
+    out = _run_to_memory(agg, "mem_rate_alert", "complete")
+    tw = (
+        W.partitionBy("event_type")
+        .orderBy("win_start")
+        .rowsBetween(-3, -1)
+    )
+    return out.select(
+        "event_type",
+        "win_start",
+        "n",
+        F.sum("n").over(tw).cast("long").alias("trail_sum"),
+        F.count("n").over(tw).cast("long").alias("trail_n"),
+        F.coalesce(
+            (F.col("trail_n") >= 3)
+            & (
+                F.col("n") * F.col("trail_n")
+                >= F.lit(2) * F.col("trail_sum")
+            ),
+            F.lit(False),
+        ).alias("alert"),
+    ).orderBy("event_type", "win_start")

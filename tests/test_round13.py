@@ -444,3 +444,56 @@ def test_lift_table_top_decile_concentrates(spark, tmp_path):
     assert rows[1]["capture_micro"] == 1_000_000
     assert rows[1]["lift_micro"] == 10_000_000
     assert rows[10]["lift_micro"] == 1_000_000
+
+
+def test_auc_separable_and_random(spark, tmp_path):
+    """X295: a perfectly separating score gives AUC 1.0; identical
+    score distributions give exactly 0.5 (tie handling: every
+    pos-neg pair contributes exactly 1/2)."""
+    docs = [(i, " ".join(f"w{j}" for j in range(20)), "en") for i in range(5)]
+    docs += [(10 + i, "x x x x", "de") for i in range(5)]
+    sf = _write_docs(spark, tmp_path, docs)
+    r = QUERIES["q_auc_roc"](spark, sf).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (5, 5)
+    assert r["auc_micro"] == 1_000_000
+
+    same = [(i, "a b c d", "en") for i in range(5)]
+    same += [(10 + i, "p q r s", "de") for i in range(5)]
+    sf2 = _write_docs(spark, tmp_path / "b", same)
+    r2 = QUERIES["q_auc_roc"](spark, sf2).collect()[0]
+    assert r2["auc_micro"] == 500_000
+
+
+def test_fairness_four_fifths_gate(spark, tmp_path):
+    """X296: a group selected at half the reference rate fails the
+    four-fifths rule; the reference group passes at ratio 1.0."""
+    # en: 4/4 selected (TTR 1.0). de: 2 selected, 2 rejected.
+    docs = [(i, " ".join(f"w{j}" for j in range(10)), "en") for i in range(4)]
+    docs += [(10 + i, " ".join(f"v{j}" for j in range(10)), "de") for i in range(2)]
+    docs += [(20 + i, "x x x x x x x x", "de") for i in range(2)]
+    sf = _write_docs(spark, tmp_path, docs)
+    rows = {r["lang"]: r for r in QUERIES["q_fairness_audit"](spark, sf).collect()}
+    assert rows["en"]["impact_ratio_micro"] == 1_000_000
+    assert rows["en"]["passes_four_fifths"]
+    assert rows["de"]["impact_ratio_micro"] == 500_000
+    assert not rows["de"]["passes_four_fifths"]
+
+
+def test_stream_rate_alert_fires_on_spike(spark, tmp_path):
+    """X297: a 10x spike hour alerts; steady hours do not; the first
+    3 hours never alert (insufficient trailing history)."""
+    rows = []
+    eid = 0
+    for h in range(6):
+        n = 40 if h == 4 else 4
+        for i in range(n):
+            rows.append(
+                (eid, f"2024-01-01 {h:02d}:{i % 60:02d}:00", 1, "click", 1.0)
+            )
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = QUERIES["q_stream_rate_alert"](spark, sf).collect()
+    alerts = [r for r in out if r["alert"]]
+    assert len(alerts) == 1
+    assert alerts[0]["n"] == 40
+    assert all(not r["alert"] for r in out[:3])
