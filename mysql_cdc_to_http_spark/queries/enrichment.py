@@ -1854,3 +1854,284 @@ def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("noisy_micro"),
     ).orderBy("lang", "eps_milli")
+
+
+def _kmeans_cte_k(k: int) -> str:
+    """The X72 two-Lloyd-iteration k-means unrolled in SQL, with k as
+    a parameter and the FINAL (post-iteration-2) centroids cent2 —
+    shared by the X298 silhouette and X299 elbow oracles. Identical
+    structure to _KMEANS_CTE (init = k lowest-id vectors, centroids
+    6-dp-rounded before the next assignment, arg-min ties to the
+    lowest cluster id)."""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+    ),
+    d1 AS (
+      SELECT e.vec_id, i.cluster,
+             list_sum([
+               (CAST(e.v[x] AS DOUBLE) - CAST(i.c[x] AS DOUBLE))
+               * (CAST(e.v[x] AS DOUBLE) - CAST(i.c[x] AS DOUBLE))
+               FOR x IN generate_series(1, 64)
+             ]) AS dist
+      FROM e, init i
+    ),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    cent1 AS (
+      SELECT cluster, list(m ORDER BY pos) AS c FROM (
+        SELECT a1.cluster, g.x AS pos,
+               round(avg(CAST(e.v[g.x] AS DOUBLE)), 6) AS m
+        FROM e JOIN a1 USING (vec_id), generate_series(1, 64) g(x)
+        GROUP BY a1.cluster, g.x
+      ) GROUP BY cluster
+    ),
+    d2 AS (
+      SELECT e.vec_id, c1.cluster,
+             list_sum([
+               (CAST(e.v[x] AS DOUBLE) - c1.c[x])
+               * (CAST(e.v[x] AS DOUBLE) - c1.c[x])
+               FOR x IN generate_series(1, 64)
+             ]) AS dist
+      FROM e, cent1 c1
+    ),
+    a2 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    cent2 AS (
+      SELECT cluster, list(m ORDER BY pos) AS c FROM (
+        SELECT a2.cluster, g.x AS pos,
+               round(avg(CAST(e.v[g.x] AS DOUBLE)), 6) AS m
+        FROM e JOIN a2 USING (vec_id), generate_series(1, 64) g(x)
+        GROUP BY a2.cluster, g.x
+      ) GROUP BY cluster
+    ),
+    dd AS (
+      SELECT e.vec_id, a.cluster AS own, c2.cluster AS cand,
+             sqrt(list_sum([
+               (CAST(e.v[x] AS DOUBLE) - c2.c[x])
+               * (CAST(e.v[x] AS DOUBLE) - c2.c[x])
+               FOR x IN generate_series(1, 64)
+             ])) AS dist
+      FROM e JOIN a2 a USING (vec_id), cent2 c2
+    )"""
+
+
+# --------------------------------------------------------------------------
+# X298 — simplified silhouette (centroid form): per cluster, the mean
+# of s_i = (b_i − a_i)/max(a_i, b_i) with a_i = distance to the own
+# centroid and b_i = distance to the nearest other centroid — the
+# cluster-quality audit run after every X72 k-means (the full
+# silhouette is O(n²) pairwise; the centroid form is the published
+# O(n·k) variant production uses). Per-point s is rounded to micro
+# (one sqrt+ratio per point; centroids are 6-dp-rounded identical
+# values in both engines), then means are exact integer division.
+# --------------------------------------------------------------------------
+@query(
+    "q_silhouette",
+    oracle=_kmeans_cte_k(4)
+    + """
+    , sil AS (
+      SELECT vec_id, own,
+             MAX(CASE WHEN cand = own THEN dist END) AS a,
+             MIN(CASE WHEN cand != own THEN dist END) AS b
+      FROM dd GROUP BY vec_id, own
+    ),
+    pt AS (
+      SELECT own,
+             CAST(round(CASE WHEN greatest(a, b) > 0
+                  THEN (b - a) / greatest(a, b) ELSE 0 END * 1000000)
+                  AS BIGINT) AS s_micro
+      FROM sil
+    )
+    SELECT CAST(own AS INT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(SUM(s_micro) // count(*) AS BIGINT)
+             AS mean_silhouette_micro
+    FROM pt GROUP BY own ORDER BY cluster
+    """,
+)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X298 — per-cluster simplified silhouette over the X72 k-means
+    (k=4, 2 Lloyd iterations, final centroids).
+
+    Exactness: centroids are 6-dp-rounded identical values; per-point
+    distances fold the 64 dims in index order in both engines; the
+    ratio is rounded to micro per point (ulp-absorbing, the house
+    rule) and the cluster mean is a truncated integer division of the
+    rounded values. Scale shape: assignment and the k-distance
+    projection are per-row work against a broadcast k×64 centroid
+    table (no joins on the fact side beyond the assignment X72
+    already does); the rollup is cluster-count-sized."""
+    from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.operators.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans(emb, k=4, iters=2).select("vec_id", "cluster")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).join(assign, "vec_id")
+    cent2 = (
+        e.select(
+            "cluster", F.posexplode("v").alias("pos", "x")
+        )
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))),"
+                " s -> s.m)"
+            ).alias("c")
+        )
+    )
+    dd = (
+        e.crossJoin(
+            F.broadcast(
+                cent2.select(
+                    F.col("cluster").alias("cand"), F.col("c")
+                )
+            )
+        )
+        .select(
+            "vec_id",
+            F.col("cluster").alias("own"),
+            "cand",
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(v, c, (x, y) ->"
+                    " (x - y) * (x - y)), 0D, (acc, t) -> acc + t)"
+                )
+            ).alias("dist"),
+        )
+    )
+    sil = dd.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("cand") == F.col("own"), F.col("dist"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("cand") != F.col("own"), F.col("dist"))).alias(
+            "b"
+        ),
+    )
+    pt = sil.select(
+        "own",
+        F.round(
+            F.when(
+                F.greatest("a", "b") > 0,
+                (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+            ).otherwise(F.lit(0.0))
+            * 1000000
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    return (
+        pt.groupBy("own")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.expr(
+                "CAST(SUM(s_micro) div count(1) AS BIGINT)"
+            ).alias("mean_silhouette_micro"),
+        )
+        .select(
+            F.col("own").cast("int").alias("cluster"),
+            "n_points",
+            "mean_silhouette_micro",
+        )
+        .orderBy("cluster")
+    )
+
+
+# --------------------------------------------------------------------------
+# X299 — k-means elbow curve: within-cluster inertia at k ∈ {2, 4, 8}
+# (each a full two-Lloyd-iteration X72 run) — the model-selection
+# curve read next to X298's silhouette before fixing k for SemDeDup /
+# IVF / cluster blocking. Per-point squared distance to the own FINAL
+# centroid is rounded to micro (sqrt→square of identical doubles),
+# the inertia is then an exact integer sum.
+# --------------------------------------------------------------------------
+_ELBOW_KS = (2, 4, 8)
+
+
+def _elbow_oracle() -> str:
+    blocks = []
+    for k in _ELBOW_KS:
+        blocks.append(f"""
+    SELECT {k} AS k,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(round(dist * dist * 1000000) AS BIGINT))
+                AS BIGINT) AS inertia_micro
+    FROM ({_kmeans_cte_k(k)}
+      SELECT dist FROM dd WHERE cand = own
+    )""")
+    return "\n    UNION ALL ".join(blocks) + "\n    ORDER BY k"
+
+
+@query("q_elbow_curve", oracle=_elbow_oracle())
+def q_elbow_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X299 — inertia vs k for the deterministic k-means.
+
+    Exactness: the per-point distance is the same index-ordered fold
+    against 6-dp-rounded final centroids as X298; squaring the sqrt
+    reproduces the identical double in both engines and the micro
+    round absorbs the ulp; inertia is an exact integer sum. Scale
+    shape: three constant-k runs, each the X72 plan (assignment =
+    broadcast-centroid projection, centroid recompute = one
+    (cluster, dim)-keyed aggregate); the sweep is a 3-row union —
+    sweep size is a constant, the corpus is scanned once per run."""
+    from mysql_cdc_to_http_spark.operators.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = None
+    for k in _ELBOW_KS:
+        assign = kmeans(emb, k=k, iters=2).select("vec_id", "cluster")
+        e = emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+        ).join(assign, "vec_id")
+        cent2 = (
+            e.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))),"
+                    " s -> s.m)"
+                ).alias("c")
+            )
+        )
+        dist = F.sqrt(
+            F.expr(
+                "aggregate(zip_with(v, c, (x, y) ->"
+                " (x - y) * (x - y)), 0D, (acc, t) -> acc + t)"
+            )
+        )
+        point = (
+            e.join(F.broadcast(cent2), "cluster")
+            .select(
+                F.round(dist * dist * 1000000).cast("long").alias("d2")
+            )
+            .agg(
+                F.lit(k).cast("int").alias("k"),
+                F.count(F.lit(1)).cast("long").alias("n_points"),
+                F.sum("d2").cast("long").alias("inertia_micro"),
+            )
+            .select("k", "n_points", "inertia_micro")
+        )
+        out = point if out is None else out.unionByName(point)
+    return out.orderBy("k")

@@ -1301,6 +1301,8 @@ def test_round12_queries_lint_clean(spark, sf_dir, name):
         "q_auc_roc",
         "q_fairness_audit",
         "q_stream_rate_alert",
+        "q_silhouette",
+        "q_elbow_curve",
     ],
 )
 def test_round13_queries_lint_clean(spark, sf_dir, name):
@@ -1351,7 +1353,7 @@ GLOBAL_SORT_ALLOWED = frozenset(
     q_changepoint q_char_lid q_churn q_cluster_terms q_cms_freq
     q_cohort_ltv q_conformal_ols q_control_chart q_dataset_card
     q_decontaminate_containment q_decontaminate_fuzzy q_dedup_containment
-    q_dedup_embedding q_domain_minhash q_domain_mix q_dp_histogram
+    q_dedup_embedding q_domain_minhash q_domain_mix q_dp_histogram q_elbow_curve
     q_embedding_audit q_embedding_drift q_embedding_int8 q_embedding_pool
     q_epoch_shuffle q_equidepth_bins q_event_transitions q_ewma q_fairness_audit
     q_exposure_response q_fightin_words q_forget_audit q_funnel q_gini
@@ -1376,7 +1378,7 @@ GLOBAL_SORT_ALLOWED = frozenset(
     q_sample_maintenance q_sample_quantiles q_sample_stratified
     q_sample_stratified_md5 q_sample_weighted q_sample_weighted_grouped
     q_scan_sources q_schema_evolution q_seasonal_anomaly q_session_pattern
-    q_set_ops q_shard_manifest q_stopword_induction q_stratified_kfold
+    q_set_ops q_shard_manifest q_silhouette q_stopword_induction q_stratified_kfold
     q_stream_histogram q_stream_kmv q_stream_rate_alert q_stream_static_join q_stream_topk
     q_table_profile q_temperature_mix q_term_burstiness q_text_stats q_threshold_sweep
     q_time_to_convert q_time_travel q_tokenizer_fertility

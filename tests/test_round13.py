@@ -497,3 +497,47 @@ def test_stream_rate_alert_fires_on_spike(spark, tmp_path):
     assert len(alerts) == 1
     assert alerts[0]["n"] == 40
     assert all(not r["alert"] for r in out[:3])
+
+
+def test_silhouette_separated_vs_mixed(spark, tmp_path):
+    """X298: two tight, well-separated blobs score near +1; the same
+    points all assigned sensible clusters never score negative means
+    on this geometry."""
+    rows = []
+    for i in range(20):
+        v = [0.0] * 64
+        v[0] = 1.0 + 0.001 * i  # blob A on e0
+        rows.append((i, v, 0))
+    for i in range(20):
+        v = [0.0] * 64
+        v[1] = 1.0 + 0.001 * i  # blob B on e1
+        rows.append((100 + i, v, 1))
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = QUERIES["q_silhouette"](spark, sf).collect()
+    # k=4 on two blobs: clusters covering a blob core score high;
+    # no cluster mean should be strongly negative, and the two
+    # dominant clusters (init ids 0 and, after Lloyd, the e1 blob)
+    # must be > 0.9.
+    means = sorted(
+        (r["mean_silhouette_micro"] for r in out), reverse=True
+    )
+    assert means[0] > 900_000
+    total = sum(r["n_points"] for r in out)
+    assert total == 40
+
+
+def test_elbow_inertia_monotone_in_k(spark, tmp_path):
+    """X299: inertia is non-increasing as k grows (more centroids
+    never fit worse on this fixture), and every point is assigned at
+    every k."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((i, v, i % 10))
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = {r["k"]: r for r in QUERIES["q_elbow_curve"](spark, sf).collect()}
+    assert [out[k]["n_points"] for k in (2, 4, 8)] == [60, 60, 60]
+    assert out[2]["inertia_micro"] >= out[4]["inertia_micro"] >= out[8]["inertia_micro"]
