@@ -3483,3 +3483,241 @@ def q_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# X301 — Pearson chi-square test of independence: language × length
+# bucket — "is document length independent of language?", the
+# contingency-table audit a curation pass runs before per-language
+# length filters (a dependent table means one shared length cutoff
+# skews the language mix; X52's q_domain_mix then needs per-language
+# budgets). Exact integers: with E = r·c/N, the cell contribution
+# (O−E)²/E equals (O·N − r·c)² / (r·c·N) — one truncated micro
+# division per cell on non-negative integers, no float E anywhere.
+# The 5% critical value comes from the published Pearson table
+# (dof 1..12), so the verdict is a pure integer comparison.
+# --------------------------------------------------------------------------
+_CHI2_CRIT_MILLI = (
+    "CASE dof WHEN 1 THEN 3841 WHEN 2 THEN 5991 WHEN 3 THEN 7815"
+    " WHEN 4 THEN 9488 WHEN 5 THEN 11070 WHEN 6 THEN 12592"
+    " WHEN 7 THEN 14067 WHEN 8 THEN 15507 WHEN 9 THEN 16919"
+    " WHEN 10 THEN 18307 WHEN 11 THEN 19675 WHEN 12 THEN 21026 END"
+)
+
+
+@query(
+    "q_chi2_independence",
+    oracle=f"""
+    WITH obs AS (
+      SELECT lang,
+             CASE WHEN n_chars < 250 THEN 'short'
+                  WHEN n_chars < 400 THEN 'mid'
+                  ELSE 'long' END AS bucket,
+             CAST(count(*) AS HUGEINT) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, CAST(sum(o) AS HUGEINT) AS r FROM obs GROUP BY 1),
+    ct AS (SELECT bucket, CAST(sum(o) AS HUGEINT) AS c FROM obs GROUP BY 1),
+    nt AS (SELECT CAST(sum(o) AS HUGEINT) AS n FROM obs),
+    -- densify: a chi-square runs over the FULL R x C grid; zero cells
+    -- contribute r*c/N each and dropping them understates the statistic
+    cells AS (
+      SELECT rt.lang, ct.bucket, COALESCE(obs.o, 0::HUGEINT) AS o, r, c
+      FROM rt CROSS JOIN ct
+      LEFT JOIN obs ON obs.lang = rt.lang AND obs.bucket = ct.bucket
+    ),
+    dims AS (
+      SELECT CAST(((SELECT count(*) FROM rt) - 1)
+                  * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof
+    ),
+    contrib AS (
+      SELECT cells.lang, cells.bucket, o, r, c, n,
+             (o * n - r * c) * (o * n - r * c) * 1000000
+               // (r * c * n) AS cm
+      FROM cells CROSS JOIN nt
+    )
+    SELECT lang, bucket, CAST(o AS BIGINT) AS o,
+           CAST(cm AS BIGINT) AS contrib_micro,
+           CAST(sum(cm) OVER () AS BIGINT) AS chi2_micro,
+           dof,
+           CAST({_CHI2_CRIT_MILLI} AS BIGINT) AS crit_milli,
+           sum(cm) OVER () > CAST({_CHI2_CRIT_MILLI} AS HUGEINT) * 1000
+             AS dependent
+    FROM contrib CROSS JOIN dims
+    ORDER BY lang, bucket
+    """,
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X301 — chi-square independence test, language × length bucket.
+
+    Exactness: O/r/c/N are exact integer counts; each cell's
+    contribution is (O·N − r·c)²·1e6 div (r·c·N) — an identity for
+    N·(O−E)²/E·... with E = r·c/N multiplied out so nothing fractional
+    ever materializes; the truncating div runs on non-negative
+    DECIMAL(38) (Spark div == DuckDB // there). The 5% gate compares
+    the micro sum against the published critical value in milli×1000 —
+    integers on both sides.
+
+    Scale shape: one fact-sized groupBy(lang, bucket) with map-side
+    partials; everything after (row/col totals, the window sum, the
+    verdict) runs on the grid-sized cells table (#langs × 3 rows).
+    The unpartitioned window is over that grid, not the fact table.
+    Presentation sort is grid-bounded (allowlist class a)."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = (
+        docs.select(
+            "lang",
+            F.when(F.col("n_chars") < 250, "short")
+            .when(F.col("n_chars") < 400, "mid")
+            .otherwise("long")
+            .alias("bucket"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("o"))
+    )
+    rt = obs.groupBy("lang").agg(F.sum("o").cast("decimal(38,0)").alias("r"))
+    ct = obs.groupBy("bucket").agg(
+        F.sum("o").cast("decimal(38,0)").alias("c")
+    )
+    nt = obs.agg(F.sum("o").cast("decimal(38,0)").alias("n"))
+    # densify to the full R x C grid: zero cells contribute r*c/N each
+    # and dropping them understates chi-square (caught by the planted
+    # 2x2 perfect-association test, where chi2 must equal N exactly)
+    cells = (
+        rt.select("lang")
+        .crossJoin(ct.select("bucket"))
+        .join(obs, ["lang", "bucket"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0).cast("decimal(38,0)")))
+    )
+    dims = rt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    ).crossJoin(ct.agg(F.count(F.lit(1)).cast("long").alias("n_cols"))).select(
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof")
+    )
+    contrib = (
+        cells.join(rt, "lang")
+        .join(ct, "bucket")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(dims))
+        .withColumn(
+            "cm",
+            F.expr(
+                "(o * n - r * c) * (o * n - r * c) * 1000000"
+                " div (r * c * n)"
+            ),
+        )
+    )
+    chi2 = F.sum("cm").over(W.partitionBy())
+    return contrib.select(
+        "lang",
+        "bucket",
+        F.col("o").cast("long").alias("o"),
+        F.col("cm").cast("long").alias("contrib_micro"),
+        chi2.cast("long").alias("chi2_micro"),
+        "dof",
+        F.expr(_CHI2_CRIT_MILLI).cast("long").alias("crit_milli"),
+        (
+            chi2
+            > F.expr(_CHI2_CRIT_MILLI).cast("decimal(38,0)") * 1000
+        ).alias("dependent"),
+    ).orderBy("lang", "bucket")
+
+
+# --------------------------------------------------------------------------
+# X302 — sample-ratio-mismatch (SRM) check on the X48 deterministic
+# split: a goodness-of-fit chi-square of observed train/val/test
+# counts against the designed 80/10/10 — the standard pre-analysis
+# gate on any split/experiment assignment (an SRM means the
+# assignment itself is broken and every downstream metric is suspect).
+# Same exact-integer identity as X301: with E = N·p/100, the
+# contribution (O−E)²/E = (100·O − N·p)² / (100·N·p).
+# --------------------------------------------------------------------------
+@query(
+    "q_srm_check",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT ('0x' || substr(md5('split-v2|' || CAST(doc_id AS VARCHAR)),
+                               1, 6))::INTEGER % 100 AS bucket
+        FROM documents
+      )
+    ),
+    o AS (SELECT split, CAST(count(*) AS HUGEINT) AS o FROM b GROUP BY 1),
+    nt AS (SELECT CAST(sum(o) AS HUGEINT) AS n FROM o),
+    contrib AS (
+      SELECT split, o, n,
+             CAST(CASE split WHEN 'train' THEN 80 ELSE 10 END
+                  AS HUGEINT) AS p,
+             (100 * o - n * CAST(CASE split WHEN 'train' THEN 80
+                                 ELSE 10 END AS HUGEINT))
+             * (100 * o - n * CAST(CASE split WHEN 'train' THEN 80
+                                   ELSE 10 END AS HUGEINT)) * 1000000
+             // (100 * n * CAST(CASE split WHEN 'train' THEN 80
+                                ELSE 10 END AS HUGEINT)) AS cm
+      FROM o CROSS JOIN nt
+    )
+    SELECT split, CAST(o AS BIGINT) AS n_docs,
+           CAST(p AS BIGINT) AS expected_pct,
+           CAST(cm AS BIGINT) AS contrib_micro,
+           CAST(sum(cm) OVER () AS BIGINT) AS chi2_micro,
+           CAST(2 AS BIGINT) AS dof,
+           sum(cm) OVER () > 5991 * 1000 AS srm
+    FROM contrib
+    ORDER BY split
+    """,
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X302 — SRM goodness-of-fit chi-square on the hash split.
+
+    Exactness: observed counts are exact; with E = N·p/100 the cell
+    contribution is (100·O − N·p)²·1e6 div (100·N·p) — multiplied out
+    so E never materializes as a fraction; truncating div on
+    non-negative DECIMAL(38). The gate is the published 5% critical
+    value for dof 2 (5.991) held in milli×1000 — integer comparison.
+
+    Scale shape: the md5 split assignment is row-local (no shuffle
+    beyond the 3-group aggregate with map-side partials); everything
+    after runs on the 3-row split table. Presentation sort is 3-row
+    bounded (allowlist class a)."""
+    from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    o = (
+        hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("o"))
+    )
+    nt = o.agg(F.sum("o").cast("decimal(38,0)").alias("n"))
+    contrib = (
+        o.crossJoin(F.broadcast(nt))
+        .withColumn(
+            "p",
+            F.when(F.col("split") == "train", F.lit(80))
+            .otherwise(F.lit(10))
+            .cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "cm",
+            F.expr(
+                "(100 * o - n * p) * (100 * o - n * p) * 1000000"
+                " div (100 * n * p)"
+            ),
+        )
+    )
+    chi2 = F.sum("cm").over(W.partitionBy())
+    return contrib.select(
+        "split",
+        F.col("o").cast("long").alias("n_docs"),
+        F.col("p").cast("long").alias("expected_pct"),
+        F.col("cm").cast("long").alias("contrib_micro"),
+        chi2.cast("long").alias("chi2_micro"),
+        F.lit(2).cast("long").alias("dof"),
+        (chi2 > F.lit(5991 * 1000)).alias("srm"),
+    ).orderBy("split")

@@ -7356,3 +7356,119 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X300 — PMI collocation mining: pointwise mutual information over
+# adjacent word bigrams, PMI = ln(P(xy) / (P(x)·P(y))) with
+# P(xy) = c_xy/B (bigram MLE) and P(x) = c_x/N (unigram MLE) — the
+# Church & Hanks (1990) association measure every phrase-vocabulary /
+# tokenizer-merge audit starts from. A df floor (c_xy >= 5) kills the
+# low-count PMI blowup the original paper warns about; top-50 by PMI
+# is the reported collocation table.
+# --------------------------------------------------------------------------
+@query(
+    "q_pmi_collocations",
+    oracle=r"""
+    WITH tok AS (
+      SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                          'g')), ' ') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT w, CAST(count(*) AS HUGEINT) AS c
+      FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+    ),
+    ntot AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM uni),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> [t[i], t[i + 1]])) AS b
+      FROM tok WHERE len(t) >= 2
+    ),
+    bgc AS (
+      SELECT b[1] AS w1, b[2] AS w2, CAST(count(*) AS HUGEINT) AS cxy
+      FROM bg GROUP BY 1, 2
+    ),
+    btot AS (SELECT CAST(sum(cxy) AS HUGEINT) AS bt FROM bgc)
+    SELECT w1, w2, CAST(cxy AS BIGINT) AS c_xy,
+           CAST(u1.c AS BIGINT) AS c_x, CAST(u2.c AS BIGINT) AS c_y,
+           CAST(round(ln(CAST(cxy AS DOUBLE)) * 1000)
+                + 2 * round(ln(CAST(n AS DOUBLE)) * 1000)
+                - round(ln(CAST(bt AS DOUBLE)) * 1000)
+                - round(ln(CAST(u1.c AS DOUBLE)) * 1000)
+                - round(ln(CAST(u2.c AS DOUBLE)) * 1000) AS BIGINT)
+             AS pmi_milli
+    FROM bgc
+    JOIN uni u1 ON u1.w = bgc.w1
+    JOIN uni u2 ON u2.w = bgc.w2
+    CROSS JOIN ntot CROSS JOIN btot
+    WHERE cxy >= 5
+    ORDER BY pmi_milli DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X300 — top-50 PMI collocations over adjacent bigrams (df >= 5).
+
+    Exactness: every count is an exact integer aggregate; each ln is
+    quantized to milli-units PER VALUE (one libm call per count, round
+    absorbs ulps — the X281 q_zipf_fit rule), so the PMI combination
+    ln(c_xy) + 2·ln(N) − ln(B) − ln(c_x) − ln(c_y) is pure integer
+    arithmetic after quantization and hash-matches across engines.
+
+    Scale shape: one fact-sized bigram aggregate and one unigram
+    aggregate, both with map-side partials; the df floor prunes the
+    bigram table BEFORE the two vocab-sized unigram joins; N and B are
+    1-row broadcast cross joins; the top-50 plans as
+    TakeOrderedAndProject (no global sort). At 100 TB the bigram
+    aggregate is the scan-shaped cost; everything after is
+    vocab-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("t")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    )
+    ntot = uni.agg(F.sum("c").cast("decimal(38,0)").alias("n"))
+    bgc = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cxy"))
+    )
+    btot = bgc.agg(F.sum("cxy").cast("decimal(38,0)").alias("bt"))
+    qln = lambda c: F.round(F.log(F.col(c).cast("double")) * 1000)  # noqa: E731
+    return (
+        bgc.filter(F.col("cxy") >= 5)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(ntot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.col("cxy").cast("long").alias("c_xy"),
+            F.col("c1").cast("long").alias("c_x"),
+            F.col("c2").cast("long").alias("c_y"),
+            (
+                qln("cxy") + 2 * qln("n") - qln("bt") - qln("c1") - qln("c2")
+            )
+            .cast("long")
+            .alias("pmi_milli"),
+        )
+        .orderBy(F.desc("pmi_milli"), "w1", "w2")
+        .limit(50)
+    )

@@ -1,0 +1,137 @@
+"""Round-13b additions: X300 PMI collocations, X301 chi-square
+independence, X302 SRM check — planted fixtures with hand-computed
+expectations (the oracle-parity run covers the real tables; these pin
+the algebra on corpora engineered so the right answer is derivable by
+hand)."""
+
+from __future__ import annotations
+
+import math
+
+from mysql_cdc_to_http_spark.queries import QUERIES
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i + 1, t, lang, "src", len(t)) for i, (t, lang) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def _q(x: float) -> int:
+    return int(round(math.log(x) * 1000))
+
+
+def test_pmi_planted_collocation(spark, tmp_path):
+    """X300: 10 docs 'aa bb' + 10 docs 'cc cc cc' — PMI(aa,bb) matches
+    the hand-derived milli-quantized combination and outranks the
+    within-cc bigram."""
+    rows = [("aa bb", "en")] * 10 + [("cc cc cc", "en")] * 10
+    sf = _write_docs(spark, tmp_path, rows)
+    out = QUERIES["q_pmi_collocations"](spark, sf).collect()
+    # unigrams: aa=10 bb=10 cc=30, N=50; bigrams: (aa,bb)=10 (cc,cc)=20, B=30
+    got = {(r["w1"], r["w2"]): r for r in out}
+    r = got[("aa", "bb")]
+    assert r["c_xy"] == 10 and r["c_x"] == 10 and r["c_y"] == 10
+    expected = _q(10) + 2 * _q(50) - _q(30) - _q(10) - _q(10)
+    assert r["pmi_milli"] == expected
+    rc = got[("cc", "cc")]
+    assert rc["c_xy"] == 20 and rc["c_x"] == 30
+    assert rc["pmi_milli"] == _q(20) + 2 * _q(50) - _q(30) - 2 * _q(30)
+    # the engineered collocation wins the ranking
+    assert out[0]["w1"] == "aa" and out[0]["w2"] == "bb"
+    assert r["pmi_milli"] > rc["pmi_milli"]
+
+
+def test_pmi_df_floor(spark, tmp_path):
+    """X300: a bigram seen 4 times stays below the df >= 5 floor."""
+    rows = [("aa bb", "en")] * 4 + [("cc dd", "en")] * 6
+    sf = _write_docs(spark, tmp_path, rows)
+    out = QUERIES["q_pmi_collocations"](spark, sf).collect()
+    pairs = {(r["w1"], r["w2"]) for r in out}
+    assert ("cc", "dd") in pairs and ("aa", "bb") not in pairs
+
+
+def test_chi2_independent_plant_is_zero(spark, tmp_path):
+    """X301: two languages with identical length distributions — every
+    cell contribution is exactly 0 and the verdict is independent."""
+    rows = []
+    for lang in ("en", "de"):
+        for length in (100, 300, 500):  # short / mid / long buckets
+            rows += [("x" * length, lang)] * 4
+    sf = _write_docs(spark, tmp_path, rows)
+    out = QUERIES["q_chi2_independence"](spark, sf).collect()
+    assert len(out) == 6
+    assert all(r["contrib_micro"] == 0 for r in out)
+    assert all(r["chi2_micro"] == 0 for r in out)
+    assert all(r["dof"] == 2 and r["crit_milli"] == 5991 for r in out)
+    assert not any(r["dependent"] for r in out)
+
+
+def test_chi2_dependent_plant_flags(spark, tmp_path):
+    """X301: en all-short vs de all-long (2x2, dof 1) — chi2 equals N
+    exactly (the 2x2 perfect-association identity) and flags."""
+    rows = [("x" * 100, "en")] * 10 + [("x" * 500, "de")] * 10
+    sf = _write_docs(spark, tmp_path, rows)
+    out = QUERIES["q_chi2_independence"](spark, sf).collect()
+    # densified grid: 2 langs x 2 observed buckets, zero cells included
+    assert len(out) == 4
+    assert sorted(r["o"] for r in out) == [0, 0, 10, 10]
+    assert all(r["contrib_micro"] == 5_000_000 for r in out)
+    r = out[0]
+    assert r["dof"] == 1 and r["crit_milli"] == 3841
+    # phi=1 association: chi2 = N = 20 -> 20_000_000 micro
+    assert r["chi2_micro"] == 20_000_000
+    assert all(x["dependent"] for x in out)
+
+
+def test_srm_internal_consistency(spark, sf_dir):
+    """X302: chi2 equals the sum of per-split contributions, each
+    recomputable from the returned observed counts; the flag is the
+    pure integer comparison against 5.991 in micro."""
+    out = QUERIES["q_srm_check"](spark, sf_dir).collect()
+    assert {r["split"] for r in out} == {"train", "val", "test"}
+    n = sum(r["n_docs"] for r in out)
+    chi2 = out[0]["chi2_micro"]
+    total = 0
+    for r in out:
+        p = r["expected_pct"]
+        assert p == (80 if r["split"] == "train" else 10)
+        cm = (100 * r["n_docs"] - n * p) ** 2 * 1_000_000 // (100 * n * p)
+        assert r["contrib_micro"] == cm
+        assert r["chi2_micro"] == chi2 and r["dof"] == 2
+        assert r["srm"] == (chi2 > 5_991_000)
+        total += cm
+    assert chi2 == total
+
+
+def test_srm_planted_skew_flags(spark, tmp_path):
+    """X302: a corpus filtered to train-bucket doc_ids only (observed
+    100/0/0 vs designed 80/10/10) is a maximal SRM and must flag."""
+    import duckdb
+
+    con = duckdb.connect()
+    ids = [
+        i
+        for i in range(1, 400)
+        if con.sql(
+            "SELECT ('0x' || substr(md5('split-v2|' || CAST("
+            f"{i} AS VARCHAR)), 1, 6))::INTEGER % 100"
+        ).fetchone()[0]
+        < 80
+    ]
+    assert len(ids) > 50
+    df = spark.createDataFrame(
+        [(i, "t", "en", "src", 1) for i in ids],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = QUERIES["q_srm_check"](spark, str(tmp_path)).collect()
+    assert {r["split"] for r in out} == {"train"}
+    assert out[0]["srm"]
