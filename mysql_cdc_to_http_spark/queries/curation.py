@@ -3721,3 +3721,166 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).cast("long").alias("dof"),
         (chi2 > F.lit(5991 * 1000)).alias("srm"),
     ).orderBy("split")
+
+
+# --------------------------------------------------------------------------
+# X305 — Jensen-Shannon divergence of each source's unigram
+# distribution from the corpus mix — the bounded (0..ln 2), symmetric
+# "how far is this source from the blend" score that X52's domain-mix
+# planner and X229's DSIR weights read next (PSI/X106 covers numeric
+# drift; this is its text-distribution twin). Support is the corpus
+# top-2000 vocabulary (absolute cap, the X281 rule) and both
+# distributions are conditioned on it, so the support — and the cost
+# of everything after the unigram aggregate — is vocab-sized at any
+# corpus size.
+# --------------------------------------------------------------------------
+@query(
+    "q_js_divergence",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+',
+                    ' ', 'g')), ' ')) AS w
+      FROM documents
+    ),
+    sw AS (
+      SELECT source, w, CAST(count(*) AS HUGEINT) AS a
+      FROM tok GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT w, c FROM (
+        SELECT w, CAST(sum(a) AS HUGEINT) AS c,
+               row_number() OVER (ORDER BY sum(a) DESC, w) AS r
+        FROM sw GROUP BY w
+      ) WHERE r <= 2000
+    ),
+    dense AS (
+      SELECT s.source, v.w, v.c, COALESCE(sw.a, 0::HUGEINT) AS a
+      FROM (SELECT DISTINCT source FROM sw) s
+      CROSS JOIN vocab v
+      LEFT JOIN sw ON sw.source = s.source AND sw.w = v.w
+    ),
+    tot AS (
+      SELECT source, CAST(sum(a) AS HUGEINT) AS ta,
+             CAST(sum(c) AS HUGEINT) AS tc
+      FROM dense GROUP BY source
+    ),
+    terms AS (
+      SELECT d.source,
+             CASE WHEN a > 0 THEN
+               a * (round(ln(CAST(2 * a * tc AS DOUBLE)) * 1000)
+                    - round(ln(CAST(a * tc + c * ta AS DOUBLE)) * 1000))
+             ELSE 0 END AS sp,
+             c * (round(ln(CAST(2 * c * ta AS DOUBLE)) * 1000)
+                  - round(ln(CAST(a * tc + c * ta AS DOUBLE)) * 1000)) AS sq
+      FROM dense d JOIN tot USING (source)
+    ),
+    agg AS (
+      SELECT source, CAST(sum(sp) AS HUGEINT) AS sp,
+             CAST(sum(sq) AS HUGEINT) AS sq
+      FROM terms GROUP BY source
+    )
+    SELECT agg.source,
+           CAST((SELECT count(*) FROM vocab) AS BIGINT) AS n_terms,
+           CAST(ta AS BIGINT) AS source_tokens,
+           CAST(CASE WHEN sp * tc + sq * ta < 0 THEN -1 ELSE 1 END
+                * (abs(sp * tc + sq * ta) * 1000
+                   // (2 * ta * tc)) AS BIGINT) AS js_micro
+    FROM agg JOIN tot USING (source)
+    ORDER BY source
+    """,
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X305 — per-source JS divergence from the corpus unigram mix.
+
+    Exactness: counts a_i, c_i and totals A, C are exact integers;
+    each KL term's log ratio is split as ln(2·a·C) − ln(a·C + c·A) —
+    two per-value milli-quantized ln calls on INTEGER arguments (the
+    X281 rule: round absorbs libm ulps), weighted by the integer count
+    and summed exactly; the final JSD = (S_P·C + S_Q·A)/(2·A·C) is one
+    sign-separated truncating micro div. Zero cells are densified
+    (a_i = 0 rows still carry their Q-side mass — the X301 lesson).
+
+    Scale shape: one fact-sized (source, term) aggregate with map-side
+    partials; the vocabulary cap (top-2000 by corpus frequency,
+    deterministic tie) bounds the support, so the dense grid is
+    sources × 2000 and every later stage is grid-sized. At 100 TB the
+    unigram aggregate is the scan-shaped cost."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    sw = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                    " ",
+                )
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("a"))
+    )
+    vocab = (
+        sw.groupBy("w")
+        .agg(F.sum("a").cast("decimal(38,0)").alias("c"))
+        .withColumn(
+            "r",
+            F.row_number().over(W.partitionBy().orderBy(F.desc("c"), "w")),
+        )
+        .filter(F.col("r") <= 2000)
+        .drop("r")
+    )
+    dense = (
+        sw.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(vocab))
+        .join(sw, ["source", "w"], "left")
+        .withColumn("a", F.coalesce(F.col("a"), F.lit(0).cast("decimal(38,0)")))
+    )
+    tot = dense.groupBy("source").agg(
+        F.sum("a").cast("decimal(38,0)").alias("ta"),
+        F.sum("c").cast("decimal(38,0)").alias("tc"),
+    )
+    qln = (
+        lambda e: F.round(F.log(F.expr(e).cast("double")) * 1000)
+    )  # noqa: E731
+    terms = dense.join(tot, "source").select(
+        "source",
+        F.when(
+            F.col("a") > 0,
+            F.col("a").cast("decimal(38,0)")
+            * (qln("2 * a * tc") - qln("a * tc + c * ta")).cast(
+                "decimal(38,0)"
+            ),
+        )
+        .otherwise(F.lit(0).cast("decimal(38,0)"))
+        .alias("sp"),
+        (
+            F.col("c").cast("decimal(38,0)")
+            * (qln("2 * c * ta") - qln("a * tc + c * ta")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sq"),
+    )
+    agg = terms.groupBy("source").agg(
+        F.sum("sp").cast("decimal(38,0)").alias("sp"),
+        F.sum("sq").cast("decimal(38,0)").alias("sq"),
+    )
+    nv = vocab.agg(F.count(F.lit(1)).cast("long").alias("n_terms"))
+    return (
+        agg.join(tot, "source")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "source",
+            "n_terms",
+            F.col("ta").cast("long").alias("source_tokens"),
+            F.expr(
+                "CAST(CASE WHEN sp * tc + sq * ta < 0 THEN -1 ELSE 1 END"
+                " * (abs(sp * tc + sq * ta) * 1000"
+                "    div (2 * ta * tc)) AS BIGINT)"
+            ).alias("js_micro"),
+        )
+        .orderBy("source")
+    )

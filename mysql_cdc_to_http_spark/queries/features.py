@@ -4256,3 +4256,272 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000) AS BIGINT)"
         ).alias("z_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# X303 — autocorrelation function: per-event-type ACF at lags 1..7 on
+# the zero-filled daily count series — the seasonality detector read
+# before choosing X179/X297-style window lengths (a 7-day data cadence
+# shows up as an acf peak at lag 7). Zero-fill matters: a gappy series
+# computed only over observed days shifts every lag (the same
+# densify lesson as X301's zero cells).
+# --------------------------------------------------------------------------
+@query(
+    "q_autocorrelation",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS HUGEINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type, min(d) AS d0, max(d) AS d1 FROM obs GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             unnest(range(0, datediff('day', d0, d1) + 1)) AS idx
+      FROM span
+    ),
+    obs2 AS (
+      SELECT o.event_type, datediff('day', s.d0, o.d) AS idx, x
+      FROM obs o JOIN span s USING (event_type)
+    ),
+    dense AS (
+      SELECT g.event_type, g.idx, COALESCE(o.x, 0::HUGEINT) AS x
+      FROM grid g LEFT JOIN obs2 o USING (event_type, idx)
+    ),
+    st AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s
+      FROM dense GROUP BY 1
+    ),
+    dev AS (
+      SELECT d.event_type, idx, n * x - s AS dev
+      FROM dense d JOIN st USING (event_type)
+    ),
+    den AS (
+      SELECT event_type, CAST(sum(dev * dev) AS HUGEINT) AS den
+      FROM dev GROUP BY 1
+    ),
+    num AS (
+      SELECT a.event_type, k.k, CAST(sum(a.dev * b.dev) AS HUGEINT) AS num
+      FROM dev a
+      CROSS JOIN (SELECT unnest(range(1, 8)) AS k) k
+      JOIN dev b ON b.event_type = a.event_type AND b.idx = a.idx + k.k
+      GROUP BY 1, 2
+    )
+    SELECT num.event_type, CAST(k AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN den > 0 THEN
+                CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END AS HUGEINT)
+                * (abs(num) * 1000000 // den) END AS BIGINT) AS acf_micro
+    FROM num JOIN den USING (event_type) JOIN st USING (event_type)
+    ORDER BY event_type, lag
+    """,
+)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X303 — per-type ACF at lags 1..7 over zero-filled daily counts.
+
+    Exactness: with dev_t = n·x_t − S (pure integers), the ACF
+    identity r_k = Σ dev_t·dev_{t+k} / Σ dev_t² holds exactly (the n²
+    factors cancel), so numerator and denominator are exact HUGEINT /
+    DECIMAL(38) sums and the only division is one sign-separated
+    truncating micro div.
+
+    Scale shape: one fact-sized (type, day) aggregate with map-side
+    partials; everything after runs on the grid (types × span-days,
+    calendar-sized, independent of event volume). The lag pairing is
+    an equi-join on idx+k (7 exploded lag keys — linear in the grid,
+    never a range join). Presentation sort is grid-bounded (allowlist
+    class a)."""
+    obs = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("x"))
+    )
+    span = obs.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.lit(0), F.datediff("d1", "d0"))
+        ).alias("idx"),
+    )
+    obs2 = obs.join(span, "event_type").select(
+        "event_type", F.datediff("d", "d0").alias("idx"), "x"
+    )
+    dense = grid.join(obs2, ["event_type", "idx"], "left").withColumn(
+        "x", F.coalesce(F.col("x"), F.lit(0).cast("decimal(38,0)"))
+    )
+    st = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+    )
+    dev = dense.join(st, "event_type").select(
+        "event_type", "idx", F.expr("n * x - s").alias("dev"), "n"
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.expr("dev * dev")).cast("decimal(38,0)").alias("den"),
+        F.max("n").alias("n"),
+    )
+    num = (
+        dev.select("event_type", "idx", "dev")
+        .withColumn("k", F.explode(F.expr("sequence(1, 7)")))
+        .alias("a")
+        .join(
+            dev.select(
+                "event_type",
+                F.col("idx").alias("bidx"),
+                F.col("dev").alias("bdev"),
+            ).alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("bidx") == F.col("idx") + F.col("k")),
+        )
+        .groupBy("a.event_type", "k")
+        .agg(F.sum(F.expr("dev * bdev")).cast("decimal(38,0)").alias("num"))
+    )
+    return (
+        num.join(den, "event_type")
+        .select(
+            "event_type",
+            F.col("k").cast("long").alias("lag"),
+            F.col("n").cast("long").alias("n_days"),
+            F.expr(
+                "CAST(CASE WHEN den > 0 THEN"
+                " CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END"
+                "      AS DECIMAL(38,0))"
+                " * (abs(num) * 1000000 div den) END AS BIGINT)"
+            ).alias("acf_micro"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+# --------------------------------------------------------------------------
+# X304 — Theil-Sen trend: per-event-type robust daily-count slope, the
+# median of all pairwise slopes (x_j − x_i)/(j − i) over the
+# zero-filled series — the published breakdown-point-29% alternative
+# to X216's OLS slope (one corrupted day moves OLS, not the pairwise
+# median). The O(span²) pair set is the ALGORITHM's definition and is
+# calendar-sized (span², independent of event volume).
+# --------------------------------------------------------------------------
+@query(
+    "q_theil_sen",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS HUGEINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type, min(d) AS d0, max(d) AS d1 FROM obs GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             unnest(range(0, datediff('day', d0, d1) + 1)) AS idx
+      FROM span
+    ),
+    obs2 AS (
+      SELECT o.event_type, datediff('day', s.d0, o.d) AS idx, x
+      FROM obs o JOIN span s USING (event_type)
+    ),
+    dense AS (
+      SELECT g.event_type, g.idx, COALESCE(o.x, 0::HUGEINT) AS x
+      FROM grid g LEFT JOIN obs2 o USING (event_type, idx)
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(CASE WHEN b.x < a.x THEN -1 ELSE 1 END AS HUGEINT)
+             * (abs(CAST(b.x AS HUGEINT) - CAST(a.x AS HUGEINT)) * 1000000
+                // CAST(b.idx - a.idx AS HUGEINT)) AS sl
+      FROM dense a JOIN dense b
+        ON b.event_type = a.event_type AND b.idx > a.idx
+    ),
+    ranked AS (
+      SELECT event_type, sl,
+             row_number() OVER (PARTITION BY event_type ORDER BY sl) AS r,
+             count(*) OVER (PARTITION BY event_type) AS m
+      FROM slopes
+    )
+    SELECT event_type,
+           CAST(max(m) AS BIGINT) AS n_pairs,
+           CAST(min(sl) AS BIGINT) AS slope_micro_per_day
+    FROM ranked
+    WHERE 2 * r >= m + 1
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X304 — Theil-Sen robust slope of daily event counts, per type.
+
+    Exactness: every pairwise slope is one sign-separated truncating
+    micro div of exact integers ((x_j − x_i)·1e6 div (j − i)); the
+    median is the exact rank pick 2r ≥ m+1 (upper median on even m —
+    the X280 rule), no float interpolation.
+
+    Scale shape: the fact-sized work is one (type, day) aggregate with
+    map-side partials; the pair join runs on the calendar-sized dense
+    grid (span² per type, independent of event volume — at a 10-year
+    span that is 6.7M pairs per type, a model-sized intermediate, and
+    the O(n²) pair set IS the published estimator). Presentation sort
+    is type-bounded (allowlist class a)."""
+    from pyspark.sql.window import Window as W
+
+    obs = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("x"))
+    )
+    span = obs.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias("idx"),
+    )
+    obs2 = obs.join(span, "event_type").select(
+        "event_type", F.datediff("d", "d0").alias("idx"), "x"
+    )
+    dense = grid.join(obs2, ["event_type", "idx"], "left").withColumn(
+        "x", F.coalesce(F.col("x"), F.lit(0).cast("decimal(38,0)"))
+    )
+    b = dense.select(
+        "event_type",
+        F.col("idx").alias("bidx"),
+        F.col("x").alias("bx"),
+    )
+    slopes = (
+        dense.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("bidx") > F.col("idx")),
+        )
+        .select(
+            "a.event_type",
+            F.expr(
+                "CAST(CASE WHEN bx < x THEN -1 ELSE 1 END AS DECIMAL(38,0))"
+                " * (abs(bx - x) * 1000000"
+                "    div CAST(bidx - idx AS DECIMAL(38,0)))"
+            ).alias("sl"),
+        )
+    )
+    ranked = slopes.select(
+        "event_type",
+        "sl",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("sl"))
+        .alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("m"),
+    )
+    return (
+        ranked.filter(2 * F.col("r") >= F.col("m") + 1)
+        .groupBy("event_type")
+        .agg(
+            F.max("m").cast("long").alias("n_pairs"),
+            F.min("sl").cast("long").alias("slope_micro_per_day"),
+        )
+        .orderBy("event_type")
+    )

@@ -135,3 +135,132 @@ def test_srm_planted_skew_flags(spark, tmp_path):
     out = QUERIES["q_srm_check"](spark, str(tmp_path)).collect()
     assert {r["split"] for r in out} == {"train"}
     assert out[0]["srm"]
+
+
+def _write_events(spark, tmp_path, day_counts):
+    """day_counts: {event_type: [count_day0, count_day1, ...]}."""
+    import datetime
+
+    rows, eid = [], 0
+    base = datetime.datetime(2024, 1, 1, 12, 0)  # noon: tz-shift safe
+    for etype, counts in day_counts.items():
+        for day, c in enumerate(counts):
+            for _ in range(c):
+                rows.append(
+                    (eid, base + datetime.timedelta(days=day), eid, etype,
+                     1.0, "{}")
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_acf_alternating_series(spark, tmp_path):
+    """X303: alternating series (span pinned by nonzero endpoints) —
+    the engine matches a python replica of the documented definition
+    (dev_t = n·x_t − S, sign-separated truncating micro div)."""
+    xs = [2, 0, 2, 0, 2, 0, 2]  # 7 days, both endpoints nonzero
+    sf = _write_events(spark, tmp_path, {"a": xs})
+    out = QUERIES["q_autocorrelation"](spark, sf).collect()
+    got = {r["lag"]: r["acf_micro"] for r in out}
+    n, s = len(xs), sum(xs)
+    assert all(r["n_days"] == n for r in out)
+    dev = [n * x - s for x in xs]
+    den = sum(d * d for d in dev)
+    for k in range(1, n):
+        num = sum(dev[t] * dev[t + k] for t in range(n - k))
+        sign = -1 if num < 0 else 1
+        assert got[k] == sign * (abs(num) * 1_000_000 // den), k
+    # lag 7 has no pairs on a 7-day series: no row, not a zero row
+    assert 7 not in got
+    # the alternating structure: lag1 strongly negative, lag2 positive
+    assert got[1] < -800_000 and got[2] > 600_000
+
+
+def test_acf_zero_fill_gap(spark, tmp_path):
+    """X303: a day with no events must enter the series as 0 — the
+    3-day series [3, (gap), 3] has mean 2 and lag-2 ACF +1/2."""
+    sf = _write_events(spark, tmp_path, {"a": [3, 0, 3]})
+    out = QUERIES["q_autocorrelation"](spark, sf).collect()
+    got = {r["lag"]: r["acf_micro"] for r in out}
+    assert all(r["n_days"] == 3 for r in out)
+    # dev = 3x - 6: [3, -6, 3]; lag1: (3*-6 + -6*3)/(9+36+9) = -36/54
+    assert got[1] == -(36 * 1_000_000 // 54)
+    assert got[2] == 9 * 1_000_000 // 54
+
+
+def test_theil_sen_linear_with_outlier(spark, tmp_path):
+    """X304: x_t = 3t plus one corrupted day — the pairwise-slope
+    median stays exactly 3e6 (the robustness OLS lacks)."""
+    counts = [3 * (t + 1) for t in range(10)]  # day0 nonzero: span = 10
+    counts[4] = 40  # outlier day
+    sf = _write_events(spark, tmp_path, {"a": counts})
+    out = QUERIES["q_theil_sen"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_pairs"] == 45
+    assert r["slope_micro_per_day"] == 3_000_000
+
+
+def test_js_identical_sources_zero(spark, tmp_path):
+    """X305: two sources with identical unigram distributions are at
+    exactly 0 from the corpus mix (aC = cA makes every ln pair equal
+    BEFORE quantization, so no residue survives)."""
+    rows = [("aa bb cc", "en")] * 5
+    docs = [(i + 1, t, lang, f"src{i % 2}", len(t))
+            for i, (t, lang) in enumerate([(r, l) for r, l in rows] * 2)]
+    df = spark.createDataFrame(
+        docs[:10],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = QUERIES["q_js_divergence"](spark, str(tmp_path)).collect()
+    assert len(out) == 2
+    assert all(r["js_micro"] == 0 for r in out)
+
+
+def test_js_skewed_source_matches_replica(spark, tmp_path):
+    """X305: a python replica of the documented formula (per-value
+    milli-quantized split lns, integer sums, truncating micro div)
+    reproduces the engine exactly on a skewed two-source plant."""
+    import math
+
+    texts = {"src0": "aa aa aa bb", "src1": "cc cc dd bb"}
+    df = spark.createDataFrame(
+        [(i + 1, t, "en", s, len(t)) for i, (s, t) in enumerate(texts.items())],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r["source"]: r for r in
+           QUERIES["q_js_divergence"](spark, str(tmp_path)).collect()}
+
+    def q(x):
+        return int(round(math.log(x) * 1000))
+
+    corpus = {"aa": 3, "bb": 2, "cc": 2, "dd": 1}
+    per_src = {"src0": {"aa": 3, "bb": 1}, "src1": {"cc": 2, "dd": 1, "bb": 1}}
+    tc = sum(corpus.values())
+    for src, cnts in per_src.items():
+        ta = sum(cnts.values())
+        sp = sq = 0
+        for w, c in corpus.items():
+            a = cnts.get(w, 0)
+            if a > 0:
+                sp += a * (q(2 * a * tc) - q(a * tc + c * ta))
+            sq += c * (q(2 * c * ta) - q(a * tc + c * ta))
+        num = sp * tc + sq * ta
+        sign = -1 if num < 0 else 1
+        expected = sign * (abs(num) * 1000 // (2 * ta * tc))
+        assert out[src]["js_micro"] == expected, src
+        assert out[src]["source_tokens"] == ta
