@@ -4525,3 +4525,366 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# X307 — Benjamini-Hochberg FDR over a family of tests: one-vs-rest
+# Mann-Whitney (X292 machinery, partitioned per event type) gives each
+# type a location z; p-values come from the Bowling 2009 logistic
+# approximation of the normal CDF (p = 2/(1+exp(1.702·|z|)) — one exp
+# per test, micro-rounded); BH at q = 0.10 rejects the largest prefix
+# of the p-ascending ranking with p_i <= i·q/m, by pure integer
+# cross-multiplication (p_micro·m <= i·100000). The multiple-testing
+# correction every per-group screening table (X232, X291, X292) needs
+# before anyone reads its flags.
+# --------------------------------------------------------------------------
+@query(
+    "q_bh_fdr",
+    oracle="""
+    WITH tot AS (
+      SELECT value, CAST(count(*) AS HUGEINT) AS t
+      FROM events GROUP BY value
+    ),
+    tv AS (
+      SELECT event_type, value, CAST(count(*) AS HUGEINT) AS c1
+      FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT ty.event_type, tot.value, tot.t,
+             COALESCE(tv.c1, 0::HUGEINT) AS c1
+      FROM (SELECT DISTINCT event_type FROM events) ty
+      CROSS JOIN tot
+      LEFT JOIN tv ON tv.event_type = ty.event_type
+                  AND tv.value = tot.value
+    ),
+    cum AS (
+      SELECT event_type, c1, t - c1 AS c2, t AS c,
+             COALESCE(SUM(t) OVER (PARTITION BY event_type
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS f_prev
+      FROM dense
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(c1) AS HUGEINT) AS n1,
+             CAST(SUM(c2) AS HUGEINT) AS n2,
+             CAST(SUM(c1 * (2 * f_prev + c + 1)) AS HUGEINT) AS r1_double,
+             CAST(SUM(c * c * c - c) AS HUGEINT) AS tie_t
+      FROM cum GROUP BY event_type
+    ),
+    z AS (
+      SELECT event_type,
+             (CAST(r1_double - n1 * (n1 + 1) AS DOUBLE)
+              - CAST(n1 * n2 AS DOUBLE))
+             / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE)
+                * CAST((n1 + n2) * (n1 + n2) * (n1 + n2)
+                       - (n1 + n2) - tie_t AS DOUBLE)
+                / (12.0 * CAST(n1 + n2 AS DOUBLE)
+                   * CAST(n1 + n2 - 1 AS DOUBLE)))) AS zval
+      FROM agg
+    ),
+    p AS (
+      SELECT event_type,
+             CAST(round(zval * 1000000) AS BIGINT) AS z_micro,
+             CAST(round(2000000.0 / (1.0 + exp(1.702 * abs(zval))))
+                  AS BIGINT) AS p_micro
+      FROM z
+    ),
+    ranked AS (
+      SELECT event_type, z_micro, p_micro,
+             row_number() OVER (ORDER BY p_micro, event_type) AS i,
+             count(*) OVER () AS m
+      FROM p
+    ),
+    istar AS (
+      SELECT COALESCE(max(CASE WHEN p_micro * m <= i * 100000
+                          THEN i END), 0) AS istar
+      FROM ranked
+    )
+    SELECT event_type, z_micro, p_micro,
+           CAST(i AS BIGINT) AS bh_rank, CAST(m AS BIGINT) AS m,
+           i <= istar AS rejected
+    FROM ranked CROSS JOIN istar
+    ORDER BY bh_rank
+    """,
+)
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X307 — BH-FDR correction over per-type one-vs-rest MWU tests.
+
+    Exactness: the per-type rank sums reuse X292's double-rank trick
+    on a densified (type × distinct-value) grid (zero cells carry
+    their pooled mass — the X301/X303 lesson), so n1/n2/R1/ties are
+    exact integers; z divides doubles BUILT from those integers (one
+    sqrt + one exp per test, micro round absorbs the ulp — the X292
+    rule); the BH step is pure integer arithmetic (p_micro·m ≤
+    i·100000, then the max-prefix rule via one window max).
+
+    Scale shape: two fact-sized aggregates with map-side partials
+    ((value) totals and (type, value) counts); the dense grid is
+    types × distinct-values (quantization-bounded, the X291
+    argument); per-type windows run over that grid; everything after
+    is a types-sized table. Presentation sort is family-sized
+    (allowlist class a)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    tot = ev.groupBy("value").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("t")
+    )
+    tv = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c1")
+    )
+    dense = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(tot)
+        .join(tv, ["event_type", "value"], "left")
+        .withColumn(
+            "c1", F.coalesce(F.col("c1"), F.lit(0).cast("decimal(38,0)"))
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = dense.select(
+        "event_type",
+        "c1",
+        (F.col("t") - F.col("c1")).alias("c2"),
+        F.col("t").alias("c"),
+        F.coalesce(
+            F.sum("t").over(w), F.lit(0).cast("decimal(38,0)")
+        ).alias("f_prev"),
+    )
+    agg = cum.groupBy("event_type").agg(
+        F.sum("c1").cast("decimal(38,0)").alias("n1"),
+        F.sum("c2").cast("decimal(38,0)").alias("n2"),
+        F.sum(F.col("c1") * (F.lit(2) * F.col("f_prev") + F.col("c") + 1))
+        .cast("decimal(38,0)")
+        .alias("r1_double"),
+        F.sum(F.expr("c * c * c - c")).cast("decimal(38,0)").alias("tie_t"),
+    )
+    zexpr = (
+        "(CAST(r1_double - n1 * (n1 + 1) AS DOUBLE)"
+        " - CAST(n1 * n2 AS DOUBLE))"
+        " / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE)"
+        "    * CAST((n1 + n2) * (n1 + n2) * (n1 + n2)"
+        "           - (n1 + n2) - tie_t AS DOUBLE)"
+        "    / (12.0 * CAST(n1 + n2 AS DOUBLE)"
+        "       * CAST(n1 + n2 - 1 AS DOUBLE))))"
+    )
+    p = agg.select(
+        "event_type",
+        F.expr(f"CAST(round(({zexpr}) * 1000000) AS BIGINT)").alias(
+            "z_micro"
+        ),
+        F.expr(
+            f"CAST(round(2000000.0 / (1.0 + exp(1.702 * abs({zexpr}))))"
+            " AS BIGINT)"
+        ).alias("p_micro"),
+    )
+    ranked = p.select(
+        "event_type",
+        "z_micro",
+        "p_micro",
+        F.row_number()
+        .over(W.partitionBy().orderBy("p_micro", "event_type"))
+        .alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("m"),
+    )
+    istar = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_micro") * F.col("m") <= F.col("i") * 100000,
+                    F.col("i"),
+                )
+            ),
+            F.lit(0),
+        ).alias("istar")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(istar))
+        .select(
+            "event_type",
+            "z_micro",
+            "p_micro",
+            F.col("i").cast("long").alias("bh_rank"),
+            F.col("m").cast("long").alias("m"),
+            (F.col("i") <= F.col("istar")).alias("rejected"),
+        )
+        .orderBy("bh_rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# X308 — effect sizes for the click-vs-error comparison: Cliff's delta
+# (exact, the probability-of-superiority rescaling of X292's U — pure
+# integers end-to-end) and Cohen's d (pooled-SD standardized mean
+# difference on exact DECIMAL(18,2) centi-unit moments). The
+# "does it MATTER" table read next to X292/X295's "is it significant"
+# — at corpus scale every difference is significant, so the gate that
+# actually filters is the effect size.
+# --------------------------------------------------------------------------
+@query(
+    "q_effect_size",
+    oracle="""
+    WITH pooled AS (
+      SELECT value,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS c1,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS c2
+      FROM events WHERE event_type IN ('click', 'error')
+      GROUP BY value
+    ),
+    cum AS (
+      SELECT c1, c2, c1 + c2 AS c,
+             COALESCE(SUM(c1 + c2) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS f_prev
+      FROM pooled
+    ),
+    uagg AS (
+      SELECT CAST(SUM(c1) AS HUGEINT) AS n1,
+             CAST(SUM(c2) AS HUGEINT) AS n2,
+             CAST(SUM(c1 * (2 * f_prev + c + 1)) AS HUGEINT) AS r1_double
+      FROM cum
+    ),
+    mo AS (
+      SELECT
+        CAST(SUM(CASE WHEN event_type = 'click' THEN vc ELSE 0 END)
+             AS HUGEINT) AS s1,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN vc ELSE 0 END)
+             AS HUGEINT) AS s2,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN vc * vc ELSE 0 END)
+             AS HUGEINT) AS ss1,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN vc * vc ELSE 0 END)
+             AS HUGEINT) AS ss2
+      FROM (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS vc
+        FROM events WHERE event_type IN ('click', 'error')
+      )
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(r1_double - n1 * (n1 + 1) AS BIGINT) AS u1_double,
+           CAST(CASE WHEN (r1_double - n1 * (n1 + 1)) - n1 * n2 < 0
+                     THEN -1 ELSE 1 END
+                * (abs((r1_double - n1 * (n1 + 1)) - n1 * n2) * 1000000
+                   // (n1 * n2)) AS BIGINT) AS cliffs_delta_micro,
+           CAST(CASE WHEN (n1 * ss1 - s1 * s1) * n2
+                          + (n2 * ss2 - s2 * s2) * n1 > 0
+                      AND n1 + n2 > 2 THEN round(
+             (CAST(s1 * n2 - s2 * n1 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))
+             / sqrt(CAST((n1 * ss1 - s1 * s1) * n2
+                         + (n2 * ss2 - s2 * s2) * n1 AS DOUBLE)
+                    / (CAST(n1 * n2 AS DOUBLE)
+                       * CAST(n1 + n2 - 2 AS DOUBLE)))
+             * 1000000) END AS BIGINT) AS cohens_d_micro
+    FROM uagg CROSS JOIN mo
+    """,
+)
+def q_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X308 — Cliff's delta + Cohen's d for click vs error values.
+
+    Exactness: Cliff's delta comes straight from X292's double-rank
+    U — delta = (u1_double − n1·n2)/(n1·n2) is one sign-separated
+    truncating micro div of exact integers (ties contribute the
+    correct 1/2 through the double ranks). Cohen's d uses exact
+    centi-unit integer moments (DECIMAL(18,2)·100 — the q_ewma
+    value-quantization rule); the multiplied-out pooled variance
+    ((n1·ss1−s1²)·n2 + (n2·ss2−s2²)·n1)/(n1·n2·(n1+n2−2)) never
+    materializes a fractional intermediate, and only the final d
+    divides doubles built from those integers (one sqrt, micro round
+    absorbs the ulp).
+
+    Scale shape: one value-keyed aggregate + cumulative window over
+    DISTINCT values (quantization-bounded) for U, one 1-row moment
+    aggregate with map-side partials for d; output is a single row."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    pooled = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("c2"),
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    cum = pooled.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        F.coalesce(
+            F.sum(F.col("c1") + F.col("c2")).over(w),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("f_prev"),
+    )
+    uagg = cum.agg(
+        F.sum("c1").cast("decimal(38,0)").alias("n1"),
+        F.sum("c2").cast("decimal(38,0)").alias("n2"),
+        F.sum(F.col("c1") * (F.lit(2) * F.col("f_prev") + F.col("c") + 1))
+        .cast("decimal(38,0)")
+        .alias("r1_double"),
+    )
+    vc = ev.select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))")
+        .alias("vc"),
+    )
+    mo = vc.agg(
+        F.sum(F.when(F.col("event_type") == "click", F.col("vc")).otherwise(
+            F.lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(F.when(F.col("event_type") == "error", F.col("vc")).otherwise(
+            F.lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "click", F.col("vc") * F.col("vc")
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("ss1"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "error", F.col("vc") * F.col("vc")
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("ss2"),
+    )
+    return uagg.crossJoin(F.broadcast(mo)).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.expr("CAST(r1_double - n1 * (n1 + 1) AS BIGINT)").alias(
+            "u1_double"
+        ),
+        F.expr(
+            "CAST(CASE WHEN (r1_double - n1 * (n1 + 1)) - n1 * n2 < 0"
+            " THEN -1 ELSE 1 END"
+            " * (abs((r1_double - n1 * (n1 + 1)) - n1 * n2) * 1000000"
+            "    div (n1 * n2)) AS BIGINT)"
+        ).alias("cliffs_delta_micro"),
+        F.expr(
+            "CAST(CASE WHEN (n1 * ss1 - s1 * s1) * n2"
+            "           + (n2 * ss2 - s2 * s2) * n1 > 0"
+            "       AND n1 + n2 > 2 THEN round("
+            " (CAST(s1 * n2 - s2 * n1 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))"
+            " / sqrt(CAST((n1 * ss1 - s1 * s1) * n2"
+            "             + (n2 * ss2 - s2 * s2) * n1 AS DOUBLE)"
+            "        / (CAST(n1 * n2 AS DOUBLE)"
+            "           * CAST(n1 + n2 - 2 AS DOUBLE)))"
+            " * 1000000) END AS BIGINT)"
+        ).alias("cohens_d_micro"),
+    )

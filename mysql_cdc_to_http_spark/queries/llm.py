@@ -7472,3 +7472,203 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_milli"), "w1", "w2")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# X306 — MaxScore/WAND-style pruned BM25 top-k: phase 1 scores ONLY
+# the rarest query term's postings exactly and takes the k-th best as
+# the entry threshold theta; phase 2 prunes every candidate doc whose
+# term-presence UPPER BOUND sum_t idf_t*(k1+1) (the tf→∞ saturation
+# limit of each term's contribution) cannot reach theta, and exact
+# scoring runs on the survivors only — the Turtle-Flood 1995 /
+# Broder 2003 top-k pruning family, expressed as the X254
+# estimate-then-verify screen. Provably rank-identical to X88's
+# exhaustive q_bm25 (a pruned doc's true score <= its UB < theta <=
+# true k-th best); parity is pinned by test.
+# --------------------------------------------------------------------------
+@query(
+    "q_wand_prune",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+    ft AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM terms WHERE term IN ({_BM25_TERMS_SQL})
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM terms WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY term),
+    idf AS (
+      SELECT term, ln((s.n - df + 0.5) / (df + 0.5) + 1.0) AS idf, s.avgdl,
+             df
+      FROM dfq, stats s
+    ),
+    contrib AS (
+      SELECT ft.doc_id,
+             idf.idf * (ft.tf * ({_BM25_K1} + 1.0))
+             / (ft.tf + {_BM25_K1}
+                * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / idf.avgdl)) AS c
+      FROM ft JOIN idf USING (term) JOIN dl ON ft.doc_id = dl.doc_id
+    ),
+    rarest AS (
+      SELECT term FROM idf ORDER BY idf DESC, term LIMIT 1
+    ),
+    seed AS (
+      SELECT doc_id, round(SUM(c), 6) AS s6
+      FROM contrib
+      WHERE doc_id IN (SELECT doc_id FROM ft
+                       WHERE term = (SELECT term FROM rarest))
+      GROUP BY doc_id
+    ),
+    theta AS (
+      SELECT CAST(count(*) AS BIGINT) AS seed_n,
+             max(CASE WHEN rn = 20 THEN
+                 CAST(round(s6 * 1000000) AS BIGINT) END) AS theta_micro
+      FROM (SELECT s6, row_number() OVER (ORDER BY s6 DESC, doc_id) AS rn
+            FROM seed)
+    ),
+    ub AS (
+      SELECT ft.doc_id,
+             CAST(SUM(CAST(round(idf.idf * ({_BM25_K1} + 1.0) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS ub_micro
+      FROM ft JOIN idf USING (term) GROUP BY ft.doc_id
+    ),
+    survivors AS (
+      SELECT ub.doc_id, ub_micro
+      FROM ub CROSS JOIN theta
+      WHERE theta_micro IS NULL OR ub_micro + 10 >= theta_micro
+    ),
+    audit AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM ub) AS n_candidates,
+             (SELECT CAST(count(*) AS BIGINT) FROM survivors)
+               AS n_survivors,
+             (SELECT theta_micro FROM theta) AS theta_micro
+    )
+    SELECT s.doc_id, round(SUM(c.c), 6) AS bm25,
+           a.n_candidates, a.n_survivors, a.theta_micro
+    FROM survivors s JOIN contrib c ON c.doc_id = s.doc_id
+    CROSS JOIN audit a
+    GROUP BY s.doc_id, a.n_candidates, a.n_survivors, a.theta_micro
+    ORDER BY bm25 DESC, s.doc_id LIMIT 20
+    """,
+)
+def q_wand_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X306 — top-20 BM25 with a MaxScore entry-threshold screen.
+
+    Soundness: a pruned doc's true score is strictly below its
+    presence upper bound (per-term contribution < idf·(k1+1), the
+    tf→∞ limit; the length norm ≥ 1−b keeps the gap ≥3% of the
+    bound), and theta is an exact achieved score — so the survivor
+    set provably contains the true top-k; when the seed posting list
+    holds fewer than k docs, theta is NULL and the screen passes
+    everything (no unsound fallback). Per-term bounds are quantized
+    to integer micro BEFORE the per-doc sum (sum order can't move a
+    rounded double), and the comparison carries a +10-micro slack
+    absorbing the theta rounding.
+
+    Scale shape: phase 1 touches only the rarest term's postings
+    (df-smallest by construction); the presence UB needs no dl join
+    and no tf weighting; exact scoring (the dl join + per-doc agg)
+    runs on survivors only. On a real corpus the rare-term seed is
+    orders of magnitude under the candidate union — the screen turns
+    top-k retrieval from candidate-sized into survivor-sized work,
+    which is the published MaxScore win. Rank parity with exhaustive
+    q_bm25 is pinned by test at 3 SFs."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tx.tokenize(F.col("text")).alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    terms = toks.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = dfq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+        "avgdl",
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    rarest = idf.orderBy(F.desc("idf"), "term").limit(1).select("term")
+    seed = (
+        contrib.join(
+            tf.join(F.broadcast(rarest), "term").select("doc_id").distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("s6"))
+    )
+    theta = seed.select(
+        "s6",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.desc("s6"), "doc_id"))
+        .alias("rn"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("seed_n"),
+        F.max(
+            F.when(
+                F.col("rn") == 20,
+                F.round(F.col("s6") * 1000000).cast("long"),
+            )
+        ).alias("theta_micro"),
+    )
+    ub = (
+        tf.join(F.broadcast(idf), "term")
+        .select(
+            "doc_id",
+            F.round(F.col("idf") * (_BM25_K1 + 1.0) * 1000000)
+            .cast("long")
+            .alias("t_ub"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("t_ub").cast("long").alias("ub_micro"))
+    )
+    survivors = ub.crossJoin(F.broadcast(theta)).filter(
+        F.col("theta_micro").isNull()
+        | (F.col("ub_micro") + 10 >= F.col("theta_micro"))
+    )
+    audit = (
+        ub.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .crossJoin(
+            survivors.agg(
+                F.count(F.lit(1)).cast("long").alias("n_survivors")
+            )
+        )
+        .crossJoin(theta.select("theta_micro"))
+    )
+    return (
+        contrib.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("bm25"))
+        .crossJoin(F.broadcast(audit))
+        .select(
+            "doc_id", "bm25", "n_candidates", "n_survivors", "theta_micro"
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )

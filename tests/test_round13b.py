@@ -264,3 +264,150 @@ def test_js_skewed_source_matches_replica(spark, tmp_path):
         expected = sign * (abs(num) * 1000 // (2 * ta * tc))
         assert out[src]["js_micro"] == expected, src
         assert out[src]["source_tokens"] == ta
+
+
+def test_wand_prune_matches_exhaustive_bm25(spark, sf_dir):
+    """X306: the screen is sound — pruned top-20 (doc_id, bm25) is
+    IDENTICAL to exhaustive q_bm25's, and the audit shows a real
+    screen (survivors <= candidates, theta present when seed >= k)."""
+    exact = [(r["doc_id"], r["bm25"])
+             for r in QUERIES["q_bm25"](spark, sf_dir).collect()]
+    pruned_rows = QUERIES["q_wand_prune"](spark, sf_dir).collect()
+    pruned = [(r["doc_id"], r["bm25"]) for r in pruned_rows]
+    assert pruned == exact
+    a = pruned_rows[0]
+    assert a["n_survivors"] <= a["n_candidates"]
+    if a["theta_micro"] is not None:
+        # theta is an achieved seed score: within the score range
+        assert a["theta_micro"] <= round(pruned[0][1] * 1_000_000)
+
+
+def test_wand_prune_small_seed_no_prune(spark, tmp_path):
+    """X306: fewer than k docs hold the rarest term -> theta NULL and
+    the screen passes every candidate (the sound fallback)."""
+    rows = [(f"common{'x' * (i % 3)} spark text", "en") for i in range(10)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = QUERIES["q_wand_prune"](spark, sf).collect()
+    assert out, "docs containing a query term must survive"
+    a = out[0]
+    assert a["theta_micro"] is None
+    assert a["n_survivors"] == a["n_candidates"]
+
+
+def test_bh_fdr_prefix_property(spark, sf_dir):
+    """X307: BH rejections are a prefix of the p-ascending ranking,
+    and each rejected rank satisfies the integer threshold rule."""
+    out = QUERIES["q_bh_fdr"](spark, sf_dir).collect()
+    m = out[0]["m"]
+    assert sorted(r["bh_rank"] for r in out) == list(range(1, m + 1))
+    flags = [r["rejected"] for r in sorted(out, key=lambda r: r["bh_rank"])]
+    # prefix: no True after the first False
+    assert flags == sorted(flags, reverse=True)
+    istar = sum(flags)
+    for r in out:
+        assert 0 <= r["p_micro"] <= 2_000_000
+        if r["bh_rank"] == istar and istar > 0:
+            # the boundary rank itself need not satisfy the raw rule
+            # (BH rejects the prefix up to the LARGEST satisfying i),
+            # but some rank >= istar boundary must have satisfied it
+            pass
+    raw = [r["bh_rank"] for r in out
+           if r["p_micro"] * m <= r["bh_rank"] * 100000]
+    assert istar == (max(raw) if raw else 0)
+
+
+def test_bh_fdr_two_type_mirror(spark, tmp_path):
+    """X307: two maximally separated types — both one-vs-rest tests
+    are the same comparison mirrored, so both reject with opposite
+    z signs."""
+    sf = _write_events(
+        spark, tmp_path,
+        {"a": [0] * 0 or [30], "b": [30]},
+    )
+    # overwrite values: 'a' events at value 999, 'b' at distinct lows
+    import datetime
+
+    rows = []
+    for i in range(30):
+        rows.append((i, datetime.datetime(2024, 1, 1, 12), i, "a",
+                     999.0, "{}"))
+        rows.append((100 + i, datetime.datetime(2024, 1, 1, 12), 100 + i,
+                     "b", float(i), "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {r["event_type"]: r
+           for r in QUERIES["q_bh_fdr"](spark, str(tmp_path)).collect()}
+    assert out["a"]["z_micro"] > 0 and out["b"]["z_micro"] < 0
+    assert abs(out["a"]["z_micro"] + out["b"]["z_micro"]) <= 1
+    assert out["a"]["rejected"] and out["b"]["rejected"]
+
+
+def test_effect_size_replica(spark, tmp_path):
+    """X308: hand fixture — click [10,12]x5, error [10,14]x5; the
+    engine matches a python replica of the documented exact formulas."""
+    import datetime
+
+    rows, eid = [], 0
+    for v in [10.0, 12.0] * 5:
+        rows.append((eid, datetime.datetime(2024, 1, 1, 12), eid, "click",
+                     v, "{}")); eid += 1
+    for v in [10.0, 14.0] * 5:
+        rows.append((eid, datetime.datetime(2024, 1, 1, 12), eid, "error",
+                     v, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = QUERIES["q_effect_size"](spark, str(tmp_path)).collect()[0]
+    assert r["n1"] == 10 and r["n2"] == 10
+    import math
+
+    click = [1000, 1200] * 5
+    err = [1000, 1400] * 5
+    # double-rank U replica over pooled distinct values
+    pooled = sorted(set(click + err))
+    fprev, u2 = 0, 0
+    for v in pooled:
+        c1 = click.count(v); c2 = err.count(v); c = c1 + c2
+        u2 += c1 * (2 * fprev + c + 1)
+        fprev += c
+    u1_double = u2 - 10 * 11
+    assert r["u1_double"] == u1_double
+    num = u1_double - 100
+    sign = -1 if num < 0 else 1
+    assert r["cliffs_delta_micro"] == sign * (abs(num) * 1_000_000 // 100)
+    s1, s2 = sum(click), sum(err)
+    ss1 = sum(v * v for v in click); ss2 = sum(v * v for v in err)
+    nvar = (10 * ss1 - s1 * s1) * 10 + (10 * ss2 - s2 * s2) * 10
+    d = ((s1 * 10 - s2 * 10) / 100.0) / math.sqrt(nvar / (100.0 * 18.0))
+    assert r["cohens_d_micro"] == round(d * 1_000_000)
+
+
+def test_effect_size_zero_variance_null(spark, tmp_path):
+    """X308: identical constant values in both groups -> delta 0 and
+    d NULL (guarded), never NaN."""
+    import datetime
+
+    rows = [(i, datetime.datetime(2024, 1, 1, 12), i,
+             "click" if i % 2 else "error", 7.0, "{}") for i in range(20)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = QUERIES["q_effect_size"](spark, str(tmp_path)).collect()[0]
+    assert r["cliffs_delta_micro"] == 0
+    assert r["cohens_d_micro"] is None
