@@ -4888,3 +4888,409 @@ def q_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000) END AS BIGINT)"
         ).alias("cohens_d_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# X309 — CUPED variance reduction (Deng et al. 2013): theta =
+# cov(pre, post)/var(pre) over per-user pre/post period metric sums,
+# and the achievable variance reduction rho² — the standard
+# pre-experiment covariate adjustment every A/B platform applies
+# before reading X127/X292's tests. Pre period = first 15 days of the
+# span, post = the rest; users missing from a period carry 0 (the
+# production convention for new/churned users).
+# --------------------------------------------------------------------------
+@query(
+    "q_cuped",
+    oracle="""
+    WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+    per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN datediff('day', d0, CAST(ts AS DATE)) < 15
+                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                AS HUGEINT) ELSE 0::HUGEINT END)
+                  AS HUGEINT) AS x,
+             CAST(SUM(CASE WHEN datediff('day', d0, CAST(ts AS DATE)) >= 15
+                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                AS HUGEINT) ELSE 0::HUGEINT END)
+                  AS HUGEINT) AS y
+      FROM events CROSS JOIN span GROUP BY user_id
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(y * y) AS HUGEINT) AS syy
+      FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+                CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+                     AS HUGEINT)
+                * (abs(n * sxy - sx * sy) * 1000000
+                   // (n * sxx - sx * sx)) END AS BIGINT) AS theta_micro,
+           CAST(CASE WHEN (n * sxx - sx * sx) > 0
+                      AND (n * syy - sy * sy) > 0 THEN
+                ((n * sxy - sx * sy) * (n * sxy - sx * sy) * 10000)
+                // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                END AS BIGINT) AS var_reduction_bp
+    FROM mo
+    """,
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X309 — CUPED theta and variance-reduction over user pre/post sums.
+
+    Exactness: per-user period sums are exact centi-unit integers (the
+    q_ewma DECIMAL(18,2) rule); all five moments are exact DECIMAL(38)
+    sums; theta = (n·Σxy − Σx·Σy)/(n·Σx² − Σx²) and rho²·1e4 are
+    sign-separated / non-negative truncating divs of those integers —
+    the X281 closed-form discipline, zero float accumulation.
+
+    Scale shape: one fact-sized per-user aggregate with map-side
+    partials (the CASE runs inside the partial), one 1-row moment
+    aggregate, constant arithmetic after. Single-row output."""
+    span = load_table(spark, sf_dir, "events").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.when(
+                F.datediff(F.to_date("ts"), F.col("d0")) < 15,
+                F.expr(
+                    "CAST(CAST(value AS DECIMAL(18,2)) * 100"
+                    " AS DECIMAL(38,0))"
+                ),
+            )
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+            .alias("xv"),
+            F.when(
+                F.datediff(F.to_date("ts"), F.col("d0")) >= 15,
+                F.expr(
+                    "CAST(CAST(value AS DECIMAL(18,2)) * 100"
+                    " AS DECIMAL(38,0))"
+                ),
+            )
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+            .alias("yv"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("xv").cast("decimal(38,0)").alias("x"),
+            F.sum("yv").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    mo = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("x * y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr("y * y")).cast("decimal(38,0)").alias("syy"),
+    )
+    return mo.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.expr(
+            "CAST(CASE WHEN n * sxx - sx * sx > 0 THEN"
+            " CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END"
+            "      AS DECIMAL(38,0))"
+            " * (abs(n * sxy - sx * sy) * 1000000"
+            "    div (n * sxx - sx * sx)) END AS BIGINT)"
+        ).alias("theta_micro"),
+        F.expr(
+            "CAST(CASE WHEN (n * sxx - sx * sx) > 0"
+            " AND (n * syy - sy * sy) > 0 THEN"
+            " ((n * sxy - sx * sy) * (n * sxy - sx * sy) * 10000)"
+            " div ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+            " END AS BIGINT)"
+        ).alias("var_reduction_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X310 — growth accounting (the Social Capital DAU decomposition):
+# every day's active users split exactly into new / retained /
+# resurrected, plus the day's churned count — the standard
+# engagement-health ledger, with the accounting identity
+# active = new + retained + resurrected enforced by construction
+# (and pinned by test). Days with zero activity still appear
+# (densified span — the X301/X303 lesson) so churn on silent days
+# is visible.
+# --------------------------------------------------------------------------
+@query(
+    "q_growth_accounting",
+    oracle="""
+    WITH au AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    fs AS (SELECT user_id, min(d) AS first_d FROM au GROUP BY user_id),
+    span AS (SELECT min(d) AS d0, max(d) AS d1 FROM au),
+    grid AS (
+      SELECT d0 + CAST(i AS INTEGER) AS d
+      FROM span, unnest(range(0, datediff('day', d0, d1) + 1)) AS t(i)
+    ),
+    cls AS (
+      SELECT au.d,
+             CAST(SUM(CASE WHEN fs.first_d = au.d THEN 1 ELSE 0 END)
+                  AS BIGINT) AS new_users,
+             CAST(SUM(CASE WHEN fs.first_d < au.d AND p.user_id IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+             CAST(SUM(CASE WHEN fs.first_d < au.d AND p.user_id IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+      FROM au
+      JOIN fs USING (user_id)
+      LEFT JOIN au p ON p.user_id = au.user_id AND p.d = au.d - 1
+      GROUP BY au.d
+    ),
+    churn AS (
+      SELECT a.d + 1 AS d, CAST(count(*) AS BIGINT) AS churned
+      FROM au a
+      LEFT JOIN au nxt ON nxt.user_id = a.user_id AND nxt.d = a.d + 1
+      WHERE nxt.user_id IS NULL
+      GROUP BY a.d + 1
+    )
+    SELECT g.d,
+           COALESCE(c.new_users, 0) AS new_users,
+           COALESCE(c.retained, 0) AS retained,
+           COALESCE(c.resurrected, 0) AS resurrected,
+           COALESCE(c.new_users, 0) + COALESCE(c.retained, 0)
+             + COALESCE(c.resurrected, 0) AS active,
+           COALESCE(ch.churned, 0) AS churned
+    FROM grid g
+    LEFT JOIN cls c ON c.d = g.d
+    LEFT JOIN churn ch ON ch.d = g.d
+    ORDER BY g.d
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X310 — daily new/retained/resurrected/churned user accounting.
+
+    Exactness: pure set algebra on exact distinct (user, day) rows —
+    new = first day, retained = active yesterday too, resurrected =
+    returning after a gap, churned(d) = active d−1 but not d; the
+    identity active = new + retained + resurrected holds by
+    construction (pinned by test). No floats anywhere.
+
+    Scale shape: one fact-sized distinct (user, day) aggregate with
+    map-side partials; first-seen is a user-keyed aggregate; the
+    yesterday/tomorrow checks are self equi-joins on (user, d±1) —
+    co-partitioned by user, no range join; the final table is
+    calendar-sized (densified span grid). Presentation sort is
+    grid-bounded (allowlist class a)."""
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    fs = au.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    span = au.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+    )
+    prev = au.select("user_id", F.date_add("d", 1).alias("d"),
+                     F.lit(1).alias("was_prev"))
+    cls = (
+        au.join(fs, "user_id")
+        .join(prev, ["user_id", "d"], "left")
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(F.col("first_d") == F.col("d"), 1).otherwise(0)
+            ).cast("long").alias("new_users"),
+            F.sum(
+                F.when(
+                    (F.col("first_d") < F.col("d"))
+                    & F.col("was_prev").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("retained"),
+            F.sum(
+                F.when(
+                    (F.col("first_d") < F.col("d"))
+                    & F.col("was_prev").isNull(),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("resurrected"),
+        )
+    )
+    nxt = au.select("user_id", F.date_sub("d", 1).alias("d"),
+                    F.lit(1).alias("has_next"))
+    churn = (
+        au.join(nxt, ["user_id", "d"], "left")
+        .filter(F.col("has_next").isNull())
+        .select(F.date_add("d", 1).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("churned"))
+    )
+    return (
+        grid.join(cls, "d", "left")
+        .join(churn, "d", "left")
+        .select(
+            "d",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+            F.coalesce("retained", F.lit(0)).alias("retained"),
+            F.coalesce("resurrected", F.lit(0)).alias("resurrected"),
+            (
+                F.coalesce("new_users", F.lit(0))
+                + F.coalesce("retained", F.lit(0))
+                + F.coalesce("resurrected", F.lit(0))
+            ).alias("active"),
+            F.coalesce("churned", F.lit(0)).alias("churned"),
+        )
+        .orderBy("d")
+    )
+
+
+# --------------------------------------------------------------------------
+# X311 — Kendall tau-b rank correlation between the zero-filled daily
+# count series of every event-type pair — "do these two metrics move
+# together", robust to monotone rescaling (the rank twin of X178's
+# rolling Pearson), with exact tie correction (tau-b). Pure pair
+# counting: C, D and the tie terms are exact integers over the
+# calendar-sized day-pair set; one sqrt at the end.
+# --------------------------------------------------------------------------
+@query(
+    "q_kendall_tau",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS HUGEINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(d) AS d0, max(d) AS d1 FROM obs),
+    grid AS (
+      SELECT event_type, unnest(range(0, datediff('day', d0, d1) + 1)) AS i
+      FROM (SELECT DISTINCT event_type FROM obs) CROSS JOIN span
+    ),
+    obs2 AS (
+      SELECT o.event_type, datediff('day', s.d0, o.d) AS i, x
+      FROM obs o CROSS JOIN span s
+    ),
+    dense AS (
+      SELECT g.event_type, g.i, COALESCE(o.x, 0::HUGEINT) AS x
+      FROM grid g LEFT JOIN obs2 o USING (event_type, i)
+    ),
+    pairs AS (
+      SELECT a.event_type AS t1, b.event_type AS t2, a.i,
+             a.x AS x, b.x AS y
+      FROM dense a JOIN dense b USING (i)
+      WHERE a.event_type < b.event_type
+    ),
+    pp AS (
+      SELECT p.t1, p.t2,
+             CAST(SUM(CASE WHEN (CAST(q.x AS HUGEINT) - p.x)
+                              * (CAST(q.y AS HUGEINT) - p.y) > 0
+                      THEN 1 ELSE 0 END) AS HUGEINT) AS c,
+             CAST(SUM(CASE WHEN (CAST(q.x AS HUGEINT) - p.x)
+                              * (CAST(q.y AS HUGEINT) - p.y) < 0
+                      THEN 1 ELSE 0 END) AS HUGEINT) AS dd,
+             CAST(SUM(CASE WHEN q.x = p.x THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS tx,
+             CAST(SUM(CASE WHEN q.y = p.y THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS ty,
+             CAST(count(*) AS HUGEINT) AS n0
+      FROM pairs p
+      JOIN pairs q ON q.t1 = p.t1 AND q.t2 = p.t2 AND q.i > p.i
+      GROUP BY 1, 2
+    )
+    SELECT t1, t2, CAST(c AS BIGINT) AS concordant,
+           CAST(dd AS BIGINT) AS discordant,
+           CAST(round(
+             (CAST(c AS DOUBLE) - CAST(dd AS DOUBLE))
+             / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))
+             * 1000000) AS BIGINT) AS tau_b_micro
+    FROM pp
+    WHERE n0 - tx > 0 AND n0 - ty > 0
+    ORDER BY t1, t2
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X311 — tau-b between every pair of types' daily count series.
+
+    Exactness: concordant/discordant/tie counts are exact integer
+    sums over the day-pair set (zero-filled series — the X303 rule);
+    tau-b = (C−D)/sqrt((n0−n1)(n0−n2)) divides doubles built from
+    those exact integers (one sqrt, micro round absorbs the ulp).
+    Degenerate pairs (a constant series: n0 = ties) are excluded
+    rather than emitted as NaN.
+
+    Scale shape: one fact-sized (type, day) aggregate; the pair set
+    is calendar-sized (span² per type pair — the X304 argument:
+    independent of event volume, and the O(n²) counting IS the
+    published tau-b); the output is type-pair-sized. Presentation
+    sort is pair-bounded (allowlist class a)."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("x"))
+    span = obs.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = (
+        obs.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.lit(0), F.datediff("d1", "d0"))
+            ).alias("i"),
+        )
+    )
+    obs2 = obs.crossJoin(F.broadcast(span)).select(
+        "event_type", F.datediff("d", "d0").alias("i"), "x"
+    )
+    dense = grid.join(obs2, ["event_type", "i"], "left").withColumn(
+        "x", F.coalesce(F.col("x"), F.lit(0).cast("decimal(38,0)"))
+    )
+    b = dense.select(
+        F.col("event_type").alias("t2"),
+        F.col("i").alias("i"),
+        F.col("x").alias("y"),
+    )
+    pairs = (
+        dense.withColumnRenamed("event_type", "t1")
+        .join(b, "i")
+        .filter(F.col("t1") < F.col("t2"))
+    )
+    q2 = pairs.select(
+        F.col("t1"),
+        F.col("t2"),
+        F.col("i").alias("j"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+    )
+    pp = (
+        pairs.join(q2, ["t1", "t2"])
+        .filter(F.col("j") > F.col("i"))
+        .groupBy("t1", "t2")
+        .agg(
+            F.sum(
+                F.when((F.col("qx") - F.col("x")) * (F.col("qy") - F.col("y"))
+                       > 0, 1).otherwise(0)
+            ).cast("decimal(38,0)").alias("c"),
+            F.sum(
+                F.when((F.col("qx") - F.col("x")) * (F.col("qy") - F.col("y"))
+                       < 0, 1).otherwise(0)
+            ).cast("decimal(38,0)").alias("dd"),
+            F.sum(F.when(F.col("qx") == F.col("x"), 1).otherwise(0))
+            .cast("decimal(38,0)").alias("tx"),
+            F.sum(F.when(F.col("qy") == F.col("y"), 1).otherwise(0))
+            .cast("decimal(38,0)").alias("ty"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n0"),
+        )
+    )
+    return (
+        pp.filter((F.col("n0") - F.col("tx") > 0)
+                  & (F.col("n0") - F.col("ty") > 0))
+        .select(
+            "t1",
+            "t2",
+            F.col("c").cast("long").alias("concordant"),
+            F.col("dd").cast("long").alias("discordant"),
+            F.expr(
+                "CAST(round("
+                " (CAST(c AS DOUBLE) - CAST(dd AS DOUBLE))"
+                " / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))"
+                " * 1000000) AS BIGINT)"
+            ).alias("tau_b_micro"),
+        )
+        .orderBy("t1", "t2")
+    )

@@ -411,3 +411,129 @@ def test_effect_size_zero_variance_null(spark, tmp_path):
     r = QUERIES["q_effect_size"](spark, str(tmp_path)).collect()[0]
     assert r["cliffs_delta_micro"] == 0
     assert r["cohens_d_micro"] is None
+
+
+def _write_event_rows(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_cuped_perfect_covariate(spark, tmp_path):
+    """X309: post = 2*pre per user exactly -> theta = 2e6 and the
+    variance reduction is the full 10000 bp."""
+    import datetime
+
+    rows, eid = [], 0
+    pre_day = datetime.datetime(2024, 1, 1, 12)
+    post_day = datetime.datetime(2024, 1, 21, 12)
+    for uid in range(1, 11):
+        rows.append((eid, pre_day, uid, "view", float(uid), "{}")); eid += 1
+        rows.append((eid, post_day, uid, "view", float(2 * uid), "{}"))
+        eid += 1
+    sf = _write_event_rows(spark, tmp_path, rows)
+    r = QUERIES["q_cuped"](spark, sf).collect()[0]
+    assert r["n_users"] == 10
+    assert r["theta_micro"] == 2_000_000
+    assert r["var_reduction_bp"] == 10_000
+
+
+def test_cuped_uncorrelated_zero(spark, tmp_path):
+    """X309: a constant pre period -> var(pre) = 0 -> theta NULL (the
+    guard), never a division error."""
+    import datetime
+
+    rows, eid = [], 0
+    for uid in range(1, 6):
+        rows.append((eid, datetime.datetime(2024, 1, 1, 12), uid, "view",
+                     5.0, "{}")); eid += 1
+        rows.append((eid, datetime.datetime(2024, 1, 21, 12), uid, "view",
+                     float(uid), "{}")); eid += 1
+    sf = _write_event_rows(spark, tmp_path, rows)
+    r = QUERIES["q_cuped"](spark, sf).collect()[0]
+    assert r["theta_micro"] is None and r["var_reduction_bp"] is None
+
+
+def test_growth_accounting_hand_ledger(spark, tmp_path):
+    """X310: u1 active d0,d1,d3; u2 active d1 — the four-way split and
+    churn match the hand ledger, including the silent day d2."""
+    import datetime
+
+    def ts(day):
+        return datetime.datetime(2024, 1, 1 + day, 12)
+
+    rows = [
+        (0, ts(0), 1, "view", 1.0, "{}"),
+        (1, ts(1), 1, "view", 1.0, "{}"),
+        (2, ts(3), 1, "view", 1.0, "{}"),
+        (3, ts(1), 2, "view", 1.0, "{}"),
+    ]
+    sf = _write_event_rows(spark, tmp_path, rows)
+    out = {str(r["d"]): r for r in
+           QUERIES["q_growth_accounting"](spark, sf).collect()}
+    assert len(out) == 4
+    d0, d1, d2, d3 = (out["2024-01-0" + str(i)] for i in (1, 2, 3, 4))
+    assert (d0["new_users"], d0["retained"], d0["resurrected"],
+            d0["active"], d0["churned"]) == (1, 0, 0, 1, 0)
+    assert (d1["new_users"], d1["retained"], d1["resurrected"],
+            d1["active"], d1["churned"]) == (1, 1, 0, 2, 0)
+    assert (d2["new_users"], d2["retained"], d2["resurrected"],
+            d2["active"], d2["churned"]) == (0, 0, 0, 0, 2)
+    assert (d3["new_users"], d3["retained"], d3["resurrected"],
+            d3["active"], d3["churned"]) == (0, 0, 1, 1, 0)
+
+
+def test_growth_accounting_identity(spark, sf_dir):
+    """X310: on real data the split always sums to the day's actives,
+    and total new over the span equals total distinct users."""
+    out = QUERIES["q_growth_accounting"](spark, sf_dir).collect()
+    assert all(
+        r["active"] == r["new_users"] + r["retained"] + r["resurrected"]
+        for r in out
+    )
+    from mysql_cdc_to_http_spark.catalog import load_table
+
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct()
+        .count()
+    )
+    assert sum(r["new_users"] for r in out) == n_users
+
+
+def test_kendall_tau_perfect_monotone(spark, tmp_path):
+    """X311: strictly co-monotone series -> tau_b = +1e6; strictly
+    anti-monotone -> -1e6 (no ties in either plant)."""
+    sf = _write_events(
+        spark, tmp_path,
+        {"a": [1, 2, 3, 4], "b": [2, 3, 4, 5]},
+    )
+    out = QUERIES["q_kendall_tau"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["t1"], r["t2"]) == ("a", "b")
+    assert r["concordant"] == 6 and r["discordant"] == 0
+    assert r["tau_b_micro"] == 1_000_000
+
+    sf2 = _write_events(
+        spark, tmp_path,
+        {"a": [1, 2, 3, 4], "b": [5, 4, 3, 2]},
+    )
+    r2 = QUERIES["q_kendall_tau"](spark, sf2).collect()[0]
+    assert r2["tau_b_micro"] == -1_000_000
+
+
+def test_kendall_tau_constant_excluded(spark, tmp_path):
+    """X311: a constant series has zero tau-b denominator — the pair
+    is excluded, not emitted as NaN."""
+    sf = _write_events(
+        spark, tmp_path,
+        {"a": [1, 2, 3, 4], "b": [2, 2, 2, 2]},
+    )
+    out = QUERIES["q_kendall_tau"](spark, sf).collect()
+    assert out == []
