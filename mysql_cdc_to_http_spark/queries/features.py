@@ -5294,3 +5294,368 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t1", "t2")
     )
+
+
+#: Upper-5% critical values of F(d, ∞) in milli — the large-N limit
+#: chi²(d)/d of the published F table (the regime a corpus-scale
+#: omnibus test is always in). Shared by X312 (ANOVA) / X314 (Levene).
+_F_INF_CRIT_MILLI = (
+    "CASE dof1 WHEN 1 THEN 3841 WHEN 2 THEN 2996 WHEN 3 THEN 2605"
+    " WHEN 4 THEN 2372 WHEN 5 THEN 2214 WHEN 6 THEN 2099"
+    " WHEN 7 THEN 2010 WHEN 8 THEN 1938 WHEN 9 THEN 1880"
+    " WHEN 10 THEN 1831 END"
+)
+
+
+def _anova_f_from_vc(vc_rows_sql: str) -> str:
+    """DuckDB oracle body: one-way ANOVA F over (grp, vc) rows.
+
+    Per-group s²/n is quantized to integer micro with one truncating
+    div per GROUP (groups are few; the sum of those integers is then
+    order-independent — the reason A is not summed as doubles), so
+    SSB/SSW and F are pure integer arithmetic end-to-end.
+    """
+    return f"""
+    WITH vc AS ({vc_rows_sql}),
+    g AS (
+      SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(v) AS HUGEINT) AS s,
+             CAST(sum(v * v) AS HUGEINT) AS ss
+      FROM vc GROUP BY grp
+    ),
+    a AS (
+      SELECT CAST(sum(s * s * 1000000 // n) AS HUGEINT) AS a_micro,
+             CAST(sum(n) AS HUGEINT) AS nn,
+             CAST(sum(s) AS HUGEINT) AS stot,
+             CAST(sum(ss) AS HUGEINT) AS sstot,
+             CAST(count(*) AS HUGEINT) AS k
+      FROM g
+    ),
+    f AS (
+      SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+             CAST(k - 1 AS BIGINT) AS dof1,
+             a_micro - stot * stot * 1000000 // nn AS ssb_micro,
+             sstot * 1000000 - a_micro AS ssw_micro
+      FROM a
+    )
+    SELECT k, n, dof1,
+           CAST(ssb_micro AS BIGINT) AS ssb_micro,
+           CAST(ssw_micro AS BIGINT) AS ssw_micro,
+           CAST(CASE WHEN ssw_micro > 0 AND n > k THEN
+                ssb_micro * (n - k) * 1000000
+                // (ssw_micro * (k - 1)) END AS BIGINT) AS f_micro,
+           CASE WHEN ssw_micro > 0 AND n > k THEN
+             ssb_micro * (n - k) * ({_F_INF_CRIT_MILLI}) >= 0
+             AND ssb_micro * (n - k) * 1000
+                 > ssw_micro * (k - 1) * ({_F_INF_CRIT_MILLI})
+           END AS significant
+    FROM f
+    """
+
+
+# --------------------------------------------------------------------------
+# X312 — one-way ANOVA omnibus F across event types on value: "is ANY
+# group mean different" — the gate a family of pairwise X292/X308
+# comparisons needs first (running pairwise tests without the omnibus
+# inflates the family error X307 then has to correct). Exact integer
+# sums of squares; the 5% gate is the published F(k−1, ∞) limit.
+# --------------------------------------------------------------------------
+@query(
+    "q_anova_f",
+    oracle=_anova_f_from_vc(
+        "SELECT event_type AS grp,"
+        " CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS v"
+        " FROM events"
+    ),
+)
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X312 — omnibus one-way ANOVA F over event types.
+
+    Exactness: per-group moments are exact centi-unit integers; the
+    between-group term A = Σ_g s_g²/n_g is quantized to integer micro
+    with ONE truncating div per group (groups are few, and summing
+    integers — unlike summing s²/n doubles — is order-independent, so
+    no shuffle-order drift); SSB, SSW and F are integer arithmetic
+    after that, and the 5% verdict cross-multiplies against the
+    F(dof1, ∞) table in milli.
+
+    Scale shape: one fact-sized groupBy(type) with map-side partials;
+    everything after runs on the k-row group table. Single-row
+    output."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))"
+        ).alias("v"),
+    )
+    return _anova_f_spark(ev)
+
+
+def _anova_f_spark(vc: DataFrame) -> DataFrame:
+    """Spark side of the shared one-way ANOVA body (X312 / X314)."""
+    g = vc.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("v").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("v * v")).cast("decimal(38,0)").alias("ss"),
+    )
+    a = g.agg(
+        F.sum(F.expr("s * s * 1000000 div n"))
+        .cast("decimal(38,0)")
+        .alias("a_micro"),
+        F.sum("n").cast("decimal(38,0)").alias("nn"),
+        F.sum("s").cast("decimal(38,0)").alias("stot"),
+        F.sum("ss").cast("decimal(38,0)").alias("sstot"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+    )
+    f = a.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("nn").cast("long").alias("n"),
+        (F.col("k") - 1).cast("long").alias("dof1"),
+        F.expr("a_micro - stot * stot * 1000000 div nn").alias("ssb_raw"),
+        F.expr("sstot * 1000000 - a_micro").alias("ssw_raw"),
+    )
+    return f.select(
+        "k",
+        "n",
+        "dof1",
+        F.col("ssb_raw").cast("long").alias("ssb_micro"),
+        F.col("ssw_raw").cast("long").alias("ssw_micro"),
+        F.expr(
+            "CAST(CASE WHEN ssw_raw > 0 AND n > k THEN"
+            " ssb_raw * (n - k) * 1000000"
+            " div (ssw_raw * (k - 1)) END AS BIGINT)"
+        ).alias("f_micro"),
+        F.expr(
+            f"CASE WHEN ssw_raw > 0 AND n > k THEN"
+            f" ssb_raw * (n - k) * ({_F_INF_CRIT_MILLI}) >= 0"
+            f" AND ssb_raw * (n - k) * 1000"
+            f"     > ssw_raw * (k - 1) * ({_F_INF_CRIT_MILLI})"
+            f" END"
+        ).alias("significant"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X314 — Brown-Forsythe (median-based Levene) variance-equality test:
+# the ANOVA F applied to |v − median_g| — the robust scale-difference
+# gate the t/ANOVA family assumes away (unequal spreads invalidate
+# the pooled-variance tests; this is the audit that catches it).
+# Medians are exact rank picks (2r >= n+1, the X280 rule); deviations
+# are exact integers, then the X312 machinery runs unchanged.
+# --------------------------------------------------------------------------
+@query(
+    "q_levene_bf",
+    oracle=_anova_f_from_vc(
+        """
+        SELECT grp, abs(v - med) AS v FROM (
+          SELECT event_type AS grp,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS v,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY CAST(value AS DECIMAL(18,2)))
+                   AS r,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        ) x JOIN (
+          SELECT grp2 AS grp, CAST(min(v2) AS HUGEINT) AS med FROM (
+            SELECT event_type AS grp2,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                     AS v2,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(value
+                                               AS DECIMAL(18,2)))
+                     AS r2,
+                   count(*) OVER (PARTITION BY event_type) AS n2
+            FROM events
+          ) WHERE 2 * r2 >= n2 + 1 GROUP BY grp2
+        ) m USING (grp)
+        """
+    ),
+)
+def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X314 — Brown-Forsythe variance-equality across event types.
+
+    Exactness: per-group medians are exact rank picks (upper median,
+    2r ≥ n+1 — no float interpolation); absolute deviations are exact
+    centi integers; the F statistic and gate reuse X312's
+    integer-micro machinery verbatim (shared helper, shared oracle
+    body — the fold==one-shot discipline applied to test statistics).
+
+    Scale shape: one per-type rank window (partition-parallel, each
+    partition value-distribution-sized after the fact aggregate — the
+    window runs on raw rows here, which is fact-shaped but keyed and
+    spill-safe), a broadcast-sized median join, then the k-row ANOVA
+    table. Single-row output."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))"
+        ).alias("v"),
+    )
+    wr = W.partitionBy("grp").orderBy("v")
+    ranked = ev.select(
+        "grp",
+        "v",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("grp")).alias("n"),
+    )
+    med = (
+        ranked.filter(2 * F.col("r") >= F.col("n") + 1)
+        .groupBy("grp")
+        .agg(F.min("v").cast("decimal(38,0)").alias("med"))
+    )
+    dev = ev.join(F.broadcast(med), "grp").select(
+        "grp", F.expr("abs(v - med)").alias("v")
+    )
+    return _anova_f_spark(dev)
+
+
+# --------------------------------------------------------------------------
+# X313 — Kaplan-Meier survival of user lifetime: S(t) at each churn
+# time from the product-limit estimator, with users still active on
+# the corpus' last day right-censored — THE retention curve (X141's
+# cohort table reads one cohort at a time; this is the pooled
+# censoring-correct version). The product is carried as a cumulative
+# sum of per-step milli-quantized ln factors (the X281 rule turned
+# into a running product), so cross-engine parity holds step by step.
+# --------------------------------------------------------------------------
+@query(
+    "q_survival_km",
+    oracle="""
+    WITH au AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    mx AS (SELECT max(d) AS dmax FROM au),
+    life AS (
+      SELECT user_id, datediff('day', min(d), max(d)) AS t,
+             CAST(max(d) = (SELECT dmax FROM mx) AS INT) AS censored
+      FROM au GROUP BY user_id
+    ),
+    lt AS (
+      SELECT t, CAST(count(*) AS HUGEINT) AS n_at,
+             CAST(SUM(1 - censored) AS HUGEINT) AS d_ev
+      FROM life GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d_ev,
+             CAST(SUM(n_at) OVER (ORDER BY t DESC) AS HUGEINT) AS n_risk
+      FROM lt
+    ),
+    steps AS (
+      SELECT t, n_risk, d_ev,
+             CASE WHEN n_risk - d_ev > 0 THEN
+               round(ln(CAST(n_risk - d_ev AS DOUBLE)) * 1000)
+               - round(ln(CAST(n_risk AS DOUBLE)) * 1000)
+             END AS lnf_milli
+      FROM risk WHERE d_ev > 0
+    ),
+    curve AS (
+      SELECT t, n_risk, d_ev,
+             SUM(CASE WHEN lnf_milli IS NULL THEN 0
+                 ELSE lnf_milli END) OVER (ORDER BY t) AS cum_milli,
+             SUM(CASE WHEN lnf_milli IS NULL THEN 1 ELSE 0 END)
+               OVER (ORDER BY t) AS dead
+      FROM steps
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d_ev AS BIGINT) AS n_events,
+           CAST(CASE WHEN dead > 0 THEN 0 ELSE
+                round(exp(CAST(cum_milli AS DOUBLE) / 1000.0) * 1000000)
+                END AS BIGINT) AS s_micro
+    FROM curve ORDER BY t_days
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X313 — Kaplan-Meier product-limit survival of user lifetimes.
+
+    Exactness: lifetimes, at-risk counts (a suffix sum over the
+    lifetime distribution) and event counts are exact integers; each
+    step factor ln((n−d)/n) is the DIFFERENCE of two per-value
+    milli-quantized lns of integers (the X281 rule), accumulated as
+    an exact integer cumulative sum; one exp per output row
+    reconstitutes S(t) (micro round absorbs the ulp). A step that
+    exhausts the risk set pins S to exactly 0 from there on (no
+    ln(0)).
+
+    Scale shape: one fact-sized distinct (user, day) + a user-keyed
+    lifetime aggregate with map-side partials; everything after runs
+    on the lifetime distribution (calendar-bounded distinct t
+    values) — the suffix-sum and cumulative windows are grid-sized.
+    Presentation sort is grid-bounded (allowlist class a)."""
+    from pyspark.sql.window import Window as W
+
+    au = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    mx = au.agg(F.max("d").alias("dmax"))
+    life = (
+        au.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("d"), F.min("d")).alias("t"),
+            F.max(
+                F.when(F.col("d") == F.col("dmax"), 1).otherwise(0)
+            ).alias("censored"),
+        )
+    )
+    lt = life.groupBy("t").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_at"),
+        F.sum(F.lit(1) - F.col("censored"))
+        .cast("decimal(38,0)")
+        .alias("d_ev"),
+    )
+    risk = lt.select(
+        "t",
+        "d_ev",
+        F.sum("n_at")
+        .over(
+            W.orderBy(F.desc("t")).rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("n_risk"),
+    )
+    steps = risk.filter(F.col("d_ev") > 0).select(
+        "t",
+        "n_risk",
+        "d_ev",
+        F.when(
+            F.col("n_risk") - F.col("d_ev") > 0,
+            F.round(
+                F.log((F.col("n_risk") - F.col("d_ev")).cast("double"))
+                * 1000
+            )
+            - F.round(F.log(F.col("n_risk").cast("double")) * 1000),
+        ).alias("lnf_milli"),
+    )
+    wcum = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    curve = steps.select(
+        "t",
+        "n_risk",
+        "d_ev",
+        F.sum(
+            F.when(F.col("lnf_milli").isNull(), 0).otherwise(
+                F.col("lnf_milli")
+            )
+        )
+        .over(wcum)
+        .alias("cum_milli"),
+        F.sum(F.when(F.col("lnf_milli").isNull(), 1).otherwise(0))
+        .over(wcum)
+        .alias("dead"),
+    )
+    return curve.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_ev").cast("long").alias("n_events"),
+        F.expr(
+            "CAST(CASE WHEN dead > 0 THEN 0 ELSE"
+            " round(exp(CAST(cum_milli AS DOUBLE) / 1000.0) * 1000000)"
+            " END AS BIGINT)"
+        ).alias("s_micro"),
+    ).orderBy("t_days")

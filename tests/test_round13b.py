@@ -537,3 +537,135 @@ def test_kendall_tau_constant_excluded(spark, tmp_path):
     )
     out = QUERIES["q_kendall_tau"](spark, sf).collect()
     assert out == []
+
+
+def test_anova_equal_means_not_significant(spark, tmp_path):
+    """X312: identical group distributions -> SSB = 0, F = 0, not
+    significant."""
+    import datetime
+
+    rows = []
+    for g, grp in enumerate(("click", "view")):
+        for i, v in enumerate([1.0, 2.0, 3.0] * 4):
+            rows.append((g * 100 + i, datetime.datetime(2024, 1, 1, 12),
+                         i, grp, v, "{}"))
+    sf = _write_event_rows(spark, tmp_path, rows)
+    r = QUERIES["q_anova_f"](spark, sf).collect()[0]
+    assert r["k"] == 2 and r["n"] == 24 and r["dof1"] == 1
+    assert r["ssb_micro"] == 0 and r["f_micro"] == 0
+    assert r["significant"] is False
+
+
+def test_anova_separated_means_replica(spark, tmp_path):
+    """X312: well-separated groups — F matches the integer replica and
+    flags significant."""
+    import datetime
+
+    rows = []
+    vals = {"click": [1.0, 2.0] * 6, "view": [10.0, 11.0] * 6}
+    eid = 0
+    for grp, vs in vals.items():
+        for v in vs:
+            rows.append((eid, datetime.datetime(2024, 1, 1, 12), eid,
+                         grp, v, "{}")); eid += 1
+    sf = _write_event_rows(spark, tmp_path, rows)
+    r = QUERIES["q_anova_f"](spark, sf).collect()[0]
+    groups = {g: [int(v * 100) for v in vs] for g, vs in vals.items()}
+    a_micro = sum(sum(vs) ** 2 * 1_000_000 // len(vs)
+                  for vs in groups.values())
+    nn = sum(len(vs) for vs in groups.values())
+    stot = sum(sum(vs) for vs in groups.values())
+    sstot = sum(v * v for vs in groups.values() for v in vs)
+    ssb = a_micro - stot * stot * 1_000_000 // nn
+    ssw = sstot * 1_000_000 - a_micro
+    k = 2
+    assert r["ssb_micro"] == ssb and r["ssw_micro"] == ssw
+    assert r["f_micro"] == ssb * (nn - k) * 1_000_000 // (ssw * (k - 1))
+    assert r["significant"] is True
+
+
+def test_levene_unequal_spread_flags(spark, tmp_path):
+    """X314: same median, very different spreads -> significant; the
+    same-spread control is not."""
+    import datetime
+
+    def mk(vals_by_grp, path):
+        rows, eid = [], 0
+        for grp, vs in vals_by_grp.items():
+            for v in vs:
+                rows.append((eid, datetime.datetime(2024, 1, 1, 12), eid,
+                             grp, v, "{}")); eid += 1
+        return _write_event_rows(spark, path, rows)
+
+    wide = [5.0 + d for d in (-4, -4, -4, 0, 0, 4, 4, 4) * 3]
+    tight = [5.0 + d for d in (-0.1, 0, 0.1, 0) * 6]
+    sf = mk({"click": wide, "view": tight}, tmp_path)
+    r = QUERIES["q_levene_bf"](spark, sf).collect()[0]
+    assert r["significant"] is True
+
+    sf2 = mk({"click": wide, "view": list(wide)}, tmp_path)
+    r2 = QUERIES["q_levene_bf"](spark, sf2).collect()[0]
+    assert r2["ssb_micro"] == 0 and r2["significant"] is False
+
+
+def test_survival_km_hand_curve(spark, tmp_path):
+    """X313: lifetimes 0 (churn), 1 (churn), 2 (censored on the last
+    day) — S steps 2/3 then 1/3, reproduced through the documented
+    milli-ln accumulation."""
+    import datetime
+
+    def ts(day):
+        return datetime.datetime(2024, 1, 1 + day, 12)
+
+    rows = [
+        (0, ts(0), 1, "view", 1.0, "{}"),          # u1: t=0, dies
+        (1, ts(0), 2, "view", 1.0, "{}"),          # u2: t=1, dies
+        (2, ts(1), 2, "view", 1.0, "{}"),
+        (3, ts(0), 3, "view", 1.0, "{}"),          # u3: t=2, censored
+        (4, ts(2), 3, "view", 1.0, "{}"),
+    ]
+    sf = _write_event_rows(spark, tmp_path, rows)
+    out = QUERIES["q_survival_km"](spark, sf).collect()
+    assert [(r["t_days"], r["n_risk"], r["n_events"]) for r in out] == [
+        (0, 3, 1),
+        (1, 2, 1),
+    ]
+
+    def q(x):
+        return int(round(math.log(x) * 1000))
+
+    c1 = q(2) - q(3)
+    c2 = c1 + (q(1) - q(2))
+    assert out[0]["s_micro"] == round(math.exp(c1 / 1000.0) * 1_000_000)
+    assert out[1]["s_micro"] == round(math.exp(c2 / 1000.0) * 1_000_000)
+    # ~2/3 then ~1/3
+    assert abs(out[0]["s_micro"] - 666_667) < 1000
+    assert abs(out[1]["s_micro"] - 333_333) < 1000
+
+
+def test_survival_km_exhausted_risk_set(spark, tmp_path):
+    """X313: when the last at-risk user dies, S pins to exactly 0 (no
+    ln(0) anywhere)."""
+    import datetime
+
+    def ts(day):
+        return datetime.datetime(2024, 1, 1 + day, 12)
+
+    # dmax = day 3 (u3 churns on day 2 < dmax thanks to u4's day-3 event
+    # ... u4 must also die before dmax? give u4 lifetime 0 on day 3:
+    # u4 last=first=day3 = dmax -> censored. Then deaths: u1 t0, u2 t1,
+    # u3 t2; risk at t2 = {u3} (u4 has t=0 but counted at t0 risk only).
+    rows = [
+        (0, ts(0), 1, "view", 1.0, "{}"),           # u1 t=0 death
+        (1, ts(0), 2, "view", 1.0, "{}"),
+        (2, ts(1), 2, "view", 1.0, "{}"),           # u2 t=1 death
+        (3, ts(0), 3, "view", 1.0, "{}"),
+        (4, ts(2), 3, "view", 1.0, "{}"),           # u3 t=2 death
+        (5, ts(3), 4, "view", 1.0, "{}"),           # u4 t=0 censored
+    ]
+    sf = _write_event_rows(spark, tmp_path, rows)
+    out = QUERIES["q_survival_km"](spark, sf).collect()
+    last = out[-1]
+    assert last["t_days"] == 2 and last["n_risk"] == 1
+    assert last["n_events"] == 1
+    assert last["s_micro"] == 0
