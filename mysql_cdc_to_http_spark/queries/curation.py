@@ -3884,3 +3884,149 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# X317 — contamination operating curve: X50's benchmark-overlap
+# decontamination re-run at gram sizes n ∈ {3, 5, 8, 13} — the curve
+# that justifies the production n (small n over-flags shared idiom,
+# large n only catches verbatim inclusion; GPT-3 used 13-gram exact
+# collision, most open pipelines 5-8). The flag rule is the integer
+# cross-multiplication matched·20 > total (no 0.05 double anywhere),
+# and the clamped-partial-gram convention matches _TOK_CTE exactly.
+# --------------------------------------------------------------------------
+@query(
+    "q_contamination_sweep",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    ns AS (SELECT unnest([3, 5, 8, 13]) AS n),
+    grams AS (
+      SELECT doc_id, source, n,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - (n - 1), 1) + 1),
+               i -> array_to_string(t[i:i+n-1], ' '))) AS gs
+      FROM tok CROSS JOIN ns
+    ),
+    bench AS (
+      SELECT DISTINCT n, unnest(gs) AS ngram
+      FROM grams WHERE source = 'src0'
+    ),
+    cg AS (
+      SELECT doc_id, n, unnest(gs) AS ngram
+      FROM grams WHERE source <> 'src0'
+    ),
+    hits AS (
+      SELECT cg.n, cg.doc_id,
+             CAST(count(*) AS HUGEINT)       AS total,
+             CAST(count(b.ngram) AS HUGEINT) AS matched
+      FROM cg LEFT JOIN bench b ON b.n = cg.n AND b.ngram = cg.ngram
+      GROUP BY cg.n, cg.doc_id
+    ),
+    bn AS (
+      SELECT n, CAST(count(DISTINCT ngram) AS BIGINT) AS bench_grams
+      FROM bench GROUP BY n
+    )
+    SELECT hits.n AS n,
+           bn.bench_grams,
+           CAST(count(*) AS BIGINT) AS docs_checked,
+           CAST(SUM(CASE WHEN matched * 20 > total THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_flagged,
+           CAST(CAST(SUM(CASE WHEN matched * 20 > total THEN 1 ELSE 0 END)
+                     AS HUGEINT) * 1000000
+                // CAST(count(*) AS HUGEINT) AS BIGINT)
+             AS flagged_rate_micro,
+           CAST(CAST(SUM(matched) AS HUGEINT) * 1000000
+                // CAST(SUM(total) AS HUGEINT) AS BIGINT)
+             AS mean_overlap_micro
+    FROM hits JOIN bn USING (n)
+    GROUP BY hits.n, bn.bench_grams
+    ORDER BY n
+    """,
+)
+def q_contamination_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X317 — decontamination flag rates at gram sizes 3/5/8/13.
+
+    Exactness: per-(n, doc) distinct-gram overlap counts are exact;
+    the 5% flag is the integer cross-multiplication matched·20 >
+    total (the exact form of X50's double compare — chosen here so
+    boundary docs cannot split engines); rates are truncating micro
+    divs of exact sums.
+
+    Scale shape: the gram build runs once per n over the shared token
+    arrays (the 4× gram construction IS the work being measured — at
+    scale each n is one map-side pass); each n's benchmark set is the
+    src0 slice (broadcast-joined membership, the X50 shape); per-doc
+    hit counts combine map-side; output is 4 rows. Presentation sort
+    is 4-row bounded (allowlist class a)."""
+    from pyspark.sql.window import Window as W  # noqa: F401  (house import)
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("t"),
+    )
+    grams = tok.crossJoin(
+        F.broadcast(
+            tok.sparkSession.createDataFrame([(3,), (5,), (8,), (13,)], "n int")
+        )
+    ).select(
+        "doc_id",
+        "source",
+        "n",
+        F.expr(
+            "array_distinct(transform("
+            " sequence(1, greatest(size(t) - (n - 1), 1)),"
+            " i -> array_join(slice(t, i, n), ' ')))"
+        ).alias("gs"),
+    )
+    bench = (
+        grams.filter(F.col("source") == "src0")
+        .select("n", F.explode("gs").alias("ngram"))
+        .distinct()
+    )
+    cg = grams.filter(F.col("source") != "src0").select(
+        "doc_id", "n", F.explode("gs").alias("ngram")
+    )
+    hits = (
+        cg.join(
+            bench.withColumn("hit", F.lit(1)), ["n", "ngram"], "left"
+        )
+        .groupBy("n", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("total"),
+            F.count("hit").cast("decimal(38,0)").alias("matched"),
+        )
+    )
+    bn = bench.groupBy("n").agg(
+        F.countDistinct("ngram").cast("long").alias("bench_grams")
+    )
+    return (
+        hits.groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("docs_checked_d"),
+            F.sum(
+                F.when(F.col("matched") * 20 > F.col("total"), 1).otherwise(0)
+            )
+            .cast("decimal(38,0)")
+            .alias("flagged_d"),
+            F.sum("matched").cast("decimal(38,0)").alias("sm"),
+            F.sum("total").cast("decimal(38,0)").alias("st"),
+        )
+        .join(bn, "n")
+        .select(
+            "n",
+            "bench_grams",
+            F.col("docs_checked_d").cast("long").alias("docs_checked"),
+            F.col("flagged_d").cast("long").alias("docs_flagged"),
+            F.expr(
+                "CAST(flagged_d * 1000000 div docs_checked_d AS BIGINT)"
+            ).alias("flagged_rate_micro"),
+            F.expr("CAST(sm * 1000000 div st AS BIGINT)").alias(
+                "mean_overlap_micro"
+            ),
+        )
+        .orderBy("n")
+    )

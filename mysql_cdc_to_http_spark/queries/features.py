@@ -5659,3 +5659,256 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("s_micro"),
     ).orderBy("t_days")
+
+
+# --------------------------------------------------------------------------
+# X315 — Poisson rate-change test: per event type, first-half vs
+# second-half event counts conditioned on the total (the standard
+# conditional binomial / C-test: given n = c1+c2, c1 ~ Bin(n, t1/T)
+# under a constant rate), z = (c1·T − n·t1)/sqrt(n·t1·t2) — the batch
+# formal-test twin of X297's streaming trailing-mean alert. The 5%
+# two-sided gate is cross-multiplied ((c1·T − n·t1)²·10⁴ > 38416·
+# n·t1·t2, 1.96² = 3.8416) so the verdict is pure integers.
+# --------------------------------------------------------------------------
+@query(
+    "q_poisson_rate_test",
+    oracle="""
+    WITH span AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events
+    ),
+    halves AS (
+      SELECT d0, datediff('day', d0, d1) + 1 AS sd,
+             (datediff('day', d0, d1) + 2) // 2 AS t1
+      FROM span
+    ),
+    cnt AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN datediff('day', h.d0, CAST(ts AS DATE))
+                           < h.t1 THEN 1 ELSE 0 END) AS HUGEINT) AS c1,
+             CAST(SUM(CASE WHEN datediff('day', h.d0, CAST(ts AS DATE))
+                           >= h.t1 THEN 1 ELSE 0 END) AS HUGEINT) AS c2,
+             CAST(max(h.t1) AS HUGEINT) AS t1,
+             CAST(max(h.sd - h.t1) AS HUGEINT) AS t2
+      FROM events CROSS JOIN halves h
+      GROUP BY event_type
+    )
+    SELECT event_type, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+           CAST(t1 AS BIGINT) AS t1_days, CAST(t2 AS BIGINT) AS t2_days,
+           CAST(round(
+             CAST(c1 * (t1 + t2) - (c1 + c2) * t1 AS DOUBLE)
+             / sqrt(CAST((c1 + c2) * t1 * t2 AS DOUBLE))
+             * 1000000) AS BIGINT) AS z_micro,
+           (c1 * (t1 + t2) - (c1 + c2) * t1)
+             * (c1 * (t1 + t2) - (c1 + c2) * t1) * 10000
+             > 38416 * (c1 + c2) * t1 * t2 AS rate_changed
+    FROM cnt ORDER BY event_type
+    """,
+)
+def q_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X315 — conditional binomial rate-change test per event type.
+
+    Exactness: counts and exposure days are exact integers; the z
+    identity multiplies the binomial mean/variance out so the only
+    float work is one final sqrt on doubles built from exact integers
+    (micro round absorbs the ulp); the significance verdict never
+    touches floats (cross-multiplied squares against 1.96²·10⁴).
+
+    Scale shape: one fact-sized groupBy(type) with the half-split
+    CASE inside the map-side partial; the span scalar is a broadcast
+    cross join; output is type-sized. Presentation sort is
+    type-bounded (allowlist class a)."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    ).select(
+        "d0",
+        (F.datediff("d1", "d0") + 1).alias("sd"),
+        ((F.datediff("d1", "d0") + 2) / 2).cast("long").alias("t1"),
+    )
+    cnt = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.datediff(F.to_date("ts"), F.col("d0")) < F.col("t1"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("decimal(38,0)")
+            .alias("c1"),
+            F.sum(
+                F.when(
+                    F.datediff(F.to_date("ts"), F.col("d0")) >= F.col("t1"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("decimal(38,0)")
+            .alias("c2"),
+            F.max("t1").cast("decimal(38,0)").alias("t1"),
+            F.max(F.col("sd") - F.col("t1"))
+            .cast("decimal(38,0)")
+            .alias("t2"),
+        )
+    )
+    return cnt.select(
+        "event_type",
+        F.col("c1").cast("long").alias("c1"),
+        F.col("c2").cast("long").alias("c2"),
+        F.col("t1").cast("long").alias("t1_days"),
+        F.col("t2").cast("long").alias("t2_days"),
+        F.expr(
+            "CAST(round("
+            " CAST(c1 * (t1 + t2) - (c1 + c2) * t1 AS DOUBLE)"
+            " / sqrt(CAST((c1 + c2) * t1 * t2 AS DOUBLE))"
+            " * 1000000) AS BIGINT)"
+        ).alias("z_micro"),
+        F.expr(
+            "(c1 * (t1 + t2) - (c1 + c2) * t1)"
+            " * (c1 * (t1 + t2) - (c1 + c2) * t1) * 10000"
+            " > 38416 * (c1 + c2) * t1 * t2"
+        ).alias("rate_changed"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# X316 — Markov chain summary over X137's transition matrix: the
+# stationary distribution via THREE quantized power iterations from
+# uniform (each iteration's mass is re-quantized to integer micro
+# BEFORE the next — the X72 centroid-round idiom applied to a vector
+# iteration, so both engines iterate identical integers), and the
+# entropy rate H = −Σ_i π_i Σ_j p_ij·ln p_ij in nano-nats via the
+# split-ln milli rule — "how predictable is the event stream", the
+# one-number summary of the whole transition table.
+# --------------------------------------------------------------------------
+@query(
+    "q_markov_entropy",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs0 AS (
+      SELECT prev_type AS i, event_type AS j,
+             CAST(COUNT(*) AS HUGEINT) AS c
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    states AS (SELECT DISTINCT i AS state FROM pairs0),
+    pairs AS (
+      SELECT p.i, p.j, p.c, t.t
+      FROM pairs0 p
+      JOIN (SELECT i, CAST(SUM(c) AS HUGEINT) AS t
+            FROM pairs0 WHERE j IN (SELECT state FROM states)
+            GROUP BY i) t USING (i)
+      WHERE p.j IN (SELECT state FROM states)
+    ),
+    k AS (SELECT CAST(count(*) AS HUGEINT) AS k FROM states),
+    pi0 AS (
+      SELECT state, CAST(1000000 AS HUGEINT) // k AS pi
+      FROM states CROSS JOIN k
+    ),
+    pi1 AS (
+      SELECT j AS state, CAST(SUM(pi * c // t) AS HUGEINT) AS pi
+      FROM pairs JOIN pi0 ON pi0.state = pairs.i GROUP BY j
+    ),
+    pi2 AS (
+      SELECT j AS state, CAST(SUM(pi * c // t) AS HUGEINT) AS pi
+      FROM pairs JOIN pi1 ON pi1.state = pairs.i GROUP BY j
+    ),
+    pi3 AS (
+      SELECT j AS state, CAST(SUM(pi * c // t) AS HUGEINT) AS pi
+      FROM pairs JOIN pi2 ON pi2.state = pairs.i GROUP BY j
+    ),
+    h AS (
+      SELECT CAST(SUM(pi * c * CAST(round(ln(CAST(t AS DOUBLE)) * 1000)
+                                    - round(ln(CAST(c AS DOUBLE)) * 1000)
+                                    AS HUGEINT)
+                      // t) AS HUGEINT) AS h_nano
+      FROM pairs JOIN pi3 ON pi3.state = pairs.i
+    )
+    SELECT state, CAST(pi AS BIGINT) AS pi_micro,
+           CAST(h_nano AS BIGINT) AS h_nano,
+           CAST((SELECT k FROM k) AS BIGINT) AS n_states
+    FROM pi3 CROSS JOIN h
+    ORDER BY state
+    """,
+)
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X316 — stationary distribution + entropy rate of the event chain.
+
+    Exactness: transition counts are exact; each power iteration maps
+    integer micro mass through exact rationals with ONE truncating div
+    per (i, j) term ((π_i·c_ij) div t_i), so both engines carry
+    identical integers between iterations (mass drift from truncation
+    is ≤ k² micro per pass, documented, and irrelevant to parity);
+    the entropy rate splits ln p_ij = ln c_ij − ln t_i per VALUE
+    (milli, the X281 rule) and weights by exact integers — h_nano is
+    pure integer arithmetic. The chain is restricted to states with
+    outgoing mass (every type, on this schema).
+
+    Scale shape: one fact shuffle for the per-user lag window (keyed,
+    parallel); everything after runs on the k²-sized pair table —
+    three unrolled vector-matrix products and a 1-row entropy sum.
+    Presentation sort is state-bounded (allowlist class a)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    pairs0 = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("i"), F.col("event_type").alias("j"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    )
+    states = pairs0.select(F.col("i").alias("state")).distinct()
+    inner = pairs0.join(
+        states.withColumnRenamed("state", "j"), "j", "left_semi"
+    )
+    t = inner.groupBy("i").agg(F.sum("c").cast("decimal(38,0)").alias("t"))
+    pairs = inner.join(t, "i")
+    k = states.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("k"))
+    pi = states.crossJoin(F.broadcast(k)).select(
+        "state", F.expr("CAST(1000000 AS DECIMAL(38,0)) div k").alias("pi")
+    )
+    for _ in range(3):
+        pi = (
+            pairs.join(pi, pairs["i"] == pi["state"])
+            .groupBy("j")
+            .agg(F.sum(F.expr("pi * c div t")).cast("decimal(38,0)").alias("pi"))
+            .withColumnRenamed("j", "state")
+        )
+    h = (
+        pairs.join(pi, pairs["i"] == pi["state"])
+        .agg(
+            F.sum(
+                F.expr(
+                    "pi * c * CAST(round(ln(CAST(t AS DOUBLE)) * 1000)"
+                    "              - round(ln(CAST(c AS DOUBLE)) * 1000)"
+                    "              AS DECIMAL(38,0))"
+                    " div t"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("h_nano")
+        )
+    )
+    return (
+        pi.crossJoin(F.broadcast(h))
+        .crossJoin(F.broadcast(k))
+        .select(
+            "state",
+            F.col("pi").cast("long").alias("pi_micro"),
+            F.col("h_nano").cast("long").alias("h_nano"),
+            F.col("k").cast("long").alias("n_states"),
+        )
+        .orderBy("state")
+    )

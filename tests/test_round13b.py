@@ -669,3 +669,100 @@ def test_survival_km_exhausted_risk_set(spark, tmp_path):
     assert last["t_days"] == 2 and last["n_risk"] == 1
     assert last["n_events"] == 1
     assert last["s_micro"] == 0
+
+
+def test_poisson_rate_doubled_flags(spark, tmp_path):
+    """X315: a type whose daily rate doubles between halves flags; a
+    constant-rate type does not. z matches the integer replica."""
+    sf = _write_events(
+        spark, tmp_path,
+        {"a": [10] * 5 + [20] * 5, "b": [15] * 10},
+    )
+    out = {r["event_type"]: r
+           for r in QUERIES["q_poisson_rate_test"](spark, sf).collect()}
+    ra, rb = out["a"], out["b"]
+    assert (ra["c1"], ra["c2"], ra["t1_days"], ra["t2_days"]) == (
+        50, 100, 5, 5)
+    assert ra["rate_changed"] is True
+    assert rb["rate_changed"] is False and rb["z_micro"] == 0
+    num = 50 * 10 - 150 * 5
+    assert ra["z_micro"] == round(num / math.sqrt(150 * 25) * 1_000_000)
+
+
+def test_markov_entropy_deterministic_chain(spark, tmp_path):
+    """X316: a deterministic 2-cycle a->b->a has entropy rate exactly 0
+    and stationary mass 1/2 each (micro-truncated)."""
+    import datetime
+
+    rows = []
+    for i in range(20):
+        rows.append((i, datetime.datetime(2024, 1, 1, 12, 0, i), 1,
+                     "a" if i % 2 == 0 else "b", 1.0, "{}"))
+    sf = _write_event_rows(spark, tmp_path, rows)
+    out = {r["state"]: r
+           for r in QUERIES["q_markov_entropy"](spark, sf).collect()}
+    assert set(out) == {"a", "b"}
+    assert all(r["h_nano"] == 0 for r in out.values())
+    assert all(r["n_states"] == 2 for r in out.values())
+    assert abs(out["a"]["pi_micro"] - 500_000) <= 2
+    assert abs(out["b"]["pi_micro"] - 500_000) <= 2
+
+
+def test_markov_entropy_uniform_chain(spark, tmp_path):
+    """X316: an i.i.d.-uniform 2-state stream converges to pi = 1/2 and
+    entropy rate ~ ln 2 (within quantization)."""
+    import datetime
+
+    # transitions a->a, a->b, b->a, b->b each occur equally often:
+    # sequence a a b b a a b b ... gives counts (a->a,a->b,b->b,b->a)
+    pattern = "aabb" * 10
+    rows = [(i, datetime.datetime(2024, 1, 1, 12, 0) +
+             datetime.timedelta(seconds=i), 1, ch, 1.0, "{}")
+            for i, ch in enumerate(pattern)]
+    sf = _write_event_rows(spark, tmp_path, rows)
+    out = {r["state"]: r
+           for r in QUERIES["q_markov_entropy"](spark, sf).collect()}
+    ln2_nano = round(math.log(2) * 1e9)
+    # h_nano within quantization of ln2 (milli-ln per pair, micro pi)
+    assert abs(out["a"]["h_nano"] - ln2_nano) < 5_000_000
+    assert abs(out["a"]["pi_micro"] - 500_000) < 30_000
+
+
+def test_contamination_sweep_monotone(spark, sf_dir):
+    """X317: flag rate and mean overlap are non-increasing in n (a
+    longer exact gram is strictly harder to match), and n=13 flags no
+    more than n=3."""
+    out = sorted(QUERIES["q_contamination_sweep"](spark, sf_dir).collect(),
+                 key=lambda r: r["n"])
+    assert [r["n"] for r in out] == [3, 5, 8, 13]
+    rates = [r["flagged_rate_micro"] for r in out]
+    overlaps = [r["mean_overlap_micro"] for r in out]
+    assert rates == sorted(rates, reverse=True)
+    # clamped partial grams on short docs make the n=8 vs n=13 tail
+    # non-monotone by a few micro; the operating-curve claim is the
+    # 3-gram end sitting far above the 13-gram end
+    assert overlaps[0] > overlaps[-1] * 2
+    assert all(r["docs_checked"] > 0 for r in out)
+
+
+def test_contamination_sweep_planted_verbatim(spark, tmp_path):
+    """X317: a candidate doc that verbatim-copies a benchmark doc flags
+    at EVERY n; a disjoint-vocab doc flags at none."""
+    bench_text = " ".join(f"b{i}" for i in range(20))
+    clean_text = " ".join(f"c{i}" for i in range(20))
+    rows = [
+        (1, bench_text, "en", "src0", len(bench_text)),
+        (2, bench_text, "en", "src1", len(bench_text)),   # verbatim copy
+        (3, clean_text, "en", "src1", len(clean_text)),   # disjoint
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = QUERIES["q_contamination_sweep"](spark, str(tmp_path)).collect()
+    assert all(r["docs_checked"] == 2 for r in out)
+    assert all(r["docs_flagged"] == 1 for r in out)
+    assert all(r["flagged_rate_micro"] == 500_000 for r in out)
