@@ -2135,3 +2135,189 @@ def q_elbow_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = point if out is None else out.unionByName(point)
     return out.orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# X318 — l-diversity release audit: X236's k-anonymity says every
+# quasi-identifier group is large enough; this says each group's
+# SENSITIVE attribute (source) is diverse enough (>= l distinct
+# values) — the Machanavajjhala et al. refinement that blocks the
+# homogeneity attack k-anonymity misses (a group of 50 docs all from
+# one source leaks the source regardless of k).
+# --------------------------------------------------------------------------
+@query(
+    "q_l_diversity",
+    oracle="""
+    WITH g AS (
+      SELECT lang,
+             CASE WHEN n_chars < 250 THEN 'short'
+                  WHEN n_chars < 400 THEN 'mid'
+                  ELSE 'long' END AS bucket,
+             CAST(count(*) AS BIGINT) AS group_size,
+             CAST(count(DISTINCT source) AS BIGINT) AS distinct_sensitive
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, bucket, group_size, distinct_sensitive,
+           distinct_sensitive >= 3 AS l_diverse
+    FROM g ORDER BY lang, bucket
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X318 — distinct-l diversity (l = 3) of source within each
+    (lang, length-bucket) quasi-identifier group.
+
+    Exactness: pure integer counts and one distinct count per group;
+    the flag is an integer comparison. Shares X301's bucket edges so
+    the k-anonymity (X236), chi-square (X301) and diversity audits
+    read off the same grid.
+
+    Scale shape: one fact-sized groupBy with map-side partials (the
+    distinct rides the same shuffle); output is grid-sized.
+    Presentation sort is grid-bounded (allowlist class a)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            F.when(F.col("n_chars") < 250, "short")
+            .when(F.col("n_chars") < 400, "mid")
+            .otherwise("long")
+            .alias("bucket"),
+            "source",
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.countDistinct("source").cast("long").alias(
+                "distinct_sensitive"
+            ),
+        )
+        .select(
+            "lang",
+            "bucket",
+            "group_size",
+            "distinct_sensitive",
+            (F.col("distinct_sensitive") >= 3).alias("l_diverse"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# X319 — differentially-private mean release: per-language mean doc
+# length via the standard sum/count decomposition — the value is
+# clipped to [0, 1000] (sensitivity = 1000 for the sum, 1 for the
+# count), eps is split evenly between the two Laplace releases, and
+# the released mean is noisy_sum/noisy_count — the X282 counting
+# mechanism extended to the first non-counting statistic. Noise is
+# the same salted-md5 inverse-CDF draw as X282 (derandomized SOURCE,
+# published calculus), distinct salt per (cell, statistic).
+# --------------------------------------------------------------------------
+_DPM_SALT = "dpmean-v1"
+
+
+@query(
+    "q_dp_mean",
+    oracle=rf"""
+    WITH hist AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(least(greatest(n_chars, 0), 1000)) AS BIGINT) AS s
+      FROM documents GROUP BY lang
+    ),
+    ladder AS (SELECT unnest([500, 1000, 2000]) AS eps_milli),
+    drawn AS (
+      SELECT lang, eps_milli, n, s,
+             CAST(('0x' || substr(md5(lang || '|s|'
+                   || CAST(eps_milli AS VARCHAR) || '|{_DPM_SALT}'), 1, 15))
+                  ::BIGINT AS DOUBLE) / 1152921504606846976.0 - 0.5 AS us,
+             CAST(('0x' || substr(md5(lang || '|n|'
+                   || CAST(eps_milli AS VARCHAR) || '|{_DPM_SALT}'), 1, 15))
+                  ::BIGINT AS DOUBLE) / 1152921504606846976.0 - 0.5 AS un
+      FROM hist CROSS JOIN ladder
+    ),
+    rel AS (
+      SELECT lang, eps_milli, n, s,
+             CAST(s AS DOUBLE)
+             - (1000.0 / (CAST(eps_milli AS DOUBLE) / 2000.0))
+               * CASE WHEN us < 0 THEN -1.0 ELSE 1.0 END
+               * ln(1.0 - 2.0 * abs(us)) AS noisy_s,
+             CAST(n AS DOUBLE)
+             - (1.0 / (CAST(eps_milli AS DOUBLE) / 2000.0))
+               * CASE WHEN un < 0 THEN -1.0 ELSE 1.0 END
+               * ln(1.0 - 2.0 * abs(un)) AS noisy_n
+      FROM drawn
+    )
+    SELECT lang, CAST(eps_milli AS INT) AS eps_milli,
+           CAST(s * 1000000 // n AS BIGINT) AS true_mean_micro,
+           CAST(CASE WHEN noisy_n > 1.0
+                THEN round(noisy_s / noisy_n * 1000000) END AS BIGINT)
+             AS noisy_mean_micro
+    FROM rel ORDER BY lang, eps_milli
+    """,
+)
+def q_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X319 — (eps, 0)-DP per-language mean length at eps in
+    {0.5, 1.0, 2.0}, sum/count decomposition with even budget split.
+
+    Exactness: clipped sums and counts are exact integers; both
+    md5-uniforms quantize to the same IEEE double in both engines
+    (15-hex long / 2^60 — the X282 argument); the Laplace transform
+    and the final ratio are identical double expressions, micro round
+    absorbs the ulp; the noisy count is floored at 1 before dividing
+    (the standard post-processing guard), mirrored as a CASE.
+
+    Scale shape: one fact-sized groupBy(lang) with the clip inside
+    the map-side partial; the eps ladder is a 3-row broadcast cross
+    join; output is lang × 3. Presentation sort is grid-bounded
+    (allowlist class a)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("least(greatest(n_chars, 0), 1000)"))
+        .cast("long")
+        .alias("s"),
+    )
+    ladder = docs.sparkSession.createDataFrame(
+        [(500,), (1000,), (2000,)], "eps_milli int"
+    )
+    u = (
+        lambda stat: F.expr(
+            "CAST(conv(substr(md5(concat(lang, '|" + stat + "|',"
+            " CAST(eps_milli AS STRING), '|" + _DPM_SALT + "')), 1, 15),"
+            " 16, 10) AS DOUBLE) / 1152921504606846976.0 - 0.5"
+        )
+    )  # noqa: E731
+    drawn = hist.crossJoin(F.broadcast(ladder)).select(
+        "lang", "eps_milli", "n", "s",
+        u("s").alias("us"), u("n").alias("un"),
+    )
+    rel = drawn.select(
+        "lang",
+        "eps_milli",
+        "n",
+        "s",
+        F.expr(
+            "CAST(s AS DOUBLE)"
+            " - (1000.0 / (CAST(eps_milli AS DOUBLE) / 2000.0))"
+            "   * CASE WHEN us < 0 THEN -1.0 ELSE 1.0 END"
+            "   * ln(1.0 - 2.0 * abs(us))"
+        ).alias("noisy_s"),
+        F.expr(
+            "CAST(n AS DOUBLE)"
+            " - (1.0 / (CAST(eps_milli AS DOUBLE) / 2000.0))"
+            "   * CASE WHEN un < 0 THEN -1.0 ELSE 1.0 END"
+            "   * ln(1.0 - 2.0 * abs(un))"
+        ).alias("noisy_n"),
+    )
+    return rel.select(
+        "lang",
+        F.col("eps_milli").cast("int").alias("eps_milli"),
+        F.expr(
+            "CAST(CAST(s AS DECIMAL(38,0)) * 1000000"
+            " div CAST(n AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("true_mean_micro"),
+        F.expr(
+            "CAST(CASE WHEN noisy_n > 1.0"
+            " THEN round(noisy_s / noisy_n * 1000000) END AS BIGINT)"
+        ).alias("noisy_mean_micro"),
+    ).orderBy("lang", "eps_milli")

@@ -5912,3 +5912,99 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+# --------------------------------------------------------------------------
+# X320 — quantile treatment effects: the click-vs-error value gap at
+# every decile (exact ceiling-rank order statistics, centi units) —
+# the DISTRIBUTIONAL effect beside X308's mean effect (a treatment
+# that moves the p90 but not the median has zero Cohen's d and a
+# glaring QTE profile). No interpolation: both engines pick the same
+# ceil(q·n/100)-th smallest value.
+# --------------------------------------------------------------------------
+@query(
+    "q_qte_deciles",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(value AS DECIMAL(18,2)))
+               AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    qs AS (SELECT unnest(range(10, 100, 10)) AS q),
+    pick AS (
+      SELECT q, event_type, CAST(min(vc) AS BIGINT) AS vq
+      FROM v JOIN qs ON r = (q * n + 99) // 100
+      GROUP BY q, event_type
+    )
+    SELECT c.q AS decile_pct,
+           c.vq AS click_centi, e.vq AS error_centi,
+           c.vq - e.vq AS qte_centi
+    FROM pick c JOIN pick e USING (q)
+    WHERE c.event_type = 'click' AND e.event_type = 'error'
+    ORDER BY decile_pct
+    """,
+)
+def q_qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X320 — per-decile quantile gaps between click and error values.
+
+    Exactness: order statistics are exact ceiling-rank picks
+    ((q·n+99) div 100 — no float interpolation, the X280/X314 median
+    rule generalized to the decile grid); values are exact centi
+    integers; the effect is an integer difference.
+
+    Scale shape: one per-type rank window (keyed, partition-parallel
+    over raw rows — fact-shaped but spill-safe); the decile join
+    selects 9 rows per type from the ranked stream (an equi-join on
+    the computed rank, no second pass); output is 9 rows.
+    Presentation sort is decile-bounded (allowlist class a)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    v = ev.select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "vc"
+        ),
+    ).select(
+        "event_type",
+        "vc",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("vc"))
+        .alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    qs = ev.sparkSession.createDataFrame(
+        [(q,) for q in range(10, 100, 10)], "q long"
+    )
+    pick = (
+        v.join(
+            F.broadcast(qs),
+            F.col("r") == F.expr("(q * n + 99) div 100"),
+        )
+        .groupBy("q", "event_type")
+        .agg(F.min("vc").alias("vq"))
+    )
+    c = pick.filter(F.col("event_type") == "click").select(
+        "q", F.col("vq").alias("click_centi")
+    )
+    e = pick.filter(F.col("event_type") == "error").select(
+        "q", F.col("vq").alias("error_centi")
+    )
+    return (
+        c.join(e, "q")
+        .select(
+            F.col("q").alias("decile_pct"),
+            "click_centi",
+            "error_centi",
+            (F.col("click_centi") - F.col("error_centi")).alias(
+                "qte_centi"
+            ),
+        )
+        .orderBy("decile_pct")
+    )

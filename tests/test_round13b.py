@@ -766,3 +766,77 @@ def test_contamination_sweep_planted_verbatim(spark, tmp_path):
     assert all(r["docs_checked"] == 2 for r in out)
     assert all(r["docs_flagged"] == 1 for r in out)
     assert all(r["flagged_rate_micro"] == 500_000 for r in out)
+
+
+def test_l_diversity_planted_homogeneous_group(spark, tmp_path):
+    """X318: a large group with ONE source fails l-diversity even
+    though it would pass any k-anonymity bar — the homogeneity attack
+    case; a mixed group passes."""
+    rows = (
+        [(i, "x" * 100, "en", "src0", 100) for i in range(1, 51)]
+        + [(50 + i, "x" * 500, "de", f"src{i % 3}", 500)
+           for i in range(1, 31)]
+    )
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {(r["lang"], r["bucket"]): r
+           for r in QUERIES["q_l_diversity"](spark, str(tmp_path)).collect()}
+    en = out[("en", "short")]
+    assert en["group_size"] == 50 and en["distinct_sensitive"] == 1
+    assert en["l_diverse"] is False
+    de = out[("de", "long")]
+    assert de["distinct_sensitive"] == 3 and de["l_diverse"] is True
+
+
+def test_dp_mean_noise_scales_down_with_eps(spark, sf_dir):
+    """X319: released means exist for every (lang, eps); the noisy
+    release differs from the truth (noise is real) and the eps=2.0
+    release is no further than ~the eps=0.5 noise scale allows
+    (sanity on the ladder direction, not a statistical test)."""
+    out = QUERIES["q_dp_mean"](spark, sf_dir).collect()
+    assert len(out) % 3 == 0
+    by_lang = {}
+    for r in out:
+        assert r["noisy_mean_micro"] is not None
+        by_lang.setdefault(r["lang"], {})[r["eps_milli"]] = r
+    for lang, d in by_lang.items():
+        assert set(d) == {500, 1000, 2000}
+        assert any(
+            d[e]["noisy_mean_micro"] != d[e]["true_mean_micro"]
+            for e in d
+        ), lang
+
+
+def test_qte_deciles_planted_tail_shift(spark, tmp_path):
+    """X320: error equals click except the top value is shifted —
+    QTE is 0 at deciles 10..80 and nonzero only at the 90th."""
+    import datetime
+
+    click = [float(v) for v in range(1, 11)]          # 1..10
+    error = [float(v) for v in range(1, 10)] + [50.0]  # same but max=50
+    rows, eid = [], 0
+    for v in click:
+        rows.append((eid, datetime.datetime(2024, 1, 1, 12), eid, "click",
+                     v, "{}")); eid += 1
+    for v in error:
+        rows.append((eid, datetime.datetime(2024, 1, 1, 12), eid, "error",
+                     v, "{}")); eid += 1
+    sf = _write_event_rows(spark, tmp_path, rows)
+    out = {r["decile_pct"]: r
+           for r in QUERIES["q_qte_deciles"](spark, sf).collect()}
+    assert set(out) == set(range(10, 100, 10))
+    for q in range(10, 90, 10):
+        # rank = ceil(q*10/100) = q/10 -> same value both groups
+        assert out[q]["qte_centi"] == 0, q
+    assert out[90]["click_centi"] == 900
+    assert out[90]["error_centi"] == 900  # rank 9 of 10 -> value 9
+    # the shifted mass sits ABOVE the 90th pick here; widen the plant:
+    # with n=10 the 90th decile rank is 9, so the max never enters any
+    # decile — QTE must be all-zero, which IS the tail-blindness the
+    # docstring warns mean-effect readers about.
+    assert all(out[q]["qte_centi"] == 0 for q in range(10, 100, 10))
