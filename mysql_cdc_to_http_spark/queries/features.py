@@ -6008,3 +6008,372 @@ def q_qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile_pct")
     )
+
+
+# --------------------------------------------------------------------------
+# X321 — Friedman test: the blocked (repeated-measures) rank test —
+# days are blocks, event types are treatments, the response is the
+# zero-filled daily count; within each day the k types are ranked
+# (ties by the X292 double-rank trick so every rank sum is an exact
+# integer), and the tie-corrected statistic chi2 = (k−1)·S/T with
+# S = Σ_j (2R_j − n(k+1))², T = Σ_ij (2r_ij)² − n·k·(k+1)² runs on
+# pure integers. The omnibus "do the types differ given day-to-day
+# level shifts" — what X312's unblocked ANOVA cannot separate from
+# global daily volume swings.
+# --------------------------------------------------------------------------
+@query(
+    "q_friedman",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS HUGEINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(d) AS d0, max(d) AS d1 FROM obs),
+    grid AS (
+      SELECT event_type, unnest(range(0, datediff('day', d0, d1) + 1)) AS i
+      FROM (SELECT DISTINCT event_type FROM obs) CROSS JOIN span
+    ),
+    obs2 AS (
+      SELECT o.event_type, datediff('day', s.d0, o.d) AS i, x
+      FROM obs o CROSS JOIN span s
+    ),
+    dense AS (
+      SELECT g.event_type, g.i, COALESCE(o.x, 0::HUGEINT) AS x
+      FROM grid g LEFT JOIN obs2 o USING (event_type, i)
+    ),
+    valgrp AS (
+      SELECT i, x, CAST(count(*) AS HUGEINT) AS c,
+             COALESCE(SUM(count(*)) OVER (PARTITION BY i ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS f_prev
+      FROM dense GROUP BY i, x
+    ),
+    dr AS (
+      SELECT d.event_type, d.i,
+             CAST(2 * v.f_prev + v.c + 1 AS HUGEINT) AS d2
+      FROM dense d JOIN valgrp v ON v.i = d.i AND v.x = d.x
+    ),
+    dims AS (
+      SELECT CAST(count(DISTINCT event_type) AS HUGEINT) AS k,
+             CAST(count(DISTINCT i) AS HUGEINT) AS n
+      FROM dense
+    ),
+    rs AS (
+      SELECT event_type, CAST(SUM(d2) AS HUGEINT) AS dj
+      FROM dr GROUP BY event_type
+    ),
+    stat AS (
+      SELECT
+        CAST(SUM((dj - n * (k + 1)) * (dj - n * (k + 1))) AS HUGEINT)
+          AS s4,
+        (SELECT CAST(SUM(d2 * d2) AS HUGEINT) FROM dr)
+          - (SELECT n * k * (k + 1) * (k + 1) FROM dims) AS t4,
+        max(k) AS k, max(n) AS n
+      FROM rs CROSS JOIN dims
+    )
+    SELECT rs.event_type, CAST(dj AS BIGINT) AS rank_sum_double,
+           CAST(CASE WHEN t4 > 0 THEN (k - 1) * s4 * 1000000 // t4 END
+                AS BIGINT) AS chi2_micro,
+           CAST(k - 1 AS BIGINT) AS dof,
+           CASE WHEN t4 > 0 THEN
+             (k - 1) * s4 * 1000 >
+             t4 * (CASE CAST(k - 1 AS INT)
+                   WHEN 1 THEN 3841 WHEN 2 THEN 5991 WHEN 3 THEN 7815
+                   WHEN 4 THEN 9488 WHEN 5 THEN 11070 WHEN 6 THEN 12592
+                   WHEN 7 THEN 14067 WHEN 8 THEN 15507 WHEN 9 THEN 16919
+                   WHEN 10 THEN 18307 WHEN 11 THEN 19675
+                   WHEN 12 THEN 21026 END)
+           END AS significant
+    FROM rs CROSS JOIN stat
+    ORDER BY rs.event_type
+    """,
+)
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X321 — Friedman blocked rank test, days × event types.
+
+    Exactness: within-day double-ranks (2·avg rank = 2·F_prev + c + 1)
+    keep every rank sum an exact integer despite ties; the
+    tie-corrected statistic (k−1)·S4/T4 (both ×4 of the textbook
+    S and T, the factor cancels) is one truncating micro div, and the
+    5% verdict cross-multiplies against the chi²(k−1) table in milli.
+    Zero-filled blocks (the X303 rule) keep the block set identical
+    across engines.
+
+    Scale shape: one fact-sized (type, day) aggregate; within-day
+    ranking runs per block over the k-type grid (a (day, value)
+    aggregate + equi-join, never a fact-sized window); the statistic
+    is a k-row fold. Presentation sort is type-bounded (allowlist
+    class a)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("x")
+    )
+    span = obs.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = (
+        obs.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias(
+                "i"
+            ),
+        )
+    )
+    obs2 = obs.crossJoin(F.broadcast(span)).select(
+        "event_type", F.datediff("d", "d0").alias("i"), "x"
+    )
+    dense = grid.join(obs2, ["event_type", "i"], "left").withColumn(
+        "x", F.coalesce(F.col("x"), F.lit(0).cast("decimal(38,0)"))
+    )
+    wday = (
+        W.partitionBy("i")
+        .orderBy("x")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    valgrp = (
+        dense.groupBy("i", "x")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+        .select(
+            "i",
+            "x",
+            "c",
+            F.coalesce(
+                F.sum("c").over(wday), F.lit(0).cast("decimal(38,0)")
+            ).alias("f_prev"),
+        )
+    )
+    dr = dense.join(valgrp, ["i", "x"]).select(
+        "event_type",
+        "i",
+        (F.lit(2) * F.col("f_prev") + F.col("c") + 1)
+        .cast("decimal(38,0)")
+        .alias("d2"),
+    )
+    dims = dense.agg(
+        F.countDistinct("event_type").cast("decimal(38,0)").alias("k"),
+        F.countDistinct("i").cast("decimal(38,0)").alias("n"),
+    )
+    rs = dr.groupBy("event_type").agg(
+        F.sum("d2").cast("decimal(38,0)").alias("dj")
+    )
+    ssq = dr.agg(
+        F.sum(F.expr("d2 * d2")).cast("decimal(38,0)").alias("sumd2sq")
+    )
+    stat = (
+        rs.crossJoin(F.broadcast(dims))
+        .agg(
+            F.sum(
+                F.expr(
+                    "(dj - n * (k + 1)) * (dj - n * (k + 1))"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("s4"),
+            F.max("k").alias("k"),
+            F.max("n").alias("n"),
+        )
+        .crossJoin(F.broadcast(ssq))
+        .select(
+            "s4",
+            "k",
+            "n",
+            F.expr("sumd2sq - n * k * (k + 1) * (k + 1)").alias("t4"),
+        )
+    )
+    crit = (
+        "(CASE CAST(k - 1 AS INT)"
+        " WHEN 1 THEN 3841 WHEN 2 THEN 5991 WHEN 3 THEN 7815"
+        " WHEN 4 THEN 9488 WHEN 5 THEN 11070 WHEN 6 THEN 12592"
+        " WHEN 7 THEN 14067 WHEN 8 THEN 15507 WHEN 9 THEN 16919"
+        " WHEN 10 THEN 18307 WHEN 11 THEN 19675 WHEN 12 THEN 21026 END)"
+    )
+    return (
+        rs.crossJoin(F.broadcast(stat))
+        .select(
+            "event_type",
+            F.col("dj").cast("long").alias("rank_sum_double"),
+            F.expr(
+                "CAST(CASE WHEN t4 > 0 THEN"
+                " (k - 1) * s4 * 1000000 div t4 END AS BIGINT)"
+            ).alias("chi2_micro"),
+            F.expr("CAST(k - 1 AS BIGINT)").alias("dof"),
+            F.expr(
+                f"CASE WHEN t4 > 0 THEN"
+                f" (k - 1) * s4 * 1000 > t4 * {crit} END"
+            ).alias("significant"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# X322 — Wald-Wolfowitz runs test on daily deltas: are up/down moves
+# of each type's zero-filled daily count series random, or do they
+# trend/oscillate? (Too FEW runs = trending, too MANY = oscillating —
+# the direction X303's ACF quantifies, here as a distribution-free
+# yes/no.) Zero deltas are dropped before run counting (the classic
+# treatment); E[R] and Var[R] are the published closed forms,
+# multiplied out so the gate is pure integers.
+# --------------------------------------------------------------------------
+@query(
+    "q_runs_test",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS HUGEINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(d) AS d0, max(d) AS d1 FROM obs),
+    grid AS (
+      SELECT event_type, unnest(range(0, datediff('day', d0, d1) + 1)) AS i
+      FROM (SELECT DISTINCT event_type FROM obs) CROSS JOIN span
+    ),
+    obs2 AS (
+      SELECT o.event_type, datediff('day', s.d0, o.d) AS i, x
+      FROM obs o CROSS JOIN span s
+    ),
+    dense AS (
+      SELECT g.event_type, g.i, COALESCE(o.x, 0::HUGEINT) AS x
+      FROM grid g LEFT JOIN obs2 o USING (event_type, i)
+    ),
+    delta AS (
+      SELECT event_type, i,
+             CASE WHEN x > lag(x) OVER w THEN 1
+                  WHEN x < lag(x) OVER w THEN -1 END AS s
+      FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY i)
+    ),
+    signs AS (
+      SELECT event_type, i, s,
+             lag(s) OVER (PARTITION BY event_type ORDER BY i) AS sp
+      FROM delta WHERE s IS NOT NULL
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+               AS np,
+             CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS HUGEINT)
+               AS nm,
+             CAST(1 + SUM(CASE WHEN sp IS NOT NULL AND s <> sp
+                          THEN 1 ELSE 0 END) AS HUGEINT) AS r
+      FROM signs GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(np AS BIGINT) AS n_up, CAST(nm AS BIGINT) AS n_down,
+           CAST(r AS BIGINT) AS n_runs,
+           CAST(CASE WHEN np > 0 AND nm > 0
+                      AND 2 * np * nm > np + nm AND np + nm > 1 THEN
+             round(CAST(r * (np + nm) - 2 * np * nm - (np + nm)
+                        AS DOUBLE)
+                   / sqrt(CAST(2 * np * nm
+                               * (2 * np * nm - np - nm) AS DOUBLE)
+                          / CAST(np + nm - 1 AS DOUBLE))
+                   * 1000000) END AS BIGINT) AS z_micro,
+           CASE WHEN np > 0 AND nm > 0
+                 AND 2 * np * nm > np + nm AND np + nm > 1 THEN
+             (r * (np + nm) - 2 * np * nm - (np + nm))
+             * (r * (np + nm) - 2 * np * nm - (np + nm))
+             * (np + nm - 1) * 10000
+             > 38416 * 2 * np * nm * (2 * np * nm - np - nm)
+           END AS non_random
+    FROM agg ORDER BY event_type
+    """,
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X322 — runs test for randomness of daily up/down moves per type.
+
+    Exactness: run/sign counts are exact integers over the
+    zero-filled series (zero deltas dropped, the classic treatment);
+    with N = n₊+n₋, the centered numerator R·N − 2n₊n₋ − N and the
+    variance 2n₊n₋(2n₊n₋−N)/(N−1) are multiplied out so z is one
+    sqrt over doubles built from exact integers and the 5% verdict
+    is a pure integer cross-multiplication (1.96²·10⁴ = 38416).
+    Degenerate series (one sign absent, or variance ≤ 0) emit NULLs.
+
+    Scale shape: one fact-sized (type, day) aggregate; the delta and
+    run windows are keyed by type over the calendar-sized grid;
+    output is type-sized. Presentation sort is type-bounded
+    (allowlist class a)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("x")
+    )
+    span = obs.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = (
+        obs.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias(
+                "i"
+            ),
+        )
+    )
+    obs2 = obs.crossJoin(F.broadcast(span)).select(
+        "event_type", F.datediff("d", "d0").alias("i"), "x"
+    )
+    dense = grid.join(obs2, ["event_type", "i"], "left").withColumn(
+        "x", F.coalesce(F.col("x"), F.lit(0).cast("decimal(38,0)"))
+    )
+    w = W.partitionBy("event_type").orderBy("i")
+    delta = dense.select(
+        "event_type",
+        "i",
+        F.when(F.col("x") > F.lag("x").over(w), 1)
+        .when(F.col("x") < F.lag("x").over(w), -1)
+        .alias("s"),
+    )
+    signs = delta.filter(F.col("s").isNotNull()).select(
+        "event_type", "i", "s", F.lag("s").over(w).alias("sp")
+    )
+    agg = signs.groupBy("event_type").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("np"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("nm"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("sp").isNotNull() & (F.col("s") != F.col("sp")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("r"),
+    )
+    guard = (
+        "np > 0 AND nm > 0 AND 2 * np * nm > np + nm AND np + nm > 1"
+    )
+    return agg.select(
+        "event_type",
+        F.col("np").cast("long").alias("n_up"),
+        F.col("nm").cast("long").alias("n_down"),
+        F.col("r").cast("long").alias("n_runs"),
+        F.expr(
+            f"CAST(CASE WHEN {guard} THEN"
+            " round(CAST(r * (np + nm) - 2 * np * nm - (np + nm)"
+            "            AS DOUBLE)"
+            "       / sqrt(CAST(2 * np * nm"
+            "                   * (2 * np * nm - np - nm) AS DOUBLE)"
+            "              / CAST(np + nm - 1 AS DOUBLE))"
+            "       * 1000000) END AS BIGINT)"
+        ).alias("z_micro"),
+        F.expr(
+            f"CASE WHEN {guard} THEN"
+            " (r * (np + nm) - 2 * np * nm - (np + nm))"
+            " * (r * (np + nm) - 2 * np * nm - (np + nm))"
+            " * (np + nm - 1) * 10000"
+            " > 38416 * 2 * np * nm * (2 * np * nm - np - nm)"
+            " END"
+        ).alias("non_random"),
+    ).orderBy("event_type")

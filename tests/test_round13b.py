@@ -840,3 +840,70 @@ def test_qte_deciles_planted_tail_shift(spark, tmp_path):
     # decile — QTE must be all-zero, which IS the tail-blindness the
     # docstring warns mean-effect readers about.
     assert all(out[q]["qte_centi"] == 0 for q in range(10, 100, 10))
+
+
+def test_friedman_identical_blocks_zero(spark, tmp_path):
+    """X321: types identical within every day -> every within-day rank
+    ties, all rank sums equal, chi2 = 0, not significant."""
+    sf = _write_events(
+        spark, tmp_path,
+        {"a": [3, 5, 7, 9], "b": [3, 5, 7, 9], "c": [3, 5, 7, 9]},
+    )
+    out = QUERIES["q_friedman"](spark, sf).collect()
+    assert len(out) == 3
+    assert len({r["rank_sum_double"] for r in out}) == 1
+    # complete within-day ties make T = 0: the statistic is undefined
+    # (NULL by guard), never a 0/0 or a spurious flag
+    assert all(r["chi2_micro"] is None for r in out)
+    assert all(r["significant"] is None for r in out)
+    assert all(r["dof"] == 2 for r in out)
+
+
+def test_friedman_dominant_type_flags(spark, tmp_path):
+    """X321: one type strictly dominates every day over a long span —
+    the blocked test flags it even though daily volumes vary."""
+    import math as _m  # noqa: F401
+
+    days = 20
+    sf = _write_events(
+        spark, tmp_path,
+        {
+            "a": [10 + (t % 3) for t in range(days)],
+            "b": [5 + (t % 3) for t in range(days)],
+            "c": [1 + (t % 3) for t in range(days)],
+        },
+    )
+    out = QUERIES["q_friedman"](spark, sf).collect()
+    got = {}
+    for r in out:
+        got[r["event_type"]] = r
+        assert r["significant"] is True
+    # no ties anywhere: rank sums are exactly 2*(1,2,3)*days
+    assert got["c"]["rank_sum_double"] == 2 * 1 * days
+    assert got["b"]["rank_sum_double"] == 2 * 2 * days
+    assert got["a"]["rank_sum_double"] == 2 * 3 * days
+    # tie-free chi2 = 12/(n k (k+1)) * sum Rj^2 - 3 n (k+1) = 2n
+    assert got["a"]["chi2_micro"] == 2 * days * 1_000_000
+
+
+def test_runs_test_alternating_and_trending(spark, tmp_path):
+    """X322: a strictly alternating series maximizes runs (z > 0,
+    non-random); a strictly monotone series has ONE run with no
+    variance in signs (one sign absent -> NULLs)."""
+    sf = _write_events(
+        spark, tmp_path,
+        {
+            "alt": [5, 1, 5, 1, 5, 1, 5, 1, 5, 1, 5, 1, 5, 1, 5, 1,
+                    5, 1, 5, 1, 5, 1, 5, 1, 5],
+            "up": [t + 1 for t in range(25)],
+        },
+    )
+    out = {r["event_type"]: r
+           for r in QUERIES["q_runs_test"](spark, sf).collect()}
+    alt = out["alt"]
+    n = alt["n_up"] + alt["n_down"]
+    assert alt["n_runs"] == n          # every delta flips sign
+    assert alt["non_random"] is True and alt["z_micro"] > 0
+    up = out["up"]
+    assert up["n_down"] == 0 and up["n_runs"] == 1
+    assert up["z_micro"] is None and up["non_random"] is None
