@@ -1903,3 +1903,123 @@ def q_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 8)
         .orderBy("event_type", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# X324 — session-gap operating curve: X59's sessionization re-run at
+# inactivity thresholds 10/30/60 minutes — the curve that justifies a
+# session timeout before anyone trusts session-level metrics (too
+# small fragments journeys, too large merges distinct visits; the
+# knee is corpus-specific). Session count, mean events/session and
+# mean duration per gap, all exact integers / truncating micro divs.
+# --------------------------------------------------------------------------
+@query(
+    "q_session_gap_sweep",
+    oracle="""
+    WITH gaps AS (SELECT unnest([600, 1800, 3600]) AS gap_s),
+    marked AS (
+      SELECT g.gap_s, user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > CAST(g.gap_s AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events CROSS JOIN gaps g
+      WINDOW w AS (PARTITION BY g.gap_s, user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT gap_s, user_id,
+             SUM(new_sess) OVER (PARTITION BY gap_s, user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess_no,
+             ts
+      FROM marked
+    ),
+    per_sess AS (
+      SELECT gap_s, user_id, sess_no,
+             CAST(count(*) AS HUGEINT) AS n_events,
+             CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS HUGEINT)
+               AS dur_us
+      FROM sess GROUP BY gap_s, user_id, sess_no
+    )
+    SELECT CAST(gap_s AS BIGINT) AS gap_s,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(CAST(sum(n_events) AS HUGEINT) * 1000000
+                // CAST(count(*) AS HUGEINT) AS BIGINT)
+             AS events_per_session_micro,
+           CAST(sum(dur_us) // CAST(count(*) AS HUGEINT) AS BIGINT)
+             AS mean_duration_us
+    FROM per_sess GROUP BY gap_s ORDER BY gap_s
+    """,
+)
+def q_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X324 — sessionization at inactivity gaps 10/30/60 min.
+
+    Exactness: session boundaries are exact integer comparisons on
+    epoch MICROseconds (whole-second comparisons truncate sub-second
+    gaps differently across engines — caught by the parity gate); counts and duration sums (epoch micros) are exact
+    integers; the two means are truncating micro/us divs. The
+    (ts, event_id) ordering is total (the X137 tie-break rule), so
+    session membership is identical across engines and partitionings.
+
+    Scale shape: one keyed window per (gap, user) over the 3×-exploded
+    fact stream (the 3 gap passes share one shuffle because gap_s is
+    part of the partition key); session stats combine map-side;
+    output is 3 rows. Presentation sort is 3-row bounded (allowlist
+    class a)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    gaps = ev.sparkSession.createDataFrame(
+        [(600,), (1800,), (3600,)], "gap_s long"
+    )
+    w = W.partitionBy("gap_s", "user_id").orderBy("ts", "event_id")
+    marked = ev.crossJoin(F.broadcast(gaps)).select(
+        "gap_s",
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > F.col("gap_s") * 1000000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = marked.select(
+        "gap_s",
+        "user_id",
+        "ts",
+        F.sum("new_sess")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("sess_no"),
+    )
+    per_sess = sess.groupBy("gap_s", "user_id", "sess_no").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_events"),
+        (
+            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+        )
+        .cast("decimal(38,0)")
+        .alias("dur_us"),
+    )
+    return (
+        per_sess.groupBy("gap_s")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("ns"),
+            F.sum("n_events").cast("decimal(38,0)").alias("se"),
+            F.sum("dur_us").cast("decimal(38,0)").alias("sd"),
+        )
+        .select(
+            F.col("gap_s").cast("long").alias("gap_s"),
+            F.col("ns").cast("long").alias("n_sessions"),
+            F.expr("CAST(se * 1000000 div ns AS BIGINT)").alias(
+                "events_per_session_micro"
+            ),
+            F.expr("CAST(sd div ns AS BIGINT)").alias("mean_duration_us"),
+        )
+        .orderBy("gap_s")
+    )

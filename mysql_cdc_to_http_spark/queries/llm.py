@@ -7672,3 +7672,137 @@ def q_wand_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# X323 — reciprocal-rank fusion (Cormack et al. 2009, k = 60): fuse
+# the X88 BM25 ranking with the X293 TTR quality ranking into one
+# top-20 — THE standard zero-training hybrid-retrieval combiner (every
+# production RAG stack fuses lexical + a second signal exactly this
+# way). Each list contributes round(1e6/(60+rank)) integer micro
+# points; absent-from-list contributes 0 — so the fused score is an
+# exact integer sum and the fused ranking is cross-engine stable.
+# --------------------------------------------------------------------------
+@query(
+    "q_rrf_fusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+    ft AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM terms WHERE term IN ({_BM25_TERMS_SQL})
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM terms WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY term),
+    idf AS (
+      SELECT term, ln((s.n - df + 0.5) / (df + 0.5) + 1.0) AS idf, s.avgdl
+      FROM dfq, stats s
+    ),
+    contrib AS (
+      SELECT ft.doc_id,
+             idf.idf * (ft.tf * ({_BM25_K1} + 1.0))
+             / (ft.tf + {_BM25_K1}
+                * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / idf.avgdl)) AS c
+      FROM ft JOIN idf USING (term) JOIN dl ON ft.doc_id = dl.doc_id
+    ),
+    bm25_list AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY round(SUM(c), 6) DESC,
+                                     doc_id) AS BIGINT) AS r
+      FROM contrib GROUP BY doc_id
+      QUALIFY r <= 50
+    ),
+    qual_list AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY CAST(len(list_distinct(toks)) * 1000000
+                             // len(toks) AS BIGINT) DESC, doc_id)
+               AS BIGINT) AS r
+      FROM toks
+      QUALIFY r <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, q.doc_id) AS doc_id,
+             b.r AS rank_bm25, q.r AS rank_quality,
+             COALESCE(CAST(round(1000000.0 / (60 + b.r)) AS BIGINT), 0)
+             + COALESCE(CAST(round(1000000.0 / (60 + q.r)) AS BIGINT), 0)
+               AS rrf_micro
+      FROM bm25_list b FULL OUTER JOIN qual_list q USING (doc_id)
+    )
+    SELECT doc_id, rank_bm25, rank_quality, rrf_micro
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X323 — RRF (k=60) of the BM25 top-50 and the TTR-quality top-50.
+
+    Exactness: both input rankings are already cross-engine stable
+    (BM25 ranks on the 6-dp-rounded score with doc tie-break — the
+    X88 rule; quality ranks on the exact integer TTR micro); each
+    rank's RRF contribution round(1e6/(60+r)) is one rounded
+    constant-per-rank integer, so the fused score is an exact integer
+    sum and the final ordering has a doc_id tie-break.
+
+    Scale shape: the BM25 side is X88's shape (query-term-filtered
+    explode, broadcast idf, TakeOrdered); the quality side is one
+    row-local projection + TakeOrdered; fusion is a full outer join
+    of two 50-row lists. At scale both lists stay k-sized — fusion
+    cost is O(k)."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm25_list = _bm25_topn(spark, sf_dir, 50).select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.desc("bm25"), "doc_id"))
+        .cast("long")
+        .alias("rank_bm25"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("t"),
+    )
+    qual_list = (
+        toks.select(
+            "doc_id",
+            F.expr(
+                "CAST(size(array_distinct(t)) * 1000000 div size(t)"
+                " AS BIGINT)"
+            ).alias("ttr"),
+        )
+        .orderBy(F.desc("ttr"), "doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.partitionBy().orderBy(F.desc("ttr"), "doc_id"))
+            .cast("long")
+            .alias("rank_quality"),
+        )
+    )
+    fused = bm25_list.join(qual_list, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_bm25",
+        "rank_quality",
+        (
+            F.coalesce(
+                F.round(1000000.0 / (60 + F.col("rank_bm25"))).cast("long"),
+                F.lit(0),
+            )
+            + F.coalesce(
+                F.round(1000000.0 / (60 + F.col("rank_quality"))).cast(
+                    "long"
+                ),
+                F.lit(0),
+            )
+        ).alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(20)

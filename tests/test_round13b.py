@@ -907,3 +907,79 @@ def test_runs_test_alternating_and_trending(spark, tmp_path):
     up = out["up"]
     assert up["n_down"] == 0 and up["n_runs"] == 1
     assert up["z_micro"] is None and up["non_random"] is None
+
+
+def test_rrf_fusion_hand_lists(spark, tmp_path):
+    """X323: a doc ranked #1 on BOTH lists scores 2*round(1e6/61) and
+    tops the fusion; a doc on one list only gets that list's points."""
+    # 'spark' docs score on BM25; high-TTR distinct-word docs win
+    # quality. doc1 = both (contains 'spark', all-distinct tokens);
+    # doc2 = bm25-only (spark-heavy, repetitive); doc3 = quality-only.
+    rows = [
+        (1, "spark alpha beta gamma delta", "en", "src", 10),
+        (2, "spark spark spark spark spark spark", "en", "src", 10),
+        (3, "unique tokens every word here now", "en", "src", 10),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r["doc_id"]: r
+           for r in QUERIES["q_rrf_fusion"](spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+    pts = lambda r: round(1_000_000 / (60 + r))  # noqa: E731
+    # doc2 has the higher tf -> bm25 rank 1; doc1 rank 2.
+    assert out[2]["rank_bm25"] == 1 and out[2]["rank_quality"] == 3
+    assert out[1]["rank_bm25"] == 2 and out[1]["rank_quality"] in (1, 2)
+    assert out[3]["rank_bm25"] is None
+    for d, r in out.items():
+        want = (pts(r["rank_bm25"]) if r["rank_bm25"] else 0) + (
+            pts(r["rank_quality"]) if r["rank_quality"] else 0)
+        assert r["rrf_micro"] == want, d
+
+
+def test_session_gap_sweep_hand_sessions(spark, tmp_path):
+    """X324: one user with events at 0s, 5min, 45min, 100min — gaps
+    600/1800/3600 yield 3/2/1 sessions with hand-computable stats."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    offs = [0, 300, 2700, 6000]
+    rows = [(i, base + datetime.timedelta(seconds=o), 1, "view", 1.0, "{}")
+            for i, o in enumerate(offs)]
+    sf = _write_event_rows(spark, tmp_path, rows)
+    out = {r["gap_s"]: r
+           for r in QUERIES["q_session_gap_sweep"](spark, sf).collect()}
+    # gap 600: [0,300], [2700], [6000] -> 3 sessions
+    assert out[600]["n_sessions"] == 3
+    assert out[600]["events_per_session_micro"] == 4 * 1_000_000 // 3
+    assert out[600]["mean_duration_us"] == 300 * 1_000_000 // 3
+    # gap 1800: [0,300], [2700,6000]... 2700-300=2400s > 1800 -> split;
+    # 6000-2700=3300 > 1800 -> split: sessions [0,300],[2700],[6000]=3?
+    # No: 2400 > 1800 splits, 3300 > 1800 splits -> 3 sessions too.
+    assert out[1800]["n_sessions"] == 3
+    # gap 3600: all gaps (300, 2400, 3300) <= 3600 -> 1 session
+    assert out[3600]["n_sessions"] == 1
+    assert out[3600]["events_per_session_micro"] == 4_000_000
+    assert out[3600]["mean_duration_us"] == 6000 * 1_000_000
+
+
+def test_session_gap_subsecond_boundary(spark, tmp_path):
+    """X324: a 600.5s gap must SPLIT at gap_s=600 (micro comparison;
+    whole-second truncation would merge it)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (0, base, 1, "view", 1.0, "{}"),
+        (1, base + datetime.timedelta(seconds=600, microseconds=500000),
+         1, "view", 1.0, "{}"),
+    ]
+    sf = _write_event_rows(spark, tmp_path, rows)
+    out = {r["gap_s"]: r
+           for r in QUERIES["q_session_gap_sweep"](spark, sf).collect()}
+    assert out[600]["n_sessions"] == 2
+    assert out[1800]["n_sessions"] == 1
