@@ -6377,3 +6377,170 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END"
         ).alias("non_random"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# X326 — Spearman rank correlation between every type pair's
+# zero-filled daily count series: Pearson on tie-averaged ranks —
+# sensitive to any monotone relation like X311's tau-b but on the
+# familiar [-1, 1] product-moment scale (the pair of rank
+# correlations every metric-health dashboard shows together). Ranks
+# use the X292 double-rank trick (2·avg rank is an integer), so all
+# five moments are exact integers and only the final rho divides
+# doubles built from them.
+# --------------------------------------------------------------------------
+@query(
+    "q_spearman",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS HUGEINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(d) AS d0, max(d) AS d1 FROM obs),
+    grid AS (
+      SELECT event_type, unnest(range(0, datediff('day', d0, d1) + 1)) AS i
+      FROM (SELECT DISTINCT event_type FROM obs) CROSS JOIN span
+    ),
+    obs2 AS (
+      SELECT o.event_type, datediff('day', s.d0, o.d) AS i, x
+      FROM obs o CROSS JOIN span s
+    ),
+    dense AS (
+      SELECT g.event_type, g.i, COALESCE(o.x, 0::HUGEINT) AS x
+      FROM grid g LEFT JOIN obs2 o USING (event_type, i)
+    ),
+    valgrp AS (
+      SELECT event_type, x, CAST(count(*) AS HUGEINT) AS c,
+             COALESCE(SUM(count(*)) OVER (PARTITION BY event_type
+               ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS f_prev
+      FROM dense GROUP BY event_type, x
+    ),
+    ranked AS (
+      SELECT d.event_type, d.i,
+             CAST(2 * v.f_prev + v.c + 1 AS HUGEINT) AS r2
+      FROM dense d
+      JOIN valgrp v ON v.event_type = d.event_type AND v.x = d.x
+    ),
+    pairs AS (
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             a.r2 AS rx, b.r2 AS ry
+      FROM ranked a JOIN ranked b USING (i)
+      WHERE a.event_type < b.event_type
+    ),
+    mo AS (
+      SELECT t1, t2, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(rx) AS HUGEINT) AS sx,
+             CAST(sum(ry) AS HUGEINT) AS sy,
+             CAST(sum(rx * rx) AS HUGEINT) AS sxx,
+             CAST(sum(rx * ry) AS HUGEINT) AS sxy,
+             CAST(sum(ry * ry) AS HUGEINT) AS syy
+      FROM pairs GROUP BY t1, t2
+    )
+    SELECT t1, t2, CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN n * sxx - sx * sx > 0
+                      AND n * syy - sy * sy > 0 THEN
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))
+                   * 1000000) END AS BIGINT) AS rho_micro
+    FROM mo ORDER BY t1, t2
+    """,
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X326 — Spearman rho between every pair of types' daily series.
+
+    Exactness: tie-averaged ranks carried as exact integer
+    double-ranks (the X292 rule) over the zero-filled grid (the X303
+    rule); all Pearson moments are exact DECIMAL(38) sums; rho
+    divides doubles built from them (one sqrt, micro round absorbs
+    the ulp; degenerate constant series emit NULL via the variance
+    guard — the X311 discipline).
+
+    Scale shape: one fact-sized (type, day) aggregate; per-type
+    ranking is a (type, value) aggregate + equi-join (never a
+    fact-sized window); the pair join runs on the calendar-sized
+    grid; moments are a pair-count-sized aggregate. Presentation
+    sort is pair-bounded (allowlist class a)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("x")
+    )
+    span = obs.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = (
+        obs.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias(
+                "i"
+            ),
+        )
+    )
+    obs2 = obs.crossJoin(F.broadcast(span)).select(
+        "event_type", F.datediff("d", "d0").alias("i"), "x"
+    )
+    dense = grid.join(obs2, ["event_type", "i"], "left").withColumn(
+        "x", F.coalesce(F.col("x"), F.lit(0).cast("decimal(38,0)"))
+    )
+    wtype = (
+        W.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    valgrp = (
+        dense.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+        .select(
+            "event_type",
+            "x",
+            "c",
+            F.coalesce(
+                F.sum("c").over(wtype), F.lit(0).cast("decimal(38,0)")
+            ).alias("f_prev"),
+        )
+    )
+    ranked = dense.join(valgrp, ["event_type", "x"]).select(
+        "event_type",
+        "i",
+        (F.lit(2) * F.col("f_prev") + F.col("c") + 1)
+        .cast("decimal(38,0)")
+        .alias("r2"),
+    )
+    b = ranked.select(
+        F.col("event_type").alias("t2"),
+        "i",
+        F.col("r2").alias("ry"),
+    )
+    pairs = (
+        ranked.withColumnRenamed("event_type", "t1")
+        .withColumnRenamed("r2", "rx")
+        .join(b, "i")
+        .filter(F.col("t1") < F.col("t2"))
+    )
+    mo = pairs.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("rx").cast("decimal(38,0)").alias("sx"),
+        F.sum("ry").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("rx * rx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("rx * ry")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr("ry * ry")).cast("decimal(38,0)").alias("syy"),
+    )
+    return mo.select(
+        "t1",
+        "t2",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            "CAST(CASE WHEN n * sxx - sx * sx > 0"
+            " AND n * syy - sy * sy > 0 THEN"
+            " round(CAST(n * sxy - sx * sy AS DOUBLE)"
+            "       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            "              * CAST(n * syy - sy * sy AS DOUBLE))"
+            "       * 1000000) END AS BIGINT)"
+        ).alias("rho_micro"),
+    ).orderBy("t1", "t2")

@@ -983,3 +983,60 @@ def test_session_gap_subsecond_boundary(spark, tmp_path):
            for r in QUERIES["q_session_gap_sweep"](spark, sf).collect()}
     assert out[600]["n_sessions"] == 2
     assert out[1800]["n_sessions"] == 1
+
+
+def test_hilbert_adjacency_and_segment_win(spark, sf_dir):
+    """X325: the python replica of the documented xy2d pins (a) the
+    Hilbert adjacency property — consecutive d are 4-neighbors, which
+    Morton lacks — and (b) the query's measured seek-count win on the
+    off-aligned box (47 segments vs Morton's 88)."""
+    def xy2d(xb, yb):
+        x, y, d = xb, yb, 0
+        for i in range(7, -1, -1):
+            s = 1 << i
+            rx = (x >> i) & 1
+            ry = (y >> i) & 1
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = 255 - x
+                    y = 255 - y
+                x, y = y, x
+        return d
+
+    # adjacency on the full first 1024 curve positions
+    d2xy = {}
+    for x in range(64):
+        for y in range(64):
+            d2xy[xy2d(x, y)] = (x, y)
+    for d in range(1023):
+        (x1, y1), (x2, y2) = d2xy[d], d2xy[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+    out = {r["layout"]: r
+           for r in QUERIES["q_hilbert_layout"](spark, sf_dir).collect()}
+    assert set(out) == {"hilbert", "zorder"}
+    # both audits: file-pruning ties at a power-of-4 split (expected),
+    # the segment audit shows the curve advantage
+    assert (out["hilbert"]["files_scanned"]
+            == out["zorder"]["files_scanned"])
+    assert out["hilbert"]["box_cells"] == 3600
+    assert out["hilbert"]["box_segments"] == 47
+    assert out["zorder"]["box_segments"] == 88
+    assert out["hilbert"]["box_segments"] < out["zorder"]["box_segments"]
+
+
+def test_spearman_monotone_and_tied(spark, tmp_path):
+    """X326: a strictly co-monotone pair has rho exactly +1e6 (ranks
+    identical); a constant series is excluded by the variance guard
+    (NULL rho)."""
+    sf = _write_events(
+        spark, tmp_path,
+        {"a": [1, 3, 6, 10], "b": [2, 4, 7, 11], "c": [5, 5, 5, 5]},
+    )
+    out = {(r["t1"], r["t2"]): r
+           for r in QUERIES["q_spearman"](spark, sf).collect()}
+    assert out[("a", "b")]["rho_micro"] == 1_000_000
+    assert out[("a", "c")]["rho_micro"] is None
+    assert out[("b", "c")]["rho_micro"] is None
+    assert all(r["n_days"] == 4 for r in out.values())
