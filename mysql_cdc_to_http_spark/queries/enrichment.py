@@ -2263,8 +2263,9 @@ def q_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-uniforms quantize to the same IEEE double in both engines
     (15-hex long / 2^60 — the X282 argument); the Laplace transform
     and the final ratio are identical double expressions, micro round
-    absorbs the ulp; the noisy count is floored at 1 before dividing
-    (the standard post-processing guard), mirrored as a CASE.
+    absorbs the ulp; rows whose noisy count lands at <= 1 emit NULL
+    instead of a degenerate mean (post-processing guard), mirrored
+    as a CASE in the oracle.
 
     Scale shape: one fact-sized groupBy(lang) with the clip inside
     the map-side partial; the eps ladder is a 3-row broadcast cross

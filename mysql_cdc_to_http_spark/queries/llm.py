@@ -6913,28 +6913,34 @@ def q_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order transform over the doc's own token array, O(n·w) per
     row inside codegen); no shuffle except the presentation sort. The
     w=25 window bounds per-row work at any corpus size; doc length is
-    already bounded by the X64 chunker upstream in a real recipe."""
+    already bounded by the X64 chunker upstream in a real recipe.
+    The token array is projected ONCE (`toks`) and the HOF lambda
+    references the named column — the r13 verdict caught the lambda
+    re-deriving split(trim(regexp_replace(...))) per window index,
+    which made this the steepest 13-era 100× curve (4.70×)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.split(
-        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
-    )
     w = _MATTR_W
-    scored = docs.select(
+    tokked = docs.select(
         "doc_id",
-        F.size(t).cast("long").alias("n_tokens"),
-        F.greatest(F.size(t) - F.lit(w) + 1, F.lit(1))
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("toks"),
+    )
+    scored = tokked.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.greatest(F.size("toks") - F.lit(w) + 1, F.lit(1))
         .cast("long")
         .alias("n_windows"),
         F.when(
-            F.size(t) < w, F.size(F.array_distinct(t)).cast("long")
+            F.size("toks") < w,
+            F.size(F.array_distinct("toks")).cast("long"),
         )
         .otherwise(
             F.expr(
-                f"aggregate(transform(sequence(1, size(split(trim("
-                f"regexp_replace(lower(text), '\\\\s+', ' ')), ' '))"
-                f" - {w} + 1), i -> size(array_distinct(slice(split("
-                f"trim(regexp_replace(lower(text), '\\\\s+', ' ')),"
-                f" ' '), i, {w})))), 0L, (acc, v) -> acc + v)"
+                f"aggregate(transform(sequence(1, size(toks) - {w} + 1),"
+                f" i -> size(array_distinct(slice(toks, i, {w})))),"
+                f" 0L, (acc, v) -> acc + v)"
             )
         )
         .alias("distinct_sum"),

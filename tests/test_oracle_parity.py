@@ -68,9 +68,10 @@ def test_docs_inventory_sync():
     appear in COVERAGE.md AND in SURVEY.md §2 (registry ⊆ docs — no
     undocumented extras drifting in), and every `q_*` name mentioned in
     COVERAGE.md/SURVEY must be registered (docs ⊆ registry — no ghost
-    rows). Exceptions: the COVERAGE.md rename log, and
-    q_stream_stateful_tws (SURVEY X205a: deliberately un-registered —
-    the driver harness lacks vendor/pbshim's sitecustomize)."""
+    rows). Exception: the COVERAGE.md rename log.
+    (q_stream_stateful_tws has been registered rows-only since
+    round 13 via the self-activating pbshim — the old "deliberately
+    un-registered" carve-out no longer applies.)"""
     import pathlib
     import re
 
