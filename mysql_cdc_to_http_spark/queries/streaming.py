@@ -559,13 +559,26 @@ def q_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-contained, no sitecustomize wiring needed in the harness.
     The oracled twin is ``q_stream_stateful`` (identical totals on the
     GroupState API); tests/test_stateful.py pins TWS==GroupState
-    equivalence when the shim's runtime is present."""
+    equivalence when the shim's runtime is present.
+
+    Batch shape (r13 verdict #2, profiled in SCALE.md "TWS profile"):
+    per-micro-batch cost is a FIXED ~1.2-1.6 s floor independent of
+    rows (25k and 50k rows/batch measured identical) — the TWS python
+    runner spin-up + state-server handshake + per-partition RocksDB
+    commit. files_per_trigger=2 keeps TWO data batches, so cross-batch
+    state persistence (the semantics this operator exists to prove)
+    is still exercised, at half the fixed-floor spend; state
+    partitions 8 → 4 matches the state volume at test SFs. At real
+    scale both knobs size UP with input rate and state volume — the
+    toy-scale floor is not the scaling regime."""
     from mysql_cdc_to_http_spark.streaming.stateful import (
         running_user_totals_tws,
     )
 
     _activate_pbshim(spark)
-    ev = _stream_events(spark, sf_dir).select("user_id", "value")
+    ev = _stream_events(spark, sf_dir, files_per_trigger=2).select(
+        "user_id", "value"
+    )
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
     spark.conf.set(
@@ -575,7 +588,9 @@ def q_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         totals = running_user_totals_tws(ev)
-        return _run_to_memory(totals, "mem_stateful_tws", "update")
+        return _run_to_memory(
+            totals, "mem_stateful_tws", "update", state_partitions=4
+        )
     finally:
         if prev is None:
             spark.conf.unset(key)
