@@ -4030,3 +4030,453 @@ def q_contamination_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n")
     )
+
+
+# --------------------------------------------------------------------------
+# X327-X330 — the 2x2/k-rater test battery over the SHARED rater gates
+# (X246's rule gate ra and TTR gate rb): McNemar's paired test,
+# Cramer's V association strength, Cochran's Q for k=3 binary
+# raters, and the Woolf odds-ratio interval. One fact-sized counting
+# aggregate each; every statistic is exact-integer (or an
+# identical-input double behind a 6-dp round) per the X301 algebra
+# discipline.
+# --------------------------------------------------------------------------
+# Shared oracle CTE: the X246 rater gates (rule gate + TTR gate).
+_RATED_CTE = rf"""
+tok2 AS (
+  SELECT doc_id, n_chars,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                      ' ') AS t
+  FROM documents
+),
+rated AS (
+  SELECT doc_id, n_chars,
+         (len(t) >= 50 AND
+          len(list_distinct(list_intersect(t, {_KAPPA_STOPS_SQL})))
+            >= 2) AS ra,
+         (CAST(len(list_distinct(t)) * 1000000 // len(t) AS BIGINT)
+            >= 450000) AS rb
+  FROM tok2
+)
+"""
+
+
+def _rated_gates(docs: DataFrame) -> DataFrame:
+    """The X246 rater gates as columns (doc_id, n_chars, ra, rb) —
+    shared by the X327-X330 test battery; mirrors q_rater_kappa's
+    projections exactly (same split/trim/stopword/TTR algebra)."""
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    return docs.select("doc_id", "n_chars", t.alias("t")).select(
+        "doc_id",
+        "n_chars",
+        (
+            (F.size("t") >= 50)
+            & (
+                F.size(
+                    F.array_distinct(
+                        F.array_intersect(
+                            F.col("t"),
+                            F.expr(
+                                "array('the', 'a', 'data', 'spark',"
+                                " 'query', 'join')"
+                            ),
+                        )
+                    )
+                )
+                >= 2
+            )
+        ).alias("ra"),
+        (
+            F.expr(
+                "CAST(size(array_distinct(t)) * 1000000 div size(t)"
+                " AS BIGINT)"
+            )
+            >= 450_000
+        ).alias("rb"),
+    )
+
+
+def _rated_2x2(docs: DataFrame) -> DataFrame:
+    """2x2 contingency counts (n, n11, n10, n01, n00) of the gates."""
+    rated = _rated_gates(docs)
+    return rated.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("ra") & F.col("rb")).cast("long"))
+        .cast("long")
+        .alias("n11"),
+        F.sum((F.col("ra") & ~F.col("rb")).cast("long"))
+        .cast("long")
+        .alias("n10"),
+        F.sum((~F.col("ra") & F.col("rb")).cast("long"))
+        .cast("long")
+        .alias("n01"),
+        F.sum((~F.col("ra") & ~F.col("rb")).cast("long"))
+        .cast("long")
+        .alias("n00"),
+    )
+
+
+_2X2_CONT_SQL = """
+cont AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (ra AND rb) AS BIGINT) AS n11,
+         CAST(count(*) FILTER (ra AND NOT rb) AS BIGINT) AS n10,
+         CAST(count(*) FILTER (NOT ra AND rb) AS BIGINT) AS n01,
+         CAST(count(*) FILTER (NOT ra AND NOT rb) AS BIGINT) AS n00
+  FROM rated
+)
+"""
+
+
+@query(
+    "q_mcnemar",
+    oracle=f"""
+    WITH {_RATED_CTE}, {_2X2_CONT_SQL}
+    SELECT n, n11, n10, n01, n00,
+           CAST(n10 + n01 AS BIGINT) AS n_discordant,
+           CAST(CASE WHEN n10 + n01 > 0 THEN
+                CAST(n10 - n01 AS HUGEINT) * (n10 - n01) * 1000000
+                  // (n10 + n01) END AS BIGINT) AS mcnemar_micro,
+           CAST(3841 AS BIGINT) AS crit_milli,
+           CASE WHEN n10 + n01 > 0 THEN
+                CAST(n10 - n01 AS HUGEINT) * (n10 - n01) * 1000000
+                  // (n10 + n01) > 3841 * 1000
+                ELSE FALSE END AS marginals_differ
+    FROM cont
+    """,
+)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X327 — McNemar's test for PAIRED binary raters: do the rule
+    gate and the TTR gate disagree symmetrically? Statistic
+    (b−c)²/(b+c) over the discordant cells only — the right test when
+    both raters score the SAME documents (a plain chi-square would
+    ignore the pairing). dof 1, 5% critical value 3.841.
+
+    Exactness: b, c are exact counts; the statistic is one truncated
+    micro division of integer products (HUGEINT/DECIMAL(38) on the
+    square to dodge overflow); zero discordant pairs → NULL statistic,
+    FALSE verdict on both engines. Scale shape: one fact scan → 1-row
+    counting aggregate → constant arithmetic; scan-bound at any
+    corpus size. Reference analog: none (main.go has no analytics).
+    """
+    cont = _rated_2x2(load_table(spark, sf_dir, "documents"))
+    stat = F.expr(
+        "CASE WHEN n10 + n01 > 0 THEN"
+        " CAST(CAST(n10 - n01 AS DECIMAL(38,0)) * (n10 - n01) * 1000000"
+        " div (n10 + n01) AS BIGINT) END"
+    )
+    return cont.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr("CAST(n10 + n01 AS BIGINT)").alias("n_discordant"),
+        stat.alias("mcnemar_micro"),
+        F.lit(3841).cast("long").alias("crit_milli"),
+        F.coalesce(stat > 3_841_000, F.lit(False)).alias(
+            "marginals_differ"
+        ),
+    )
+
+
+@query(
+    "q_cramers_v",
+    oracle=f"""
+    WITH obs AS (
+      SELECT lang,
+             CASE WHEN n_chars < 250 THEN 'short'
+                  WHEN n_chars < 400 THEN 'mid'
+                  ELSE 'long' END AS bucket,
+             CAST(count(*) AS HUGEINT) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, CAST(sum(o) AS HUGEINT) AS r FROM obs GROUP BY 1),
+    ct AS (SELECT bucket, CAST(sum(o) AS HUGEINT) AS c FROM obs GROUP BY 1),
+    nt AS (SELECT CAST(sum(o) AS HUGEINT) AS n FROM obs),
+    cells AS (
+      SELECT rt.lang, ct.bucket, COALESCE(obs.o, 0::HUGEINT) AS o, r, c
+      FROM rt CROSS JOIN ct
+      LEFT JOIN obs ON obs.lang = rt.lang AND obs.bucket = ct.bucket
+    ),
+    dims AS (
+      SELECT CAST((SELECT count(*) FROM rt) AS BIGINT) AS n_rows,
+             CAST((SELECT count(*) FROM ct) AS BIGINT) AS n_cols
+    ),
+    chi AS (
+      SELECT CAST(sum((o * n - r * c) * (o * n - r * c) * 1000000
+                      // (r * c * n)) AS HUGEINT) AS chi2_micro,
+             max(n) AS n
+      FROM cells CROSS JOIN nt
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+           CAST(least(n_rows, n_cols) - 1 AS BIGINT) AS min_dim,
+           CAST(chi2_micro AS BIGINT) AS chi2_micro,
+           CAST(chi2_micro // (n * (least(n_rows, n_cols) - 1))
+                AS BIGINT) AS v2_micro,
+           CAST(floor(sqrt(CAST(chi2_micro
+                // (n * (least(n_rows, n_cols) - 1)) AS DOUBLE)))
+                AS BIGINT) AS v_milli
+    FROM chi CROSS JOIN dims
+    """,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X328 — Cramér's V effect size for the X301 contingency
+    (language × length bucket): V² = χ²/(N·(min(R,C)−1)) — the
+    bounded [0,1] strength that χ² alone (which grows with N) never
+    gives; the number you compare ACROSS corpora sizes.
+
+    Exactness: χ² micro is the X301 exact-integer identity; V² micro
+    is one more truncated integer div; V milli = floor(sqrt(v2_micro))
+    where v2_micro ≤ 1e6, and sqrt of an integer ≤ 2^53 is correctly
+    rounded on both engines (an integer boundary is ≥ 1 away, the ulp
+    ~1e-10 — no correction step needed at this magnitude, unlike
+    X241's 1e10-scaled seed). Scale shape: one fact-sized groupBy →
+    grid-sized everything; 1-row output."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = (
+        docs.select(
+            "lang",
+            F.when(F.col("n_chars") < 250, "short")
+            .when(F.col("n_chars") < 400, "mid")
+            .otherwise("long")
+            .alias("bucket"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("o"))
+    )
+    rt = obs.groupBy("lang").agg(F.sum("o").cast("decimal(38,0)").alias("r"))
+    ct = obs.groupBy("bucket").agg(
+        F.sum("o").cast("decimal(38,0)").alias("c")
+    )
+    nt = obs.agg(F.sum("o").cast("decimal(38,0)").alias("n"))
+    cells = (
+        rt.select("lang")
+        .crossJoin(ct.select("bucket"))
+        .join(obs, ["lang", "bucket"], "left")
+        .withColumn(
+            "o", F.coalesce(F.col("o"), F.lit(0).cast("decimal(38,0)"))
+        )
+    )
+    dims = rt.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).crossJoin(
+        ct.agg(F.count(F.lit(1)).cast("long").alias("n_cols"))
+    )
+    chi = (
+        cells.join(rt, "lang")
+        .join(ct, "bucket")
+        .crossJoin(F.broadcast(nt))
+        .agg(
+            F.sum(
+                F.expr(
+                    "(o * n - r * c) * (o * n - r * c) * 1000000"
+                    " div (r * c * n)"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("chi2_micro"),
+            F.max("n").alias("n"),
+        )
+    )
+    return chi.crossJoin(F.broadcast(dims)).select(
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST((n_rows - 1) * (n_cols - 1) AS BIGINT)").alias("dof"),
+        F.expr("CAST(least(n_rows, n_cols) - 1 AS BIGINT)").alias(
+            "min_dim"
+        ),
+        F.col("chi2_micro").cast("long").alias("chi2_micro"),
+        F.expr(
+            "CAST(chi2_micro div (n * (least(n_rows, n_cols) - 1))"
+            " AS BIGINT)"
+        ).alias("v2_micro"),
+        F.expr(
+            "CAST(floor(sqrt(CAST(chi2_micro"
+            " div (n * (least(n_rows, n_cols) - 1)) AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("v_milli"),
+    )
+
+
+@query(
+    "q_cochran_q",
+    oracle=f"""
+    WITH {_RATED_CTE},
+    g3 AS (
+      SELECT doc_id,
+             CAST(ra AS BIGINT) AS g1, CAST(rb AS BIGINT) AS g2,
+             CAST(n_chars >= 300 AS BIGINT) AS g3
+      FROM rated
+    ),
+    tots AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(g1) AS HUGEINT) AS c1,
+             CAST(sum(g2) AS HUGEINT) AS c2,
+             CAST(sum(g3) AS HUGEINT) AS c3,
+             CAST(sum((g1 + g2 + g3) * (g1 + g2 + g3)) AS HUGEINT)
+               AS sum_r2
+      FROM g3
+    ),
+    stat AS (
+      SELECT n_docs, c1, c2, c3,
+             c1 + c2 + c3 AS t,
+             2 * (3 * (c1*c1 + c2*c2 + c3*c3)
+                  - (c1 + c2 + c3) * (c1 + c2 + c3)) AS num,
+             3 * (c1 + c2 + c3) - sum_r2 AS den
+      FROM tots
+    )
+    SELECT gate, CAST(successes AS BIGINT) AS successes,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(CASE WHEN den > 0 THEN num * 1000000 // den END
+                AS BIGINT) AS q_micro,
+           CAST(2 AS BIGINT) AS dof,
+           CAST(5991 AS BIGINT) AS crit_milli,
+           CASE WHEN den > 0 THEN num * 1000000 // den > 5991 * 1000
+                ELSE FALSE END AS gates_differ
+    FROM stat,
+         (VALUES ('rule', 1), ('ttr', 2), ('length', 3)) AS v(gate, gi),
+         LATERAL (SELECT CASE gi WHEN 1 THEN c1 WHEN 2 THEN c2
+                         ELSE c3 END AS successes) s
+    ORDER BY gate
+    """,
+)
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X329 — Cochran's Q for k=3 binary raters on the same documents
+    (rule gate, TTR gate, length≥300 gate): do the gates pass at the
+    same rate? Q = (k−1)·(k·ΣGⱼ² − T²) / (k·T − ΣRᵢ²) — the k-rater
+    generalization of X327's McNemar (k=2 reduces to it without
+    continuity correction). dof k−1 = 2, 5% critical 5.991.
+
+    Exactness: column totals Gⱼ, the grand total T and the per-doc
+    row sums Rᵢ∈{0..3} are integers; ΣRᵢ² folds in the same fact
+    aggregate (no second scan); Q is one truncated micro div of
+    DECIMAL(38) products; degenerate den=0 (all docs pass all or no
+    gates) → NULL/FALSE on both engines. Scale shape: one scan →
+    1-row aggregate → a 3-row presentation (one per gate)."""
+    rated = _rated_gates(load_table(spark, sf_dir, "documents"))
+    g = rated.select(
+        F.col("ra").cast("long").alias("g1"),
+        F.col("rb").cast("long").alias("g2"),
+        (F.col("n_chars") >= 300).cast("long").alias("g3"),
+    )
+    tots = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("g1").cast("decimal(38,0)").alias("c1"),
+        F.sum("g2").cast("decimal(38,0)").alias("c2"),
+        F.sum("g3").cast("decimal(38,0)").alias("c3"),
+        F.sum(
+            (F.col("g1") + F.col("g2") + F.col("g3"))
+            * (F.col("g1") + F.col("g2") + F.col("g3"))
+        )
+        .cast("decimal(38,0)")
+        .alias("sum_r2"),
+    )
+    stat = tots.select(
+        "n_docs",
+        "c1",
+        "c2",
+        "c3",
+        F.expr(
+            "2 * (3 * (c1*c1 + c2*c2 + c3*c3)"
+            " - (c1 + c2 + c3) * (c1 + c2 + c3))"
+        ).alias("num"),
+        F.expr("3 * (c1 + c2 + c3) - sum_r2").alias("den"),
+    )
+    gates = stat.sparkSession.createDataFrame(
+        [("rule", 1), ("ttr", 2), ("length", 3)], "gate string, gi int"
+    )
+    return (
+        stat.crossJoin(F.broadcast(gates))
+        .select(
+            "gate",
+            F.expr(
+                "CAST(CASE gi WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END"
+                " AS BIGINT)"
+            ).alias("successes"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr(
+                "CAST(CASE WHEN den > 0 THEN num * 1000000 div den END"
+                " AS BIGINT)"
+            ).alias("q_micro"),
+            F.lit(2).cast("long").alias("dof"),
+            F.lit(5991).cast("long").alias("crit_milli"),
+            F.expr(
+                "CASE WHEN den > 0 THEN num * 1000000 div den"
+                " > 5991 * 1000 ELSE FALSE END"
+            ).alias("gates_differ"),
+        )
+        .orderBy("gate")
+    )
+
+
+@query(
+    "q_odds_ratio",
+    oracle=f"""
+    WITH {_RATED_CTE}, {_2X2_CONT_SQL}
+    SELECT n11, n10, n01, n00,
+           CAST(CASE WHEN n10 * n01 > 0 THEN
+                CAST(n11 AS HUGEINT) * n00 * 1000000
+                  // (CAST(n10 AS HUGEINT) * n01) END AS BIGINT)
+             AS or_micro,
+           round(CASE WHEN n11 * n10 * n01 * n00 > 0 THEN
+                 ln((CAST(n11 AS DOUBLE) * n00)
+                    / (CAST(n10 AS DOUBLE) * n01)) END, 6) AS log_or,
+           round(CASE WHEN n11 * n10 * n01 * n00 > 0 THEN
+                 ln((CAST(n11 AS DOUBLE) * n00)
+                    / (CAST(n10 AS DOUBLE) * n01))
+                 - 2 * sqrt(1.0/n11 + 1.0/n10 + 1.0/n01 + 1.0/n00)
+                 END, 6) AS ci_lo,
+           round(CASE WHEN n11 * n10 * n01 * n00 > 0 THEN
+                 ln((CAST(n11 AS DOUBLE) * n00)
+                    / (CAST(n10 AS DOUBLE) * n01))
+                 + 2 * sqrt(1.0/n11 + 1.0/n10 + 1.0/n01 + 1.0/n00)
+                 END, 6) AS ci_hi,
+           CASE WHEN n11 * n10 * n01 * n00 > 0 THEN
+                abs(ln((CAST(n11 AS DOUBLE) * n00)
+                       / (CAST(n10 AS DOUBLE) * n01)))
+                > 2 * sqrt(1.0/n11 + 1.0/n10 + 1.0/n01 + 1.0/n00)
+                ELSE FALSE END AS excludes_one
+    FROM cont
+    """,
+)
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X330 — odds ratio of the 2×2 rater table with the Woolf z=2
+    interval: OR = (n11·n00)/(n10·n01), CI = exp-free on the LOG
+    scale (ln OR ± 2·√(1/a+1/b+1/c+1/d)); `excludes_one` is the
+    association verdict (CI excludes OR=1 ⇔ |ln OR| > half-width).
+
+    Exactness: or_micro is a truncated integer div of exact counts;
+    the log-scale columns are identical-input double expressions (one
+    ln, one sqrt) behind the 6-dp round — the X247/X275 float
+    discipline; any zero cell → NULL estimate, FALSE verdict on both
+    engines (no Haldane smoothing — an explicit-NULL policy beats a
+    silently-shifted estimate for an audit query). Scale shape: one
+    scan → 1-row aggregate → constant arithmetic."""
+    cont = _rated_2x2(load_table(spark, sf_dir, "documents"))
+    lor = F.expr(
+        "CASE WHEN n11 * n10 * n01 * n00 > 0 THEN"
+        " ln((CAST(n11 AS DOUBLE) * n00) / (CAST(n10 AS DOUBLE) * n01))"
+        " END"
+    )
+    hw = F.expr(
+        "2 * sqrt(1.0/n11 + 1.0/n10 + 1.0/n01 + 1.0/n00)"
+    )
+    nonzero = F.expr("n11 * n10 * n01 * n00 > 0")
+    return cont.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(
+            "CAST(CASE WHEN n10 * n01 > 0 THEN"
+            " CAST(n11 AS DECIMAL(38,0)) * n00 * 1000000"
+            " div (CAST(n10 AS DECIMAL(38,0)) * n01) END AS BIGINT)"
+        ).alias("or_micro"),
+        F.round(lor, 6).alias("log_or"),
+        F.round(F.when(nonzero, lor - hw), 6).alias("ci_lo"),
+        F.round(F.when(nonzero, lor + hw), 6).alias("ci_hi"),
+        F.coalesce(
+            F.when(nonzero, F.abs(lor) > hw), F.lit(False)
+        ).alias("excludes_one"),
+    )

@@ -1199,16 +1199,17 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.partitionBy("x").orderBy(F.col("lift").desc(), F.col("y"))
         ),
     )
-    return (
-        ranked.filter(F.col("rk") <= 5)
-        .select(
-            F.col("x").alias("part"),
-            F.col("y").alias("partner"),
-            F.col("c_xy").cast("bigint").alias("c_xy"),
-            "lift",
-            F.col("rk").cast("bigint").alias("rk"),
-        )
-        .orderBy("part", "rk")
+    # No presentation sort: the output is CATALOG-sized (top-5 per
+    # part — [1000, 6164, 7145] rows across sf0.001→0.1, caught by
+    # test_global_sort_class_a_bounded r14), so a global sort is the
+    # q_feature_scale row-scaling bug class; the driver compare is
+    # order-insensitive and the oracle's ORDER BY is canonicalized.
+    return ranked.filter(F.col("rk") <= 5).select(
+        F.col("x").alias("part"),
+        F.col("y").alias("partner"),
+        F.col("c_xy").cast("bigint").alias("c_xy"),
+        "lift",
+        F.col("rk").cast("bigint").alias("rk"),
     )
 
 

@@ -1348,7 +1348,7 @@ GLOBAL_SORT_ALLOWED = frozenset(
     q_agg_q14 q_agg_q15 q_agg_q16 q_agg_q17 q_agg_q20 q_agg_q22 q_agg_q4
     q_agg_q5 q_agg_q7 q_agg_q8 q_agg_q9 q_agg_rollup q_agg_salted
     q_agg_stats q_allocate_budget q_attention_flops q_attribution
-    q_audience_overlap q_backtest_mape q_basket_lift q_benford
+    q_audience_overlap q_backtest_mape q_benford
     q_bitext_mine q_calibration q_cdc_latest_state q_cdc_source_roundtrip
     q_changepoint q_char_lid q_churn q_cluster_terms q_cms_freq
     q_cohort_ltv q_conformal_ols q_control_chart q_dataset_card
@@ -1383,7 +1383,7 @@ GLOBAL_SORT_ALLOWED = frozenset(
     q_survival_km q_poisson_rate_test q_markov_entropy
     q_contamination_sweep q_l_diversity q_dp_mean q_qte_deciles
     q_friedman q_runs_test q_session_gap_sweep q_hilbert_layout
-    q_spearman
+    q_spearman q_cochran_q
     q_set_ops q_shard_manifest q_silhouette q_stopword_induction q_stratified_kfold
     q_stream_histogram q_stream_kmv q_stream_rate_alert q_stream_static_join q_stream_topk
     q_table_profile q_temperature_mix q_term_burstiness q_text_stats q_threshold_sweep
@@ -1413,4 +1413,53 @@ def test_global_sort_allowlist(spark, sf_dir):
     assert offenders == [], (
         "global sort on a query outside the audited allowlist — drop the "
         f"presentation sort or allowlist it with its class: {offenders}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 (r13 verdict #5): make the class-(a) boundedness claim
+# EXECUTABLE. The allowlist's class-(a) entries rest on the audited
+# statement "the sorted output is group/model/k-sized — grows <4× per
+# 10× data or stays ≤1000 rows at sf0.01". Pin that: for every
+# allowlisted query NOT in the enumerated class-(b) ordering-contract
+# set, count the result at sf0.001 → sf0.01 → sf0.1 and assert the
+# bound. A query whose output starts row-scaling now FAILS here and
+# forces a conscious re-classification (drop the sort, or argue
+# class (b)) instead of silently riding the allowlist.
+# ---------------------------------------------------------------------------
+GLOBAL_SORT_CLASS_B = frozenset(
+    """q_wilson_leaderboard q_wilson_incremental q_epoch_shuffle
+    q_pack_balanced q_zorder_layout q_rendezvous_shards q_salt_plan
+    q_shard_manifest q_stream_topk q_hilbert_layout""".split()
+)
+
+_SORT_SWEEP_SFS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        (GLOBAL_SORT_ALLOWED - GLOBAL_SORT_CLASS_B) & set(QUERIES)
+    ),
+)
+def test_global_sort_class_a_bounded(spark, name):
+    """Class-(a) allowlist contract, executable: result count at
+    sf0.01 stays ≤1000 rows, OR each 10× data step grows the result
+    <4× (with +50-row slack so 3-row grids aren't failed for adding
+    a handful of groups). Class-(b) queries (ordering IS the
+    semantics) are exempt by membership in GLOBAL_SORT_CLASS_B."""
+    counts = [QUERIES[name](spark, sf).count() for sf in _SORT_SWEEP_SFS]
+    bounded_small = counts[1] <= 1000
+    bounded_growth = all(
+        b <= max(4 * a, a + 50) for a, b in zip(counts, counts[1:])
+    )
+    assert bounded_small or bounded_growth, (
+        f"{name}: result counts {counts} across sf0.001→0.01→0.1 "
+        "violate the class-(a) bound — re-classify consciously "
+        "(drop the presentation sort or move to GLOBAL_SORT_CLASS_B "
+        "with an ordering-contract argument)"
     )
