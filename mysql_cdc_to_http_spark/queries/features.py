@@ -6544,3 +6544,697 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "       * 1000000) END AS BIGINT)"
         ).alias("rho_micro"),
     ).orderBy("t1", "t2")
+
+
+# --------------------------------------------------------------------------
+# X331 — Herfindahl–Hirschman concentration of customer revenue per
+# market segment: HHI = Σ shareᵢ² — the standard concentration audit
+# (is one whale customer carrying the segment?). Exact-rational: with
+# integer cent revenues, HHI·1e6 = (Σ revᵢ²)·1e6 div (Σ rev)² — no
+# float share ever materializes; 1/HHI (the "effective number of
+# customers") is one more integer division.
+# --------------------------------------------------------------------------
+@query(
+    "q_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c_mktsegment AS segment, o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS HUGEINT))
+                  AS HUGEINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(cents) AS HUGEINT) AS total_cents,
+             CAST(sum(cents * cents) AS HUGEINT) AS sum_sq
+      FROM rev GROUP BY 1
+    )
+    SELECT segment, n_customers,
+           CAST(total_cents AS BIGINT) AS total_cents,
+           CAST(sum_sq * 1000000 // (total_cents * total_cents)
+                AS BIGINT) AS hhi_micro,
+           CAST(CASE WHEN sum_sq > 0 THEN
+                (total_cents * total_cents) * 1000000 // sum_sq
+                END AS BIGINT) AS effective_n_micro
+    FROM agg ORDER BY segment
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X331 — revenue HHI per market segment + the effective customer
+    count (1/HHI): HHI·1e6 = Σcentsᵢ²·1e6 div (Σcents)².
+
+    Exactness: revenues go through the X173 cent-integer discipline
+    (round(price·100) per order, summed as integers); both the HHI
+    and its reciprocal are single truncated divisions of DECIMAL(38)
+    products. Scale shape: orders joins the broadcast-able customer
+    dim, one (segment, custkey) aggregate with map-side partials,
+    then a segment-sized rollup; output is 5 rows. Presentation sort
+    is segment-bounded (allowlist class a)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0))").alias(
+            "cents"
+        ),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    rev = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy("segment", "o_custkey")
+        .agg(F.sum("cents").cast("decimal(38,0)").alias("cents"))
+    )
+    agg = rev.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("decimal(38,0)").alias("total_cents"),
+        F.sum(F.col("cents") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("sum_sq"),
+    )
+    return agg.select(
+        "segment",
+        "n_customers",
+        F.col("total_cents").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST(sum_sq * 1000000 div (total_cents * total_cents)"
+            " AS BIGINT)"
+        ).alias("hhi_micro"),
+        F.expr(
+            "CAST(CASE WHEN sum_sq > 0 THEN"
+            " (total_cents * total_cents) * 1000000 div sum_sq"
+            " END AS BIGINT)"
+        ).alias("effective_n_micro"),
+    ).orderBy("segment")
+
+
+# --------------------------------------------------------------------------
+# X332 — CUSUM drift alarm on the daily value series per event type.
+# The recurrence S_i = max(0, S_{i-1} + (x_i − k)) is NOT directly
+# windowable — but it equals P_i − min_{j≤i} P_j where P is the
+# prefix sum of (x_i − k): the running-min-of-prefix-sums identity
+# turns a sequential detector into two parallel windows. Reference
+# target k = the type's own mean daily value, kept EXACT by
+# cross-multiplying: deviations are scaled by n_days (dᵢ = n·xᵢ − T),
+# so k = T/n never materializes as a fraction.
+# --------------------------------------------------------------------------
+@query(
+    "q_cusum_alarm",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100, 0) AS HUGEINT))
+                  AS HUGEINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS t
+      FROM daily GROUP BY 1
+    ),
+    dev AS (
+      SELECT daily.event_type, d, cents,
+             n * cents - t AS dev_scaled, n, t
+      FROM daily JOIN tot USING (event_type)
+    ),
+    pre AS (
+      SELECT event_type, d, cents, dev_scaled, n, t,
+             sum(dev_scaled) OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM dev
+    ),
+    cus AS (
+      SELECT event_type, d, cents, dev_scaled, n, t, p,
+             p - least(min(p) OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 0::HUGEINT) AS s
+      FROM pre
+    )
+    SELECT event_type, d, CAST(cents AS BIGINT) AS cents,
+           CAST(dev_scaled AS BIGINT) AS dev_scaled,
+           CAST(s AS BIGINT) AS cusum_scaled,
+           s > 2 * t AS alarm
+    FROM cus ORDER BY event_type, d
+    """,
+)
+def q_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X332 — CUSUM drift detector per event type over the daily
+    revenue series, via the running-min-of-prefix-sums identity
+    (S = P − min(P⁻, 0) reproduces max(0, S+dev) exactly — provable
+    by induction, pinned by a planted-burst test). Alarm when S
+    exceeds 2·T in n-scaled cents, i.e. two mean days of cumulative
+    positive drift.
+
+    Exactness: daily cents are integers; scaling deviations by n
+    (dᵢ = n·xᵢ − T) keeps the mean-target subtraction integral; the
+    prefix sum, running min, and alarm comparison are all integer
+    ops — nothing floats. Scale shape: one fact-sized daily rollup,
+    then calendar-sized windows PARTITIONED BY event_type (parallel
+    across types; a real deployment partitions by metric key). Sort
+    is calendar-bounded (allowlist class a)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100, 0) AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("t"),
+    )
+    dev = daily.join(tot, "event_type").withColumn(
+        "dev_scaled", F.expr("n * cents - t")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    pre = dev.withColumn("p", F.sum("dev_scaled").over(w))
+    cus = pre.withColumn(
+        "s",
+        F.expr("p")
+        - F.least(
+            F.min("p").over(w), F.lit(0).cast("decimal(38,0)")
+        ),
+    )
+    return cus.select(
+        "event_type",
+        "d",
+        F.col("cents").cast("long").alias("cents"),
+        F.col("dev_scaled").cast("long").alias("dev_scaled"),
+        F.col("s").cast("long").alias("cusum_scaled"),
+        F.expr("s > 2 * t").alias("alarm"),
+    ).orderBy("event_type", "d")
+
+
+# --------------------------------------------------------------------------
+# X333 — Poisson bootstrap CI of mean order value per priority: THE
+# scalable bootstrap (Chamandy et al.) — resample weights are iid
+# Poisson(1) per (row, replicate), so a replicate is one weighted
+# aggregate and never needs the classical bootstrap's n-out-of-n
+# index resample (which requires materializing each resample).
+# Weights come from the X282 md5-uniform quantized to the Poisson(1)
+# CDF cutoffs — deterministic, engine-invariant, mean-1.
+# --------------------------------------------------------------------------
+_PBOOT_B = 32
+_PBOOT_SALT = "pboot-v1"
+# Poisson(1) CDF cutoffs (k = 0..8; tail mass 1.1e-6 truncates to 8)
+_PBOOT_CDF = (
+    "CASE WHEN u < 0.36787944117144233 THEN 0"
+    " WHEN u < 0.7357588823428847 THEN 1"
+    " WHEN u < 0.9196986029286058 THEN 2"
+    " WHEN u < 0.9810118431238462 THEN 3"
+    " WHEN u < 0.9963401531726563 THEN 4"
+    " WHEN u < 0.9994058151824183 THEN 5"
+    " WHEN u < 0.9999167588507119 THEN 6"
+    " WHEN u < 0.9999897508033253 THEN 7"
+    " ELSE 8 END"
+)
+
+
+@query(
+    "q_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (
+      SELECT o_orderpriority AS priority,
+             CAST(round(o_totalprice * 100, 0) AS HUGEINT) AS cents,
+             b,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                    || CAST(b AS VARCHAR) || '|{_PBOOT_SALT}'), 1, 15))
+                    ::BIGINT AS DOUBLE) / 1152921504606846976.0 AS u
+      FROM orders, unnest(range({_PBOOT_B})) AS r(b)
+    ),
+    wtd AS (
+      SELECT priority, b,
+             CAST(sum(({_PBOOT_CDF}) * cents) AS HUGEINT) AS wsum,
+             CAST(sum({_PBOOT_CDF}) AS HUGEINT) AS w
+      FROM reps GROUP BY 1, 2
+    ),
+    means AS (
+      SELECT priority, b,
+             CASE WHEN w > 0 THEN wsum * 10000 // w END AS mean_micro
+      FROM wtd
+    ),
+    ranked AS (
+      SELECT priority, mean_micro,
+             row_number() OVER (PARTITION BY priority
+                                ORDER BY mean_micro, b) AS rk
+      FROM means WHERE mean_micro IS NOT NULL
+    ),
+    point AS (
+      SELECT o_orderpriority AS priority,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS HUGEINT))
+                  * 10000 // count(*) AS BIGINT) AS point_micro,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT priority, n_orders, point_micro,
+           CAST(min(CASE WHEN rk = 2 THEN mean_micro END)
+                AS BIGINT) AS ci_lo_micro,
+           CAST(min(CASE WHEN rk = {_PBOOT_B} - 1 THEN mean_micro END)
+                AS BIGINT) AS ci_hi_micro
+    FROM ranked JOIN point USING (priority)
+    GROUP BY priority, n_orders, point_micro
+    ORDER BY priority
+    """,
+)
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X333 — Poisson(1)-weighted bootstrap (B=32) of mean order value
+    per priority; CI = the 2nd / 31st order statistics of the
+    replicate means (≈ the 3%/97% band at B=32).
+
+    Exactness: the md5-uniform quantizes to the same IEEE double on
+    both engines (15-hex/2^60, the X282 argument) and the CDF cutoff
+    comparison is then an identical double compare, so every weight
+    is the same exact integer; replicate means are truncated integer
+    micro divisions; the order statistics come from a total order
+    (mean, b). Scale shape: the 32× row expansion feeds a map-side
+    combined (priority, b) aggregate — the shuffle carries 32·groups
+    partial rows, not 32× the facts; at 100 TB this is the ONLY
+    bootstrap that works (classical resampling materializes B
+    copies). Presentation sort is group-bounded (class a)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0))").alias(
+            "cents"
+        ),
+        "o_orderkey",
+    )
+    reps = o.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(_PBOOT_B - 1)))
+    ).withColumn(
+        "u",
+        F.expr(
+            f"CAST(conv(substr(md5(CAST(o_orderkey AS STRING) || '|'"
+            f" || CAST(b AS STRING) || '|{_PBOOT_SALT}'), 1, 15),"
+            f" 16, 10) AS DOUBLE) / 1152921504606846976.0"
+        ),
+    )
+    wtd = reps.groupBy("priority", "b").agg(
+        F.sum(F.expr(f"({_PBOOT_CDF}) * cents"))
+        .cast("decimal(38,0)")
+        .alias("wsum"),
+        F.sum(F.expr(_PBOOT_CDF)).cast("decimal(38,0)").alias("w"),
+    )
+    means = wtd.select(
+        "priority",
+        "b",
+        F.expr(
+            "CASE WHEN w > 0 THEN CAST(wsum * 10000 div w AS BIGINT) END"
+        ).alias("mean_micro"),
+    ).filter(F.col("mean_micro").isNotNull())
+    from pyspark.sql.window import Window as W
+
+    ranked = means.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("priority").orderBy("mean_micro", "b")
+        ),
+    )
+    ci = ranked.groupBy("priority").agg(
+        F.min(F.when(F.col("rk") == 2, F.col("mean_micro"))).alias(
+            "ci_lo_micro"
+        ),
+        F.min(
+            F.when(F.col("rk") == _PBOOT_B - 1, F.col("mean_micro"))
+        ).alias("ci_hi_micro"),
+    )
+    point = o.groupBy("priority").agg(
+        F.expr(
+            "CAST(sum(cents) * 10000 div count(*) AS BIGINT)"
+        ).alias("point_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    return (
+        point.join(ci, "priority")
+        .select(
+            "priority",
+            "n_orders",
+            "point_micro",
+            F.col("ci_lo_micro").cast("long").alias("ci_lo_micro"),
+            F.col("ci_hi_micro").cast("long").alias("ci_hi_micro"),
+        )
+        .orderBy("priority")
+    )
+
+
+# --------------------------------------------------------------------------
+# X334 — Anderson–Darling uniformity test of the event value mix per
+# type: A² = −n − (1/n)·Σᵢ[(2i−1)·ln(uᵢ) + (2(n−i)+1)·ln(1−uᵢ)] over
+# the ascending order — the tail-weighted EDF test (AD beats KS
+# exactly where training-data bugs live: the distribution tails).
+# u = (value+0.5)/501 maps the feed's [0, 500] value range strictly
+# inside (0,1); a defensive clamp to [1e-9, 1-1e-9] keeps both
+# logarithms finite for any out-of-family value (identical clamp on
+# both engines, so parity is unaffected).
+# --------------------------------------------------------------------------
+@query(
+    "q_anderson_darling",
+    oracle="""
+    WITH u AS (
+      SELECT event_type,
+             least(greatest((value + 0.5) / 501.0, 1e-9),
+                   1 - 1e-9) AS u,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS i,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    terms AS (
+      SELECT event_type, n,
+             (2 * i - 1) * ln(u) + (2 * (n - i) + 1) * ln(1 - u) AS t
+      FROM u
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           round(-CAST(max(n) AS DOUBLE)
+                 - sum(t) / CAST(max(n) AS DOUBLE), 6) AS a2,
+           round(-CAST(max(n) AS DOUBLE)
+                 - sum(t) / CAST(max(n) AS DOUBLE), 6) > 2.492
+             AS reject_uniform
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X334 — Anderson–Darling test against Uniform(-0.5, 500.5) per
+    event type (fully-specified null → 5% critical value 2.492,
+    Stephens' table). The u mapping + defensive clamp keep ln(u) and
+    ln(1−u) finite at any value range.
+
+    Exactness: ranks come from a TOTAL order ((value, event_id)); u
+    and both logs are identical-input double expressions; the sum is
+    6-dp rounded before output AND before the gate compare, so both
+    engines gate on the same rounded value (the X275 calibration
+    discipline). Scale shape: per-type rank windows track the fact
+    scan (the X314 Levene adjudication — parallel across types, the
+    partition key is the analysis unit); the reduction is one
+    aggregate per type. Presentation sort is type-bounded (class a).
+    """
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        "event_type",
+        F.expr(
+            "least(greatest((value + 0.5) / 501.0, 1e-9), 1 - 1e-9)"
+        ).alias("u"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("i"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("event_type"))
+        .alias("n"),
+    )
+    terms = u.select(
+        "event_type",
+        "n",
+        F.expr(
+            "(2 * i - 1) * ln(u) + (2 * (n - i) + 1) * ln(1 - u)"
+        ).alias("t"),
+    )
+    a2 = F.round(
+        -F.max("n").cast("double")
+        - F.sum("t") / F.max("n").cast("double"),
+        6,
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            a2.alias("a2"),
+            (a2 > 2.492).alias("reject_uniform"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# X335 — upper-tail dependence of per-user click vs purchase spend:
+# λ_U(q) = P(Y above its q-quantile | X above its q-quantile),
+# estimated by exact joint exceedance counts at q ∈ {0.8, 0.9}. The
+# copula-style audit behind "do whales click AND buy?" — correlation
+# alone misses tail co-movement.
+# --------------------------------------------------------------------------
+@query(
+    "q_tail_dependence",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click'
+                  THEN CAST(round(value * 100, 0) AS HUGEINT)
+                  ELSE 0::HUGEINT END) AS HUGEINT) AS xc,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100, 0) AS HUGEINT)
+                  ELSE 0::HUGEINT END) AS HUGEINT) AS yc
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id, xc, yc,
+             row_number() OVER (ORDER BY xc, user_id) AS rx,
+             row_number() OVER (ORDER BY yc, user_id) AS ry,
+             count(*) OVER () AS n
+      FROM per_user
+    ),
+    qs AS (SELECT unnest([80, 90]) AS q_pct),
+    flags AS (
+      SELECT q_pct, n,
+             CASE WHEN rx * 100 > q_pct * n THEN 1 ELSE 0 END AS fx,
+             CASE WHEN ry * 100 > q_pct * n THEN 1 ELSE 0 END AS fy
+      FROM ranked CROSS JOIN qs
+    )
+    SELECT q_pct,
+           CAST(max(n) AS BIGINT) AS n_users,
+           CAST(sum(fx) AS BIGINT) AS n_x_tail,
+           CAST(sum(fx * fy) AS BIGINT) AS n_joint,
+           CAST(CASE WHEN sum(fx) > 0 THEN
+                CAST(sum(fx * fy) AS HUGEINT) * 1000000 // sum(fx)
+                END AS BIGINT) AS lambda_u_micro
+    FROM flags GROUP BY q_pct ORDER BY q_pct
+    """,
+)
+def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X335 — empirical upper-tail dependence λ_U at q = 0.8 / 0.9
+    between per-user click and purchase spend.
+
+    Exactness: cent sums are integers; "above the q-quantile" is the
+    cross-multiplied integer rank test rank·100 > q·n (no fractional
+    quantile value ever materializes — the X156 weighted-median
+    discipline); λ is one truncated micro division of exact counts.
+    Scale shape: one fact-sized per-user aggregate, then each axis
+    rank comes from operators/sampling.py:ranked_prefix_sums
+    (repartitionByRange + partitioned windows — NEVER a global
+    single-partition row_number over the row-scaling user table);
+    the q ladder is a 2-row broadcast cross join. Output is 2 rows.
+    """
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN event_type = 'click'"
+                " THEN CAST(round(value * 100, 0) AS DECIMAL(38,0))"
+                " ELSE CAST(0 AS DECIMAL(38,0)) END"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("xc"),
+        F.sum(
+            F.expr(
+                "CASE WHEN event_type = 'purchase'"
+                " THEN CAST(round(value * 100, 0) AS DECIMAL(38,0))"
+                " ELSE CAST(0 AS DECIMAL(38,0)) END"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("yc"),
+    )
+    # ranks WITHOUT single-partition windows: the engine's two-level
+    # ranked prefix sums (repartitionByRange + partitioned windows),
+    # once per axis — the user table row-scales, so a global
+    # row_number window would serialize it (the q_gini discipline)
+    from mysql_cdc_to_http_spark.operators.sampling import (
+        ranked_prefix_sums,
+    )
+
+    ones = per_user.withColumn("__one", F.lit(1).cast("bigint"))
+    rx = ranked_prefix_sums(
+        ones, [F.col("xc").asc(), F.col("user_id").asc()], ["__one"]
+    ).select(
+        "user_id", "xc", "yc", F.col("__one__cum").alias("rx")
+    )
+    ry = ranked_prefix_sums(
+        ones, [F.col("yc").asc(), F.col("user_id").asc()], ["__one"]
+    ).select("user_id", F.col("__one__cum").alias("ry"))
+    nrow = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ranked = rx.join(ry, "user_id").crossJoin(F.broadcast(nrow))
+    qs = ranked.sparkSession.createDataFrame(
+        [(80,), (90,)], "q_pct int"
+    )
+    flags = ranked.crossJoin(F.broadcast(qs)).select(
+        "q_pct",
+        "n",
+        F.expr(
+            "CASE WHEN rx * 100 > q_pct * n THEN 1 ELSE 0 END"
+        ).alias("fx"),
+        F.expr(
+            "CASE WHEN ry * 100 > q_pct * n THEN 1 ELSE 0 END"
+        ).alias("fy"),
+    )
+    return (
+        flags.groupBy("q_pct")
+        .agg(
+            F.max("n").cast("long").alias("n_users"),
+            F.sum("fx").cast("long").alias("n_x_tail"),
+            F.sum(F.col("fx") * F.col("fy"))
+            .cast("long")
+            .alias("n_joint"),
+            F.expr(
+                "CAST(CASE WHEN sum(fx) > 0 THEN"
+                " CAST(sum(fx * fy) AS DECIMAL(38,0)) * 1000000"
+                " div sum(fx) END AS BIGINT)"
+            ).alias("lambda_u_micro"),
+        )
+        .orderBy("q_pct")
+    )
+
+
+# --------------------------------------------------------------------------
+# X336 — decision-stump feature audit: information gain of three
+# candidate binary splits against the purchase label — the feature-
+# selection sanity pass (which raw signal is worth a model?), and a
+# leakage tripwire (an implausibly high IG means the feature encodes
+# the label).
+# --------------------------------------------------------------------------
+@query(
+    "q_info_gain",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CASE WHEN value >= 50 THEN 1 ELSE 0 END AS f_value,
+             CASE WHEN EXTRACT(hour FROM ts) >= 12 THEN 1 ELSE 0 END
+               AS f_hour,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS f_parity
+      FROM events
+    ),
+    feats AS (
+      SELECT feature,
+             CASE feature WHEN 'value_ge_50' THEN f_value
+                  WHEN 'hour_ge_12' THEN f_hour
+                  ELSE f_parity END AS f,
+             y
+      FROM base,
+           (SELECT unnest(['value_ge_50', 'hour_ge_12', 'user_parity'])
+              AS feature) fx
+    ),
+    cells AS (
+      SELECT feature, f, y, CAST(count(*) AS BIGINT) AS c
+      FROM feats GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT feature, f, y, c,
+             sum(c) OVER (PARTITION BY feature, f) AS cf,
+             sum(c) OVER (PARTITION BY feature, y) AS cy,
+             sum(c) OVER (PARTITION BY feature) AS n
+      FROM cells
+    ),
+    ent AS (
+      SELECT feature,
+             max(n) AS n,
+             -sum(DISTINCT CAST(cy AS DOUBLE) / n
+                  * ln(CAST(cy AS DOUBLE) / n)) AS hy,
+             sum(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / cf))
+               AS neg_hyf
+      FROM m GROUP BY feature
+    )
+    SELECT feature,
+           CAST(n AS BIGINT) AS n_events,
+           round(hy, 6) AS h_y,
+           round(hy + neg_hyf, 6) AS info_gain
+    FROM ent ORDER BY feature
+    """,
+)
+def q_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X336 — information gain of three candidate stumps
+    (value≥50, hour≥12, user parity) for the purchase label:
+    IG = H(Y) − Σ_f (n_f/n)·H(Y|f), computed as H(Y) + Σ (c/n)·ln(c/c_f)
+    (the conditional term folded to one pass over the 2×2 cells).
+
+    Exactness: all cell counts are exact integers from ONE fact-sized
+    aggregate per feature (the 3× feature expansion happens in the
+    scan projection, map-side combined); every ln/ratio is an
+    identical-input double behind the 6-dp round. H(Y) uses DISTINCT
+    over the per-y marginal (2 values) — grid-sized, engine-safe
+    because the cy values are exact integers. Scale shape: the only
+    fact-sized work is the counting aggregate; entropy algebra runs
+    on ≤ 4 cells per feature. Output is 3 rows."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        ).alias("y"),
+        F.expr("CASE WHEN value >= 50 THEN 1 ELSE 0 END").alias(
+            "f_value"
+        ),
+        F.expr(
+            "CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END"
+        ).alias("f_hour"),
+        F.expr("CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END").alias(
+            "f_parity"
+        ),
+    )
+    fx = base.sparkSession.createDataFrame(
+        [("value_ge_50",), ("hour_ge_12",), ("user_parity",)],
+        "feature string",
+    )
+    feats = base.crossJoin(F.broadcast(fx)).select(
+        "feature",
+        F.expr(
+            "CASE feature WHEN 'value_ge_50' THEN f_value"
+            " WHEN 'hour_ge_12' THEN f_hour ELSE f_parity END"
+        ).alias("f"),
+        "y",
+    )
+    cells = feats.groupBy("feature", "f", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    m = cells.select(
+        "feature",
+        "f",
+        "y",
+        "c",
+        F.sum("c").over(W.partitionBy("feature", "f")).alias("cf"),
+        F.sum("c").over(W.partitionBy("feature", "y")).alias("cy"),
+        F.sum("c").over(W.partitionBy("feature")).alias("n"),
+    )
+    ent = m.groupBy("feature").agg(
+        F.max("n").alias("n"),
+        (
+            -F.sum_distinct(
+                F.expr(
+                    "CAST(cy AS DOUBLE) / n * ln(CAST(cy AS DOUBLE) / n)"
+                )
+            )
+        ).alias("hy"),
+        F.sum(
+            F.expr("CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / cf)")
+        ).alias("neg_hyf"),
+    )
+    return ent.select(
+        "feature",
+        F.col("n").cast("long").alias("n_events"),
+        F.round("hy", 6).alias("h_y"),
+        F.round(F.col("hy") + F.col("neg_hyf"), 6).alias("info_gain"),
+    ).orderBy("feature")
