@@ -1,0 +1,366 @@
+"""Round-14 additions (X327-X336): planted fixtures with hand-computed
+expectations — corpora engineered so the right answer is derivable by
+hand, pinning the algebra independently of the mirrored oracles (the
+krippendorff lesson, applied at birth instead of five rounds later)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from mysql_cdc_to_http_spark.queries import QUERIES
+
+from tests.test_planted_stats import (
+    _kappa_docs,
+    _write_docs,
+    _write_events,
+    _write_orders,
+)
+
+
+def _write_customers(spark, tmp_path, rows):
+    """rows: list of (c_custkey, c_mktsegment)."""
+    df = spark.createDataFrame(
+        [(ck, f"cust{ck}", 1, 0.0, seg) for ck, seg in rows],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "customer.parquet")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X327 McNemar — discordant cells from the shared kappa fixture
+# ---------------------------------------------------------------------------
+def test_mcnemar_planted(spark, tmp_path):
+    """Kappa fixture: n10=3, n01=2 → (3−2)²·1e6/5 = 200000; far below
+    the 3.841 gate."""
+    sf = _write_docs(spark, tmp_path, _kappa_docs())
+    [r] = QUERIES["q_mcnemar"](spark, sf).collect()
+    assert (r["n10"], r["n01"]) == (3, 2)
+    assert r["n_discordant"] == 5
+    assert r["mcnemar_micro"] == 200_000
+    assert not r["marginals_differ"]
+
+
+def test_mcnemar_zero_discordant_null(spark, tmp_path):
+    """Only concordant cells (raters always agree): statistic NULL,
+    verdict FALSE — the degenerate-denominator contract."""
+    docs = _kappa_docs()
+    sf = _write_docs(spark, tmp_path, [docs[0]] * 3 + ["x x x x"] * 3)
+    [r] = QUERIES["q_mcnemar"](spark, sf).collect()
+    assert r["n_discordant"] == 0
+    assert r["mcnemar_micro"] is None and not r["marginals_differ"]
+
+
+def test_mcnemar_asymmetric_flags(spark, tmp_path):
+    """b=20, c=0 → statistic = 20·1e6 = 2e7 > 3.841e6 → flags."""
+    docs = _kappa_docs()
+    # ra_only docs give (ra=T, rb=F) = n10
+    sf = _write_docs(spark, tmp_path, [docs[4]] * 20)
+    [r] = QUERIES["q_mcnemar"](spark, sf).collect()
+    assert r["n10"] == 20 and r["n01"] == 0
+    assert r["mcnemar_micro"] == 20_000_000
+    assert r["marginals_differ"]
+
+
+# ---------------------------------------------------------------------------
+# X328 Cramér's V — 2×2 perfect association → V = 1
+# ---------------------------------------------------------------------------
+def test_cramers_v_perfect_association(spark, tmp_path):
+    """en all-short, de all-long (2×2): χ² = N exactly (the X301
+    planted identity), min_dim = 1 → V² = 1 → v_milli = 1000."""
+    rows = [("x" * 100, "en")] * 10 + [("x" * 500, "de")] * 10
+    docs = [(t, lang) for t, lang in rows]
+    df = spark.createDataFrame(
+        [
+            (i + 1, t, lang, "src", len(t))
+            for i, (t, lang) in enumerate(docs)
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    [r] = QUERIES["q_cramers_v"](spark, str(tmp_path)).collect()
+    assert r["n"] == 20 and r["min_dim"] == 1
+    assert r["chi2_micro"] == 20_000_000  # chi2 == N for 2x2 perfect
+    assert r["v2_micro"] == 1_000_000
+    assert r["v_milli"] == 1000
+
+
+def test_cramers_v_independent_is_zero(spark, tmp_path):
+    """Identical length mix in both languages → χ² = 0 → V = 0."""
+    rows = []
+    for lang in ("en", "de"):
+        for length in (100, 300, 500):
+            rows += [("x" * length, lang)] * 4
+    df = spark.createDataFrame(
+        [
+            (i + 1, t, lang, "src", len(t))
+            for i, (t, lang) in enumerate(rows)
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    [r] = QUERIES["q_cramers_v"](spark, str(tmp_path)).collect()
+    assert r["chi2_micro"] == 0 and r["v2_micro"] == 0 and r["v_milli"] == 0
+
+
+# ---------------------------------------------------------------------------
+# X329 Cochran's Q — hand ledger on engineered gate patterns
+# ---------------------------------------------------------------------------
+def test_cochran_q_planted(spark, tmp_path):
+    """4 'both+long' docs (rows 1,1,1), 3 'rule-only long' docs
+    (1,0,1), 3 'neither short' docs (0,0,0):
+    G = (7, 4, 7), T = 18, ΣR² = 4·9 + 3·4 + 0 = 48.
+    num = 2·(3·(49+16+49) − 324) = 2·(342−324) = 36; den = 54−48 = 6
+    → Q = 6 → q_micro = 6_000_000 > 5_991_000 → gates differ."""
+    docs = _kappa_docs()
+    both = docs[0]  # ra=T, rb=T; len('the data w0..w47') > 300 chars?
+    # make gate-3 (n_chars >= 300) deterministic: pad texts explicitly
+    both_long = both + " " + "pad" * 2  # still ra=T rb=T; ensure long
+    assert len(both_long) >= 300
+    rule_long = docs[4] + " ".join([""] + ["x"] * 60)  # ra=T rb=F long
+    assert len(rule_long) >= 300
+    neither_short = "x x x x"  # all gates F
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [both_long] * 4 + [rule_long] * 3 + [neither_short] * 3,
+    )
+    out = {r["gate"]: r for r in QUERIES["q_cochran_q"](spark, sf).collect()}
+    assert out["rule"]["successes"] == 7
+    assert out["ttr"]["successes"] == 4
+    assert out["length"]["successes"] == 7
+    r = out["rule"]
+    assert r["q_micro"] == 6_000_000
+    assert r["gates_differ"]
+
+
+def test_cochran_q_identical_gates_degenerate(spark, tmp_path):
+    """All docs pass all gates or none: den = k·T − ΣR² = 0 → NULL
+    statistic, FALSE verdict."""
+    docs = _kappa_docs()
+    both_long = docs[0] + " padpadpad"
+    assert len(both_long) >= 300
+    sf = _write_docs(spark, tmp_path, [both_long] * 5 + ["x x"] * 5)
+    out = QUERIES["q_cochran_q"](spark, sf).collect()
+    assert all(r["q_micro"] is None for r in out)
+    assert not any(r["gates_differ"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# X330 odds ratio — kappa fixture ledger
+# ---------------------------------------------------------------------------
+def test_odds_ratio_planted(spark, tmp_path):
+    """n11=4, n10=3, n01=2, n00=1: OR = 4·1/(3·2) = 2/3 → 666666
+    micro; ln OR and the Woolf half-width from python math."""
+    sf = _write_docs(spark, tmp_path, _kappa_docs())
+    [r] = QUERIES["q_odds_ratio"](spark, sf).collect()
+    assert r["or_micro"] == 666_666
+    lor = math.log((4 * 1) / (3 * 2))
+    hw = 2 * math.sqrt(1 / 4 + 1 / 3 + 1 / 2 + 1 / 1)
+    assert r["log_or"] == round(lor, 6)
+    assert r["ci_lo"] == round(lor - hw, 6)
+    assert r["ci_hi"] == round(lor + hw, 6)
+    assert not r["excludes_one"]  # |ln 2/3| = 0.405 << hw = 2.87
+
+
+def test_odds_ratio_zero_cell_null(spark, tmp_path):
+    """A zero cell → NULL estimate and FALSE verdict (explicit-NULL
+    policy, no Haldane shift)."""
+    docs = _kappa_docs()
+    sf = _write_docs(spark, tmp_path, [docs[0]] * 3 + [docs[4]] * 3)
+    [r] = QUERIES["q_odds_ratio"](spark, sf).collect()
+    assert r["or_micro"] is None and r["log_or"] is None
+    assert not r["excludes_one"]
+
+
+# ---------------------------------------------------------------------------
+# X331 HHI — monopoly vs perfect split
+# ---------------------------------------------------------------------------
+def test_hhi_monopoly_and_equal(spark, tmp_path):
+    """Segment MONO: one customer → HHI = 1e6, effective N = 1.0.
+    Segment QUAD: 4 equal customers → HHI = 250000, effective 4.0."""
+    _write_customers(
+        spark,
+        tmp_path,
+        [(1, "MONO"), (2, "QUAD"), (3, "QUAD"), (4, "QUAD"), (5, "QUAD")],
+    )
+    _write_orders(
+        spark,
+        tmp_path,
+        [(1, 10.0), (2, 5.0), (3, 5.0), (4, 5.0), (5, 5.0)],
+    )
+    out = {
+        r["segment"]: r
+        for r in QUERIES["q_hhi_concentration"](spark, str(tmp_path)).collect()
+    }
+    assert out["MONO"]["hhi_micro"] == 1_000_000
+    assert out["MONO"]["effective_n_micro"] == 1_000_000
+    assert out["QUAD"]["hhi_micro"] == 250_000
+    assert out["QUAD"]["effective_n_micro"] == 4_000_000
+    assert out["QUAD"]["n_customers"] == 4
+
+
+# ---------------------------------------------------------------------------
+# X332 CUSUM — the identity S = P − min(P⁻,0) equals max(0, S+dev)
+# ---------------------------------------------------------------------------
+def test_cusum_planted_burst(spark, tmp_path):
+    """Daily cents (10,10,10,100,10)·100: T=14000, n=5, dev = 5x−T:
+    (−9000,−9000,−9000,36000,−9000); P: (−9000,−18000,−27000,9000,0);
+    S = P − min(P⁻,0): (0,0,0,36000,27000). Alarm (S > 2T = 28000)
+    fires on day 4 only — the sequential recurrence, hand-unrolled."""
+    rows = [
+        (i, 1, "click", v)
+        for i, v in enumerate([10.0, 10.0, 10.0, 100.0, 10.0])
+    ]
+    # distinct days: encode via ts — _write_events pins same day, so
+    # write events manually with day-spaced timestamps
+    df = spark.createDataFrame(
+        [
+            (
+                eid,
+                datetime.datetime(2024, 1, 1 + eid),
+                uid,
+                et,
+                float(v),
+                "{}",
+            )
+            for eid, uid, et, v in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = QUERIES["q_cusum_alarm"](spark, str(tmp_path)).collect()
+    assert [r["cents"] for r in out] == [1000, 1000, 1000, 10000, 1000]
+    assert [r["dev_scaled"] for r in out] == [
+        -9000, -9000, -9000, 36000, -9000,
+    ]
+    assert [r["cusum_scaled"] for r in out] == [0, 0, 0, 36000, 27000]
+    assert [r["alarm"] for r in out] == [False, False, False, True, False]
+    # independent sequential reference: S = max(0, S + dev)
+    s, ref = 0, []
+    for d in [-9000, -9000, -9000, 36000, -9000]:
+        s = max(0, s + d)
+        ref.append(s)
+    assert [r["cusum_scaled"] for r in out] == ref
+
+
+# ---------------------------------------------------------------------------
+# X333 Poisson bootstrap — constant values collapse the CI
+# ---------------------------------------------------------------------------
+def test_poisson_bootstrap_constant_collapses(spark, tmp_path):
+    """All orders cost 3.00: every replicate mean is exactly 3e6
+    micro-dollars·1e-2 (30000 micro of cents·1e4 → 3000000), so
+    point == ci_lo == ci_hi."""
+    sf = _write_orders(spark, tmp_path, [(c, 3.0) for c in range(1, 41)])
+    [r] = QUERIES["q_poisson_bootstrap"](spark, sf).collect()
+    assert r["point_micro"] == 3_000_000
+    assert r["ci_lo_micro"] == 3_000_000
+    assert r["ci_hi_micro"] == 3_000_000
+    assert r["n_orders"] == 40
+
+
+def test_poisson_bootstrap_ci_brackets_point(spark, tmp_path):
+    """Spread values: the order-statistic CI must bracket the point
+    estimate and be non-degenerate."""
+    sf = _write_orders(
+        spark, tmp_path, [(c, float(c)) for c in range(1, 101)]
+    )
+    [r] = QUERIES["q_poisson_bootstrap"](spark, sf).collect()
+    assert r["ci_lo_micro"] < r["point_micro"] < r["ci_hi_micro"]
+
+
+# ---------------------------------------------------------------------------
+# X334 Anderson–Darling — tiny-n hand ledger + point-mass rejection
+# ---------------------------------------------------------------------------
+def test_anderson_darling_tiny_ledger(spark, tmp_path):
+    """n=2, values 100 and 400 → u = (v+0.5)/501: the full A²
+    computed independently in python for the exact two-term sum."""
+    sf = _write_events(
+        spark, tmp_path, [(0, 1, "click", 100.0), (1, 1, "click", 400.0)]
+    )
+    [r] = QUERIES["q_anderson_darling"](spark, sf).collect()
+    u = sorted([(100.0 + 0.5) / 501.0, (400.0 + 0.5) / 501.0])
+    n = 2
+    s = sum(
+        (2 * (i + 1) - 1) * math.log(u[i])
+        + (2 * (n - (i + 1)) + 1) * math.log(1 - u[i])
+        for i in range(n)
+    )
+    assert r["n"] == 2
+    assert r["a2"] == round(-n - s / n, 6)
+
+
+def test_anderson_darling_point_mass_rejects(spark, tmp_path):
+    """50 events all at value 3.0 — a point mass is maximally
+    non-uniform, A² far above 2.492 → reject."""
+    sf = _write_events(
+        spark, tmp_path, [(i, 1, "click", 3.0) for i in range(50)]
+    )
+    [r] = QUERIES["q_anderson_darling"](spark, sf).collect()
+    assert r["reject_uniform"] and r["a2"] > 2.492
+
+
+# ---------------------------------------------------------------------------
+# X335 tail dependence — comonotone vs anti-comonotone plants
+# ---------------------------------------------------------------------------
+def test_tail_dependence_comonotone(spark, tmp_path):
+    """10 users, click spend = purchase spend = rank: the top-q sets
+    coincide → λ_U = 1e6 at both q."""
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        rows.append((eid, u, "click", float(u))); eid += 1
+        rows.append((eid, u, "purchase", float(u))); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["q_pct"]: r for r in QUERIES["q_tail_dependence"](spark, sf).collect()}
+    assert out[80]["n_x_tail"] == 2 and out[80]["n_joint"] == 2
+    assert out[80]["lambda_u_micro"] == 1_000_000
+    assert out[90]["n_x_tail"] == 1 and out[90]["lambda_u_micro"] == 1_000_000
+
+
+def test_tail_dependence_antithetic_zero(spark, tmp_path):
+    """Click spend ascending, purchase spend descending: the top
+    quintiles are disjoint → λ_U = 0."""
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        rows.append((eid, u, "click", float(u))); eid += 1
+        rows.append((eid, u, "purchase", float(11 - u))); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["q_pct"]: r for r in QUERIES["q_tail_dependence"](spark, sf).collect()}
+    assert out[80]["n_joint"] == 0 and out[80]["lambda_u_micro"] == 0
+    assert out[90]["n_joint"] == 0 and out[90]["lambda_u_micro"] == 0
+
+
+# ---------------------------------------------------------------------------
+# X336 info gain — perfect predictor vs pure noise
+# ---------------------------------------------------------------------------
+def test_info_gain_perfect_and_noise(spark, tmp_path):
+    """Balanced label (10 purchase / 10 click). value ≥ 50 ⇔ purchase
+    → IG = H(Y) = ln 2. user parity orthogonal to the label → IG = 0.
+    hour fixed at 0 for every event → single branch → IG = 0."""
+    rows = []
+    eid = 0
+    for i in range(10):
+        rows.append((eid, i, "purchase", 60.0)); eid += 1
+        rows.append((eid, i + 100, "click", 10.0)); eid += 1
+    # parity: purchases got users 0..9 (5 even/5 odd), clicks 100..109
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["feature"]: r for r in QUERIES["q_info_gain"](spark, sf).collect()}
+    ln2 = round(math.log(2.0), 6)
+    assert out["value_ge_50"]["h_y"] == ln2
+    assert out["value_ge_50"]["info_gain"] == ln2
+    assert out["user_parity"]["info_gain"] == 0.0
+    assert out["hour_ge_12"]["info_gain"] == 0.0
