@@ -7148,11 +7148,20 @@ def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(c) OVER (PARTITION BY feature) AS n
       FROM cells
     ),
+    ymarg AS (
+      SELECT feature, y, CAST(sum(c) AS BIGINT) AS cy,
+             sum(sum(c)) OVER (PARTITION BY feature) AS ny
+      FROM cells GROUP BY feature, y
+    ),
+    hy AS (
+      SELECT feature,
+             -sum(CAST(cy AS DOUBLE) / ny
+                  * ln(CAST(cy AS DOUBLE) / ny)) AS hy
+      FROM ymarg GROUP BY feature
+    ),
     ent AS (
       SELECT feature,
              max(n) AS n,
-             -sum(DISTINCT CAST(cy AS DOUBLE) / n
-                  * ln(CAST(cy AS DOUBLE) / n)) AS hy,
              sum(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / cf))
                AS neg_hyf
       FROM m GROUP BY feature
@@ -7161,7 +7170,7 @@ def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n AS BIGINT) AS n_events,
            round(hy, 6) AS h_y,
            round(hy + neg_hyf, 6) AS info_gain
-    FROM ent ORDER BY feature
+    FROM ent JOIN hy USING (feature) ORDER BY feature
     """,
 )
 def q_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7219,22 +7228,46 @@ def q_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(W.partitionBy("feature", "y")).alias("cy"),
         F.sum("c").over(W.partitionBy("feature")).alias("n"),
     )
+    # H(Y) from the per-(feature, y) marginal table — NOT a DISTINCT
+    # trick over cell-level windows: with a balanced label both y
+    # marginals are equal and sum(DISTINCT) would collapse them to one
+    # term (caught by the planted balanced-label ledger, which
+    # expected ln 2 and got ln 2 / 2 — the krippendorff bug class,
+    # found at birth because the fixture was hand-computed).
+    ymarg = cells.groupBy("feature", "y").agg(
+        F.sum("c").cast("long").alias("cy")
+    )
+    hy = (
+        ymarg.withColumn(
+            "ny", F.sum("cy").over(W.partitionBy("feature"))
+        )
+        .groupBy("feature")
+        .agg(
+            (
+                -F.sum(
+                    F.expr(
+                        "CAST(cy AS DOUBLE) / ny"
+                        " * ln(CAST(cy AS DOUBLE) / ny)"
+                    )
+                )
+            ).alias("hy")
+        )
+    )
     ent = m.groupBy("feature").agg(
         F.max("n").alias("n"),
-        (
-            -F.sum_distinct(
-                F.expr(
-                    "CAST(cy AS DOUBLE) / n * ln(CAST(cy AS DOUBLE) / n)"
-                )
-            )
-        ).alias("hy"),
         F.sum(
             F.expr("CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / cf)")
         ).alias("neg_hyf"),
     )
-    return ent.select(
-        "feature",
-        F.col("n").cast("long").alias("n_events"),
-        F.round("hy", 6).alias("h_y"),
-        F.round(F.col("hy") + F.col("neg_hyf"), 6).alias("info_gain"),
-    ).orderBy("feature")
+    return (
+        ent.join(hy, "feature")
+        .select(
+            "feature",
+            F.col("n").cast("long").alias("n_events"),
+            F.round("hy", 6).alias("h_y"),
+            F.round(F.col("hy") + F.col("neg_hyf"), 6).alias(
+                "info_gain"
+            ),
+        )
+        .orderBy("feature")
+    )

@@ -121,12 +121,13 @@ def test_cochran_q_planted(spark, tmp_path):
     G = (7, 4, 7), T = 18, ΣR² = 4·9 + 3·4 + 0 = 48.
     num = 2·(3·(49+16+49) − 324) = 2·(342−324) = 36; den = 54−48 = 6
     → Q = 6 → q_micro = 6_000_000 > 5_991_000 → gates differ."""
-    docs = _kappa_docs()
-    both = docs[0]  # ra=T, rb=T; len('the data w0..w47') > 300 chars?
-    # make gate-3 (n_chars >= 300) deterministic: pad texts explicitly
-    both_long = both + " " + "pad" * 2  # still ra=T rb=T; ensure long
+    # both_long: 60 distinct 5-char tokens + 2 stopwords -> ra=T
+    # (>=50 tok, 2 stopwords), rb=T (TTR=1), >=300 chars -> g3=T
+    both_long = "the data " + " ".join(f"wa{i:03d}" for i in range(58))
     assert len(both_long) >= 300
-    rule_long = docs[4] + " ".join([""] + ["x"] * 60)  # ra=T rb=F long
+    # rule_long: 2 stopwords + 150 repeats of 'x' -> ra=T (152 tok,
+    # 2 stopwords), rb=F (TTR=3/152), >=300 chars -> g3=T
+    rule_long = "the data " + " ".join(["x"] * 150)
     assert len(rule_long) >= 300
     neither_short = "x x x x"  # all gates F
     sf = _write_docs(
@@ -146,10 +147,9 @@ def test_cochran_q_planted(spark, tmp_path):
 def test_cochran_q_identical_gates_degenerate(spark, tmp_path):
     """All docs pass all gates or none: den = k·T − ΣR² = 0 → NULL
     statistic, FALSE verdict."""
-    docs = _kappa_docs()
-    both_long = docs[0] + " padpadpad"
+    both_long = "the data " + " ".join(f"wa{i:03d}" for i in range(58))
     assert len(both_long) >= 300
-    sf = _write_docs(spark, tmp_path, [both_long] * 5 + ["x x"] * 5)
+    sf = _write_docs(spark, tmp_path, [both_long] * 5 + ["x x x"] * 5)
     out = QUERIES["q_cochran_q"](spark, sf).collect()
     assert all(r["q_micro"] is None for r in out)
     assert not any(r["gates_differ"] for r in out)
