@@ -4480,3 +4480,357 @@ def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(nonzero, F.abs(lor) > hw), F.lit(False)
         ).alias("excludes_one"),
     )
+
+
+# --------------------------------------------------------------------------
+# X337 — Cronbach's alpha over three integer quality sub-scores: the
+# internal-consistency audit of a composite quality score (do the
+# sub-scores measure one construct, or is the composite incoherent?).
+# With variances computed as the scale-free integer moments
+# v = n·Σx² − (Σx)², alpha = k/(k−1) · (1 − Σvᵢ/v_total) becomes one
+# sign-corrected rational of DECIMAL(38) integers — exact end to end.
+# --------------------------------------------------------------------------
+@query(
+    "q_cronbach_alpha",
+    oracle=rf"""
+    WITH {_RATED_CTE.replace("rated AS (", "rated0 AS (")},
+    items AS (
+      SELECT t2.doc_id,
+             CAST(least(t2.n_chars, 500) AS HUGEINT) AS s1,
+             CAST(len(list_distinct(t2.t)) * 1000000 // len(t2.t)
+                  AS HUGEINT) AS s2,
+             CAST(least(len(t2.t), 200) AS HUGEINT) AS s3
+      FROM tok2 t2
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(s1) AS x1, sum(s1*s1) AS q1,
+             sum(s2) AS x2, sum(s2*s2) AS q2,
+             sum(s3) AS x3, sum(s3*s3) AS q3,
+             sum(s1+s2+s3) AS xt,
+             sum((s1+s2+s3)*(s1+s2+s3)) AS qt
+      FROM items
+    ),
+    vars AS (
+      SELECT n,
+             (n*q1 - x1*x1) + (n*q2 - x2*x2) + (n*q3 - x3*x3) AS vi,
+             n*qt - xt*xt AS vt
+      FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(vi AS BIGINT) AS var_items_scaled,
+           CAST(vt AS BIGINT) AS var_total_scaled,
+           CAST(CASE WHEN vt = 0 THEN NULL
+                WHEN 3 * (vt - vi) >= 0
+                  THEN (3 * (vt - vi) * 1000000) // (2 * vt)
+                ELSE -((-(3 * (vt - vi)) * 1000000) // (2 * vt))
+                END AS BIGINT) AS alpha_micro
+    FROM vars
+    """,
+)
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X337 — Cronbach's alpha of the composite quality score
+    (items: capped char length, TTR micro, capped token count),
+    k = 3: alpha = (k/(k−1))·(1 − Σvᵢ/v_t).
+
+    Exactness: each item is an integer projection; variances use the
+    n-scaled integer moment n·Σx² − (Σx)² so no mean ever
+    materializes; alpha is one sign-corrected truncated micro div
+    (negative alpha is meaningful — items anti-correlate); v_t = 0
+    (all docs identical) → NULL on both engines. Scale shape: one
+    scan → 1-row moment aggregate with map-side partials → constant
+    arithmetic. DECIMAL(38) headroom: Σ(TTR micro)² ≤ n·1e12 keeps
+    n·Σx² < 1e38 for n < 1e19 rows. Reference analog: none."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    items = docs.select(
+        F.expr("CAST(least(n_chars, 500) AS DECIMAL(38,0))").alias("s1"),
+        F.size(t).alias("__nt"),
+        F.size(F.array_distinct(t)).alias("__nd"),
+    ).select(
+        "s1",
+        F.expr(
+            "CAST(CAST(__nd AS BIGINT) * 1000000 div __nt"
+            " AS DECIMAL(38,0))"
+        ).alias("s2"),
+        F.expr("CAST(least(__nt, 200) AS DECIMAL(38,0))").alias("s3"),
+    )
+    agg = items.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("s1").cast("decimal(38,0)").alias("x1"),
+        F.sum(F.col("s1") * F.col("s1")).cast("decimal(38,0)").alias("q1"),
+        F.sum("s2").cast("decimal(38,0)").alias("x2"),
+        F.sum(F.col("s2") * F.col("s2")).cast("decimal(38,0)").alias("q2"),
+        F.sum("s3").cast("decimal(38,0)").alias("x3"),
+        F.sum(F.col("s3") * F.col("s3")).cast("decimal(38,0)").alias("q3"),
+        F.sum(F.col("s1") + F.col("s2") + F.col("s3"))
+        .cast("decimal(38,0)")
+        .alias("xt"),
+        F.sum(
+            (F.col("s1") + F.col("s2") + F.col("s3"))
+            * (F.col("s1") + F.col("s2") + F.col("s3"))
+        )
+        .cast("decimal(38,0)")
+        .alias("qt"),
+    )
+    vars_ = agg.select(
+        "n",
+        F.expr(
+            "(n*q1 - x1*x1) + (n*q2 - x2*x2) + (n*q3 - x3*x3)"
+        ).alias("vi"),
+        F.expr("n*qt - xt*xt").alias("vt"),
+    )
+    return vars_.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("vi").cast("long").alias("var_items_scaled"),
+        F.col("vt").cast("long").alias("var_total_scaled"),
+        F.expr(
+            "CAST(CASE WHEN vt = 0 THEN NULL"
+            " WHEN 3 * (vt - vi) >= 0"
+            "   THEN (3 * (vt - vi) * 1000000) div (2 * vt)"
+            " ELSE -((-(3 * (vt - vi)) * 1000000) div (2 * vt))"
+            " END AS BIGINT)"
+        ).alias("alpha_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X338 — linear-weighted Cohen's kappa on ORDINAL ratings: two 3-level
+# raters (char-length terciles vs token-count buckets). Plain kappa
+# (X246) treats a 1-step and a 2-step disagreement the same; weighted
+# kappa charges |i−j| — the right agreement statistic for ordered
+# scales. kappa_w = 1 − n·Σw·O / Σw·r·c is one sign-corrected exact
+# rational of integer counts.
+# --------------------------------------------------------------------------
+@query(
+    "q_weighted_kappa",
+    oracle=rf"""
+    WITH {_RATED_CTE.replace("rated AS (", "rated0 AS (")},
+    scored AS (
+      SELECT CASE WHEN t2.n_chars < 250 THEN 0
+                  WHEN t2.n_chars < 400 THEN 1 ELSE 2 END AS i,
+             CASE WHEN len(t2.t) < 40 THEN 0
+                  WHEN len(t2.t) < 60 THEN 1 ELSE 2 END AS j
+      FROM tok2 t2
+    ),
+    cells AS (
+      SELECT i, j, CAST(count(*) AS HUGEINT) AS o
+      FROM scored GROUP BY i, j
+    ),
+    grid AS (
+      SELECT gi.i, gj.j, COALESCE(cells.o, 0::HUGEINT) AS o
+      FROM (SELECT unnest([0,1,2]) AS i) gi
+      CROSS JOIN (SELECT unnest([0,1,2]) AS j) gj
+      LEFT JOIN cells ON cells.i = gi.i AND cells.j = gj.j
+    ),
+    marg AS (
+      SELECT i, j, o,
+             sum(o) OVER (PARTITION BY i) AS r,
+             sum(o) OVER (PARTITION BY j) AS c,
+             sum(o) OVER () AS n
+      FROM grid
+    ),
+    sums AS (
+      SELECT max(n) AS n,
+             sum(abs(i - j) * o) AS wo,
+             sum(abs(i - j) * r * c) AS wrc
+      FROM marg
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(wo AS BIGINT) AS sum_w_obs,
+           CAST(wrc AS BIGINT) AS sum_w_exp_scaled,
+           CAST(CASE WHEN wrc = 0 THEN NULL
+                WHEN wrc - n * wo >= 0
+                  THEN ((wrc - n * wo) * 1000000) // wrc
+                ELSE -((-(wrc - n * wo) * 1000000) // wrc)
+                END AS BIGINT) AS kappa_w_micro
+    FROM sums
+    """,
+)
+def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X338 — linear-weighted kappa between the char-length tercile
+    rater and the token-count rater (3-level ordinal scales):
+    kappa_w = 1 − n·Σ|i−j|·Oᵢⱼ / Σ|i−j|·rᵢ·cⱼ.
+
+    Exactness: the 3×3 grid is densified (the X301 zero-cell rule);
+    marginal products and the weighted sums are DECIMAL(38) integers;
+    kappa is one sign-corrected truncated micro div; a diagonal-only
+    expected table (wrc = 0, every weight hits a zero product) →
+    NULL. Scale shape: one fact-sized counting aggregate → a 9-cell
+    grid → 1-row output."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    scored = docs.select(
+        F.expr(
+            "CASE WHEN n_chars < 250 THEN 0"
+            " WHEN n_chars < 400 THEN 1 ELSE 2 END"
+        ).alias("i"),
+        F.when(F.size(t) < 40, 0)
+        .when(F.size(t) < 60, 1)
+        .otherwise(2)
+        .alias("j"),
+    )
+    cells = scored.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("o")
+    )
+    gi = docs.sparkSession.createDataFrame([(0,), (1,), (2,)], "i int")
+    gj = docs.sparkSession.createDataFrame([(0,), (1,), (2,)], "j int")
+    grid = (
+        gi.crossJoin(F.broadcast(gj))
+        .join(cells, ["i", "j"], "left")
+        .withColumn(
+            "o", F.coalesce(F.col("o"), F.lit(0).cast("decimal(38,0)"))
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    marg = grid.select(
+        "i",
+        "j",
+        "o",
+        F.sum("o").over(W.partitionBy("i")).alias("r"),
+        F.sum("o").over(W.partitionBy("j")).alias("c"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    sums = marg.agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("abs(i - j) * o")).cast("decimal(38,0)").alias("wo"),
+        F.sum(F.expr("abs(i - j) * r * c"))
+        .cast("decimal(38,0)")
+        .alias("wrc"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("wo").cast("long").alias("sum_w_obs"),
+        F.col("wrc").cast("long").alias("sum_w_exp_scaled"),
+        F.expr(
+            "CAST(CASE WHEN wrc = 0 THEN NULL"
+            " WHEN wrc - n * wo >= 0"
+            "   THEN ((wrc - n * wo) * 1000000) div wrc"
+            " ELSE -((-(wrc - n * wo) * 1000000) div wrc)"
+            " END AS BIGINT)"
+        ).alias("kappa_w_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X339 — Gopher-style intra-document repetition screen: the fraction
+# of token 3-grams that are in-document duplicates, plus the most
+# frequent token's share — two of the published Gopher repetition
+# rules (Rae et al. 2021 Table A1), the pass that catches
+# "lorem lorem lorem" spam that inter-document dedup never sees.
+# --------------------------------------------------------------------------
+@query(
+    "q_repetition_gopher",
+    oracle=rf"""
+    WITH {_TOK_CTE},
+    grams AS (
+      SELECT doc_id, source, len(t) AS n_tokens,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                       i -> array_to_string(t[i:i+2], ' '))
+                  ELSE [] END AS g3,
+             t
+      FROM tok
+    ),
+    per_doc AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(len(g3) AS BIGINT) AS n_grams,
+             CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) AS n_dup,
+             CAST((SELECT max(cnt) FROM (
+                SELECT count(*) AS cnt FROM unnest(t) AS u(tok)
+                GROUP BY tok)) AS BIGINT) AS top_tok
+      FROM grams
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_grams > 0
+                AND n_dup * 1000000 // n_grams > 180000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup3,
+           CAST(sum(CASE WHEN top_tok * 1000000 // n_tokens > 200000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_toptok,
+           CAST(sum(n_dup) * 1000000 // sum(n_grams) AS BIGINT)
+             AS mean_dup3_micro
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def q_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X339 — per-source repetition screen: duplicate-3-gram fraction
+    (flag > 0.18) and top-token share (flag > 0.20), the two cheapest
+    Gopher repetition rules, rolled up per source.
+
+    Exactness: 3-gram lists and distinct counts are ROW-LOCAL integer
+    HOFs (the X283 hoisted-token discipline — `t` projected once);
+    the per-doc top-token count is an explode + (doc, token) count +
+    per-doc max (map-side combined; no HOF quadratic scan); flags and
+    the corpus mean are truncated integer micro divs. Scale shape:
+    everything fact-sized is one pass + one (doc,token) aggregate;
+    output is source-sized. Presentation sort bounded (class a)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokked = docs.select(
+        "doc_id",
+        "source",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("t"),
+    )
+    grams = tokked.select(
+        "doc_id",
+        "source",
+        F.size("t").alias("n_tokens"),
+        F.expr(
+            "CASE WHEN size(t) >= 3 THEN transform("
+            " sequence(1, size(t) - 2),"
+            " i -> concat_ws(' ', slice(t, i, 3)))"
+            " ELSE array() END"
+        ).alias("g3"),
+        "t",
+    )
+    base = grams.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.size("g3").cast("long").alias("n_grams"),
+        (F.size("g3") - F.size(F.array_distinct("g3")))
+        .cast("long")
+        .alias("n_dup"),
+    )
+    top = (
+        tokked.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").cast("long").alias("top_tok"))
+    )
+    per_doc = base.join(top, "doc_id")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN n_grams > 0 AND"
+                    " n_dup * 1000000 div n_grams > 180000"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("n_flag_dup3"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN top_tok * 1000000 div n_tokens > 200000"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("n_flag_toptok"),
+            F.expr(
+                "CAST(sum(n_dup) * 1000000 div sum(n_grams) AS BIGINT)"
+            ).alias("mean_dup3_micro"),
+        )
+        .orderBy("source")
+    )

@@ -7271,3 +7271,236 @@ def q_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+# --------------------------------------------------------------------------
+# X340 — rank-biserial correlation per event type (one-vs-rest on
+# value): the effect-size companion of the Mann–Whitney U family —
+# r = 1 − 2U/(n₁·n₂) rescales U onto [−1, 1]. U comes from the exact
+# pairwise form 2U₁ = Σ_v c₁(v)·(2·below₂(v) + c₂(v)) (wins + half
+# ties, doubled so ties never make a fraction) — value-grouped
+# counts, no per-row ranks at all.
+# --------------------------------------------------------------------------
+@query(
+    "q_rank_biserial",
+    oracle="""
+    WITH vc AS (
+      SELECT event_type, value, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    types AS (SELECT DISTINCT event_type AS t FROM events),
+    split AS (
+      SELECT types.t, vc.value,
+             CAST(sum(CASE WHEN vc.event_type = types.t THEN c
+                      ELSE 0 END) AS HUGEINT) AS c1,
+             CAST(sum(CASE WHEN vc.event_type <> types.t THEN c
+                      ELSE 0 END) AS HUGEINT) AS c2
+      FROM vc CROSS JOIN types GROUP BY types.t, vc.value
+    ),
+    cum AS (
+      SELECT t, value, c1, c2,
+             COALESCE(sum(c2) OVER (PARTITION BY t ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0::HUGEINT) AS below2
+      FROM split
+    ),
+    u AS (
+      SELECT t,
+             CAST(sum(c1) AS HUGEINT) AS n1,
+             CAST(sum(c2) AS HUGEINT) AS n2,
+             CAST(sum(c1 * (2 * below2 + c2)) AS HUGEINT) AS u2
+      FROM cum GROUP BY t
+    )
+    SELECT t AS event_type,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(u2 AS BIGINT) AS u_doubled,
+           CAST(CASE WHEN n1 * n2 = 0 THEN NULL
+                WHEN n1 * n2 - u2 >= 0
+                  THEN ((n1 * n2 - u2) * 1000000) // (n1 * n2)
+                ELSE -((-(n1 * n2 - u2) * 1000000) // (n1 * n2))
+                END AS BIGINT) AS rank_biserial_micro
+    FROM u ORDER BY event_type
+    """,
+)
+def q_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X340 — rank-biserial r per event type (its values vs all other
+    types'): r = 1 − 2U/(n₁n₂) = (n₁n₂ − 2U)/(n₁n₂), the [−1,1]
+    effect size behind X292's U and X307's p-values — what you report
+    when "significant" isn't the question but "how big" is.
+
+    Exactness: U is assembled from value-grouped integer counts (wins
+    + half-ties via the doubled form — no midranks, no floats); the
+    one-vs-rest split reuses the X307 per-type pattern; r is a
+    sign-corrected truncated micro div. Scale shape: the fact table
+    reduces to (type, value) counts ONCE (map-side combined); the
+    per-type cumulative runs over the distinct-value grid PARTITIONED
+    BY type. Output is #types rows."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    vc = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    types = vc.select(
+        F.col("event_type").alias("t")
+    ).distinct()
+    split = (
+        vc.crossJoin(F.broadcast(types))
+        .groupBy("t", "value")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN event_type = t THEN c ELSE 0 END"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("c1"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN event_type <> t THEN c ELSE 0 END"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("c2"),
+        )
+    )
+    w = (
+        W.partitionBy("t")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = split.withColumn(
+        "below2",
+        F.coalesce(
+            F.sum("c2").over(w), F.lit(0).cast("decimal(38,0)")
+        ),
+    )
+    u = cum.groupBy("t").agg(
+        F.sum("c1").cast("decimal(38,0)").alias("n1"),
+        F.sum("c2").cast("decimal(38,0)").alias("n2"),
+        F.sum(F.expr("c1 * (2 * below2 + c2)"))
+        .cast("decimal(38,0)")
+        .alias("u2"),
+    )
+    return u.select(
+        F.col("t").alias("event_type"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("u2").cast("long").alias("u_doubled"),
+        F.expr(
+            "CAST(CASE WHEN n1 * n2 = 0 THEN NULL"
+            " WHEN n1 * n2 - u2 >= 0"
+            "   THEN ((n1 * n2 - u2) * 1000000) div (n1 * n2)"
+            " ELSE -((-(n1 * n2 - u2) * 1000000) div (n1 * n2))"
+            " END AS BIGINT)"
+        ).alias("rank_biserial_micro"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# X341 — Gumbel extreme-value fit on weekly block maxima of daily
+# revenue: method-of-moments (β = s·√6/π, μ = m − γ·β) plus the
+# 52-block return level — the capacity-planning tail estimate
+# ("what's the worst week a year brings?") that a mean+std report
+# structurally understates.
+# --------------------------------------------------------------------------
+@query(
+    "q_gumbel_maxima",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100, 0) AS HUGEINT))
+                  AS HUGEINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    blocks AS (
+      SELECT event_type,
+             (CAST(d AS DATE) - DATE '2024-01-01') // 7 AS wk,
+             CAST(max(cents) AS BIGINT) AS block_max
+      FROM daily GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_blocks,
+             avg(CAST(block_max AS DOUBLE)) AS m,
+             sum(CAST(block_max AS DOUBLE) * block_max) AS q,
+             sum(CAST(block_max AS DOUBLE)) AS s
+      FROM blocks GROUP BY 1
+    ),
+    fit AS (
+      SELECT event_type, n_blocks, m,
+             sqrt((q - s * s / n_blocks)
+                  / CAST(n_blocks - 1 AS DOUBLE))
+               * sqrt(6.0) / pi() AS beta
+      FROM mom WHERE n_blocks >= 2
+    )
+    SELECT event_type, n_blocks,
+           round(m, 6) AS mean_max,
+           round(beta, 6) AS beta,
+           round(m - 0.5772156649015329 * beta, 6) AS mu,
+           round((m - 0.5772156649015329 * beta)
+                 + beta * 3.9415503865226063, 6)
+             AS return_level_52
+    FROM fit ORDER BY event_type
+    """,
+)
+def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X341 — Gumbel MoM fit per event type over weekly maxima of
+    daily revenue; return_level_52 = μ − β·ln(−ln(1−1/52)).
+
+    Exactness: daily cents and block maxima are exact integers; the
+    moment expressions (avg, Σx², the sample-variance rearrangement
+    q − s²/n) are identical-input double arithmetic on those
+    integers, behind 6-dp rounds (the X284 Holt-Winters discipline);
+    the Gumbel variate −ln(−ln(1−1/52)) is inlined as one shared
+    literal (3.9415503865226063) because JVM and libm ln differ in
+    last ulps and β amplifies them past the 6-dp round (caught by the
+    3-SF sweep); types with a single block are excluded (variance
+    undefined) on both engines. Scale shape: fact → daily rollup → weekly block
+    max → type-sized fit; all aggregates map-side combined. Output
+    ≤ #types rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100, 0) AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    blocks = daily.groupBy(
+        "event_type",
+        F.expr("CAST(datediff(d, DATE '2024-01-01') div 7 AS BIGINT)").alias(
+            "wk"
+        ),
+    ).agg(F.max("cents").cast("long").alias("block_max"))
+    mom = blocks.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.avg(F.col("block_max").cast("double")).alias("m"),
+        F.sum(
+            F.col("block_max").cast("double") * F.col("block_max")
+        ).alias("q"),
+        F.sum(F.col("block_max").cast("double")).alias("s"),
+    )
+    fit = mom.filter(F.col("n_blocks") >= 2).withColumn(
+        "beta",
+        F.expr(
+            "sqrt((q - s * s / n_blocks)"
+            " / CAST(n_blocks - 1 AS DOUBLE)) * sqrt(6.0) / pi()"
+        ),
+    )
+    return fit.select(
+        "event_type",
+        "n_blocks",
+        F.round("m", 6).alias("mean_max"),
+        F.round("beta", 6).alias("beta"),
+        F.round(
+            F.expr("m - 0.5772156649015329 * beta"), 6
+        ).alias("mu"),
+        F.round(
+            F.expr(
+                "(m - 0.5772156649015329 * beta)"
+                " + beta * 3.9415503865226063"
+            ),
+            6,
+        ).alias("return_level_52"),
+    ).orderBy("event_type")

@@ -7812,3 +7812,136 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_micro"),
     )
     return fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(20)
+
+
+# --------------------------------------------------------------------------
+# X342 — capture–recapture estimate of TRUE duplicate prevalence: two
+# independent-ish "catchers" (first-half-token hash vs second-half-
+# token hash) each catch a subset of the near-duplicate population;
+# the Chapman estimator N̂ = (nA+1)(nB+1)/(nAB+1) − 1 sizes the
+# population NEITHER catches completely — the dedup-recall audit you
+# can run without ground truth (how many dups does the pipeline still
+# miss?).
+# --------------------------------------------------------------------------
+@query(
+    "q_capture_recapture",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                          'g')), ' ') AS t
+      FROM documents
+    ),
+    halves AS (
+      SELECT doc_id,
+             md5(array_to_string(t[1:greatest(len(t)//2, 1)], ' ')) AS ha,
+             md5(array_to_string(t[greatest(len(t)//2, 1)+1:len(t)], ' '))
+               AS hb
+      FROM tok
+    ),
+    ca AS (SELECT ha FROM halves GROUP BY ha HAVING count(*) > 1),
+    cb AS (SELECT hb FROM halves GROUP BY hb HAVING count(*) > 1),
+    flags AS (
+      SELECT h.doc_id,
+             CASE WHEN ca.ha IS NULL THEN 0 ELSE 1 END AS fa,
+             CASE WHEN cb.hb IS NULL THEN 0 ELSE 1 END AS fb
+      FROM halves h
+      LEFT JOIN ca ON h.ha = ca.ha
+      LEFT JOIN cb ON h.hb = cb.hb
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(fa) AS HUGEINT) AS na,
+             CAST(sum(fb) AS HUGEINT) AS nb,
+             CAST(sum(fa * fb) AS HUGEINT) AS nab
+      FROM flags
+    )
+    SELECT n_docs,
+           CAST(na AS BIGINT) AS n_catch_a,
+           CAST(nb AS BIGINT) AS n_catch_b,
+           CAST(nab AS BIGINT) AS n_both,
+           CAST(na + nb - nab AS BIGINT) AS observed_union,
+           CAST((na + 1) * (nb + 1) // (nab + 1) - 1 AS BIGINT)
+             AS chapman_est,
+           CAST(CASE WHEN (na + 1) * (nb + 1) // (nab + 1) - 1 > 0
+                THEN (na + nb - nab) * 1000000
+                     // ((na + 1) * (nb + 1) // (nab + 1) - 1)
+                END AS BIGINT) AS coverage_micro
+    FROM agg
+    """,
+)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X342 — Chapman capture–recapture over two content-split dup
+    catchers (md5 of the first / second half of the token stream):
+    N̂ = (nA+1)(nB+1)/(nAB+1) − 1, plus observed-union coverage.
+
+    Exactness: both catchers are exact-hash group counts (the X41
+    exact-dedup discipline applied to each half); the estimator and
+    coverage are truncated integer divisions of DECIMAL(38) counts.
+    Scale shape: two hash-count aggregates on the token-half hashes
+    (map-side combined, hashes not text on the shuffle — the
+    q_dedup_spans rule), two hash-key joins back, a 1-row reduction.
+    Reference analog: none (main.go has no dedup surface)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("t"),
+    )
+    halves = tok.select(
+        "doc_id",
+        F.expr(
+            "md5(concat_ws(' ',"
+            " slice(t, 1, greatest(size(t) div 2, 1))))"
+        ).alias("ha"),
+        F.expr(
+            "md5(concat_ws(' ',"
+            " slice(t, greatest(size(t) div 2, 1) + 1,"
+            "       size(t) - greatest(size(t) div 2, 1))))"
+        ).alias("hb"),
+    )
+    ca = (
+        halves.groupBy("ha")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("ha", F.lit(1).alias("fa"))
+    )
+    cb = (
+        halves.groupBy("hb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("hb", F.lit(1).alias("fb"))
+    )
+    flags = (
+        halves.join(ca, "ha", "left")
+        .join(cb, "hb", "left")
+        .select(
+            F.coalesce("fa", F.lit(0)).alias("fa"),
+            F.coalesce("fb", F.lit(0)).alias("fb"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("fa").cast("decimal(38,0)").alias("na"),
+        F.sum("fb").cast("decimal(38,0)").alias("nb"),
+        F.sum(F.col("fa") * F.col("fb"))
+        .cast("decimal(38,0)")
+        .alias("nab"),
+    )
+    return agg.select(
+        "n_docs",
+        F.col("na").cast("long").alias("n_catch_a"),
+        F.col("nb").cast("long").alias("n_catch_b"),
+        F.col("nab").cast("long").alias("n_both"),
+        F.expr("CAST(na + nb - nab AS BIGINT)").alias("observed_union"),
+        F.expr(
+            "CAST((na + 1) * (nb + 1) div (nab + 1) - 1 AS BIGINT)"
+        ).alias("chapman_est"),
+        F.expr(
+            "CAST(CASE WHEN (na + 1) * (nb + 1) div (nab + 1) - 1 > 0"
+            " THEN (na + nb - nab) * 1000000"
+            "      div ((na + 1) * (nb + 1) div (nab + 1) - 1)"
+            " END AS BIGINT)"
+        ).alias("coverage_micro"),
+    )
