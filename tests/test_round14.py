@@ -364,3 +364,185 @@ def test_info_gain_perfect_and_noise(spark, tmp_path):
     assert out["value_ge_50"]["info_gain"] == ln2
     assert out["user_parity"]["info_gain"] == 0.0
     assert out["hour_ge_12"]["info_gain"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# X337 Cronbach's alpha — 2-doc exact ledger + degenerate NULL
+# ---------------------------------------------------------------------------
+def test_cronbach_two_doc_ledger(spark, tmp_path):
+    """n=2: each item's n-scaled variance is (a−b)²; v_t = (Σdᵢ)².
+    Docs 'aa bb cc' (s=(8, 1e6, 3)) and 'aa aa aa aa' (s=(11, 250000,
+    4)): d = (−3, 750000, −1), Σd² = 562500000010, (Σd)² =
+    562494000016 → alpha = 1.5·(1 − Σd²/(Σd)²) → −16 micro
+    (hand-derived; negative alpha = items anti-correlate)."""
+    sf = _write_docs(spark, tmp_path, ["aa bb cc", "aa aa aa aa"])
+    [r] = QUERIES["q_cronbach_alpha"](spark, sf).collect()
+    d = [-3, 750_000, -1]
+    vi = sum(x * x for x in d)
+    vt = sum(d) ** 2
+    assert r["var_items_scaled"] == vi == 562_500_000_010
+    assert r["var_total_scaled"] == vt == 562_494_000_016
+    assert r["alpha_micro"] == -((-(3 * (vt - vi)) * 1_000_000) // (2 * vt))
+    assert r["alpha_micro"] == -16
+
+
+def test_cronbach_identical_docs_null(spark, tmp_path):
+    """All docs identical → zero total variance → NULL alpha."""
+    sf = _write_docs(spark, tmp_path, ["aa bb cc"] * 4)
+    [r] = QUERIES["q_cronbach_alpha"](spark, sf).collect()
+    assert r["var_total_scaled"] == 0 and r["alpha_micro"] is None
+
+
+# ---------------------------------------------------------------------------
+# X338 weighted kappa — perfect agreement and maximal disagreement
+# ---------------------------------------------------------------------------
+def test_weighted_kappa_perfect(spark, tmp_path):
+    """Docs only in cells (0,0) and (2,2): Σw·O = 0 → κw = 1."""
+    short_short = "x x x"  # 5 chars (<250), 3 tokens (<40)
+    long_long = " ".join(f"wa{i:03d}" for i in range(80))  # 479c, 80t
+    assert len(long_long) >= 400
+    sf = _write_docs(spark, tmp_path, [short_short] * 5 + [long_long] * 5)
+    [r] = QUERIES["q_weighted_kappa"](spark, sf).collect()
+    assert r["sum_w_obs"] == 0
+    assert r["kappa_w_micro"] == 1_000_000
+
+
+def test_weighted_kappa_maximal_disagreement(spark, tmp_path):
+    """Docs only in (0,2) and (2,0) — every observation is a 2-step
+    miss: ΣwO = 20, n·ΣwO = 200, Σw·r·c = 100 → κw = −1."""
+    # i=0 (n_chars<250), j=2 (tokens>=60): 60 one-char tokens = 119 ch
+    short_many = " ".join(["x"] * 60)
+    assert len(short_many) < 250
+    # i=2 (n_chars>=400), j=0 (tokens<40): 30 tokens of 15 chars
+    long_few = " ".join("w" * 15 for _ in range(30))
+    assert len(long_few) >= 400
+    sf = _write_docs(spark, tmp_path, [short_many] * 5 + [long_few] * 5)
+    [r] = QUERIES["q_weighted_kappa"](spark, sf).collect()
+    assert r["sum_w_obs"] == 20
+    assert r["sum_w_exp_scaled"] == 100
+    assert r["kappa_w_micro"] == -1_000_000
+
+
+# ---------------------------------------------------------------------------
+# X339 Gopher repetition — engineered spam vs clean docs
+# ---------------------------------------------------------------------------
+def test_repetition_gopher_planted(spark, tmp_path):
+    """'a a a a a a': 4 3-grams, 1 distinct → dup frac 750000 (> the
+    0.18 gate) and top-token share 1e6 (> 0.20) — both flags fire.
+    A 6-distinct-token doc: dup 0, top share 1/6 — no flags.
+    mean_dup3 over the source = (3+0)·1e6 // 8 = 375000."""
+    rows = ["a a a a a a", "q w e r t y"]
+    sf = _write_docs(spark, tmp_path, rows)
+    [r] = QUERIES["q_repetition_gopher"](spark, sf).collect()
+    assert r["source"] == "src" and r["n_docs"] == 2
+    assert r["n_flag_dup3"] == 1
+    assert r["n_flag_toptok"] == 1
+    assert r["mean_dup3_micro"] == (3 * 1_000_000) // 8
+
+
+# ---------------------------------------------------------------------------
+# X340 rank-biserial — dominance and symmetry plants
+# ---------------------------------------------------------------------------
+def test_rank_biserial_dominance(spark, tmp_path):
+    """Type 'hi' values all above type 'lo': U(hi) = n₁n₂ →
+    r = 1 − 2·U/(n₁n₂) = −1 (with this formula's orientation,
+    dominance of the focal group gives −1e6; its mirror +1e6)."""
+    rows = [(i, 1, "hi", 100.0 + i) for i in range(5)] + [
+        (10 + i, 1, "lo", float(i)) for i in range(5)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in QUERIES["q_rank_biserial"](spark, sf).collect()}
+    assert out["hi"]["u_doubled"] == 2 * 25
+    assert out["hi"]["rank_biserial_micro"] == -1_000_000
+    assert out["lo"]["u_doubled"] == 0
+    assert out["lo"]["rank_biserial_micro"] == 1_000_000
+
+
+def test_rank_biserial_identical_is_zero(spark, tmp_path):
+    """Both types share one identical value — all ties: 2U = n₁n₂
+    → r = 0 exactly."""
+    rows = [(i, 1, "a", 7.0) for i in range(4)] + [
+        (10 + i, 1, "b", 7.0) for i in range(4)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in QUERIES["q_rank_biserial"](spark, sf).collect()}
+    assert out["a"]["u_doubled"] == 16  # n1*n2 = 16 (half-ties doubled)
+    assert out["a"]["rank_biserial_micro"] == 0
+
+
+# ---------------------------------------------------------------------------
+# X341 Gumbel — independent python-math ledger over planted weeks
+# ---------------------------------------------------------------------------
+def test_gumbel_planted_ledger(spark, tmp_path):
+    """Three weeks with known weekly maxima of daily cents: MoM fit
+    recomputed independently in python."""
+    # week 0 (Jan 1-7): days with values 10, 20 → daily maxima 1000,2000
+    # week 1 (Jan 8-14): 30 → 3000 ; week 2: 50 → 5000
+    rows = [
+        (0, 1, "click", 10.0, datetime.datetime(2024, 1, 1)),
+        (1, 1, "click", 20.0, datetime.datetime(2024, 1, 2)),
+        (2, 1, "click", 30.0, datetime.datetime(2024, 1, 9)),
+        (3, 1, "click", 50.0, datetime.datetime(2024, 1, 16)),
+    ]
+    df = spark.createDataFrame(
+        [(eid, ts, uid, et, v, "{}") for eid, uid, et, v, ts in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    [r] = QUERIES["q_gumbel_maxima"](spark, str(tmp_path)).collect()
+    maxima = [2000.0, 3000.0, 5000.0]
+    n = len(maxima)
+    m = sum(maxima) / n
+    var = (sum(x * x for x in maxima) - sum(maxima) ** 2 / n) / (n - 1)
+    beta = math.sqrt(var) * math.sqrt(6.0) / math.pi
+    mu = m - 0.5772156649015329 * beta
+    rl = mu + beta * 3.9415503865226063
+    assert r["n_blocks"] == 3
+    assert r["mean_max"] == round(m, 6)
+    assert r["beta"] == round(beta, 6)
+    assert r["mu"] == round(mu, 6)
+    assert r["return_level_52"] == round(rl, 6)
+
+
+# ---------------------------------------------------------------------------
+# X342 capture–recapture — engineered catcher overlap
+# ---------------------------------------------------------------------------
+def test_capture_recapture_planted(spark, tmp_path):
+    """4 identical docs (caught by BOTH half-hashes), 2 docs sharing
+    only the first half, 4 unique docs: nA=6, nB=4, nAB=4 →
+    Chapman = 7·5//5 − 1 = 6; observed union = 6 → coverage 1e6."""
+    dup_full = "d d e e"
+    half_a = "p p q1 r1"
+    half_b = "p p q2 r2"
+    uniq = [f"u{i} v{i} w{i} z{i}" for i in range(4)]
+    sf = _write_docs(
+        spark, tmp_path, [dup_full] * 4 + [half_a, half_b] + uniq
+    )
+    [r] = QUERIES["q_capture_recapture"](spark, sf).collect()
+    assert (r["n_catch_a"], r["n_catch_b"], r["n_both"]) == (6, 4, 4)
+    assert r["observed_union"] == 6
+    assert r["chapman_est"] == 6
+    assert r["coverage_micro"] == 1_000_000
+
+
+def test_capture_recapture_misses_estimated(spark, tmp_path):
+    """Catchers with PARTIAL overlap: nA=4, nB=4, nAB=2 → Chapman =
+    5·5//3 − 1 = 7 > observed 6 — the estimator sizes the unseen
+    tail (coverage 857142 micro)."""
+    # 2 docs identical -> both catchers (nAB += 2)
+    dup_full = "d d e e"
+    # 2 docs share first half only -> A-only
+    a1, a2 = "p p q1 r1", "p p q2 r2"
+    # 2 docs share second half only -> B-only
+    b1, b2 = "s1 t1 m m", "s2 t2 m m"
+    sf = _write_docs(
+        spark, tmp_path, [dup_full] * 2 + [a1, a2, b1, b2]
+    )
+    [r] = QUERIES["q_capture_recapture"](spark, sf).collect()
+    assert (r["n_catch_a"], r["n_catch_b"], r["n_both"]) == (4, 4, 2)
+    assert r["chapman_est"] == (5 * 5) // 3 - 1 == 7
+    assert r["observed_union"] == 6
+    assert r["coverage_micro"] == 6_000_000 // 7
