@@ -4834,3 +4834,146 @@ def q_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# X344 — Youden's J operating point on the X293 TTR→English gate:
+# J = TPR − FPR per threshold, argmax = the threshold that maximizes
+# balanced discrimination (the right pick when class prevalence is
+# skewed and F1's precision focus misleads).
+# --------------------------------------------------------------------------
+@query(
+    "q_youden_j",
+    oracle=r"""
+    WITH scored AS (
+      SELECT CAST(len(list_distinct(t)) * 1000000 // len(t) AS BIGINT)
+               AS score,
+             CAST(lang = 'en' AS INT) AS y
+      FROM (
+        SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                            'g')), ' ') AS t, lang
+        FROM documents
+      )
+    ),
+    grid AS (SELECT unnest([0, 100000, 200000, 300000, 400000, 500000,
+                            600000, 700000, 800000, 900000]) AS thr),
+    cells AS (
+      SELECT g.thr,
+             CAST(SUM(CASE WHEN s.score >= g.thr AND s.y = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN s.score >= g.thr AND s.y = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN s.y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos,
+             CAST(SUM(CASE WHEN s.y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS neg
+      FROM scored s CROSS JOIN grid g GROUP BY g.thr
+    ),
+    m AS (
+      SELECT CAST(thr AS BIGINT) AS threshold_micro, tp, fp, pos, neg,
+             CASE WHEN pos > 0 THEN tp * 1000000 // pos END AS tpr_micro,
+             CASE WHEN neg > 0 THEN fp * 1000000 // neg END AS fpr_micro
+      FROM cells
+    ),
+    j AS (
+      SELECT *, tpr_micro - fpr_micro AS j_micro FROM m
+      WHERE tpr_micro IS NOT NULL AND fpr_micro IS NOT NULL
+    ),
+    withmax AS (
+      SELECT *, max(j_micro) OVER () AS best_j FROM j
+    ),
+    best AS (
+      SELECT *,
+             min(CASE WHEN j_micro = best_j THEN threshold_micro END)
+               OVER () AS best_thr
+      FROM withmax
+    )
+    SELECT threshold_micro, tp, fp, tpr_micro, fpr_micro, j_micro,
+           j_micro = best_j AND threshold_micro = best_thr AS is_best
+    FROM best ORDER BY threshold_micro
+    """,
+)
+def q_youden_j(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X344 — Youden's J sweep over the X293 threshold grid:
+    J = TPR − FPR in exact micro units, best-threshold flag with the
+    min-threshold tiebreak (the X293 argmax discipline).
+
+    Exactness: confusion counts are one fact-sized aggregate over the
+    broadcast 10-point grid; TPR/FPR are truncated integer micro divs
+    of exact counts and J is their integer difference (defining J on
+    the floored micro terms identically in both engines — floors
+    don't commute with subtraction, so the DEFINITION is the floored
+    form). Scale shape: fact scan × 10 grid rows map-side combined;
+    everything after is 10 rows. Presentation sort grid-bounded."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    scored = docs.select(t.alias("t"), "lang").select(
+        F.expr(
+            "CAST(size(array_distinct(t)) * 1000000 div size(t)"
+            " AS BIGINT)"
+        ).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    grid = docs.sparkSession.createDataFrame(
+        [(i * 100000,) for i in range(10)], "thr long"
+    )
+    cells = scored.crossJoin(F.broadcast(grid)).groupBy("thr").agg(
+        F.sum(
+            F.expr("CASE WHEN score >= thr AND y = 1 THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("tp"),
+        F.sum(
+            F.expr("CASE WHEN score >= thr AND y = 0 THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.expr("CASE WHEN y = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("pos"),
+        F.sum(F.expr("CASE WHEN y = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("neg"),
+    )
+    m = cells.select(
+        F.col("thr").cast("long").alias("threshold_micro"),
+        "tp",
+        "fp",
+        F.expr(
+            "CASE WHEN pos > 0 THEN tp * 1000000 div pos END"
+        ).alias("tpr_micro"),
+        F.expr(
+            "CASE WHEN neg > 0 THEN fp * 1000000 div neg END"
+        ).alias("fpr_micro"),
+    ).filter(
+        F.col("tpr_micro").isNotNull() & F.col("fpr_micro").isNotNull()
+    )
+    j = m.withColumn(
+        "j_micro", F.col("tpr_micro") - F.col("fpr_micro")
+    )
+    w = W.partitionBy()
+    best = j.withColumn("best_j", F.max("j_micro").over(w)).withColumn(
+        "best_thr",
+        F.min(
+            F.when(
+                F.col("j_micro") == F.col("best_j"),
+                F.col("threshold_micro"),
+            )
+        ).over(w),
+    )
+    return best.select(
+        "threshold_micro",
+        "tp",
+        "fp",
+        "tpr_micro",
+        "fpr_micro",
+        "j_micro",
+        (
+            (F.col("j_micro") == F.col("best_j"))
+            & (F.col("threshold_micro") == F.col("best_thr"))
+        ).alias("is_best"),
+    ).orderBy("threshold_micro")

@@ -6828,6 +6828,14 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "o_orderkey",
     )
+    # 32x explode + map-side-combined (priority, b) aggregate. Two
+    # "optimizations" were built and MEASURED SLOWER in the r14 sweep
+    # (the q_contamination_sweep lesson — B resamples are the work):
+    # a 64-expression wide aggregate (2.75->8.79 s at sf0.1 vs the
+    # explode's 7.44) and a 32-column uniform pre-projection
+    # (12.53 s) — the hash agg's partial combine already makes the
+    # exploded shuffle 32*groups rows, and the per-row md5 count is
+    # identical in all three forms.
     reps = o.withColumn(
         "b", F.explode(F.sequence(F.lit(0), F.lit(_PBOOT_B - 1)))
     ).withColumn(
@@ -7504,3 +7512,316 @@ def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("return_level_52"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# X345 — Simpson's-paradox audit: the mean-spend gap between user
+# cohorts (even vs odd user id) OVERALL vs within every event-type
+# stratum — exact cross-multiplied integer sign comparisons, flagging
+# strata whose direction contradicts the aggregate (the audit that
+# should run before ANY cohort-level metric ships; a reversal means
+# the mix, not the cohort, drives the headline number).
+# --------------------------------------------------------------------------
+@query(
+    "q_simpson_audit",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS cohort,
+             event_type,
+             CAST(round(value * 100, 0) AS HUGEINT) AS cents
+      FROM events
+    ),
+    strata AS (
+      SELECT event_type AS stratum,
+             CAST(count(*) FILTER (cohort = 'a') AS HUGEINT) AS n_a,
+             CAST(sum(cents) FILTER (cohort = 'a') AS HUGEINT) AS s_a,
+             CAST(count(*) FILTER (cohort = 'b') AS HUGEINT) AS n_b,
+             CAST(sum(cents) FILTER (cohort = 'b') AS HUGEINT) AS s_b
+      FROM base GROUP BY 1
+    ),
+    overall AS (
+      SELECT 'OVERALL' AS stratum,
+             CAST(sum(n_a) AS HUGEINT) AS n_a,
+             CAST(sum(s_a) AS HUGEINT) AS s_a,
+             CAST(sum(n_b) AS HUGEINT) AS n_b,
+             CAST(sum(s_b) AS HUGEINT) AS s_b
+      FROM strata
+    ),
+    both_r AS (
+      SELECT * FROM strata UNION ALL SELECT * FROM overall
+    ),
+    ov AS (SELECT s_a * n_b > s_b * n_a AS overall_a_gt FROM overall)
+    SELECT stratum,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(s_a AS BIGINT) AS sum_a_cents,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(s_b AS BIGINT) AS sum_b_cents,
+           s_a * n_b > s_b * n_a AS a_gt_b,
+           (s_a * n_b > s_b * n_a) <> overall_a_gt AS reversed
+    FROM both_r CROSS JOIN ov
+    ORDER BY stratum
+    """,
+)
+def q_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X345 — per-stratum vs aggregate direction of the cohort mean
+    gap: `a_gt_b` is the EXACT cross-multiplied comparison
+    s_a·n_b > s_b·n_a (no mean ever divides), `reversed` marks
+    Simpson strata.
+
+    Exactness: cent sums and counts are integers; every comparison is
+    a DECIMAL(38) product inequality — the verdict cannot flip on FP.
+    Scale shape: one fact-sized (stratum × cohort) counting aggregate
+    (FILTER folds the cohorts into one pass); the overall row is the
+    strata rollup; output is #types + 1 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.expr(
+            "CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END"
+        ).alias("cohort"),
+        F.col("event_type").alias("stratum"),
+        F.expr("CAST(round(value * 100, 0) AS DECIMAL(38,0))").alias(
+            "cents"
+        ),
+    )
+    strata = base.groupBy("stratum").agg(
+        F.count(F.when(F.col("cohort") == "a", 1))
+        .cast("decimal(38,0)")
+        .alias("n_a"),
+        F.sum(F.when(F.col("cohort") == "a", F.col("cents")))
+        .cast("decimal(38,0)")
+        .alias("s_a"),
+        F.count(F.when(F.col("cohort") == "b", 1))
+        .cast("decimal(38,0)")
+        .alias("n_b"),
+        F.sum(F.when(F.col("cohort") == "b", F.col("cents")))
+        .cast("decimal(38,0)")
+        .alias("s_b"),
+    )
+    overall = strata.agg(
+        F.sum("n_a").cast("decimal(38,0)").alias("n_a"),
+        F.sum("s_a").cast("decimal(38,0)").alias("s_a"),
+        F.sum("n_b").cast("decimal(38,0)").alias("n_b"),
+        F.sum("s_b").cast("decimal(38,0)").alias("s_b"),
+    ).select(F.lit("OVERALL").alias("stratum"), "n_a", "s_a", "n_b", "s_b")
+    both = strata.unionByName(overall)
+    ov = overall.select(
+        F.expr("s_a * n_b > s_b * n_a").alias("overall_a_gt")
+    )
+    return (
+        both.crossJoin(F.broadcast(ov))
+        .select(
+            "stratum",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("s_a").cast("long").alias("sum_a_cents"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("s_b").cast("long").alias("sum_b_cents"),
+            F.expr("s_a * n_b > s_b * n_a").alias("a_gt_b"),
+            F.expr(
+                "(s_a * n_b > s_b * n_a) <> overall_a_gt"
+            ).alias("reversed"),
+        )
+        .orderBy("stratum")
+    )
+
+
+# --------------------------------------------------------------------------
+# X346 — SPRT sequential test of the purchase rate, replayed over the
+# event calendar: daily cumulative log-likelihood ratio for
+# H1: p = 0.3 vs H0: p = 0.2, Wald boundaries ±ln(19) (α = β = 0.05).
+# The batch replay of the decision a streaming experimenter would
+# make — including WHEN the test would have stopped.
+# --------------------------------------------------------------------------
+_SPRT_L1 = 0.4054651081081644   # ln(0.3/0.2)
+_SPRT_L0 = -0.13353139262452263  # ln(0.7/0.8)
+_SPRT_BOUND = 2.9444389791664403  # ln(19)
+
+
+@query(
+    "q_sprt_sequential",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS s
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT d, n, s,
+             sum(n) OVER w AS n_cum,
+             sum(s) OVER w AS s_cum
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    llr AS (
+      SELECT d, CAST(n_cum AS BIGINT) AS n_cum,
+             CAST(s_cum AS BIGINT) AS s_cum,
+             round(s_cum * CAST({_SPRT_L1} AS DOUBLE)
+                   + (n_cum - s_cum) * CAST({_SPRT_L0} AS DOUBLE), 6)
+               AS llr
+      FROM cum
+    )
+    SELECT d, n_cum, s_cum, llr,
+           CASE WHEN llr >= CAST({_SPRT_BOUND} AS DOUBLE)
+                  THEN 'accept_h1'
+                WHEN llr <= -CAST({_SPRT_BOUND} AS DOUBLE)
+                  THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr ORDER BY d
+    """,
+)
+def q_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X346 — Wald SPRT replay on the daily purchase-rate stream:
+    LLR_d = s·ln(p₁/p₀) + (n−s)·ln((1−p₁)/(1−p₀)) over cumulative
+    counts; decision vs ±ln 19.
+
+    Exactness: cumulative counts are integers; the LLR is a
+    two-literal linear form (the ln constants are SHARED literals —
+    the X341 lesson: JVM vs libm ln differ in final ulps and n_cum
+    amplifies them); decisions compare the 6-dp-rounded LLR against a
+    literal bound. Scale shape: fact → daily rollup → calendar-sized
+    cumulative window (single ORDER BY over ~30 rows; a real
+    deployment partitions by experiment id). Sort calendar-bounded."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("s"),
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.sum("n").over(w).cast("long").alias("n_cum"),
+        F.sum("s").over(w).cast("long").alias("s_cum"),
+    )
+    llr = cum.withColumn(
+        "llr",
+        F.round(
+            F.expr(
+                f"s_cum * CAST({_SPRT_L1} AS DOUBLE)"
+                f" + (n_cum - s_cum) * CAST({_SPRT_L0} AS DOUBLE)"
+            ),
+            6,
+        ),
+    )
+    return llr.select(
+        "d",
+        "n_cum",
+        "s_cum",
+        "llr",
+        F.expr(
+            f"CASE WHEN llr >= CAST({_SPRT_BOUND} AS DOUBLE)"
+            f" THEN 'accept_h1'"
+            f" WHEN llr <= -CAST({_SPRT_BOUND} AS DOUBLE)"
+            f" THEN 'accept_h0'"
+            f" ELSE 'continue' END"
+        ).alias("decision"),
+    ).orderBy("d")
+
+
+# --------------------------------------------------------------------------
+# X347 — quantile normalization of per-source document lengths onto
+# the pooled corpus distribution: each doc's within-source rank maps
+# to the pooled order statistic at the same quantile (the
+# batch-effect correction for "source A writes long, source B writes
+# short" before any length-sensitive curation gate). Mapping is the
+# exact integer position (r·N + n_s − 1) div n_s — no interpolation.
+# --------------------------------------------------------------------------
+@query(
+    "q_quantile_normalize",
+    oracle="""
+    WITH pooled AS (
+      SELECT n_chars AS v,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS pos,
+             count(*) OVER () AS n
+      FROM documents
+    ),
+    within AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS ns
+      FROM documents
+    ),
+    mapped AS (
+      SELECT w.doc_id, w.source, w.n_chars,
+             p.v AS mapped_chars
+      FROM within w
+      JOIN pooled p
+        ON p.pos = (w.r * (SELECT max(n) FROM pooled) + w.ns - 1) // w.ns
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_before,
+           CAST(sum(mapped_chars) AS BIGINT) AS sum_after,
+           CAST(sum(n_chars) * 1000 // count(*) AS BIGINT)
+             AS mean_before_milli,
+           CAST(sum(mapped_chars) * 1000 // count(*) AS BIGINT)
+             AS mean_after_milli
+    FROM mapped GROUP BY source ORDER BY source
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X347 — per-source quantile normalization of doc length onto
+    the pooled distribution, summarized per source (before/after
+    means in exact milli units).
+
+    Exactness: both rank assignments come from TOTAL orders
+    ((n_chars, doc_id)); the quantile map is the ceil-by-integers
+    position (r·N + nₛ − 1) div nₛ; sums and means are integer.
+    Scale shape: the pooled rank uses the two-level ranked-prefix
+    machinery (repartitionByRange + partitioned windows — no global
+    row_number); the within-source rank is a PARTITIONED window (the
+    source is the analysis unit); the map is one doc-sized equi-join
+    on pos. Output is source-sized."""
+    from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.operators.sampling import (
+        ranked_prefix_sums,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ones = docs.withColumn("__one", F.lit(1).cast("bigint"))
+    pooled = ranked_prefix_sums(
+        ones, [F.col("n_chars").asc(), F.col("doc_id").asc()], ["__one"]
+    ).select(
+        F.col("n_chars").alias("v"), F.col("__one__cum").alias("pos")
+    )
+    ntot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    within = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("source"))
+        .alias("ns"),
+    )
+    mapped = (
+        within.crossJoin(F.broadcast(ntot))
+        .withColumn("pos", F.expr("(r * n + ns - 1) div ns"))
+        .join(pooled, "pos")
+    )
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_before"),
+            F.sum("v").cast("long").alias("sum_after"),
+            F.expr(
+                "CAST(sum(n_chars) * 1000 div count(*) AS BIGINT)"
+            ).alias("mean_before_milli"),
+            F.expr(
+                "CAST(sum(v) * 1000 div count(*) AS BIGINT)"
+            ).alias("mean_after_milli"),
+        )
+        .orderBy("source")
+    )

@@ -7945,3 +7945,148 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("coverage_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# X343 — BM25F: field-weighted BM25 (Robertson/Zaragoza) with a
+# 2-field document model (title = first 8 tokens at weight 2, body =
+# rest at weight 1). Weighted term frequency and weighted doc length
+# feed ONE saturation curve — the structured-retrieval upgrade every
+# search deployment makes once documents stop being flat text.
+# --------------------------------------------------------------------------
+_BM25F_TITLE_LEN = 8
+_BM25F_WTITLE = 2
+
+
+@query(
+    "q_bm25f",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                          'g')), ' ') AS toks
+      FROM documents
+    ),
+    fields AS (
+      SELECT doc_id,
+             toks[1:least(len(toks), {_BM25F_TITLE_LEN})] AS title,
+             toks[least(len(toks), {_BM25F_TITLE_LEN})+1:len(toks)]
+               AS body,
+             len(toks) AS dl
+      FROM toks
+    ),
+    wdl AS (
+      SELECT doc_id,
+             CAST({_BM25F_WTITLE} * len(title) + len(body) AS BIGINT)
+               AS wdl
+      FROM fields
+    ),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     avg(CAST(wdl AS DOUBLE)) AS avgwdl FROM wdl),
+    tf AS (
+      SELECT f.doc_id, t.term,
+             CAST({_BM25F_WTITLE}
+                  * len(list_filter(f.title, x -> x = t.term))
+                  + len(list_filter(f.body, x -> x = t.term))
+                  AS BIGINT) AS wtf
+      FROM fields f
+      CROSS JOIN (SELECT unnest([{_BM25_TERMS_SQL}]) AS term) t
+    ),
+    ft AS (SELECT doc_id, term, wtf FROM tf WHERE wtf > 0),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM ft GROUP BY term),
+    idf AS (
+      SELECT term, ln((s.n - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+             s.avgwdl
+      FROM dfq, stats s
+    ),
+    contrib AS (
+      SELECT ft.doc_id,
+             idf.idf * (ft.wtf * ({_BM25_K1} + 1.0))
+             / (ft.wtf + {_BM25_K1}
+                * (1.0 - {_BM25_B}
+                   + {_BM25_B} * wdl.wdl / idf.avgwdl)) AS c
+      FROM ft JOIN idf USING (term) JOIN wdl ON ft.doc_id = wdl.doc_id
+    )
+    SELECT doc_id, round(SUM(c), 6) AS bm25f
+    FROM contrib GROUP BY doc_id
+    ORDER BY bm25f DESC, doc_id LIMIT 20
+    """,
+)
+def q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X343 — BM25F top-20 for the fixed X88 query terms: weighted tf
+    (2×title + body) and weighted doc length through one k1/b
+    saturation; df counts docs where the WEIGHTED tf > 0 (any field).
+
+    Exactness: field slices and weighted counts are row-local integer
+    HOFs on the once-projected token array (X283 discipline); idf and
+    the saturation are identical-input doubles; ranking is on the
+    6-dp-rounded score with doc_id tiebreak (the X88 stable-cut rule)
+    via TakeOrderedAndProject. Scale shape: only query-term rows
+    shuffle (the tf table is ≤ |query| rows per doc); stats and idf
+    broadcast. Reference analog: none."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("toks"),
+    )
+    tl = _BM25F_TITLE_LEN
+    wt = _BM25F_WTITLE
+    fields = toks.select(
+        "doc_id",
+        F.expr(f"slice(toks, 1, least(size(toks), {tl}))").alias("title"),
+        F.expr(
+            f"slice(toks, least(size(toks), {tl}) + 1,"
+            f" size(toks) - least(size(toks), {tl}))"
+        ).alias("body"),
+    )
+    wdl = fields.select(
+        "doc_id",
+        F.expr(f"CAST({wt} * size(title) + size(body) AS BIGINT)").alias(
+            "wdl"
+        ),
+    )
+    stats = wdl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.col("wdl").cast("double")).alias("avgwdl"),
+    )
+    terms = fields.sparkSession.createDataFrame(
+        [(t,) for t in _BM25_TERMS], "term string"
+    )
+    tf = fields.crossJoin(F.broadcast(terms)).select(
+        "doc_id",
+        "term",
+        F.expr(
+            f"CAST({wt} * size(filter(title, x -> x = term))"
+            f" + size(filter(body, x -> x = term)) AS BIGINT)"
+        ).alias("wtf"),
+    )
+    ft = tf.filter(F.col("wtf") > 0)
+    dfq = ft.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    idf = dfq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+        "avgwdl",
+    )
+    contrib = (
+        ft.join(F.broadcast(idf), "term")
+        .join(wdl, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                f"idf * (wtf * ({_BM25_K1} + 1.0))"
+                f" / (wtf + {_BM25_K1} * (1.0 - {_BM25_B}"
+                f" + {_BM25_B} * wdl / avgwdl))"
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("c"), 6).alias("bm25f")
+    )
+    return scored.orderBy(F.desc("bm25f"), "doc_id").limit(20)
