@@ -546,3 +546,136 @@ def test_capture_recapture_misses_estimated(spark, tmp_path):
     assert r["chapman_est"] == (5 * 5) // 3 - 1 == 7
     assert r["observed_union"] == 6
     assert r["coverage_micro"] == 6_000_000 // 7
+
+
+# ---------------------------------------------------------------------------
+# X343 BM25F — title weighting decides the ranking
+# ---------------------------------------------------------------------------
+def test_bm25f_title_outranks_body(spark, tmp_path):
+    """Doc 1 has 'spark' inside the 8-token title (wtf=2), doc 2 has
+    it only in the body (wtf=1); identical weighted lengths → same
+    idf and norm, higher wtf wins. Full score recomputed in python."""
+    d1 = "spark a1 a2 a3 a4 a5 a6 a7 b1 b2 b3 b4"  # spark in title
+    d2 = "c1 c2 c3 c4 c5 c6 c7 c8 spark b2 b3 b4"  # spark in body
+    sf = _write_docs(spark, tmp_path, [d1, d2])
+    out = {r["doc_id"]: r["bm25f"] for r in QUERIES["q_bm25f"](spark, sf).collect()}
+    assert set(out) == {1, 2}
+    assert out[1] > out[2]
+    # independent ledger: N=2, df(spark)=2, wdl = 2*8 + 4 = 20 both
+    n, df = 2.0, 2.0
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    k1, b = 1.2, 0.75
+    avgwdl = 20.0
+
+    def score(wtf):
+        return round(
+            idf * wtf * (k1 + 1) / (wtf + k1 * (1 - b + b * 20.0 / avgwdl)),
+            6,
+        )
+
+    assert out[1] == score(2) and out[2] == score(1)
+
+
+# ---------------------------------------------------------------------------
+# X344 Youden J — a perfectly separating threshold
+# ---------------------------------------------------------------------------
+def test_youden_j_perfect_separator(spark, tmp_path):
+    """en docs TTR=1.0, de docs TTR=0.25: at thresholds in (0.25, 1.0]
+    the gate is perfect (J = 1e6); is_best lands on the SMALLEST such
+    threshold (300000, just above 250000)."""
+    en = "q w e r"          # TTR 1.0 -> score 1000000
+    de = "x x x x"          # TTR 0.25 -> score 250000
+    rows = [(en, "en")] * 5 + [(de, "de")] * 5
+    df = spark.createDataFrame(
+        [(i + 1, t, lang, "src", len(t)) for i, (t, lang) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r["threshold_micro"]: r for r in QUERIES["q_youden_j"](spark, str(tmp_path)).collect()}
+    assert out[300000]["j_micro"] == 1_000_000
+    assert out[300000]["is_best"]
+    assert out[0]["j_micro"] == 0  # everything passes -> TPR=FPR=1
+    assert not out[0]["is_best"]
+    assert sum(1 for r in out.values() if r["is_best"]) == 1
+
+
+# ---------------------------------------------------------------------------
+# X345 Simpson audit — the classic engineered reversal
+# ---------------------------------------------------------------------------
+def test_simpson_audit_engineered_reversal(spark, tmp_path):
+    """Cohort a (even users) beats b INSIDE both strata, but the mix
+    (a concentrated where values are small) flips the aggregate —
+    both strata must flag reversed=True, OVERALL reversed=False."""
+    rows = []
+    eid = 0
+    # stratum 'click': a mean 2.00 (n=10), b mean 1.00 (n=1)
+    for _ in range(10):
+        rows.append((eid, 2, "click", 2.0)); eid += 1
+    rows.append((eid, 1, "click", 1.0)); eid += 1
+    # stratum 'view': a mean 20.00 (n=1), b mean 10.00 (n=10)
+    rows.append((eid, 2, "view", 20.0)); eid += 1
+    for _ in range(10):
+        rows.append((eid, 1, "view", 10.0)); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["stratum"]: r for r in QUERIES["q_simpson_audit"](spark, sf).collect()}
+    # per-stratum: a wins both
+    assert out["click"]["a_gt_b"] and out["view"]["a_gt_b"]
+    # overall: a = 40.00 over 11 events, b = 101.00 over 11 -> b wins
+    assert not out["OVERALL"]["a_gt_b"]
+    assert out["click"]["reversed"] and out["view"]["reversed"]
+    assert not out["OVERALL"]["reversed"]
+
+
+# ---------------------------------------------------------------------------
+# X346 SPRT — hand-unrolled crossings
+# ---------------------------------------------------------------------------
+def test_sprt_accepts_h1_on_purchase_burst(spark, tmp_path):
+    """Day 1: 8 purchases → LLR = 8·ln1.5 = 3.243721 ≥ ln19 →
+    accept_h1 on day one."""
+    rows = [(i, 1, "purchase", 1.0) for i in range(8)]
+    sf = _write_events(spark, tmp_path, rows)
+    [r] = QUERIES["q_sprt_sequential"](spark, sf).collect()
+    assert r["s_cum"] == 8 and r["n_cum"] == 8
+    assert r["llr"] == round(8 * 0.4054651081081644, 6)
+    assert r["decision"] == "accept_h1"
+
+
+def test_sprt_accepts_h0_on_click_run(spark, tmp_path):
+    """23 clicks, no purchases → LLR = 23·ln(0.875) = −3.071222 ≤
+    −ln19 → accept_h0; at 22 it is still 'continue'."""
+    rows = [(i, 1, "click", 1.0) for i in range(23)]
+    sf = _write_events(spark, tmp_path, rows)
+    [r] = QUERIES["q_sprt_sequential"](spark, sf).collect()
+    assert r["llr"] == round(23 * -0.13353139262452263, 6)
+    assert r["decision"] == "accept_h0"
+    rows22 = [(i, 1, "click", 1.0) for i in range(22)]
+    sf2 = _write_events(spark, tmp_path, rows22)
+    [r2] = QUERIES["q_sprt_sequential"](spark, sf2).collect()
+    assert r2["decision"] == "continue"
+
+
+# ---------------------------------------------------------------------------
+# X347 quantile normalization — two sources converge on the pooled
+# ---------------------------------------------------------------------------
+def test_quantile_normalize_converges_sources(spark, tmp_path):
+    """Source A lengths {1,2,3}, source B {101,102,103}: pooled order
+    [1,2,3,101,102,103]; rank r of 3 maps to pos (6r+2)//3 = {2,4,6}
+    → both sources map to values {2,101,103} (sum 206) — after
+    normalization the sources are DISTRIBUTIONALLY IDENTICAL, which
+    is the operator's contract."""
+    texts_a = ["x" * k for k in (1, 2, 3)]
+    texts_b = ["x" * k for k in (101, 102, 103)]
+    df = spark.createDataFrame(
+        [(i + 1, t, "en", "A", len(t)) for i, t in enumerate(texts_a)]
+        + [(10 + i, t, "en", "B", len(t)) for i, t in enumerate(texts_b)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r["source"]: r for r in QUERIES["q_quantile_normalize"](spark, str(tmp_path)).collect()}
+    assert out["A"]["sum_before"] == 6 and out["B"]["sum_before"] == 306
+    assert out["A"]["sum_after"] == 206 and out["B"]["sum_after"] == 206
+    assert out["A"]["mean_after_milli"] == out["B"]["mean_after_milli"]
