@@ -2322,3 +2322,170 @@ def q_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN round(noisy_s / noisy_n * 1000000) END AS BIGINT)"
         ).alias("noisy_mean_micro"),
     ).orderBy("lang", "eps_milli")
+
+
+# --------------------------------------------------------------------------
+# X348 — Bloom-filter false-positive audit: build a deterministic
+# Bloom membership (k=3 md5-derived bit positions, m=16384) over the
+# src_00 vocabulary, probe it with every OTHER source's vocabulary,
+# and compare the MEASURED false-positive rate against the published
+# (1 − e^(−kn/m))^k formula — the sizing audit you run before trusting
+# a Bloom side-filter (X139 q_join_bloom) at 100 TB.
+# --------------------------------------------------------------------------
+_BLOOM_M = 16384
+_BLOOM_K = 3
+
+
+@query(
+    "q_bloom_fpr",
+    oracle=rf"""
+    WITH tokd AS (
+      SELECT DISTINCT
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+',
+                    ' ', 'g')), ' ')) AS w,
+             source
+      FROM documents
+    ),
+    members AS (SELECT DISTINCT w FROM tokd WHERE source = 'src_00'),
+    probes AS (
+      SELECT DISTINCT w FROM tokd WHERE source <> 'src_00'
+      AND w NOT IN (SELECT w FROM members)
+    ),
+    mbits AS (
+      SELECT DISTINCT pos FROM (
+        SELECT ('0x' || substr(md5(w || '|' || CAST(k AS VARCHAR)
+                || '|bloom-v1'), 1, 8))::BIGINT % {_BLOOM_M} AS pos
+        FROM members, unnest([0, 1, 2]) AS ks(k)
+      )
+    ),
+    pbits AS (
+      SELECT w,
+             ('0x' || substr(md5(w || '|' || CAST(k AS VARCHAR)
+              || '|bloom-v1'), 1, 8))::BIGINT % {_BLOOM_M} AS pos
+      FROM probes, unnest([0, 1, 2]) AS ks(k)
+    ),
+    hits AS (
+      SELECT p.w,
+             CAST(count(*) AS BIGINT) AS n_probe_bits,
+             CAST(count(m.pos) AS BIGINT) AS n_set
+      FROM pbits p LEFT JOIN mbits m ON p.pos = m.pos
+      GROUP BY p.w
+    ),
+    agg AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+             (SELECT CAST(count(*) AS BIGINT) FROM mbits) AS bits_set,
+             CAST(count(*) AS BIGINT) AS n_probes,
+             CAST(sum(CASE WHEN n_set = n_probe_bits THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_fp
+      FROM hits
+    )
+    SELECT n_members, bits_set, n_probes, n_fp,
+           CAST(n_fp * 1000000 // n_probes AS BIGINT)
+             AS measured_fpr_micro,
+           round(pow(1.0 - exp(-{_BLOOM_K}.0 * n_members / {_BLOOM_M}.0),
+                     {_BLOOM_K}.0), 6) AS theory_fpr,
+           round(pow(CAST(bits_set AS DOUBLE) / {_BLOOM_M}.0,
+                     {_BLOOM_K}.0), 6) AS load_fpr
+    FROM agg
+    """,
+)
+def q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X348 — measured vs theoretical Bloom FPR (m=16384, k=3,
+    md5-derived positions): `theory_fpr` is the classic approximation
+    from n alone; `load_fpr` = (bits_set/m)^k is the exact-load form;
+    `measured_fpr_micro` counts probes whose k positions are ALL set.
+
+    Exactness: bit positions are integer md5-window mods (identical
+    both engines); the measured rate is a truncated micro div of
+    exact counts; the two formula columns are identical-input double
+    pow/exp behind 6-dp rounds. Scale shape: member and probe
+    vocabularies are distinct-aggregates (map-side combined); the
+    probe check is a (pos)-key join of k·|vocab| rows against the
+    ≤ m-row bit table (broadcastable — a Bloom bitset is SMALL, which
+    is the point); output is 1 row."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select(
+        "source",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                " ",
+            )
+        ).alias("w"),
+    ).distinct()
+    members = (
+        tokd.filter(F.col("source") == "src_00").select("w").distinct()
+    )
+    probes = (
+        tokd.filter(F.col("source") != "src_00")
+        .select("w")
+        .distinct()
+        .join(members, "w", "left_anti")
+    )
+    ks = docs.sparkSession.createDataFrame([(0,), (1,), (2,)], "k int")
+
+    def bits(df):
+        return df.crossJoin(F.broadcast(ks)).select(
+            "w",
+            F.expr(
+                f"CAST(conv(substr(md5(w || '|' || CAST(k AS STRING)"
+                f" || '|bloom-v1'), 1, 8), 16, 10) AS BIGINT)"
+                f" % {_BLOOM_M}"
+            ).alias("pos"),
+        )
+
+    mbits = bits(members).select("pos").distinct()
+    pbits = bits(probes)
+    hits = (
+        pbits.join(
+            F.broadcast(mbits.withColumn("hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probe_bits"),
+            F.sum(F.coalesce("hit", F.lit(0)))
+            .cast("long")
+            .alias("n_set"),
+        )
+    )
+    nm = members.agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    nb = mbits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    agg = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(
+            F.expr(
+                "CASE WHEN n_set = n_probe_bits THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_fp"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_members",
+            "bits_set",
+            "n_probes",
+            "n_fp",
+            F.expr(
+                "CAST(n_fp * 1000000 div n_probes AS BIGINT)"
+            ).alias("measured_fpr_micro"),
+            F.round(
+                F.expr(
+                    f"pow(1.0 - exp(-{_BLOOM_K}.0 * n_members"
+                    f" / {_BLOOM_M}.0), {_BLOOM_K}.0)"
+                ),
+                6,
+            ).alias("theory_fpr"),
+            F.round(
+                F.expr(
+                    f"pow(CAST(bits_set AS DOUBLE) / {_BLOOM_M}.0,"
+                    f" {_BLOOM_K}.0)"
+                ),
+                6,
+            ).alias("load_fpr"),
+        )
+    )

@@ -7825,3 +7825,95 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# X349 — propensity / positivity overlap: the histogram overlap
+# coefficient OVL = Σ_bins min(p_a, p_b) between the two user-parity
+# cohorts' value distributions — the positivity check a causal
+# analysis (X309 CUPED, X320 QTE) must pass before comparing cohorts
+# at all (OVL near 0 means the cohorts never see the same conditions
+# and no adjustment can save the comparison). min of shares is the
+# cross-multiplied integer min — no fractional share materializes.
+# --------------------------------------------------------------------------
+@query(
+    "q_propensity_overlap",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS cohort,
+             least(greatest(CAST(floor(value / 25.0) AS INT), 0), 19)
+               AS bin
+      FROM events
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(count(*) FILTER (cohort = 'a') AS HUGEINT) AS ca,
+             CAST(count(*) FILTER (cohort = 'b') AS HUGEINT) AS cb
+      FROM base GROUP BY bin
+    ),
+    tots AS (
+      SELECT CAST(sum(ca) AS HUGEINT) AS na,
+             CAST(sum(cb) AS HUGEINT) AS nb
+      FROM cells
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(ca AS BIGINT) AS cnt_a, CAST(cb AS BIGINT) AS cnt_b,
+           CAST(least(ca * nb, cb * na) * 1000000 // (na * nb)
+                AS BIGINT) AS min_share_micro,
+           CAST(sum(least(ca * nb, cb * na) * 1000000 // (na * nb))
+                OVER () AS BIGINT) AS ovl_micro
+    FROM cells CROSS JOIN tots
+    ORDER BY bin
+    """,
+)
+def q_propensity_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X349 — overlap coefficient between the cohorts' value
+    histograms (20 bins over [0, 500), edge-clamped): per-bin
+    min(p_a, p_b) in exact micro units + the OVL total.
+
+    Exactness: min of two shares via the cross-multiplied integer
+    form min(c_a·n_b, c_b·n_a)/(n_a·n_b) — the X335 threshold
+    discipline; each bin's term is one truncated micro div; the OVL
+    window sums bin-count-sized rows. Scale shape: one fact-sized
+    (bin × cohort) counting aggregate (FILTER-folded), then 20-row
+    arithmetic. Presentation sort grid-bounded (class a)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.expr(
+            "CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END"
+        ).alias("cohort"),
+        F.expr(
+            "least(greatest(CAST(floor(value / 25.0) AS INT), 0), 19)"
+        ).alias("bin"),
+    )
+    cells = base.groupBy("bin").agg(
+        F.count(F.when(F.col("cohort") == "a", 1))
+        .cast("decimal(38,0)")
+        .alias("ca"),
+        F.count(F.when(F.col("cohort") == "b", 1))
+        .cast("decimal(38,0)")
+        .alias("cb"),
+    )
+    tots = cells.agg(
+        F.sum("ca").cast("decimal(38,0)").alias("na"),
+        F.sum("cb").cast("decimal(38,0)").alias("nb"),
+    )
+    j = cells.crossJoin(F.broadcast(tots)).withColumn(
+        "min_share_micro",
+        F.expr(
+            "CAST(least(ca * nb, cb * na) * 1000000 div (na * nb)"
+            " AS BIGINT)"
+        ),
+    )
+    return j.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("ca").cast("long").alias("cnt_a"),
+        F.col("cb").cast("long").alias("cnt_b"),
+        "min_share_micro",
+        F.sum("min_share_micro")
+        .over(W.partitionBy())
+        .cast("long")
+        .alias("ovl_micro"),
+    ).orderBy("bin")

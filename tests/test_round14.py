@@ -679,3 +679,78 @@ def test_quantile_normalize_converges_sources(spark, tmp_path):
     assert out["A"]["sum_before"] == 6 and out["B"]["sum_before"] == 306
     assert out["A"]["sum_after"] == 206 and out["B"]["sum_after"] == 206
     assert out["A"]["mean_after_milli"] == out["B"]["mean_after_milli"]
+
+
+# ---------------------------------------------------------------------------
+# X348 Bloom FPR — no-collision and forced-collision plants
+# ---------------------------------------------------------------------------
+def test_bloom_fpr_small_member_set(spark, tmp_path):
+    """One member word, many probe words: with 3 of 16384 bits set,
+    false positives require a 3-bit collision — measured FPR is 0 on
+    this plant and the theory/load columns match the python formula."""
+    df = spark.createDataFrame(
+        [(1, "member", "en", "src_00", 6)]
+        + [
+            (10 + i, f"probe{i:03d}", "en", "src_01", 8)
+            for i in range(50)
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    [r] = QUERIES["q_bloom_fpr"](spark, str(tmp_path)).collect()
+    assert r["n_members"] == 1 and r["n_probes"] == 50
+    assert r["bits_set"] <= 3
+    assert r["n_fp"] == 0 and r["measured_fpr_micro"] == 0
+    assert r["theory_fpr"] == round(
+        (1.0 - math.exp(-3.0 * 1 / 16384.0)) ** 3.0, 6
+    )
+    assert r["load_fpr"] == round((r["bits_set"] / 16384.0) ** 3.0, 6)
+
+
+def test_bloom_fpr_member_words_never_probed(spark, tmp_path):
+    """Probe words that ALSO appear in src_00 are excluded (a Bloom
+    filter has no false negatives — only unseen words measure FPR)."""
+    df = spark.createDataFrame(
+        [(1, "shared alpha", "en", "src_00", 12),
+         (2, "shared beta", "en", "src_01", 11)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    [r] = QUERIES["q_bloom_fpr"](spark, str(tmp_path)).collect()
+    assert r["n_members"] == 2  # shared, alpha
+    assert r["n_probes"] == 1   # only beta ('shared' is a member)
+
+
+# ---------------------------------------------------------------------------
+# X349 propensity overlap — identical and disjoint cohorts
+# ---------------------------------------------------------------------------
+def test_propensity_overlap_identical_cohorts(spark, tmp_path):
+    """Both cohorts see the same histogram → OVL = 1e6 (up to the
+    per-bin floor; one bin per value here so exactly 1e6)."""
+    rows = []
+    eid = 0
+    for u in (2, 3):  # user 2 even -> a, 3 odd -> b
+        for v in (10.0, 10.0, 60.0, 60.0):
+            rows.append((eid, u, "click", v)); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = QUERIES["q_propensity_overlap"](spark, sf).collect()
+    assert out[0]["ovl_micro"] == 1_000_000
+    assert all(r["min_share_micro"] > 0 for r in out)
+
+
+def test_propensity_overlap_disjoint_is_zero(spark, tmp_path):
+    """Cohort a only in bin 0, cohort b only in bin 19 → OVL = 0 (no
+    common support — the causal comparison must be refused)."""
+    rows = [(0, 2, "click", 5.0), (1, 2, "click", 5.0),
+            (2, 1, "click", 490.0), (3, 1, "click", 490.0)]
+    sf = _write_events(spark, tmp_path, rows)
+    out = QUERIES["q_propensity_overlap"](spark, sf).collect()
+    assert [r["bin"] for r in out] == [0, 19]
+    assert all(r["min_share_micro"] == 0 for r in out)
+    assert out[0]["ovl_micro"] == 0
