@@ -4977,3 +4977,120 @@ def q_youden_j(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("threshold_micro") == F.col("best_thr"))
         ).alias("is_best"),
     ).orderBy("threshold_micro")
+
+
+# --------------------------------------------------------------------------
+# X353 — Fleiss' kappa for the k=3 binary gates treated as 3 raters
+# per document (categories: pass/fail): the multi-rater agreement
+# companion of X246 (Cohen, 2 raters), X338 (weighted, ordinal) and
+# X329 (Cochran, rate equality). P̄ and P̄e are exact rationals of the
+# per-doc pass counts; kappa is one sign-corrected integer division.
+# --------------------------------------------------------------------------
+@query(
+    "q_fleiss_kappa",
+    oracle=rf"""
+    WITH {_RATED_CTE.replace("rated AS (", "rated0 AS (")},
+    rows_r AS (
+      SELECT CAST(
+               CAST((len(t) >= 50 AND
+                len(list_distinct(list_intersect(t, {_KAPPA_STOPS_SQL})))
+                  >= 2) AS INT)
+               + CAST((CAST(len(list_distinct(t)) * 1000000 // len(t)
+                       AS BIGINT) >= 450000) AS INT)
+               + CAST((n_chars >= 300) AS INT) AS HUGEINT) AS ri
+      FROM tok2
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(ri) AS HUGEINT) AS tot_pass,
+             CAST(sum(ri * ri) AS HUGEINT) AS sum_ri2
+      FROM rows_r
+    ),
+    parts AS (
+      -- P_bar numerator: sum_i [ri(ri-1) + (3-ri)(2-ri)] over n*3*2
+      SELECT n, tot_pass,
+             sum_ri2 - tot_pass
+               + (6 * n - 5 * tot_pass + sum_ri2) AS pbar_num,
+             6 * n AS pbar_den,
+             -- P_e numerator: p^2 + q^2 with p = tot/(3n):
+             -- (tot^2 + (3n - tot)^2) over (3n)^2
+             tot_pass * tot_pass
+               + (3 * n - tot_pass) * (3 * n - tot_pass) AS pe_num,
+             9 * n * n AS pe_den
+      FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(tot_pass AS BIGINT) AS total_passes,
+           CAST(pbar_num * 1000000 // pbar_den AS BIGINT)
+             AS p_bar_micro,
+           CAST(pe_num * 1000000 // pe_den AS BIGINT) AS p_e_micro,
+           CAST(CASE WHEN pbar_den * pe_den - pe_num * pbar_den = 0
+                THEN NULL
+                WHEN pbar_num * pe_den - pe_num * pbar_den >= 0
+                THEN (pbar_num * pe_den - pe_num * pbar_den) * 1000000
+                     // (pbar_den * pe_den - pe_num * pbar_den)
+                ELSE -((-(pbar_num * pe_den - pe_num * pbar_den))
+                       * 1000000
+                       // (pbar_den * pe_den - pe_num * pbar_den))
+                END AS BIGINT) AS kappa_micro
+    FROM parts
+    """,
+)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X353 — Fleiss' kappa, 3 raters × 2 categories per document:
+    P̄ = Σᵢ[rᵢ(rᵢ−1) + (3−rᵢ)(2−rᵢ)] / 6n, P̄e = p² + q² with
+    p = total passes / 3n; κ = (P̄ − P̄e)/(1 − P̄e) as one
+    sign-corrected exact rational (cross-multiplied, denominators
+    never divided separately).
+
+    Exactness: rᵢ ∈ {0..3} is an integer projection; all numerators
+    and denominators are DECIMAL(38) integer products; a degenerate
+    P̄e = 1 (all raters always vote the same category corpus-wide)
+    → NULL. Scale shape: one scan → 1-row moment aggregate →
+    constant arithmetic. Output is 1 row."""
+    rated = _rated_gates(load_table(spark, sf_dir, "documents"))
+    rows_r = rated.select(
+        F.expr(
+            "CAST(CAST(ra AS INT) + CAST(rb AS INT)"
+            " + CAST(n_chars >= 300 AS INT) AS DECIMAL(38,0))"
+        ).alias("ri")
+    )
+    agg = rows_r.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("ri").cast("decimal(38,0)").alias("tot_pass"),
+        F.sum(F.expr("ri * ri")).cast("decimal(38,0)").alias("sum_ri2"),
+    )
+    parts = agg.select(
+        "n",
+        "tot_pass",
+        F.expr(
+            "sum_ri2 - tot_pass + (6 * n - 5 * tot_pass + sum_ri2)"
+        ).alias("pbar_num"),
+        F.expr("6 * n").alias("pbar_den"),
+        F.expr(
+            "tot_pass * tot_pass"
+            " + (3 * n - tot_pass) * (3 * n - tot_pass)"
+        ).alias("pe_num"),
+        F.expr("9 * n * n").alias("pe_den"),
+    )
+    return parts.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("tot_pass").cast("long").alias("total_passes"),
+        F.expr(
+            "CAST(pbar_num * 1000000 div pbar_den AS BIGINT)"
+        ).alias("p_bar_micro"),
+        F.expr("CAST(pe_num * 1000000 div pe_den AS BIGINT)").alias(
+            "p_e_micro"
+        ),
+        F.expr(
+            "CAST(CASE WHEN pbar_den * pe_den - pe_num * pbar_den = 0"
+            " THEN NULL"
+            " WHEN pbar_num * pe_den - pe_num * pbar_den >= 0"
+            " THEN (pbar_num * pe_den - pe_num * pbar_den) * 1000000"
+            "      div (pbar_den * pe_den - pe_num * pbar_den)"
+            " ELSE -((-(pbar_num * pe_den - pe_num * pbar_den))"
+            "        * 1000000"
+            "        div (pbar_den * pe_den - pe_num * pbar_den))"
+            " END AS BIGINT)"
+        ).alias("kappa_micro"),
+    )

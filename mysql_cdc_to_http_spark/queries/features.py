@@ -7917,3 +7917,445 @@ def q_propensity_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ovl_micro"),
     ).orderBy("bin")
+
+
+# --------------------------------------------------------------------------
+# X350 — one-way random-effects ICC(1,1) of document length within
+# language groups: how much of length variance is BETWEEN languages?
+# Built from the X312 ANOVA moment machinery (SSB/SSW from group
+# sums), with the unequal-group-size n₀ correction. The
+# reliability/clustering-strength companion to the F test.
+# --------------------------------------------------------------------------
+@query(
+    "q_icc",
+    oracle="""
+    WITH g AS (
+      SELECT lang,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(n_chars) AS HUGEINT) AS s,
+             CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT)
+               AS q
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS HUGEINT) AS nt,
+             CAST(sum(s) AS HUGEINT) AS st,
+             CAST(sum(q) AS HUGEINT) AS qt,
+             sum(CAST(s AS DOUBLE) * s / n) AS ssb_part,
+             sum(CAST(n AS DOUBLE) * n) AS sum_n2
+      FROM g
+    ),
+    ms AS (
+      SELECT k, CAST(nt AS BIGINT) AS n_total,
+             (ssb_part - CAST(st AS DOUBLE) * st / nt)
+               / (k - 1) AS msb,
+             (CAST(qt AS DOUBLE) - ssb_part)
+               / (CAST(nt AS BIGINT) - k) AS msw,
+             (CAST(nt AS DOUBLE) - sum_n2 / CAST(nt AS DOUBLE))
+               / (k - 1) AS n0
+      FROM tot WHERE k >= 2 AND nt > k
+    )
+    SELECT k AS n_groups, n_total,
+           round(msb, 6) AS ms_between,
+           round(msw, 6) AS ms_within,
+           round(n0, 6) AS n0,
+           round((msb - msw) / (msb + (n0 - 1) * msw), 6) AS icc
+    FROM ms
+    """,
+)
+def q_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X350 — ICC(1,1) with the unequal-group n₀ correction:
+    ICC = (MSB − MSW)/(MSB + (n₀−1)·MSW), n₀ = (N − Σn²/N)/(k−1).
+
+    Exactness: all sums/squares are exact integers (the X312
+    discipline); MSB/MSW/n₀ are identical-input double expressions
+    behind 6-dp rounds, and the ICC is a ratio of those same doubles
+    rounded once at the end (one expression tree, both engines).
+    Scale shape: one fact-sized groupBy(lang) with map-side partials;
+    everything after runs on k rows. Output is 1 row."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("n_chars").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("CAST(n_chars AS DECIMAL(38,0)) * n_chars"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("decimal(38,0)").alias("nt"),
+        F.sum("s").cast("decimal(38,0)").alias("st"),
+        F.sum("q").cast("decimal(38,0)").alias("qt"),
+        F.sum(F.expr("CAST(s AS DOUBLE) * s / n")).alias("ssb_part"),
+        F.sum(F.expr("CAST(n AS DOUBLE) * n")).alias("sum_n2"),
+    )
+    ms = tot.filter(
+        (F.col("k") >= 2) & (F.col("nt") > F.col("k"))
+    ).select(
+        "k",
+        F.col("nt").cast("long").alias("n_total"),
+        F.expr(
+            "(ssb_part - CAST(st AS DOUBLE) * st / nt) / (k - 1)"
+        ).alias("msb"),
+        F.expr(
+            "(CAST(qt AS DOUBLE) - ssb_part)"
+            " / (CAST(nt AS BIGINT) - k)"
+        ).alias("msw"),
+        F.expr(
+            "(CAST(nt AS DOUBLE) - sum_n2 / CAST(nt AS DOUBLE))"
+            " / (k - 1)"
+        ).alias("n0"),
+    )
+    return ms.select(
+        F.col("k").alias("n_groups"),
+        "n_total",
+        F.round("msb", 6).alias("ms_between"),
+        F.round("msw", 6).alias("ms_within"),
+        F.round("n0", 6).alias("n0"),
+        F.round(
+            F.expr("(msb - msw) / (msb + (n0 - 1) * msw)"), 6
+        ).alias("icc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X351 — Mann–Kendall trend test on the daily revenue series: the
+# nonparametric significance companion to X304's Theil–Sen slope.
+# S = Σ_{i<j} sign(x_j − x_i) over the daily series, tie-corrected
+# variance, z with the ±1 continuity correction. The daily series is
+# calendar-sized, so the pair set is bounded (the X311 adjudication).
+# --------------------------------------------------------------------------
+@query(
+    "q_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100, 0) AS HUGEINT))
+                  AS HUGEINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    s AS (SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+                 (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n
+          FROM pairs),
+    ties AS (
+      SELECT COALESCE(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT),
+                      0) AS tie_term
+      FROM (SELECT CAST(count(*) AS HUGEINT) AS t FROM daily
+            GROUP BY cents HAVING count(*) > 1)
+    )
+    SELECT n, s_stat,
+           CAST((n * (n - 1) * (2 * n + 5) - tie_term) AS BIGINT)
+             AS var18_scaled,
+           round(CASE WHEN n * (n - 1) * (2 * n + 5) - tie_term > 0
+                 THEN (CASE WHEN s_stat > 0 THEN s_stat - 1
+                            WHEN s_stat < 0 THEN s_stat + 1
+                            ELSE 0 END)
+                      / sqrt((n * (n - 1.0) * (2 * n + 5) - tie_term)
+                             / 18.0) END, 6) AS z,
+           CASE WHEN n * (n - 1) * (2 * n + 5) - tie_term > 0 THEN
+                abs(round((CASE WHEN s_stat > 0 THEN s_stat - 1
+                           WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END)
+                    / sqrt((n * (n - 1.0) * (2 * n + 5) - tie_term)
+                           / 18.0), 6)) > 1.959964
+                ELSE FALSE END AS trending
+    FROM s CROSS JOIN ties
+    """,
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X351 — Mann–Kendall S + tie-corrected z on daily revenue:
+    Var(S) = (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18, z with the standard
+    continuity correction, 5% two-sided gate at 1.959964.
+
+    Exactness: S and the 18-scaled variance are exact integers; z is
+    one identical-input double expression behind the 6-dp round, and
+    the gate compares the ROUNDED z (X334 discipline). Scale shape:
+    the fact table reduces to the daily rollup first; the pair join
+    runs on the calendar-sized series (the X311 tau adjudication —
+    bounded by days², not facts). Output is 1 row."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.expr("CAST(round(value * 100, 0) AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    a = daily.select(
+        F.col("d").alias("da"), F.col("cents").alias("ca")
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("cents").alias("cb")
+    )
+    pairs = a.join(b, F.col("db") > F.col("da")).select(
+        F.expr(
+            "CASE WHEN cb > ca THEN 1 WHEN cb < ca THEN -1 ELSE 0 END"
+        ).alias("sgn")
+    )
+    s = pairs.agg(F.sum("sgn").cast("long").alias("s_stat")).crossJoin(
+        F.broadcast(
+            daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+    )
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).cast("long"),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    out = s.crossJoin(F.broadcast(ties))
+    zexpr = (
+        "(CASE WHEN s_stat > 0 THEN s_stat - 1"
+        " WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END)"
+        " / sqrt((n * (n - 1.0) * (2 * n + 5) - tie_term) / 18.0)"
+    )
+    return out.select(
+        "n",
+        "s_stat",
+        F.expr(
+            "CAST((n * (n - 1) * (2 * n + 5) - tie_term) AS BIGINT)"
+        ).alias("var18_scaled"),
+        F.round(
+            F.expr(
+                f"CASE WHEN n * (n - 1) * (2 * n + 5) - tie_term > 0"
+                f" THEN {zexpr} END"
+            ),
+            6,
+        ).alias("z"),
+        F.expr(
+            f"CASE WHEN n * (n - 1) * (2 * n + 5) - tie_term > 0 THEN"
+            f" abs(round({zexpr}, 6)) > 1.959964 ELSE FALSE END"
+        ).alias("trending"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X352 — delete-one jackknife variance of the per-priority revenue
+# RATIO (mean order value = Σcents/n): leave-one-out replicate values
+# R₍ᵢ₎ = (S − xᵢ)/(n − 1) computed in closed form from the group sums
+# (never materializing n copies — the jackknife that works at 100 TB),
+# quantized to exact integer micro BEFORE the replicate moments so
+# the fact-sized sum is integer, not order-dependent FP.
+# --------------------------------------------------------------------------
+@query(
+    "q_jackknife_ratio",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS priority,
+             CAST(round(o_totalprice * 100, 0) AS HUGEINT) AS cents
+      FROM orders
+    ),
+    g AS (
+      SELECT priority,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS s
+      FROM o GROUP BY 1
+    ),
+    reps AS (
+      SELECT o.priority, g.n, g.s,
+             (g.s - o.cents) * 10000 // (g.n - 1) AS r_micro
+      FROM o JOIN g USING (priority)
+      WHERE g.n >= 2
+    ),
+    mom AS (
+      SELECT priority,
+             CAST(max(n) AS BIGINT) AS n_orders,
+             CAST(max(s) * 10000 // max(n) AS BIGINT) AS point_micro,
+             CAST(count(*) AS HUGEINT) AS nr,
+             CAST(sum(r_micro) AS HUGEINT) AS sr,
+             CAST(sum(r_micro * r_micro) AS HUGEINT) AS qr
+      FROM reps GROUP BY priority
+    )
+    SELECT priority, n_orders, point_micro,
+           CAST(floor(sqrt(CAST((nr * qr - sr * sr) AS DOUBLE)
+                      * CAST(nr - 1 AS DOUBLE) / CAST(nr AS DOUBLE)
+                      / CAST(nr AS DOUBLE))) AS BIGINT)
+             AS jack_se_micro
+    FROM mom ORDER BY priority
+    """,
+)
+def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X352 — closed-form delete-1 jackknife SE of mean order value
+    per priority: var_jack = (n−1)/n · Σ(R₍ᵢ₎ − R̄)², with replicates
+    quantized to integer micro BEFORE the moment sums (the X340
+    doubled-U lesson applied to FP: a fact-sized double sum is
+    partitioning-dependent; an integer sum is not).
+
+    Exactness: R₍ᵢ₎ micro is a truncated integer div per row; the
+    replicate moments use the n·Σx² − (Σx)² integer identity (X337);
+    only the final sqrt is floating, behind a 6-dp round. Scale
+    shape: one group-sums aggregate, one broadcast-join projection
+    over the facts, one moment aggregate — no per-replicate
+    materialization ever. Output is #priorities rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0))").alias(
+            "cents"
+        ),
+    )
+    g = o.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+    )
+    reps = (
+        o.join(F.broadcast(g), "priority")
+        .filter(F.col("n") >= 2)
+        .select(
+            "priority",
+            "n",
+            "s",
+            F.expr(
+                "CAST((s - cents) * 10000 div (n - 1)"
+                " AS DECIMAL(38,0))"
+            ).alias("r_micro"),
+        )
+    )
+    mom = reps.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.expr("CAST(max(s) * 10000 div max(n) AS BIGINT)").alias(
+            "point_micro"
+        ),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nr"),
+        F.sum("r_micro").cast("decimal(38,0)").alias("sr"),
+        F.sum(
+            F.expr(
+                "CAST(r_micro AS DECIMAL(38,0))"
+                " * CAST(r_micro AS DECIMAL(38,0))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("qr"),
+    )
+    return mom.select(
+        "priority",
+        "n_orders",
+        "point_micro",
+        F.expr(
+            "CAST(floor(sqrt(CAST(nr * qr - sr * sr AS DOUBLE)"
+            " * CAST(nr - 1 AS DOUBLE) / CAST(nr AS DOUBLE)"
+            " / CAST(nr AS DOUBLE))) AS BIGINT)"
+        ).alias("jack_se_micro"),
+    ).orderBy("priority")
+
+
+# --------------------------------------------------------------------------
+# X354 — decile Lorenz curve of per-customer revenue: the curve
+# behind X133's Gini scalar (cumulative revenue share at each
+# population decile, plus the diagonal gap). Deciles come from the
+# same two-level ranked prefix sums as the Gini rank — cumulative
+# CENTS at the decile boundary over total cents, exact micro.
+# --------------------------------------------------------------------------
+@query(
+    "q_lorenz_curve",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS HUGEINT))
+                  AS HUGEINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i,
+             sum(cents) OVER (ORDER BY cents, o_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             count(*) OVER () AS n,
+             sum(cents) OVER () AS tot
+      FROM rev
+    ),
+    deciles AS (SELECT unnest([1,2,3,4,5,6,7,8,9,10]) AS dec),
+    pts AS (
+      SELECT dec,
+             max(CASE WHEN i * 10 <= dec * n THEN cum END) AS cum_at,
+             max(n) AS n, max(tot) AS tot
+      FROM ranked CROSS JOIN deciles
+      GROUP BY dec
+    )
+    SELECT CAST(dec AS INT) AS decile,
+           CAST(COALESCE(cum_at, 0) * 1000000 // tot AS BIGINT)
+             AS cum_share_micro,
+           CAST(dec * 100000
+                - COALESCE(cum_at, 0) * 1000000 // tot AS BIGINT)
+             AS gap_micro
+    FROM pts ORDER BY decile
+    """,
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X354 — Lorenz curve at the 10 population deciles: cumulative
+    revenue share of the poorest i/10 of customers (exact micro) and
+    the gap to the equality diagonal (whose area is the X133 Gini).
+
+    Exactness: the decile membership test is the cross-multiplied
+    integer i·10 ≤ d·n (no fractional decile boundary); cumulative
+    cents come from a TOTAL order; shares are truncated micro divs.
+    Scale shape: rank + cumsum via the engine's two-level ranked
+    prefix machinery (operators/sampling.py — repartitionByRange +
+    partitioned windows, no single-partition window over the
+    row-scaling customer table); the decile reduction is one
+    aggregate over a 10-way broadcast cross join. Output is 10 rows.
+    """
+    from mysql_cdc_to_http_spark.operators.sampling import (
+        ranked_prefix_sums,
+    )
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0))"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("cents")
+        )
+        .withColumn("__one", F.lit(1).cast("bigint"))
+    )
+    ranked = ranked_prefix_sums(
+        rev,
+        [F.col("cents").asc(), F.col("o_custkey").asc()],
+        ["__one", "cents"],
+    ).select(
+        F.col("__one__cum").alias("i"),
+        F.col("cents__cum").alias("cum"),
+    )
+    tots = rev.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("tot"),
+    )
+    deciles = rev.sparkSession.createDataFrame(
+        [(d,) for d in range(1, 11)], "dec int"
+    )
+    pts = (
+        ranked.crossJoin(F.broadcast(tots))
+        .crossJoin(F.broadcast(deciles))
+        .groupBy("dec")
+        .agg(
+            F.max(
+                F.when(
+                    F.expr("i * 10 <= dec * n"), F.col("cum")
+                )
+            ).alias("cum_at"),
+            F.max("tot").alias("tot"),
+        )
+    )
+    return pts.select(
+        F.col("dec").cast("int").alias("decile"),
+        F.expr(
+            "CAST(COALESCE(cum_at, 0) * 1000000 div tot AS BIGINT)"
+        ).alias("cum_share_micro"),
+        F.expr(
+            "CAST(dec * 100000"
+            " - COALESCE(cum_at, 0) * 1000000 div tot AS BIGINT)"
+        ).alias("gap_micro"),
+    ).orderBy("decile")

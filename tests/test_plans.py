@@ -1387,6 +1387,7 @@ GLOBAL_SORT_ALLOWED = frozenset(
     q_poisson_bootstrap q_anderson_darling q_tail_dependence
     q_info_gain q_repetition_gopher q_rank_biserial q_gumbel_maxima
     q_youden_j q_simpson_audit q_quantile_normalize q_propensity_overlap
+    q_jackknife_ratio q_lorenz_curve
     q_set_ops q_shard_manifest q_silhouette q_stopword_induction q_stratified_kfold
     q_stream_histogram q_stream_kmv q_stream_rate_alert q_stream_static_join q_stream_topk
     q_table_profile q_temperature_mix q_term_burstiness q_text_stats q_threshold_sweep
