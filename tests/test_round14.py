@@ -754,3 +754,158 @@ def test_propensity_overlap_disjoint_is_zero(spark, tmp_path):
     assert [r["bin"] for r in out] == [0, 19]
     assert all(r["min_share_micro"] == 0 for r in out)
     assert out[0]["ovl_micro"] == 0
+
+
+# ---------------------------------------------------------------------------
+# X350 ICC — perfect clustering and zero-between plants
+# ---------------------------------------------------------------------------
+def _write_docs_lang(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [
+            (i + 1, "x" * k, lang, "src", k)
+            for i, (k, lang) in enumerate(rows)
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_icc_perfect_clustering(spark, tmp_path):
+    """Zero within-group variance (en all 100 chars, de all 200):
+    MSW = 0 → ICC = 1 exactly."""
+    sf = _write_docs_lang(
+        spark, tmp_path, [(100, "en")] * 3 + [(200, "de")] * 3
+    )
+    [r] = QUERIES["q_icc"](spark, sf).collect()
+    assert r["ms_within"] == 0.0
+    assert r["icc"] == 1.0
+
+
+def test_icc_zero_between(spark, tmp_path):
+    """Equal group means, within-only variance ({100,200} in both
+    langs): MSB = 0, n₀ = 2 → ICC = −1/(n₀−1) = −1."""
+    sf = _write_docs_lang(
+        spark, tmp_path,
+        [(100, "en"), (200, "en"), (100, "de"), (200, "de")],
+    )
+    [r] = QUERIES["q_icc"](spark, sf).collect()
+    assert r["ms_between"] == 0.0
+    assert r["n0"] == 2.0
+    assert r["icc"] == -1.0
+
+
+# ---------------------------------------------------------------------------
+# X351 Mann–Kendall — strictly monotone ledger
+# ---------------------------------------------------------------------------
+def test_mann_kendall_monotone(spark, tmp_path):
+    """5 strictly increasing days: S = 10, no ties → Var·18 = 300,
+    z = (10−1)/√(300/18) = 2.204541 > 1.959964 → trending."""
+    rows = []
+    for day in range(5):
+        rows.append((day, 1, "click", float(10 * (day + 1))))
+    df = spark.createDataFrame(
+        [
+            (eid, datetime.datetime(2024, 1, 1 + eid), uid, et, v, "{}")
+            for eid, uid, et, v in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    [r] = QUERIES["q_mann_kendall"](spark, str(tmp_path)).collect()
+    assert r["n"] == 5 and r["s_stat"] == 10
+    assert r["var18_scaled"] == 5 * 4 * 15
+    assert r["z"] == round(9 / math.sqrt(300 / 18.0), 6)
+    assert r["trending"]
+
+
+def test_mann_kendall_constant_no_trend(spark, tmp_path):
+    """Identical daily totals: every pair ties → S = 0, tie term
+    swallows the variance → NULL z, FALSE verdict."""
+    rows = [(d, 1, "click", 5.0) for d in range(4)]
+    df = spark.createDataFrame(
+        [
+            (eid, datetime.datetime(2024, 1, 1 + eid), uid, et, v, "{}")
+            for eid, uid, et, v in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    [r] = QUERIES["q_mann_kendall"](spark, str(tmp_path)).collect()
+    assert r["s_stat"] == 0 and r["var18_scaled"] == 0
+    assert r["z"] is None and not r["trending"]
+
+
+# ---------------------------------------------------------------------------
+# X352 jackknife — 3-order hand ledger
+# ---------------------------------------------------------------------------
+def test_jackknife_three_order_ledger(spark, tmp_path):
+    """Orders 1.00/2.00/3.00 in one priority: replicates
+    (600−x)·1e4//2 = {2.5e6, 2e6, 1.5e6}; nr·qr − sr² = 1.5e12 →
+    SE = floor(√(1.5e12·2/9)) = 577350; point = 2e6 micro."""
+    sf = _write_orders(spark, tmp_path, [(1, 1.0), (2, 2.0), (3, 3.0)])
+    [r] = QUERIES["q_jackknife_ratio"](spark, sf).collect()
+    assert r["n_orders"] == 3
+    assert r["point_micro"] == 2_000_000
+    assert r["jack_se_micro"] == math.floor(
+        math.sqrt(1.5e12 * 2 / 9)
+    ) == 577_350
+
+
+def test_jackknife_constant_zero_se(spark, tmp_path):
+    """All orders equal: every replicate identical → SE = 0."""
+    sf = _write_orders(spark, tmp_path, [(c, 4.0) for c in range(1, 6)])
+    [r] = QUERIES["q_jackknife_ratio"](spark, sf).collect()
+    assert r["jack_se_micro"] == 0
+
+
+# ---------------------------------------------------------------------------
+# X353 Fleiss — perfect-agreement and degenerate plants
+# ---------------------------------------------------------------------------
+def test_fleiss_perfect_agreement(spark, tmp_path):
+    """Half the docs pass ALL three gates, half fail all: P̄ = 1,
+    P̄e = 1/2 → κ = 1 exactly."""
+    both_long = "the data " + " ".join(f"wa{i:03d}" for i in range(58))
+    assert len(both_long) >= 300
+    sf = _write_docs(spark, tmp_path, [both_long] * 5 + ["x x x"] * 5)
+    [r] = QUERIES["q_fleiss_kappa"](spark, sf).collect()
+    assert r["total_passes"] == 15
+    assert r["p_bar_micro"] == 1_000_000
+    assert r["p_e_micro"] == 500_000
+    assert r["kappa_micro"] == 1_000_000
+
+
+def test_fleiss_degenerate_null(spark, tmp_path):
+    """Every doc fails every gate: P̄e = 1 → NULL kappa."""
+    sf = _write_docs(spark, tmp_path, ["x x x"] * 6)
+    [r] = QUERIES["q_fleiss_kappa"](spark, sf).collect()
+    assert r["total_passes"] == 0 and r["p_e_micro"] == 1_000_000
+    assert r["kappa_micro"] is None
+
+
+# ---------------------------------------------------------------------------
+# X354 Lorenz — the 1..10 revenue ladder
+# ---------------------------------------------------------------------------
+def test_lorenz_ladder(spark, tmp_path):
+    """10 customers with revenue 1..10: cumulative share at decile d
+    is d(d+1)/2 / 55 — exact micro at every point; gap positive
+    below the diagonal everywhere except d=10."""
+    sf = _write_orders(
+        spark, tmp_path, [(c, float(c)) for c in range(1, 11)]
+    )
+    out = {r["decile"]: r for r in QUERIES["q_lorenz_curve"](spark, sf).collect()}
+    for d in range(1, 11):
+        expect = (d * (d + 1) // 2 * 100) * 1_000_000 // 5500
+        assert out[d]["cum_share_micro"] == expect
+        assert out[d]["gap_micro"] == d * 100_000 - expect
+    assert out[10]["cum_share_micro"] == 1_000_000
+    assert out[10]["gap_micro"] == 0
