@@ -1977,7 +1977,19 @@ def q_url_optout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # units via the sign·(abs div) idiom (X216's rule: Spark div
 # truncates, DuckDB // floors — they agree only on non-negatives).
 # --------------------------------------------------------------------------
-_KAPPA_STOPS_SQL = "['the', 'a', 'data', 'spark', 'query', 'join']"
+# The ONE stop list for the whole rater-gate family (X246 kappa,
+# X262 krippendorff, X327-X354 battery). Both engine and oracle forms
+# are RENDERED from this Python constant — never hand-copied — after
+# the r12-r14 lesson: q_krippendorff's engine side carried 'stream'
+# where its oracle carried 'join' for five rounds, invisible to
+# mirrored-oracle hash parity while no fixture contained either token
+# (r14 ADVICE, medium). tests/test_round15.py plants a fixture made
+# ONLY of 'join'/'stream' tokens to keep the two forms pinned.
+_KAPPA_STOPS = ["the", "a", "data", "spark", "query", "join"]
+_KAPPA_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in _KAPPA_STOPS) + "]"
+_KAPPA_STOPS_SPARK = (
+    "array(" + ", ".join(f"'{w}'" for w in _KAPPA_STOPS) + ")"
+)
 
 
 @query(
@@ -2055,10 +2067,7 @@ def q_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.array_distinct(
                         F.array_intersect(
                             F.col("t"),
-                            F.expr(
-                                "array('the', 'a', 'data', 'spark',"
-                                " 'query', 'join')"
-                            ),
+                            F.expr(_KAPPA_STOPS_SPARK),
                         )
                     )
                 )
@@ -2448,9 +2457,7 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.split(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
     )
-    stops = F.expr(
-        "array('the', 'a', 'data', 'spark', 'stream', 'query')"
-    )
+    stops = F.expr(_KAPPA_STOPS_SPARK)
     rated = docs.select(t.alias("t")).select(
         (
             (
@@ -4078,10 +4085,7 @@ def _rated_gates(docs: DataFrame) -> DataFrame:
                     F.array_distinct(
                         F.array_intersect(
                             F.col("t"),
-                            F.expr(
-                                "array('the', 'a', 'data', 'spark',"
-                                " 'query', 'join')"
-                            ),
+                            F.expr(_KAPPA_STOPS_SPARK),
                         )
                     )
                 )

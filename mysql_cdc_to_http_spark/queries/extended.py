@@ -1528,7 +1528,7 @@ def q_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words = ev.groupBy(
         F.expr(
-            "datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7"
+            "(CASE WHEN datediff(CAST(ts AS DATE), DATE '2024-01-01') >= 0 THEN datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7 ELSE -((6 - datediff(CAST(ts AS DATE), DATE '2024-01-01')) div 7) END)"
         ).alias("wi"),
         F.expr("user_id div 62").alias("bucket"),
     ).agg(

@@ -2186,7 +2186,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = ev.select(
         "user_id",
         F.expr(
-            "datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7"
+            "(CASE WHEN datediff(CAST(ts AS DATE), DATE '2024-01-01') >= 0 THEN datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7 ELSE -((6 - datediff(CAST(ts AS DATE), DATE '2024-01-01')) div 7) END)"
         ).alias("wi"),
         F.when(
             F.col("event_type") == "purchase",
@@ -7477,7 +7477,7 @@ def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blocks = daily.groupBy(
         "event_type",
-        F.expr("CAST(datediff(d, DATE '2024-01-01') div 7 AS BIGINT)").alias(
+        F.expr("CAST((CASE WHEN datediff(d, DATE '2024-01-01') >= 0 THEN datediff(d, DATE '2024-01-01') div 7 ELSE -((6 - datediff(d, DATE '2024-01-01')) div 7) END) AS BIGINT)").alias(
             "wk"
         ),
     ).agg(F.max("cents").cast("long").alias("block_max"))
@@ -8191,7 +8191,14 @@ def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: R₍ᵢ₎ micro is a truncated integer div per row; the
     replicate moments use the n·Σx² − (Σx)² integer identity (X337);
-    only the final sqrt is floating, behind a 6-dp round. Scale
+    only the final sqrt is floating, presented as floor(sqrt(...))
+    to integer micro — NOT a 6-dp round. Floor near an integer
+    boundary is the X241-risky presentation in general, but here the
+    radicand is a ratio of exact DECIMAL(38) integer moments cast to
+    DOUBLE identically on both engines, so both sides floor the SAME
+    double; and at the SE's ~1e9-micro magnitude a 6-dp round would
+    demand 16 significant digits — beyond double — which is exactly
+    why floor-of-identical-double is the correct idiom here. Scale
     shape: one group-sums aggregate, one broadcast-join projection
     over the facts, one moment aggregate — no per-replicate
     materialization ever. Output is #priorities rows."""

@@ -1383,7 +1383,7 @@ GLOBAL_SORT_ALLOWED = frozenset(
     q_survival_km q_poisson_rate_test q_markov_entropy
     q_contamination_sweep q_l_diversity q_dp_mean q_qte_deciles
     q_friedman q_runs_test q_session_gap_sweep q_hilbert_layout
-    q_spearman q_cochran_q q_hhi_concentration q_cusum_alarm
+    q_spearman q_sprt_sequential q_cochran_q q_hhi_concentration q_cusum_alarm
     q_poisson_bootstrap q_anderson_darling q_tail_dependence
     q_info_gain q_repetition_gopher q_rank_biserial q_gumbel_maxima
     q_youden_j q_simpson_audit q_quantile_normalize q_propensity_overlap
