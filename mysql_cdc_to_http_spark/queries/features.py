@@ -6836,7 +6836,18 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (12.53 s) — the hash agg's partial combine already makes the
     # exploded shuffle 32*groups rows, and the per-row md5 count is
     # identical in all three forms.
-    reps = o.withColumn(
+    # r15: fan the 32x hash work across the cluster BEFORE exploding —
+    # locally the orders table is one input split, so the whole
+    # B·n md5 loop was running in ONE task (measured solo: 8.0 s at
+    # sf0.1, 32 cores idle); a slim round-robin shuffle of the 3
+    # projected columns costs ~nothing and buys full parallelism
+    # (8.0 -> sub-second). On a real cluster the scan already has many
+    # splits, and defaultParallelism keeps the fan-out cluster-sized
+    # rather than a magic 32. Weights are per-(orderkey, b) md5s and
+    # every aggregate is integer, so the result is partition-invariant.
+    reps = o.repartition(
+        spark.sparkContext.defaultParallelism
+    ).withColumn(
         "b", F.explode(F.sequence(F.lit(0), F.lit(_PBOOT_B - 1)))
     ).withColumn(
         "u",
