@@ -1,0 +1,1960 @@
+"""Round-15 additions (X355+): corpus-statistics and experiment-
+analysis operators — Dunning G² keyness, Chao1 vocabulary richness,
+Good–Turing smoothing, delta-method ratio-metric SE, deterministic
+permutation testing, and companions.
+
+House discipline (inherited from X281–X354): every count is an exact
+integer aggregate; transcendentals are either quantized PER VALUE
+(round(ln(x)·1000) milli-units — the X281/X300 rule, one libm call per
+distinct integer, integer arithmetic afterwards) or identical-input
+double arithmetic behind a 6-dp round; divisions of integers use
+truncating div only on provably non-negative operands, else the X216
+sign-corrected idiom. Reference analog: none (main.go has no
+statistics surface) — these serve the training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mysql_cdc_to_http_spark.catalog import load_table
+from mysql_cdc_to_http_spark.queries.registry import query
+
+# Shared tokenizer (identical to the X39/X246 family).
+_TOK_SQL = (
+    r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+)
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """(source, w) exploded token stream — one scan, never re-derived."""
+    return docs.select(
+        "source",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                " ",
+            )
+        ).alias("w"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X355 — Dunning G² keyness: which terms are most OVER-represented in
+# each source vs the rest of the corpus (the log-likelihood-ratio
+# keyword statistic — the corpus-linguistics standard that, unlike
+# X196 fightin'-words z or plain tf-idf, is valid at low counts).
+# G² = 2·[a·ln(a/E_a) + b·ln(b/E_b)] over the 2×2 (term, source)
+# table; zero cells contribute 0.
+# --------------------------------------------------------------------------
+@query(
+    "q_g2_keyness",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT source, unnest({_TOK_SQL}) AS w FROM documents
+    ),
+    sc AS (
+      SELECT source, w, CAST(count(*) AS HUGEINT) AS a
+      FROM tok GROUP BY 1, 2
+    ),
+    tot AS (SELECT w, CAST(sum(a) AS HUGEINT) AS cw FROM sc GROUP BY w),
+    st AS (SELECT source, CAST(sum(a) AS HUGEINT) AS n1 FROM sc GROUP BY 1),
+    nn AS (SELECT CAST(sum(a) AS HUGEINT) AS nt FROM sc),
+    g AS (
+      SELECT sc.source, sc.w, a, cw - a AS b, n1, nt - n1 AS n2, cw, nt,
+             -- milli-quantized ln per exact integer (X300 rule):
+             -- a·ln(a·nt/(n1·cw)) = a·[L(a)+L(nt)-L(n1)-L(cw)]
+             CAST(2 * (
+               a * (round(ln(CAST(a AS DOUBLE)) * 1000)
+                    + round(ln(CAST(nt AS DOUBLE)) * 1000)
+                    - round(ln(CAST(n1 AS DOUBLE)) * 1000)
+                    - round(ln(CAST(cw AS DOUBLE)) * 1000))
+               + CASE WHEN cw - a = 0 THEN 0 ELSE
+                 (cw - a) * (round(ln(CAST(cw - a AS DOUBLE)) * 1000)
+                    + round(ln(CAST(nt AS DOUBLE)) * 1000)
+                    - round(ln(CAST(nt - n1 AS DOUBLE)) * 1000)
+                    - round(ln(CAST(cw AS DOUBLE)) * 1000)) END
+             ) AS HUGEINT) AS g2m
+      FROM sc JOIN tot USING (w) CROSS JOIN nn
+      JOIN st ON st.source = sc.source
+      WHERE a >= 5
+        -- keyness = over-use: a/n1 > (cw-a)/n2, cross-multiplied
+        AND a * (nt - n1) > (cw - a) * n1
+    ),
+    rk AS (
+      SELECT source, w AS term, CAST(a AS BIGINT) AS c_in,
+             CAST(b AS BIGINT) AS c_rest,
+             CAST(g2m AS BIGINT) AS g2_milli,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY g2m DESC, w) AS rk
+      FROM g
+    )
+    SELECT source, term, c_in, c_rest, g2_milli
+    FROM rk WHERE rk <= 20
+    ORDER BY source, g2_milli DESC, term
+    """,
+)
+def q_g2_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X355 — top-20 Dunning log-likelihood (G²) key terms per source.
+
+    Exactness: all five table margins are exact integer aggregates;
+    each ln is milli-quantized per distinct integer value (the
+    X300/X281 rule — one transcendental per count, round absorbs the
+    JVM-vs-libm ulp, everything after is BIGINT arithmetic), so
+    G²_milli is a deterministic integer on both engines; zero b-cells
+    contribute exactly 0 via the shared CASE; the over-use gate is a
+    cross-multiplied integer inequality (no rate division). Scale
+    shape: one fact-sized token aggregate (map-side combined), then
+    vocab-sized joins against broadcast margins; the df>=5 +
+    over-use gates prune before ranking, and the top-20 window is
+    per-source bounded. Presentation sort is 20·sources rows
+    (allowlist class a)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sc = (
+        _tokens(docs)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("a"))
+    )
+    tot = sc.groupBy("w").agg(
+        F.sum("a").cast("decimal(38,0)").alias("cw")
+    )
+    st = sc.groupBy("source").agg(
+        F.sum("a").cast("decimal(38,0)").alias("n1")
+    )
+    nn = sc.agg(F.sum("a").cast("decimal(38,0)").alias("nt"))
+    lnm = "round(ln(CAST({x} AS DOUBLE)) * 1000)"
+    g = (
+        sc.join(tot, "w")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(nn))
+        .filter(
+            (F.col("a") >= 5)
+            & (
+                F.col("a") * (F.col("nt") - F.col("n1"))
+                > (F.col("cw") - F.col("a")) * F.col("n1")
+            )
+        )
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            F.col("a").cast("long").alias("c_in"),
+            (F.col("cw") - F.col("a")).cast("long").alias("c_rest"),
+            F.expr(
+                "CAST(2 * ("
+                f" a * ({lnm.format(x='a')} + {lnm.format(x='nt')}"
+                f"      - {lnm.format(x='n1')} - {lnm.format(x='cw')})"
+                " + CASE WHEN cw - a = 0 THEN 0 ELSE"
+                f"   (cw - a) * ({lnm.format(x='cw - a')}"
+                f"      + {lnm.format(x='nt')} - {lnm.format(x='nt - n1')}"
+                f"      - {lnm.format(x='cw')}) END"
+                ") AS DECIMAL(38,0))"
+            ).alias("g2m"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    rk = g.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(F.desc("g2m"), "term")
+        ),
+    ).filter(F.col("rk") <= 20)
+    return rk.select(
+        "source",
+        "term",
+        "c_in",
+        "c_rest",
+        F.col("g2m").cast("long").alias("g2_milli"),
+    ).orderBy("source", F.desc("g2_milli"), "term")
+
+
+# --------------------------------------------------------------------------
+# X356 — Chao1 vocabulary-richness estimate per source: V + f1²-style
+# unseen-species correction from singleton/doubleton counts, plus
+# Good's coverage 1 − f1/N — "how much vocabulary does this source
+# still hide?", the sampling-adequacy gate before committing a
+# tokenizer budget (X204 fertility / X229 vocab growth companions).
+# --------------------------------------------------------------------------
+@query(
+    "q_chao1_richness",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT source, unnest({_TOK_SQL}) AS w FROM documents
+    ),
+    tc AS (
+      SELECT source, w, CAST(count(*) AS HUGEINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT source,
+             CAST(count(*) AS HUGEINT) AS v_obs,
+             CAST(sum(c) AS HUGEINT) AS n_tokens,
+             CAST(count(*) FILTER (c = 1) AS HUGEINT) AS f1,
+             CAST(count(*) FILTER (c = 2) AS HUGEINT) AS f2
+      FROM tc GROUP BY source
+    )
+    SELECT source,
+           CAST(v_obs AS BIGINT) AS v_obs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(f1 AS BIGINT) AS f1,
+           CAST(f2 AS BIGINT) AS f2,
+           CAST(v_obs * 1000000
+                + f1 * (f1 - 1) * 1000000 // (2 * (f2 + 1))
+                AS BIGINT) AS chao1_micro,
+           CAST(1000000 - f1 * 1000000 // n_tokens AS BIGINT)
+             AS coverage_micro
+    FROM agg ORDER BY source
+    """,
+)
+def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X356 — bias-corrected Chao1 richness + Good's coverage per
+    source: chao1 = V + f1(f1−1)/(2(f2+1)), coverage = 1 − f1/N.
+
+    Exactness: V, N, f1, f2 are exact integer aggregates; both
+    divisions are single truncated micro-presentations over
+    non-negative DECIMAL(38) products (the f2+1 form is the standard
+    bias correction AND makes the denominator never zero). Scale
+    shape: one fact-sized (source, term) aggregate with map-side
+    partials, then a source-sized moment row; output ≤ #sources."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        _tokens(docs)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    )
+    agg = tc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("v_obs"),
+        F.sum("c").cast("decimal(38,0)").alias("n_tokens"),
+        F.sum((F.col("c") == 1).cast("int"))
+        .cast("decimal(38,0)")
+        .alias("f1"),
+        F.sum((F.col("c") == 2).cast("int"))
+        .cast("decimal(38,0)")
+        .alias("f2"),
+    )
+    return agg.select(
+        "source",
+        F.col("v_obs").cast("long").alias("v_obs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        F.expr(
+            "CAST(v_obs * 1000000"
+            " + f1 * (f1 - 1) * 1000000 div (2 * (f2 + 1))"
+            " AS BIGINT)"
+        ).alias("chao1_micro"),
+        F.expr(
+            "CAST(1000000 - f1 * 1000000 div n_tokens AS BIGINT)"
+        ).alias("coverage_micro"),
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# X357 — Good–Turing count-of-counts over corpus trigrams: N_r, r = 1..10 and the
+# smoothed r* = (r+1)·N_{r+1}/N_r — the unseen-mass discipline behind
+# Katz backoff and the classic estimate of how much probability a
+# corpus LM must reserve for unseen n-grams (p0 = N_1/N).
+# --------------------------------------------------------------------------
+@query(
+    "q_good_turing",
+    oracle=rf"""
+    WITH tok AS (SELECT {_TOK_SQL} AS t FROM documents),
+    tg AS (
+      SELECT t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS w
+      FROM tok, unnest(range(1, len(t) - 1)) AS r(i)
+      WHERE len(t) >= 3
+    ),
+    tc AS (SELECT w, CAST(count(*) AS HUGEINT) AS r FROM tg GROUP BY w),
+    nn AS (SELECT CAST(sum(r) AS HUGEINT) AS n FROM tc),
+    cc AS (
+      SELECT r, CAST(count(*) AS HUGEINT) AS nr
+      FROM tc WHERE r <= 11 GROUP BY r
+    )
+    SELECT CAST(a.r AS BIGINT) AS r,
+           CAST(a.nr AS BIGINT) AS n_r,
+           CAST(CASE WHEN b.nr IS NULL THEN NULL
+                ELSE (a.r + 1) * b.nr * 1000000 // a.nr END AS BIGINT)
+             AS r_star_micro,
+           CAST(a.r * a.nr * 1000000 // nn.n AS BIGINT) AS mass_micro
+    FROM cc a LEFT JOIN cc b ON b.r = a.r + 1
+    CROSS JOIN nn
+    WHERE a.r <= 10
+    ORDER BY r
+    """,
+)
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X357 — Good–Turing smoothing table over TRIGRAM frequencies:
+    r* = (r+1)·N_{r+1}/N_r for r = 1..10 plus each r's share of the
+    token mass (r·N_r/N; the r=1 row IS the unseen-mass reserve).
+
+    Trigrams (not unigrams) because Good–Turing lives on the RARE
+    tail — the synthetic vocabulary has no term below frequency ~26,
+    but 16k+ trigram types sit at r <= 11 at every SF.
+
+    Exactness: frequencies and counts-of-counts are exact integers;
+    r* and the mass share are single truncated micro divisions of
+    non-negative DECIMAL(38) products; the N_{r+1} lookup is a
+    bounded self-join (never a window over an unpartitioned frame).
+    Scale shape: one fact-sized token aggregate, one vocab-sized
+    count-of-counts aggregate, then an 11-row join. Output 10 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("t")
+    )
+    tc = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3), i ->"
+                    " concat_ws(' ', t[i], t[i + 1], t[i + 2]))"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("r"))
+    )
+    nn = tc.agg(F.sum("r").cast("decimal(38,0)").alias("n"))
+    cc = (
+        tc.filter(F.col("r") <= 11)
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("nr"))
+    )
+    b = cc.select(
+        (F.col("r") - 1).alias("r_join"), F.col("nr").alias("nr_next")
+    )
+    return (
+        cc.filter(F.col("r") <= 10)
+        .join(b, F.col("r") == F.col("r_join"), "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("nr").cast("long").alias("n_r"),
+            F.expr(
+                "CAST(CASE WHEN nr_next IS NULL THEN NULL"
+                " ELSE (r + 1) * nr_next * 1000000 div nr END AS BIGINT)"
+            ).alias("r_star_micro"),
+            F.expr(
+                "CAST(r * nr * 1000000 div n AS BIGINT)"
+            ).alias("mass_micro"),
+        )
+        .orderBy("r")
+    )
+
+
+# --------------------------------------------------------------------------
+# X358 — delta-method SE of a ratio metric (revenue per event, per
+# user) by event type: THE standard error every experimentation
+# platform needs for per-user ratio metrics, where naive row-level
+# variance is wrong because the denominator is random too.
+# Var(X̄/Ȳ) ≈ (Sxx − 2R·Sxy + R²·Syy) / (n·Ȳ²) over per-user sums.
+# --------------------------------------------------------------------------
+@query(
+    "q_delta_method",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(round(value * 100, 0) AS HUGEINT))
+                  AS HUGEINT) AS x,
+             CAST(count(*) AS HUGEINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    mo AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(y * y) AS HUGEINT) AS syy
+      FROM per_user GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_users,
+           CAST(sx * 10000 // sy AS BIGINT) AS ratio_micro,
+           CAST(CASE WHEN n >= 2 THEN floor(
+             sqrt(greatest(
+               ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                  * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                  * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                  * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                     * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+               / (CAST(n AS DOUBLE) - 1.0), 0.0))
+             / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt(CAST(n AS DOUBLE)) * 10000.0) END AS BIGINT)
+             AS se_micro
+    FROM mo ORDER BY event_type
+    """,
+)
+def q_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X358 — delta-method standard error of revenue-per-event by
+    type, over per-user (Σcents, count) pairs.
+
+    Exactness: per-user sums and all six moments are exact DECIMAL(38)
+    integers (map-side combined); the point ratio is one truncated
+    integer division (cents → micro is ×10000); the SE is a single
+    identical-input double expression over those integers — every
+    operation is IEEE-correctly-rounded arithmetic (no
+    transcendentals except sqrt, which IEEE 754 rounds correctly), so
+    both engines compute the SAME double, floored to integer micro
+    (the X352 floor-of-identical-double idiom; greatest(...,0) guards
+    FP-negative variance on degenerate fixtures). Scale shape: one
+    fact-sized per-user aggregate, one type-sized moment row."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.expr("CAST(round(value * 100, 0) AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("y"),
+    )
+    mo = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("x * y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr("y * y")).cast("decimal(38,0)").alias("syy"),
+    )
+    return mo.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_users"),
+        F.expr("CAST(sx * 10000 div sy AS BIGINT)").alias("ratio_micro"),
+        F.expr(
+            "CAST(CASE WHEN n >= 2 THEN floor("
+            " sqrt(greatest("
+            "   ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)"
+            "       * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+            "    - CAST(2.0 AS DOUBLE) * (CAST(sx AS DOUBLE)"
+            "      / CAST(sy AS DOUBLE))"
+            "      * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)"
+            "         * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+            "    + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))"
+            "      * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))"
+            "      * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)"
+            "         * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))"
+            "   / (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE)),"
+            "   CAST(0.0 AS DOUBLE)))"
+            " / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+            " / sqrt(CAST(n AS DOUBLE))"
+            " * CAST(10000.0 AS DOUBLE)) END AS BIGINT)"
+        ).alias("se_micro"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# X359 — deterministic permutation test (approximate randomization,
+# B = 32) of mean event value: purchases vs everything else. The
+# label-shuffle companion of the X333 Poisson bootstrap — same
+# md5-uniform machinery, opposite question (is the observed gap
+# bigger than label-noise?).
+# --------------------------------------------------------------------------
+_PERM_B = 32
+_PERM_SALT = "perm-v1"
+
+
+@query(
+    "q_permutation_test",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id,
+             CAST(round(value * 100, 0) AS HUGEINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+      FROM events
+    ),
+    obs AS (
+      SELECT CAST(sum(CASE WHEN grp = 1 THEN cents END) AS HUGEINT) AS s1,
+             CAST(count(*) FILTER (grp = 1) AS HUGEINT) AS n1,
+             CAST(sum(CASE WHEN grp = 0 THEN cents END) AS HUGEINT) AS s0,
+             CAST(count(*) FILTER (grp = 0) AS HUGEINT) AS n0
+      FROM base
+    ),
+    thr AS (
+      SELECT CAST(n1 * 1152921504606846976 // (n1 + n0) AS HUGEINT)
+               AS cutoff
+      FROM obs
+    ),
+    reps AS (
+      SELECT b,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                    || '|' || CAST(b AS VARCHAR) || '|{_PERM_SALT}'),
+                    1, 15))::BIGINT AS HUGEINT) < cutoff
+                  THEN 1 ELSE 0 END AS pg,
+             cents
+      FROM base CROSS JOIN thr, unnest(range({_PERM_B})) AS r(b)
+    ),
+    rstat AS (
+      SELECT b,
+             CAST(sum(CASE WHEN pg = 1 THEN cents END) AS HUGEINT) AS s1,
+             CAST(count(*) FILTER (pg = 1) AS HUGEINT) AS n1,
+             CAST(sum(CASE WHEN pg = 0 THEN cents END) AS HUGEINT) AS s0,
+             CAST(count(*) FILTER (pg = 0) AS HUGEINT) AS n0
+      FROM reps GROUP BY b
+    ),
+    tobs AS (
+      SELECT s1 * 10000 // n1 - s0 * 10000 // n0 AS t FROM obs
+    ),
+    tb AS (
+      SELECT b, CASE WHEN n1 = 0 OR n0 = 0 THEN NULL
+                ELSE s1 * 10000 // n1 - s0 * 10000 // n0 END AS t
+      FROM rstat
+    )
+    SELECT CAST(obs.n1 AS BIGINT) AS n_treat,
+           CAST(obs.n0 AS BIGINT) AS n_control,
+           CAST(tobs.t AS BIGINT) AS t_obs_micro,
+           CAST((SELECT count(*) FROM tb
+                 WHERE t IS NOT NULL AND abs(t) >= abs(tobs.t))
+                AS BIGINT) AS n_extreme,
+           CAST((1 + (SELECT count(*) FROM tb
+                      WHERE t IS NOT NULL AND abs(t) >= abs(tobs.t)))
+                * 1000 // ({_PERM_B} + 1) AS BIGINT) AS p_milli
+    FROM obs CROSS JOIN tobs
+    """,
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X359 — approximate-randomization test: the observed
+    purchase-vs-rest mean-cents gap against B=32 md5-relabelled
+    replicates; p = (1 + #extreme) / (B + 1).
+
+    Exactness: the md5-uniform is compared against an integer cutoff
+    n1·2⁶⁰/(n1+n0) — an all-integer Bernoulli(n1/n) draw, no doubles
+    anywhere; replicate means are truncated integer micro divisions
+    and the extremeness comparison |t_b| >= |t| is exact integer.
+    Degenerate replicates (a side empty) are excluded identically on
+    both engines. Scale shape: the 32× expansion feeds a map-side
+    combined per-b aggregate (the X333 fan-out: shuffle carries 32·2
+    partials, never 32× the facts), repartitioned before the explode
+    for local parallelism. Output is 1 row."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.expr("CAST(round(value * 100, 0) AS DECIMAL(38,0))").alias(
+            "cents"
+        ),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("grp"),
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("cents")))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("cents")))
+        .cast("decimal(38,0)")
+        .alias("s0"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n0"),
+    )
+    thr = obs.select(
+        F.expr(
+            "CAST(n1 * 1152921504606846976 div (n1 + n0)"
+            " AS DECIMAL(38,0))"
+        ).alias("cutoff")
+    )
+    reps = (
+        base.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(thr))
+        .withColumn(
+            "b", F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1)))
+        )
+        .withColumn(
+            "pg",
+            F.expr(
+                f"CASE WHEN CAST(conv(substr(md5(CAST(event_id AS STRING)"
+                f" || '|' || CAST(b AS STRING) || '|{_PERM_SALT}'),"
+                f" 1, 15), 16, 10) AS DECIMAL(38,0)) < cutoff"
+                " THEN 1 ELSE 0 END"
+            ),
+        )
+    )
+    rstat = reps.groupBy("b").agg(
+        F.sum(F.when(F.col("pg") == 1, F.col("cents")))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(F.when(F.col("pg") == 1, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n1"),
+        F.sum(F.when(F.col("pg") == 0, F.col("cents")))
+        .cast("decimal(38,0)")
+        .alias("s0"),
+        F.sum(F.when(F.col("pg") == 0, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n0"),
+    )
+    tb = rstat.select(
+        F.expr(
+            "CASE WHEN n1 = 0 OR n0 = 0 THEN NULL"
+            " ELSE s1 * 10000 div n1 - s0 * 10000 div n0 END"
+        ).alias("t")
+    )
+    tobs = obs.select(
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n0").cast("long").alias("n_control"),
+        F.expr(
+            "CAST(s1 * 10000 div n1 - s0 * 10000 div n0 AS DECIMAL(38,0))"
+        ).alias("t"),
+    )
+    extreme = (
+        tb.crossJoin(F.broadcast(tobs.select(F.col("t").alias("t_o"))))
+        .filter(F.col("t").isNotNull())
+        .agg(
+            F.sum(
+                (F.abs(F.col("t")) >= F.abs(F.col("t_o"))).cast("int")
+            )
+            .cast("decimal(38,0)")
+            .alias("n_ext")
+        )
+    )
+    return tobs.crossJoin(F.broadcast(extreme)).select(
+        "n_treat",
+        "n_control",
+        F.col("t").cast("long").alias("t_obs_micro"),
+        F.col("n_ext").cast("long").alias("n_extreme"),
+        F.expr(
+            f"CAST((1 + n_ext) * 1000 div ({_PERM_B} + 1) AS BIGINT)"
+        ).alias("p_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X360 — Cohen's h effect size between the two md5 split-hash cohorts,
+# per event type: h = 2·asin(√p_A) − 2·asin(√p_B) on the
+# high-value-event rate — the proportion-scale effect size that,
+# unlike a raw rate difference, is comparable across base rates (the
+# power-analysis companion of X294's disparate-impact ratio).
+# --------------------------------------------------------------------------
+@query(
+    "q_cohens_h",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS cohort,
+             CASE WHEN value >= 100 THEN 1 ELSE 0 END AS hi
+      FROM events
+    ),
+    rates AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN cohort = 0 THEN hi END) AS HUGEINT) AS k0,
+             CAST(count(*) FILTER (cohort = 0) AS HUGEINT) AS n0,
+             CAST(sum(CASE WHEN cohort = 1 THEN hi END) AS HUGEINT) AS k1,
+             CAST(count(*) FILTER (cohort = 1) AS HUGEINT) AS n1
+      FROM tagged GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+           CAST(k0 * 1000000 // n0 AS BIGINT) AS p_a_micro,
+           CAST(k1 * 1000000 // n1 AS BIGINT) AS p_b_micro,
+           CAST(CASE WHEN n0 > 0 AND n1 > 0 THEN round(
+             (2.0 * asin(sqrt(CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+              - 2.0 * asin(sqrt(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE))))
+             * 1000000) END AS BIGINT) AS h_micro
+    FROM rates ORDER BY event_type
+    """,
+)
+def q_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X360 — Cohen's h between split-hash cohorts on the P(value>=100)
+    rate per event type.
+
+    Exactness: cohort assignment is the shared 15-hex md5 integer mod
+    2 (all-integer); counts are exact; the rates cast to identical
+    doubles, and h is asin/sqrt arithmetic on those — sqrt is
+    IEEE-correctly-rounded; asin is the one data-dependent
+    transcendental, behind the same micro round the X98 PSI family
+    uses for its data-dependent ln (ulp ≪ round cell; swept at 3
+    SFs). The integer rate presentations are truncated micro. Scale
+    shape: one scan → type-sized aggregate → constant arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT) % 2"
+        ).alias("cohort"),
+        F.when(F.col("value") >= 100, 1).otherwise(0).alias("hi"),
+    )
+    rates = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("cohort") == 0, F.col("hi")))
+        .cast("decimal(38,0)")
+        .alias("k0"),
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n0"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("hi")))
+        .cast("decimal(38,0)")
+        .alias("k1"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n1"),
+    )
+    return rates.select(
+        "event_type",
+        F.col("n0").cast("long").alias("n_a"),
+        F.col("n1").cast("long").alias("n_b"),
+        F.expr("CAST(k0 * 1000000 div n0 AS BIGINT)").alias("p_a_micro"),
+        F.expr("CAST(k1 * 1000000 div n1 AS BIGINT)").alias("p_b_micro"),
+        F.expr(
+            "CAST(CASE WHEN n0 > 0 AND n1 > 0 THEN round("
+            " (CAST(2.0 AS DOUBLE)"
+            "    * asin(sqrt(CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE)))"
+            "  - CAST(2.0 AS DOUBLE)"
+            "    * asin(sqrt(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE))))"
+            " * 1000000) END AS BIGINT)"
+        ).alias("h_micro"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# X361 — partial correlation of daily revenue and purchase count,
+# controlling for daily view volume: r_xy·z — does revenue track
+# purchases beyond what overall traffic explains? The
+# confounder-aware companion of X310 (lead-lag) and X326 (Spearman).
+# --------------------------------------------------------------------------
+@query(
+    "q_partial_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100, 0) AS HUGEINT)
+                  ELSE 0 END) AS HUGEINT) AS x,
+             CAST(count(*) FILTER (event_type = 'purchase')
+                  AS HUGEINT) AS y,
+             CAST(count(*) FILTER (event_type = 'view') AS HUGEINT) AS z
+      FROM events GROUP BY 1
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(z) AS HUGEINT) AS sz,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(y * y) AS HUGEINT) AS syy,
+             CAST(sum(z * z) AS HUGEINT) AS szz,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * z) AS HUGEINT) AS sxz,
+             CAST(sum(y * z) AS HUGEINT) AS syz
+      FROM daily
+    ),
+    r AS (
+      SELECT n,
+        CAST(n * sxy - sx * sy AS DOUBLE)
+          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(n * syy - sy * sy AS DOUBLE)) AS rxy,
+        CAST(n * sxz - sx * sz AS DOUBLE)
+          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(n * szz - sz * sz AS DOUBLE)) AS rxz,
+        CAST(n * syz - sy * sz AS DOUBLE)
+          / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                 * CAST(n * szz - sz * sz AS DOUBLE)) AS ryz
+      FROM mo
+      WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        AND n * szz - sz * sz > 0
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(round(rxy * 1000000) AS BIGINT) AS r_xy_micro,
+           CAST(round(rxz * 1000000) AS BIGINT) AS r_xz_micro,
+           CAST(round(ryz * 1000000) AS BIGINT) AS r_yz_micro,
+           CAST(CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
+                THEN round((rxy - rxz * ryz)
+                  / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+                  * 1000000) END AS BIGINT) AS partial_micro
+    FROM r
+    """,
+)
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X361 — r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) over
+    the daily (revenue, purchases, views) series.
+
+    Exactness: all ten moments are exact DECIMAL(38) integers over
+    exact daily cents/counts; each pairwise r is one identical-input
+    double expression (sqrt only — IEEE-correctly-rounded), and the
+    partial formula reuses exactly those doubles, so both engines
+    compute the SAME double behind the micro round; degenerate
+    variances drop the row via the shared integer guard. Scale shape:
+    one fact-sized daily aggregate (map-side combined) → 1 moment
+    row → constant arithmetic. Output <= 1 row."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(round(value * 100, 0) AS DECIMAL(38,0))"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("decimal(38,0)")
+        .alias("y"),
+        F.sum((F.col("event_type") == "view").cast("int"))
+        .cast("decimal(38,0)")
+        .alias("z"),
+    )
+    mo = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum("z").cast("decimal(38,0)").alias("sz"),
+        F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.expr("z * z")).cast("decimal(38,0)").alias("szz"),
+        F.sum(F.expr("x * y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr("x * z")).cast("decimal(38,0)").alias("sxz"),
+        F.sum(F.expr("y * z")).cast("decimal(38,0)").alias("syz"),
+    )
+    r = mo.filter(
+        F.expr(
+            "n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+            " AND n * szz - sz * sz > 0"
+        )
+    ).select(
+        "n",
+        F.expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            "        * CAST(n * syy - sy * sy AS DOUBLE))"
+        ).alias("rxy"),
+        F.expr(
+            "CAST(n * sxz - sx * sz AS DOUBLE)"
+            " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            "        * CAST(n * szz - sz * sz AS DOUBLE))"
+        ).alias("rxz"),
+        F.expr(
+            "CAST(n * syz - sy * sz AS DOUBLE)"
+            " / sqrt(CAST(n * syy - sy * sy AS DOUBLE)"
+            "        * CAST(n * szz - sz * sz AS DOUBLE))"
+        ).alias("ryz"),
+    )
+    return r.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr("CAST(round(rxy * 1000000) AS BIGINT)").alias(
+            "r_xy_micro"
+        ),
+        F.expr("CAST(round(rxz * 1000000) AS BIGINT)").alias(
+            "r_xz_micro"
+        ),
+        F.expr("CAST(round(ryz * 1000000) AS BIGINT)").alias(
+            "r_yz_micro"
+        ),
+        F.expr(
+            "CAST(CASE WHEN (CAST(1.0 AS DOUBLE) - rxz * rxz)"
+            " * (CAST(1.0 AS DOUBLE) - ryz * ryz) > 0"
+            " THEN round((rxy - rxz * ryz)"
+            "   / sqrt((CAST(1.0 AS DOUBLE) - rxz * rxz)"
+            "          * (CAST(1.0 AS DOUBLE) - ryz * ryz))"
+            "   * 1000000) END AS BIGINT)"
+        ).alias("partial_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X362 — split-half reliability of per-user activity: Pearson r
+# between each user's odd-day and even-day event counts, stepped up
+# by Spearman–Brown 2r/(1+r) — "is per-user activity a stable trait
+# or noise?", the X337 Cronbach companion computed from a data split
+# instead of item covariances.
+# --------------------------------------------------------------------------
+@query(
+    "q_split_half",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (dayofyear(CAST(ts AS DATE)) % 2 = 1)
+                  AS HUGEINT) AS a,
+             CAST(count(*) FILTER (dayofyear(CAST(ts AS DATE)) % 2 = 0)
+                  AS HUGEINT) AS b
+      FROM events GROUP BY user_id
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(a) AS HUGEINT) AS sa,
+             CAST(sum(b) AS HUGEINT) AS sb,
+             CAST(sum(a * a) AS HUGEINT) AS saa,
+             CAST(sum(a * b) AS HUGEINT) AS sab,
+             CAST(sum(b * b) AS HUGEINT) AS sbb
+      FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(CASE WHEN n * saa - sa * sa > 0
+                      AND n * sbb - sb * sb > 0 THEN
+             round(CAST(n * sab - sa * sb AS DOUBLE)
+                   / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                          * CAST(n * sbb - sb * sb AS DOUBLE))
+                   * 1000000) END AS BIGINT) AS r_micro,
+           CAST(CASE WHEN n * saa - sa * sa > 0
+                      AND n * sbb - sb * sb > 0 THEN
+             round(2.0 * (CAST(n * sab - sa * sb AS DOUBLE)
+                   / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                          * CAST(n * sbb - sb * sb AS DOUBLE)))
+                   / (1.0 + CAST(n * sab - sa * sb AS DOUBLE)
+                      / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                             * CAST(n * sbb - sb * sb AS DOUBLE)))
+                   * 1000000) END AS BIGINT) AS spearman_brown_micro
+    FROM mo
+    """,
+)
+def q_split_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X362 — split-half reliability: Pearson r between per-user
+    odd-day and even-day event counts, Spearman–Brown corrected.
+
+    Exactness: the odd/even split keys on integer dayofyear parity
+    (identical on both engines, UTC-pinned); the five moments are
+    exact DECIMAL(38) integers; r and 2r/(1+r) are the same
+    identical-input double expression on both sides behind micro
+    rounds (sqrt only); degenerate variance emits NULL via the
+    integer guard. Scale shape: fact-sized per-user aggregate →
+    1-row moments → constant arithmetic. Output is 1 row."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            (F.expr("dayofyear(CAST(ts AS DATE)) % 2") == 1).cast("int")
+        )
+        .cast("decimal(38,0)")
+        .alias("a"),
+        F.sum(
+            (F.expr("dayofyear(CAST(ts AS DATE)) % 2") == 0).cast("int")
+        )
+        .cast("decimal(38,0)")
+        .alias("b"),
+    )
+    mo = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("a").cast("decimal(38,0)").alias("sa"),
+        F.sum("b").cast("decimal(38,0)").alias("sb"),
+        F.sum(F.expr("a * a")).cast("decimal(38,0)").alias("saa"),
+        F.sum(F.expr("a * b")).cast("decimal(38,0)").alias("sab"),
+        F.sum(F.expr("b * b")).cast("decimal(38,0)").alias("sbb"),
+    )
+    rnum = "CAST(n * sab - sa * sb AS DOUBLE)"
+    rden = (
+        "sqrt(CAST(n * saa - sa * sa AS DOUBLE)"
+        " * CAST(n * sbb - sb * sb AS DOUBLE))"
+    )
+    guard = "n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0"
+    return mo.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.expr(
+            f"CAST(CASE WHEN {guard} THEN"
+            f" round({rnum} / {rden} * 1000000) END AS BIGINT)"
+        ).alias("r_micro"),
+        F.expr(
+            f"CAST(CASE WHEN {guard} THEN"
+            f" round(CAST(2.0 AS DOUBLE) * ({rnum} / {rden})"
+            f" / (CAST(1.0 AS DOUBLE) + {rnum} / {rden})"
+            " * 1000000) END AS BIGINT)"
+        ).alias("spearman_brown_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X363 — Neyman (optimal) sample allocation: split a B = 10,000-row
+# audit budget across event-type strata ∝ N_h·σ_h, with
+# largest-remainder rounding so the allocations sum EXACTLY to B —
+# what a labeling/QA budget should actually do instead of
+# proportional allocation (which over-samples homogeneous strata).
+# --------------------------------------------------------------------------
+_NEYMAN_B = 10000
+
+
+@query(
+    "q_neyman_allocation",
+    oracle=f"""
+    WITH st AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS nh,
+             CAST(sum(CAST(round(value * 100, 0) AS HUGEINT))
+                  AS HUGEINT) AS s1,
+             CAST(sum(CAST(round(value * 100, 0) AS HUGEINT)
+                      * CAST(round(value * 100, 0) AS HUGEINT))
+                  AS HUGEINT) AS s2
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT event_type, nh,
+             CAST(nh AS DOUBLE) * sqrt(greatest(
+               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                  * CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE))
+               / (CAST(nh AS DOUBLE) - 1.0), 0.0)) AS wh
+      FROM st WHERE nh >= 2
+    ),
+    tot AS (
+      SELECT CAST(sum(wh) AS DOUBLE) AS wt,
+             CAST(sum(nh) AS HUGEINT) AS nt
+      FROM w
+    ),
+    fl AS (
+      SELECT event_type, nh, wh,
+             CAST(floor(wh * {_NEYMAN_B} / wt) AS HUGEINT) AS base,
+             wh * {_NEYMAN_B} / wt
+               - floor(wh * {_NEYMAN_B} / wt) AS frac,
+             CAST(nh * {_NEYMAN_B} // nt AS HUGEINT) AS prop
+      FROM w CROSS JOIN tot
+    ),
+    deficit AS (
+      SELECT CAST({_NEYMAN_B} - sum(base) AS HUGEINT) AS d FROM fl
+    ),
+    rk AS (
+      SELECT event_type, nh, base, frac, prop,
+             row_number() OVER (ORDER BY frac DESC, event_type) AS r
+      FROM fl
+    )
+    SELECT event_type,
+           CAST(nh AS BIGINT) AS n_rows,
+           CAST(prop AS BIGINT) AS alloc_proportional,
+           CAST(base + CASE WHEN r <= d THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_neyman
+    FROM rk CROSS JOIN deficit
+    ORDER BY event_type
+    """,
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X363 — Neyman allocation of a 10k audit budget across
+    event-type strata (n_h ∝ N_h·σ_h), largest-remainder rounded to
+    sum exactly to B; proportional allocation shown for contrast.
+
+    Exactness: stratum moments are exact integers; σ_h and the weight
+    shares are identical-input double arithmetic (sqrt only), so
+    floor() and the remainder ORDER BY compare the SAME doubles on
+    both engines; the top-up is an exact integer rank test
+    (deterministic event_type tiebreak). Scale shape: one fact-sized
+    stratum aggregate; everything after is #strata-sized (the
+    remainder window sorts ~10 rows — allowlist class a). Σ(neyman)
+    = B exactly by construction (pinned in tests)."""
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nh"),
+        F.sum(F.expr("CAST(round(value * 100, 0) AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(
+            F.expr(
+                "CAST(round(value * 100, 0) AS DECIMAL(38,0))"
+                " * CAST(round(value * 100, 0) AS DECIMAL(38,0))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    w = st.filter(F.col("nh") >= 2).select(
+        "event_type",
+        "nh",
+        F.expr(
+            "CAST(nh AS DOUBLE) * sqrt(greatest("
+            " (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)"
+            "    * CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE))"
+            " / (CAST(nh AS DOUBLE) - CAST(1.0 AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE)))"
+        ).alias("wh"),
+    )
+    tot = w.agg(
+        F.sum("wh").alias("wt"),
+        F.sum("nh").cast("decimal(38,0)").alias("nt"),
+    )
+    fl = w.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "nh",
+        F.expr(
+            f"CAST(floor(wh * {_NEYMAN_B} / wt) AS DECIMAL(38,0))"
+        ).alias("base"),
+        F.expr(
+            f"wh * {_NEYMAN_B} / wt - floor(wh * {_NEYMAN_B} / wt)"
+        ).alias("frac"),
+        F.expr(f"CAST(nh * {_NEYMAN_B} div nt AS DECIMAL(38,0))").alias(
+            "prop"
+        ),
+    )
+    deficit = fl.agg(
+        F.expr(
+            f"CAST({_NEYMAN_B} - sum(base) AS DECIMAL(38,0))"
+        ).alias("d")
+    )
+    from pyspark.sql.window import Window as W
+
+    rk = fl.withColumn(
+        "r",
+        F.row_number().over(W.orderBy(F.desc("frac"), "event_type")),
+    )
+    return (
+        rk.crossJoin(F.broadcast(deficit))
+        .select(
+            "event_type",
+            F.col("nh").cast("long").alias("n_rows"),
+            F.col("prop").cast("long").alias("alloc_proportional"),
+            F.expr(
+                "CAST(base + CASE WHEN r <= d THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("alloc_neyman"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# X364 — Page–Hinkley drift ledger on daily revenue per event type:
+# m_t = Σ(x_i − x̄_i − δ) against its running minimum; alarm when the
+# gap exceeds λ. The running-mean drift detector that fires on slow
+# upward drifts X332's CUSUM-against-target misses (PH needs no
+# target — it tracks its own mean).
+# --------------------------------------------------------------------------
+@query(
+    "q_page_hinkley",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100, 0) AS HUGEINT))
+                  AS HUGEINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, d, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY d)
+               AS i,
+             CAST(sum(x) OVER (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS HUGEINT) AS s
+      FROM daily
+    ),
+    par AS (
+      SELECT event_type,
+             CAST(max(s) AS HUGEINT) AS stot,
+             CAST(max(i) AS HUGEINT) AS ndays
+      FROM seq GROUP BY event_type
+    ),
+    term AS (
+      SELECT seq.event_type, d, i, x,
+             x * 1000000 - s * 1000000 // i
+               - (stot * 1000000 // ndays) // 100 AS t
+      FROM seq JOIN par ON par.event_type = seq.event_type
+    ),
+    cum AS (
+      SELECT event_type, d, i, x, t,
+             CAST(sum(t) OVER (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS HUGEINT) AS m
+      FROM term
+    ),
+    led AS (
+      SELECT cum.event_type, d, i, x, m,
+             CAST(min(m) OVER (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS HUGEINT) AS mmin
+      FROM cum
+    )
+    SELECT led.event_type AS event_type, d,
+           CAST(x AS BIGINT) AS cents,
+           CAST(m - mmin AS BIGINT) AS ph_micro,
+           m - mmin > (stot * 1000000 // ndays) // 5 AS alarm
+    FROM led JOIN par ON par.event_type = led.event_type
+    ORDER BY led.event_type, d
+    """,
+)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X364 — Page–Hinkley ledger: PH_t = M_t − min_{s<=t} M_s with
+    M_t = Σ_{i<=t}(x_i·1e6 − mean_i_micro − δ), δ = 1% and λ = 20% of
+    the series' own mean daily revenue.
+
+    Exactness: x and all prefix sums are exact integers; mean_i and
+    the δ/λ scale are truncated integer divisions of non-negative
+    values (X216-safe); terms, cumulative sums and running minima are
+    pure integer arithmetic — no doubles anywhere. Scale shape:
+    fact-sized daily rollup, then three calendar-bounded keyed
+    windows (the X332 CUSUM plan plus one running-mean division);
+    ledger output is (types × days) (sort allowlist class a)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100, 0) AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("x")
+    )
+    wo = W.partitionBy("event_type").orderBy("d")
+    wc = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    seq = daily.select(
+        "event_type",
+        "d",
+        "x",
+        F.row_number().over(wo).cast("decimal(38,0)").alias("i"),
+        F.sum("x").over(wc).cast("decimal(38,0)").alias("s"),
+    )
+    par = seq.groupBy("event_type").agg(
+        F.max("s").cast("decimal(38,0)").alias("stot"),
+        F.max("i").cast("decimal(38,0)").alias("ndays"),
+    )
+    term = seq.join(par, "event_type").select(
+        "event_type",
+        "d",
+        "x",
+        F.expr(
+            "CAST(x * 1000000 - s * 1000000 div i"
+            " - (stot * 1000000 div ndays) div 100 AS DECIMAL(38,0))"
+        ).alias("t"),
+        F.expr(
+            "CAST((stot * 1000000 div ndays) div 5 AS DECIMAL(38,0))"
+        ).alias("lam"),
+    )
+    cum = term.select(
+        "event_type",
+        "d",
+        "x",
+        "lam",
+        F.sum("t").over(wc).cast("decimal(38,0)").alias("m"),
+    )
+    led = cum.select(
+        "event_type",
+        "d",
+        "x",
+        "lam",
+        "m",
+        F.min("m").over(wc).cast("decimal(38,0)").alias("mmin"),
+    )
+    return led.select(
+        "event_type",
+        "d",
+        F.col("x").cast("long").alias("cents"),
+        (F.col("m") - F.col("mmin")).cast("long").alias("ph_micro"),
+        (F.col("m") - F.col("mmin") > F.col("lam")).alias("alarm"),
+    ).orderBy("event_type", "d")
+
+
+# --------------------------------------------------------------------------
+# X365 — segmented (two-piece) trend: OLS slope of daily revenue
+# before vs after the calendar midpoint, next to the full-series
+# slope — "did the trend CHANGE?", the structural-break companion of
+# X127's single OLS and X308's known-date changepoint score.
+# --------------------------------------------------------------------------
+@query(
+    "q_segmented_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100, 0) AS HUGEINT))
+                  AS HUGEINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(d) AS d0 FROM daily),
+    idx AS (
+      SELECT event_type, datediff('day', d0, d) AS i, x
+      FROM daily CROSS JOIN span
+    ),
+    par AS (SELECT CAST(max(i) // 2 AS BIGINT) AS knot FROM idx),
+    seg AS (
+      SELECT event_type,
+             CASE WHEN i < knot THEN 0 ELSE 1 END AS seg,
+             CAST(i AS HUGEINT) AS i, x
+      FROM idx CROSS JOIN par
+    ),
+    mo AS (
+      SELECT event_type, seg,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(i) AS HUGEINT) AS si,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(i * i) AS HUGEINT) AS sii,
+             CAST(sum(i * x) AS HUGEINT) AS six
+      FROM seg GROUP BY 1, 2
+    ),
+    full_mo AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(i) AS HUGEINT) AS si,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(i * i) AS HUGEINT) AS sii,
+             CAST(sum(i * x) AS HUGEINT) AS six
+      FROM seg GROUP BY 1
+    ),
+    sl AS (
+      SELECT event_type, seg,
+             CASE WHEN n * sii - si * si > 0 THEN
+               round(CAST(n * six - si * sx AS DOUBLE)
+                     / CAST(n * sii - si * si AS DOUBLE) * 1000000)
+             END AS slope, n
+      FROM mo
+    )
+    SELECT a.event_type AS event_type,
+           CAST(a.n AS BIGINT) AS n_pre,
+           CAST(b.n AS BIGINT) AS n_post,
+           CAST(a.slope AS BIGINT) AS slope_pre_micro,
+           CAST(b.slope AS BIGINT) AS slope_post_micro,
+           CAST(CASE WHEN f.n * f.sii - f.si * f.si > 0 THEN
+             round(CAST(f.n * f.six - f.si * f.sx AS DOUBLE)
+                   / CAST(f.n * f.sii - f.si * f.si AS DOUBLE)
+                   * 1000000) END AS BIGINT) AS slope_full_micro
+    FROM sl a
+    JOIN sl b ON b.event_type = a.event_type AND b.seg = 1
+    JOIN full_mo f ON f.event_type = a.event_type
+    WHERE a.seg = 0
+    ORDER BY a.event_type
+    """,
+)
+def q_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X365 — two-piece OLS: cents/day slope before vs after the
+    calendar-midpoint knot, plus the pooled slope, per event type.
+
+    Exactness: day indices are integers off the global min date
+    (1-row broadcast); all five OLS moments per (type, segment) are
+    exact DECIMAL(38) integers; each slope is ONE identical-input
+    double division behind a micro round; degenerate segments (one
+    day) emit NULL via the integer variance guard; the knot is an
+    integer div of a non-negative index. Scale shape: fact-sized
+    daily rollup → (type × 2)-sized moments → constant arithmetic.
+    Output ≤ #types rows (sort allowlist class a)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100, 0) AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("x")
+    )
+    span = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(span)).select(
+        "event_type", F.datediff("d", "d0").alias("i"), "x"
+    )
+    par = idx.agg(
+        F.expr("CAST(max(i) div 2 AS BIGINT)").alias("knot")
+    )
+    seg = idx.crossJoin(F.broadcast(par)).select(
+        "event_type",
+        F.when(F.col("i") < F.col("knot"), 0).otherwise(1).alias("seg"),
+        F.col("i").cast("decimal(38,0)").alias("i"),
+        "x",
+    )
+    def _mo(df, keys):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("i").cast("decimal(38,0)").alias("si"),
+            F.sum("x").cast("decimal(38,0)").alias("sx"),
+            F.sum(F.expr("i * i")).cast("decimal(38,0)").alias("sii"),
+            F.sum(F.expr("i * x")).cast("decimal(38,0)").alias("six"),
+        )
+
+    slope_expr = (
+        "CASE WHEN n * sii - si * si > 0 THEN"
+        " round(CAST(n * six - si * sx AS DOUBLE)"
+        "       / CAST(n * sii - si * si AS DOUBLE) * 1000000) END"
+    )
+    sl = _mo(seg, ["event_type", "seg"]).select(
+        "event_type", "seg", "n", F.expr(slope_expr).alias("slope")
+    )
+    full_mo = _mo(seg, ["event_type"]).select(
+        "event_type", F.expr(slope_expr).alias("slope_full")
+    )
+    a = sl.filter(F.col("seg") == 0).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pre"),
+        F.col("slope").cast("long").alias("slope_pre_micro"),
+    )
+    b = sl.filter(F.col("seg") == 1).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_post"),
+        F.col("slope").cast("long").alias("slope_post_micro"),
+    )
+    return (
+        a.join(b, "event_type")
+        .join(full_mo, "event_type")
+        .select(
+            "event_type",
+            "n_pre",
+            "n_post",
+            "slope_pre_micro",
+            "slope_post_micro",
+            F.col("slope_full").cast("long").alias("slope_full_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# X366 — partial autocorrelation (PACF lags 1–3) of the daily event
+# volume via Durbin–Levinson on exact-integer autocovariances — the
+# AR-order diagnostic next to X303's ACF: "is the day-over-day
+# dependence direct, or just propagated lag-1?"
+# --------------------------------------------------------------------------
+@query(
+    "q_pacf",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS HUGEINT) AS x
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    grid AS (
+      SELECT unnest(range(0, datediff('day', d0, d1) + 1)) AS i
+      FROM span
+    ),
+    obs AS (
+      SELECT datediff('day', s.d0, d) AS i, x
+      FROM daily CROSS JOIN span s
+    ),
+    dense AS (
+      SELECT g.i, COALESCE(o.x, 0::HUGEINT) AS x
+      FROM grid g LEFT JOIN obs o USING (i)
+    ),
+    base AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s,
+             CAST(sum(x * x) AS HUGEINT) AS p0
+      FROM dense
+    ),
+    lags AS (
+      SELECT k,
+             CAST(sum(a.x * b.x) AS HUGEINT) AS pk,
+             CAST(sum(a.x) AS HUGEINT) AS ak,
+             CAST(sum(b.x) AS HUGEINT) AS bk
+      FROM unnest([1, 2, 3]) AS t(k)
+      JOIN dense a ON true
+      JOIN dense b ON b.i = a.i + k
+      GROUP BY k
+    ),
+    nums AS (
+      SELECT k,
+             CAST(n * n * pk - n * s * (ak + bk) + (n - k) * s * s
+                  AS HUGEINT) AS numk,
+             CAST(n * n * p0 - n * s * s AS HUGEINT) AS num0
+      FROM lags CROSS JOIN base
+    ),
+    rs AS (
+      SELECT
+        max(CASE WHEN k = 1 THEN CAST(numk AS DOUBLE)
+                 / CAST(num0 AS DOUBLE) END) AS r1,
+        max(CASE WHEN k = 2 THEN CAST(numk AS DOUBLE)
+                 / CAST(num0 AS DOUBLE) END) AS r2,
+        max(CASE WHEN k = 3 THEN CAST(numk AS DOUBLE)
+                 / CAST(num0 AS DOUBLE) END) AS r3
+      FROM nums WHERE num0 > 0
+    ),
+    dl AS (
+      SELECT r1, r2, r3,
+             (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22,
+             r1 - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1 AS p21
+      FROM rs
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM base) AS n_days,
+           CAST(round(r1 * 1000000) AS BIGINT) AS acf1_micro,
+           CAST(round(r2 * 1000000) AS BIGINT) AS acf2_micro,
+           CAST(round(r3 * 1000000) AS BIGINT) AS acf3_micro,
+           CAST(round(r1 * 1000000) AS BIGINT) AS pacf1_micro,
+           CAST(round(p22 * 1000000) AS BIGINT) AS pacf2_micro,
+           CAST(CASE WHEN 1.0 - p21 * r1 - p22 * r2 <> 0 THEN
+             round((r3 - p21 * r2 - p22 * r1)
+                   / (1.0 - p21 * r1 - p22 * r2) * 1000000)
+             END AS BIGINT) AS pacf3_micro
+    FROM dl
+    """,
+)
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X366 — PACF(1..3) via Durbin–Levinson over the zero-filled
+    daily count series: φ11 = r1, φ22 = (r2−r1²)/(1−r1²),
+    φ33 = (r3 − φ21·r2 − φ22·r1)/(1 − φ21·r1 − φ22·r2).
+
+    Exactness: every autocovariance numerator is the all-integer
+    expansion n²·P_k − n·S·(A_k+B_k) + (n−k)·S² (multiplying the
+    mean-centered form through by n² — no rational mean anywhere),
+    over the zero-filled grid (X303 rule); r_k and the DL recursion
+    are identical-input double arithmetic (divisions only) behind
+    micro rounds. Scale shape: fact → daily rollup → three
+    calendar-sized self-joins (never fact-sized) → 1 row."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("x")
+    )
+    span = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = F.broadcast(span).select(
+        F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias(
+            "i"
+        )
+    )
+    obs = daily.crossJoin(F.broadcast(span)).select(
+        F.datediff("d", "d0").alias("i"), "x"
+    )
+    dense = grid.join(obs, "i", "left").select(
+        "i",
+        F.coalesce(F.col("x"), F.lit(0).cast("decimal(38,0)")).alias(
+            "x"
+        ),
+    )
+    base = dense.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("p0"),
+    )
+    ks = dense.sparkSession.range(1, 4).select(
+        F.col("id").cast("int").alias("k")
+    )
+    bside = dense.select(
+        F.col("i").alias("ib"), F.col("x").alias("xb")
+    )
+    lags = (
+        dense.crossJoin(F.broadcast(ks))
+        .join(
+            bside,
+            F.col("ib") == F.col("i") + F.col("k"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(F.expr("x * xb")).cast("decimal(38,0)").alias("pk"),
+            F.sum("x").cast("decimal(38,0)").alias("ak"),
+            F.sum("xb").cast("decimal(38,0)").alias("bk"),
+        )
+    )
+    nums = lags.crossJoin(F.broadcast(base)).select(
+        "k",
+        F.expr(
+            "CAST(n * n * pk - n * s * (ak + bk) + (n - k) * s * s"
+            " AS DECIMAL(38,0))"
+        ).alias("numk"),
+        F.expr("CAST(n * n * p0 - n * s * s AS DECIMAL(38,0))").alias(
+            "num0"
+        ),
+        "n",
+    )
+    rs = nums.filter(F.col("num0") > 0).agg(
+        F.max(F.col("n")).cast("long").alias("n_days"),
+        F.max(
+            F.when(
+                F.col("k") == 1,
+                F.expr("CAST(numk AS DOUBLE) / CAST(num0 AS DOUBLE)"),
+            )
+        ).alias("r1"),
+        F.max(
+            F.when(
+                F.col("k") == 2,
+                F.expr("CAST(numk AS DOUBLE) / CAST(num0 AS DOUBLE)"),
+            )
+        ).alias("r2"),
+        F.max(
+            F.when(
+                F.col("k") == 3,
+                F.expr("CAST(numk AS DOUBLE) / CAST(num0 AS DOUBLE)"),
+            )
+        ).alias("r3"),
+    )
+    dl = rs.select(
+        "n_days",
+        "r1",
+        "r2",
+        "r3",
+        F.expr(
+            "(r2 - r1 * r1) / (CAST(1.0 AS DOUBLE) - r1 * r1)"
+        ).alias("p22"),
+        F.expr(
+            "r1 - ((r2 - r1 * r1) / (CAST(1.0 AS DOUBLE) - r1 * r1))"
+            " * r1"
+        ).alias("p21"),
+    )
+    return dl.select(
+        "n_days",
+        F.expr("CAST(round(r1 * 1000000) AS BIGINT)").alias(
+            "acf1_micro"
+        ),
+        F.expr("CAST(round(r2 * 1000000) AS BIGINT)").alias(
+            "acf2_micro"
+        ),
+        F.expr("CAST(round(r3 * 1000000) AS BIGINT)").alias(
+            "acf3_micro"
+        ),
+        F.expr("CAST(round(r1 * 1000000) AS BIGINT)").alias(
+            "pacf1_micro"
+        ),
+        F.expr("CAST(round(p22 * 1000000) AS BIGINT)").alias(
+            "pacf2_micro"
+        ),
+        F.expr(
+            "CAST(CASE WHEN CAST(1.0 AS DOUBLE) - p21 * r1 - p22 * r2"
+            " <> 0 THEN round((r3 - p21 * r2 - p22 * r1)"
+            " / (CAST(1.0 AS DOUBLE) - p21 * r1 - p22 * r2) * 1000000)"
+            " END AS BIGINT)"
+        ).alias("pacf3_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X367 — character-bigram conditional entropy H(c₂|c₁) per source: the
+# entropy-rate screen that separates natural prose from boilerplate /
+# generated / encrypted junk one level below X97's unigram char
+# entropy (a repeated-template source keeps unigram entropy high but
+# collapses CONDITIONAL entropy).
+# --------------------------------------------------------------------------
+@query(
+    "q_char_bigram_entropy",
+    oracle="""
+    WITH big AS (
+      SELECT source, substr(lower(text), i, 2) AS bg
+      FROM documents, unnest(range(1, length(text))) AS r(i)
+      WHERE length(text) >= 2
+    ),
+    bc AS (
+      SELECT source, bg, CAST(count(*) AS HUGEINT) AS nab
+      FROM big GROUP BY 1, 2
+    ),
+    uc AS (
+      SELECT source, substr(bg, 1, 1) AS c1,
+             CAST(sum(nab) AS HUGEINT) AS na
+      FROM bc GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT bc.source AS source,
+             CAST(sum(nab * (round(ln(CAST(na AS DOUBLE)) * 1000)
+                             - round(ln(CAST(nab AS DOUBLE)) * 1000)))
+                  AS HUGEINT) AS hsum,
+             CAST(sum(nab) AS HUGEINT) AS n,
+             CAST(count(*) AS HUGEINT) AS v_bigrams
+      FROM bc JOIN uc ON uc.source = bc.source
+                     AND uc.c1 = substr(bc.bg, 1, 1)
+      GROUP BY 1
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_bigrams,
+           CAST(v_bigrams AS BIGINT) AS v_bigrams,
+           CAST(hsum // n AS BIGINT) AS h_cond_milli
+    FROM terms ORDER BY source
+    """,
+)
+def q_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X367 — per-source H(c₂|c₁) = Σ n_ab·(ln n_a − ln n_ab)/N in
+    milli-nats over raw lowercase character bigrams.
+
+    Exactness: bigram and first-char counts are exact integers; each
+    ln is milli-quantized per distinct count (X300 rule), so every
+    term and the total are exact integers; the final division is one
+    truncated milli presentation of a non-negative sum (ln n_a >=
+    ln n_ab always since n_a >= n_ab). Scale shape: the bigram
+    explode is the scan-shaped cost (length(text) rows per doc, all
+    map-side combined into a (source, bigram)-sized table); the
+    conditional join runs on vocab-sized frames. Output ≤ #sources."""
+    docs = load_table(spark, sf_dir, "documents")
+    bc = (
+        docs.filter(F.length("text") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 1),"
+                    " i -> substring(lower(text), i, 2))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("source", "bg")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("nab"))
+    )
+    uc = (
+        bc.groupBy(
+            "source", F.expr("substring(bg, 1, 1)").alias("c1")
+        )
+        .agg(F.sum("nab").cast("decimal(38,0)").alias("na"))
+    )
+    terms = (
+        bc.withColumn("c1", F.expr("substring(bg, 1, 1)"))
+        .join(uc, ["source", "c1"])
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.expr(
+                    "nab * (round(ln(CAST(na AS DOUBLE)) * 1000)"
+                    " - round(ln(CAST(nab AS DOUBLE)) * 1000))"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("hsum"),
+            F.sum("nab").cast("decimal(38,0)").alias("n"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("v_bigrams"),
+        )
+    )
+    return terms.select(
+        "source",
+        F.col("n").cast("long").alias("n_bigrams"),
+        F.col("v_bigrams").cast("long").alias("v_bigrams"),
+        F.expr("CAST(hsum div n AS BIGINT)").alias("h_cond_milli"),
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# X368 — Borda-count rank fusion over three deterministic rankers
+# (doc length, type-token ratio, md5 tiebreak baseline): positional
+# points (top-50 lists, 50 − r + 1 each) — the positional companion
+# of X318's reciprocal-rank fusion; Borda rewards consistent mid-list
+# presence where RRF's 1/(60+r) flattens it.
+# --------------------------------------------------------------------------
+@query(
+    "q_borda_fusion",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, n_chars,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                          'g')), ' ') AS toks
+      FROM documents
+    ),
+    len_list AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                  AS BIGINT) AS r
+      FROM toks QUALIFY r <= 50
+    ),
+    ttr_list AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY CAST(len(list_distinct(toks)) * 1000000
+                             // len(toks) AS BIGINT) DESC, doc_id)
+               AS BIGINT) AS r
+      FROM toks QUALIFY r <= 50
+    ),
+    md5_list AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                 || '|borda-v1'), 1, 15))::BIGINT, doc_id)
+               AS BIGINT) AS r
+      FROM toks QUALIFY r <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(a.doc_id, b.doc_id, c.doc_id) AS doc_id,
+             a.r AS rank_len, b.r AS rank_ttr, c.r AS rank_md5,
+             COALESCE(51 - a.r, 0) + COALESCE(51 - b.r, 0)
+               + COALESCE(51 - c.r, 0) AS borda_points
+      FROM len_list a
+      FULL OUTER JOIN ttr_list b USING (doc_id)
+      FULL OUTER JOIN md5_list c USING (doc_id)
+    )
+    SELECT doc_id, rank_len, rank_ttr, rank_md5,
+           CAST(borda_points AS BIGINT) AS borda_points
+    FROM fused ORDER BY borda_points DESC, doc_id LIMIT 20
+    """,
+)
+def q_borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X368 — Borda fusion: three top-50 rankers (length, TTR, md5
+    baseline) fused by positional points 51 − r; final top-20.
+
+    Exactness: every ranker's key is an exact integer (n_chars, the
+    truncated micro TTR, the 15-hex md5) with a doc_id tiebreak, so
+    all three permutations and the point sums are integer-exact.
+    Scale shape: the per-ranker top-50s plan as TakeOrderedAndProject
+    (limit-pushed, no full sort materialization — the X318 plan); the
+    fusion joins are 50-row frames. At 100 TB each ranker is one
+    scan + top-k combine. Output 20 rows."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "n_chars",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("toks"),
+    )
+    # Each ranker: TakeOrdered top-50 (limit-pushed, no global-sort
+    # exchange — the X323 RRF plan), THEN row_number over the 50-row
+    # frame.
+    def _top50(df, order_cols, out):
+        return (
+            df.orderBy(*order_cols)
+            .limit(50)
+            .select(
+                "doc_id",
+                F.row_number()
+                .over(W.partitionBy().orderBy(*order_cols))
+                .cast("long")
+                .alias(out),
+            )
+        )
+
+    len_list = _top50(
+        toks, [F.desc("n_chars"), F.col("doc_id")], "rank_len"
+    )
+    ttr_list = _top50(
+        toks.withColumn(
+            "ttr",
+            F.expr(
+                "CAST(size(array_distinct(toks)) * 1000000"
+                " div size(toks) AS BIGINT)"
+            ),
+        ),
+        [F.desc("ttr"), F.col("doc_id")],
+        "rank_ttr",
+    )
+    md5_list = _top50(
+        toks.withColumn(
+            "h",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(doc_id AS STRING)"
+                " || '|borda-v1'), 1, 15), 16, 10) AS BIGINT)"
+            ),
+        ),
+        [F.col("h"), F.col("doc_id")],
+        "rank_md5",
+    )
+    fused = (
+        len_list.join(ttr_list, "doc_id", "full")
+        .join(md5_list, "doc_id", "full")
+        .select(
+            "doc_id",
+            "rank_len",
+            "rank_ttr",
+            "rank_md5",
+            (
+                F.coalesce(51 - F.col("rank_len"), F.lit(0))
+                + F.coalesce(51 - F.col("rank_ttr"), F.lit(0))
+                + F.coalesce(51 - F.col("rank_md5"), F.lit(0))
+            )
+            .cast("long")
+            .alias("borda_points"),
+        )
+    )
+    return fused.orderBy(F.desc("borda_points"), "doc_id").limit(20)
+
+
+# --------------------------------------------------------------------------
+# X369 — STL-lite seasonal decomposition of daily revenue per event
+# type: trend = centered 7-day MA, seasonal = day-of-week mean of the
+# detrended series, residual anomalies gated at 3× the mean absolute
+# residual — the decomposition behind X126's seasonal-anomaly gate,
+# exposed as a full ledger instead of one flag.
+# --------------------------------------------------------------------------
+@query(
+    "q_stl_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100, 0) AS HUGEINT))
+                  AS HUGEINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ma AS (
+      SELECT event_type, d, x,
+             CAST(sum(x) OVER (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS HUGEINT) AS s7,
+             count(*) OVER (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      FROM daily
+    ),
+    detr AS (
+      SELECT event_type, d, x,
+             CAST(s7 * 1000000 // 7 AS HUGEINT) AS trend_micro,
+             CAST(x * 1000000 - s7 * 1000000 // 7 AS HUGEINT) AS dt,
+             dayofweek(d) AS dow
+      FROM ma WHERE c7 = 7
+    ),
+    seas AS (
+      SELECT event_type, dow,
+             CAST(sum(dt) AS HUGEINT) AS sd,
+             CAST(count(*) AS HUGEINT) AS cd
+      FROM detr GROUP BY 1, 2
+    ),
+    led AS (
+      SELECT detr.event_type AS event_type, d, x, trend_micro,
+             CAST(CASE WHEN sd >= 0 THEN sd // cd
+                  ELSE -((-sd) // cd) END AS HUGEINT) AS seasonal_micro,
+             dt - CAST(CASE WHEN sd >= 0 THEN sd // cd
+                  ELSE -((-sd) // cd) END AS HUGEINT) AS resid_micro
+      FROM detr JOIN seas ON seas.event_type = detr.event_type
+                         AND seas.dow = detr.dow
+    ),
+    scale_r AS (
+      SELECT event_type,
+             CAST(sum(abs(resid_micro)) AS HUGEINT) AS sabs,
+             CAST(count(*) AS HUGEINT) AS nr
+      FROM led GROUP BY 1
+    )
+    SELECT led.event_type AS event_type, d,
+           CAST(x AS BIGINT) AS cents,
+           CAST(trend_micro AS BIGINT) AS trend_micro,
+           CAST(seasonal_micro AS BIGINT) AS seasonal_micro,
+           CAST(resid_micro AS BIGINT) AS resid_micro,
+           abs(resid_micro) * nr > 3 * sabs AS anomaly
+    FROM led JOIN scale_r ON scale_r.event_type = led.event_type
+    ORDER BY led.event_type, d
+    """,
+)
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X369 — trend/seasonal/residual ledger: centered 7-day MA trend
+    (full windows only), day-of-week seasonal means of the detrended
+    series, and |resid| > 3·mean|resid| anomaly flags.
+
+    Exactness: daily cents are exact integers; the MA is a truncated
+    micro division of a non-negative 7-day sum; detrended values are
+    pure integer differences; the seasonal mean uses the X216
+    sign-corrected div (detrended sums CAN be negative); the anomaly
+    gate is a cross-multiplied integer inequality — no doubles
+    anywhere. Scale shape: fact-sized daily rollup → one
+    calendar-bounded keyed window → dow-sized join; ledger is
+    (types × days) rows (sort allowlist class a)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100, 0) AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("x")
+    )
+    w7 = (
+        W.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    )
+    ma = daily.select(
+        "event_type",
+        "d",
+        "x",
+        F.sum("x").over(w7).cast("decimal(38,0)").alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    detr = ma.filter(F.col("c7") == 7).select(
+        "event_type",
+        "d",
+        "x",
+        F.expr("CAST(s7 * 1000000 div 7 AS DECIMAL(38,0))").alias(
+            "trend_micro"
+        ),
+        F.expr(
+            "CAST(x * 1000000 - s7 * 1000000 div 7 AS DECIMAL(38,0))"
+        ).alias("dt"),
+        F.expr("dayofweek(d)").alias("dow"),
+    )
+    seas = detr.groupBy("event_type", "dow").agg(
+        F.sum("dt").cast("decimal(38,0)").alias("sd"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cd"),
+    )
+    led = detr.join(seas, ["event_type", "dow"]).select(
+        "event_type",
+        "d",
+        "x",
+        "trend_micro",
+        F.expr(
+            "CAST(CASE WHEN sd >= 0 THEN sd div cd"
+            " ELSE -((-sd) div cd) END AS DECIMAL(38,0))"
+        ).alias("seasonal_micro"),
+        F.expr(
+            "CAST(dt - CASE WHEN sd >= 0 THEN sd div cd"
+            " ELSE -((-sd) div cd) END AS DECIMAL(38,0))"
+        ).alias("resid_micro"),
+    )
+    scale_r = led.groupBy("event_type").agg(
+        F.sum(F.abs(F.col("resid_micro")))
+        .cast("decimal(38,0)")
+        .alias("sabs"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nr"),
+    )
+    return led.join(scale_r, "event_type").select(
+        "event_type",
+        "d",
+        F.col("x").cast("long").alias("cents"),
+        F.col("trend_micro").cast("long").alias("trend_micro"),
+        F.col("seasonal_micro").cast("long").alias("seasonal_micro"),
+        F.col("resid_micro").cast("long").alias("resid_micro"),
+        (
+            F.abs(F.col("resid_micro")) * F.col("nr")
+            > 3 * F.col("sabs")
+        ).alias("anomaly"),
+    ).orderBy("event_type", "d")
