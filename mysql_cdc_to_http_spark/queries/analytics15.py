@@ -1958,3 +1958,815 @@ def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 3 * F.col("sabs")
         ).alias("anomaly"),
     ).orderBy("event_type", "d")
+
+
+# --------------------------------------------------------------------------
+# X370 — Holm–Bonferroni step-down over the per-type one-vs-rest MWU
+# family: the FWER-controlling companion of X307's BH-FDR (same exact
+# rank-sum machinery, the OTHER multiple-testing guarantee) — adjusted
+# p = max prefix of p_(j)·(m−j+1), reject while ≤ α.
+# --------------------------------------------------------------------------
+@query(
+    "q_holm_bonferroni",
+    oracle="""
+    WITH tot AS (
+      SELECT value, CAST(count(*) AS HUGEINT) AS t
+      FROM events GROUP BY value
+    ),
+    tv AS (
+      SELECT event_type, value, CAST(count(*) AS HUGEINT) AS c1
+      FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT ty.event_type, tot.value, tot.t,
+             COALESCE(tv.c1, 0::HUGEINT) AS c1
+      FROM (SELECT DISTINCT event_type FROM events) ty
+      CROSS JOIN tot
+      LEFT JOIN tv ON tv.event_type = ty.event_type
+                  AND tv.value = tot.value
+    ),
+    cum AS (
+      SELECT event_type, c1, t - c1 AS c2, t AS c,
+             COALESCE(SUM(t) OVER (PARTITION BY event_type
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS f_prev
+      FROM dense
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(c1) AS HUGEINT) AS n1,
+             CAST(SUM(c2) AS HUGEINT) AS n2,
+             CAST(SUM(c1 * (2 * f_prev + c + 1)) AS HUGEINT) AS r1_double,
+             CAST(SUM(c * c * c - c) AS HUGEINT) AS tie_t
+      FROM cum GROUP BY event_type
+    ),
+    z AS (
+      SELECT event_type,
+             (CAST(r1_double - n1 * (n1 + 1) AS DOUBLE)
+              - CAST(n1 * n2 AS DOUBLE))
+             / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE)
+                * CAST((n1 + n2) * (n1 + n2) * (n1 + n2)
+                       - (n1 + n2) - tie_t AS DOUBLE)
+                / (12.0 * CAST(n1 + n2 AS DOUBLE)
+                   * CAST(n1 + n2 - 1 AS DOUBLE)))) AS zval
+      FROM agg
+    ),
+    p AS (
+      SELECT event_type,
+             CAST(round(zval * 1000000) AS BIGINT) AS z_micro,
+             CAST(round(2000000.0 / (1.0 + exp(1.702 * abs(zval))))
+                  AS BIGINT) AS p_micro
+      FROM z
+    ),
+    ranked AS (
+      SELECT event_type, z_micro, p_micro,
+             row_number() OVER (ORDER BY p_micro, event_type) AS i,
+             count(*) OVER () AS m
+      FROM p
+    ),
+    adj AS (
+      SELECT event_type, z_micro, p_micro, i, m,
+             least(1000000::HUGEINT,
+                   max(p_micro * (m - i + 1)) OVER (
+                     ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS holm_adj_micro
+      FROM ranked
+    )
+    SELECT event_type, z_micro, p_micro,
+           CAST(i AS BIGINT) AS holm_rank,
+           CAST(holm_adj_micro AS BIGINT) AS holm_adj_micro,
+           holm_adj_micro <= 50000 AS rejected
+    FROM adj ORDER BY holm_rank
+    """,
+)
+def q_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X370 — Holm step-down FWER control over the X307 MWU family:
+    adjusted p_(i) = min(1, max_{j≤i} p_(j)·(m−j+1)); reject while
+    adjusted ≤ α = 0.05.
+
+    Exactness: identical exact-integer rank-sum machinery as X307
+    (densified grid, double-rank trick, integer ties); z and the
+    logistic p approximation are the same identical-input double
+    expressions behind micro rounds; the Holm adjustment is pure
+    integer arithmetic (a prefix max of p_micro·(m−i+1) over the
+    family-sized frame). Scale shape: X307's exactly — two fact-sized
+    aggregates, a (types × values) grid, then family-sized (≤ #types
+    rows) windows. Output ≤ #types rows (sort allowlist class a)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    tot = ev.groupBy("value").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("t")
+    )
+    tv = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c1")
+    )
+    dense = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(tot)
+        .join(tv, ["event_type", "value"], "left")
+        .withColumn(
+            "c1",
+            F.coalesce(F.col("c1"), F.lit(0).cast("decimal(38,0)")),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = dense.select(
+        "event_type",
+        "c1",
+        (F.col("t") - F.col("c1")).alias("c2"),
+        F.col("t").alias("c"),
+        F.coalesce(
+            F.sum("t").over(w), F.lit(0).cast("decimal(38,0)")
+        ).alias("f_prev"),
+    )
+    agg = cum.groupBy("event_type").agg(
+        F.sum("c1").cast("decimal(38,0)").alias("n1"),
+        F.sum("c2").cast("decimal(38,0)").alias("n2"),
+        F.sum(
+            F.col("c1") * (F.lit(2) * F.col("f_prev") + F.col("c") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("r1_double"),
+        F.sum(F.expr("c * c * c - c"))
+        .cast("decimal(38,0)")
+        .alias("tie_t"),
+    )
+    zexpr = (
+        "(CAST(r1_double - n1 * (n1 + 1) AS DOUBLE)"
+        " - CAST(n1 * n2 AS DOUBLE))"
+        " / (CAST(2.0 AS DOUBLE) * sqrt(CAST(n1 * n2 AS DOUBLE)"
+        "    * CAST((n1 + n2) * (n1 + n2) * (n1 + n2)"
+        "           - (n1 + n2) - tie_t AS DOUBLE)"
+        "    / (CAST(12.0 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)"
+        "       * CAST(n1 + n2 - 1 AS DOUBLE))))"
+    )
+    p = agg.select(
+        "event_type",
+        F.expr(f"CAST(round(({zexpr}) * 1000000) AS BIGINT)").alias(
+            "z_micro"
+        ),
+        F.expr(
+            "CAST(round(CAST(2000000.0 AS DOUBLE)"
+            f" / (CAST(1.0 AS DOUBLE) + exp(CAST(1.702 AS DOUBLE)"
+            f" * abs({zexpr})))) AS BIGINT)"
+        ).alias("p_micro"),
+    )
+    ranked = p.select(
+        "event_type",
+        "z_micro",
+        "p_micro",
+        F.row_number()
+        .over(W.partitionBy().orderBy("p_micro", "event_type"))
+        .alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("m"),
+    )
+    wmax = (
+        W.partitionBy()
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    adj = ranked.select(
+        "event_type",
+        "z_micro",
+        "p_micro",
+        "i",
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.max(
+                (F.col("p_micro") * (F.col("m") - F.col("i") + 1)).cast(
+                    "long"
+                )
+            ).over(wmax),
+        ).alias("holm_adj_micro"),
+    )
+    return adj.select(
+        "event_type",
+        "z_micro",
+        "p_micro",
+        F.col("i").cast("long").alias("holm_rank"),
+        "holm_adj_micro",
+        (F.col("holm_adj_micro") <= 50000).alias("rejected"),
+    ).orderBy("holm_rank")
+
+
+# --------------------------------------------------------------------------
+# X371 — embedding alignment & uniformity (Wang–Isola): alignment =
+# mean cosine over deterministic same-label partner pairs, uniformity
+# = ln E[exp(−2‖a−b‖²)] over deterministic offset pairs — the two
+# numbers that say whether an embedding space is collapsing
+# (uniformity → 0) or scattering its positives (alignment ↓).
+# --------------------------------------------------------------------------
+@query(
+    "q_alignment_uniformity",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    pos AS (
+      SELECT CAST(round(list_cosine_similarity(a.v, b.v), 6) * 1000000
+                  AS HUGEINT) AS cos_micro
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+                       AND a.label = b.label
+      WHERE a.vec_id % 2 = 0
+    ),
+    pair7 AS (
+      SELECT round(list_sum(list_transform(range(1, len(a.v) + 1),
+                   i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))), 6)
+               AS d2
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 7
+    ),
+    uni AS (
+      SELECT CAST(sum(CAST(round(exp(-2.0 * d2) * 1000000000)
+                           AS HUGEINT)) AS HUGEINT) AS se,
+             CAST(count(*) AS HUGEINT) AS np
+      FROM pair7
+    ),
+    al AS (
+      SELECT CAST(count(*) AS HUGEINT) AS na,
+             CAST(sum(cos_micro) AS HUGEINT) AS sc
+      FROM pos
+    )
+    SELECT CAST(na AS BIGINT) AS n_pos_pairs,
+           CAST(np AS BIGINT) AS n_uniform_pairs,
+           CAST(CASE WHEN na > 0 THEN
+             CASE WHEN sc >= 0 THEN sc // na ELSE -((-sc) // na) END
+             END AS BIGINT) AS alignment_micro,
+           CAST(CASE WHEN np > 0 AND se > 0 THEN
+             round(ln(CAST(se AS DOUBLE) / CAST(np AS DOUBLE)
+                      / 1000000000.0) * 1000000) END AS BIGINT)
+             AS uniformity_micro
+    FROM al CROSS JOIN uni
+    """,
+)
+def q_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X371 — Wang–Isola alignment (mean positive-pair cosine) and
+    uniformity (ln mean exp(−2d²)) over md5-free DETERMINISTIC linear
+    pair samples: positives = (even vec_id, vec_id+1) with equal
+    label; uniformity pairs = (vec_id, vec_id+7) offset pairs.
+
+    Exactness: both pair sets come from equi-joins on computed ids
+    (no sort, no randomness); cosine follows the X38 rule (6-dp round
+    before the ×1e6 integer); d² is an explicit left-to-right
+    elementwise sum rounded at 6 dp on both engines; each exp is
+    quantized per pair to nano units (integer sum is then
+    order-independent); the final ln is one data-dependent
+    transcendental on an identical integer ratio behind the micro
+    round; the alignment mean uses the X216 sign-corrected div.
+    Scale shape: two linear equi-joins on the vectors table — O(n)
+    pairs, never O(n²); 1-row output."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+            "v"
+        ),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("label").alias("la"),
+        F.col("v").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("label").alias("lb"),
+        F.col("v").alias("vb"),
+    )
+    cos = (
+        "aggregate(zip_with(va, vb, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+        " / (sqrt(aggregate(zip_with(va, va, (x, y) -> x * y),"
+        "   CAST(0.0 AS DOUBLE), (acc, z) -> acc + z))"
+        " * sqrt(aggregate(zip_with(vb, vb, (x, y) -> x * y),"
+        "   CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)))"
+    )
+    pos = (
+        a.filter(F.expr("ia % 2 = 0"))
+        .join(
+            b,
+            (F.col("ib") == F.col("ia") + 1)
+            & (F.col("la") == F.col("lb")),
+        )
+        .select(
+            F.expr(
+                f"CAST(round({cos}, 6) * 1000000 AS DECIMAL(38,0))"
+            ).alias("cos_micro")
+        )
+    )
+    d2 = (
+        "round(aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, z) -> acc + z), 6)"
+    )
+    pair7 = a.join(b, F.col("ib") == F.col("ia") + 7).select(
+        F.expr(
+            f"CAST(round(exp(CAST(-2.0 AS DOUBLE) * ({d2}))"
+            " * 1000000000) AS DECIMAL(38,0))"
+        ).alias("e_nano")
+    )
+    al = pos.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("na"),
+        F.sum("cos_micro").cast("decimal(38,0)").alias("sc"),
+    )
+    uni = pair7.agg(
+        F.sum("e_nano").cast("decimal(38,0)").alias("se"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("np"),
+    )
+    return al.crossJoin(F.broadcast(uni)).select(
+        F.col("na").cast("long").alias("n_pos_pairs"),
+        F.col("np").cast("long").alias("n_uniform_pairs"),
+        F.expr(
+            "CAST(CASE WHEN na > 0 THEN"
+            " CASE WHEN sc >= 0 THEN sc div na"
+            " ELSE -((-sc) div na) END END AS BIGINT)"
+        ).alias("alignment_micro"),
+        F.expr(
+            "CAST(CASE WHEN np > 0 AND se > 0 THEN"
+            " round(ln(CAST(se AS DOUBLE) / CAST(np AS DOUBLE)"
+            " / CAST(1000000000.0 AS DOUBLE)) * 1000000)"
+            " END AS BIGINT)"
+        ).alias("uniformity_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X372 — DP median via the exponential mechanism (deterministic
+# report-noisy-max form): candidate bins score ε·u/2 + Gumbel(md5),
+# u(bin) = −|2·rank_mid − n| — the DP release that X321's dp_mean and
+# X282's dp_histogram can't give you (quantiles need selection, not
+# noise addition).
+# --------------------------------------------------------------------------
+_DPQ_SALT = "dpq-v1"
+
+
+@query(
+    "q_dp_quantile",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS HUGEINT) AS c
+      FROM orders
+    ),
+    bins AS (
+      SELECT CAST(c // 100000 AS BIGINT) AS bin,
+             CAST(count(*) AS HUGEINT) AS cnt
+      FROM cents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS HUGEINT) AS n FROM bins),
+    cum AS (
+      SELECT bin, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS f_prev
+      FROM bins
+    ),
+    scored AS (
+      SELECT bin, cnt, f_prev,
+             -- u2 = -|2·mid - n| (doubled to stay integer)
+             -CAST(abs(2 * f_prev + cnt - n) AS HUGEINT) AS u2,
+             -- score_milli = 25·u2 (= eps/4 · u2 · 1000, eps = 0.1)
+             -- + milli-quantized Gumbel from the 15-hex md5 uniform
+             -25 * CAST(abs(2 * f_prev + cnt - n) AS HUGEINT)
+             + CAST(round(-ln(-ln(
+                 CAST(('0x' || substr(md5(CAST(bin AS VARCHAR)
+                   || '|{_DPQ_SALT}'), 1, 15))::BIGINT AS DOUBLE)
+                 / 1152921504606846976.0)) * 1000) AS HUGEINT)
+               AS score_milli,
+             n
+      FROM cum CROSS JOIN tot
+    ),
+    chosen AS (
+      SELECT bin AS dp_bin, score_milli
+      FROM scored ORDER BY score_milli DESC, bin LIMIT 1
+    ),
+    true_med AS (
+      SELECT min(bin) AS true_bin
+      FROM scored WHERE 2 * f_prev + cnt >= n
+    )
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_orders,
+           CAST(dp_bin AS BIGINT) AS dp_median_bin,
+           CAST(true_bin AS BIGINT) AS true_median_bin,
+           CAST(abs(dp_bin - true_bin) AS BIGINT) AS bin_error
+    FROM chosen CROSS JOIN true_med
+    """,
+)
+def q_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X372 — exponential-mechanism DP median of order value over
+    $1000 bins (ε = 0.1): score = (ε/4)·(−|2·rank_mid − n|) + Gumbel
+    noise from the salted md5 uniform; argmax is the release.
+
+    Exactness: bin counts, prefix ranks and the doubled utility are
+    exact integers; the Gumbel variate is data-INdependent per bin
+    (md5 of the bin id), its nested lns computed on the identical
+    15-hex/2⁶⁰ double and milli-quantized — after that the score is
+    pure integer with a bin tiebreak, so selection is deterministic;
+    the true median bin is an exact integer rank test (reported for
+    the utility audit — a real release would withhold it). Scale
+    shape: fact scan → bin-sized aggregate → bin-bounded prefix
+    window → constant selection. Output is 1 row."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    bins = o.select(
+        F.expr(
+            "CAST(CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0))"
+            " div 100000 AS BIGINT)"
+        ).alias("bin")
+    ).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt")
+    )
+    tot = bins.agg(F.sum("cnt").cast("decimal(38,0)").alias("n"))
+    wp = (
+        W.partitionBy()
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = bins.select(
+        "bin",
+        "cnt",
+        F.coalesce(
+            F.sum("cnt").over(wp), F.lit(0).cast("decimal(38,0)")
+        ).alias("f_prev"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "cnt",
+        "f_prev",
+        "n",
+        F.expr(
+            "-25 * CAST(abs(2 * f_prev + cnt - n) AS DECIMAL(38,0))"
+            " + CAST(round(-ln(-ln("
+            f" CAST(conv(substr(md5(CAST(bin AS STRING) || '|{_DPQ_SALT}'),"
+            " 1, 15), 16, 10) AS DOUBLE)"
+            " / 1152921504606846976.0)) * 1000) AS DECIMAL(38,0))"
+        ).alias("score_milli"),
+    )
+    chosen = (
+        scored.orderBy(F.desc("score_milli"), "bin")
+        .limit(1)
+        .select(F.col("bin").alias("dp_bin"))
+    )
+    true_med = scored.filter(
+        F.expr("2 * f_prev + cnt >= n")
+    ).agg(F.min("bin").alias("true_bin"))
+    return (
+        chosen.crossJoin(F.broadcast(true_med))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").cast("long").alias("n_orders"),
+            F.col("dp_bin").cast("long").alias("dp_median_bin"),
+            F.col("true_bin").cast("long").alias("true_median_bin"),
+            F.abs(F.col("dp_bin") - F.col("true_bin"))
+            .cast("long")
+            .alias("bin_error"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X373 — k-core peeling ledger (k = 2, 6 fixed rounds) on the
+# co-purchase-day customer graph: how much of the graph survives
+# iterative minimum-degree pruning — the community-density audit that
+# complements X165's components and X231/X256's triangle counts
+# (components say CONNECTED, k-core says DENSELY connected).
+# Edges: customers sharing a (day, priority) order group, groups
+# capped at 50 members (the LSH bucket-cap discipline — pairs stay
+# bucket-local, never corpus-quadratic).
+# --------------------------------------------------------------------------
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "nodes0"
+    for r in range(1, 7):
+        rounds.append(f"""
+    e{r} AS MATERIALIZED (
+      SELECT a, b FROM edges
+      WHERE a IN (SELECT node FROM {prev})
+        AND b IN (SELECT node FROM {prev})
+    ),
+    d{r} AS MATERIALIZED (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM e{r} UNION ALL SELECT b AS node FROM e{r}
+      ) GROUP BY node
+    ),
+    nodes{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= 2),
+    led{r} AS (
+      SELECT {r} AS round,
+             (SELECT count(*) FROM nodes{r}) AS nodes_remaining,
+             (SELECT count(*) FROM e{r}
+              WHERE a IN (SELECT node FROM nodes{r})
+                AND b IN (SELECT node FROM nodes{r})) AS edges_remaining
+    )""")
+        prev = f"nodes{r}"
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM led{r}" for r in range(1, 7)
+    )
+    return f"""
+    WITH oc AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS d,
+             o_orderpriority AS p, o_custkey AS c
+      FROM orders
+    ),
+    gsz AS (
+      SELECT d, p, count(*) AS gn FROM oc GROUP BY d, p
+    ),
+    capped AS MATERIALIZED (
+      SELECT oc.d, oc.p, oc.c FROM oc
+      JOIN gsz ON gsz.d = oc.d AND gsz.p = oc.p
+      WHERE gsz.gn <= 50
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT x.c AS a, y.c AS b
+      FROM capped x JOIN capped y
+        ON x.d = y.d AND x.p = y.p AND x.c < y.c
+    ),
+    nodes0 AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+      )
+    ),{",".join(rounds)}
+    SELECT CAST(round AS BIGINT) AS round,
+           CAST(nodes_remaining AS BIGINT) AS nodes_remaining,
+           CAST(edges_remaining AS BIGINT) AS edges_remaining
+    FROM ({union}) ORDER BY round
+    """
+
+
+@query("q_kcore_peel", oracle=_kcore_oracle())
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X373 — 2-core peeling, 6 unrolled rounds, on the co-purchase
+    (day, priority) customer graph; per-round ledger of surviving
+    nodes and edges. The ledger is EXPLICITLY the first six peel
+    rounds (the synthetic graph's chain tails keep unraveling past
+    round 6) — a production k-core runs the same superstep in a
+    driver loop until the round-over-round node count is unchanged;
+    the fixed depth here keeps the query a pure dataflow while the
+    monotone-ledger test pins that each round only shrinks.
+
+    Exactness: the graph build is all-integer (distinct group
+    membership, ≤50-member group cap, a<b deduped pairs); every peel
+    round is an exact degree count + integer threshold — no floats
+    anywhere; six rounds are UNROLLED identically on both engines
+    (same bounded computation, not an approximation of each other).
+    Scale shape: the pair join is
+    group-capped (bucket-local, the X37 LSH discipline); each round
+    is two aggregates + two semi-joins on the shrinking edge set. At
+    100 TB the peel is 6 bounded supersteps — the same plan a
+    Pregel-style k-core takes per iteration, without the driver loop
+    depending on data. Output 6 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    oc = o.select(
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_custkey").alias("c"),
+    ).distinct()
+    gsz = oc.groupBy("d", "p").agg(F.count(F.lit(1)).alias("gn"))
+    capped = oc.join(gsz.filter(F.col("gn") <= 50), ["d", "p"]).select(
+        "d", "p", "c"
+    )
+    y = capped.select(
+        F.col("d").alias("d2"),
+        F.col("p").alias("p2"),
+        F.col("c").alias("c2"),
+    )
+    edges = (
+        capped.join(
+            y,
+            (F.col("d") == F.col("d2"))
+            & (F.col("p") == F.col("p2"))
+            & (F.col("c") < F.col("c2")),
+        )
+        .select(F.col("c").alias("a"), F.col("c2").alias("b"))
+        .distinct()
+    )
+    # Each round's survivors/edges get a LINEAGE CUT (localCheckpoint):
+    # every er_r references nxt_{r-1} twice (two semi-joins) and
+    # er_{r-1} once, so without a barrier the logical tree doubles per
+    # round and Catalyst analysis/cache-matching cost explodes
+    # exponentially (measured: >300 s at sf0.001 un-barriered, ~3 s
+    # cut). localCheckpoint is the standard iterative-graph idiom
+    # (GraphX does the equivalent per superstep): the frames are
+    # node/edge lists of a group-capped graph — bounded — and each
+    # round becomes a genuinely independent superstep, which is also
+    # exactly the 100 TB execution model (materialize the frontier,
+    # free the previous round).
+    ledger_rows = []
+    cur_edges = edges.localCheckpoint(eager=False)
+    cur_nodes = None  # round 1 peels from all edge endpoints
+    for r in range(1, 7):
+        if cur_nodes is None:
+            er = cur_edges
+        else:
+            er = (
+                cur_edges.join(
+                    cur_nodes.select(F.col("node").alias("a")),
+                    "a",
+                    "semi",
+                ).join(
+                    cur_nodes.select(F.col("node").alias("b")),
+                    "b",
+                    "semi",
+                )
+            ).select("a", "b").localCheckpoint(eager=False)
+        deg = (
+            er.select(F.col("a").alias("node"))
+            .union(er.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        nxt = (
+            deg.filter(F.col("deg") >= 2)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+        kept = (
+            er.join(
+                nxt.select(F.col("node").alias("a")), "a", "semi"
+            ).join(nxt.select(F.col("node").alias("b")), "b", "semi")
+        )
+        ledger_rows.append(
+            nxt.agg(
+                F.lit(r).cast("long").alias("round"),
+                F.count(F.lit(1)).cast("long").alias("nodes_remaining"),
+            ).crossJoin(
+                F.broadcast(
+                    kept.agg(
+                        F.count(F.lit(1))
+                        .cast("long")
+                        .alias("edges_remaining")
+                    )
+                )
+            )
+        )
+        cur_edges, cur_nodes = er, nxt
+    out = ledger_rows[0]
+    for led in ledger_rows[1:]:
+        out = out.unionByName(led)
+    return out.orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# X374 — winsorized A/B effect: mean-cents gap between the split-hash
+# cohorts per event type, before vs after clamping to the type's
+# exact p05/p95 — the robust effect estimate that keeps one whale
+# user from deciding an experiment (the practical fix X334's
+# tail-sensitivity diagnosis calls for).
+# --------------------------------------------------------------------------
+@query(
+    "q_winsorized_ab",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS HUGEINT) AS cents,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS cohort
+      FROM events
+    ),
+    vc AS (
+      SELECT event_type, cents, CAST(count(*) AS HUGEINT) AS c
+      FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, cents, c,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS HUGEINT) AS f,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS HUGEINT) AS n
+      FROM vc
+    ),
+    bounds AS (
+      SELECT event_type,
+             CAST(min(CASE WHEN f * 20 >= n THEN cents END)
+                  AS HUGEINT) AS lo,
+             CAST(min(CASE WHEN f * 20 >= 19 * n THEN cents END)
+                  AS HUGEINT) AS hi
+      FROM cum GROUP BY event_type
+    ),
+    clamped AS (
+      SELECT base.event_type AS event_type, cohort,
+             cents,
+             least(greatest(cents, lo), hi) AS wcents
+      FROM base JOIN bounds ON bounds.event_type = base.event_type
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN cohort = 0 THEN cents END) AS HUGEINT)
+               AS s0,
+             CAST(count(*) FILTER (cohort = 0) AS HUGEINT) AS n0,
+             CAST(sum(CASE WHEN cohort = 1 THEN cents END) AS HUGEINT)
+               AS s1,
+             CAST(count(*) FILTER (cohort = 1) AS HUGEINT) AS n1,
+             CAST(sum(CASE WHEN cohort = 0 THEN wcents END) AS HUGEINT)
+               AS w0,
+             CAST(sum(CASE WHEN cohort = 1 THEN wcents END) AS HUGEINT)
+               AS w1
+      FROM clamped GROUP BY event_type
+    )
+    SELECT agg.event_type AS event_type,
+           CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+           CAST(lo AS BIGINT) AS lo_cents, CAST(hi AS BIGINT) AS hi_cents,
+           CAST(s1 * 10000 // n1 - s0 * 10000 // n0 AS BIGINT)
+             AS raw_diff_micro,
+           CAST(w1 * 10000 // n1 - w0 * 10000 // n0 AS BIGINT)
+             AS winsorized_diff_micro
+    FROM agg JOIN bounds ON bounds.event_type = agg.event_type
+    ORDER BY agg.event_type
+    """,
+)
+def q_winsorized_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X374 — cohort mean-cents gap per type, raw vs winsorized at the
+    type's exact p05/p95 (clamp, don't drop — winsorizing keeps n).
+
+    Exactness: cents are exact integers; the percentile bounds come
+    from integer cumulative counts over the (type, value) grid with
+    cross-multiplied rank tests (f·20 >= n — no rate division, the
+    X115 equidepth rule); clamping is integer least/greatest; both
+    gap presentations are differences of truncated non-negative micro
+    divisions. Scale shape: one fact-sized (type, cents) aggregate,
+    value-grid-bounded cumulative windows, then a broadcast bounds
+    join back to the facts and a type-sized aggregate. Output ≤
+    #types rows (sort allowlist class a)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS DECIMAL(38,0))").alias(
+            "cents"
+        ),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT) % 2"
+        ).alias("cohort"),
+    )
+    vc = base.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = vc.select(
+        "event_type",
+        "cents",
+        F.sum("c").over(wcum).cast("decimal(38,0)").alias("f"),
+        F.sum("c")
+        .over(W.partitionBy("event_type"))
+        .cast("decimal(38,0)")
+        .alias("n"),
+    )
+    bounds = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("f") * 20 >= F.col("n"), F.col("cents"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("f") * 20 >= 19 * F.col("n"), F.col("cents"))
+        ).alias("hi"),
+    )
+    clamped = base.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "cohort",
+        "cents",
+        F.least(
+            F.greatest(F.col("cents"), F.col("lo")), F.col("hi")
+        ).alias("wcents"),
+    )
+    agg = clamped.groupBy("event_type").agg(
+        F.sum(F.when(F.col("cohort") == 0, F.col("cents")))
+        .cast("decimal(38,0)")
+        .alias("s0"),
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n0"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("cents")))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n1"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("wcents")))
+        .cast("decimal(38,0)")
+        .alias("w0"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("wcents")))
+        .cast("decimal(38,0)")
+        .alias("w1"),
+    )
+    return agg.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.col("n0").cast("long").alias("n_a"),
+        F.col("n1").cast("long").alias("n_b"),
+        F.col("lo").cast("long").alias("lo_cents"),
+        F.col("hi").cast("long").alias("hi_cents"),
+        F.expr(
+            "CAST(s1 * 10000 div n1 - s0 * 10000 div n0 AS BIGINT)"
+        ).alias("raw_diff_micro"),
+        F.expr(
+            "CAST(w1 * 10000 div n1 - w0 * 10000 div n0 AS BIGINT)"
+        ).alias("winsorized_diff_micro"),
+    ).orderBy("event_type")
