@@ -2770,3 +2770,184 @@ def q_winsorized_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(w1 * 10000 div n1 - w0 * 10000 div n0 AS BIGINT)"
         ).alias("winsorized_diff_micro"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# X375 — MMR re-ranking (Carbonell–Goldstein maximal marginal
+# relevance): greedy top-5 from a 16-candidate pool, score =
+# 0.7·relevance − 0.3·max-similarity-to-selected — the
+# diversity-aware final stage every RAG/retrieval pipeline runs after
+# X318/X368's fusion, as 5 unrolled deterministic supersteps.
+# --------------------------------------------------------------------------
+def _mmr_oracle() -> str:
+    steps = []
+    prev_sel = "sel1"
+    for k in range(2, 6):
+        steps.append(f""",
+    score{k} AS MATERIALIZED (
+      SELECT p.doc_id, p.rel,
+             (SELECT max(s.jac) FROM sims s
+              WHERE s.a = p.doc_id
+                AND s.b IN (SELECT doc_id FROM {prev_sel})) AS ms
+      FROM pool p
+      WHERE p.doc_id NOT IN (SELECT doc_id FROM {prev_sel})
+    ),
+    pick{k} AS MATERIALIZED (
+      SELECT doc_id, rel, ms, {k} AS rk, 7 * rel - 3 * ms AS score
+      FROM score{k}
+      ORDER BY 7 * rel - 3 * ms DESC, doc_id LIMIT 1
+    ),
+    sel{k} AS MATERIALIZED (
+      SELECT doc_id FROM {prev_sel}
+      UNION ALL SELECT doc_id FROM pick{k}
+    )""")
+        prev_sel = f"sel{k}"
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM pick{k}" for k in range(1, 6)
+    )
+    return rf"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(string_split(trim(regexp_replace(lower(text),
+               '\s+', ' ', 'g')), ' ')) AS t,
+             CAST(len(list_distinct(string_split(trim(regexp_replace(
+               lower(text), '\s+', ' ', 'g')), ' '))) * 1000000
+               // len(string_split(trim(regexp_replace(lower(text),
+               '\s+', ' ', 'g')), ' ')) AS BIGINT) AS rel
+      FROM documents
+    ),
+    pool AS MATERIALIZED (
+      SELECT doc_id, t, rel FROM toks
+      ORDER BY rel DESC, doc_id LIMIT 16
+    ),
+    sims AS MATERIALIZED (
+      SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(len(list_intersect(x.t, y.t)) * 1000000
+                  // (len(x.t) + len(y.t)
+                      - len(list_intersect(x.t, y.t))) AS BIGINT) AS jac
+      FROM pool x JOIN pool y ON x.doc_id <> y.doc_id
+    ),
+    pick1 AS MATERIALIZED (
+      SELECT doc_id, rel, 0::BIGINT AS ms, 1 AS rk,
+             7 * rel AS score
+      FROM pool ORDER BY rel DESC, doc_id LIMIT 1
+    ),
+    sel1 AS MATERIALIZED (SELECT doc_id FROM pick1){"".join(steps)}
+    SELECT CAST(rk AS BIGINT) AS rank, doc_id,
+           CAST(rel AS BIGINT) AS rel_micro,
+           CAST(ms AS BIGINT) AS maxsim_micro,
+           CAST(score AS BIGINT) AS mmr_score
+    FROM ({union}) ORDER BY rank
+    """
+
+
+@query("q_mmr_rerank", oracle=_mmr_oracle())
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X375 — MMR top-5 over the TTR-relevance top-16 pool:
+    pick_k = argmax(7·rel − 3·max_{s∈selected} jaccard(c, s)), doc_id
+    tiebreak, λ = 0.7 in exact tenths.
+
+    Exactness: relevance is the integer micro TTR; pairwise
+    similarity is exact-integer token-set Jaccard (|∩|·1e6 //
+    (|A|+|B|−|∩|) — the union via the inclusion–exclusion identity,
+    no engine-ordered list_union); each greedy step is an integer
+    argmax with a doc_id tiebreak, unrolled 5× identically on both
+    engines. Scale shape: ONE TakeOrdered top-16 against the corpus;
+    everything after runs on 16-row / 240-pair frames (the greedy
+    loop is O(K²·pool), constant here — MMR's cost at 100 TB is the
+    candidate generation, which X318/X368 already bound). Output ≤ 5
+    rows."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(split(trim(regexp_replace(lower(text),"
+            r" '\\s+', ' ')), ' '))"
+        ).alias("t"),
+        F.expr(
+            "CAST(size(array_distinct(split(trim(regexp_replace("
+            r"lower(text), '\\s+', ' ')), ' '))) * 1000000"
+            r" div size(split(trim(regexp_replace(lower(text), '\\s+',"
+            " ' ')), ' ')) AS BIGINT)"
+        ).alias("rel"),
+    )
+    pool = (
+        toks.orderBy(F.desc("rel"), "doc_id")
+        .limit(16)
+        .localCheckpoint(eager=False)
+    )
+    y = pool.select(
+        F.col("doc_id").alias("b"), F.col("t").alias("tb")
+    )
+    sims = (
+        pool.select(F.col("doc_id").alias("a"), "t")
+        .join(y, F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.expr(
+                "CAST(size(array_intersect(t, tb)) * 1000000"
+                " div (size(t) + size(tb)"
+                " - size(array_intersect(t, tb))) AS BIGINT)"
+            ).alias("jac"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pick = (
+        pool.orderBy(F.desc("rel"), "doc_id")
+        .limit(1)
+        .select(
+            "doc_id",
+            "rel",
+            F.lit(0).cast("long").alias("ms"),
+            F.lit(1).alias("rk"),
+            (7 * F.col("rel")).cast("long").alias("score"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    picks = [pick]
+    selected = pick.select("doc_id").localCheckpoint(eager=False)
+    cand = pool.select("doc_id", "rel")
+    for k in range(2, 6):
+        remaining = cand.join(selected, "doc_id", "anti")
+        ms = (
+            remaining.join(
+                sims, F.col("doc_id") == F.col("a")
+            )
+            .join(
+                selected.select(F.col("doc_id").alias("b")), "b", "semi"
+            )
+            .groupBy("doc_id", "rel")
+            .agg(F.max("jac").cast("long").alias("ms"))
+        )
+        pick_k = (
+            ms.select(
+                "doc_id",
+                "rel",
+                "ms",
+                F.lit(k).alias("rk"),
+                (7 * F.col("rel") - 3 * F.col("ms"))
+                .cast("long")
+                .alias("score"),
+            )
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        picks.append(pick_k)
+        selected = (
+            selected.unionByName(pick_k.select("doc_id"))
+            .localCheckpoint(eager=False)
+        )
+    out = picks[0]
+    for pk in picks[1:]:
+        out = out.unionByName(pk)
+    return out.select(
+        F.col("rk").cast("long").alias("rank"),
+        "doc_id",
+        F.col("rel").cast("long").alias("rel_micro"),
+        F.col("ms").cast("long").alias("maxsim_micro"),
+        F.col("score").cast("long").alias("mmr_score"),
+    ).orderBy("rank")

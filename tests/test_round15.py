@@ -551,3 +551,28 @@ def test_g2_keyness_planted_value(spark, tmp_path):
     g2 = 2 * (a * (L(a) + L(nt) - L(n1) - L(cw)))  # b = 0 contributes 0
     assert krow[0]["g2_milli"] == g2
     assert krow[0]["c_in"] == 6 and krow[0]["c_rest"] == 0
+
+
+def test_mmr_rerank_diversity_beats_relevance(spark, tmp_path):
+    """Three docs, all TTR 1e6: doc1 and doc2 share 9/11 tokens, doc3
+    is disjoint. Greedy MMR must pick doc1 (tiebreak), then doc3
+    (diversity), then doc2 — with maxsim 818181 = 9e6//11 on doc2."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            "a b c d e f g h i j",
+            "a b c d e f g h i k",
+            "x y z",
+        ],
+    )
+    rows = QUERIES["q_mmr_rerank"](spark, sf).collect()
+    assert [(r["rank"], r["doc_id"]) for r in rows] == [
+        (1, 1),
+        (2, 3),
+        (3, 2),
+    ]
+    assert rows[0]["maxsim_micro"] == 0
+    assert rows[1]["maxsim_micro"] == 0
+    assert rows[2]["maxsim_micro"] == 9 * 1_000_000 // 11
+    assert rows[2]["mmr_score"] == 7 * 1_000_000 - 3 * (9 * 1_000_000 // 11)
