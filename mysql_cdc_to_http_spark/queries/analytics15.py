@@ -1635,8 +1635,13 @@ def q_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combined into a (source, bigram)-sized table); the
     conditional join runs on vocab-sized frames. Output ≤ #sources."""
     docs = load_table(spark, sf_dir, "documents")
+    # fan the length(text)-per-doc bigram explode across the cluster:
+    # the docs table is one input split locally, so the whole explode
+    # ran in ONE task (the X333 lesson; 5.7 -> ~1.5 s at sf0.1). The
+    # (source, bigram) aggregate is partition-invariant.
     bc = (
         docs.filter(F.length("text") >= 2)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(
             "source",
             F.explode(
@@ -2850,15 +2855,16 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: relevance is the integer micro TTR; pairwise
     similarity is exact-integer token-set Jaccard (|∩|·1e6 //
     (|A|+|B|−|∩|) — the union via the inclusion–exclusion identity,
-    no engine-ordered list_union); each greedy step is an integer
-    argmax with a doc_id tiebreak, unrolled 5× identically on both
-    engines. Scale shape: ONE TakeOrdered top-16 against the corpus;
-    everything after runs on 16-row / 240-pair frames (the greedy
-    loop is O(K²·pool), constant here — MMR's cost at 100 TB is the
-    candidate generation, which X318/X368 already bound). Output ≤ 5
+    no engine-ordered list_union); the greedy selection runs
+    driver-side over the COLLECTED (pool, sims) integers — a
+    16-row/240-pair model-sized frame, the same class as k-means
+    centroids (X168) and the BPE argmax (X230), so the loop is pure
+    integer Python with a doc_id tiebreak and cannot diverge from the
+    oracle's unrolled-CTE arithmetic. Scale shape: ONE TakeOrdered
+    top-16 against the corpus + one 240-pair join; the O(K²·pool)
+    greedy is constant-sized driver work — MMR's cost at 100 TB is
+    candidate generation, which X318/X368 already bound. Output ≤ 5
     rows."""
-    from pyspark.sql.window import Window as W
-
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -2873,11 +2879,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ' ')), ' ')) AS BIGINT)"
         ).alias("rel"),
     )
-    pool = (
-        toks.orderBy(F.desc("rel"), "doc_id")
-        .limit(16)
-        .localCheckpoint(eager=False)
-    )
+    pool = toks.orderBy(F.desc("rel"), "doc_id").limit(16)
     y = pool.select(
         F.col("doc_id").alias("b"), F.col("t").alias("tb")
     )
@@ -2893,61 +2895,34 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " - size(array_intersect(t, tb))) AS BIGINT)"
             ).alias("jac"),
         )
-        .localCheckpoint(eager=False)
     )
-    pick = (
-        pool.orderBy(F.desc("rel"), "doc_id")
-        .limit(1)
-        .select(
-            "doc_id",
-            "rel",
-            F.lit(0).cast("long").alias("ms"),
-            F.lit(1).alias("rk"),
-            (7 * F.col("rel")).cast("long").alias("score"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    picks = [pick]
-    selected = pick.select("doc_id").localCheckpoint(eager=False)
-    cand = pool.select("doc_id", "rel")
-    for k in range(2, 6):
-        remaining = cand.join(selected, "doc_id", "anti")
-        ms = (
-            remaining.join(
-                sims, F.col("doc_id") == F.col("a")
+    # model-sized collects: 16 (doc_id, rel) rows + ≤240 integer pairs
+    cand = [
+        (r["doc_id"], r["rel"])
+        for r in pool.select("doc_id", "rel").collect()
+    ]
+    jac = {(r["a"], r["b"]): r["jac"] for r in sims.collect()}
+    selected: list[tuple] = []
+    chosen_ids: list[int] = []
+    for k in range(1, 6):
+        best = None
+        for doc_id, rel in cand:
+            if doc_id in chosen_ids:
+                continue
+            ms = max(
+                (jac[(doc_id, s)] for s in chosen_ids), default=0
             )
-            .join(
-                selected.select(F.col("doc_id").alias("b")), "b", "semi"
-            )
-            .groupBy("doc_id", "rel")
-            .agg(F.max("jac").cast("long").alias("ms"))
-        )
-        pick_k = (
-            ms.select(
-                "doc_id",
-                "rel",
-                "ms",
-                F.lit(k).alias("rk"),
-                (7 * F.col("rel") - 3 * F.col("ms"))
-                .cast("long")
-                .alias("score"),
-            )
-            .orderBy(F.desc("score"), "doc_id")
-            .limit(1)
-            .localCheckpoint(eager=False)
-        )
-        picks.append(pick_k)
-        selected = (
-            selected.unionByName(pick_k.select("doc_id"))
-            .localCheckpoint(eager=False)
-        )
-    out = picks[0]
-    for pk in picks[1:]:
-        out = out.unionByName(pk)
-    return out.select(
-        F.col("rk").cast("long").alias("rank"),
-        "doc_id",
-        F.col("rel").cast("long").alias("rel_micro"),
-        F.col("ms").cast("long").alias("maxsim_micro"),
-        F.col("score").cast("long").alias("mmr_score"),
+            score = 7 * rel - 3 * ms
+            key = (-score, doc_id)
+            if best is None or key < best[0]:
+                best = (key, doc_id, rel, ms, score)
+        if best is None:
+            break
+        _, doc_id, rel, ms, score = best
+        chosen_ids.append(doc_id)
+        selected.append((k, doc_id, rel, ms, score))
+    return spark.createDataFrame(
+        selected,
+        "rank long, doc_id long, rel_micro long, maxsim_micro long,"
+        " mmr_score long",
     ).orderBy("rank")
