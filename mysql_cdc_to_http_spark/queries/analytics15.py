@@ -19,6 +19,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mysql_cdc_to_http_spark.catalog import load_table
 from mysql_cdc_to_http_spark.queries.registry import query
+from mysql_cdc_to_http_spark.queries.curation import (  # noqa: E402
+    _KAPPA_STOPS_SQL as _KAPPA_STOPS_SQL_REF,
+)
 
 # Shared tokenizer (identical to the X39/X246 family).
 _TOK_SQL = (
@@ -2926,3 +2929,1043 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank long, doc_id long, rel_micro long, maxsim_micro long,"
         " mmr_score long",
     ).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# X376 — gain ratio (Quinlan C4.5): IG / splitInfo for the X336 stump
+# features — the normalization that stops information gain from
+# auto-preferring fragmenting splits.
+# --------------------------------------------------------------------------
+@query(
+    "q_gain_ratio",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CASE WHEN value >= 50 THEN 1 ELSE 0 END AS f_value,
+             CASE WHEN EXTRACT(hour FROM ts) >= 12 THEN 1 ELSE 0 END
+               AS f_hour,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS f_parity
+      FROM events
+    ),
+    feats AS (
+      SELECT feature,
+             CASE feature WHEN 'value_ge_50' THEN f_value
+                  WHEN 'hour_ge_12' THEN f_hour
+                  ELSE f_parity END AS f,
+             y
+      FROM base,
+           (SELECT unnest(['value_ge_50', 'hour_ge_12', 'user_parity'])
+              AS feature) fx
+    ),
+    cells AS (
+      SELECT feature, f, y, CAST(count(*) AS BIGINT) AS c
+      FROM feats GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT feature, f, y, c,
+             sum(c) OVER (PARTITION BY feature, f) AS cf,
+             sum(c) OVER (PARTITION BY feature) AS n
+      FROM cells
+    ),
+    ymarg AS (
+      SELECT feature, y, CAST(sum(c) AS BIGINT) AS cy,
+             sum(sum(c)) OVER (PARTITION BY feature) AS ny
+      FROM cells GROUP BY feature, y
+    ),
+    hy AS (
+      SELECT feature,
+             -sum(CAST(cy AS DOUBLE) / ny
+                  * ln(CAST(cy AS DOUBLE) / ny)) AS hy
+      FROM ymarg GROUP BY feature
+    ),
+    fmarg AS (
+      SELECT feature, f, CAST(max(cf) AS BIGINT) AS cf,
+             CAST(max(n) AS BIGINT) AS n
+      FROM m GROUP BY feature, f
+    ),
+    si AS (
+      SELECT feature,
+             -sum(CAST(cf AS DOUBLE) / n
+                  * ln(CAST(cf AS DOUBLE) / n)) AS split_info
+      FROM fmarg GROUP BY feature
+    ),
+    ent AS (
+      SELECT feature,
+             sum(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / cf))
+               AS neg_hyf
+      FROM m GROUP BY feature
+    )
+    SELECT ent.feature AS feature,
+           CAST(round((hy.hy + ent.neg_hyf) * 1000000) AS BIGINT)
+             AS ig_micro,
+           CAST(round(si.split_info * 1000000) AS BIGINT)
+             AS split_info_micro,
+           CAST(CASE WHEN si.split_info > 0 THEN
+             round((hy.hy + ent.neg_hyf) / si.split_info * 1000000)
+             END AS BIGINT) AS gain_ratio_micro
+    FROM ent JOIN hy ON hy.feature = ent.feature
+    JOIN si ON si.feature = ent.feature
+    ORDER BY feature
+    """,
+)
+def q_gain_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X376 — C4.5 gain ratio for the X336 stump features:
+    IG(f) / splitInfo(f), splitInfo = −Σ (n_f/n)·ln(n_f/n).
+
+    Exactness: all cell/margin counts are exact integers; the entropy
+    sums follow X336's accepted discipline (≤4 double terms per
+    feature behind micro rounds); the ratio divides the same two
+    doubles both engines computed. Scale shape: one fact-sized
+    3×-feature explode into a 12-cell aggregate; everything after is
+    feature-sized. Output 3 rows (sort allowlist class a)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+        F.when(F.col("value") >= 50, 1).otherwise(0).alias("f_value"),
+        F.when(F.expr("EXTRACT(hour FROM ts) >= 12"), 1)
+        .otherwise(0)
+        .alias("f_hour"),
+        F.when(F.expr("user_id % 2 = 0"), 1)
+        .otherwise(0)
+        .alias("f_parity"),
+    )
+    feats = base.select(
+        F.explode(
+            F.expr(
+                "array(struct('value_ge_50' AS feature,"
+                " f_value AS f, y AS y),"
+                " struct('hour_ge_12' AS feature, f_hour AS f, y AS y),"
+                " struct('user_parity' AS feature, f_parity AS f,"
+                " y AS y))"
+            )
+        ).alias("s")
+    ).select("s.feature", "s.f", "s.y")
+    cells = feats.groupBy("feature", "f", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from pyspark.sql.window import Window as W
+
+    m = cells.select(
+        "feature",
+        "f",
+        "y",
+        "c",
+        F.sum("c").over(W.partitionBy("feature", "f")).alias("cf"),
+        F.sum("c").over(W.partitionBy("feature")).alias("n"),
+    )
+    ymarg = (
+        cells.groupBy("feature", "y")
+        .agg(F.sum("c").alias("cy"))
+        .select(
+            "feature",
+            "y",
+            "cy",
+            F.sum("cy").over(W.partitionBy("feature")).alias("ny"),
+        )
+    )
+    hy = ymarg.groupBy("feature").agg(
+        F.expr(
+            "-sum(CAST(cy AS DOUBLE) / ny * ln(CAST(cy AS DOUBLE) / ny))"
+        ).alias("hy")
+    )
+    fmarg = m.groupBy("feature", "f").agg(
+        F.max("cf").alias("cf"), F.max("n").alias("n")
+    )
+    si = fmarg.groupBy("feature").agg(
+        F.expr(
+            "-sum(CAST(cf AS DOUBLE) / n * ln(CAST(cf AS DOUBLE) / n))"
+        ).alias("split_info")
+    )
+    ent = m.groupBy("feature").agg(
+        F.expr(
+            "sum(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / cf))"
+        ).alias("neg_hyf")
+    )
+    return (
+        ent.join(hy, "feature")
+        .join(si, "feature")
+        .select(
+            "feature",
+            F.expr(
+                "CAST(round((hy + neg_hyf) * 1000000) AS BIGINT)"
+            ).alias("ig_micro"),
+            F.expr(
+                "CAST(round(split_info * 1000000) AS BIGINT)"
+            ).alias("split_info_micro"),
+            F.expr(
+                "CAST(CASE WHEN split_info > 0 THEN"
+                " round((hy + neg_hyf) / split_info * 1000000)"
+                " END AS BIGINT)"
+            ).alias("gain_ratio_micro"),
+        )
+        .orderBy("feature")
+    )
+
+
+# --------------------------------------------------------------------------
+# X377 — Bhattacharyya distance of each source's length-decile mix
+# from the corpus mix: D_B = −ln Σ √(p_i·q_i) — the overlap-based
+# distribution distance that, unlike X305's JS divergence, has a
+# closed geometric meaning (cos of the Hellinger angle) and saturates
+# more slowly on disjoint support.
+# --------------------------------------------------------------------------
+@query(
+    "q_bhattacharyya",
+    oracle="""
+    WITH b AS (
+      SELECT source,
+             least(CAST(n_chars // 100 AS BIGINT), 19) AS bucket
+      FROM documents
+    ),
+    sb AS (
+      SELECT source, bucket, CAST(count(*) AS HUGEINT) AS a
+      FROM b GROUP BY 1, 2
+    ),
+    tb AS (
+      SELECT bucket, CAST(sum(a) AS HUGEINT) AS t FROM sb GROUP BY 1
+    ),
+    st AS (
+      SELECT source, CAST(sum(a) AS HUGEINT) AS n1 FROM sb GROUP BY 1
+    ),
+    nn AS (SELECT CAST(sum(a) AS HUGEINT) AS nt FROM sb),
+    terms AS (
+      SELECT sb.source AS source,
+             CAST(round(sqrt(CAST(a AS DOUBLE) * CAST(t AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * CAST(nt AS DOUBLE)))
+                  * 1000000000) AS HUGEINT) AS bc_nano
+      FROM sb JOIN tb USING (bucket)
+      JOIN st ON st.source = sb.source
+      CROSS JOIN nn
+    ),
+    agg AS (
+      SELECT source, CAST(sum(bc_nano) AS HUGEINT) AS bc
+      FROM terms GROUP BY source
+    )
+    SELECT source,
+           CAST(bc AS BIGINT) AS bc_nano,
+           CAST(CASE WHEN bc > 0 THEN
+             round(-ln(CAST(bc AS DOUBLE) / 1000000000.0) * 1000000)
+             END AS BIGINT) AS d_b_micro
+    FROM agg ORDER BY source
+    """,
+)
+def q_bhattacharyya(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X377 — per-source Bhattacharyya distance from the corpus over
+    the 20-bucket length mix: D_B = −ln Σ_i √(p_i·q_i).
+
+    Exactness: bucket counts and margins are exact integers; each
+    √(p·q) term is ONE identical-input double (sqrt of an exact
+    integer ratio) quantized to nano PER BUCKET, so the Σ is an
+    integer sum (order-independent — the X300 quantize-then-sum rule,
+    needed here because a 20-term double sum would be
+    aggregation-order-dependent); the final −ln is one data-dependent
+    transcendental on the identical integer behind the micro round.
+    Scale shape: one doc-sized bucket projection → (source × 20)
+    aggregate → source-sized output (sort allowlist class a)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sb = docs.select(
+        "source",
+        F.expr(
+            "least(CAST(n_chars div 100 AS BIGINT), 19)"
+        ).alias("bucket"),
+    ).groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("a")
+    )
+    tb = sb.groupBy("bucket").agg(
+        F.sum("a").cast("decimal(38,0)").alias("t")
+    )
+    st = sb.groupBy("source").agg(
+        F.sum("a").cast("decimal(38,0)").alias("n1")
+    )
+    nn = sb.agg(F.sum("a").cast("decimal(38,0)").alias("nt"))
+    terms = (
+        sb.join(tb, "bucket")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            F.expr(
+                "CAST(round(sqrt(CAST(a AS DOUBLE) * CAST(t AS DOUBLE)"
+                " / (CAST(n1 AS DOUBLE) * CAST(nt AS DOUBLE)))"
+                " * 1000000000) AS DECIMAL(38,0))"
+            ).alias("bc_nano"),
+        )
+    )
+    agg = terms.groupBy("source").agg(
+        F.sum("bc_nano").cast("decimal(38,0)").alias("bc")
+    )
+    return agg.select(
+        "source",
+        F.col("bc").cast("long").alias("bc_nano"),
+        F.expr(
+            "CAST(CASE WHEN bc > 0 THEN"
+            " round(-ln(CAST(bc AS DOUBLE)"
+            " / CAST(1000000000.0 AS DOUBLE)) * 1000000)"
+            " END AS BIGINT)"
+        ).alias("d_b_micro"),
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# X378 — Copeland pairwise-majority fusion over the X368 rankers: an
+# item's score is (#items it beats under a majority of rankers) −
+# (#items that beat it) — the Condorcet-consistent aggregation Borda
+# is not (Borda can elect a pairwise loser).
+# --------------------------------------------------------------------------
+@query(
+    "q_copeland_fusion",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, n_chars,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                          'g')), ' ') AS toks
+      FROM documents
+    ),
+    len_list AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                  AS BIGINT) AS r
+      FROM toks QUALIFY r <= 10
+    ),
+    ttr_list AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY CAST(len(list_distinct(toks)) * 1000000
+                             // len(toks) AS BIGINT) DESC, doc_id)
+               AS BIGINT) AS r
+      FROM toks QUALIFY r <= 10
+    ),
+    md5_list AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                 || '|borda-v1'), 1, 15))::BIGINT, doc_id)
+               AS BIGINT) AS r
+      FROM toks QUALIFY r <= 10
+    ),
+    cand AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id FROM len_list UNION ALL
+        SELECT doc_id FROM ttr_list UNION ALL
+        SELECT doc_id FROM md5_list
+      )
+    ),
+    ranks AS (
+      SELECT c.doc_id,
+             COALESCE(l.r, 11) AS r1,
+             COALESCE(t.r, 11) AS r2,
+             COALESCE(m.r, 11) AS r3
+      FROM cand c
+      LEFT JOIN len_list l USING (doc_id)
+      LEFT JOIN ttr_list t USING (doc_id)
+      LEFT JOIN md5_list m USING (doc_id)
+    ),
+    duels AS (
+      SELECT x.doc_id AS a, y.doc_id AS b,
+             (CASE WHEN x.r1 < y.r1 THEN 1 ELSE 0 END
+              + CASE WHEN x.r2 < y.r2 THEN 1 ELSE 0 END
+              + CASE WHEN x.r3 < y.r3 THEN 1 ELSE 0 END) AS wins
+      FROM ranks x JOIN ranks y ON x.doc_id <> y.doc_id
+    ),
+    cop AS (
+      SELECT a AS doc_id,
+             CAST(sum(CASE WHEN wins >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS beats,
+             CAST(sum(CASE WHEN wins <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS losses
+      FROM duels GROUP BY a
+    )
+    SELECT doc_id, beats, losses,
+           CAST(beats - losses AS BIGINT) AS copeland
+    FROM cop ORDER BY copeland DESC, doc_id LIMIT 10
+    """,
+)
+def q_copeland_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X378 — Copeland fusion over the three X368 rankers' top-10s
+    (candidates = union; missing rank = 11): score = beats − losses
+    under ranker-majority duels. Ties in a duel (impossible here —
+    ranks are total orders with the shared doc_id tiebreak) would
+    count as a loss for both, consistently on both engines.
+
+    Exactness: ranker keys and all duel comparisons are exact
+    integers; the candidate set is ≤30 items so the duel matrix is
+    ≤870 integer rows. Scale shape: three TakeOrdered top-10s against
+    the corpus; everything after is candidate-set-sized. Output ≤10
+    rows (TakeOrdered)."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "n_chars",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("toks"),
+    )
+
+    def _top10(df, order_cols, out):
+        return (
+            df.orderBy(*order_cols)
+            .limit(10)
+            .select(
+                "doc_id",
+                F.row_number()
+                .over(W.partitionBy().orderBy(*order_cols))
+                .cast("long")
+                .alias(out),
+            )
+        )
+
+    len_list = _top10(
+        toks, [F.desc("n_chars"), F.col("doc_id")], "r1"
+    )
+    ttr_list = _top10(
+        toks.withColumn(
+            "ttr",
+            F.expr(
+                "CAST(size(array_distinct(toks)) * 1000000"
+                " div size(toks) AS BIGINT)"
+            ),
+        ),
+        [F.desc("ttr"), F.col("doc_id")],
+        "r2",
+    )
+    md5_list = _top10(
+        toks.withColumn(
+            "h",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(doc_id AS STRING)"
+                " || '|borda-v1'), 1, 15), 16, 10) AS BIGINT)"
+            ),
+        ),
+        [F.col("h"), F.col("doc_id")],
+        "r3",
+    )
+    ranks = (
+        len_list.join(ttr_list, "doc_id", "full")
+        .join(md5_list, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce("r1", F.lit(11)).alias("r1"),
+            F.coalesce("r2", F.lit(11)).alias("r2"),
+            F.coalesce("r3", F.lit(11)).alias("r3"),
+        )
+    )
+    y = ranks.select(
+        F.col("doc_id").alias("b"),
+        F.col("r1").alias("s1"),
+        F.col("r2").alias("s2"),
+        F.col("r3").alias("s3"),
+    )
+    duels = ranks.join(y, F.col("doc_id") != F.col("b")).select(
+        "doc_id",
+        (
+            (F.col("r1") < F.col("s1")).cast("int")
+            + (F.col("r2") < F.col("s2")).cast("int")
+            + (F.col("r3") < F.col("s3")).cast("int")
+        ).alias("wins"),
+    )
+    cop = duels.groupBy("doc_id").agg(
+        F.sum((F.col("wins") >= 2).cast("int"))
+        .cast("long")
+        .alias("beats"),
+        F.sum((F.col("wins") <= 1).cast("int"))
+        .cast("long")
+        .alias("losses"),
+    )
+    return (
+        cop.select(
+            "doc_id",
+            "beats",
+            "losses",
+            (F.col("beats") - F.col("losses"))
+            .cast("long")
+            .alias("copeland"),
+        )
+        .orderBy(F.desc("copeland"), "doc_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# X379 — Kendall's W (coefficient of concordance) across the three
+# X368 rankers over the shared candidate union: do the rankers agree
+# AT ALL (W→1) or are they independent orderings (W→0)? The
+# m-ranker agreement statistic next to the pairwise τ (X311).
+# --------------------------------------------------------------------------
+@query(
+    "q_kendall_w",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, n_chars,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                          'g')), ' ') AS toks
+      FROM documents
+    ),
+    len_list AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                  AS BIGINT) AS r
+      FROM toks QUALIFY r <= 10
+    ),
+    ttr_list AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY CAST(len(list_distinct(toks)) * 1000000
+                             // len(toks) AS BIGINT) DESC, doc_id)
+               AS BIGINT) AS r
+      FROM toks QUALIFY r <= 10
+    ),
+    md5_list AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                 || '|borda-v1'), 1, 15))::BIGINT, doc_id)
+               AS BIGINT) AS r
+      FROM toks QUALIFY r <= 10
+    ),
+    cand AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id FROM len_list UNION ALL
+        SELECT doc_id FROM ttr_list UNION ALL
+        SELECT doc_id FROM md5_list
+      )
+    ),
+    -- within-candidate-set re-ranks (1..n, missing = after present,
+    -- doc_id tiebreak) so W's rank-sum algebra sees complete rankings
+    rr AS (
+      SELECT c.doc_id,
+             row_number() OVER (ORDER BY COALESCE(l.r, 11), c.doc_id)
+               AS r1,
+             row_number() OVER (ORDER BY COALESCE(t.r, 11), c.doc_id)
+               AS r2,
+             row_number() OVER (ORDER BY COALESCE(m.r, 11), c.doc_id)
+               AS r3
+      FROM cand c
+      LEFT JOIN len_list l USING (doc_id)
+      LEFT JOIN ttr_list t USING (doc_id)
+      LEFT JOIN md5_list m USING (doc_id)
+    ),
+    sums AS (
+      SELECT doc_id, CAST(r1 + r2 + r3 AS HUGEINT) AS ri FROM rr
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(ri) AS HUGEINT) AS sr,
+             CAST(sum(ri * ri) AS HUGEINT) AS srr
+      FROM sums
+    )
+    SELECT CAST(n AS BIGINT) AS n_items,
+           CAST((n * srr - sr * sr) * 12 * 1000000
+                // (n * 9 * (n * n * n - n)) AS BIGINT)
+             AS w_micro
+    FROM agg
+    """,
+)
+def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X379 — Kendall's W over the candidate union of the three
+    top-10 rankers, re-ranked 1..n within the set (missing = 11 with
+    doc_id tiebreak): W = 12·S / (m²(n³−n)) with S = Σ(Rᵢ − R̄)²,
+    computed as the cross-multiplied integer
+    (n·ΣRᵢ² − (ΣRᵢ)²)·12·1e6 // (n·9·(n³−n)) — S is multiplied
+    through by n so no rational mean appears, and 12/m² stays in the
+    numerator so the ONLY division is the final truncated micro
+    presentation (both engines truncate non-negatives identically).
+
+    Exactness: every rank is an exact integer row_number over ≤30
+    candidates; S's expansion and the final presentation are pure
+    DECIMAL(38) integer arithmetic — no doubles anywhere. Scale
+    shape: three TakeOrdered top-10s; the re-rank windows run on the
+    ≤30-row candidate set. Output is 1 row."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "n_chars",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("toks"),
+    )
+
+    def _top10(df, order_cols, out):
+        return (
+            df.orderBy(*order_cols)
+            .limit(10)
+            .select(
+                "doc_id",
+                F.row_number()
+                .over(W.partitionBy().orderBy(*order_cols))
+                .cast("long")
+                .alias(out),
+            )
+        )
+
+    len_list = _top10(
+        toks, [F.desc("n_chars"), F.col("doc_id")], "rl"
+    )
+    ttr_list = _top10(
+        toks.withColumn(
+            "ttr",
+            F.expr(
+                "CAST(size(array_distinct(toks)) * 1000000"
+                " div size(toks) AS BIGINT)"
+            ),
+        ),
+        [F.desc("ttr"), F.col("doc_id")],
+        "rt",
+    )
+    md5_list = _top10(
+        toks.withColumn(
+            "h",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(doc_id AS STRING)"
+                " || '|borda-v1'), 1, 15), 16, 10) AS BIGINT)"
+            ),
+        ),
+        [F.col("h"), F.col("doc_id")],
+        "rm",
+    )
+    cand = (
+        len_list.join(ttr_list, "doc_id", "full")
+        .join(md5_list, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce("rl", F.lit(11)).alias("rl"),
+            F.coalesce("rt", F.lit(11)).alias("rt"),
+            F.coalesce("rm", F.lit(11)).alias("rm"),
+        )
+    )
+    rr = cand.select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy().orderBy("rl", "doc_id"))
+        .alias("r1"),
+        F.row_number()
+        .over(W.partitionBy().orderBy("rt", "doc_id"))
+        .alias("r2"),
+        F.row_number()
+        .over(W.partitionBy().orderBy("rm", "doc_id"))
+        .alias("r3"),
+    )
+    sums = rr.select(
+        F.expr("CAST(r1 + r2 + r3 AS DECIMAL(38,0))").alias("ri")
+    )
+    agg = sums.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("ri").cast("decimal(38,0)").alias("sr"),
+        F.sum(F.expr("ri * ri")).cast("decimal(38,0)").alias("srr"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.expr(
+            "CAST((n * srr - sr * sr) * 12 * 1000000"
+            " div (n * 9 * (n * n * n - n)) AS BIGINT)"
+        ).alias("w_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X380 — user-grouped 5-fold assignment + leakage/balance audit: folds
+# keyed on md5(user), never on the event — the split that X290's
+# doc-level stratified k-fold cannot give you when rows of one user
+# must never straddle train/eval (the leakage every behavioral-model
+# eval gets wrong first).
+# --------------------------------------------------------------------------
+@query(
+    "q_grouped_kfold",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+               || '|gkf-v1'), 1, 15))::BIGINT % 5 AS BIGINT) AS fold
+      FROM events
+    ),
+    per_fold AS (
+      SELECT fold,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS n_purchases
+      FROM tagged GROUP BY fold
+    ),
+    leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS leaky_users FROM (
+        SELECT user_id FROM tagged
+        GROUP BY user_id HAVING count(DISTINCT fold) > 1
+      )
+    )
+    SELECT fold, n_events, n_users, n_purchases,
+           CAST(n_purchases * 1000000 // n_events AS BIGINT)
+             AS purchase_rate_micro,
+           (SELECT leaky_users FROM leak) AS leaky_users
+    FROM per_fold ORDER BY fold
+    """,
+)
+def q_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X380 — md5(user)-keyed 5-fold ledger with the leakage audit
+    column (users straddling folds — 0 by construction, ASSERTED in
+    the output so a broken re-key is visible, not assumed) and
+    per-fold purchase-rate balance.
+
+    Exactness: fold assignment is the 15-hex md5 integer mod 5
+    (engine-invariant); all counts are exact; the rate is one
+    truncated micro division. Scale shape: one fact-sized projection
+    + fold-sized aggregate; the leakage check is a per-user
+    distinct-fold aggregate (map-side combined). Output 5 rows (sort
+    allowlist class a)."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING) || '|gkf-v1'),"
+            " 1, 15), 16, 10) AS BIGINT) % 5"
+        ).alias("fold"),
+    )
+    per_fold = tagged.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("n_purchases"),
+    )
+    leak = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .agg(
+            F.sum((F.col("nf") > 1).cast("int"))
+            .cast("long")
+            .alias("leaky_users")
+        )
+    )
+    return (
+        per_fold.crossJoin(F.broadcast(leak))
+        .select(
+            "fold",
+            "n_events",
+            "n_users",
+            "n_purchases",
+            F.expr(
+                "CAST(n_purchases * 1000000 div n_events AS BIGINT)"
+            ).alias("purchase_rate_micro"),
+            "leaky_users",
+        )
+        .orderBy("fold")
+    )
+
+
+# --------------------------------------------------------------------------
+# X381 — label-noise audit (confident-learning-lite): treating the
+# X246 rule gate as a NOISY label and the TTR gate as the reference,
+# estimate the class-conditional flip rates p(noisy=1|true=0) /
+# p(noisy=0|true=1) — the joint-distribution audit run before
+# trusting any heuristic labeler at corpus scale.
+# --------------------------------------------------------------------------
+@query(
+    "q_label_noise_audit",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                          'g')), ' ') AS t
+      FROM documents
+    ),
+    rated AS (
+      SELECT doc_id,
+             (len(t) >= 50 AND
+              len(list_distinct(list_intersect(t, {{stops}})))
+                >= 2) AS noisy,
+             (CAST(len(list_distinct(t)) * 1000000 // len(t) AS BIGINT)
+                >= 450000) AS ref
+      FROM tok
+    ),
+    cont AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(count(*) FILTER (noisy AND ref) AS HUGEINT) AS n11,
+             CAST(count(*) FILTER (noisy AND NOT ref) AS HUGEINT) AS n10,
+             CAST(count(*) FILTER (NOT noisy AND ref) AS HUGEINT) AS n01,
+             CAST(count(*) FILTER (NOT noisy AND NOT ref) AS HUGEINT)
+               AS n00
+      FROM rated
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+           CAST(CASE WHEN n10 + n00 > 0 THEN
+             n10 * 1000000 // (n10 + n00) END AS BIGINT)
+             AS false_pos_rate_micro,
+           CAST(CASE WHEN n01 + n11 > 0 THEN
+             n01 * 1000000 // (n01 + n11) END AS BIGINT)
+             AS false_neg_rate_micro,
+           CAST((n10 + n01) * 1000000 // n AS BIGINT)
+             AS disagreement_micro
+    FROM cont
+    """.replace("{stops}", _KAPPA_STOPS_SQL_REF),
+)
+def q_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X381 — flip-rate audit of the rule gate against the TTR gate:
+    FPR = n10/(n10+n00), FNR = n01/(n01+n11), plus raw disagreement —
+    the 2×2 joint X246's kappa summarizes, exposed as the rates a
+    relabeling budget is planned from. Gate projections are the
+    SHARED _rated_gates algebra (and the stop list is the ONE
+    rendered constant — the r14 centralization).
+
+    Exactness: all five cells are exact integer aggregates; every
+    rate is a guarded truncated micro division. Scale shape: one
+    doc-sized gate projection → 1-row contingency aggregate. Output
+    is 1 row."""
+    from mysql_cdc_to_http_spark.queries.curation import _rated_gates
+
+    rated = _rated_gates(
+        load_table(spark, sf_dir, "documents")
+    ).select(
+        F.col("ra").alias("noisy"), F.col("rb").alias("ref")
+    )
+    cont = rated.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum((F.col("noisy") & F.col("ref")).cast("int"))
+        .cast("decimal(38,0)")
+        .alias("n11"),
+        F.sum((F.col("noisy") & ~F.col("ref")).cast("int"))
+        .cast("decimal(38,0)")
+        .alias("n10"),
+        F.sum((~F.col("noisy") & F.col("ref")).cast("int"))
+        .cast("decimal(38,0)")
+        .alias("n01"),
+        F.sum((~F.col("noisy") & ~F.col("ref")).cast("int"))
+        .cast("decimal(38,0)")
+        .alias("n00"),
+    )
+    return cont.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n11").cast("long").alias("n11"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n00").cast("long").alias("n00"),
+        F.expr(
+            "CAST(CASE WHEN n10 + n00 > 0 THEN"
+            " n10 * 1000000 div (n10 + n00) END AS BIGINT)"
+        ).alias("false_pos_rate_micro"),
+        F.expr(
+            "CAST(CASE WHEN n01 + n11 > 0 THEN"
+            " n01 * 1000000 div (n01 + n11) END AS BIGINT)"
+        ).alias("false_neg_rate_micro"),
+        F.expr(
+            "CAST((n10 + n01) * 1000000 div n AS BIGINT)"
+        ).alias("disagreement_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X382 — two-proportion power curve: the minimum detectable effect at
+# 80% power / α=0.05 for the observed purchase rate across a sample-
+# size grid — the "how long must this experiment run" table computed
+# from the corpus's own base rate (the planning companion of X178's
+# post-hoc A/B readout).
+# --------------------------------------------------------------------------
+_POWER_GRID = (100, 300, 1000, 3000, 10000, 30000)
+# z_{0.975} and z_{0.80} as shared literals (the X341 rule: JVM and
+# libm inverse-normal would differ; pinning the published constants
+# makes the expression identical-input on both engines).
+_Z_ALPHA = "1.9599639845400545"
+_Z_BETA = "0.8416212335729143"
+
+
+@query(
+    "q_power_curve",
+    oracle=f"""
+    WITH rate AS (
+      SELECT CAST(count(*) FILTER (event_type = 'purchase') AS HUGEINT)
+               AS k,
+             CAST(count(*) AS HUGEINT) AS n
+      FROM events
+    ),
+    grid AS (SELECT unnest([{", ".join(str(g) for g in _POWER_GRID)}])
+             AS n_per_arm)
+    SELECT n_per_arm,
+           CAST(k * 1000000 // n AS BIGINT) AS base_rate_micro,
+           CAST(round(({_Z_ALPHA} + {_Z_BETA})
+                * sqrt(2.0 * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                       / n_per_arm) * 1000000) AS BIGINT)
+             AS mde_abs_micro
+    FROM rate CROSS JOIN grid
+    ORDER BY n_per_arm
+    """,
+)
+def q_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X382 — MDE(n) = (z_α/2 + z_β)·√(2p(1−p)/n) at 80% power,
+    α = 0.05, over a 6-point per-arm sample-size grid, p = the
+    corpus's observed purchase rate.
+
+    Exactness: k and n are exact integers; both z constants are
+    inlined shared literals (the X341/X346 rule — no inverse-normal
+    calls); the MDE is sqrt/arithmetic on identical-input doubles
+    behind a micro round. Scale shape: one 1-row rate aggregate
+    crossed with a 6-row literal grid. Output 6 rows (sort allowlist
+    class a)."""
+    ev = load_table(spark, sf_dir, "events")
+    rate = ev.agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("decimal(38,0)")
+        .alias("k"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    grid = rate.sparkSession.createDataFrame(
+        [(g,) for g in _POWER_GRID], "n_per_arm long"
+    )
+    return (
+        F.broadcast(rate)
+        .crossJoin(grid)
+        .select(
+            "n_per_arm",
+            F.expr("CAST(k * 1000000 div n AS BIGINT)").alias(
+                "base_rate_micro"
+            ),
+            F.expr(
+                f"CAST(round(({_Z_ALPHA} + {_Z_BETA})"
+                " * sqrt(CAST(2.0 AS DOUBLE)"
+                " * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * (CAST(1.0 AS DOUBLE)"
+                "    - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+                " / CAST(n_per_arm AS DOUBLE)) * 1000000) AS BIGINT)"
+            ).alias("mde_abs_micro"),
+        )
+        .orderBy("n_per_arm")
+    )
+
+
+# --------------------------------------------------------------------------
+# X383 — bigram-LM cross-entropy per source: train an add-one bigram
+# model on EVEN doc_ids, score each source's ODD docs — the
+# train/heldout LM-quality screen (which source is out-of-distribution
+# for a model of the rest?) one rung above X99's unigram perplexity.
+# --------------------------------------------------------------------------
+@query(
+    "q_bigram_lm_xent",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                          'g')), ' ') AS t
+      FROM documents
+    ),
+    train_bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS HUGEINT) AS cab
+      FROM tok, unnest(range(1, len(t))) AS r(i)
+      WHERE doc_id % 2 = 0 AND len(t) >= 2
+      GROUP BY 1, 2
+    ),
+    train_u AS (
+      SELECT w1, CAST(sum(cab) AS HUGEINT) AS ca
+      FROM train_bg GROUP BY w1
+    ),
+    vocab AS (
+      SELECT CAST(count(DISTINCT w2) AS HUGEINT) AS v FROM train_bg
+    ),
+    test_bg AS (
+      SELECT source, t[i] AS w1, t[i + 1] AS w2,
+             CAST(count(*) AS HUGEINT) AS nab
+      FROM tok, unnest(range(1, len(t))) AS r(i)
+      WHERE doc_id % 2 = 1 AND len(t) >= 2
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT source,
+             CAST(sum(nab * (
+               round(ln(CAST(COALESCE(ca, 0::HUGEINT) + v AS DOUBLE))
+                     * 1000)
+               - round(ln(CAST(COALESCE(cab, 0::HUGEINT) + 1 AS DOUBLE))
+                       * 1000))) AS HUGEINT) AS hsum,
+             CAST(sum(nab) AS HUGEINT) AS n
+      FROM test_bg
+      LEFT JOIN train_bg USING (w1, w2)
+      LEFT JOIN train_u USING (w1)
+      CROSS JOIN vocab
+      GROUP BY source
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_test_bigrams,
+           CAST(hsum // n AS BIGINT) AS xent_milli
+    FROM scored ORDER BY source
+    """,
+)
+def q_bigram_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X383 — add-one bigram LM cross-entropy per source:
+    H = Σ n_ab·[ln(c_train(w1)+V) − ln(c_train(w1w2)+1)] / N over the
+    odd-doc heldout, model trained on even docs, V = train bigram-
+    continuation vocabulary.
+
+    Exactness: all counts are exact integers; each ln is
+    milli-quantized per distinct integer (X300 rule: smoothed counts
+    c+1 and c_a+V are integers, so one transcendental per value and
+    pure BIGINT arithmetic after), making the per-source sum
+    order-independent; OOV bigrams/contexts hit the same COALESCE(0)
+    path on both engines; the final division is one truncated milli
+    presentation of a non-negative sum (ln(ca+V) ≥ ln(cab+1) since
+    ca ≥ cab and V ≥ 1). Scale shape: two fact-sized bigram
+    aggregates (train/test split by doc-id parity, map-side
+    combined), one vocab-sized join pair, source-sized output (sort
+    allowlist class a)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("t"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    bg = F.explode(
+        F.expr(
+            "transform(sequence(0, size(t) - 2),"
+            " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+        )
+    )
+    train_bg = (
+        tok.filter(F.expr("doc_id % 2 = 0 AND size(t) >= 2"))
+        .select(bg.alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cab"))
+    )
+    train_u = train_bg.groupBy("w1").agg(
+        F.sum("cab").cast("decimal(38,0)").alias("ca")
+    )
+    vocab = train_bg.agg(
+        F.countDistinct("w2").cast("decimal(38,0)").alias("v")
+    )
+    test_bg = (
+        tok.filter(F.expr("doc_id % 2 = 1 AND size(t) >= 2"))
+        .select("source", bg.alias("b"))
+        .select("source", "b.w1", "b.w2")
+        .groupBy("source", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("nab"))
+    )
+    scored = (
+        test_bg.join(train_bg, ["w1", "w2"], "left")
+        .join(train_u, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.expr(
+                    "nab * ("
+                    " round(ln(CAST(COALESCE(ca, CAST(0 AS"
+                    " DECIMAL(38,0))) + v AS DOUBLE)) * 1000)"
+                    " - round(ln(CAST(COALESCE(cab, CAST(0 AS"
+                    " DECIMAL(38,0))) + 1 AS DOUBLE)) * 1000))"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("hsum"),
+            F.sum("nab").cast("decimal(38,0)").alias("n"),
+        )
+    )
+    return scored.select(
+        "source",
+        F.col("n").cast("long").alias("n_test_bigrams"),
+        F.expr("CAST(hsum div n AS BIGINT)").alias("xent_milli"),
+    ).orderBy("source")

@@ -1392,7 +1392,8 @@ GLOBAL_SORT_ALLOWED = frozenset(
     q_cohens_h q_neyman_allocation q_page_hinkley q_segmented_trend
     q_pacf q_char_bigram_entropy q_stl_decompose q_holm_bonferroni
     q_dp_quantile q_kcore_peel q_winsorized_ab q_borda_fusion
-    q_mmr_rerank
+    q_mmr_rerank q_gain_ratio q_bhattacharyya q_copeland_fusion
+    q_kendall_w q_grouped_kfold q_power_curve q_bigram_lm_xent
     q_set_ops q_shard_manifest q_silhouette q_stopword_induction q_stratified_kfold
     q_stream_histogram q_stream_kmv q_stream_rate_alert q_stream_static_join q_stream_topk
     q_table_profile q_temperature_mix q_term_burstiness q_text_stats q_threshold_sweep

@@ -576,3 +576,142 @@ def test_mmr_rerank_diversity_beats_relevance(spark, tmp_path):
     assert rows[1]["maxsim_micro"] == 0
     assert rows[2]["maxsim_micro"] == 9 * 1_000_000 // 11
     assert rows[2]["mmr_score"] == 7 * 1_000_000 - 3 * (9 * 1_000_000 // 11)
+
+
+def test_gain_ratio_perfect_feature(spark, tmp_path):
+    """value>=50 iff purchase → the value stump is a PERFECT split:
+    IG = H(Y) = splitInfo, gain ratio = exactly 1e6."""
+    rows = [(i, i, "purchase", 60.0) for i in range(6)] + [
+        (10 + i, 10 + i, "view", 10.0) for i in range(10)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {
+        r["feature"]: r
+        for r in QUERIES["q_gain_ratio"](spark, sf).collect()
+    }
+    assert out["value_ge_50"]["gain_ratio_micro"] == 1_000_000
+    assert (
+        out["value_ge_50"]["ig_micro"]
+        == out["value_ge_50"]["split_info_micro"]
+    )
+
+
+def test_bhattacharyya_single_source_is_zero(spark, tmp_path):
+    """One source: p = q bucket-for-bucket → BC = 1, D_B = 0 (up to
+    the per-bucket nano rounding, ≤ a few micro)."""
+    sf = _write_docs(
+        spark, tmp_path, ["x " * i for i in (10, 50, 120, 220)]
+    )
+    [r] = QUERIES["q_bhattacharyya"](spark, sf).collect()
+    assert abs(r["d_b_micro"]) <= 5
+
+
+def test_copeland_and_kendall_w_recomputed(spark, tmp_path):
+    """Four docs: all three ranker permutations recomputed in-test
+    (md5 included); Copeland beats/losses and Kendall's W must match
+    the hand assembly."""
+    texts = [
+        "alpha beta gamma delta",
+        "aa aa aa aa aa aa aa aa",
+        "one two three",
+        "x " * 30,
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    import re as _re
+
+    def toks(t):
+        return _re.sub(r"\s+", " ", t.lower().strip()).split(" ")
+
+    docs = {i + 1: t for i, t in enumerate(texts)}
+    nchars = {i: len(t) for i, t in docs.items()}
+    ttr = {
+        i: len(set(toks(t))) * 1000000 // len(toks(t))
+        for i, t in docs.items()
+    }
+    h = {
+        i: int(
+            hashlib.md5(f"{i}|borda-v1".encode()).hexdigest()[:15], 16
+        )
+        for i in docs
+    }
+    r1 = {d: r + 1 for r, d in enumerate(sorted(docs, key=lambda d: (-nchars[d], d)))}
+    r2 = {d: r + 1 for r, d in enumerate(sorted(docs, key=lambda d: (-ttr[d], d)))}
+    r3 = {d: r + 1 for r, d in enumerate(sorted(docs, key=lambda d: (h[d], d)))}
+    # Copeland
+    cop_rows = QUERIES["q_copeland_fusion"](spark, sf).collect()
+    for row in cop_rows:
+        a = row["doc_id"]
+        beats = sum(
+            1
+            for b in docs
+            if b != a
+            and (r1[a] < r1[b]) + (r2[a] < r2[b]) + (r3[a] < r3[b]) >= 2
+        )
+        assert row["beats"] == beats
+        assert row["losses"] == len(docs) - 1 - beats
+        assert row["copeland"] == 2 * beats - (len(docs) - 1)
+    # Kendall's W (re-ranked within the union = same ranks here)
+    [w] = QUERIES["q_kendall_w"](spark, sf).collect()
+    n = len(docs)
+    ri = {d: r1[d] + r2[d] + r3[d] for d in docs}
+    sr = sum(ri.values())
+    srr = sum(v * v for v in ri.values())
+    expect = (n * srr - sr * sr) * 12 * 1000000 // (n * 9 * (n**3 - n))
+    assert w["n_items"] == n and w["w_micro"] == expect
+
+
+def test_grouped_kfold_no_leakage_and_totals(spark):
+    """Real data: leaky_users = 0 on every row, fold sizes sum to the
+    fact count, folds match md5(user)%5."""
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["q_grouped_kfold"](spark, sf).collect()
+    assert all(r["leaky_users"] == 0 for r in rows)
+    import duckdb
+
+    [(total,)] = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    assert sum(r["n_events"] for r in rows) == total
+
+
+def test_label_noise_audit_stop_fixture_ledger(spark, tmp_path):
+    """On the stream/join stop fixture: noisy=ra=(F,T,T,F),
+    ref=rb=(T,T,T,F) → n11=2, n10=0, n01=1, n00=1 → FPR=0,
+    FNR=333333, disagreement=250000."""
+    sf = _stop_fixture(spark, tmp_path)
+    [r] = QUERIES["q_label_noise_audit"](spark, sf).collect()
+    assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (2, 0, 1, 1)
+    assert r["false_pos_rate_micro"] == 0
+    assert r["false_neg_rate_micro"] == 333_333
+    assert r["disagreement_micro"] == 250_000
+
+
+def test_power_curve_planted_rate(spark, tmp_path):
+    """p = 1/4 planted: MDE(100) recomputed with the same shared-
+    literal z constants and float ops."""
+    rows = [(i, i, "purchase" if i < 5 else "view", 1.0) for i in range(20)]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {
+        r["n_per_arm"]: r
+        for r in QUERIES["q_power_curve"](spark, sf).collect()
+    }
+    assert out[100]["base_rate_micro"] == 250_000
+    p = 5.0 / 20.0
+    mde = round(
+        (1.9599639845400545 + 0.8416212335729143)
+        * math.sqrt(2.0 * p * (1.0 - p) / 100)
+        * 1000000
+    )
+    assert out[100]["mde_abs_micro"] == mde
+
+
+def test_bigram_lm_xent_planted_ledger(spark, tmp_path):
+    """Train doc (even id) 'a b a b a b' (ab:3, ba:2, V=2); test doc
+    (odd id) 'a b a b' (ab:2, ba:1): H = [2·(L5−L4) + (L4−L3)] // 3
+    = (2·223 + 287) // 3 = 244 milli-nats (L = round(1000·ln))."""
+    sf = _write_docs(spark, tmp_path, ["a b a b", "a b a b a b"])
+    [r] = QUERIES["q_bigram_lm_xent"](spark, sf).collect()
+    L = lambda x: round(math.log(x) * 1000)
+    expect = (2 * (L(5) - L(4)) + (L(4) - L(3))) // 3
+    assert r["n_test_bigrams"] == 3
+    assert r["xent_milli"] == expect
