@@ -3969,3 +3969,793 @@ def q_bigram_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_test_bigrams"),
         F.expr("CAST(hsum div n AS BIGINT)").alias("xent_milli"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# X384 — Durbin–Watson autocorrelated-residuals test for the daily
+# revenue OLS per event type, computed ENTIRELY in integers: the
+# residual scale cancels in DW = Σ(Δe)²/Σe², so e is carried as the
+# exact integer n·den·x_i − n·num_b·i − (den·Σx − num_b·Σi) (the OLS
+# normal equations multiplied through) and no division happens until
+# the final micro presentation. DW≈2 ⇒ independent residuals; the
+# trend-misfit autocorrelation X127's slope alone cannot see.
+# --------------------------------------------------------------------------
+@query(
+    "q_durbin_watson",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100, 0) AS HUGEINT))
+                  AS HUGEINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, d, x,
+             CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY d) - 1 AS HUGEINT) AS i
+      FROM daily
+    ),
+    mo AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(i) AS HUGEINT) AS si,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(i * i) AS HUGEINT) AS sii,
+             CAST(sum(i * x) AS HUGEINT) AS six
+      FROM seq GROUP BY 1
+    ),
+    res AS (
+      SELECT seq.event_type AS event_type, d, i,
+             -- scaled residual: n·den·x − n·num_b·i − (den·sx − num_b·si)
+             n * (n * sii - si * si) * x
+               - n * (n * six - si * sx) * i
+               - ((n * sii - si * si) * sx - (n * six - si * sx) * si)
+               AS e
+      FROM seq JOIN mo ON mo.event_type = seq.event_type
+      WHERE n >= 3 AND n * sii - si * si > 0
+    ),
+    lagd AS (
+      SELECT a.event_type AS event_type, a.e AS e, b.e AS ep
+      FROM res a LEFT JOIN res b
+        ON b.event_type = a.event_type AND b.i = a.i - 1
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN ep IS NOT NULL
+                  THEN (e - ep) * (e - ep) END) AS HUGEINT) AS sdiff,
+             CAST(sum(e * e) AS HUGEINT) AS se2,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM lagd GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           CAST(CASE WHEN se2 > 0 THEN sdiff * 1000000 // se2 END
+                AS BIGINT) AS dw_micro
+    FROM agg ORDER BY event_type
+    """,
+)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X384 — all-integer Durbin–Watson per event type on the daily
+    OLS residuals (day index off each type's own calendar).
+
+    Exactness: NO doubles anywhere — residuals are exact integers
+    scaled by n·den (den = nΣi²−(Σi)², the OLS denominator), the
+    scale cancels in the DW ratio, and the one division is the final
+    truncated micro presentation of two non-negative sums. Magnitude
+    audit: |e| ≤ n·den·max(x) ≈ 150·3.4e6·1e7 ≈ 5e15, e² ≈ 2.5e31,
+    summed ≈ 4e33 — inside DECIMAL(38). Scale shape: fact-sized daily
+    rollup → per-type moments → calendar-bounded lag self-join →
+    type-sized output (sort allowlist class a)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100, 0) AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("x")
+    )
+    seq = daily.select(
+        "event_type",
+        "d",
+        "x",
+        (
+            F.row_number()
+            .over(W.partitionBy("event_type").orderBy("d"))
+            - 1
+        )
+        .cast("decimal(38,0)")
+        .alias("i"),
+    )
+    mo = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("i").cast("decimal(38,0)").alias("si"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.expr("i * i")).cast("decimal(38,0)").alias("sii"),
+        F.sum(F.expr("i * x")).cast("decimal(38,0)").alias("six"),
+    )
+    res = (
+        seq.join(mo, "event_type")
+        .filter(F.expr("n >= 3 AND n * sii - si * si > 0"))
+        .select(
+            "event_type",
+            "i",
+            F.expr(
+                "CAST(n * (n * sii - si * si) * x"
+                " - n * (n * six - si * sx) * i"
+                " - ((n * sii - si * si) * sx"
+                "    - (n * six - si * sx) * si) AS DECIMAL(38,0))"
+            ).alias("e"),
+        )
+    )
+    b = res.select(
+        F.col("event_type").alias("et2"),
+        (F.col("i") + 1).alias("i2"),
+        F.col("e").alias("ep"),
+    )
+    lagd = res.join(
+        b,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("i") == F.col("i2")),
+        "left",
+    )
+    agg = lagd.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.col("ep").isNotNull(),
+                (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep")),
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("sdiff"),
+        F.sum(F.expr("e * e")).cast("decimal(38,0)").alias("se2"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        F.expr(
+            "CAST(CASE WHEN se2 > 0 THEN sdiff * 1000000 div se2 END"
+            " AS BIGINT)"
+        ).alias("dw_micro"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# X385 — Jarque–Bera normality test of event values per type:
+# JB = n/6·(S² + K²/4) from exact integer raw moments — the
+# skew+kurtosis omnibus behind every "is this metric Gaussian enough
+# for the z-tests we just ran" footnote (gates X292/X312/X351).
+# --------------------------------------------------------------------------
+@query(
+    "q_jarque_bera",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS HUGEINT) AS x
+      FROM events
+    ),
+    mo AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s1,
+             CAST(sum(x * x) AS HUGEINT) AS s2,
+             CAST(sum(x * x * x) AS HUGEINT) AS s3,
+             CAST(sum(x * x * x * x) AS HUGEINT) AS s4
+      FROM base GROUP BY 1
+    ),
+    ctr AS (
+      -- central moments scaled by n^k (integer): mu2·n² = n·s2 − s1²,
+      -- mu3·n³ = n²·s3 − 3n·s2·s1 + 2s1³,
+      -- mu4·n⁴ = n³·s4 − 4n²·s3·s1 + 6n·s2·s1² − 3s1⁴
+      SELECT event_type, n,
+             CAST(n * s2 - s1 * s1 AS DOUBLE) AS m2n2,
+             CAST(n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1
+                  AS DOUBLE) AS m3n3,
+             CAST(n AS DOUBLE)
+               * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * CAST(s4 AS DOUBLE)
+                - 4.0 * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+                  * CAST(s1 AS DOUBLE)
+                + 6.0 * CAST(s2 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                  * CAST(s1 AS DOUBLE)
+                - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                  * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS m4n4
+      FROM mo WHERE n >= 4
+    ),
+    jb AS (
+      SELECT event_type, n,
+             m3n3 / (sqrt(m2n2) * m2n2) AS skew,
+             m4n4 / (m2n2 * m2n2) - 3.0 AS exkurt
+      FROM ctr WHERE m2n2 > 0
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           CAST(round(skew * 1000000) AS BIGINT) AS skew_micro,
+           CAST(round(exkurt * 1000000) AS BIGINT) AS exkurt_micro,
+           CAST(round(CAST(n AS DOUBLE) / 6.0
+                * (skew * skew + exkurt * exkurt / 4.0) * 1000)
+                AS BIGINT) AS jb_milli,
+           CAST(n AS DOUBLE) / 6.0
+             * (skew * skew + exkurt * exkurt / 4.0)
+             > 5.991464547107979 AS non_normal
+    FROM jb ORDER BY event_type
+    """,
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X385 — Jarque–Bera per type: S = μ₃/μ₂^1.5 and excess K from
+    n-scaled EXACT integer central-moment expansions (μ₂n², μ₃n³ as
+    pure DECIMAL(38) integers; μ₄n⁴'s s1⁴ term would overflow 38
+    digits at corpus scale, so the fourth moment alone combines the
+    exact integers in double — every operand cast identically on
+    both engines, and the n-powers cancel algebraically in S and K
+    so no scale leaks). JB gated on the χ²(2) 0.05 literal
+    5.991464547107979 (shared, the X341 rule).
+
+    Scale shape: one scan → type-sized raw-moment aggregate (map-side
+    combined) → constant arithmetic. Output ≤ #types rows (sort
+    allowlist class a)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS DECIMAL(38,0))").alias(
+            "x"
+        ),
+    )
+    mo = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("s2"),
+        F.sum(F.expr("x * x * x")).cast("decimal(38,0)").alias("s3"),
+        F.sum(F.expr("x * x * x * x"))
+        .cast("decimal(38,0)")
+        .alias("s4"),
+    )
+    ctr = mo.filter(F.col("n") >= 4).select(
+        "event_type",
+        "n",
+        F.expr("CAST(n * s2 - s1 * s1 AS DOUBLE)").alias("m2n2"),
+        F.expr(
+            "CAST(n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1"
+            " AS DOUBLE)"
+        ).alias("m3n3"),
+        F.expr(
+            "CAST(n AS DOUBLE)"
+            " * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+            "    * CAST(s4 AS DOUBLE)"
+            "  - CAST(4.0 AS DOUBLE) * CAST(n AS DOUBLE)"
+            "    * CAST(s3 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+            "  + CAST(6.0 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            "    * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+            "  - CAST(3.0 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+            "    * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+            "    * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+        ).alias("m4n4"),
+    )
+    jb = ctr.filter(F.col("m2n2") > 0).select(
+        "event_type",
+        "n",
+        F.expr("m3n3 / (sqrt(m2n2) * m2n2)").alias("skew"),
+        F.expr(
+            "m4n4 / (m2n2 * m2n2) - CAST(3.0 AS DOUBLE)"
+        ).alias("exkurt"),
+    )
+    return jb.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.expr("CAST(round(skew * 1000000) AS BIGINT)").alias(
+            "skew_micro"
+        ),
+        F.expr("CAST(round(exkurt * 1000000) AS BIGINT)").alias(
+            "exkurt_micro"
+        ),
+        F.expr(
+            "CAST(round(CAST(n AS DOUBLE) / CAST(6.0 AS DOUBLE)"
+            " * (skew * skew + exkurt * exkurt / CAST(4.0 AS DOUBLE))"
+            " * 1000) AS BIGINT)"
+        ).alias("jb_milli"),
+        F.expr(
+            "CAST(n AS DOUBLE) / CAST(6.0 AS DOUBLE)"
+            " * (skew * skew + exkurt * exkurt / CAST(4.0 AS DOUBLE))"
+            " > CAST(5.991464547107979 AS DOUBLE)"
+        ).alias("non_normal"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# X386 — Grubbs-style extreme-deviation statistic per type:
+# G = max|x − x̄| / s with the conservative 3σ flag — "is the single
+# worst point an outlier" (what X119's MAD fences answer for the
+# bulk, G answers for the one maximum; the Grubbs critical value is
+# df-dependent, so the report gates on the fixed 3σ literal and
+# emits G for the analyst's own table lookup).
+# --------------------------------------------------------------------------
+@query(
+    "q_grubbs_stat",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS HUGEINT) AS x
+      FROM events
+    ),
+    mo AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s1,
+             CAST(sum(x * x) AS HUGEINT) AS s2,
+             CAST(max(x) AS HUGEINT) AS xmax,
+             CAST(min(x) AS HUGEINT) AS xmin
+      FROM base GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(greatest(n * xmax - s1, s1 - n * xmin) AS BIGINT)
+             AS max_dev_n_scaled,
+           CAST(CASE WHEN n * s2 - s1 * s1 > 0 AND n >= 2 THEN round(
+             CAST(greatest(n * xmax - s1, s1 - n * xmin) AS DOUBLE)
+             / CAST(n AS DOUBLE)
+             / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             * 1000000) END AS BIGINT) AS g_micro,
+           CASE WHEN n * s2 - s1 * s1 > 0 AND n >= 2 THEN
+             CAST(greatest(n * xmax - s1, s1 - n * xmin) AS DOUBLE)
+             / CAST(n AS DOUBLE)
+             / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             > 3.0 END AS beyond_3_sigma
+    FROM mo ORDER BY event_type
+    """,
+)
+def q_grubbs_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X386 — G = max(n·x_max − Σx, Σx − n·x_min) / (n·s) per type,
+    flagged at the 3σ literal.
+
+    Exactness: the n-scaled max deviation is pure integer (max/min
+    and moments are exact); G divides identical-input doubles (one
+    sqrt) behind a micro round; the flag compares the SAME double to
+    the shared 3.0 literal. Scale shape: one scan → type-sized
+    moment aggregate → constant arithmetic (sort allowlist class
+    a)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS DECIMAL(38,0))").alias(
+            "x"
+        ),
+    )
+    mo = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("s2"),
+        F.max("x").cast("decimal(38,0)").alias("xmax"),
+        F.min("x").cast("decimal(38,0)").alias("xmin"),
+    )
+    gexpr = (
+        "CAST(greatest(n * xmax - s1, s1 - n * xmin) AS DOUBLE)"
+        " / CAST(n AS DOUBLE)"
+        " / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)"
+        "        / (CAST(n AS DOUBLE)"
+        "           * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))))"
+    )
+    guard = "n * s2 - s1 * s1 > 0 AND n >= 2"
+    return mo.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.expr(
+            "CAST(greatest(n * xmax - s1, s1 - n * xmin) AS BIGINT)"
+        ).alias("max_dev_n_scaled"),
+        F.expr(
+            f"CAST(CASE WHEN {guard} THEN round(({gexpr}) * 1000000)"
+            " END AS BIGINT)"
+        ).alias("g_micro"),
+        F.expr(
+            f"CASE WHEN {guard} THEN ({gexpr})"
+            " > CAST(3.0 AS DOUBLE) END"
+        ).alias("beyond_3_sigma"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# X387 — Breusch–Pagan heteroscedasticity screen for the daily
+# revenue OLS per type: BP = n·R² of e² regressed on the day index,
+# χ²(1) gate — "does residual VARIANCE trend with time?", the
+# misspecification the X127 slope and X384's DW both miss.
+# --------------------------------------------------------------------------
+@query(
+    "q_breusch_pagan",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100, 0) AS HUGEINT))
+                  AS HUGEINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, d, x,
+             CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY d) - 1 AS HUGEINT) AS i
+      FROM daily
+    ),
+    mo AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(i) AS HUGEINT) AS si,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(i * i) AS HUGEINT) AS sii,
+             CAST(sum(i * x) AS HUGEINT) AS six
+      FROM seq GROUP BY 1
+    ),
+    res AS (
+      -- residual in exact CENTS via the X216 sign-corrected div of
+      -- the n·den-scaled integer residual
+      SELECT seq.event_type AS event_type, i,
+             CASE WHEN n * (n * sii - si * si) * x
+                       - n * (n * six - si * sx) * i
+                       - ((n * sii - si * si) * sx
+                          - (n * six - si * sx) * si) >= 0
+               THEN (n * (n * sii - si * si) * x
+                     - n * (n * six - si * sx) * i
+                     - ((n * sii - si * si) * sx
+                        - (n * six - si * sx) * si))
+                    // (n * (n * sii - si * si))
+               ELSE -((-(n * (n * sii - si * si) * x
+                         - n * (n * six - si * sx) * i
+                         - ((n * sii - si * si) * sx
+                            - (n * six - si * sx) * si)))
+                      // (n * (n * sii - si * si)))
+             END AS ec
+      FROM seq JOIN mo ON mo.event_type = seq.event_type
+      WHERE n >= 4 AND n * sii - si * si > 0
+    ),
+    aux AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(i) AS HUGEINT) AS si,
+             CAST(sum(i * i) AS HUGEINT) AS sii,
+             CAST(sum(ec * ec) AS HUGEINT) AS sy,
+             CAST(sum(i * ec * ec) AS HUGEINT) AS siy,
+             CAST(sum(ec * ec * ec * ec) AS HUGEINT) AS syy
+      FROM res GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN (n * sii - si * si) > 0
+                      AND (n * syy - sy * sy) > 0 THEN round(
+             CAST(n AS DOUBLE)
+             * (CAST(n * siy - si * sy AS DOUBLE)
+                * CAST(n * siy - si * sy AS DOUBLE))
+             / (CAST(n * sii - si * si AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) * 1000)
+             END AS BIGINT) AS bp_milli,
+           CASE WHEN (n * sii - si * si) > 0
+                 AND (n * syy - sy * sy) > 0 THEN
+             CAST(n AS DOUBLE)
+             * (CAST(n * siy - si * sy AS DOUBLE)
+                * CAST(n * siy - si * sy AS DOUBLE))
+             / (CAST(n * sii - si * si AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE))
+             > 3.841458820694124 END AS heteroscedastic
+    FROM aux ORDER BY event_type
+    """,
+)
+def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X387 — BP = n·R²(e² ~ i) per type, gated on the χ²(1) 0.05
+    literal 3.841458820694124.
+
+    Exactness: residuals quantize to exact integer CENTS via the
+    X216 sign-corrected div of the n·den-scaled integer form (both
+    engines truncate identically); the auxiliary-regression moments
+    are then exact integers (magnitude audit: ec ≤ ~1e7 cents, ec⁴ ≤
+    1e28, summed ≤ ~1.5e30 — inside DECIMAL(38); the R² numerator
+    (n·siy − si·sy)² is computed in double to stay under 38 digits,
+    from identically-cast exact integers); the gate compares the
+    same double to the shared literal. Scale shape: fact-sized daily
+    rollup → per-type moments → calendar-bounded residual projection
+    → type-sized aux moments (sort allowlist class a)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100, 0) AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("x")
+    )
+    seq = daily.select(
+        "event_type",
+        "x",
+        (
+            F.row_number()
+            .over(W.partitionBy("event_type").orderBy("d"))
+            - 1
+        )
+        .cast("decimal(38,0)")
+        .alias("i"),
+    )
+    mo = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("i").cast("decimal(38,0)").alias("si"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.expr("i * i")).cast("decimal(38,0)").alias("sii"),
+        F.sum(F.expr("i * x")).cast("decimal(38,0)").alias("six"),
+    )
+    enum = (
+        "(n * (n * sii - si * si) * x"
+        " - n * (n * six - si * sx) * i"
+        " - ((n * sii - si * si) * sx - (n * six - si * sx) * si))"
+    )
+    res = (
+        seq.join(mo, "event_type")
+        .filter(F.expr("n >= 4 AND n * sii - si * si > 0"))
+        .select(
+            "event_type",
+            "i",
+            F.expr(
+                f"CAST(CASE WHEN {enum} >= 0"
+                f" THEN {enum} div (n * (n * sii - si * si))"
+                f" ELSE -((-{enum}) div (n * (n * sii - si * si)))"
+                " END AS DECIMAL(38,0))"
+            ).alias("ec"),
+        )
+    )
+    aux = res.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("i").cast("decimal(38,0)").alias("si"),
+        F.sum(F.expr("i * i")).cast("decimal(38,0)").alias("sii"),
+        F.sum(F.expr("ec * ec")).cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("i * ec * ec"))
+        .cast("decimal(38,0)")
+        .alias("siy"),
+        F.sum(F.expr("ec * ec * ec * ec"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    bp = (
+        "CAST(n AS DOUBLE)"
+        " * (CAST(n * siy - si * sy AS DOUBLE)"
+        "    * CAST(n * siy - si * sy AS DOUBLE))"
+        " / (CAST(n * sii - si * si AS DOUBLE)"
+        "    * CAST(n * syy - sy * sy AS DOUBLE))"
+    )
+    guard = "(n * sii - si * si) > 0 AND (n * syy - sy * sy) > 0"
+    return aux.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            f"CAST(CASE WHEN {guard} THEN round(({bp}) * 1000)"
+            " END AS BIGINT)"
+        ).alias("bp_milli"),
+        F.expr(
+            f"CASE WHEN {guard} THEN ({bp})"
+            " > CAST(3.841458820694124 AS DOUBLE) END"
+        ).alias("heteroscedastic"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# X388 — Tukey HSD pairwise means: every event-type pair's mean-cents
+# gap against the honestly-significant-difference bound
+# q·√(MSW/2·(1/nᵢ+1/nⱼ)) with q_{0.05,5,∞} = 3.858 inlined — the
+# which-pairs-differ follow-up X312's omnibus F deliberately stops
+# short of.
+# --------------------------------------------------------------------------
+@query(
+    "q_tukey_hsd",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS HUGEINT) AS x
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s,
+             CAST(sum(x * x) AS HUGEINT) AS q
+      FROM base GROUP BY 1
+    ),
+    msw AS (
+      SELECT CAST(sum(CAST(q AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE)) AS DOUBLE)
+               / CAST(sum(n) - count(*) AS DOUBLE) AS msw
+      FROM g
+    ),
+    pairs AS (
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             a.n AS n1, b.n AS n2, a.s AS s1, b.s AS s2
+      FROM g a JOIN g b ON a.event_type < b.event_type
+    )
+    SELECT t1, t2,
+           CAST(s1 * 10000 // n1 - s2 * 10000 // n2 AS BIGINT)
+             AS diff_micro,
+           CAST(round(3.858 * sqrt(msw / 2.0
+                * (1.0 / CAST(n1 AS DOUBLE)
+                   + 1.0 / CAST(n2 AS DOUBLE))) * 10000) AS BIGINT)
+             AS hsd_micro,
+           abs(CAST(s1 * 10000 // n1 - s2 * 10000 // n2 AS BIGINT))
+             > CAST(round(3.858 * sqrt(msw / 2.0
+                 * (1.0 / CAST(n1 AS DOUBLE)
+                    + 1.0 / CAST(n2 AS DOUBLE))) * 10000) AS BIGINT)
+             AS significant
+    FROM pairs CROSS JOIN msw
+    ORDER BY t1, t2
+    """,
+)
+def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X388 — Tukey HSD over all type pairs: |mean gap| vs the HSD
+    bound at q_{0.05, k=5, df=∞} = 3.858 (shared literal — the exact
+    studentized-range quantile is df-dependent, and at these group
+    sizes the ∞ row of the published table is the right constant).
+
+    Exactness: group moments are exact integers; means present as
+    truncated integer micro (cents × 10000); MSW and the bound are
+    identical-input double arithmetic (one sqrt) behind a micro
+    round, and the significance compare is INTEGER (|diff_micro| vs
+    the rounded bound) so the flag can't split engines at the 15th
+    digit. Scale shape: one scan → type-sized moments → pair-sized
+    (≤10 rows) join (sort allowlist class a)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS DECIMAL(38,0))").alias(
+            "x"
+        ),
+    )
+    g = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("q"),
+    )
+    msw = g.agg(
+        F.expr(
+            "CAST(sum(CAST(q AS DOUBLE)"
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+            "   / CAST(n AS DOUBLE)) AS DOUBLE)"
+            " / CAST(sum(n) - count(*) AS DOUBLE)"
+        ).alias("msw")
+    )
+    b = g.select(
+        F.col("event_type").alias("t2"),
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+    )
+    pairs = (
+        g.select(
+            F.col("event_type").alias("t1"),
+            F.col("n").alias("n1"),
+            F.col("s").alias("s1"),
+        )
+        .join(b, F.col("t1") < F.col("t2"))
+        .crossJoin(F.broadcast(msw))
+    )
+    hsd = (
+        "CAST(round(CAST(3.858 AS DOUBLE) * sqrt(msw"
+        " / CAST(2.0 AS DOUBLE)"
+        " * (CAST(1.0 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        "    + CAST(1.0 AS DOUBLE) / CAST(n2 AS DOUBLE)))"
+        " * 10000) AS BIGINT)"
+    )
+    return pairs.select(
+        "t1",
+        "t2",
+        F.expr(
+            "CAST(s1 * 10000 div n1 - s2 * 10000 div n2 AS BIGINT)"
+        ).alias("diff_micro"),
+        F.expr(hsd).alias("hsd_micro"),
+        F.expr(
+            "abs(CAST(s1 * 10000 div n1 - s2 * 10000 div n2"
+            f" AS BIGINT)) > {hsd}"
+        ).alias("significant"),
+    ).orderBy("t1", "t2")
+
+
+# --------------------------------------------------------------------------
+# X389 — cohort variance-ratio report: F = s²_A/s²_B between the
+# split-hash cohorts per type (larger variance up top by convention)
+# — the variance-stability companion of X374's winsorized mean gap;
+# no significance gate (the F critical value is df-dependent), the
+# report IS the deliverable.
+# --------------------------------------------------------------------------
+@query(
+    "q_f_ratio_cohorts",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS HUGEINT) AS x,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS cohort
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, cohort,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s,
+             CAST(sum(x * x) AS HUGEINT) AS q
+      FROM base GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT a.event_type AS event_type,
+             a.n AS n0, b.n AS n1,
+             CAST(a.n * a.q - a.s * a.s AS HUGEINT) AS v0num,
+             CAST(a.n * (a.n - 1) AS HUGEINT) AS v0den,
+             CAST(b.n * b.q - b.s * b.s AS HUGEINT) AS v1num,
+             CAST(b.n * (b.n - 1) AS HUGEINT) AS v1den
+      FROM g a JOIN g b ON a.event_type = b.event_type
+      WHERE a.cohort = 0 AND b.cohort = 1
+        AND a.n >= 2 AND b.n >= 2
+    )
+    SELECT event_type,
+           CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+           -- F with the LARGER sample variance in the numerator,
+           -- cross-multiplied integer comparison picks the side
+           CAST(CASE WHEN v0num > 0 AND v1num > 0 THEN
+             CASE WHEN v0num * v1den >= v1num * v0den
+               THEN v0num * v1den * 1000000 // (v1num * v0den)
+               ELSE v1num * v0den * 1000000 // (v0num * v1den) END
+             END AS BIGINT) AS f_micro,
+           CASE WHEN v0num > 0 AND v1num > 0 THEN
+             v0num * v1den >= v1num * v0den END AS a_larger
+    FROM w ORDER BY event_type
+    """,
+)
+def q_f_ratio_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X389 — per-type cohort variance ratio, larger variance on top:
+    F = (v_big/v_small) as ONE truncated micro division of exact
+    integer cross-products (s² = (nΣx²−(Σx)²)/(n(n−1)) never
+    materializes as a float — the n(n−1) scales cancel in the ratio's
+    cross-multiplied form only when kept explicit, so both num/den
+    pairs ride along as integers).
+
+    Exactness: all-integer; the side pick is a cross-multiplied
+    integer comparison; degenerate cohorts (n<2 or zero variance)
+    emit NULL identically. Scale shape: one scan → (type × 2)-sized
+    moment aggregate → type-sized join (sort allowlist class a)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS DECIMAL(38,0))").alias(
+            "x"
+        ),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT) % 2"
+        ).alias("cohort"),
+    )
+    g = base.groupBy("event_type", "cohort").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("q"),
+    )
+    a = g.filter(F.col("cohort") == 0).select(
+        "event_type",
+        F.col("n").alias("na"),
+        F.expr("CAST(n * q - s * s AS DECIMAL(38,0))").alias("v0num"),
+        F.expr("CAST(n * (n - 1) AS DECIMAL(38,0))").alias("v0den"),
+    )
+    b = g.filter(F.col("cohort") == 1).select(
+        "event_type",
+        F.col("n").alias("nb"),
+        F.expr("CAST(n * q - s * s AS DECIMAL(38,0))").alias("v1num"),
+        F.expr("CAST(n * (n - 1) AS DECIMAL(38,0))").alias("v1den"),
+    )
+    w = (
+        a.join(b, "event_type")
+        .filter(F.expr("na >= 2 AND nb >= 2"))
+    )
+    return w.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.expr(
+            "CAST(CASE WHEN v0num > 0 AND v1num > 0 THEN"
+            " CASE WHEN v0num * v1den >= v1num * v0den"
+            " THEN v0num * v1den * 1000000 div (v1num * v0den)"
+            " ELSE v1num * v0den * 1000000 div (v0num * v1den) END"
+            " END AS BIGINT)"
+        ).alias("f_micro"),
+        F.expr(
+            "CASE WHEN v0num > 0 AND v1num > 0 THEN"
+            " v0num * v1den >= v1num * v0den END"
+        ).alias("a_larger"),
+    ).orderBy("event_type")

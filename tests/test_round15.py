@@ -715,3 +715,85 @@ def test_bigram_lm_xent_planted_ledger(spark, tmp_path):
     expect = (2 * (L(5) - L(4)) + (L(4) - L(3))) // 3
     assert r["n_test_bigrams"] == 3
     assert r["xent_milli"] == expect
+
+
+def test_durbin_watson_planted_ledger(spark, tmp_path):
+    """Daily cents [0,100,0,100]: OLS residuals (−20,60,−60,20) →
+    DW = 27200/8000 = 3.4 exactly (3400000 micro) — the alternating
+    series that screams negative autocorrelation."""
+    rows = [
+        (0, 1, "t", 0.0, "2024-01-01"),
+        (1, 1, "t", 1.0, "2024-01-02"),
+        (2, 1, "t", 0.0, "2024-01-03"),
+        (3, 1, "t", 1.0, "2024-01-04"),
+    ]
+    sf = _write_events_dates(spark, tmp_path, rows)
+    [r] = QUERIES["q_durbin_watson"](spark, sf).collect()
+    assert r["n_days"] == 4
+    assert r["dw_micro"] == 3_400_000
+
+
+def test_jarque_bera_symmetric_two_point(spark, tmp_path):
+    """Half the values at 1, half at 3: skew = 0, excess kurtosis =
+    −2 exactly, JB = n/6·(0 + 4/4) = 2 at n = 12; not flagged."""
+    rows = [(i, i, "t", 1.0 if i % 2 else 3.0) for i in range(12)]
+    sf = _write_events(spark, tmp_path, rows)
+    [r] = QUERIES["q_jarque_bera"](spark, sf).collect()
+    assert r["skew_micro"] == 0
+    assert r["exkurt_micro"] == -2_000_000
+    assert r["jb_milli"] == 2_000
+    assert r["non_normal"] is False
+
+
+def test_grubbs_planted_spike(spark, tmp_path):
+    """Values [0,0,0,0,1]: mean 20 cents, max dev 80, s = √2000 →
+    G recomputed with the same float ops; 5-point spike stays under
+    the 3σ flag (G ≈ 1.79)."""
+    rows = [(i, i, "t", 0.0) for i in range(4)] + [(4, 4, "t", 1.0)]
+    sf = _write_events(spark, tmp_path, rows)
+    [r] = QUERIES["q_grubbs_stat"](spark, sf).collect()
+    assert r["max_dev_n_scaled"] == 5 * 100 - 100  # n·xmax − s1
+    g = (400.0 / 5.0) / math.sqrt((5 * 10000 - 100 * 100) / (5.0 * 4.0))
+    assert r["g_micro"] == round(g * 1e6)
+    assert r["beyond_3_sigma"] is False
+
+
+def test_breusch_pagan_planted_homoscedastic(spark, tmp_path):
+    """The alternating [0,100,0,100] series: e² = (400,3600,3600,400)
+    is symmetric in i → aux slope 0 → BP = 0, not flagged."""
+    rows = [
+        (0, 1, "t", 0.0, "2024-01-01"),
+        (1, 1, "t", 1.0, "2024-01-02"),
+        (2, 1, "t", 0.0, "2024-01-03"),
+        (3, 1, "t", 1.0, "2024-01-04"),
+    ]
+    sf = _write_events_dates(spark, tmp_path, rows)
+    [r] = QUERIES["q_breusch_pagan"](spark, sf).collect()
+    assert r["bp_milli"] == 0
+    assert r["heteroscedastic"] is False
+
+
+def test_tukey_hsd_zero_within_variance(spark, tmp_path):
+    """Two constant groups (all 1.0 vs all 5.0): MSW = 0 → HSD = 0 →
+    any nonzero gap is significant; gap = −400 cents = −4e6 micro."""
+    rows = [(i, i, "A", 1.0) for i in range(4)] + [
+        (10 + i, 10 + i, "B", 5.0) for i in range(4)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    [r] = QUERIES["q_tukey_hsd"](spark, sf).collect()
+    assert (r["t1"], r["t2"]) == ("A", "B")
+    assert r["diff_micro"] == -4_000_000
+    assert r["hsd_micro"] == 0
+    assert r["significant"] is True
+
+
+def test_f_ratio_larger_on_top(spark):
+    """Convention invariant on real data: F ≥ 1e6 (micro) whenever
+    defined, and the a_larger flag matches which side is on top."""
+    rows = QUERIES["q_f_ratio_cohorts"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        if r["f_micro"] is not None:
+            assert r["f_micro"] >= 1_000_000
