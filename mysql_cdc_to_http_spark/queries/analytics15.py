@@ -984,22 +984,23 @@ _NEYMAN_B = 10000
     ),
     w AS (
       SELECT event_type, nh,
-             CAST(nh AS DOUBLE) * sqrt(greatest(
+             CAST(round(CAST(nh AS DOUBLE) * sqrt(greatest(
                (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
                   * CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE))
-               / (CAST(nh AS DOUBLE) - 1.0), 0.0)) AS wh
+               / (CAST(nh AS DOUBLE) - 1.0), 0.0)) * 1e9, 0)
+               AS HUGEINT) AS whn
       FROM st WHERE nh >= 2
     ),
     tot AS (
-      SELECT CAST(sum(wh) AS DOUBLE) AS wt,
+      SELECT CAST(sum(whn) AS HUGEINT) AS wtn,
              CAST(sum(nh) AS HUGEINT) AS nt
       FROM w
     ),
     fl AS (
-      SELECT event_type, nh, wh,
-             CAST(floor(wh * {_NEYMAN_B} / wt) AS HUGEINT) AS base,
-             wh * {_NEYMAN_B} / wt
-               - floor(wh * {_NEYMAN_B} / wt) AS frac,
+      SELECT event_type, nh,
+             CAST(whn * {_NEYMAN_B} // wtn AS HUGEINT) AS base,
+             CAST(whn * {_NEYMAN_B}
+                  - (whn * {_NEYMAN_B} // wtn) * wtn AS HUGEINT) AS rem,
              CAST(nh * {_NEYMAN_B} // nt AS HUGEINT) AS prop
       FROM w CROSS JOIN tot
     ),
@@ -1007,8 +1008,8 @@ _NEYMAN_B = 10000
       SELECT CAST({_NEYMAN_B} - sum(base) AS HUGEINT) AS d FROM fl
     ),
     rk AS (
-      SELECT event_type, nh, base, frac, prop,
-             row_number() OVER (ORDER BY frac DESC, event_type) AS r
+      SELECT event_type, nh, base, rem, prop,
+             row_number() OVER (ORDER BY rem DESC, event_type) AS r
       FROM fl
     )
     SELECT event_type,
@@ -1025,14 +1026,19 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-type strata (n_h ∝ N_h·σ_h), largest-remainder rounded to
     sum exactly to B; proportional allocation shown for contrast.
 
-    Exactness: stratum moments are exact integers; σ_h and the weight
-    shares are identical-input double arithmetic (sqrt only), so
-    floor() and the remainder ORDER BY compare the SAME doubles on
-    both engines; the top-up is an exact integer rank test
-    (deterministic event_type tiebreak). Scale shape: one fact-sized
-    stratum aggregate; everything after is #strata-sized (the
-    remainder window sorts ~10 rows — allowlist class a). Σ(neyman)
-    = B exactly by construction (pinned in tests)."""
+    Exactness (r15 ADVICE fix): stratum moments are exact integers;
+    σ_h is identical-input double arithmetic (sqrt only) QUANTIZED
+    per-stratum to nano-units (round(wh·1e9) — the bc_nano pattern)
+    BEFORE summation, so the weight total is an exact integer sum
+    (order-independent — a raw double Σwh depends on Spark's
+    partial-aggregation order) and the share/floor/remainder algebra
+    is pure integers: base = ⌊whn·B/wtn⌋ by integer div, remainder
+    rank compares rem = whn·B − base·wtn (same denominator ⇒ same
+    order as the fractional parts), top-up is an exact integer rank
+    test (deterministic event_type tiebreak). Scale shape: one
+    fact-sized stratum aggregate; everything after is #strata-sized
+    (the remainder window sorts ~10 rows — allowlist class a).
+    Σ(neyman) = B exactly by construction (pinned in tests)."""
     ev = load_table(spark, sf_dir, "events")
     st = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("nh"),
@@ -1052,26 +1058,27 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "nh",
         F.expr(
-            "CAST(nh AS DOUBLE) * sqrt(greatest("
+            "CAST(round(CAST(nh AS DOUBLE) * sqrt(greatest("
             " (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)"
             "    * CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE))"
             " / (CAST(nh AS DOUBLE) - CAST(1.0 AS DOUBLE)),"
-            " CAST(0.0 AS DOUBLE)))"
-        ).alias("wh"),
+            " CAST(0.0 AS DOUBLE))) * 1e9, 0) AS DECIMAL(38,0))"
+        ).alias("whn"),
     )
     tot = w.agg(
-        F.sum("wh").alias("wt"),
+        F.sum("whn").cast("decimal(38,0)").alias("wtn"),
         F.sum("nh").cast("decimal(38,0)").alias("nt"),
     )
     fl = w.crossJoin(F.broadcast(tot)).select(
         "event_type",
         "nh",
         F.expr(
-            f"CAST(floor(wh * {_NEYMAN_B} / wt) AS DECIMAL(38,0))"
+            f"CAST(whn * {_NEYMAN_B} div wtn AS DECIMAL(38,0))"
         ).alias("base"),
         F.expr(
-            f"wh * {_NEYMAN_B} / wt - floor(wh * {_NEYMAN_B} / wt)"
-        ).alias("frac"),
+            f"CAST(whn * {_NEYMAN_B}"
+            f" - (whn * {_NEYMAN_B} div wtn) * wtn AS DECIMAL(38,0))"
+        ).alias("rem"),
         F.expr(f"CAST(nh * {_NEYMAN_B} div nt AS DECIMAL(38,0))").alias(
             "prop"
         ),
@@ -1085,7 +1092,7 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rk = fl.withColumn(
         "r",
-        F.row_number().over(W.orderBy(F.desc("frac"), "event_type")),
+        F.row_number().over(W.orderBy(F.desc("rem"), "event_type")),
     )
     return (
         rk.crossJoin(F.broadcast(deficit))
@@ -1524,7 +1531,6 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
     )
     rs = nums.filter(F.col("num0") > 0).agg(
-        F.max(F.col("n")).cast("long").alias("n_days"),
         F.max(
             F.when(
                 F.col("k") == 1,
@@ -1544,7 +1550,16 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r3"),
     )
-    dl = rs.select(
+    # n_days comes from base, NOT from the num0>0-filtered agg: on a
+    # zero-variance daily series the filter empties rs and a
+    # filtered-side max(n) would NULL while the oracle's independent
+    # (SELECT n FROM base) still reports the day count (caught by the
+    # r16 planted negative/constant-value events battery).
+    dl = rs.crossJoin(
+        F.broadcast(
+            base.select(F.col("n").cast("long").alias("n_days"))
+        )
+    ).select(
         "n_days",
         "r1",
         "r2",
@@ -2528,62 +2543,62 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pregel-style k-core takes per iteration, without the driver loop
     depending on data. Output 6 rows."""
     o = load_table(spark, sf_dir, "orders")
-    oc = o.select(
-        F.to_date("o_orderdate").alias("d"),
-        F.col("o_orderpriority").alias("p"),
-        F.col("o_custkey").alias("c"),
-    ).distinct()
-    gsz = oc.groupBy("d", "p").agg(F.count(F.lit(1)).alias("gn"))
-    capped = oc.join(gsz.filter(F.col("gn") <= 50), ["d", "p"]).select(
-        "d", "p", "c"
-    )
-    y = capped.select(
-        F.col("d").alias("d2"),
-        F.col("p").alias("p2"),
-        F.col("c").alias("c2"),
+    # Edge build (r15 verdict #1 shave, part 1): ONE shuffle instead of
+    # five. collect_set(c) per (day, priority) group IS the distinct
+    # membership, size(members) <= 50 IS the group cap, and the a<b
+    # pair set comes from a double explode of the (capped, <=50-element)
+    # member array — quadratic only inside a bucket, exactly the X37
+    # LSH bucket-cap discipline. The old form (distinct -> groupBy ->
+    # cap join -> self-join -> distinct) paid five shuffles and a
+    # 929k-row self-join at sf0.1 (~5 s of the query's 5.2 s); this
+    # form pays one groupBy shuffle plus the final pair distinct.
+    groups = (
+        o.groupBy(
+            F.to_date("o_orderdate").alias("d"),
+            F.col("o_orderpriority").alias("p"),
+        )
+        .agg(F.collect_set("o_custkey").alias("members"))
+        .filter(F.size("members") <= 50)
     )
     edges = (
-        capped.join(
-            y,
-            (F.col("d") == F.col("d2"))
-            & (F.col("p") == F.col("p2"))
-            & (F.col("c") < F.col("c2")),
-        )
-        .select(F.col("c").alias("a"), F.col("c2").alias("b"))
+        groups.select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
         .distinct()
     )
-    # Each round's survivors/edges get a LINEAGE CUT (localCheckpoint):
-    # every er_r references nxt_{r-1} twice (two semi-joins) and
-    # er_{r-1} once, so without a barrier the logical tree doubles per
-    # round and Catalyst analysis/cache-matching cost explodes
-    # exponentially (measured: >300 s at sf0.001 un-barriered, ~3 s
-    # cut). localCheckpoint is the standard iterative-graph idiom
-    # (GraphX does the equivalent per superstep): the frames are
-    # node/edge lists of a group-capped graph — bounded — and each
-    # round becomes a genuinely independent superstep, which is also
-    # exactly the 100 TB execution model (materialize the frontier,
-    # free the previous round).
-    ledger_rows = []
-    cur_edges = edges.localCheckpoint(eager=False)
-    cur_nodes = None  # round 1 peels from all edge endpoints
+    # Peel loop (r15 verdict #1 shave, part 2): a DRIVER CONVERGENCE
+    # LOOP — the production k-core shape the docstring names — instead
+    # of 6 unrolled dataflow rounds glued by 13 lazy localCheckpoints
+    # (each a ~0.3-0.8 s driver job at bench scale, the q_mmr_rerank
+    # lesson). Each superstep still runs fully distributed (degree
+    # aggregate + two semi-joins on the checkpointed edge frame; the
+    # checkpoint is the standard GraphX-style lineage cut — without it
+    # Catalyst analysis cost doubles per round, measured >300 s at
+    # sf0.001 un-barriered). What comes to the driver is ONE SCALAR
+    # COUNT per round — the ledger values themselves, the documented
+    # model-sized-collect class — and counts prove convergence exactly:
+    # nxt_r is a SUBSET of nxt_{r-1} (peeling only removes nodes), so
+    # |nxt_r| == |nxt_{r-1}| implies the node SETS are equal, hence
+    # the surviving edge set and every later round's ledger row are
+    # identical — the remaining rows are filled without recompute.
+    # At sf0.1 the graph fixpoints at round 1 (every capped group of
+    # >=3 members is a clique whose members all keep degree >= 2), so
+    # the loop runs 2 supersteps instead of 6; the chain-tail regime
+    # (small sf) still unravels round by round and pays each superstep.
+    ledger: list[tuple[int, int, int]] = []
+    cur = edges.localCheckpoint(eager=False)
+    prev_nodes: int | None = None
+    prev_edges: int | None = None
+    converged = False
     for r in range(1, 7):
-        if cur_nodes is None:
-            er = cur_edges
-        else:
-            er = (
-                cur_edges.join(
-                    cur_nodes.select(F.col("node").alias("a")),
-                    "a",
-                    "semi",
-                ).join(
-                    cur_nodes.select(F.col("node").alias("b")),
-                    "b",
-                    "semi",
-                )
-            ).select("a", "b").localCheckpoint(eager=False)
+        if converged:
+            # fixpoint certified by the subset+count argument above
+            ledger.append((r, prev_nodes, prev_edges))
+            continue
         deg = (
-            er.select(F.col("a").alias("node"))
-            .union(er.select(F.col("b").alias("node")))
+            cur.select(F.col("a").alias("node"))
+            .union(cur.select(F.col("b").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
@@ -2592,30 +2607,25 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node")
             .localCheckpoint(eager=False)
         )
+        n_nodes = nxt.count()
+        if prev_nodes is not None and n_nodes == prev_nodes:
+            # node set unchanged -> edge set unchanged
+            converged = True
+            ledger.append((r, prev_nodes, prev_edges))
+            continue
         kept = (
-            er.join(
+            cur.join(
                 nxt.select(F.col("node").alias("a")), "a", "semi"
             ).join(nxt.select(F.col("node").alias("b")), "b", "semi")
-        )
-        ledger_rows.append(
-            nxt.agg(
-                F.lit(r).cast("long").alias("round"),
-                F.count(F.lit(1)).cast("long").alias("nodes_remaining"),
-            ).crossJoin(
-                F.broadcast(
-                    kept.agg(
-                        F.count(F.lit(1))
-                        .cast("long")
-                        .alias("edges_remaining")
-                    )
-                )
-            )
-        )
-        cur_edges, cur_nodes = er, nxt
-    out = ledger_rows[0]
-    for led in ledger_rows[1:]:
-        out = out.unionByName(led)
-    return out.orderBy("round")
+        ).select("a", "b")
+        if r < 6:
+            kept = kept.localCheckpoint(eager=False)
+        n_edges = kept.count()
+        ledger.append((r, n_nodes, n_edges))
+        cur, prev_nodes, prev_edges = kept, n_nodes, n_edges
+    return spark.createDataFrame(
+        ledger, "round long, nodes_remaining long, edges_remaining long"
+    ).orderBy("round")
 
 
 # --------------------------------------------------------------------------
@@ -4150,8 +4160,11 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- mu4·n⁴ = n³·s4 − 4n²·s3·s1 + 6n·s2·s1² − 3s1⁴
       SELECT event_type, n,
              CAST(n * s2 - s1 * s1 AS DOUBLE) AS m2n2,
-             CAST(n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1
-                  AS DOUBLE) AS m3n3,
+             CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+               - 3.0 * CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 * CAST(s1 AS DOUBLE)
+               + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 * CAST(s1 AS DOUBLE) AS m3n3,
              CAST(n AS DOUBLE)
                * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                   * CAST(s4 AS DOUBLE)
@@ -4184,13 +4197,18 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X385 — Jarque–Bera per type: S = μ₃/μ₂^1.5 and excess K from
-    n-scaled EXACT integer central-moment expansions (μ₂n², μ₃n³ as
-    pure DECIMAL(38) integers; μ₄n⁴'s s1⁴ term would overflow 38
-    digits at corpus scale, so the fourth moment alone combines the
-    exact integers in double — every operand cast identically on
-    both engines, and the n-powers cancel algebraically in S and K
-    so no scale leaks). JB gated on the χ²(2) 0.05 literal
-    5.991464547107979 (shared, the X341 rule).
+    n-scaled central-moment expansions. μ₂n² stays a pure
+    DECIMAL(38) integer; μ₃n³ and μ₄n⁴ combine the exact integer
+    raw moments in DOUBLE (every operand cast identically on both
+    engines, and the n-powers cancel algebraically in S and K so no
+    scale leaks). r15 ADVICE fix: μ₃n³'s 2s1³ term was previously
+    kept in DECIMAL(38)/HUGEINT, which silently hits the 38-digit
+    cliff once s1 ≳ 7e12 (s1 grows linearly with rows — large-SF
+    events would NULL on Spark and overflow-error on DuckDB); it now
+    uses the same identically-cast-double combination the μ₄n⁴
+    magnitude audit already mandated for the s1⁴ term. JB gated on
+    the χ²(2) 0.05 literal 5.991464547107979 (shared, the X341
+    rule).
 
     Scale shape: one scan → type-sized raw-moment aggregate (map-side
     combined) → constant arithmetic. Output ≤ #types rows (sort
@@ -4216,8 +4234,11 @@ def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("CAST(n * s2 - s1 * s1 AS DOUBLE)").alias("m2n2"),
         F.expr(
-            "CAST(n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1"
-            " AS DOUBLE)"
+            "CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)"
+            " - CAST(3.0 AS DOUBLE) * CAST(n AS DOUBLE)"
+            "   * CAST(s2 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+            " + CAST(2.0 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+            "   * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
         ).alias("m3n3"),
         F.expr(
             "CAST(n AS DOUBLE)"

@@ -44,6 +44,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # introspection (source-scan lints)
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle

@@ -87,3 +87,34 @@ def test_compact_line_with_errored_stream_still_fits():
     line = _compact_line(p)
     assert len(line) <= 2000
     assert json.loads(line)["stream"]["error"].startswith("Py4JJavaError")
+
+
+def test_load_partial_resume_roundtrip(tmp_path, monkeypatch):
+    """r15 verdict #7: a killed bench resumes from BENCH_PARTIAL.jsonl —
+    matching-sf records are reused, foreign-sf and torn lines are not,
+    and SPARK_GRAFT_BENCH_RESUME=0 disables reuse."""
+    from bench import _load_partial
+
+    p = tmp_path / "BENCH_PARTIAL.jsonl"
+    rec_ok = {
+        "name": "q_agg_q1",
+        "sec": 0.42,
+        "n_passes": 2,
+        "samples": [0.5, 0.42],
+        "sf_dir": "/root/testdata/sf0.1",
+    }
+    rec_foreign = dict(rec_ok, name="q_topk", sf_dir="/root/testdata/sf0.01")
+    with open(p, "w") as fh:
+        fh.write(json.dumps(rec_ok) + "\n")
+        fh.write(json.dumps(rec_foreign) + "\n")
+        fh.write('{"name": "q_torn", "sec": 1.')  # mid-write kill
+
+    got = _load_partial(str(p), "/root/testdata/sf0.1")
+    assert set(got) == {"q_agg_q1"}
+    assert got["q_agg_q1"]["sec"] == 0.42
+    assert got["q_agg_q1"]["n_passes"] == 2
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_RESUME", "0")
+    assert _load_partial(str(p), "/root/testdata/sf0.1") == {}
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_RESUME")
+    assert _load_partial(str(tmp_path / "absent.jsonl"), "x") == {}
