@@ -38,6 +38,7 @@ from mysql_cdc_to_http_spark.queries import profiling  # noqa: F401,E402
 from mysql_cdc_to_http_spark.queries import features  # noqa: F401,E402
 from mysql_cdc_to_http_spark.queries import layout  # noqa: F401,E402
 from mysql_cdc_to_http_spark.queries import analytics15  # noqa: F401,E402
+from mysql_cdc_to_http_spark.queries import analytics16  # noqa: F401,E402
 
 # SURVEY §2 operators, one query each, exactly 50 — the driver's
 # correctness window. Order groups by reference-row family (R*) then

@@ -1409,6 +1409,110 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(vecs, k=4, iters=2, tau=0.45)
 
 
+def _semantic_scaled_oracle() -> str:
+    # the k∝n variant of _KMEANS_CTE: identical two-Lloyd-iteration
+    # unroll, but init takes the greatest(4, n//100) lowest-id vectors
+    # instead of LIMIT 4 — k is DERIVED from the data on both engines.
+    return """
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    kk AS (SELECT greatest(4, CAST(count(*) AS BIGINT) // 100) AS k
+           FROM e),
+    init AS (
+      SELECT rn - 1 AS cluster, v AS c
+      FROM (SELECT vec_id, v,
+                   row_number() OVER (ORDER BY vec_id) AS rn
+            FROM e), kk
+      WHERE rn <= kk.k
+    ),
+    d1 AS (
+      SELECT e.vec_id, i.cluster,
+             list_sum([
+               (CAST(e.v[x] AS DOUBLE) - CAST(i.c[x] AS DOUBLE))
+               * (CAST(e.v[x] AS DOUBLE) - CAST(i.c[x] AS DOUBLE))
+               FOR x IN generate_series(1, 64)
+             ]) AS dist
+      FROM e, init i
+    ),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    cent1 AS (
+      SELECT cluster, list(m ORDER BY pos) AS c FROM (
+        SELECT a1.cluster, g.x AS pos,
+               round(avg(CAST(e.v[g.x] AS DOUBLE)), 6) AS m
+        FROM e JOIN a1 USING (vec_id), generate_series(1, 64) g(x)
+        GROUP BY a1.cluster, g.x
+      ) GROUP BY cluster
+    ),
+    d2 AS (
+      SELECT e.vec_id, c1.cluster,
+             list_sum([
+               (CAST(e.v[x] AS DOUBLE) - c1.c[x])
+               * (CAST(e.v[x] AS DOUBLE) - c1.c[x])
+               FOR x IN generate_series(1, 64)
+             ]) AS dist
+      FROM e, cent1 c1
+    ),
+    a2 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    en AS (
+      SELECT e.vec_id, e.v, a2.cluster,
+             sqrt(list_sum([CAST(e.v[x] AS DOUBLE) * e.v[x]
+                            FOR x IN generate_series(1, 64)])) AS n
+      FROM e JOIN a2 USING (vec_id)
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM en a JOIN en b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_sum([CAST(a.v[x] AS DOUBLE) * b.v[x]
+                      FOR x IN generate_series(1, 64)]) / (a.n * b.n) >= 0.45
+    )
+    SELECT en.vec_id, CAST(en.cluster AS INT) AS cluster,
+           (d.vec_id IS NULL) AS kept
+    FROM en LEFT JOIN dups d USING (vec_id)
+    ORDER BY en.vec_id
+    """
+
+
+@query("q_dedup_semantic_scaled", oracle=_semantic_scaled_oracle())
+def q_dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X390 — SemDeDup at its SCALE configuration (r15 verdict #2):
+    k sized ∝ rows (k = max(4, n div 100) → 5/5/20/200 at
+    sf0.001/0.01/0.1/1) so mean cluster size — and with it the
+    O(n²/k) within-cluster pair work per row — stays constant as the
+    corpus grows. q_dedup_semantic keeps the fixed-k=4 toy config
+    (its curve is the n²/k worst case by design); THIS query
+    hash-certifies the knob the published SemDeDup recipe actually
+    turns at scale, which r15 had only measured (k=40 at sf1:
+    173.7 → 10.3 s) and not oracled.
+
+    The k derivation is one scalar count() (a config derivation, the
+    documented model-sized-collect class); the oracle derives the same
+    k in SQL (kk CTE) and unrolls the identical two-Lloyd-iteration
+    k-means with greatest(4, n//100) lowest-id seeds. Cluster argmins
+    and the tau=0.45 cut remain engine-stable at every tested k
+    (margins dwarf float noise — re-verified at all 4 SFs incl. sf1).
+    tests/test_round16.py pins the blocking bound: max cluster size
+    stays within a small factor of n/k, so no bucket degenerates
+    toward the all-pairs regime."""
+    from mysql_cdc_to_http_spark.operators.dedup import semantic_dedup
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    k = max(4, vecs.count() // 100)
+    return semantic_dedup(vecs, k=k, iters=2, tau=0.45)
+
+
 # --------------------------------------------------------------------------
 # Exact-substring span dedup (Lee et al. ExactSubstr, relational form)
 # --------------------------------------------------------------------------

@@ -40,14 +40,32 @@ def _cache_dir(kind: str, sf_dir: str) -> str:
 
 
 def _events_stream_dir(
-    spark: SparkSession, sf_dir: str, n_files: int = 4, dup: bool = False
+    spark: SparkSession, sf_dir: str, n_files: int = 2, dup: bool = False
 ) -> str:
     """Materialize events as N range-partitioned parquet files — a
-    replayable stream where file order follows event_id order."""
+    replayable stream where file order follows event_id order.
+
+    n_files default 4 → 2 (r15 verdict #5): the per-micro-batch
+    machinery is the file-based stream queries' measured floor —
+    profiled on q_stream_tumbling at sf0.1: triggerExecution ≈ 650 ms
+    PER BATCH (addBatch ≈ 450 ms + latestOffset/walCommit/
+    commitOffsets/planning ≈ 200 ms), flat in input rows at this
+    scale, so batch count IS the cost. Two files keep every
+    cross-batch semantic exercised — state built in batch 1 is merged
+    /expired/deduplicated against batch 2, the watermark steps once
+    mid-stream, and the no-data flush still finalizes — while halving
+    the scheduling floor; the emitted-set contracts (final-watermark
+    -gated) are batch-count-invariant by the same argument that took
+    the stream-stream trio to one data batch (r10→r12). Multi-batch
+    stepping (4+ batches) remains exercised by bench_stream's soak
+    and kill/resume lanes, which replay 8-file feeds."""
     from mysql_cdc_to_http_spark.sources.cdc import materialize_ordered_buckets
 
     kind = "events_dup" if dup else "events"
-    out = _cache_dir(kind, sf_dir)
+    # layout-addressed cache: a stale staged tree from a different
+    # n_files default must never be served (the dir name used to be
+    # count-blind; changing the default would silently replay 4 files)
+    out = _cache_dir(f"{kind}_n{n_files}", sf_dir)
     # ADVICE r8 (race class): stage into a private mkdtemp, then
     # atomically os.rename the COMPLETE tree into place — a concurrent
     # session either wins the rename or discards its staging copy, and
@@ -103,6 +121,7 @@ def _stream_events(
     sf_dir: str,
     dup: bool = False,
     files_per_trigger: int = 1,
+    n_files: int = 2,
 ) -> DataFrame:
     """``files_per_trigger`` sets micro-batch granularity. Default 1 (one
     file per batch) maximizes cross-batch semantics — late-data drops,
@@ -119,7 +138,7 @@ def _stream_events(
     state buffering remains exercised by every files_per_trigger=1 query
     above; the trio's contract is the watermark-gated emitted SET, which
     the oracles hash in full."""
-    out = _events_stream_dir(spark, sf_dir, dup=dup)
+    out = _events_stream_dir(spark, sf_dir, n_files=n_files, dup=dup)
     schema = spark.read.parquet(os.path.join(out, "data")).schema
     return (
         spark.readStream.schema(schema)
@@ -502,10 +521,15 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch. The oracle reconstructs the batch assignment with
     quantile_cont (same (n-1)·q interpolation as Spark's percentile) and
     the emission set as a per-user cumulative over batches; 6-dp rounding
-    absorbs pandas-vs-SQL summation-order ulps."""
+    absorbs pandas-vs-SQL summation-order ulps.
+
+    Stays on the 4-file replay under the r16 2-file default: this
+    query's CONTRACT is the per-batch update-mode emission set itself
+    (the oracle hardcodes the quartile batch assignment), so batch
+    count here is semantics, not scheduling floor."""
     from mysql_cdc_to_http_spark.streaming.stateful import running_user_totals
 
-    ev = _stream_events(spark, sf_dir).select("user_id", "value")
+    ev = _stream_events(spark, sf_dir, n_files=4).select("user_id", "value")
     totals = running_user_totals(ev)
     out = _run_to_memory(totals, "mem_stateful", "update")
     return out.select(
@@ -565,7 +589,9 @@ def q_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-micro-batch cost is a FIXED ~1.2-1.6 s floor independent of
     rows (25k and 50k rows/batch measured identical) — the TWS python
     runner spin-up + state-server handshake + per-partition RocksDB
-    commit. files_per_trigger=2 keeps TWO data batches, so cross-batch
+    commit. TWO data batches (r16: one file per trigger over the
+    2-file replay — same batch count as the r13 files_per_trigger=2
+    over 4 files, now sharing the default staged dir), so cross-batch
     state persistence (the semantics this operator exists to prove)
     is still exercised, at half the fixed-floor spend; state
     partitions 8 → 4 matches the state volume at test SFs. At real
@@ -576,7 +602,7 @@ def q_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _activate_pbshim(spark)
-    ev = _stream_events(spark, sf_dir, files_per_trigger=2).select(
+    ev = _stream_events(spark, sf_dir, files_per_trigger=1).select(
         "user_id", "value"
     )
     key = "spark.sql.streaming.stateStore.providerClass"

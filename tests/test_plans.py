@@ -1396,6 +1396,9 @@ GLOBAL_SORT_ALLOWED = frozenset(
     q_kendall_w q_grouped_kfold q_power_curve q_bigram_lm_xent
     q_durbin_watson q_jarque_bera q_grubbs_stat q_breusch_pagan
     q_tukey_hsd q_f_ratio_cohorts
+    q_kruskal_wallis q_welch_t q_bartlett q_moods_median q_bray_curtis
+    q_theil_u q_distinct_ngrams q_oov_rate q_watermark_detect
+    q_dedup_semantic_scaled
     q_set_ops q_shard_manifest q_silhouette q_stopword_induction q_stratified_kfold
     q_stream_histogram q_stream_kmv q_stream_rate_alert q_stream_static_join q_stream_topk
     q_table_profile q_temperature_mix q_term_burstiness q_text_stats q_threshold_sweep

@@ -145,3 +145,298 @@ def test_negative_value_events_parity(spark, neg_events_dir, name):
             f"sorted-index {i} (cols {s_cols}):\n spark={a!r}\n"
             f" duck ={b!r}"
         )
+
+
+# ===========================================================================
+# r15 verdict #6 — the one r15 stat row with no planted known-answer
+# test: q_partial_corr. Hand ledgers below; everything is derived on
+# paper, not from the repo's SQL.
+# ===========================================================================
+from tests.test_round15 import _write_events_dates  # noqa: E402
+
+
+def _partial_corr_fixture(spark, tmp_path, z_counts):
+    """Daily series over 4 days: x (purchase cents) = 1,2,3,4;
+    y (purchase count) = 2,1,4,3; z (view count) per z_counts."""
+    days = ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+    purchases = [
+        [0.01, 0.00],          # x=1 cent,  y=2
+        [0.02],                # x=2,       y=1
+        [0.03, 0.0, 0.0, 0.0], # x=3,       y=4
+        [0.02, 0.02, 0.0],     # x=4,       y=3
+    ]
+    rows, eid = [], 0
+    for di, d in enumerate(days):
+        for v in purchases[di]:
+            eid += 1
+            rows.append((eid, eid % 7 + 1, "purchase", v, d))
+        for _ in range(z_counts[di]):
+            eid += 1
+            rows.append((eid, eid % 7 + 1, "view", 9.99, d))
+    return _write_events_dates(spark, tmp_path, rows)
+
+
+def test_partial_corr_planted_confounder_equals_x(spark, tmp_path):
+    """z = x exactly (views 1,2,3,4): hand moments give
+    r_xy = 12/20 = 0.6, r_xz = 1, r_yz = 0.6, and the partial's
+    denominator (1-r_xz^2)(1-r_yz^2) = 0 -> partial NULL under the
+    shared guard on BOTH engines."""
+    sf = _partial_corr_fixture(spark, tmp_path, [1, 2, 3, 4])
+    [r] = QUERIES["q_partial_corr"](spark, sf).collect()
+    assert r["n_days"] == 4
+    assert r["r_xy_micro"] == 600000
+    assert r["r_xz_micro"] == 1000000
+    assert r["r_yz_micro"] == 600000
+    assert r["partial_micro"] is None
+
+
+def test_partial_corr_planted_nonzero(spark, tmp_path):
+    """z = (1,3,2,4): hand moments sz=10, szz=30,
+    sxz = 1+6+6+16 = 29, syz = 2+3+8+12 = 25 ->
+    r_xz = (4*29-100)/20 = 0.8, r_yz = (4*25-100)/20 = 0,
+    partial = (0.6 - 0.8*0) / sqrt((1-0.64)(1-0)) = 0.6/0.6 = 1."""
+    sf = _partial_corr_fixture(spark, tmp_path, [1, 3, 2, 4])
+    [r] = QUERIES["q_partial_corr"](spark, sf).collect()
+    assert r["n_days"] == 4
+    assert r["r_xy_micro"] == 600000
+    assert r["r_xz_micro"] == 800000
+    assert r["r_yz_micro"] == 0
+    assert r["partial_micro"] == 1000000
+
+
+# ===========================================================================
+# Round-16 additions (X390-X399): planted known-answer ledgers for the
+# new batch, per the house discipline (hand-derivable corpora; expected
+# constants computed on paper or by an independent numpy recompute,
+# never by re-running the repo's SQL).
+# ===========================================================================
+import hashlib
+import math
+
+
+def _write_docs_sources(spark, tmp_path, rows):
+    """rows: list of (doc_id, source, text)."""
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, s, t in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_kruskal_planted_separated_groups(spark, tmp_path):
+    """A={1,2,3}, B={4,5,6} cents, no ties: R2_A=12, R2_B=30,
+    H = 12/42·(144/12 + 900/12) − 21 = 174/7 − 21 = 3.857142... →
+    h_milli 3857; k=2 → gate NULL (5-group literal only)."""
+    from tests.test_planted_stats import _write_events
+
+    rows = [(i + 1, i + 1, "A", v) for i, v in enumerate([0.01, 0.02, 0.03])]
+    rows += [(i + 4, i + 4, "B", v) for i, v in enumerate([0.04, 0.05, 0.06])]
+    sf = _write_events(spark, tmp_path, rows)
+    [r] = QUERIES["q_kruskal_wallis"](spark, sf).collect()
+    assert r["n_events"] == 6
+    assert r["k_groups"] == 2
+    assert r["tie_t"] == 0
+    assert r["h_milli"] == 3857
+    assert r["non_uniform"] is None
+
+
+def test_moods_median_planted_split_groups(spark, tmp_path):
+    """A={1,2,3}, B={4,5,6} cents: median=3 (smallest с with 2F>=N),
+    above counts 0 vs 3, chi2 = 4·1.5 = 6.0 exactly."""
+    from tests.test_planted_stats import _write_events
+
+    rows = [(i + 1, i + 1, "A", v) for i, v in enumerate([0.01, 0.02, 0.03])]
+    rows += [(i + 4, i + 4, "B", v) for i, v in enumerate([0.04, 0.05, 0.06])]
+    sf = _write_events(spark, tmp_path, rows)
+    [r] = QUERIES["q_moods_median"](spark, sf).collect()
+    assert r["n_events"] == 6
+    assert r["median_cents"] == 3
+    assert r["n_above"] == 3
+    assert r["chi2_milli"] == 6000
+    assert r["location_shift"] is None
+
+
+def test_welch_bartlett_numpy_recompute(spark, tmp_path):
+    """Independent numpy recompute of Welch t/df and Bartlett X² from
+    the raw planted fixture (cohorts derived with hashlib, the same
+    15-hex md5 contract) — the krippendorff-lesson audit style."""
+    from tests.test_planted_stats import _write_events
+
+    def cohort(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+
+    # one event type, 12 users with hand-mixed cents
+    cents = [100, 220, 340, 450, 160, 280, 390, 510, 130, 250, 370, 490]
+    rows = [
+        (i + 1, i + 1, "A", c / 100.0) for i, c in enumerate(cents)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    g = {0: [], 1: []}
+    for i, c in enumerate(cents):
+        g[cohort(i + 1)].append(c)
+    a, b = g[0], g[1]
+    assert len(a) >= 2 and len(b) >= 2, (len(a), len(b))
+
+    def mv(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        var = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, var
+
+    n0, m0, v0 = mv(a)
+    n1, m1, v1 = mv(b)
+    va, vb = v0 / n0, v1 / n1
+    t = (m1 - m0) / math.sqrt(va + vb)
+    df = (va + vb) ** 2 / (va * va / (n0 - 1) + vb * vb / (n1 - 1))
+    [r] = QUERIES["q_welch_t"](spark, sf).collect()
+    assert r["n_a"] == n0 and r["n_b"] == n1
+    assert abs(r["t_micro"] - round(t * 1e6)) <= 1
+    assert abs(r["df_milli"] - round(df * 1e3)) <= 1
+
+    # Bartlett on a two-type fixture (different spreads per type)
+    rows2 = [
+        (i + 1, i + 1, "A", c / 100.0)
+        for i, c in enumerate([100, 110, 120, 130])
+    ] + [
+        (i + 5, i + 5, "B", c / 100.0)
+        for i, c in enumerate([100, 200, 300, 400])
+    ]
+    sf2 = _write_events(spark, tmp_path / "b2", rows2)
+    ns, vs = [], []
+    for xs in ([100, 110, 120, 130], [100, 200, 300, 400]):
+        n, _, var = mv(xs)
+        ns.append(n)
+        vs.append(var)
+    k = 2
+    nn = sum(ns)
+    sp2 = sum((n - 1) * v for n, v in zip(ns, vs)) / (nn - k)
+    x2 = (
+        (nn - k) * math.log(sp2)
+        - sum((n - 1) * math.log(v) for n, v in zip(ns, vs))
+    ) / (
+        1.0
+        + (sum(1.0 / (n - 1) for n in ns) - 1.0 / (nn - k))
+        / (3.0 * (k - 1))
+    )
+    [r2] = QUERIES["q_bartlett"](spark, sf2).collect()
+    assert r2["k_groups"] == 2 and r2["n_events"] == 8
+    assert abs(r2["bartlett_milli"] - round(x2 * 1e3)) <= 1
+    assert r2["heteroscedastic"] is None
+
+
+def test_bray_curtis_planted_pair(spark, tmp_path):
+    """srcA='a a b' (S=3), srcB='a b b c' (S=4): m = 1+1... hand:
+    min(2,1)+min(1,2) = 2, BC = (7−4)/7 → 3000000 div 7 = 428571,
+    shared_terms = 2."""
+    sf = _write_docs_sources(
+        spark, tmp_path, [(1, "srcA", "a a b"), (2, "srcB", "a b b c")]
+    )
+    [r] = QUERIES["q_bray_curtis"](spark, sf).collect()
+    assert r["src_a"] == "srcA" and r["src_b"] == "srcB"
+    assert r["shared_terms"] == 2
+    assert r["bc_micro"] == 428571
+
+
+def test_theil_u_planted_gap_series(spark, tmp_path):
+    """Purchases d1=100c, d3=300c with d2 missing (zero-filled):
+    y=[100,0,300], num=100²+300²=100000, den=100²+0=10000,
+    U2=√10 → 3162278 micro; naive does NOT beat the walk."""
+    from tests.test_round15 import _write_events_dates
+
+    rows = [
+        (1, 1, "purchase", 1.00, "2024-01-01"),
+        (2, 2, "purchase", 3.00, "2024-01-03"),
+    ]
+    sf = _write_events_dates(spark, tmp_path, rows)
+    [r] = QUERIES["q_theil_u"](spark, sf).collect()
+    assert r["n_days"] == 3
+    assert r["sum_sq_diff"] == 100000
+    assert r["sum_sq_prev"] == 10000
+    assert r["u2_micro"] == 3162278
+    assert r["naive_beats_walk"] is False
+
+
+def test_distinct_ngrams_planted(spark, tmp_path):
+    """Docs 'a b a b' + 'a b' in one source: 6 unigrams/2 distinct
+    (333333), 4 bigrams/2 distinct (500000), 2 trigrams/2 distinct
+    (1000000)."""
+    sf = _write_docs_sources(
+        spark, tmp_path, [(1, "s", "a b a b"), (2, "s", "a b")]
+    )
+    [r] = QUERIES["q_distinct_ngrams"](spark, sf).collect()
+    assert r["n_tokens"] == 6
+    assert r["distinct1_micro"] == 333333
+    assert r["distinct2_micro"] == 500000
+    assert r["distinct3_micro"] == 1000000
+
+
+def test_oov_rate_planted(spark, tmp_path):
+    """Find doc ids on both sides of the md5 80/20 split, give the
+    train side vocab {aa,bb} and the heldout side 'aa cc dd':
+    OOV = 2/3 → 666666 micro."""
+
+    def bucket(did):
+        return int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16) % 10
+
+    train_ids = [i for i in range(1, 200) if bucket(i) < 8][:3]
+    held_id = next(i for i in range(1, 200) if bucket(i) >= 8)
+    rows = [(i, "s", "aa bb") for i in train_ids]
+    rows.append((held_id, "s", "aa cc dd"))
+    sf = _write_docs_sources(spark, tmp_path, rows)
+    [r] = QUERIES["q_oov_rate"](spark, sf).collect()
+    assert r["n_tokens"] == 3
+    assert r["n_oov"] == 2
+    assert r["oov_micro"] == 666666
+
+
+def test_watermark_detect_planted(spark, tmp_path):
+    """Construct one all-green 16-token doc (greenlist membership
+    derived with hashlib, same md5|salt contract): z = 48/(2√48) =
+    3.4641 → 3464102 micro, green rate 1e6, below the 4σ flag; and
+    one all-red 4-token doc: z = −4/(2√12) = −0.57735 → −577350,
+    rate 0."""
+
+    def green(tok):
+        h = hashlib.md5((tok + "|wm16").encode()).hexdigest()[:15]
+        return int(h, 16) % 4 == 0
+
+    words = [f"w{i:03d}" for i in range(2000)]
+    greens = [w for w in words if green(w)][:16]
+    reds = [w for w in words if not green(w)][:4]
+    assert len(greens) == 16 and len(reds) == 4
+    sf = _write_docs_sources(
+        spark,
+        tmp_path,
+        [(1, "g", " ".join(greens)), (2, "r", " ".join(reds))],
+    )
+    rows = {
+        r["source"]: r
+        for r in QUERIES["q_watermark_detect"](spark, sf).collect()
+    }
+    g, r = rows["g"], rows["r"]
+    assert g["n_docs"] == 1 and g["n_flagged"] == 0
+    assert g["max_z_micro"] == 3464102
+    assert g["green_rate_micro"] == 1000000
+    assert r["max_z_micro"] == -577350
+    assert r["green_rate_micro"] == 0
+
+
+def test_semantic_scaled_cluster_bound(spark):
+    """r15 verdict #2's blocking pin: the k∝n config must keep every
+    cluster within a small factor of the n/k mean (no bucket drifts
+    toward the all-pairs regime), and use exactly k clusters."""
+    rows = (
+        QUERIES["q_dedup_semantic_scaled"](spark, "/root/testdata/sf0.1")
+        .groupBy("cluster")
+        .count()
+        .collect()
+    )
+    sizes = [r["count"] for r in rows]
+    n = sum(sizes)
+    k = max(4, n // 100)
+    assert len(sizes) == k
+    assert max(sizes) <= 3 * (n // k), (max(sizes), n, k)
