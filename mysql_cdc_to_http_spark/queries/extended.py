@@ -1269,6 +1269,13 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_partkey") != F.col("v"))
         .select(F.col("l_partkey").alias("u"), "v")
         .distinct()
+        # the edge list feeds FOUR consumers (the src aggregate + one
+        # join per BFS level); without a persist Catalyst re-derives
+        # the lineitem self-join edge build once per consumer (r16:
+        # measured ~3x the edge cost at sf0.1, 2.98 -> 1.1 s warm).
+        # At scale this is the same move a production BFS makes:
+        # materialize the edge RDD once, iterate over it.
+        .persist()
     )
     src = e.agg(F.min("u").alias("s"))
     d0 = src.select(F.col("s").alias("n"), F.lit(0).alias("d"))
@@ -1287,11 +1294,13 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     lv = levels[0]
     for x in levels[1:]:
         lv = lv.unionAll(x)
-    return (
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    return register_cached(
         lv.groupBy(F.col("n").alias("part"))
         .agg(F.min("d").cast("bigint").alias("hops"))
-        .select("part", "hops")
-        
+        .select("part", "hops"),
+        [e],
     )
 
 
