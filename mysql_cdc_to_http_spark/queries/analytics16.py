@@ -1106,3 +1106,759 @@ def q_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# X400 — two-group log-rank test on the X324 lifetime frame: does the
+# md5 split-hash cohort change the survival curve — the inferential
+# companion to q_survival_km's descriptive KM estimate.
+# --------------------------------------------------------------------------
+@query(
+    "q_logrank_test",
+    oracle="""
+    WITH au AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    mx AS (SELECT max(d) AS dmax FROM au),
+    life AS (
+      SELECT user_id,
+             CAST(datediff('day', min(d), max(d)) AS HUGEINT) AS t,
+             CAST(max(d) = (SELECT dmax FROM mx) AS INT) AS censored,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS grp
+      FROM au GROUP BY user_id
+    ),
+    lt AS (
+      SELECT t, grp,
+             CAST(count(*) AS HUGEINT) AS n_at,
+             CAST(SUM(1 - censored) AS HUGEINT) AS d_ev
+      FROM life GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t,
+             CAST(COALESCE(SUM(CASE WHEN grp = 0 THEN n_at END), 0)
+                  AS HUGEINT) AS a0,
+             CAST(COALESCE(SUM(CASE WHEN grp = 0 THEN d_ev END), 0)
+                  AS HUGEINT) AS d0,
+             CAST(COALESCE(SUM(CASE WHEN grp = 1 THEN n_at END), 0)
+                  AS HUGEINT) AS a1,
+             CAST(COALESCE(SUM(CASE WHEN grp = 1 THEN d_ev END), 0)
+                  AS HUGEINT) AS d1
+      FROM lt GROUP BY t
+    ),
+    tot AS (
+      SELECT CAST(SUM(a0) AS HUGEINT) AS nu0,
+             CAST(SUM(a1) AS HUGEINT) AS nu1
+      FROM grid
+    ),
+    risk AS (
+      SELECT t, d0, d1,
+             CAST((SELECT nu0 FROM tot)
+                  - COALESCE(SUM(a0) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS HUGEINT) AS n0t,
+             CAST((SELECT nu1 FROM tot)
+                  - COALESCE(SUM(a1) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS HUGEINT) AS n1t
+      FROM grid
+    ),
+    st AS (
+      SELECT CAST(SUM(d1) AS HUGEINT) AS o1,
+             SUM(CAST(d0 + d1 AS DOUBLE) * CAST(n1t AS DOUBLE)
+                 / CAST(n0t + n1t AS DOUBLE)) AS e1,
+             SUM(CASE WHEN n0t + n1t > 1 THEN
+               CAST(d0 + d1 AS DOUBLE)
+               * (CAST(n1t AS DOUBLE) / CAST(n0t + n1t AS DOUBLE))
+               * (CAST(n0t AS DOUBLE) / CAST(n0t + n1t AS DOUBLE))
+               * (CAST(n0t + n1t - d0 - d1 AS DOUBLE)
+                  / CAST(n0t + n1t - 1 AS DOUBLE))
+               ELSE 0.0 END) AS v
+      FROM risk WHERE d0 + d1 > 0
+    )
+    SELECT CAST((SELECT nu0 FROM tot) AS BIGINT) AS n_a,
+           CAST((SELECT nu1 FROM tot) AS BIGINT) AS n_b,
+           CAST(o1 AS BIGINT) AS observed_b,
+           CAST(round(e1 * 1000) AS BIGINT) AS expected_b_milli,
+           CAST(CASE WHEN v > 0 THEN
+             round((CAST(o1 AS DOUBLE) - e1) / sqrt(v) * 1000000)
+             END AS BIGINT) AS z_micro,
+           CASE WHEN v > 0 THEN
+             abs((CAST(o1 AS DOUBLE) - e1) / sqrt(v))
+               > 1.959963984540054 END AS curves_differ
+    FROM st
+    """,
+)
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X400 — Mantel–Cox log-rank between the md5 split-hash user
+    cohorts on the q_survival_km lifetime frame (t = active-span
+    days; censored iff last activity is on the global max day):
+    O₁ vs E₁ = Σ dₜ·n₁ₜ/nₜ with hypergeometric variance
+    V = Σ dₜ(n₁ₜ/nₜ)(n₀ₜ/nₜ)(nₜ−dₜ)/(nₜ−1).
+
+    Exactness: per-(duration, group) ending/death counts are exact
+    integers; at-risk counts come from total-minus-prefix integer
+    windows on the DENSIFIED duration grid (so both cohorts have a
+    row at every duration — a missing row would silently zero a risk
+    set); E₁ and V combine those integers in identical double
+    expressions behind milli/micro rounds; nₜ=1 strata contribute 0
+    variance via the mirrored guard. Gate z_0.975 (X341 rule).
+    Scale shape: one user aggregate, one duration-grid rollup
+    (duration-domain window, class a) → 1 row."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    mx = au.agg(F.max("d").alias("dmax"))
+    life = (
+        au.groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff("d1", "d0")
+            .cast("decimal(38,0)")
+            .alias("t"),
+            F.expr(
+                "CASE WHEN d1 = dmax THEN 1 ELSE 0 END"
+            ).alias("censored"),
+            F.expr(
+                "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT) % 2"
+            ).alias("grp"),
+        )
+    )
+    grid = life.groupBy("t").agg(
+        F.sum(F.expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END"))
+        .cast("decimal(38,0)")
+        .alias("a0"),
+        F.sum(
+            F.expr("CASE WHEN grp = 0 THEN 1 - censored ELSE 0 END")
+        )
+        .cast("decimal(38,0)")
+        .alias("d0"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN 1 ELSE 0 END"))
+        .cast("decimal(38,0)")
+        .alias("a1"),
+        F.sum(
+            F.expr("CASE WHEN grp = 1 THEN 1 - censored ELSE 0 END")
+        )
+        .cast("decimal(38,0)")
+        .alias("d1"),
+    )
+    tot = grid.agg(
+        F.sum("a0").cast("decimal(38,0)").alias("nu0"),
+        F.sum("a1").cast("decimal(38,0)").alias("nu1"),
+    )
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    risk = (
+        grid.select(
+            "t",
+            "d0",
+            "d1",
+            F.coalesce(
+                F.sum("a0").over(w), F.lit(0).cast("decimal(38,0)")
+            ).alias("c0"),
+            F.coalesce(
+                F.sum("a1").over(w), F.lit(0).cast("decimal(38,0)")
+            ).alias("c1"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "d0",
+            "d1",
+            F.expr("CAST(nu0 - c0 AS DECIMAL(38,0))").alias("n0t"),
+            F.expr("CAST(nu1 - c1 AS DECIMAL(38,0))").alias("n1t"),
+        )
+    )
+    st = risk.filter(F.expr("d0 + d1 > 0")).agg(
+        F.sum("d1").cast("decimal(38,0)").alias("o1"),
+        F.sum(
+            F.expr(
+                "CAST(d0 + d1 AS DOUBLE) * CAST(n1t AS DOUBLE)"
+                " / CAST(n0t + n1t AS DOUBLE)"
+            )
+        ).alias("e1"),
+        F.sum(
+            F.expr(
+                "CASE WHEN n0t + n1t > 1 THEN"
+                " CAST(d0 + d1 AS DOUBLE)"
+                " * (CAST(n1t AS DOUBLE) / CAST(n0t + n1t AS DOUBLE))"
+                " * (CAST(n0t AS DOUBLE) / CAST(n0t + n1t AS DOUBLE))"
+                " * (CAST(n0t + n1t - d0 - d1 AS DOUBLE)"
+                "    / CAST(n0t + n1t - 1 AS DOUBLE))"
+                " ELSE CAST(0.0 AS DOUBLE) END"
+            )
+        ).alias("v"),
+    )
+    return st.crossJoin(F.broadcast(tot)).select(
+        F.col("nu0").cast("long").alias("n_a"),
+        F.col("nu1").cast("long").alias("n_b"),
+        F.col("o1").cast("long").alias("observed_b"),
+        F.expr("CAST(round(e1 * 1000) AS BIGINT)").alias(
+            "expected_b_milli"
+        ),
+        F.expr(
+            "CAST(CASE WHEN v > CAST(0.0 AS DOUBLE) THEN"
+            " round((CAST(o1 AS DOUBLE) - e1) / sqrt(v) * 1000000)"
+            " END AS BIGINT)"
+        ).alias("z_micro"),
+        F.expr(
+            "CASE WHEN v > CAST(0.0 AS DOUBLE) THEN"
+            " abs((CAST(o1 AS DOUBLE) - e1) / sqrt(v))"
+            " > 1.959963984540054 END"
+        ).alias("curves_differ"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X401 — Cochran–Mantel–Haenszel: the cohort × high-value association
+# tested WITHIN each event-type stratum — the confounder-proof
+# companion to X345's Simpson-reversal audit (Simpson says strata can
+# flip the aggregate; CMH tests the common within-stratum effect).
+# --------------------------------------------------------------------------
+@query(
+    "q_cmh_test",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS cohort,
+             CASE WHEN value >= 100 THEN 1 ELSE 0 END AS hi
+      FROM events
+    ),
+    ct AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(count(*) FILTER (cohort = 0) AS HUGEINT) AS r1,
+             CAST(count(*) FILTER (hi = 1) AS HUGEINT) AS c1,
+             CAST(count(*) FILTER (cohort = 0 AND hi = 1) AS HUGEINT)
+               AS a
+      FROM base GROUP BY 1 HAVING count(*) > 1
+    ),
+    st AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n_strata,
+             CAST(SUM(a) AS HUGEINT) AS sa,
+             SUM(CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE)
+                 / CAST(n AS DOUBLE)) AS se,
+             SUM(CAST(r1 AS DOUBLE) * CAST(n - r1 AS DOUBLE)
+                 * CAST(c1 AS DOUBLE) * CAST(n - c1 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(n - 1 AS DOUBLE))) AS sv
+      FROM ct
+    )
+    SELECT CAST(n_strata AS BIGINT) AS n_strata,
+           CAST(sa AS BIGINT) AS sum_a,
+           CAST(round(se * 1000) AS BIGINT) AS expected_milli,
+           CAST(CASE WHEN sv > 0 THEN
+             round((CAST(sa AS DOUBLE) - se) * (CAST(sa AS DOUBLE) - se)
+                   / sv * 1000) END AS BIGINT) AS cmh_milli,
+           CASE WHEN sv > 0 THEN
+             (CAST(sa AS DOUBLE) - se) * (CAST(sa AS DOUBLE) - se) / sv
+               > 3.841458820694124 END AS association
+    FROM st
+    """,
+)
+def q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X401 — CMH χ²(1) = (Σaᵢ − ΣEᵢ)²/ΣVᵢ over per-type 2×2 tables
+    (cohort × value≥100), Eᵢ = r1·c1/n, Vᵢ = r1·r2·c1·c2/(n²(n−1)).
+    Exactness: all margins exact integers; E and V identical-input
+    doubles; single-row strata drop via the mirrored n>1 guard. Gate
+    on the shared χ²(1) literal 3.841458820694124. Scale shape: one
+    fact-sized aggregate → #strata arithmetic → 1 row."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT) % 2"
+        ).alias("cohort"),
+        F.expr(
+            "CASE WHEN value >= 100 THEN 1 ELSE 0 END"
+        ).alias("hi"),
+    )
+    ct = (
+        base.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(F.expr("CASE WHEN cohort = 0 THEN 1 ELSE 0 END"))
+            .cast("decimal(38,0)")
+            .alias("r1"),
+            F.sum("hi").cast("decimal(38,0)").alias("c1"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN cohort = 0 AND hi = 1 THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("a"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    st = ct.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_strata"),
+        F.sum("a").cast("decimal(38,0)").alias("sa"),
+        F.sum(
+            F.expr(
+                "CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE)"
+                " / CAST(n AS DOUBLE)"
+            )
+        ).alias("se"),
+        F.sum(
+            F.expr(
+                "CAST(r1 AS DOUBLE) * CAST(n - r1 AS DOUBLE)"
+                " * CAST(c1 AS DOUBLE) * CAST(n - c1 AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+                "    * CAST(n - 1 AS DOUBLE))"
+            )
+        ).alias("sv"),
+    )
+    return st.select(
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.col("sa").cast("long").alias("sum_a"),
+        F.expr("CAST(round(se * 1000) AS BIGINT)").alias(
+            "expected_milli"
+        ),
+        F.expr(
+            "CAST(CASE WHEN sv > CAST(0.0 AS DOUBLE) THEN"
+            " round((CAST(sa AS DOUBLE) - se)"
+            "       * (CAST(sa AS DOUBLE) - se) / sv * 1000)"
+            " END AS BIGINT)"
+        ).alias("cmh_milli"),
+        F.expr(
+            "CASE WHEN sv > CAST(0.0 AS DOUBLE) THEN"
+            " (CAST(sa AS DOUBLE) - se) * (CAST(sa AS DOUBLE) - se)"
+            " / sv > 3.841458820694124 END"
+        ).alias("association"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X402 — median (τ=0.5 pinball) regression of daily revenue on the
+# day index by exact grid search: the outlier-robust trend line X216's
+# OLS can't give (one whale day drags the mean fit; the median fit
+# ignores it) — and a wholly-integer argmin, no iterative solver.
+# --------------------------------------------------------------------------
+@query(
+    "q_quantile_regression",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day',
+               (SELECT min(CAST(ts AS DATE)) FROM events),
+               CAST(ts AS DATE)) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100, 0) AS HUGEINT)
+                  ELSE 0 END) AS HUGEINT) AS y
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    yr AS (
+      SELECT CAST(min(y) AS HUGEINT) AS ymin,
+             CAST(max(y) AS HUGEINT) AS ymax,
+             CAST(max(x) AS HUGEINT) AS xmax
+      FROM daily
+    ),
+    bgrid AS (
+      SELECT CAST(k AS HUGEINT) AS bk,
+             CAST(CASE WHEN xmax > 0 THEN
+               (ymax - ymin) * (k - 10) // (10 * xmax) ELSE 0 END
+               AS HUGEINT) AS b
+      FROM unnest(range(0, 21)) t(k), yr
+    ),
+    agrid AS (
+      SELECT CAST(k AS HUGEINT) AS ak,
+             CAST(ymin + (ymax - ymin) * k // 20 AS HUGEINT) AS a
+      FROM unnest(range(0, 21)) t(k), yr
+    ),
+    loss AS (
+      SELECT bk, ak, b, a,
+             CAST(SUM(abs(y - a - b * x)) AS HUGEINT) AS l1
+      FROM daily, bgrid, agrid
+      GROUP BY bk, ak, b, a
+    ),
+    best AS (
+      SELECT b, a, l1,
+             row_number() OVER (ORDER BY l1, bk, ak) AS rn
+      FROM loss
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(b AS BIGINT) AS slope_cents_per_day,
+           CAST(a AS BIGINT) AS intercept_cents,
+           CAST(l1 AS BIGINT) AS l1_loss_cents
+    FROM best WHERE rn = 1
+    """,
+)
+def q_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X402 — exact grid-search median regression: 21 slope × 21
+    intercept candidates derived from the data's integer range
+    (b_k = (ymax−ymin)(k−10) div (10·xmax), a_k = ymin +
+    (ymax−ymin)k div 20), L1 pinball loss summed in EXACT integer
+    cents, argmin by (loss, bk, ak) integer rank — zero floats
+    anywhere, so the fit is bit-identical cross-engine by
+    construction. Grid search IS the scalable shape here: 441
+    candidates × a calendar-sized daily table is one broadcast
+    cross-product aggregate (map-side combined), vs an iterative
+    IRLS solver's data-dependent driver loop. Scale shape: fact →
+    daily rollup → 441×days agg → 1 row."""
+    ev = load_table(spark, sf_dir, "events")
+    dmin = ev.agg(
+        F.min(F.to_date("ts")).alias("dmin")
+    )
+    daily = (
+        ev.crossJoin(F.broadcast(dmin))
+        .groupBy(F.datediff(F.to_date("ts"), F.col("dmin")).alias("x"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr(
+                        "CAST(round(value * 100, 0) AS DECIMAL(38,0))"
+                    ),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            )
+            .cast("decimal(38,0)")
+            .alias("y")
+        )
+        .select(F.col("x").cast("decimal(38,0)").alias("x"), "y")
+    )
+    yr = daily.agg(
+        F.min("y").cast("decimal(38,0)").alias("ymin"),
+        F.max("y").cast("decimal(38,0)").alias("ymax"),
+        F.max("x").cast("decimal(38,0)").alias("xmax"),
+    )
+    ks = daily.sparkSession.range(0, 21).select(
+        F.col("id").cast("decimal(38,0)").alias("k")
+    )
+    bgrid = ks.crossJoin(F.broadcast(yr)).select(
+        F.col("k").alias("bk"),
+        F.expr(
+            "CAST(CASE WHEN xmax > 0 THEN"
+            " (ymax - ymin) * (k - 10) div (10 * xmax) ELSE 0 END"
+            " AS DECIMAL(38,0))"
+        ).alias("b"),
+    )
+    agrid = ks.crossJoin(F.broadcast(yr)).select(
+        F.col("k").alias("ak"),
+        F.expr(
+            "CAST(ymin + (ymax - ymin) * k div 20 AS DECIMAL(38,0))"
+        ).alias("a"),
+    )
+    loss = (
+        daily.crossJoin(F.broadcast(bgrid))
+        .crossJoin(F.broadcast(agrid))
+        .groupBy("bk", "ak", "b", "a")
+        .agg(
+            F.sum(F.expr("abs(y - a - b * x)"))
+            .cast("decimal(38,0)")
+            .alias("l1")
+        )
+    )
+    best = (
+        loss.orderBy("l1", "bk", "ak")
+        .limit(1)
+    )
+    nd = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return best.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        F.col("b").cast("long").alias("slope_cents_per_day"),
+        F.col("a").cast("long").alias("intercept_cents"),
+        F.col("l1").cast("long").alias("l1_loss_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X403 — Jonckheere–Terpstra ordered-alternative trend across the
+# alphabetically-ordered event types: X391's Kruskal–Wallis asks "do
+# the groups differ"; JT asks the sharper "do they INCREASE in this
+# order", with full tie correction.
+# --------------------------------------------------------------------------
+@query(
+    "q_jonckheere",
+    oracle="""
+    WITH tc AS (
+      SELECT event_type AS g, value AS v,
+             CAST(count(*) AS HUGEINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    vals AS (SELECT DISTINCT v FROM tc),
+    grps AS (SELECT DISTINCT g FROM tc),
+    dense AS (
+      SELECT grps.g, vals.v, CAST(COALESCE(tc.c, 0) AS HUGEINT) AS c
+      FROM grps CROSS JOIN vals
+      LEFT JOIN tc ON tc.g = grps.g AND tc.v = vals.v
+    ),
+    cum AS (
+      SELECT g, v, c,
+             CAST(COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS HUGEINT) AS fp
+      FROM dense
+    ),
+    u2 AS (
+      SELECT CAST(SUM(b.c * (2 * a.fp + a.c)) AS HUGEINT) AS jt2
+      FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g
+    ),
+    gsz AS (
+      SELECT g, CAST(SUM(c) AS HUGEINT) AS u FROM tc GROUP BY g
+    ),
+    tsz AS (
+      SELECT v, CAST(SUM(c) AS HUGEINT) AS t FROM tc GROUP BY v
+    ),
+    mo AS (
+      SELECT (SELECT SUM(u) FROM gsz) AS n,
+             (SELECT SUM(u * u) FROM gsz) AS su2,
+             (SELECT SUM(u * (u - 1) * (2 * u + 5)) FROM gsz) AS sua,
+             (SELECT SUM(u * (u - 1) * (u - 2)) FROM gsz) AS sub,
+             (SELECT SUM(u * (u - 1)) FROM gsz) AS suc,
+             (SELECT SUM(t * (t - 1) * (2 * t + 5)) FROM tsz) AS sta,
+             (SELECT SUM(t * (t - 1) * (t - 2)) FROM tsz) AS stb,
+             (SELECT SUM(t * (t - 1)) FROM tsz) AS stc,
+             (SELECT jt2 FROM u2) AS jt2
+    ),
+    st AS (
+      SELECT n, jt2,
+             CAST((n * n - su2) // 2 AS HUGEINT) AS e2,
+             (CAST(n * (n - 1) * (2 * n + 5) - sua - sta AS DOUBLE)
+                / 72.0
+              + CAST(sub AS DOUBLE) * CAST(stb AS DOUBLE)
+                / (36.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                   * CAST(n - 2 AS DOUBLE))
+              + CAST(suc AS DOUBLE) * CAST(stc AS DOUBLE)
+                / (8.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+               AS var
+      FROM mo
+    )
+    SELECT CAST(n AS BIGINT) AS n_events,
+           CAST(jt2 AS BIGINT) AS jt2,
+           CAST(e2 AS BIGINT) AS e2,
+           CAST(CASE WHEN var > 0 THEN
+             round((CAST(jt2 AS DOUBLE) - CAST(e2 AS DOUBLE))
+                   / (2.0 * sqrt(var)) * 1000000) END AS BIGINT)
+             AS z_micro,
+           CASE WHEN var > 0 THEN
+             abs((CAST(jt2 AS DOUBLE) - CAST(e2 AS DOUBLE))
+                 / (2.0 * sqrt(var))) > 1.959963984540054 END
+             AS ordered_trend
+    FROM st
+    """,
+)
+def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X403 — tie-corrected Jonckheere–Terpstra: doubled statistic
+    JT2 = Σ_{i<j} Σ_v c_j(v)·(2F_i(v⁻) + c_i(v)) (strict pairs twice
+    + ties once — exact integers on the DENSIFIED group×value grid,
+    so every cumulative exists at every value), doubled mean
+    E2 = (N² − Σu²)/2 (exact: Σ_{i<j} nᵢnⱼ — caught off by 2× by
+    the planted two-group ledger below before release, the exact
+    trap mirrored oracles can't see), and the Hollander–Wolfe
+    three-term tie-corrected
+    variance built from the integer group/tie aggregates (the B-term
+    product exceeds DECIMAL(38) at corpus scale, so the three terms
+    combine as identically-cast doubles — the X385 discipline);
+    z = (JT2−E2)/(2√var) behind a micro round. Scale shape: one
+    (group,value) aggregate, a #groups×#values densified grid with
+    partitioned cumulative windows, a value-keyed ordered-pair join
+    (≤ k² rows per value) → 1 row."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    tc = ev.groupBy(
+        F.col("event_type").alias("g"), F.col("value").alias("v")
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    vals = tc.select("v").distinct()
+    grps = tc.select("g").distinct()
+    dense = (
+        grps.crossJoin(vals)
+        .join(tc, ["g", "v"], "left")
+        .select(
+            "g",
+            "v",
+            F.coalesce(
+                F.col("c"), F.lit(0).cast("decimal(38,0)")
+            ).alias("c"),
+        )
+    )
+    w = (
+        W.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = dense.select(
+        "g",
+        "v",
+        "c",
+        F.coalesce(
+            F.sum("c").over(w), F.lit(0).cast("decimal(38,0)")
+        ).alias("fp"),
+    )
+    a = cum.select(
+        F.col("g").alias("ga"),
+        "v",
+        F.col("c").alias("ca"),
+        F.col("fp").alias("fpa"),
+    )
+    b = cum.select(
+        F.col("g").alias("gb"), "v", F.col("c").alias("cb")
+    )
+    u2 = (
+        a.join(b, "v")
+        .filter(F.col("ga") < F.col("gb"))
+        .agg(
+            F.sum(
+                F.expr("cb * (2 * fpa + ca)")
+            )
+            .cast("decimal(38,0)")
+            .alias("jt2")
+        )
+    )
+    gsz = tc.groupBy("g").agg(
+        F.sum("c").cast("decimal(38,0)").alias("u")
+    )
+    tsz = tc.groupBy("v").agg(
+        F.sum("c").cast("decimal(38,0)").alias("t")
+    )
+    gm = gsz.agg(
+        F.sum("u").cast("decimal(38,0)").alias("n"),
+        F.sum(F.expr("u * u")).cast("decimal(38,0)").alias("su2"),
+        F.sum(F.expr("u * (u - 1) * (2 * u + 5)"))
+        .cast("decimal(38,0)")
+        .alias("sua"),
+        F.sum(F.expr("u * (u - 1) * (u - 2)"))
+        .cast("decimal(38,0)")
+        .alias("sub"),
+        F.sum(F.expr("u * (u - 1)"))
+        .cast("decimal(38,0)")
+        .alias("suc"),
+    )
+    tm = tsz.agg(
+        F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+        .cast("decimal(38,0)")
+        .alias("sta"),
+        F.sum(F.expr("t * (t - 1) * (t - 2)"))
+        .cast("decimal(38,0)")
+        .alias("stb"),
+        F.sum(F.expr("t * (t - 1)"))
+        .cast("decimal(38,0)")
+        .alias("stc"),
+    )
+    st = (
+        u2.crossJoin(F.broadcast(gm))
+        .crossJoin(F.broadcast(tm))
+        .select(
+            "n",
+            "jt2",
+            F.expr("CAST((n * n - su2) div 2 AS DECIMAL(38,0))").alias("e2"),
+            F.expr(
+                "CAST(n * (n - 1) * (2 * n + 5) - sua - sta AS DOUBLE)"
+                " / CAST(72.0 AS DOUBLE)"
+                " + CAST(sub AS DOUBLE) * CAST(stb AS DOUBLE)"
+                "   / (CAST(36.0 AS DOUBLE) * CAST(n AS DOUBLE)"
+                "      * CAST(n - 1 AS DOUBLE) * CAST(n - 2 AS DOUBLE))"
+                " + CAST(suc AS DOUBLE) * CAST(stc AS DOUBLE)"
+                "   / (CAST(8.0 AS DOUBLE) * CAST(n AS DOUBLE)"
+                "      * CAST(n - 1 AS DOUBLE))"
+            ).alias("var"),
+        )
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n_events"),
+        F.col("jt2").cast("long").alias("jt2"),
+        F.col("e2").cast("long").alias("e2"),
+        F.expr(
+            "CAST(CASE WHEN var > CAST(0.0 AS DOUBLE) THEN"
+            " round((CAST(jt2 AS DOUBLE) - CAST(e2 AS DOUBLE))"
+            " / (CAST(2.0 AS DOUBLE) * sqrt(var)) * 1000000)"
+            " END AS BIGINT)"
+        ).alias("z_micro"),
+        F.expr(
+            "CASE WHEN var > CAST(0.0 AS DOUBLE) THEN"
+            " abs((CAST(jt2 AS DOUBLE) - CAST(e2 AS DOUBLE))"
+            " / (CAST(2.0 AS DOUBLE) * sqrt(var)))"
+            " > 1.959963984540054 END"
+        ).alias("ordered_trend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X404 — cluster purity vs the embeddings' ground-truth labels: how
+# well the X69 k-means blocking recovers the generator's label
+# structure — the external-validity eval for every cluster-blocked
+# operator (SemDeDup, IVF, k-center) that trusts those clusters.
+# --------------------------------------------------------------------------
+def _cluster_purity_oracle() -> str:
+    from mysql_cdc_to_http_spark.queries.enrichment import _KMEANS_CTE
+
+    return (
+        _KMEANS_CTE
+        + """
+    , lab AS (
+      SELECT a2.vec_id, a2.cluster, e2.label
+      FROM a2 JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+    ),
+    cl AS (
+      SELECT cluster, label, CAST(count(*) AS HUGEINT) AS c
+      FROM lab GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT cluster, label, c,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY c DESC, label) AS rn,
+             CAST(SUM(c) OVER (PARTITION BY cluster) AS HUGEINT) AS n
+      FROM cl
+    )
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(n AS BIGINT) AS n_vecs,
+           CAST(label AS BIGINT) AS top_label,
+           CAST(c * 1000000 // n AS BIGINT) AS top_share_micro
+    FROM top WHERE rn = 1 ORDER BY cluster
+    """
+    )
+
+
+@query("q_cluster_purity", oracle=_cluster_purity_oracle())
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X404 — per-cluster purity of the shared k=4/2-iteration
+    k-means (q_kmeans's exact unrolled model) against the embeddings
+    table's ground-truth label column: majority label and its integer
+    micro share per cluster. Exactness: cluster assignment is the
+    established argmin-stable shared model; counts and shares are
+    exact integers (micro div); the majority pick is an integer rank
+    with a deterministic label tiebreak. Scale shape: k-means
+    assignment (broadcast centroids) → (cluster,label) aggregate →
+    k-sized window. Output k rows."""
+    from pyspark.sql.window import Window as W
+
+    from mysql_cdc_to_http_spark.operators.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans(emb, k=4, iters=2).select("vec_id", "cluster")
+    lab = assigned.join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cl = lab.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    w = W.partitionBy("cluster")
+    top = cl.select(
+        "cluster",
+        "label",
+        "c",
+        F.row_number()
+        .over(w.orderBy(F.desc("c"), "label"))
+        .alias("rn"),
+        F.sum("c").over(w).cast("decimal(38,0)").alias("n"),
+    )
+    return (
+        top.filter(F.col("rn") == 1)
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("n").cast("long").alias("n_vecs"),
+            F.col("label").cast("long").alias("top_label"),
+            F.expr("CAST(c * 1000000 div n AS BIGINT)").alias(
+                "top_share_micro"
+            ),
+        )
+        .orderBy("cluster")
+    )

@@ -1399,6 +1399,8 @@ GLOBAL_SORT_ALLOWED = frozenset(
     q_kruskal_wallis q_welch_t q_bartlett q_moods_median q_bray_curtis
     q_theil_u q_distinct_ngrams q_oov_rate q_watermark_detect
     q_dedup_semantic_scaled
+    q_logrank_test q_cmh_test q_quantile_regression q_jonckheere
+    q_cluster_purity
     q_set_ops q_shard_manifest q_silhouette q_stopword_induction q_stratified_kfold
     q_stream_histogram q_stream_kmv q_stream_rate_alert q_stream_static_join q_stream_topk
     q_table_profile q_temperature_mix q_term_burstiness q_text_stats q_threshold_sweep

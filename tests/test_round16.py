@@ -440,3 +440,149 @@ def test_semantic_scaled_cluster_bound(spark):
     k = max(4, n // 100)
     assert len(sizes) == k
     assert max(sizes) <= 3 * (n // k), (max(sizes), n, k)
+
+
+# ===========================================================================
+# X400-X404 planted ledgers
+# ===========================================================================
+
+
+def test_logrank_recompute_from_fixture(spark, tmp_path):
+    """Independent python recompute of O/E/V/z from the raw planted
+    lifetimes (groups via the hashlib md5 contract): users with
+    per-day activity spans; censored iff last day == global max."""
+    from tests.test_round15 import _write_events_dates
+
+    def grp(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+
+    # pick ids for both groups
+    g0 = [i for i in range(1, 60) if grp(i) == 0][:3]
+    g1 = [i for i in range(1, 60) if grp(i) == 1][:3]
+    spans = {  # uid -> (first_day, last_day) of 2024-01
+        g0[0]: (1, 2),   # t=1 death
+        g0[1]: (1, 4),   # t=3 death
+        g0[2]: (2, 10),  # t=8 censored (last == dmax)
+        g1[0]: (1, 3),   # t=2 death
+        g1[1]: (1, 4),   # t=3 death
+        g1[2]: (1, 10),  # t=9 censored
+    }
+    rows, eid = [], 0
+    for uid, (a, b) in spans.items():
+        for day in (a, b):
+            eid += 1
+            rows.append((eid, uid, "view", 1.0, f"2024-01-{day:02d}"))
+    sf = _write_events_dates(spark, tmp_path, rows)
+    # independent recompute
+    life = [
+        (b - a, 0 if b == 10 else 1, grp(uid))
+        for uid, (a, b) in spans.items()
+    ]
+    times = sorted({t for t, ev, g in life if ev == 1})
+    o1 = e1 = v = 0.0
+    for t in times:
+        n0 = sum(1 for tt, ev, g in life if tt >= t and g == 0)
+        n1 = sum(1 for tt, ev, g in life if tt >= t and g == 1)
+        d0 = sum(1 for tt, ev, g in life if tt == t and ev and g == 0)
+        d1 = sum(1 for tt, ev, g in life if tt == t and ev and g == 1)
+        d, n = d0 + d1, n0 + n1
+        if d == 0:
+            continue
+        o1 += d1
+        e1 += d * n1 / n
+        if n > 1:
+            v += d * (n1 / n) * (n0 / n) * (n - d) / (n - 1)
+    z = (o1 - e1) / math.sqrt(v)
+    [r] = QUERIES["q_logrank_test"](spark, sf).collect()
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    assert r["observed_b"] == int(o1)
+    assert abs(r["expected_b_milli"] - round(e1 * 1e3)) <= 1
+    assert abs(r["z_micro"] - round(z * 1e6)) <= 1
+
+
+def test_cmh_single_stratum_recompute(spark, tmp_path):
+    """One stratum → CMH = (a−E)²/V, recomputed independently from
+    the planted 2×2 (cohorts via hashlib)."""
+    from tests.test_planted_stats import _write_events
+
+    def coh(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+
+    rows = []
+    eid = 0
+    # 12 users, one event each; hi iff value >= 100
+    vals = [150.0, 20.0, 150.0, 150.0, 20.0, 150.0,
+            20.0, 150.0, 20.0, 20.0, 150.0, 20.0]
+    for uid, vv in enumerate(vals, start=1):
+        eid += 1
+        rows.append((eid, uid, "A", vv))
+    sf = _write_events(spark, tmp_path, rows)
+    n = len(vals)
+    a = sum(1 for uid, vv in enumerate(vals, 1) if coh(uid) == 0 and vv >= 100)
+    r1 = sum(1 for uid in range(1, n + 1) if coh(uid) == 0)
+    c1 = sum(1 for vv in vals if vv >= 100)
+    e = r1 * c1 / n
+    v = r1 * (n - r1) * c1 * (n - c1) / (n * n * (n - 1))
+    cmh = (a - e) ** 2 / v
+    [r] = QUERIES["q_cmh_test"](spark, sf).collect()
+    assert r["n_strata"] == 1
+    assert r["sum_a"] == a
+    assert abs(r["expected_milli"] - round(e * 1e3)) <= 1
+    assert abs(r["cmh_milli"] - round(cmh * 1e3)) <= 1
+
+
+def test_quantile_regression_exact_linear(spark, tmp_path):
+    """Exactly linear daily revenue y = 100 + 50x cents over 5 days:
+    the derived grids contain (slope 50, intercept 100) exactly
+    (b_k = 5(k−10) at k=20, a_k = 100+10k at k=0), so the argmin
+    loss is 0."""
+    from tests.test_round15 import _write_events_dates
+
+    rows = []
+    for x in range(5):
+        cents = 100 + 50 * x
+        rows.append(
+            (x + 1, x + 1, "purchase", cents / 100.0,
+             f"2024-01-{x + 1:02d}")
+        )
+    sf = _write_events_dates(spark, tmp_path, rows)
+    [r] = QUERIES["q_quantile_regression"](spark, sf).collect()
+    assert r["n_days"] == 5
+    assert r["slope_cents_per_day"] == 50
+    assert r["intercept_cents"] == 100
+    assert r["l1_loss_cents"] == 0
+
+
+def test_jonckheere_planted_two_groups(spark, tmp_path):
+    """A={1,2}, B={3,4} cents (A<B alphabetically and numerically):
+    all 4 cross pairs strict → JT2 = 8; E2 = (16−8)/2 = 4; no ties
+    (t=1 per value): var = [N(N−1)(2N+5) − Σu(u−1)(2u+5)]/72 =
+    [4·3·13 − 2·(2·1·9)]/72 = (156−36)/72 = 5/3;
+    z = (8−4)/(2√(5/3)) = 2/√(5/3) = 1.549193."""
+    from tests.test_planted_stats import _write_events
+
+    rows = [
+        (1, 1, "A", 0.01),
+        (2, 2, "A", 0.02),
+        (3, 3, "B", 0.03),
+        (4, 4, "B", 0.04),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    [r] = QUERIES["q_jonckheere"](spark, sf).collect()
+    assert r["n_events"] == 4
+    assert r["jt2"] == 8
+    assert r["e2"] == 4
+    assert r["z_micro"] == 1549193
+    assert r["ordered_trend"] is False
+
+
+def test_cluster_purity_shares_sum_and_bounds(spark):
+    """Real-data structural pins: 4 clusters, each top share in
+    (0, 1e6], Σ n_vecs = corpus size."""
+    rows = QUERIES["q_cluster_purity"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 4
+    assert sum(r["n_vecs"] for r in rows) == 500
+    for r in rows:
+        assert 0 < r["top_share_micro"] <= 1000000
