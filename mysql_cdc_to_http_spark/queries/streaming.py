@@ -203,6 +203,62 @@ def q_stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X405 — the CDC feed consumed through the CUSTOM Python streaming
+# DataSource (sources/pyds.py:CdcFeedStreamReader): X209's batch
+# connector completed with real offset management — the reference's
+# resume-from-binlog-position loop (main.go RunFrom) at Spark's
+# streaming connector seam.
+# --------------------------------------------------------------------------
+@query(
+    "q_python_stream_source",
+    oracle=_EV
+    + """
+    SELECT tbl, op, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(offset_id) AS min_offset, MAX(offset_id) AS max_offset
+    FROM ev
+    GROUP BY tbl, op ORDER BY tbl, op
+    """,
+)
+def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X405 — spark.readStream.format("graft_cdc"): the envelope feed
+    through the full DataSourceStreamReader API — {"file", "line"}
+    offsets (the binlog-position analog), file-slice partition
+    planning per micro-batch, checkpoint-WAL replay. Complete-mode
+    counts against the same source-of-truth oracle as the batch
+    connector (X209): the hash certifies every line of every file was
+    delivered exactly once THROUGH THE STREAMING PATH. Kill-mid-feed
+    resume with incremental file arrival is pinned separately in
+    tests/test_round16.py (files landing after the stream starts form
+    later micro-batches — the production tail-the-directory shape)."""
+    from mysql_cdc_to_http_spark.sources import pyds
+    from mysql_cdc_to_http_spark.sources.cdc import (
+        ENVELOPE_SCHEMA,
+        write_event_files,
+    )
+
+    events_dir = write_event_files(spark, sf_dir)
+    pyds.register(spark)
+    raw = (
+        spark.readStream.format("graft_cdc")
+        .option("path", os.path.join(events_dir, "data"))
+        .load()
+    )
+    env = raw.select(
+        F.from_json(F.col("value"), ENVELOPE_SCHEMA).alias("e")
+    ).select(
+        F.col("e.source.table").alias("tbl"),
+        F.col("e.op").alias("op"),
+        F.col("e.offset").alias("offset_id"),
+    )
+    agg = env.groupBy("tbl", "op").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("offset_id").alias("min_offset"),
+        F.max("offset_id").alias("max_offset"),
+    )
+    return _run_to_memory(agg, "mem_pyds_stream", "complete")
+
+
+# --------------------------------------------------------------------------
 # X28-X30 — tumbling / sliding / session windows
 # --------------------------------------------------------------------------
 @query(

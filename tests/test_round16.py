@@ -586,3 +586,71 @@ def test_cluster_purity_shares_sum_and_bounds(spark):
     assert sum(r["n_vecs"] for r in rows) == 500
     for r in rows:
         assert 0 < r["top_share_micro"] <= 1000000
+
+
+# ===========================================================================
+# X405 — streaming Python DataSource: offset-managed resume with
+# incremental file arrival (the tail-the-directory production shape).
+# ===========================================================================
+
+
+def test_python_stream_source_offset_resume(spark, tmp_path):
+    """Files 0-2 consumed and committed; stream stopped; files 3-5
+    arrive; restart from the checkpoint delivers ONLY 3-5 (the
+    committed {"file","line"} offset is honored — no replay, no
+    loss)."""
+    from mysql_cdc_to_http_spark.sources import pyds
+
+    feed = tmp_path / "data"
+    feed.mkdir()
+
+    def write_file(i):
+        (feed / f"{i:04d}.txt").write_text(
+            "".join(f"r-{i}-{j}\n" for j in range(5))
+        )
+
+    for i in range(3):
+        write_file(i)
+    pyds.register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start():
+        raw = (
+            spark.readStream.format("graft_cdc")
+            .option("path", str(feed))
+            .load()
+        )
+        return (
+            raw.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert spark.read.parquet(out).count() == 15
+
+    for i in range(3, 6):
+        write_file(i)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    rows = spark.read.parquet(out).collect()
+    # exactly-once across the restart: 30 total, nothing replayed,
+    # nothing lost, every row's file_no/line_no intact
+    assert len(rows) == 30, len(rows)
+    got = sorted((r["file_no"], r["line_no"], r["value"]) for r in rows)
+    want = sorted(
+        (i, j, f"r-{i}-{j}") for i in range(6) for j in range(5)
+    )
+    assert got == want
