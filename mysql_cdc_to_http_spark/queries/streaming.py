@@ -824,6 +824,93 @@ def q_queue_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X406 — custom STREAMING SINK via the Python DataSourceStreamWriter
+# API (sources/pyds.py:DeliveryDataSource).
+# --------------------------------------------------------------------------
+@query(
+    "q_python_stream_sink",
+    oracle=_EV
+    + """
+    SELECT tbl, op, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ev WHERE offset_id % 7 = 0
+    GROUP BY tbl, op ORDER BY tbl, op
+    """,
+)
+def q_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X406 — the envelope stream delivered through a CUSTOM sink
+    built on Spark 4's DataSourceStreamWriter API: executor-side
+    write() stages NDJSON per (epoch, partition) and returns a commit
+    message; the driver-side commit(messages, batchId) publishes the
+    micro-batch atomically (rename under batch=<id>/ + a _commits
+    manifest), with replayed batches detected by their existing
+    manifest and discarded — the idempotent-receiver half of the
+    reference's delivery contract (main.go:107 POST loop + consumer
+    dedup), here at the sink connector seam instead of foreachBatch.
+    The query streams a deterministic 1/8 slice of the feed
+    (offset % 7 = 0, coprime with the table hash — the bounded-slice discipline q_http_sink set;
+    the per-row Python write path is the demo, not a bulk transport)
+    into the sink, then reads back ONLY manifest-committed files and
+    re-aggregates per (table, op) — hash parity against the
+    source-of-truth proves exactly-once VISIBLE delivery end to end.
+    Crash-replay idempotence is pinned separately in
+    tests/test_round16.py."""
+    import shutil
+    import tempfile
+
+    from mysql_cdc_to_http_spark.sources import pyds
+    from mysql_cdc_to_http_spark.sources.cdc import write_event_files
+
+    events_dir = write_event_files(spark, sf_dir)
+    pyds.register(spark)
+    pyds.register_delivery(spark)
+    root = tempfile.mkdtemp(prefix="graft_delivery_")
+    try:
+        raw = (
+            spark.readStream.format("graft_cdc")
+            .option("path", os.path.join(events_dir, "data"))
+            .load()
+        )
+        sliced = raw.filter(
+            F.get_json_object("value", "$.offset").cast("long") % 7
+            == 0
+        )
+        ckpt = tempfile.mkdtemp(prefix="graft_delivery_ckpt_")
+        q = (
+            sliced.select("value")
+            .writeStream.format("graft_delivery")
+            .option("path", root)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        from mysql_cdc_to_http_spark.sources.cdc import ENVELOPE_SCHEMA
+
+        delivered = pyds.read_delivered(spark, root)
+        env = delivered.select(
+            F.from_json(
+                F.get_json_object("line", "$.value"), ENVELOPE_SCHEMA
+            ).alias("e")
+        ).select(
+            F.col("e.source.table").alias("tbl"),
+            F.col("e.op").alias("op"),
+        )
+        out = (
+            env.groupBy("tbl", "op")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("tbl", "op")
+        )
+        # materialize before the temp delivery dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # R12 — HTTP POST sink against an in-process echo server (rows-only)
 # --------------------------------------------------------------------------
 @query("q_http_sink")

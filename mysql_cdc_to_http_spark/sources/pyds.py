@@ -180,3 +180,160 @@ def register(spark) -> None:
 import sys as _sys
 from pyspark import cloudpickle as _cloudpickle
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+# ---------------------------------------------------------------------------
+# X406 — custom STREAMING SINK via the Python DataSourceStreamWriter
+# API: transactional file delivery with a commit manifest — the
+# reference's delivery contract (every row delivered exactly once as
+# far as the consumer can observe) at Spark's sink connector seam.
+# ---------------------------------------------------------------------------
+import json as _json
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
+
+
+class _DeliveryCommit(WriterCommitMessage):
+    def __init__(self, staged_path: str, n_rows: int):
+        self.staged_path = staged_path
+        self.n_rows = n_rows
+
+
+class DeliveryDataSource(DataSource):
+    """``format("graft_delivery")`` — options: ``path`` = delivery
+    root. Rows are staged per (epoch, partition) as NDJSON, then the
+    driver-side ``commit`` publishes the whole micro-batch atomically:
+    staged files are renamed under ``batch=<id>/`` and the batch id is
+    recorded in ``_commits/<id>``. A consumer that reads only
+    manifest-listed batches observes exactly-once delivery; a replayed
+    batch (crash between publish and checkpoint commit) is detected by
+    its existing manifest and the duplicate staging is discarded —
+    the idempotent-receiver half of the reference's delivery story."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "graft_delivery"
+
+    def schema(self) -> str:  # sink: schema comes from the stream
+        return "value STRING"
+
+    def streamWriter(self, schema, overwrite) -> "DeliveryStreamWriter":
+        return DeliveryStreamWriter(self.options, schema)
+
+
+class DeliveryStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options, schema):
+        root = options.get("path")
+        if not root:
+            raise ValueError("graft_delivery: 'path' option is required")
+        self._root = root
+        self._cols = list(schema.fieldNames())
+
+    # -- executor side ----------------------------------------------------
+    def write(self, iterator) -> _DeliveryCommit:
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        stage_dir = os.path.join(self._root, "_staging")
+        os.makedirs(stage_dir, exist_ok=True)
+        # attempt-unique name: a retried task stages a NEW file and the
+        # failed attempt's orphan is ignored (only commit-message paths
+        # are ever published)
+        path = os.path.join(
+            stage_dir, f"p{pid}-{uuid.uuid4().hex}.ndjson"
+        )
+        n = 0
+        with open(path, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    _json.dumps(
+                        {c: row[c] for c in self._cols}, default=str
+                    )
+                    + "\n"
+                )
+                n += 1
+        return _DeliveryCommit(path, n)
+
+    # -- driver side ------------------------------------------------------
+    def commit(self, messages, batchId: int) -> None:
+        import os
+        import shutil
+
+        commits = os.path.join(self._root, "_commits")
+        os.makedirs(commits, exist_ok=True)
+        manifest = os.path.join(commits, str(batchId))
+        staged = [m for m in messages if m is not None]
+        if os.path.exists(manifest):
+            # replayed batch: already published — drop the duplicate
+            # staging so the consumer never sees it twice
+            for m in staged:
+                try:
+                    os.remove(m.staged_path)
+                except OSError:
+                    pass
+            return
+        out_dir = os.path.join(self._root, f"batch={batchId}")
+        os.makedirs(out_dir, exist_ok=True)
+        total = 0
+        for i, m in enumerate(staged):
+            dst = os.path.join(out_dir, f"part-{i:05d}.ndjson")
+            shutil.move(m.staged_path, dst)
+            total += m.n_rows
+        tmp = manifest + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(
+                _json.dumps({"batch": batchId, "rows": total}) + "\n"
+            )
+        os.replace(tmp, manifest)  # atomic publish
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.staged_path)
+                except OSError:
+                    pass
+
+
+def committed_batches(root: str) -> list:
+    """Batch ids recorded in the delivery manifest, sorted."""
+    import os
+
+    commits = os.path.join(root, "_commits")
+    if not os.path.isdir(commits):
+        return []
+    out = []
+    for name in os.listdir(commits):
+        if name.endswith(".tmp"):
+            continue
+        try:
+            out.append(int(name))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+def read_delivered(spark, root: str):
+    """The exactly-once view: rows of manifest-listed batches only."""
+    import os
+
+    paths = [
+        os.path.join(root, f"batch={b}", "*.ndjson")
+        for b in committed_batches(root)
+    ]
+    if not paths:
+        return spark.createDataFrame([], "value string")
+    return spark.read.text(paths).withColumnRenamed("value", "line")
+
+
+def register_delivery(spark) -> None:
+    spark.dataSource.register(DeliveryDataSource)

@@ -654,3 +654,100 @@ def test_python_stream_source_offset_resume(spark, tmp_path):
         (i, j, f"r-{i}-{j}") for i in range(6) for j in range(5)
     )
     assert got == want
+
+
+# ===========================================================================
+# X406 — custom streaming sink: commit idempotence + end-to-end
+# exactly-once across a stop/restart with incremental arrival.
+# ===========================================================================
+
+
+def test_delivery_sink_commit_replay_idempotent(tmp_path):
+    """Driver-side contract without Spark: a replayed batchId (crash
+    after publish, before checkpoint commit) must not double-publish —
+    the second commit sees the manifest and discards its staging."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import StructType, StructField, StringType
+
+    from mysql_cdc_to_http_spark.sources.pyds import (
+        DeliveryStreamWriter,
+        committed_batches,
+    )
+
+    root = str(tmp_path / "dlv")
+    schema = StructType([StructField("value", StringType())])
+    w = DeliveryStreamWriter({"path": root}, schema)
+    m1 = w.write(iter([Row(value="a"), Row(value="b")]))
+    w.commit([m1], 0)
+    assert committed_batches(root) == [0]
+    import glob as g
+
+    files1 = sorted(g.glob(root + "/batch=0/*.ndjson"))
+    body1 = [open(p).read() for p in files1]
+    # replay: same batchId, fresh staging
+    m2 = w.write(iter([Row(value="a"), Row(value="b")]))
+    w.commit([m2], 0)
+    files2 = sorted(g.glob(root + "/batch=0/*.ndjson"))
+    assert files2 == files1
+    assert [open(p).read() for p in files2] == body1
+    assert not g.glob(root + "/_staging/*")  # duplicate staging gone
+    # abort cleans staging too
+    m3 = w.write(iter([Row(value="c")]))
+    w.abort([m3], 1)
+    assert not g.glob(root + "/_staging/*")
+    assert committed_batches(root) == [0]
+
+
+def test_python_stream_sink_exactly_once_across_restart(spark, tmp_path):
+    """Feed 3 files through the custom source INTO the custom sink,
+    stop, land 3 more files, restart from the checkpoint: the
+    manifest-visible set is each line exactly once."""
+    from mysql_cdc_to_http_spark.sources import pyds
+
+    feed = tmp_path / "data"
+    feed.mkdir()
+
+    def write_file(i):
+        (feed / f"{i:04d}.txt").write_text(
+            "".join(f"r-{i}-{j}\n" for j in range(4))
+        )
+
+    for i in range(3):
+        write_file(i)
+    pyds.register(spark)
+    pyds.register_delivery(spark)
+    root = str(tmp_path / "dlv")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        raw = (
+            spark.readStream.format("graft_cdc")
+            .option("path", str(feed))
+            .load()
+        )
+        q = (
+            raw.select("value")
+            .writeStream.format("graft_delivery")
+            .option("path", root)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    run_once()
+    assert pyds.read_delivered(spark, root).count() == 12
+    for i in range(3, 6):
+        write_file(i)
+    run_once()
+    import json
+
+    lines = [
+        json.loads(r["line"])["value"]
+        for r in pyds.read_delivered(spark, root).collect()
+    ]
+    want = sorted(f"r-{i}-{j}" for i in range(6) for j in range(4))
+    assert sorted(lines) == want
