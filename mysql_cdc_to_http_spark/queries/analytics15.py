@@ -1489,12 +1489,24 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = daily.crossJoin(F.broadcast(span)).select(
         F.datediff("d", "d0").alias("i"), "x"
     )
-    dense = grid.join(obs, "i", "left").select(
-        "i",
-        F.coalesce(F.col("x"), F.lit(0).cast("decimal(38,0)")).alias(
-            "x"
-        ),
+    # r16 (guide §2.4/§5): base and both lag-join sides re-derived the
+    # zero-filled daily series — and the fact rollup under it — per
+    # consumer (measured plan: 16 Exchange / 12 scans). The series is
+    # span-days-sized: persist it, one fact pass. Released via the
+    # register_cached contract.
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    dense = (
+        grid.join(obs, "i", "left")
+        .select(
+            "i",
+            F.coalesce(
+                F.col("x"), F.lit(0).cast("decimal(38,0)")
+            ).alias("x"),
+        )
+        .persist()
     )
+    register_cached(dense, [dense])
     base = dense.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum("x").cast("decimal(38,0)").alias("s"),

@@ -2092,13 +2092,33 @@ def q_elbow_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: three constant-k runs, each the X72 plan (assignment =
     broadcast-centroid projection, centroid recompute = one
     (cluster, dim)-keyed aggregate); the sweep is a 3-row union —
-    sweep size is a constant, the corpus is scanned once per run."""
+    sweep size is a constant, the corpus is scanned once per run.
+
+    r16 optimization (guide §2.6, overlap independent jobs): each
+    k-means fit blocks the driver on model-sized collects (init seed +
+    per-iteration centroid recompute), so the three fits serialized ~6
+    small jobs of pure driver/scheduler latency. The fits are
+    independent — run them from a thread pool so each fit's collect
+    jobs back-fill the executors idled by another fit's barrier.
+    Results are unchanged: each fit's trajectory is a pure function of
+    (data, k), never of scheduling order (the clustering module's
+    determinism contract). Measured at sf0.1 interleaved A/B: 2.9-4.4 s
+    serial → 2.2-2.3 s threaded."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from mysql_cdc_to_http_spark.operators.clustering import kmeans
 
     emb = load_table(spark, sf_dir, "embeddings")
+
+    def _fit(k: int) -> DataFrame:
+        return kmeans(emb, k=k, iters=2).select("vec_id", "cluster")
+
+    with ThreadPoolExecutor(max_workers=len(_ELBOW_KS)) as pool:
+        assigns = dict(zip(_ELBOW_KS, pool.map(_fit, _ELBOW_KS)))
+
     out = None
     for k in _ELBOW_KS:
-        assign = kmeans(emb, k=k, iters=2).select("vec_id", "cluster")
+        assign = assigns[k]
         e = emb.select(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("v"),

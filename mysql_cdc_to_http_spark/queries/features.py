@@ -1670,7 +1670,17 @@ def q_quantile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__grank").alias("rk_b"),
         F.col("__gn").alias("nb"),
     )
-    na = a.select("grp", F.col("na")).distinct()
+    # r16 (guide §2.4): na is just the even-slice group count — derive
+    # it with one cheap aggregate on the raw slice instead of
+    # re-running the whole grouped_ranks pipeline (two fact
+    # range-repartitions) a second time only to distinct out its __gn
+    # column (measured plan before: 17 Exchange / 6 scans). Values are
+    # identical: __gn IS count(*) per group by construction.
+    na = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
     mapped = (
         b.join(na, "grp")
         .select(
@@ -2390,9 +2400,22 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    ranked = ranked_prefix_sums(
-        rev, [F.col("cents").desc(), F.col("l_partkey").asc()], ["cents"]
-    ).withColumnRenamed("cents__cum", "cum")
+    # r16 (guide §2.4/§5): the total and the class projection both
+    # consume the ranked cumulative — un-persisted, each re-ran the
+    # fact-sized per-part aggregate AND the range-partitioned prefix
+    # pass (measured plan: 15 Exchange). The ranked frame is
+    # part-cardinality-sized: persist it, one fact pass. Released via
+    # the register_cached contract.
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    ranked = (
+        ranked_prefix_sums(
+            rev, [F.col("cents").desc(), F.col("l_partkey").asc()], ["cents"]
+        )
+        .withColumnRenamed("cents__cum", "cum")
+        .persist()
+    )
+    register_cached(ranked, [ranked])
     tot = ranked.agg(F.sum("cents").alias("total"))
     classed = ranked.crossJoin(F.broadcast(tot)).select(
         F.when(F.col("cum") * 100 <= 80 * F.col("total"), "A")
@@ -3326,7 +3349,14 @@ def q_conformal_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = split_bucket(
         F.concat_ws("|", F.col("prio"), F.col("x")), 100, "conf-v1"
     )
-    lab = daily.withColumn("b", b)
+    # r16 (guide §2.4/§5): the train fit, the calibration ranking and
+    # the test coverage audit each re-derived the daily-revenue fact
+    # aggregate (measured plan: 24 Exchange / 11 scans). The labeled
+    # daily table is (priority × days)-sized: persist, one fact pass.
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    lab = daily.withColumn("b", b).persist()
+    register_cached(lab, [lab])
     cf = _ols_closed_form(
         _ols_moments(lab.filter(F.col("b") < 40))
     ).select("prio", "num", "denx", "numi")
@@ -3566,6 +3596,15 @@ def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap")
         )
     )
+    # r16 (guide §2.4/§5): the rbo total and the per-depth output both
+    # consume od — without a persist each re-ran the ENTIRE BM25
+    # pipeline and the dense brute-force scorer underneath (measured
+    # plan: 16 Exchange / 12 scans). od is ≤10 rows: persist it, the
+    # two heavy ranking pipelines run once.
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    od = od.persist()
+    register_cached(od, [od])
     total = od.agg(
         F.expr(
             "CAST((CAST(sum(w * overlap) AS DECIMAL(25,0)) * 1000000)"
@@ -4351,16 +4390,33 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs2 = obs.join(span, "event_type").select(
         "event_type", F.datediff("d", "d0").alias("idx"), "x"
     )
-    dense = grid.join(obs2, ["event_type", "idx"], "left").withColumn(
-        "x", F.coalesce(F.col("x"), F.lit(0).cast("decimal(38,0)"))
+    # r16 (guide §2.4/§5): st, dev, den and the two lag-join sides each
+    # re-derived the zero-filled grid — and the fact aggregate under it
+    # — per consumer (measured plan: 23 Exchange / 18 scans). Both
+    # frames are calendar-bounded (types × span-days): persist them,
+    # one fact pass. Released via the register_cached contract.
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    dense = (
+        grid.join(obs2, ["event_type", "idx"], "left")
+        .withColumn(
+            "x", F.coalesce(F.col("x"), F.lit(0).cast("decimal(38,0)"))
+        )
+        .persist()
     )
+    register_cached(dense, [dense])
     st = dense.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum("x").cast("decimal(38,0)").alias("s"),
     )
-    dev = dense.join(st, "event_type").select(
-        "event_type", "idx", F.expr("n * x - s").alias("dev"), "n"
+    dev = (
+        dense.join(st, "event_type")
+        .select(
+            "event_type", "idx", F.expr("n * x - s").alias("dev"), "n"
+        )
+        .persist()
     )
+    register_cached(dev, [dev])
     den = dev.groupBy("event_type").agg(
         F.sum(F.expr("dev * dev")).cast("decimal(38,0)").alias("den"),
         F.max("n").alias("n"),
@@ -5237,9 +5293,20 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs2 = obs.crossJoin(F.broadcast(span)).select(
         "event_type", F.datediff("d", "d0").alias("i"), "x"
     )
-    dense = grid.join(obs2, ["event_type", "i"], "left").withColumn(
-        "x", F.coalesce(F.col("x"), F.lit(0).cast("decimal(38,0)"))
+    # r16 (guide §2.4/§5): both sides of the day-pair self-join (and the
+    # q2 re-aliasing on top) re-derived the grid and the fact aggregate
+    # per consumer (measured plan: 31 Exchange / 16 scans). Calendar-
+    # bounded frame: persist, one fact pass.
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    dense = (
+        grid.join(obs2, ["event_type", "i"], "left")
+        .withColumn(
+            "x", F.coalesce(F.col("x"), F.lit(0).cast("decimal(38,0)"))
+        )
+        .persist()
     )
+    register_cached(dense, [dense])
     b = dense.select(
         F.col("event_type").alias("t2"),
         F.col("i").alias("i"),
@@ -5852,8 +5919,18 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     outgoing mass (every type, on this schema).
 
     Scale shape: one fact shuffle for the per-user lag window (keyed,
-    parallel); everything after runs on the k²-sized pair table —
-    three unrolled vector-matrix products and a 1-row entropy sum.
+    parallel) — run ONCE; everything after operates on the k²-sized
+    transition table, which is MODEL state (state-count squared, like
+    a k-means centroid matrix), so the three power iterations run as
+    exact integer arithmetic on the collected k² rows (the
+    q_mmr_rerank / kmeans bounded-collect class) instead of three
+    dataflow joins that each re-nested — and re-ran — the fact window
+    (the pre-r16 plan measured 84 Exchange / 33 scans; a pairs0
+    persist was tried first and measured SLOWER at sf0.1, 2.0 → 3.4 s,
+    because the duplicated fact subtrees ran as concurrent stages
+    while the cache materialization is a barrier). The entropy sum
+    stays a Spark expression over a local k²-row frame so ln() runs
+    on the same JVM libm as before (no new cross-engine surface).
     Presentation sort is state-bounded (allowlist class a)."""
     from pyspark.sql.window import Window as W
 
@@ -5869,46 +5946,53 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("prev_type").alias("i"), F.col("event_type").alias("j"))
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
     )
-    states = pairs0.select(F.col("i").alias("state")).distinct()
-    inner = pairs0.join(
-        states.withColumnRenamed("state", "j"), "j", "left_semi"
-    )
-    t = inner.groupBy("i").agg(F.sum("c").cast("decimal(38,0)").alias("t"))
-    pairs = inner.join(t, "i")
-    k = states.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("k"))
-    pi = states.crossJoin(F.broadcast(k)).select(
-        "state", F.expr("CAST(1000000 AS DECIMAL(38,0)) div k").alias("pi")
-    )
+    # bounded k²-row collect (model-sized class); ints are exact
+    rows = [(r["i"], r["j"], int(r["c"])) for r in pairs0.collect()]
+    sset = {i for i, _, _ in rows}
+    inner = [(i, j, c) for i, j, c in rows if j in sset]
+    t: dict = {}
+    for i, _, c in inner:
+        t[i] = t.get(i, 0) + c
+    k = len(sset)
+    # three quantized power iterations, per-term truncating div on
+    # non-negative ints — Python // is the same operator as the
+    # oracle's HUGEINT // and the old DECIMAL(38,0) div, term by term
+    pi = {s: 1000000 // k for s in sorted(sset)}
     for _ in range(3):
-        pi = (
-            pairs.join(pi, pairs["i"] == pi["state"])
-            .groupBy("j")
-            .agg(F.sum(F.expr("pi * c div t")).cast("decimal(38,0)").alias("pi"))
-            .withColumnRenamed("j", "state")
-        )
-    h = (
-        pairs.join(pi, pairs["i"] == pi["state"])
-        .agg(
-            F.sum(
-                F.expr(
-                    "pi * c * CAST(round(ln(CAST(t AS DOUBLE)) * 1000)"
-                    "              - round(ln(CAST(c AS DOUBLE)) * 1000)"
-                    "              AS DECIMAL(38,0))"
-                    " div t"
-                )
+        nxt: dict = {}
+        for i, j, c in inner:
+            if i in pi:
+                nxt[j] = nxt.get(j, 0) + (pi[i] * c) // t[i]
+        pi = nxt
+    # entropy over the k²-row local frame: identical JVM expression as
+    # before (split-ln milli rule), fed by exact integers
+    pairs_local = spark.createDataFrame(
+        [(i, c, t[i], pi[i]) for i, j, c in inner if i in pi],
+        "i string, c long, t long, pi long",
+    )
+    h = pairs_local.agg(
+        F.sum(
+            F.expr(
+                "CAST(pi AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))"
+                " * CAST(round(ln(CAST(t AS DOUBLE)) * 1000)"
+                "        - round(ln(CAST(c AS DOUBLE)) * 1000)"
+                "        AS DECIMAL(38,0))"
+                " div CAST(t AS DECIMAL(38,0))"
             )
-            .cast("decimal(38,0)")
-            .alias("h_nano")
         )
+        .cast("decimal(38,0)")
+        .alias("h_nano")
+    )
+    pi_df = spark.createDataFrame(
+        sorted(pi.items()), "state string, pi long"
     )
     return (
-        pi.crossJoin(F.broadcast(h))
-        .crossJoin(F.broadcast(k))
+        pi_df.crossJoin(F.broadcast(h))
         .select(
             "state",
             F.col("pi").cast("long").alias("pi_micro"),
             F.col("h_nano").cast("long").alias("h_nano"),
-            F.col("k").cast("long").alias("n_states"),
+            F.lit(k).cast("long").alias("n_states"),
         )
         .orderBy("state")
     )
@@ -6126,9 +6210,21 @@ def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs2 = obs.crossJoin(F.broadcast(span)).select(
         "event_type", F.datediff("d", "d0").alias("i"), "x"
     )
-    dense = grid.join(obs2, ["event_type", "i"], "left").withColumn(
-        "x", F.coalesce(F.col("x"), F.lit(0).cast("decimal(38,0)"))
+    # r16 (guide §2.4/§5): valgrp, the rank join, dims, rs and ssq each
+    # re-derived the zero-filled grid — and with it the fact-sized
+    # (type, day) aggregate — once per consumer (measured plan: 57
+    # Exchange / 26 scans). The grid is (types × days)-sized, i.e.
+    # calendar-bounded: persist it so the fact pass runs once.
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    dense = (
+        grid.join(obs2, ["event_type", "i"], "left")
+        .withColumn(
+            "x", F.coalesce(F.col("x"), F.lit(0).cast("decimal(38,0)"))
+        )
+        .persist()
     )
+    register_cached(dense, [dense])
     wday = (
         W.partitionBy("i")
         .orderBy("x")
@@ -6485,9 +6581,20 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs2 = obs.crossJoin(F.broadcast(span)).select(
         "event_type", F.datediff("d", "d0").alias("i"), "x"
     )
-    dense = grid.join(obs2, ["event_type", "i"], "left").withColumn(
-        "x", F.coalesce(F.col("x"), F.lit(0).cast("decimal(38,0)"))
+    # r16 (guide §2.4/§5): the tie-group window, the rank join and the
+    # self-joined pair sides each re-derived the grid (and the fact
+    # aggregate under it) per consumer (measured plan: 36 Exchange / 16
+    # scans). Calendar-bounded frame: persist, one fact pass.
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    dense = (
+        grid.join(obs2, ["event_type", "i"], "left")
+        .withColumn(
+            "x", F.coalesce(F.col("x"), F.lit(0).cast("decimal(38,0)"))
+        )
+        .persist()
     )
+    register_cached(dense, [dense])
     wtype = (
         W.partitionBy("event_type")
         .orderBy("x")
@@ -7076,6 +7183,15 @@ def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("yc"),
     )
+    # r16 examined, deliberately left un-persisted: the two axis-rank
+    # passes and the row-count aggregate each re-run the fact-sized
+    # per-user aggregate (measured plan: 18 Exchange / 5 scans), but a
+    # per_user persist MEASURED SLOWER in the sandwich A/B at sf0.1
+    # (warm 1.9 s un-persisted vs 2.2-2.3 s persisted) — the duplicated
+    # aggregate subtrees run as concurrent stages inside the one job
+    # (the q_wand_prune adjudication, same mechanism). At real scale
+    # the knob flips and the per-user frame is a persisted/bucketed
+    # intermediate.
     # ranks WITHOUT single-partition windows: the engine's two-level
     # ranked prefix sums (repartitionByRange + partitioned windows),
     # once per axis — the user table row-scales, so a global

@@ -7250,26 +7250,37 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine + id tie-breaks; hits/scanned are integer joins/sums; the
     recall is one truncated micro division. Scale shape: truth is the
     X38 broadcast scorer (queries broadcast, corpus streamed — the
-    audit's cost, not the production path's); each sweep point is a
-    probe-pruned scan exactly like X45, and the per-point aggregates
-    are 1-row frames crossed and unioned (3 points — sweep size is a
-    constant, never data-sized). The scanned_rows column IS the cost
-    model: at production scale you read this table to pick nprobe,
-    not rerun the sweep."""
+    audit's cost, not the production path's), persisted and run ONCE;
+    the probe-pruned corpus is scored ONCE at max(nprobe) with the
+    probe rank attached (candidate sets nest as nprobe grows and the
+    pairwise cosine is nprobe-independent, so every sweep point is a
+    filter + re-rank of the one persisted scored frame — r16, guide
+    §2.4); the per-point aggregates are 1-row frames crossed and
+    unioned (3 points — sweep size is a constant, never data-sized).
+    The scanned_rows column IS the cost model: at production scale you
+    read this table to pick nprobe, not rerun the sweep."""
     from mysql_cdc_to_http_spark.operators.similarity import (
         as_double,
         cosine,
     )
     from pyspark.sql.window import Window as W
 
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
     centroids = sample_centroids(corpus, n_centroids=16)
     bucketed = assign_buckets(corpus, centroids)
-    truth = cosine_topk_bruteforce(queries, corpus, k=3).select(
-        "query_id", "corpus_id"
+    # r16 (guide §2.4/§5): the brute-force truth is joined by every
+    # sweep point — un-persisted it re-scored the whole corpus once per
+    # point. It is (queries × k)-sized: persist it.
+    truth = (
+        cosine_topk_bruteforce(queries, corpus, k=3)
+        .select("query_id", "corpus_id")
+        .persist()
     )
+    register_cached(truth, [truth])
     bsize = bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
@@ -7286,6 +7297,7 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         qd.crossJoin(F.broadcast(cents_df))
         .select(
             "query_id",
+            "qv",
             F.col("cid").alias("bucket"),
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("s"),
         )
@@ -7298,16 +7310,49 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # r16 (guide §2.4, score once — the oracle's own structure): each
+    # sweep point used to call ivf_topk, re-assigning and re-scoring
+    # the bucketed corpus per nprobe (measured plan: 27 Exchange / 21
+    # scans for 3 points). The candidate set at nprobe p is exactly
+    # the scored pairs whose probe rank pr <= p, and the pairwise
+    # rounded cosine does not depend on p — so score ONCE at
+    # max(nprobe) with pr attached, persist the (queries × scanned
+    # corpus)-sized frame, and derive every sweep point by filter +
+    # re-rank. Probe ordering (s desc, bucket asc) and candidate
+    # ranking (cos_sim desc, corpus_id) are byte-identical to
+    # ivf_topk's — rows verified identical at sf0.01/sf0.1.
+    max_np = max(_IVF_SWEEP_NPROBES)
+    probes = prank.filter(F.col("pr") <= max_np).select(
+        "query_id", "qv", "bucket", "pr"
+    )
+    cand = (
+        bucketed.join(F.broadcast(probes), "bucket")
+        .select(
+            "query_id",
+            "pr",
+            F.col("vec_id").alias("corpus_id"),
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        .persist()
+    )
+    register_cached(cand, [cand])
+    prank_nb = prank.select("query_id", "bucket", "pr")
     out = None
     for np_ in _IVF_SWEEP_NPROBES:
-        ivf = ivf_topk(
-            queries, bucketed, centroids, k=3, nprobe=np_
-        ).select("query_id", "corpus_id")
+        wr = W.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("corpus_id")
+        )
+        ivf = (
+            cand.filter(F.col("pr") <= np_)
+            .withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= 3)
+            .select("query_id", "corpus_id")
+        )
         hits = ivf.join(truth, ["query_id", "corpus_id"]).agg(
             F.count(F.lit(1)).cast("long").alias("hits")
         )
         scanned = (
-            prank.filter(F.col("pr") <= np_)
+            prank_nb.filter(F.col("pr") <= np_)
             .join(bsize, "bucket")
             .agg(F.sum("n").cast("long").alias("scanned_rows"))
         )
@@ -7698,6 +7743,18 @@ def q_wand_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = toks.select("doc_id", F.explode("toks").alias("term")).filter(
         F.col("term").isin(*_BM25_TERMS)
     )
+    # r16 examined, deliberately left un-persisted: tf/dl/contrib/theta/
+    # ub/survivors each have 2-3 consumers, so the tokenize+explode
+    # pipeline is re-derived per consumer (measured plan: 54 Exchange /
+    # 34 scans). Persisting tf+dl was MEASURED SLOWER at sf0.1
+    # (sandwich A/B: warm 1.9 s un-persisted vs 4.1 s persisted) — the
+    # duplicated subtrees are narrow scan+explode stages that run
+    # CONCURRENTLY inside the one job, while the persist serializes
+    # them behind a materialization barrier. At real scale the same
+    # knob flips (re-tokenizing a 100 TB corpus 8× dwarfs one cache
+    # write); there the posting lists (tf) and doc lengths (dl) are
+    # materialized artifacts of the indexing pipeline, not per-query
+    # persists.
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = dfq.crossJoin(F.broadcast(stats)).select(
