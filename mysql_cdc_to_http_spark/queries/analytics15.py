@@ -1335,12 +1335,25 @@ def q_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = idx.agg(
         F.expr("CAST(max(i) div 2 AS BIGINT)").alias("knot")
     )
-    seg = idx.crossJoin(F.broadcast(par)).select(
-        "event_type",
-        F.when(F.col("i") < F.col("knot"), 0).otherwise(1).alias("seg"),
-        F.col("i").cast("decimal(38,0)").alias("i"),
-        "x",
+    # r16 (guide §2.4/§5): the per-segment moments (evaluated once per
+    # output side), the pooled moments and the knot derivation each
+    # re-derived the segmented series — and the fact-sized daily
+    # rollup under it — per consumer (measured plan: 21 Exchange / 12
+    # scans). The series is (types × days)-sized: persist it, one
+    # fact pass. Released via the register_cached contract.
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    seg = (
+        idx.crossJoin(F.broadcast(par))
+        .select(
+            "event_type",
+            F.when(F.col("i") < F.col("knot"), 0).otherwise(1).alias("seg"),
+            F.col("i").cast("decimal(38,0)").alias("i"),
+            "x",
+        )
+        .persist()
     )
+    register_cached(seg, [seg])
     def _mo(df, keys):
         return df.groupBy(*keys).agg(
             F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
@@ -3946,13 +3959,23 @@ def q_bigram_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
         )
     )
+    # r16 (guide §2.4/§5): the unigram rollup, the vocabulary count and
+    # the scoring join each re-derived the train bigram table — and the
+    # fact-sized tokenize+explode under it — per consumer (measured
+    # plan: 16 Exchange / 4 scans). The table is bigram-vocabulary-
+    # sized (Heaps-sublinear): persist it, one train explode pass.
+    # Released via the register_cached contract.
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
     train_bg = (
         tok.filter(F.expr("doc_id % 2 = 0 AND size(t) >= 2"))
         .select(bg.alias("b"))
         .select("b.w1", "b.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cab"))
+        .persist()
     )
+    register_cached(train_bg, [train_bg])
     train_u = train_bg.groupBy("w1").agg(
         F.sum("cab").cast("decimal(38,0)").alias("ca")
     )

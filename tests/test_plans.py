@@ -622,11 +622,29 @@ def test_audience_overlap_joins_words_not_rows(spark, sf_dir):
 
 def test_forget_audit_broadcasts_key_lists(spark, sf_dir):
     """X145: every table audit joins against a BROADCAST key list — the
-    fact tables must not reshuffle for the semi/anti pairs."""
+    fact tables must not reshuffle for the purge/keep split.
+
+    r16: the semi/anti PAIR per table (two fact scans each) became ONE
+    LeftOuter broadcast join with a hit marker (n_purged =
+    count(__hit), n_kept = count(*) − count(__hit) — identical counts
+    because every key list is distinct by construction). The plan
+    contract is now: ≥4 broadcast OUTER joins, still zero fact-side
+    shuffles, and exactly one scan per audited fact table."""
     plan = plan_of(QUERIES["q_forget_audit"](spark, sf_dir))
     assert "BroadcastExchange" in plan
-    assert plan.count("LeftSemi") >= 4
-    assert plan.count("LeftAnti") >= 4
+    assert plan.count("LeftOuter") >= 4
+    # the one-pass form: each audited stream is scanned once (orders
+    # and customer get one extra scan as key-list SOURCES: customer
+    # feeds the cohort, orders feeds the lineitem audit's o_purge)
+    assert plan.count("lineitem.parquet") <= 1, plan
+    assert plan.count("events.parquet") <= 1, plan
+    assert plan.count("orders.parquet") <= 2, plan
+    # customer feeds its own audit + the cohort key list of three
+    # audits (semi/anti would have made this 8)
+    assert plan.count("customer.parquet") <= 5, plan
+    # no fact-side reshuffle: every join is broadcast, so no
+    # hashpartitioning exchange on the audited streams
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_q21_double_quantifier_single_fact_exchange(spark, sf_dir):
