@@ -1284,7 +1284,20 @@ def q_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("tok") != "")
     )
-    tf = toks.groupBy("cluster", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # r16 (guide §2.4/§5): the cluster totals, token totals, grand
+    # total and the scored join each re-derived the (cluster, token)
+    # counts — and the doc-join + explode + kmeans-assignment
+    # projection under them — per consumer (measured plan: 10 Exchange
+    # / 8 scans). tf is vocabulary-sized: persist it, one token pass.
+    # Released via the register_cached contract.
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    tf = (
+        toks.groupBy("cluster", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    register_cached(tf, [tf])
     ct = tf.groupBy("cluster").agg(F.sum("tf").alias("ctot"))
     tt = tf.groupBy("tok").agg(F.sum("tf").alias("ttot"))
     tot = tf.agg(F.sum("tf").alias("gtot"))

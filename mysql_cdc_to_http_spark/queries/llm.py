@@ -4224,16 +4224,33 @@ def q_mrl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     trunc = F.slice(F.col("embedding"), 1, _MRL_KEEP_DIMS)
     q_t = queries_df.select("vec_id", trunc.alias("embedding"))
     c_t = corpus.select("vec_id", trunc.alias("embedding"))
-    full_r = cosine_topk_bruteforce(queries_df, corpus, k=10).select(
-        F.col("query_id").alias("qid"),
-        F.col("corpus_id").alias("cid"),
-        F.col("rank").alias("ar"),
+    # r16 (guide §2.4/§5): both ranked arms feed the pair join AND the
+    # top-1 comparison — un-persisted, each brute-force corpus scorer
+    # ran twice (measured plan: 9 Exchange / 9 scans). The arms are
+    # (queries × 10)-sized: persist both, one scoring pass per arm.
+    # Released via the register_cached contract.
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    full_r = (
+        cosine_topk_bruteforce(queries_df, corpus, k=10)
+        .select(
+            F.col("query_id").alias("qid"),
+            F.col("corpus_id").alias("cid"),
+            F.col("rank").alias("ar"),
+        )
+        .persist()
     )
-    tr_r = cosine_topk_bruteforce(q_t, c_t, k=10).select(
-        F.col("query_id").alias("qid"),
-        F.col("corpus_id").alias("cid"),
-        F.col("rank").alias("br"),
+    register_cached(full_r, [full_r])
+    tr_r = (
+        cosine_topk_bruteforce(q_t, c_t, k=10)
+        .select(
+            F.col("query_id").alias("qid"),
+            F.col("corpus_id").alias("cid"),
+            F.col("rank").alias("br"),
+        )
+        .persist()
     )
+    register_cached(tr_r, [tr_r])
     pairs = full_r.join(
         tr_r.withColumnRenamed("qid", "t_qid").withColumnRenamed(
             "cid", "t_cid"
