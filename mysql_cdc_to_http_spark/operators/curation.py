@@ -405,16 +405,25 @@ def dsir_scores(
             % n_buckets
         ).alias("b"),
     )
+    # ONE pass over the fact-sized gram stream: the two LM tables are
+    # exact rollups of the per-(doc, bucket) counts (__is_t is a DOC
+    # property, so "grams in target docs per bucket" == Σ c over target
+    # docs' rows) — deriving them from the persisted doc_counts removes
+    # two of the three tokenize+explode passes (guide §2.3 "aggregate
+    # before you shuffle", §2.4). Released via the caching contract.
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
     doc_counts = grams.groupBy(id_col, "b").agg(
         F.count(F.lit(1)).alias("c"),
         F.max("__is_t").alias("__is_t"),
-    )
+    ).persist()
+    register_cached(doc_counts, [doc_counts])
     lm_t = (
-        grams.filter(F.col("__is_t") == 1)
+        doc_counts.filter(F.col("__is_t") == 1)
         .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("n_t"))
+        .agg(F.sum("c").alias("n_t"))
     )
-    lm_s = grams.groupBy("b").agg(F.count(F.lit(1)).alias("n_s"))
+    lm_s = doc_counts.groupBy("b").agg(F.sum("c").alias("n_s"))
     totals = (
         lm_t.agg(F.sum("n_t").alias("nt_total"))
         .crossJoin(lm_s.agg(F.sum("n_s").alias("ns_total")))

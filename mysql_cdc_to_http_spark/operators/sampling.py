@@ -247,6 +247,30 @@ def weighted_sample_keys(
     return -F.log(u) / weight_col.cast("double")
 
 
+def _pin_ranges(part: DataFrame) -> DataFrame:
+    """Persist a ``repartitionByRange(...) + spark_partition_id()`` frame
+    so BOTH of its consumers (the within-range window and the per-range
+    totals) read ONE materialized partitioning.
+
+    Correctness, not a cache tweak: range boundaries come from reservoir
+    sampling whose seed involves the RDD id, so two independent
+    evaluations of the same repartitionByRange can draw DIFFERENT
+    boundaries — and the two-level prefix decomposition is only exact
+    when the window pass and the totals pass agree on ``__p``. The two
+    subtrees historically coincided because Catalyst's ReusedExchange
+    deduplicated the exchange, but exchange reuse is an optimization,
+    not a guarantee: an upstream InMemoryRelation was observed (r17) to
+    defeat it and produce an off-by-one prefix at sf0.1. Persisting the
+    partitioned frame makes boundary agreement structural (and drops the
+    second range-exchange evaluation — guide §2.4). Released per query
+    via the register_cached contract (bench.py / callers)."""
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    part = part.persist()
+    register_cached(part, [part])
+    return part
+
+
 def ranked_prefix_sums(
     df: DataFrame,
     order_cols,
@@ -272,8 +296,10 @@ def ranked_prefix_sums(
     """
     from pyspark.sql.window import Window as W
 
-    part = df.repartitionByRange(n_ranges, *order_cols).withColumn(
-        "__p", F.spark_partition_id()
+    part = _pin_ranges(
+        df.repartitionByRange(n_ranges, *order_cols).withColumn(
+            "__p", F.spark_partition_id()
+        )
     )
     w_in = (
         W.partitionBy("__p")
@@ -331,8 +357,10 @@ def ranked_exclusive_cummax(
     """
     from pyspark.sql.window import Window as W
 
-    part = df.repartitionByRange(n_ranges, *order_cols).withColumn(
-        "__p", F.spark_partition_id()
+    part = _pin_ranges(
+        df.repartitionByRange(n_ranges, *order_cols).withColumn(
+            "__p", F.spark_partition_id()
+        )
     )
     w_in = (
         W.partitionBy("__p")
@@ -384,8 +412,10 @@ def grouped_ranks(
     from pyspark.sql.window import Window as W
 
     keys = [F.col(g) for g in grp_cols] + list(order_cols)
-    part = df.repartitionByRange(n_ranges, *keys).withColumn(
-        "__p", F.spark_partition_id()
+    part = _pin_ranges(
+        df.repartitionByRange(n_ranges, *keys).withColumn(
+            "__p", F.spark_partition_id()
+        )
     )
     w_in = W.partitionBy("__p", *grp_cols).orderBy(*order_cols)
     out = part.withColumn("__rn_in", F.row_number().over(w_in))
@@ -427,8 +457,10 @@ def grouped_prefix_sums(
     from pyspark.sql.window import Window as W
 
     keys = [F.col(g) for g in grp_cols] + list(order_cols)
-    part = df.repartitionByRange(n_ranges, *keys).withColumn(
-        "__p", F.spark_partition_id()
+    part = _pin_ranges(
+        df.repartitionByRange(n_ranges, *keys).withColumn(
+            "__p", F.spark_partition_id()
+        )
     )
     w_in = (
         W.partitionBy("__p", *grp_cols)

@@ -242,15 +242,23 @@ def q_pipeline_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mysql_cdc_to_http_spark.operators.sampling import pack_sequences
 
+    from pyspark.sql.window import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("source") != "src0")
-    # 1. exact dedup: lowest doc_id per content hash (16-byte shuffle key)
-    keep = (
-        corpus.groupBy(F.md5("text").alias("__h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # 1. exact dedup: lowest doc_id per content hash. One window over the
+    # 16-byte hash instead of groupBy(min) + join-back-on-doc_id — the
+    # same survivor set (doc_id is unique, so a row survives iff it IS
+    # its hash group's min) for one fact shuffle instead of two plus the
+    # join's sort (guide §2.4 — share the exchange, drop the join).
+    deduped = (
+        corpus.withColumn(
+            "__mind",
+            F.min("doc_id").over(W.partitionBy(F.md5("text"))),
+        )
+        .filter(F.col("doc_id") == F.col("__mind"))
+        .drop("__mind")
     )
-    deduped = corpus.join(keep, "doc_id")
     # 2. one staged tokenize pass → length + repetition quality gate
     staged = deduped.select(
         "doc_id", "source", "text", tokenize(F.col("text")).alias("__toks")

@@ -727,18 +727,23 @@ def _copurchase_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not cached.is_cached:  # re-persist after release_all_cached
             register_cached(cached.persist(), [cached])
         return cached
-    pr = (
+    # Edge build via collect_set + double explode (the q_kcore_peel r16
+    # edge-build shave): one groupBy shuffle instead of the distinct +
+    # self-join-on-orderkey (two more fact exchanges + sort). Orders
+    # hold ≤ 7 distinct parts, so the per-order pair explode is bounded
+    # (≤ 21 pairs/order — the LSH bucket-cap discipline); collect_set IS
+    # the distinct membership, and the a<b filter + final distinct give
+    # the identical canonical edge set (guide §2.4).
+    grp = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    b = pr.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("members"))
     )
     edges = (
-        pr.join(b, (F.col("l_orderkey") == F.col("o2")))
-        .filter(F.col("l_partkey") < F.col("v"))
-        .select(F.col("l_partkey").alias("u"), "v")
+        grp.select(F.explode("members").alias("u"), "members")
+        .select("u", F.explode("members").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
         .distinct()
     )
     pair_key = F.concat_ws(

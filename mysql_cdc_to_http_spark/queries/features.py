@@ -463,19 +463,30 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("val"),
         "o_orderkey",
     )
+    # ranked (the two-level range-partitioned rank pass) used to be
+    # re-derived by THREE consumers (lo-cut filter, hi-cut filter, the
+    # clipped stream). Persist it and build BOTH cut points in one
+    # filter+aggregate pass (guide §2.4; the q_abc_analysis ranked-
+    # cumulative precedent). Identical by construction: lo_cut/hi_cut
+    # are still "the val at __grank == k / == __gn-k+1 per grp".
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
     ranked = grouped_ranks(
         o, ["grp"], [F.col("val"), F.col("o_orderkey")]
-    )
+    ).persist()
+    register_cached(ranked, [ranked])
     k = F.expr("(__gn + 99) div 100")
-    cuts_lo = ranked.filter(F.col("__grank") == k).select(
-        "grp", F.col("val").alias("lo_cut")
+    is_lo = F.col("__grank") == k
+    is_hi = F.col("__grank") == F.col("__gn") - k + 1
+    cut_tbl = (
+        ranked.filter(is_lo | is_hi)
+        .groupBy("grp")
+        .agg(
+            F.max(F.when(is_lo, F.col("val"))).alias("lo_cut"),
+            F.max(F.when(is_hi, F.col("val"))).alias("hi_cut"),
+        )
     )
-    cuts_hi = ranked.filter(
-        F.col("__grank") == F.col("__gn") - k + 1
-    ).select("grp", F.col("val").alias("hi_cut"))
-    cuts = ranked.join(F.broadcast(cuts_lo), "grp").join(
-        F.broadcast(cuts_hi), "grp"
-    )
+    cuts = ranked.join(F.broadcast(cut_tbl), "grp")
     clipped = F.least(F.greatest(F.col("val"), F.col("lo_cut")), F.col("hi_cut"))
     return (
         cuts.groupBy("grp", "lo_cut", "hi_cut")
@@ -5931,7 +5942,13 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the cache materialization is a barrier). The entropy sum
     stays a Spark expression over a local k²-row frame so ln() runs
     on the same JVM libm as before (no new cross-engine surface).
-    Presentation sort is state-bounded (allowlist class a)."""
+    Presentation sort is state-bounded (allowlist class a).
+
+    Plan-tooling note (r16 ADVICE): the pairs0.collect() runs at PLAN
+    CONSTRUCTION time, so plan-only tooling (dump_plan / plan_profile /
+    plan tests) pays one full fact-window execution where the pre-r16
+    form built a lazy plan — expected cost of the bounded-collect
+    shape, not a regression."""
     from pyspark.sql.window import Window as W
 
     ev = load_table(spark, sf_dir, "events")
@@ -5949,6 +5966,12 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded k²-row collect (model-sized class); ints are exact
     rows = [(r["i"], r["j"], int(r["c"])) for r in pairs0.collect()]
     sset = {i for i, _, _ in rows}
+    if not sset:
+        # no multi-event users (r16 ADVICE): the pre-r16 dataflow form
+        # returned an empty frame here; 1000000 // k would divide by 0
+        return spark.createDataFrame(
+            [], "state string, pi_micro long, h_nano long, n_states long"
+        )
     inner = [(i, j, c) for i, j, c in rows if j in sset]
     t: dict = {}
     for i, _, c in inner:
@@ -8437,10 +8460,13 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-scaling customer table); the decile reduction is one
     aggregate over a 10-way broadcast cross join. Output is 10 rows.
     """
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
     from mysql_cdc_to_http_spark.operators.sampling import (
         ranked_prefix_sums,
     )
 
+    # rev (customer-sized) feeds the ranked-prefix pass AND tots — each
+    # re-ran the fact aggregate. Persist it: one orders pass (guide §2.4).
     rev = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -8454,7 +8480,9 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
         .withColumn("__one", F.lit(1).cast("bigint"))
+        .persist()
     )
+    register_cached(rev, [rev])
     ranked = ranked_prefix_sums(
         rev,
         [F.col("cents").asc(), F.col("o_custkey").asc()],

@@ -1054,6 +1054,77 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _x46_variant_texts(docs: DataFrame) -> DataFrame:
+    """(doc_id, t0x, t1x, t2x): the X46 chained word-drop variant texts,
+    all three derived in ONE row of ONE documents scan. t1x/t2x are pure
+    column functions of t0x (= lower(text)) — exactly the expressions
+    the old union-of-three-frames form evaluated, just not re-scanned."""
+    return (
+        docs.select("doc_id", F.lower("text").alias("t0x"))
+        .withColumn("t1x", F.expr("substring(t0x, instr(t0x, ' ') + 1)"))
+        .withColumn("t2x", F.expr("substring(t1x, instr(t1x, ' ') + 1)"))
+    )
+
+
+def _x46_edges(base: DataFrame) -> DataFrame:
+    """The X46 near-dup edge list (src, dst) computed per ROW, no self-join.
+
+    The old form unioned (v0, v1, v2) into a 3×corpus frame, tokenized
+    it, and equi-joined it to itself on dst = src + 100000 — two fact
+    exchanges + sort for pairs that are, by fixture construction, always
+    (d, d+100000) and (d+100000, d+200000) of the SAME base document.
+    Since t1/t2 are column-derived from t0 in the same row, both Jaccard
+    edge tests are row-local expressions: identical edge set, zero
+    shuffles (guide §2.4 — remove shuffles outright)."""
+    arr = lambda c: F.array_distinct(F.split(c, r"\s+"))  # noqa: E731
+    jacc = lambda x, y: (  # noqa: E731
+        F.size(F.array_intersect(x, y)).cast("double")
+        / F.size(F.array_union(x, y))
+    )
+    tok = base.select(
+        "doc_id",
+        arr(F.col("t0x")).alias("w0"),
+        arr(F.col("t1x")).alias("w1"),
+        arr(F.col("t2x")).alias("w2"),
+    )
+    flagged = tok.select(
+        "doc_id",
+        (jacc(F.col("w0"), F.col("w1")) >= 0.5).alias("e1"),
+        (jacc(F.col("w1"), F.col("w2")) >= 0.5).alias("e2"),
+    )
+    pair = F.array(
+        F.struct(
+            F.col("e1").alias("k"),
+            F.col("doc_id").alias("src"),
+            (F.col("doc_id") + 100000).alias("dst"),
+        ),
+        F.struct(
+            F.col("e2").alias("k"),
+            (F.col("doc_id") + 100000).alias("src"),
+            (F.col("doc_id") + 200000).alias("dst"),
+        ),
+    )
+    return (
+        flagged.select(
+            F.explode(F.filter(pair, lambda s: s["k"])).alias("e")
+        ).select("e.src", "e.dst")
+    )
+
+
+def _x46_nodes(docs: DataFrame) -> DataFrame:
+    """(doc_id) of the 3×corpus — connected_components only reads the id
+    column of its node frame, so the variant TEXTS need never be built."""
+    return docs.select(
+        F.explode(
+            F.array(
+                F.col("doc_id"),
+                F.col("doc_id") + 100000,
+                F.col("doc_id") + 200000,
+            )
+        ).alias("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # duplicate-cluster resolution: connected components over near-dup edges
 # + canonical survivor per cluster — oracle-checked (the iterative label
@@ -1110,32 +1181,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    v1 = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.expr("substring(lower(text), instr(lower(text), ' ') + 1)").alias(
-            "text"
-        ),
-    )
-    v2 = v1.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
-    )
-    corpus = docs.select("doc_id", F.lower("text").alias("text")).unionByName(
-        v1
-    ).unionByName(v2)
-    toks = corpus.select(
-        "doc_id", F.array_distinct(F.split("text", r"\s+")).alias("t")
-    )
-    a = toks.select(F.col("doc_id").alias("src"), F.col("t").alias("ta"))
-    b = toks.select(F.col("doc_id").alias("dst"), F.col("t").alias("tb"))
-    cand = a.join(
-        b, (F.col("dst") == F.col("src") + 100000) & (F.col("src") < 200000)
-    )
-    jacc = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
-        F.array_union("ta", "tb")
-    )
-    edges = cand.filter(jacc >= 0.5).select("src", "dst")
-    comp = connected_components(edges, corpus, id_col="doc_id")
+    edges = _x46_edges(_x46_variant_texts(docs))
+    comp = connected_components(edges, _x46_nodes(docs), id_col="doc_id")
     return canonicalize_clusters(comp, "doc_id")
 
 
@@ -3046,8 +3093,20 @@ def q_domain_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     D² over D domains (20 here), model-sized. The audit intersection
     join shuffles on shingle with ≤D rows per key — bounded fan-out,
     dropped entirely in the sketch-only production path."""
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
     docs = load_table(spark, sf_dir, "documents")
-    sh, sigs = _domain_signatures(docs)
+    sh, _ = _domain_signatures(docs)
+    # sh (distinct (source, shingle) — the one fact-sized frame) used to
+    # be re-derived by the signature aggregate AND both sides of the
+    # audit self-join: persist it → one tokenize+explode+distinct pass
+    # (guide §2.4/§5).
+    sh = sh.persist()
+    register_cached(sh, [sh])
+    sigs = sh.groupBy("source").agg(
+        *[F.min(_dmh_hash(i)).alias(f"s{i}") for i in range(_DMH_SLOTS)],
+        F.count(F.lit(1)).cast("long").alias("nsh"),
+    )
     a = sigs.select(
         F.col("source").alias("domain_a"),
         *[F.col(f"s{i}").alias(f"sa{i}") for i in range(_DMH_SLOTS)],
@@ -3073,13 +3132,34 @@ def q_domain_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nsh_a",
         "nsh_b",
     )
+    # audit intersection WITHOUT the shingle self-join: per shingle the
+    # (distinct) domain set is ≤ D = 20, so group once by g, emit the
+    # sorted ordered pairs row-locally, and count per pair — ONE fact
+    # shuffle (the groupBy g) instead of two join-side exchanges + sort,
+    # and the same (a, b, count) rows: pair (a < b) appears for shingle
+    # g iff both domains contain g, exactly the join's predicate
+    # (guide §2.4; §3.3 "explode after the join" inverted — the heavy
+    # side never crosses a join at all).
+    dom_sets = sh.groupBy("g").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                lambda b: F.struct(
+                    a.alias("domain_a"), b.alias("domain_b")
+                ),
+            ),
+        )
+    )
     ix = (
-        sh.alias("x")
-        .join(sh.alias("y"), (F.col("x.g") == F.col("y.g"))
-              & (F.col("x.source") < F.col("y.source")))
+        dom_sets.filter(F.size("ss") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
         .groupBy(
-            F.col("x.source").alias("domain_a"),
-            F.col("y.source").alias("domain_b"),
+            F.col("p.domain_a").alias("domain_a"),
+            F.col("p.domain_b").alias("domain_b"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("inter_exact"))
     )
@@ -3264,7 +3344,14 @@ def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
+        # sh feeds the signature aggregate AND the exact-intersection
+        # counts below — persist the (sample-sized) frame, one
+        # tokenize+explode pass (guide §2.4/§5)
+        .persist()
     )
+    from mysql_cdc_to_http_spark.operators.caching import register_cached
+
+    register_cached(sh, [sh])
 
     def slot(i):
         return F.conv(
@@ -3277,7 +3364,6 @@ def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = sh.groupBy("doc_id").agg(
         *[F.min(slot(i)).alias(f"s{i}") for i in range(_CAL_SLOTS)],
-        F.collect_set("g").alias("gs"),
         F.count(F.lit(1)).cast("long").alias("nsh"),
     )
     # spread the deliberate all-pairs stage: the sample aggregates into
@@ -3288,13 +3374,11 @@ def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"s{i}").alias(f"sa{i}") for i in range(_CAL_SLOTS)],
-        F.col("gs").alias("gs_a"),
         F.col("nsh").alias("nsh_a"),
     )
     b = sigs.select(
         F.col("doc_id").alias("id_b"),
         *[F.col(f"s{i}").alias(f"sb{i}") for i in range(_CAL_SLOTS)],
-        F.col("gs").alias("gs_b"),
         F.col("nsh").alias("nsh_b"),
     )
     caught = None
@@ -3305,11 +3389,44 @@ def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             eq = F.col(f"sa{i}") == F.col(f"sb{i}")
             band_eq = eq if band_eq is None else (band_eq & eq)
         caught = band_eq if caught is None else (caught | band_eq)
-    inter = F.size(F.array_intersect("gs_a", "gs_b"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
-        inter.alias("i"),
-        (F.col("nsh_a") + F.col("nsh_b") - inter).alias("u"),
-        caught.alias("caught"),
+    # exact |gs_a ∩ gs_b| WITHOUT carrying the per-doc shingle sets
+    # through the all-pairs join (they dominated the broadcast AND paid
+    # an O(|gs|) array_intersect per pair): per shingle the doc set is
+    # known, so emit the ascending (id_a, id_b) pairs row-locally and
+    # count per pair — pair (a < b) counts shingle g iff both docs
+    # contain g, exactly the old intersection; pairs sharing NOTHING
+    # (the J=0 background bins) get their 0 from the left join's
+    # coalesce, so every bin keeps its exact n_pairs (the calibration-
+    # bin contract). Guide §2.3 — shuffle keys, not payloads.
+    dsets = sh.groupBy("g").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ds")
+    )
+    cal_pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    icnt = (
+        dsets.filter(F.size("ds") >= 2)
+        .select(F.explode(cal_pair_arr).alias("p"))
+        .groupBy(
+            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("__i"))
+    )
+    inter = F.coalesce(F.col("__i"), F.lit(0)).cast("int")
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .join(icnt, ["id_a", "id_b"], "left")
+        .select(
+            inter.alias("i"),
+            (F.col("nsh_a") + F.col("nsh_b") - inter).alias("u"),
+            caught.alias("caught"),
+        )
     )
     binned = pairs.select(
         # Clamp to bin 9: exact-duplicate pairs (Jaccard exactly 1.0)
@@ -5095,32 +5212,8 @@ def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_cdc_to_http_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    v1 = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.expr("substring(lower(text), instr(lower(text), ' ') + 1)").alias(
-            "text"
-        ),
-    )
-    v2 = v1.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
-    )
-    corpus = docs.select("doc_id", F.lower("text").alias("text")).unionByName(
-        v1
-    ).unionByName(v2)
-    toks = corpus.select(
-        "doc_id", F.array_distinct(F.split("text", r"\s+")).alias("t")
-    )
-    a = toks.select(F.col("doc_id").alias("src"), F.col("t").alias("ta"))
-    b = toks.select(F.col("doc_id").alias("dst"), F.col("t").alias("tb"))
-    cand = a.join(
-        b, (F.col("dst") == F.col("src") + 100000) & (F.col("src") < 200000)
-    )
-    jacc = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
-        F.array_union("ta", "tb")
-    )
-    edges = cand.filter(jacc >= 0.5).select("src", "dst")
-    comp = connected_components(edges, corpus, id_col="doc_id")
+    edges = _x46_edges(_x46_variant_texts(docs))
+    comp = connected_components(edges, _x46_nodes(docs), id_col="doc_id")
     sized = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
@@ -5230,37 +5323,31 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_cdc_to_http_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    v0 = docs.select("doc_id", F.lower("text").alias("text"))
-    v1 = v0.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
-    )
-    v2 = v1.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
-    )
-    corpus = v0.unionByName(v1).unionByName(v2)
-    stats = corpus.select(
-        "doc_id",
-        F.size(F.array_distinct(F.split("text", " ")))
-        .cast("long")
-        .alias("n_distinct"),
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-        F.octet_length("text").cast("long").alias("n_bytes"),
-    )
-    toks = corpus.select(
-        "doc_id", F.array_distinct(F.split("text", r"\s+")).alias("t")
-    )
-    a = toks.select(F.col("doc_id").alias("src"), F.col("t").alias("ta"))
-    b = toks.select(F.col("doc_id").alias("dst"), F.col("t").alias("tb"))
-    cand = a.join(
-        b, (F.col("dst") == F.col("src") + 100000) & (F.col("src") < 200000)
-    )
-    jacc = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
-        F.array_union("ta", "tb")
-    )
-    edges = cand.filter(jacc >= 0.5).select("src", "dst")
-    comp = connected_components(edges, corpus, id_col="doc_id")
+    base = _x46_variant_texts(docs)
+
+    def _stat(idc, c):
+        return F.struct(
+            idc.alias("doc_id"),
+            F.size(F.array_distinct(F.split(c, " ")))
+            .cast("long")
+            .alias("n_distinct"),
+            F.size(F.split(c, " ")).cast("long").alias("n_tokens"),
+            F.octet_length(c).cast("long").alias("n_bytes"),
+        )
+
+    # the 3 variant stat rows from ONE scan (same expressions the old
+    # 3-frame union evaluated, per variant column instead of per frame)
+    stats = base.select(
+        F.explode(
+            F.array(
+                _stat(F.col("doc_id"), F.col("t0x")),
+                _stat(F.col("doc_id") + 100000, F.col("t1x")),
+                _stat(F.col("doc_id") + 200000, F.col("t2x")),
+            )
+        ).alias("s")
+    ).select("s.*")
+    edges = _x46_edges(base)
+    comp = connected_components(edges, _x46_nodes(docs), id_col="doc_id")
     ranked = comp.join(stats, "doc_id").withColumn(
         "r",
         F.row_number().over(
@@ -7301,22 +7388,39 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bsize = bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    cents_df = spark.createDataFrame(
-        [(i, v) for i, v in enumerate(centroids)],
-        "cid int, cv array<double>",
-    )
     qd = queries.select(
         F.col("vec_id").alias("query_id"),
         as_double("embedding").alias("qv"),
     )
     nq = qd.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    # probe score = ivf_topk's OWN expression (round(dot(qv, unit
+    # centroid) / |q|, 6) over the same centroid literals) so the two
+    # paths are bit-identical BY CONSTRUCTION, not merely verified equal
+    # at the tested SFs (r16 ADVICE: the previous round(cosine(qv, raw
+    # centroid), 6) is mathematically equal but floating-point-different,
+    # so a 6-dp tie could in principle order probes differently).
+    # posexplode position == centroid id == bucket, and (s desc, bucket
+    # asc) is exactly ivf_topk's array_sort((−sim, cid)) order.
+    from mysql_cdc_to_http_spark.operators.similarity import (
+        _centroid_literals,
+        dot,
+        l2_norm,
+    )
+
+    cents = _centroid_literals(centroids, normalize=True)
     prank = (
-        qd.crossJoin(F.broadcast(cents_df))
+        qd.withColumn("__qn", l2_norm(F.col("qv")))
+        .withColumn(
+            "__sims",
+            F.transform(
+                cents,
+                lambda cent: F.round(
+                    dot(F.col("qv"), cent) / F.col("__qn"), 6
+                ),
+            ),
+        )
         .select(
-            "query_id",
-            "qv",
-            F.col("cid").alias("bucket"),
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("s"),
+            "query_id", "qv", F.posexplode("__sims").alias("bucket", "s")
         )
         .withColumn(
             "pr",

@@ -66,9 +66,14 @@ for name in names:
         qe = df._jdf.queryExecution()
         plan = df._sc._jvm.PythonSQLUtils.explainString(qe, "formatted")
         opt = qe.optimizedPlan().toString()
-        rec["exchanges"] = len(
+        # shuffle_exchanges: numbered "(n) Exchange" operator nodes only
+        # (shuffles); exchange_nodes: every textual Exchange mention,
+        # including reused/broadcast references (r16 ADVICE: the two
+        # metrics are deliberately different — named to say how).
+        rec["shuffle_exchanges"] = len(
             re.findall(r"^\s*[+:]?[- ]*\(\d+\) Exchange", plan, re.M)
-        ) + plan.count("BroadcastExchange") * 0
+        )
+        rec["exchanges"] = rec["shuffle_exchanges"]  # back-compat key
         rec["exchange_nodes"] = plan.count(") Exchange")
         rec["reused_exchanges"] = plan.count("ReusedExchange")
         rec["bhj"] = plan.count("BroadcastHashJoin")
